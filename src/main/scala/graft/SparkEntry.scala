@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are contributed by modules under graft.queries; each module
+  * pairs Spark plans with DuckDB oracle SQL over the same parquet tables.
+  */
 object SparkEntry {
+
+  private val modules: Seq[QueryModule] = Seq(Parity, Mart)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Mart.build(configure(spark), "/root/testdata/sf0.001")
+
+  /** Session settings every gate query assumes, applicable to a session we
+    * did not create (the driver's). ANSI off = null-on-garbage cast
+    * semantics, the SURVEY.md §7.4 decision (pandas parity + availability);
+    * DQ counters, not exceptions, surface bad input.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.defs).toMap.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => fn(configure(s), dir))
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracle).toMap
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Mirrors the reference's explicit-schema-at-the-boundary rule (SURVEY.md
+  * §1.1, ref `dags/yougile_etl_dag.py:90-94`): production paths never rely
+  * on inference drift. Parquet pins the schema here; the only normalization
+  * needed is `events.ts`, written as parquet TIMESTAMP(NANOS) which Spark's
+  * reader only exposes as a nanosecond LongType (via
+  * `spark.sql.legacy.parquet.nanosAsLong`) — we floor-divide to micros,
+  * matching DuckDB's microsecond truncation, so oracle comparisons agree.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Parquet isAdjustedToUTC=false timestamps surface as TIMESTAMP_NTZ in
+    * Spark 4; with a UTC session the wall-clock reading is the same instant,
+    * so cast to TIMESTAMP once here and keep every downstream expression
+    * (unix_millis, date_format, window) on the standard type — matching how
+    * DuckDB reads the same files.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer division: ns values (~1.7e18) exceed double's 2^53 mantissa
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** The flagship query: the reference's whole mart-assembly pipeline
+  * (SURVEY.md §3.3, ref `dags/yougile_etl_dag.py:249-322`) re-expressed over
+  * the TESTDATA star schema. One lazy plan covering, in order:
+  * fact-grain left join (the explode-to-lot-grain analog), chained
+  * broadcast hub joins, literal run-timestamp stamp (P4), string strip +
+  * split (C1/C2), alternative-slot coalesce (C3), dd.MM.yyyy parse (C4),
+  * epoch-ms date (C5), empty-string→null numeric cast (C7), wide
+  * projection (P1) and full-row dedup (D1).
+  *
+  * Scale notes: orders⋈lineitem is the only real shuffle (two large
+  * tables, sort-merge under AQE); every dimension join is broadcast; the
+  * final dropDuplicates reuses the hash-aggregate path. No driver
+  * materialization anywhere.
+  */
+object Mart extends QueryModule {
+
+  val runTs = "2026-01-01 00:00:00"
+
+  def build(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val lineitem = Tables(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    val cust = Tables(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    val nat = Tables(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    val reg = Tables(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    val supp = Tables(s, dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+
+    orders
+      // task × subtask grain: orders with no lineitems must survive with
+      // null lot columns (explode_outer semantics, SURVEY.md §1.3 #3)
+      .join(lineitem, Seq("o_orderkey"), "left")
+      .join(broadcast(cust), Seq("o_custkey"), "left")
+      .join(broadcast(nat), Seq("c_nationkey"), "left")
+      .join(broadcast(reg), Seq("n_regionkey"), "left")
+      .join(broadcast(supp), Seq("l_suppkey"), "left")
+      // C3: the same attribute arriving via one of two alternative slots
+      .withColumn("slot1", when(col("o_orderkey") % 2 === 0, col("c_mktsegment")))
+      .withColumn("slot2", when(col("o_orderkey") % 2 =!= 0, col("c_mktsegment")))
+      // C7: quantity as string with empties, like sticker numeric slots
+      .withColumn("qty_str",
+        when(col("l_quantity") < 5.0, lit("")).otherwise(col("l_quantity").cast(StringType)))
+      .select(
+        lit(java.sql.Timestamp.valueOf(runTs)).as("loaded_ts"), // P4
+        col("o_orderkey").as("contract_id"),
+        col("l_linenumber").as("lot_id"),
+        col("o_orderstatus").as("contract_status"),
+        translate(col("o_orderpriority"), " ", "").as("priority_nospace"), // C1
+        get(split(col("o_orderpriority"), "-"), lit(1)).as("priority_label"), // C2
+        coalesce(col("slot1"), col("slot2")).as("segment"), // C3
+        to_date(date_format(col("o_orderdate"), "dd.MM.yyyy"), "dd.MM.yyyy").as("contract_dt"), // C4
+        to_date(timestamp_millis(unix_millis(col("l_shipdate")))).as("ship_dt"), // C5
+        when(col("qty_str") === "", lit(null).cast(DoubleType))
+          .otherwise(col("qty_str").cast(DoubleType)).as("quantity"), // C7
+        col("l_extendedprice").as("price"),
+        col("c_name").as("customer_name"),
+        col("n_name").as("customer_nation"),
+        col("r_name").as("customer_region"),
+        col("s_name").as("supplier_name"))
+      .dropDuplicates() // D1
+      // distinct rows can still collide on any key subset (synthetic data
+      // has duplicate (orderkey, linenumber) pairs) → total order over all
+      .orderBy(martCols.map(col(_).asc_nulls_first): _*)
+  }
+
+  private val martCols = Seq("contract_id", "lot_id", "quantity", "price", "ship_dt",
+    "supplier_name", "contract_status", "priority_nospace", "priority_label", "segment",
+    "contract_dt", "customer_name", "customer_nation", "customer_region", "loaded_ts")
+
+  val sql: String =
+    s"""WITH joined AS (
+       |  SELECT o.*, l.*, c.c_name, c.c_mktsegment, n.n_name, r.r_name, s.s_name
+       |  FROM orders o
+       |  LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+       |SELECT DISTINCT
+       |  TIMESTAMP '$runTs' AS loaded_ts,
+       |  o_orderkey AS contract_id,
+       |  l_linenumber AS lot_id,
+       |  o_orderstatus AS contract_status,
+       |  replace(o_orderpriority, ' ', '') AS priority_nospace,
+       |  string_split(o_orderpriority, '-')[2] AS priority_label,
+       |  coalesce(CASE WHEN o_orderkey % 2 = 0 THEN c_mktsegment END,
+       |           CASE WHEN o_orderkey % 2 <> 0 THEN c_mktsegment END) AS segment,
+       |  CAST(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y') AS DATE) AS contract_dt,
+       |  CAST(epoch_ms(epoch_ms(l_shipdate)) AS DATE) AS ship_dt,
+       |  CASE WHEN l_quantity < 5.0 THEN NULL ELSE l_quantity END AS quantity,
+       |  l_extendedprice AS price,
+       |  c_name AS customer_name,
+       |  n_name AS customer_nation,
+       |  r_name AS customer_region,
+       |  s_name AS supplier_name
+       |FROM joined
+       |ORDER BY contract_id NULLS FIRST, lot_id NULLS FIRST, quantity NULLS FIRST,
+       |  price NULLS FIRST, ship_dt NULLS FIRST, supplier_name NULLS FIRST,
+       |  contract_status NULLS FIRST, priority_nospace NULLS FIRST,
+       |  priority_label NULLS FIRST, segment NULLS FIRST, contract_dt NULLS FIRST,
+       |  customer_name NULLS FIRST, customer_nation NULLS FIRST,
+       |  customer_region NULLS FIRST, loaded_ts NULLS FIRST""".stripMargin
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] =
+    Map("mart_flagship" -> (build _))
+  override val oracle: Map[String, String] = Map("mart_flagship" -> sql)
+}

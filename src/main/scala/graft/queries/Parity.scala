@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Parity operators from SURVEY.md §2, re-expressed over the TESTDATA
+  * tables so the DuckDB oracle can differentially verify each one.
+  *
+  * Float-determinism rule used throughout: SUM over doubles is
+  * order-dependent, so any summed measure is first cast to DECIMAL (exact,
+  * associative) and the final aggregate cast back to DOUBLE — bit-identical
+  * in Spark and DuckDB regardless of execution order. Per-row double
+  * arithmetic (products, divisions) is IEEE-deterministic and needs no such
+  * treatment.
+  *
+  * Every query ends in a total ORDER BY (unique key last) with explicit
+  * null ordering, so row order can't flip the comparison. Under `count()`
+  * (the bench path) Catalyst's EliminateSorts removes these sorts, so they
+  * cost nothing at benchmark time.
+  */
+object Parity extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Exact decimal sum of a double column, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  /** Exact decimal sum of a per-row double product (wider scale). */
+  private def dsumWide(c: Column): Column = sum(c.cast(DecimalType(24, 8))).cast(DoubleType)
+
+  // ---------------------------------------------------------------- q01
+  // §2.8 D1 + groupBy aggregation (TPC-H Q1 shape): the engine's headline
+  // scan+aggregate. Partial (map-side) aggregation + single shuffle on the
+  // 2-value group key; at 100 TB this stays 2-stage with tiny exchange.
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- scan/project
+  // §2.3 P1 (projection) + P2 (bulk rename) + scalar upper. Column pruning
+  // must reach the parquet scan (ReadSchema: 3 of 6 columns).
+  private def scanProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey").as("part_id"),
+        col("p_name").as("part_name"),
+        upper(col("p_brand")).as("brand"))
+      .orderBy("part_id")
+
+  private val scanProjectSql =
+    """SELECT p_partkey AS part_id, p_name AS part_name, upper(p_brand) AS brand
+      |FROM part ORDER BY part_id""".stripMargin
+
+  // ---------------------------------------------------------------- filters
+  // §2.4 F1: equality filter (ref get_local_hub slice, yougile_etl_dag.py:102).
+  private def filterEq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("lang") === lit("de"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  private val filterEqSql =
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'de' ORDER BY doc_id"
+
+  // §2.4 F2: IN-list allow-list filter (ref :135).
+  private def filterIn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_21"))
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+
+  private val filterInSql =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_name IN ('NATION_3','NATION_7','NATION_21') ORDER BY n_nationkey""".stripMargin
+
+  // §2.4 F3: null-tolerant inequality — `deleted != True` must KEEP null
+  // rows (SURVEY.md §1.3 trap #2). Spark: null-safe equality negated.
+  private def filterNullSafe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("deleted",
+        when(col("o_orderstatus") === "F", lit(true))
+          .when(col("o_orderstatus") === "O", lit(false))
+          .otherwise(lit(null).cast(BooleanType)))
+      .filter(!(col("deleted") <=> lit(true)))
+      .select("o_orderkey", "o_orderstatus", "deleted")
+      .orderBy("o_orderkey")
+
+  private val filterNullSafeSql =
+    """WITH flagged AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'F' THEN TRUE
+      |         WHEN o_orderstatus = 'O' THEN FALSE
+      |         ELSE NULL END AS deleted
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderstatus, deleted FROM flagged
+      |WHERE deleted IS DISTINCT FROM TRUE ORDER BY o_orderkey""".stripMargin
+
+  // §2.4 F4: data-quality probe — referenced-but-missing dimension rows
+  // (ref alarm at :241-244). Count-filter instead of materializing.
+  private def dqProbe(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val richSupp = t(s, dir, "supplier")
+      .filter(col("s_acctbal") > lit(5000.0))
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    li.join(broadcast(richSupp), Seq("l_suppkey"), "left")
+      .agg(
+        count(when(col("s_name").isNull, lit(1))).as("missing_dim_rows"),
+        count(lit(1)).as("total_rows"))
+  }
+
+  private val dqProbeSql =
+    """SELECT COUNT(*) FILTER (WHERE s.s_name IS NULL) AS missing_dim_rows,
+      |       COUNT(*) AS total_rows
+      |FROM lineitem l
+      |LEFT JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 5000.0) s
+      |  ON l.l_suppkey = s.s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+  // §2.5 J1: small-dim left equi-join → broadcast hash join, no shuffle.
+  private def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    nation.join(broadcast(region), Seq("n_regionkey"), "left")
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+  }
+
+  private val joinBroadcastSql =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  // §2.5 J3–J9 analog: chained left equi-joins, fact vs 5 dims. orders is
+  // fact-sized (shuffle join, AQE decides); the rest broadcast. This is the
+  // shape of the reference's 7-join mart assembly (:270-277).
+  private def joinChain(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    val supp = t(s, dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    val part = t(s, dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    li.join(ord, Seq("l_orderkey"), "left")
+      .join(broadcast(cust), Seq("o_custkey"), "left")
+      .join(broadcast(nat), Seq("c_nationkey"), "left")
+      .join(broadcast(reg), Seq("n_regionkey"), "left")
+      .join(broadcast(supp), Seq("l_suppkey"), "left")
+      .join(broadcast(part), Seq("l_partkey"), "left")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("o_orderdate"), col("c_name"),
+        col("n_name").as("cust_nation"), col("r_name").as("cust_region"),
+        col("s_name").as("supp_name"), col("p_name").as("part_name"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // total order needs every column (equal rows are then interchangeable)
+      .orderBy(Seq("l_orderkey", "l_linenumber", "revenue", "part_name", "supp_name",
+        "o_orderdate", "c_name", "cust_nation", "cust_region").map(col(_).asc_nulls_first): _*)
+  }
+
+  private val joinChainSql =
+    """SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_name,
+      |  n.n_name AS cust_nation, r.r_name AS cust_region,
+      |  s.s_name AS supp_name, p.p_name AS part_name,
+      |  l.l_extendedprice * (CAST(1 AS DOUBLE) - l.l_discount) AS revenue
+      |FROM lineitem l
+      |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |ORDER BY l.l_orderkey NULLS FIRST, l.l_linenumber NULLS FIRST, revenue NULLS FIRST,
+      |  part_name NULLS FIRST, supp_name NULLS FIRST, o.o_orderdate NULLS FIRST,
+      |  c.c_name NULLS FIRST, cust_nation NULLS FIRST, cust_region NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- explode
+  // §2.6 E1: explode array-of-struct (ref sticker states, :153).
+  private def explodeStruct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), explode(array(
+        struct(lit("status").as("k"), col("o_orderstatus").as("v")),
+        struct(lit("priority").as("k"), col("o_orderpriority").as("v")))).as("kv"))
+      .select(col("o_orderkey"), col("kv.k").as("attr"), col("kv.v").as("val"))
+      .orderBy("o_orderkey", "attr")
+
+  private val explodeStructSql =
+    """SELECT o_orderkey, kv.k AS attr, kv.v AS val FROM (
+      |  SELECT o_orderkey,
+      |    unnest([{'k':'status','v':o_orderstatus},{'k':'priority','v':o_orderpriority}]) AS kv
+      |  FROM orders)
+      |ORDER BY o_orderkey, attr""".stripMargin
+
+  // §2.6 E2: explode_outer — rows with a NULL array must survive as one
+  // null row (SURVEY.md §1.3 trap #3; a plain explode silently drops them).
+  private def explodeOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .withColumn("words",
+        when(col("p_size") < 10, lit(null).cast(ArrayType(StringType)))
+          .otherwise(split(col("p_name"), " ")))
+      .select(col("p_partkey"), explode_outer(col("words")).as("word"))
+      .orderBy(col("p_partkey"), col("word").asc_nulls_first)
+
+  private val explodeOuterSql =
+    """SELECT p_partkey, unnest(CASE WHEN words IS NULL OR len(words) = 0
+      |                              THEN [CAST(NULL AS VARCHAR)] ELSE words END) AS word
+      |FROM (SELECT p_partkey,
+      |        CASE WHEN p_size < 10 THEN NULL ELSE string_split(p_name, ' ') END AS words
+      |      FROM part)
+      |ORDER BY p_partkey, word NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- union / distinct
+  // §2.7 U1: union-all of portions (ref pd.concat accumulation, :217).
+  private def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"), lit("urgent").as("bucket"))
+    val big = o.filter(col("o_totalprice") > lit(300000.0))
+      .select(col("o_orderkey"), col("o_totalprice"), lit("big").as("bucket"))
+    urgent.unionByName(big).orderBy("bucket", "o_orderkey")
+  }
+
+  private val unionAllSql =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'big' AS bucket FROM orders WHERE o_totalprice > 300000.0)
+      |ORDER BY bucket, o_orderkey""".stripMargin
+
+  // §2.8 D1: full-row distinct (ref drop_duplicates, :319).
+  private def distinctRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_tax")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus", "l_tax")
+
+  private val distinctRowsSql =
+    """SELECT DISTINCT l_returnflag, l_linestatus, l_tax FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus, l_tax""".stripMargin
+
+  // ---------------------------------------------------------------- scalars
+  // §2.9 C1 (literal strip) + C2 (split→2 cols, null on missing part) +
+  // C3 (coalesce of alternative slots). DuckDB list index is 1-based vs
+  // Spark getItem 0-based; getItem past the end is null in both.
+  private def scalarStrings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("slot1", when(col("o_orderkey") % 2 === 0, col("o_orderstatus")))
+      .withColumn("slot2", when(col("o_orderkey") % 2 =!= 0, col("o_orderstatus")))
+      .select(
+        col("o_orderkey"),
+        translate(col("o_orderpriority"), " ", "").as("prio_nospace"),
+        get(split(col("o_orderpriority"), "-"), lit(0)).as("prio_rank"),
+        get(split(col("o_orderpriority"), "-"), lit(1)).as("prio_label"),
+        get(split(col("o_orderpriority"), "-"), lit(2)).as("prio_missing"),
+        coalesce(col("slot1"), col("slot2")).as("status_coalesced"))
+      .orderBy("o_orderkey")
+
+  private val scalarStringsSql =
+    """SELECT o_orderkey,
+      |  replace(o_orderpriority, ' ', '') AS prio_nospace,
+      |  string_split(o_orderpriority, '-')[1] AS prio_rank,
+      |  string_split(o_orderpriority, '-')[2] AS prio_label,
+      |  string_split(o_orderpriority, '-')[3] AS prio_missing,
+      |  coalesce(CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END,
+      |           CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END) AS status_coalesced
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // §2.9 C4 (dd.MM.yyyy parse) + C5 (epoch-ms → date) + C6.
+  private def scalarDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "dd.MM.yyyy").as("date_str"),
+        to_date(date_format(col("o_orderdate"), "dd.MM.yyyy"), "dd.MM.yyyy").as("parsed_date"),
+        to_date(timestamp_millis(unix_millis(col("o_orderdate")))).as("date_from_ms"),
+        col("o_orderdate").cast(DateType).as("order_date"))
+      .orderBy("o_orderkey")
+
+  private val scalarDatesSql =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%d.%m.%Y') AS date_str,
+      |  CAST(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y') AS DATE) AS parsed_date,
+      |  CAST(epoch_ms(epoch_ms(o_orderdate)) AS DATE) AS date_from_ms,
+      |  CAST(o_orderdate AS DATE) AS order_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // §2.9 C7: empty-string → null → double (ref quantity casts, :294-295).
+  // The string round-trips through CAST in both engines (shortest-roundtrip
+  // double repr), so the final doubles are bit-identical.
+  private def scalarCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("qty_str",
+        when(col("o_orderstatus") === "P", lit("")).otherwise(col("o_totalprice").cast(StringType)))
+      .select(
+        col("o_orderkey"),
+        when(col("qty_str") === "", lit(null).cast(DoubleType))
+          .otherwise(col("qty_str").cast(DoubleType)).as("qty"))
+      .orderBy("o_orderkey")
+
+  private val scalarCastSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN qty_str = '' THEN NULL ELSE CAST(qty_str AS DOUBLE) END AS qty
+      |FROM (SELECT o_orderkey,
+      |        CASE WHEN o_orderstatus = 'P' THEN '' ELSE CAST(o_totalprice AS VARCHAR) END AS qty_str
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "p1_scan_project" -> (scanProject _),
+    "f1_filter_eq" -> (filterEq _),
+    "f2_filter_in" -> (filterIn _),
+    "f3_filter_null_safe" -> (filterNullSafe _),
+    "f4_dq_probe" -> (dqProbe _),
+    "j1_join_broadcast" -> (joinBroadcast _),
+    "j4_join_chain" -> (joinChain _),
+    "e1_explode_struct" -> (explodeStruct _),
+    "e2_explode_outer" -> (explodeOuter _),
+    "u1_union_all" -> (unionAll _),
+    "d1_distinct" -> (distinctRows _),
+    "c1_scalar_strings" -> (scalarStrings _),
+    "c4_scalar_dates" -> (scalarDates _),
+    "c7_scalar_cast" -> (scalarCast _))
+
+  override val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "p1_scan_project" -> scanProjectSql,
+    "f1_filter_eq" -> filterEqSql,
+    "f2_filter_in" -> filterInSql,
+    "f3_filter_null_safe" -> filterNullSafeSql,
+    "f4_dq_probe" -> dqProbeSql,
+    "j1_join_broadcast" -> joinBroadcastSql,
+    "j4_join_chain" -> joinChainSql,
+    "e1_explode_struct" -> explodeStructSql,
+    "e2_explode_outer" -> explodeOuterSql,
+    "u1_union_all" -> unionAllSql,
+    "d1_distinct" -> distinctRowsSql,
+    "c1_scalar_strings" -> scalarStringsSql,
+    "c4_scalar_dates" -> scalarDatesSql,
+    "c7_scalar_cast" -> scalarCastSql)
+}
