@@ -10,7 +10,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(Parity, Mart)
+  private val modules: Seq[QueryModule] = Seq(Parity, Mart, Extras)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -24,6 +24,10 @@ object SparkEntry {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries TIMESTAMP(NANOS); Spark only exposes it as a
+    // nanosecond long under this flag (normalized in Tables.events). Set
+    // once per session instead of as a read side effect (ADVICE r01).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 

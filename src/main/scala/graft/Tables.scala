@@ -34,8 +34,12 @@ object Tables {
     ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 
+  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once in
+    * SparkEntry.configure (not here: a read-side conf mutation would leak
+    * into unrelated reads mid-session — ADVICE r01). Spark's parquet
+    * reader has no per-read option for TIMESTAMP(NANOS) columns.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType =>

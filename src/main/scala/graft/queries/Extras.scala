@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Inventory rows from SURVEY.md §2 that round 1 left without a named gate
+  * entry (VERDICT r01 "missing" #7, #10): the empty-input guard (F5), the
+  * explicit column drop (P3), schema-conform via
+  * `unionByName(allowMissingColumns)` (S5), and a first consumer of the
+  * `events` table (time-bucketed aggregation + a regex scalar over its
+  * JSON props column).
+  */
+object Extras extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- f5
+  // §2.4 F5: empty-input guard (ref `if len(df_i) == 0: continue`,
+  // yougile_etl_dag.py:213-214). Portions are accumulated by union; an
+  // empty portion must be skipped (reference semantics) without changing
+  // the result. The probe is `isEmpty` — a limit-1 job, not a full count.
+  private def emptyGuard(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val portions = Seq(
+      o.filter(col("o_orderstatus") === "F"),
+      o.filter(col("o_totalprice") < lit(0.0)), // provably empty portion
+      o.filter(col("o_orderstatus") === "O"))
+    val nonEmpty = portions.filterNot(_.isEmpty)
+    nonEmpty.reduce(_ unionByName _)
+      .orderBy(col("o_orderkey").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  private val emptyGuardSql =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice < 0.0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O')
+      |ORDER BY o_orderkey NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- p3
+  // §2.3 P3: explicit drop (ref drop(columns=[...]), :159,231,234).
+  private def dropColumns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .drop("o_orderpriority", "o_orderdate")
+      .orderBy(col("o_orderkey").asc_nulls_first)
+
+  private val dropColumnsSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- s5
+  // §2.1 S5: schema conform — pages missing whole columns are aligned to
+  // the canonical schema with nulls (ref :90-94). Spark gives the
+  // add-missing-as-null + reorder behavior via unionByName with
+  // allowMissingColumns, no per-column loop.
+  private def schemaConform(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val pageA = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), lit("a").as("page"))
+    val pageB = c.filter(col("c_custkey") % 2 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), lit("b").as("page"))
+    pageA.unionByName(pageB, allowMissingColumns = true)
+      .orderBy(col("c_custkey").asc_nulls_first, col("page").asc_nulls_first)
+  }
+
+  private val schemaConformSql =
+    """SELECT * FROM (
+      |  SELECT c_custkey, c_name, 'a' AS page,
+      |         CAST(NULL AS VARCHAR) AS c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, 'b' AS page, c_mktsegment, c_acctbal
+      |  FROM customer WHERE c_custkey % 2 <> 0)
+      |ORDER BY c_custkey NULLS FIRST, page NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- ev1
+  // Beyond-reference: time-bucketed aggregation over the events stream
+  // table (first consumer of Tables.events' nanos handling). Partial
+  // (map-side) agg + one small shuffle on (hour, type) — the 100 TB plan.
+  private def eventBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket_hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
+
+  private val eventBucketsSql =
+    """SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket_hour NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
+  // Beyond-reference: scalar extraction from the JSON props column with a
+  // regex (portable to the oracle without a JSON extension), plus an agg
+  // over the extracted value.
+  private def eventProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  private val eventPropsSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+      |FROM (SELECT event_type,
+      |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f5_empty_guard" -> (emptyGuard _),
+    "p3_drop_columns" -> (dropColumns _),
+    "s5_schema_conform" -> (schemaConform _),
+    "ev1_time_buckets" -> (eventBuckets _),
+    "ev2_props_extract" -> (eventProps _))
+
+  override val oracle: Map[String, String] = Map(
+    "f5_empty_guard" -> emptyGuardSql,
+    "p3_drop_columns" -> dropColumnsSql,
+    "s5_schema_conform" -> schemaConformSql,
+    "ev1_time_buckets" -> eventBucketsSql,
+    "ev2_props_extract" -> eventPropsSql)
+}

@@ -35,10 +35,12 @@ object Mart extends QueryModule {
       // task × subtask grain: orders with no lineitems must survive with
       // null lot columns (explode_outer semantics, SURVEY.md §1.3 #3)
       .join(lineitem, Seq("o_orderkey"), "left")
-      .join(broadcast(cust), Seq("o_custkey"), "left")
+      // customer/supplier scale with SF — no broadcast hints (AQE decides);
+      // only the bounded dims nation/region are hinted (VERDICT r01 #7).
+      .join(cust, Seq("o_custkey"), "left")
       .join(broadcast(nat), Seq("c_nationkey"), "left")
       .join(broadcast(reg), Seq("n_regionkey"), "left")
-      .join(broadcast(supp), Seq("l_suppkey"), "left")
+      .join(supp, Seq("l_suppkey"), "left")
       // C3: the same attribute arriving via one of two alternative slots
       .withColumn("slot1", when(col("o_orderkey") % 2 === 0, col("c_mktsegment")))
       .withColumn("slot2", when(col("o_orderkey") % 2 =!= 0, col("c_mktsegment")))
@@ -46,7 +48,9 @@ object Mart extends QueryModule {
       .withColumn("qty_str",
         when(col("l_quantity") < 5.0, lit("")).otherwise(col("l_quantity").cast(StringType)))
       .select(
-        lit(java.sql.Timestamp.valueOf(runTs)).as("loaded_ts"), // P4
+        // parse in the session TZ (UTC), not the JVM default: a
+        // Timestamp.valueOf literal shifts on any non-UTC driver (ADVICE r01)
+        to_timestamp(lit(runTs)).as("loaded_ts"), // P4
         col("o_orderkey").as("contract_id"),
         col("l_linenumber").as("lot_id"),
         col("o_orderstatus").as("contract_status"),

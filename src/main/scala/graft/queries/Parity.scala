@@ -28,6 +28,10 @@ object Parity extends QueryModule {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
   /** Exact decimal sum of a per-row double product (wider scale). */
   private def dsumWide(c: Column): Column = sum(c.cast(DecimalType(24, 8))).cast(DoubleType)
+  /** Total order with pinned null position (Spark defaults nulls-first,
+    * DuckDB nulls-last — every oracle ORDER BY carries NULLS FIRST too). */
+  private def sortAsc(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(col(_).asc_nulls_first): _*)
 
   // ---------------------------------------------------------------- q01
   // §2.8 D1 + groupBy aggregation (TPC-H Q1 shape): the engine's headline
@@ -44,7 +48,7 @@ object Parity extends QueryModule {
         dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -57,7 +61,7 @@ object Parity extends QueryModule {
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- scan/project
   // §2.3 P1 (projection) + P2 (bulk rename) + scalar upper. Column pruning
@@ -68,11 +72,11 @@ object Parity extends QueryModule {
         col("p_partkey").as("part_id"),
         col("p_name").as("part_name"),
         upper(col("p_brand")).as("brand"))
-      .orderBy("part_id")
+      .orderBy(col("part_id").asc_nulls_first)
 
   private val scanProjectSql =
     """SELECT p_partkey AS part_id, p_name AS part_name, upper(p_brand) AS brand
-      |FROM part ORDER BY part_id""".stripMargin
+      |FROM part ORDER BY part_id NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- filters
   // §2.4 F1: equality filter (ref get_local_hub slice, yougile_etl_dag.py:102).
@@ -80,21 +84,21 @@ object Parity extends QueryModule {
     t(s, dir, "documents")
       .filter(col("lang") === lit("de"))
       .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
+      .orderBy(col("doc_id").asc_nulls_first)
 
   private val filterEqSql =
-    "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'de' ORDER BY doc_id"
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'de' ORDER BY doc_id NULLS FIRST"
 
   // §2.4 F2: IN-list allow-list filter (ref :135).
   private def filterIn(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")
       .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_21"))
       .select("n_nationkey", "n_name", "n_regionkey")
-      .orderBy("n_nationkey")
+      .orderBy(col("n_nationkey").asc_nulls_first)
 
   private val filterInSql =
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
-      |WHERE n_name IN ('NATION_3','NATION_7','NATION_21') ORDER BY n_nationkey""".stripMargin
+      |WHERE n_name IN ('NATION_3','NATION_7','NATION_21') ORDER BY n_nationkey NULLS FIRST""".stripMargin
 
   // §2.4 F3: null-tolerant inequality — `deleted != True` must KEEP null
   // rows (SURVEY.md §1.3 trap #2). Spark: null-safe equality negated.
@@ -106,7 +110,7 @@ object Parity extends QueryModule {
           .otherwise(lit(null).cast(BooleanType)))
       .filter(!(col("deleted") <=> lit(true)))
       .select("o_orderkey", "o_orderstatus", "deleted")
-      .orderBy("o_orderkey")
+      .orderBy(col("o_orderkey").asc_nulls_first)
 
   private val filterNullSafeSql =
     """WITH flagged AS (
@@ -116,7 +120,7 @@ object Parity extends QueryModule {
       |         ELSE NULL END AS deleted
       |  FROM orders)
       |SELECT o_orderkey, o_orderstatus, deleted FROM flagged
-      |WHERE deleted IS DISTINCT FROM TRUE ORDER BY o_orderkey""".stripMargin
+      |WHERE deleted IS DISTINCT FROM TRUE ORDER BY o_orderkey NULLS FIRST""".stripMargin
 
   // §2.4 F4: data-quality probe — referenced-but-missing dimension rows
   // (ref alarm at :241-244). Count-filter instead of materializing.
@@ -125,7 +129,9 @@ object Parity extends QueryModule {
     val richSupp = t(s, dir, "supplier")
       .filter(col("s_acctbal") > lit(5000.0))
       .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
-    li.join(broadcast(richSupp), Seq("l_suppkey"), "left")
+    // supplier scales with SF — no broadcast hint; AQE picks the strategy
+    // (broadcast at small SF, shuffle join at scale) from runtime sizes.
+    li.join(richSupp, Seq("l_suppkey"), "left")
       .agg(
         count(when(col("s_name").isNull, lit(1))).as("missing_dim_rows"),
         count(lit(1)).as("total_rows"))
@@ -145,13 +151,13 @@ object Parity extends QueryModule {
     val region = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
     nation.join(broadcast(region), Seq("n_regionkey"), "left")
       .select("n_nationkey", "n_name", "r_name")
-      .orderBy("n_nationkey")
+      .orderBy(col("n_nationkey").asc_nulls_first)
   }
 
   private val joinBroadcastSql =
     """SELECT n_nationkey, n_name, r_name
       |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
-      |ORDER BY n_nationkey""".stripMargin
+      |ORDER BY n_nationkey NULLS FIRST""".stripMargin
 
   // §2.5 J3–J9 analog: chained left equi-joins, fact vs 5 dims. orders is
   // fact-sized (shuffle join, AQE decides); the rest broadcast. This is the
@@ -164,12 +170,16 @@ object Parity extends QueryModule {
     val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
     val supp = t(s, dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
     val part = t(s, dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    // Only nation/region are bounded dims → explicit broadcast is safe at
+    // any SF. customer/supplier/part scale linearly with the data: forcing
+    // them broadcast is a driver OOM at 100× (VERDICT r01), so AQE chooses
+    // their join strategy from runtime statistics instead.
     li.join(ord, Seq("l_orderkey"), "left")
-      .join(broadcast(cust), Seq("o_custkey"), "left")
+      .join(cust, Seq("o_custkey"), "left")
       .join(broadcast(nat), Seq("c_nationkey"), "left")
       .join(broadcast(reg), Seq("n_regionkey"), "left")
-      .join(broadcast(supp), Seq("l_suppkey"), "left")
-      .join(broadcast(part), Seq("l_partkey"), "left")
+      .join(supp, Seq("l_suppkey"), "left")
+      .join(part, Seq("l_partkey"), "left")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("o_orderdate"), col("c_name"),
@@ -206,14 +216,14 @@ object Parity extends QueryModule {
         struct(lit("status").as("k"), col("o_orderstatus").as("v")),
         struct(lit("priority").as("k"), col("o_orderpriority").as("v")))).as("kv"))
       .select(col("o_orderkey"), col("kv.k").as("attr"), col("kv.v").as("val"))
-      .orderBy("o_orderkey", "attr")
+      .orderBy(col("o_orderkey").asc_nulls_first, col("attr").asc_nulls_first)
 
   private val explodeStructSql =
     """SELECT o_orderkey, kv.k AS attr, kv.v AS val FROM (
       |  SELECT o_orderkey,
       |    unnest([{'k':'status','v':o_orderstatus},{'k':'priority','v':o_orderpriority}]) AS kv
       |  FROM orders)
-      |ORDER BY o_orderkey, attr""".stripMargin
+      |ORDER BY o_orderkey NULLS FIRST, attr NULLS FIRST""".stripMargin
 
   // §2.6 E2: explode_outer — rows with a NULL array must survive as one
   // null row (SURVEY.md §1.3 trap #3; a plain explode silently drops them).
@@ -223,7 +233,7 @@ object Parity extends QueryModule {
         when(col("p_size") < 10, lit(null).cast(ArrayType(StringType)))
           .otherwise(split(col("p_name"), " ")))
       .select(col("p_partkey"), explode_outer(col("words")).as("word"))
-      .orderBy(col("p_partkey"), col("word").asc_nulls_first)
+      .orderBy(col("p_partkey").asc_nulls_first, col("word").asc_nulls_first)
 
   private val explodeOuterSql =
     """SELECT p_partkey, unnest(CASE WHEN words IS NULL OR len(words) = 0
@@ -231,7 +241,7 @@ object Parity extends QueryModule {
       |FROM (SELECT p_partkey,
       |        CASE WHEN p_size < 10 THEN NULL ELSE string_split(p_name, ' ') END AS words
       |      FROM part)
-      |ORDER BY p_partkey, word NULLS FIRST""".stripMargin
+      |ORDER BY p_partkey NULLS FIRST, word NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- union / distinct
   // §2.7 U1: union-all of portions (ref pd.concat accumulation, :217).
@@ -241,7 +251,7 @@ object Parity extends QueryModule {
       .select(col("o_orderkey"), col("o_totalprice"), lit("urgent").as("bucket"))
     val big = o.filter(col("o_totalprice") > lit(300000.0))
       .select(col("o_orderkey"), col("o_totalprice"), lit("big").as("bucket"))
-    urgent.unionByName(big).orderBy("bucket", "o_orderkey")
+    urgent.unionByName(big).orderBy(col("bucket").asc_nulls_first, col("o_orderkey").asc_nulls_first)
   }
 
   private val unionAllSql =
@@ -249,18 +259,18 @@ object Parity extends QueryModule {
       |  SELECT o_orderkey, o_totalprice, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
       |  UNION ALL
       |  SELECT o_orderkey, o_totalprice, 'big' AS bucket FROM orders WHERE o_totalprice > 300000.0)
-      |ORDER BY bucket, o_orderkey""".stripMargin
+      |ORDER BY bucket NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
 
   // §2.8 D1: full-row distinct (ref drop_duplicates, :319).
   private def distinctRows(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select("l_returnflag", "l_linestatus", "l_tax")
       .distinct()
-      .orderBy("l_returnflag", "l_linestatus", "l_tax")
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first, col("l_tax").asc_nulls_first)
 
   private val distinctRowsSql =
     """SELECT DISTINCT l_returnflag, l_linestatus, l_tax FROM lineitem
-      |ORDER BY l_returnflag, l_linestatus, l_tax""".stripMargin
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, l_tax NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- scalars
   // §2.9 C1 (literal strip) + C2 (split→2 cols, null on missing part) +
@@ -277,7 +287,7 @@ object Parity extends QueryModule {
         get(split(col("o_orderpriority"), "-"), lit(1)).as("prio_label"),
         get(split(col("o_orderpriority"), "-"), lit(2)).as("prio_missing"),
         coalesce(col("slot1"), col("slot2")).as("status_coalesced"))
-      .orderBy("o_orderkey")
+      .orderBy(col("o_orderkey").asc_nulls_first)
 
   private val scalarStringsSql =
     """SELECT o_orderkey,
@@ -287,7 +297,7 @@ object Parity extends QueryModule {
       |  string_split(o_orderpriority, '-')[3] AS prio_missing,
       |  coalesce(CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END,
       |           CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END) AS status_coalesced
-      |FROM orders ORDER BY o_orderkey""".stripMargin
+      |FROM orders ORDER BY o_orderkey NULLS FIRST""".stripMargin
 
   // §2.9 C4 (dd.MM.yyyy parse) + C5 (epoch-ms → date) + C6.
   private def scalarDates(s: SparkSession, dir: String): DataFrame =
@@ -298,7 +308,7 @@ object Parity extends QueryModule {
         to_date(date_format(col("o_orderdate"), "dd.MM.yyyy"), "dd.MM.yyyy").as("parsed_date"),
         to_date(timestamp_millis(unix_millis(col("o_orderdate")))).as("date_from_ms"),
         col("o_orderdate").cast(DateType).as("order_date"))
-      .orderBy("o_orderkey")
+      .orderBy(col("o_orderkey").asc_nulls_first)
 
   private val scalarDatesSql =
     """SELECT o_orderkey,
@@ -306,7 +316,7 @@ object Parity extends QueryModule {
       |  CAST(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y') AS DATE) AS parsed_date,
       |  CAST(epoch_ms(epoch_ms(o_orderdate)) AS DATE) AS date_from_ms,
       |  CAST(o_orderdate AS DATE) AS order_date
-      |FROM orders ORDER BY o_orderkey""".stripMargin
+      |FROM orders ORDER BY o_orderkey NULLS FIRST""".stripMargin
 
   // §2.9 C7: empty-string → null → double (ref quantity casts, :294-295).
   // The string round-trips through CAST in both engines (shortest-roundtrip
@@ -319,7 +329,7 @@ object Parity extends QueryModule {
         col("o_orderkey"),
         when(col("qty_str") === "", lit(null).cast(DoubleType))
           .otherwise(col("qty_str").cast(DoubleType)).as("qty"))
-      .orderBy("o_orderkey")
+      .orderBy(col("o_orderkey").asc_nulls_first)
 
   private val scalarCastSql =
     """SELECT o_orderkey,
@@ -327,7 +337,7 @@ object Parity extends QueryModule {
       |FROM (SELECT o_orderkey,
       |        CASE WHEN o_orderstatus = 'P' THEN '' ELSE CAST(o_totalprice AS VARCHAR) END AS qty_str
       |      FROM orders)
-      |ORDER BY o_orderkey""".stripMargin
+      |ORDER BY o_orderkey NULLS FIRST""".stripMargin
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),

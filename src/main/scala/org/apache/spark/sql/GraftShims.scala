@@ -1,0 +1,25 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.Sort
+
+/** Bench-only helper living in Spark's package to reach the private[sql]
+  * Dataset.ofRows constructor (the standard extension-library idiom; no
+  * Spark internals are modified).
+  *
+  * Every gate query ends in a total ORDER BY purely so the DuckDB oracle
+  * can compare rows positionally. That sort is harness overhead, not
+  * operator work: under the r01 count()-based bench Catalyst eliminated
+  * it (along with, unintentionally, all projections). The r02 noop-write
+  * bench keeps projections alive, and this shim removes just the
+  * top-level global Sort so the timings measure the operators — same
+  * intent as r01, comparable numbers, no dead work.
+  */
+object GraftShims {
+  def dropTopLevelSort(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case s: Sort if s.global =>
+        classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[classic.SparkSession], s.child)
+      case _ => df
+    }
+}
