@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.yougile._
+import graft.yougile.Model._
+
+/** Gate entries for the real YouGile pipeline: JSON fixture pages →
+  * paginated client → explicit-schema ingestion → transform → the exact
+  * 22-column `cdm_tasks` mart of `sql/ddl.sql`.
+  *
+  * These queries run on the committed fixture set (Fixtures.jsonDir), not
+  * the TESTDATA star schema — the `sfDir` argument is unused: the YouGile
+  * surface is an API, and its scale story is the driver-side fetch
+  * (SURVEY.md §7.3). The DuckDB oracle reads the parquet *mirrors* of the
+  * same universe, so CORRECTNESS differentially verifies the whole
+  * transform: joins, explodes, map extraction, scalar casts, dedup.
+  */
+object YouGileQueries extends QueryModule {
+
+  private def pq(name: String) = s"${Fixtures.parquetDir}/$name/*.parquet"
+
+  private def source(s: SparkSession): YouGileSource =
+    new YouGileSource(s, new JsonFixtureClient(Fixtures.jsonDir), YouGileConfig.fixture)
+
+  private def brdClmnDf(s: SparkSession): DataFrame = {
+    val src = source(s)
+    Transform.brdClmn(src.boards(), src.columns(), Fixtures.allowedBoards)
+  }
+
+  // ------------------------------------------------------------ entries
+  private def ygBrdClmn(s: SparkSession, dir: String): DataFrame =
+    brdClmnDf(s).orderBy(col("column_id").asc_nulls_first)
+
+  private val ygBrdClmnSql =
+    s"""SELECT c.boardId AS board_id, c.title AS column_name, c.id AS column_id,
+       |  b.title AS board_name, b.projectId AS project_id
+       |FROM read_parquet('${pq("columns")}') c
+       |LEFT JOIN read_parquet('${pq("boards")}') b ON c.boardId = b.id
+       |WHERE b.title IN ('Доска Трейдинг А','Доска Трейдинг Б','Spot deals')
+       |ORDER BY column_id NULLS FIRST""".stripMargin
+
+  private def ygHubStates(s: SparkSession, dir: String): DataFrame =
+    Transform.stickerStates(source(s).stickers())
+      .orderBy(col("str_sticker_id").asc_nulls_first, col("str_sticker_state_id").asc_nulls_first)
+
+  private val ygHubStatesSql =
+    s"""SELECT id AS str_sticker_id, name AS str_sticker_name,
+       |  st.id AS str_sticker_state_id, st.name AS str_sticker_state_name
+       |FROM (
+       |  SELECT id, name,
+       |    unnest(CASE WHEN states IS NULL OR len(states) = 0
+       |                THEN [CAST(NULL AS STRUCT(id VARCHAR, name VARCHAR))]
+       |                ELSE states END) AS st
+       |  FROM read_parquet('${pq("stickers")}'))
+       |ORDER BY str_sticker_id NULLS FIRST, str_sticker_state_id NULLS FIRST""".stripMargin
+
+  /** The flagship: full extract+transform to the 22-column mart. */
+  private def ygMart(s: SparkSession, dir: String): DataFrame = {
+    val src = source(s)
+    val bc = brdClmnDf(s)
+    // driver-side column-id loop = the per-column fetch workaround (S3);
+    // brd_clmn is bounded dimensional data, so the collect is safe at any SF
+    val columnIds = bc.select("column_id").collect().map(_.getString(0)).toSeq
+    val assembled = Transform.taskAssembly(
+      Transform.contractsPrepared(src.contracts(columnIds)),
+      Transform.subtasksPrepared(src.subtaskObjects()))
+    Transform.mart(assembled, bc, Transform.stickerStates(src.stickers()), Fixtures.runTs)
+      .orderBy(martColumns.map(col(_).asc_nulls_first): _*)
+  }
+
+  private val ygMartSql = {
+    val St = Stickers
+    s"""WITH brd_clmn AS (
+       |  SELECT c.id AS column_id, c.title AS column_name, b.title AS board_name
+       |  FROM read_parquet('${pq("columns")}') c
+       |  LEFT JOIN read_parquet('${pq("boards")}') b ON c.boardId = b.id
+       |  WHERE b.title IN ('Доска Трейдинг А','Доска Трейдинг Б','Spot deals')),
+       |states AS (
+       |  SELECT name AS hub_name, st.id AS state_id, st.name AS state_name
+       |  FROM (SELECT name, unnest(states) AS st FROM read_parquet('${pq("stickers")}'))),
+       |contracts AS (
+       |  SELECT t.title AS task_name, t."timestamp" AS ts_ms, t.id AS task_id,
+       |    unnest(CASE WHEN t.subtasks IS NULL OR len(t.subtasks) = 0
+       |                THEN [CAST(NULL AS VARCHAR)] ELSE t.subtasks END) AS subtask_id,
+       |    t.columnId AS column_id,
+       |    map_extract(t.stickers, '${St.ContractStatus}')[1] AS contract_status_state_id
+       |  FROM read_parquet('${pq("contracts")}') t),
+       |subt AS (
+       |  SELECT o.title AS subtask_name, o.id AS subtask_id, o.deleted,
+       |    map_extract(o.stickers, '${St.DeliveryTerm}')[1] AS delivery_term_state_id,
+       |    map_extract(o.stickers, '${St.LotStatus}')[1] AS lot_status_state_id,
+       |    map_extract(o.stickers, '${St.LoadingPlace}')[1] AS loading_place_state_id,
+       |    map_extract(o.stickers, '${St.ShipName}')[1] AS ship_name,
+       |    map_extract(o.stickers, '${St.QuantityPlan}')[1] AS quantity_plan,
+       |    map_extract(o.stickers, '${St.QuantityFact}')[1] AS quantity_fact,
+       |    coalesce(map_extract(o.stickers, '${St.DischargingPlace1}')[1],
+       |             map_extract(o.stickers, '${St.DischargingPlace2}')[1]) AS discharging_place,
+       |    coalesce(map_extract(o.stickers, '${St.LoadingDates1}')[1],
+       |             map_extract(o.stickers, '${St.LoadingDates2}')[1]) AS loading_dates,
+       |    map_extract(o.stickers, '${St.ProvPaid}')[1] AS prov_paid_state_id,
+       |    map_extract(o.stickers, '${St.FinalPaid}')[1] AS final_paid_state_id,
+       |    o.deadline_start_ms, o.deadline_end_ms
+       |  FROM read_parquet('${pq("subtask_objects")}') o),
+       |asm AS (
+       |  SELECT * FROM contracts LEFT JOIN subt USING (subtask_id)
+       |  WHERE deleted IS DISTINCT FROM TRUE),
+       |final AS (
+       |  SELECT
+       |    TIMESTAMP '${Fixtures.runTs}' AS loaded_ts,
+       |    task_name, task_id,
+       |    CAST(epoch_ms(ts_ms) AS DATE) AS task_creation_dt,
+       |    board_name, column_name,
+       |    cs.state_name AS task_status,
+       |    subtask_id, subtask_name,
+       |    ls.state_name AS subtask_status,
+       |    CASE WHEN quantity_plan = '' THEN NULL ELSE CAST(quantity_plan AS DOUBLE) END AS quantity_plan,
+       |    CASE WHEN quantity_fact = '' THEN NULL ELSE CAST(quantity_fact AS DOUBLE) END AS quantity_fact,
+       |    dt.state_name AS delivery_term,
+       |    lp.state_name AS loading_place,
+       |    CAST(strptime(string_split(replace(loading_dates, ' ', ''), '-')[1], '%d.%m.%Y') AS DATE) AS loading_start_date,
+       |    CAST(strptime(string_split(replace(loading_dates, ' ', ''), '-')[2], '%d.%m.%Y') AS DATE) AS loading_end_date,
+       |    ship_name, discharging_place,
+       |    CAST(epoch_ms(deadline_start_ms) AS DATE) AS deadline_start_date,
+       |    CAST(epoch_ms(deadline_end_ms) AS DATE) AS deadline_end_date,
+       |    pp.state_name AS prov_paid,
+       |    fp.state_name AS final_paid
+       |  FROM asm
+       |  LEFT JOIN brd_clmn USING (column_id)
+       |  LEFT JOIN (SELECT state_id, state_name FROM states WHERE hub_name = 'Статус сделки') cs
+       |    ON asm.contract_status_state_id = cs.state_id
+       |  LEFT JOIN (SELECT state_id, state_name FROM states WHERE hub_name = 'Базис поставки') dt
+       |    ON asm.delivery_term_state_id = dt.state_id
+       |  LEFT JOIN (SELECT state_id, state_name FROM states WHERE hub_name = 'Статус лота') ls
+       |    ON asm.lot_status_state_id = ls.state_id
+       |  LEFT JOIN (SELECT state_id, state_name FROM states WHERE hub_name = 'Место погрузки') lp
+       |    ON asm.loading_place_state_id = lp.state_id
+       |  LEFT JOIN (SELECT state_id, state_name FROM states WHERE hub_name = 'Provisional paid') pp
+       |    ON asm.prov_paid_state_id = pp.state_id
+       |  LEFT JOIN (SELECT state_id, state_name FROM states WHERE hub_name = 'Final paid') fp
+       |    ON asm.final_paid_state_id = fp.state_id)
+       |SELECT DISTINCT * FROM final
+       |ORDER BY ${martColumns.map(_ + " NULLS FIRST").mkString(", ")}""".stripMargin
+  }
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "yg_brd_clmn" -> (ygBrdClmn _),
+    "yg_hub_states" -> (ygHubStates _),
+    "yg_mart" -> (ygMart _))
+
+  override val oracle: Map[String, String] = Map(
+    "yg_brd_clmn" -> ygBrdClmnSql,
+    "yg_hub_states" -> ygHubStatesSql,
+    "yg_mart" -> ygMartSql)
+}
