@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Deduplication operators over the `documents` corpus — the first of the
+  * LLM-training-pipeline components (brief north star; SURVEY.md §7.5).
+  *
+  * All hashing is md5-based so the DuckDB oracle reproduces every bit:
+  * Spark's native `hash`/`xxhash64` have no DuckDB counterpart, while
+  * `md5(string)` is identical in both engines. MinHash over k seeded
+  * functions uses the *string minimum* of `md5("k:" || shingle)` — a
+  * uniform permutation surrogate that needs no hex→int conversion.
+  *
+  * The gate corpus is `documents` with injected duplicates (exact copies
+  * re-keyed at +1M, 90%-prefix truncations at +2M) so every operator's
+  * match path is exercised non-vacuously; the testdata itself also plants
+  * a few genuine near-duplicates which LSH must (and does) surface.
+  *
+  * Scale posture (100 TB): everything is map-side per-document expression
+  * work except (1) the exact-dedup groupBy, which shuffles only
+  * (hash, doc_id) — never payload columns; (2) the LSH band self-join,
+  * which shuffles (band, sig, doc_id) and joins only within buckets —
+  * never all-pairs; (3) the verify join, which touches candidate pairs
+  * only. Skewed buckets (boilerplate text) are AQE skew-join territory.
+  */
+object Dedup extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val K = 12 // minhash functions
+  private val B = 4 // LSH bands
+  private val R = 3 // rows (hashes) per band
+
+  /** documents ∪ exact copies (+1M) ∪ 90%-word-prefix near-copies (+2M). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val exact = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 5 === 0)
+      .select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, (size(split(text, ' ')) * 9) div 10), ' ')")
+          .as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      (len(string_split(text, ' ')) * 9) // 10), ' ')
+      |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  // ---------------------------------------------------------------- dd1
+  // Exact dedup on normalized-text hash: lower/trim/collapse-whitespace →
+  // md5 → group. Only (hash, doc_id) cross the exchange; the keeper is
+  // the minimum id (deterministic). Recovering full rows at scale is a
+  // broadcast/shuffle semi-join of keeper ids back to the corpus — the
+  // payload never shuffles.
+  private def exactDedup(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .withColumn("text_hash", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash").asc_nulls_first)
+
+  private val exactDedupSql =
+    s"""WITH $corpusSql
+       |SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+       |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+       |FROM corpus
+       |GROUP BY 1
+       |ORDER BY text_hash NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- dd2
+  /** (doc_id, shingles): distinct word-3-gram sets. */
+  private def shingled(c: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    c.withColumn("words", words)
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(
+          sequence(lit(1), size(col("words")) - 2),
+          i => array_join(slice(col("words"), i, lit(3)), " "))))
+      .select("doc_id", "shingles")
+  }
+
+  private val shingledSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> array_to_string(w[i:i+2], ' '))) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  /** MinHash-LSH near-dup pairs, verified: signature → banded bucket
+    * self-join (candidates) → true shingle-Jaccard filter ≥ 0.5.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(corpus(s, dir))
+    val withMh = (0 until K).foldLeft(sh)((df, k) =>
+      df.withColumn(s"mh$k",
+        array_min(transform(col("shingles"), x => md5(concat(lit(s"$k:"), x))))))
+    val withBands = (0 until B).foldLeft(withMh)((df, b) =>
+      df.withColumn(s"band$b",
+        md5(concat_ws("|", (0 until R).map(r => col(s"mh${b * R + r}")): _*))))
+    val bandRows = withBands.select(
+      col("doc_id"),
+      explode(array((0 until B).map(b =>
+        struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*)).as("kv"))
+      .select(col("doc_id"), col("kv.band_id").as("band_id"), col("kv.sig").as("sig"))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  private val minhashPairsSql = {
+    val minhs = (0 until K).map(k =>
+      s"list_min(list_transform(shingles, x -> md5('$k:' || x))) AS mh$k").mkString(",\n    ")
+    val bands = (0 until B).map(b =>
+      s"md5(${(0 until R).map(r => s"mh${b * R + r}").mkString(" || '|' || ")}) AS band$b")
+      .mkString(",\n    ")
+    val bandRows = (0 until B).map(b =>
+      s"SELECT doc_id, $b AS band_id, band$b AS sig FROM sigs").mkString(" UNION ALL ")
+    s"""WITH $corpusSql,
+       |$shingledSql,
+       |mh AS (
+       |  SELECT doc_id,
+       |    $minhs
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $bands
+       |  FROM mh),
+       |bandrows AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandrows a
+       |  JOIN bandrows b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON cand.doc_a = sa.doc_id
+       |JOIN sh sb ON cand.doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) >= 0.5
+       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- dd3
+  // 16-bit SimHash fingerprint: bit i is the sign of the word-multiset sum
+  // of ±1 weighted by the high bit of md5 nibble i. Pure per-row HOF work
+  // (one md5 per word, integer sums — order-independent), no shuffle at
+  // all until the final sort; exact copies collide by construction.
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    def bit(i: Int): Column =
+      when(
+        aggregate(
+          transform(col("hs"), h => when(substring(h, i + 1, 1).isin(highNibble: _*), 1).otherwise(-1)),
+          lit(0),
+          (acc, x) => acc + x) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    corpus(s, dir)
+      .withColumn("hs", transform(split(col("text"), " "), w => md5(w)))
+      .select(col("doc_id"), (0 until 16).map(bit).reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val simhashSql = {
+    val hn = "('8','9','a','b','c','d','e','f')"
+    val bits = (0 until 16).map(i =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |      h -> CASE WHEN substr(h, ${i + 1}, 1) IN $hn THEN 1 ELSE -1 END)) > 0
+         |    THEN ${1L << i} ELSE 0 END""".stripMargin).mkString(" +\n  ")
+    s"""WITH $corpusSql,
+       |hashed AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), w -> md5(w)) AS hs
+       |  FROM corpus)
+       |SELECT doc_id,
+       |  $bits AS simhash
+       |FROM hashed
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> (exactDedup _),
+    "dd2_minhash_lsh_pairs" -> (minhashPairs _),
+    "dd3_simhash" -> (simhash _))
+
+  override val oracle: Map[String, String] = Map(
+    "dd1_exact_dedup" -> exactDedupSql,
+    "dd2_minhash_lsh_pairs" -> minhashPairsSql,
+    "dd3_simhash" -> simhashSql)
+}

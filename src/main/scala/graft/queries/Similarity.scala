@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.{TopHit, TopKAgg}
+
+/** Similarity search over the `embeddings` table (LLM-pipeline component
+  * #2): exact brute-force top-k as the verified baseline, an IVF-bucketed
+  * variant as the sublinear scale path, and a float-cosine entry for the
+  * real-valued API surface.
+  *
+  * Determinism across engines: float dot products are order- and
+  * engine-sensitive, so the oracle-compared entries score on *quantized*
+  * vectors — `floor(x·1000)` in double math (exact for float32 inputs) —
+  * making every score an exact integer in both Spark and DuckDB. Integer
+  * quantization is also the honest 100 TB technique (int8 ANN is
+  * standard practice), not a test-only trick.
+  *
+  * Scale posture: the query set is broadcast (bounded by design); scoring
+  * is per-partition codegen'd HOF work; top-k uses the TopKAgg Aggregator
+  * so only k rows per (query × partition) reach the exchange. The IVF
+  * variant touches ~1/C of the corpus per query after a map-side
+  * assignment aggregation; its centroid "codebook" here is the first C
+  * vectors — k-means training would slot into the same plan shape.
+  */
+object Similarity extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val C = 8 // IVF centroids
+  private val QueryIds = Seq(0L, 1L, 2L)
+
+  /** floor(x·1000) as BIGINT; float32 → double widening is exact, double
+    * ops are IEEE-identical in Spark and DuckDB.
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def explodeHits(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).as("rank"),
+        col("hit.id").as("neighbor_id"),
+        col("hit.score").as("score"))
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+
+  // ---------------------------------------------------------------- ann1
+  private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val queries = emb.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val topk = udaf(new TopKAgg(10))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), dot(col("qv"), col("q")).as("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  private val bruteTopKSql =
+    """WITH emb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |queries AS (SELECT vec_id AS query_id, q AS qv FROM emb WHERE vec_id IN (0, 1, 2)),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.q[i])) AS BIGINT) AS score
+      |  FROM queries CROSS JOIN emb e
+      |  WHERE e.vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- ann2
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val cents = emb.filter(col("vec_id") < C)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+    val l2 = aggregate(
+      zip_with(col("q"), col("cv"), (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
+    // nearest-centroid assignment as a map-side hash aggregate (min_by on
+    // the (dist, centroid) pair — deterministic tie-break), not a window:
+    // no per-vector sort, partial agg combines before the exchange.
+    val assigned = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"), col("q"), l2.as("dist"))
+      .groupBy("vec_id")
+      .agg(
+        min_by(col("centroid_id"), struct(col("dist"), col("centroid_id"))).as("centroid_id"),
+        first(col("q")).as("q"))
+    val queries = assigned.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("qc"), col("q").as("qv"))
+    val topk = udaf(new TopKAgg(5))
+    val scored = assigned
+      .join(broadcast(queries), col("centroid_id") === col("qc") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), dot(col("qv"), col("q")).as("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  private val ivfTopKSql =
+    """WITH emb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |centroids AS (SELECT vec_id AS centroid_id, q AS cv FROM emb WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id, centroid_id, q FROM (
+      |    SELECT e.vec_id, c.centroid_id, e.q,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(e.q) + 1),
+      |          i -> (e.q[i] - cv[i]) * (e.q[i] - cv[i]))) ASC,
+      |        c.centroid_id ASC) AS rn
+      |    FROM emb e CROSS JOIN centroids c) WHERE rn = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, centroid_id AS qc, q AS qv
+      |  FROM assigned WHERE vec_id IN (0, 1, 2)),
+      |scored AS (
+      |  SELECT query_id, a.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * a.q[i])) AS BIGINT) AS score
+      |  FROM queries JOIN assigned a ON a.centroid_id = queries.qc AND a.vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- ann3
+  /** Float cosine top-k — the real-valued API the library exposes. Not
+    * oracle-compared (cross-engine float summation is not bit-stable);
+    * the driver records a rows-only check, and ScalaTest pins semantics.
+    */
+  private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+    val withNorm = emb.withColumn("norm", sqrt(ddot(col("v"), col("v"))))
+    val queries = withNorm.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    withNorm.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (ddot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann1_topk_exact" -> (bruteTopK _),
+    "ann2_topk_ivf" -> (ivfTopK _),
+    "ann3_topk_cosine" -> (cosineTopK _))
+
+  override val oracle: Map[String, String] = Map(
+    "ann1_topk_exact" -> bruteTopKSql,
+    "ann2_topk_ivf" -> ivfTopKSql)
+}
