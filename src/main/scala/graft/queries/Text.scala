@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators over `documents` (LLM-pipeline component #4):
+  * token statistics, quality scoring, language identification, document
+  * fingerprinting, and a per-language rollup. Everything is built-in
+  * functions and higher-order functions — no UDFs, so the whole per-row
+  * path stays inside whole-stage codegen and is trivially 100 TB-safe
+  * (map-side work; the only shuffles are the final tiny aggregations).
+  *
+  * Ratios divide exact integers in double math, so Spark and DuckDB agree
+  * bit-for-bit; hashing is md5 (identical in both engines).
+  */
+object Text extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def words: Column = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- tx1
+  // Per-document token statistics: counts, type-token ratio, mean token
+  // length — the basic profile row every curation pipeline starts from.
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_types"),
+        (size(array_distinct(col("w"))).cast(DoubleType) / size(col("w")).cast(DoubleType))
+          .as("type_token_ratio"),
+        (aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x).cast(DoubleType) /
+          size(col("w")).cast(DoubleType)).as("mean_token_len"))
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  private val tokenStatsSql =
+    """SELECT doc_id, lang, n_chars,
+      |  len(w) AS n_tokens,
+      |  len(list_distinct(w)) AS n_types,
+      |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS type_token_ratio,
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_token_len
+      |FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- tx2
+  // Quality score: bounded mix of length, lexical diversity, token shape,
+  // and stopword load; `keep` is the filter decision a curation pipeline
+  // would apply. Weights are fixed; all inputs are exact ints.
+  private val stopwords = Seq("a", "the", "data", "key", "row", "value")
+
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(col("w")).cast(DoubleType)
+    val ttr = size(array_distinct(col("w"))).cast(DoubleType) / nTok
+    val meanLen =
+      aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x).cast(DoubleType) / nTok
+    val stopRatio =
+      size(filter(col("w"), x => x.isin(stopwords: _*))).cast(DoubleType) / nTok
+    val score =
+      lit(0.3) * least(lit(1.0), nTok / 100.0) +
+        lit(0.3) * ttr +
+        lit(0.2) * least(lit(1.0), meanLen / 8.0) +
+        lit(0.2) * (lit(1.0) - stopRatio)
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .select(
+        col("doc_id"),
+        stopRatio.as("stopword_ratio"),
+        score.as("quality_score"),
+        (score >= 0.5).as("keep"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val qualitySql = {
+    val sw = stopwords.map("'" + _ + "'").mkString(", ")
+    s"""SELECT doc_id, stopword_ratio, quality_score, quality_score >= 0.5 AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(w, x -> x IN ($sw))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+       |      AS stopword_ratio,
+       |    0.3 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0) +
+       |    0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) +
+       |    0.2 * least(1.0, (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) /
+       |                      CAST(len(w) AS DOUBLE)) / 8.0) +
+       |    0.2 * (1.0 - CAST(len(list_filter(w, x -> x IN ($sw))) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+       |      AS quality_score
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- tx3
+  // Language-ID heuristic: overlap of the document's word set against
+  // fixed per-language profile vocabularies, argmax with a deterministic
+  // priority-ordered CASE. (A real deployment swaps in learned n-gram
+  // profiles — the plan shape is identical.)
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "data", "table"),
+    "de" -> Seq("der", "die", "und", "von", "daten"),
+    "es" -> Seq("el", "la", "de", "y", "datos"),
+    "fr" -> Seq("le", "la", "de", "et", "donnees"))
+
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .withColumn("ws", array_distinct(words))
+    val scored = profiles.foldLeft(base) { case (df, (l, prof)) =>
+      df.withColumn(s"s_$l", size(array_intersect(col("ws"), array(prof.map(lit): _*))))
+    }
+    val Seq(en, de, es, fr) = profiles.map(p => col(s"s_${p._1}"))
+    scored
+      .select(
+        col("doc_id"),
+        col("lang"),
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr").as("pred_lang"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val langIdSql = {
+    def prof(l: String) =
+      s"len(list_intersect(ws, [${profiles.toMap.apply(l).map("'" + _ + "'").mkString(", ")}]))"
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang,
+       |  s_en, s_de, s_es, s_fr
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ${prof("en")} AS s_en, ${prof("de")} AS s_de,
+       |    ${prof("es")} AS s_es, ${prof("fr")} AS s_fr
+       |  FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents))
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- tx4
+  // Document fingerprint: a min-4 sketch — the 4 lexicographically
+  // smallest md5s of the word-trigram shingles, re-hashed into one id.
+  // Robust to local edits (winnowing-style), cheap to compare at scale.
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => array_join(slice(col("w"), i, lit(3)), " "))))
+      .select(
+        col("doc_id"),
+        md5(array_join(
+          slice(array_sort(transform(col("shingles"), x => md5(x))), 1, 4), ""))
+          .as("fingerprint"))
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_transform(shingles, x -> md5(x)))[1:4], ''))
+      |    AS fingerprint
+      |FROM (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> array_to_string(w[i:i+2], ' '))) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- tx5
+  // Per-language rollup: the corpus-census aggregation (docs, tokens,
+  // chars, distinct sources) — partial agg + one tiny exchange.
+  private def langStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast(LongType)).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang").asc_nulls_first)
+
+  private val langStatsSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(len(string_split(text, ' '))) AS n_tokens,
+      |  SUM(n_chars) AS sum_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx1_token_stats" -> (tokenStats _),
+    "tx2_quality_score" -> (quality _),
+    "tx3_lang_id" -> (langId _),
+    "tx4_fingerprint" -> (fingerprint _),
+    "tx5_lang_rollup" -> (langStats _))
+
+  override val oracle: Map[String, String] = Map(
+    "tx1_token_stats" -> tokenStatsSql,
+    "tx2_quality_score" -> qualitySql,
+    "tx3_lang_id" -> langIdSql,
+    "tx4_fingerprint" -> fingerprintSql,
+    "tx5_lang_rollup" -> langStatsSql)
+}
