@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TopHit, TopKAgg}
+import graft.queries.{Dedup, Similarity}
+
+/** Determinism/semantics checks for the LLM-pipeline operators, run at
+  * sf0.001 (the smoke scale): the injected duplicates MUST be found, and
+  * the TopK aggregator must behave like sort-then-take under any
+  * reduce/merge interleaving.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("TopKAgg reduce-fold equals sort-then-take, ties broken by id") {
+    val agg = new TopKAgg(3)
+    val hits = Seq(TopHit(5, 9), TopHit(7, 2), TopHit(5, 1), TopHit(7, 8), TopHit(1, 0))
+    val folded = hits.foldLeft(agg.zero)(agg.reduce)
+    val expected = hits.sortBy(h => (-h.score, h.id)).take(3)
+    assert(folded == expected)
+    assert(folded == List(TopHit(7, 2), TopHit(7, 8), TopHit(5, 1)))
+  }
+
+  test("TopKAgg merge is consistent with folding everything on one side") {
+    val agg = new TopKAgg(4)
+    val a = Seq(TopHit(9, 1), TopHit(3, 2), TopHit(3, 9))
+    val b = Seq(TopHit(8, 4), TopHit(3, 1), TopHit(10, 7))
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == (a ++ b).sortBy(h => (-h.score, h.id)).take(4))
+  }
+
+  test("exact dedup groups every injected +1M copy with its original as keeper") {
+    val groups = run("dd1_exact_dedup")
+      .map(r => (r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("n_copies")))
+    val dups = groups.filter(_._2 == 2L)
+    assert(dups.nonEmpty)
+    assert(dups.forall(_._1 < 1000000L)) // keeper is always the original id
+  }
+
+  test("MinHash-LSH surfaces every exact copy as a jaccard-1.0 pair") {
+    val pairs = run("dd2_minhash_lsh_pairs")
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val exactCopies = pairs.filter { case (a, b, _) => a < 1000000L && b == a + 1000000L }
+    assert(exactCopies.nonEmpty)
+    assert(exactCopies.forall(_._3 == 1.0)) // identical shingle sets
+    // near-copies (+2M truncations) are found with high-but-<1 similarity
+    val nearCopies = pairs.filter { case (a, b, _) => a < 1000000L && b == a + 2000000L }
+    assert(nearCopies.nonEmpty)
+    assert(nearCopies.forall { case (_, _, j) => j >= 0.5 && j < 1.0 })
+  }
+
+  test("SimHash of an exact copy equals the original's") {
+    val sh = run("dd3_simhash").map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash"))).toMap
+    val originalsWithCopy = sh.keys.filter(id => id < 1000000L && sh.contains(id + 1000000L))
+    assert(originalsWithCopy.nonEmpty)
+    originalsWithCopy.foreach(id => assert(sh(id) == sh(id + 1000000L)))
+  }
+
+  test("brute-force top-k: per-query scores are non-increasing and ranks dense") {
+    val rows = run("ann1_topk_exact")
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("score")))
+    assert(rows.length == 30) // 3 queries × k=10
+    rows.groupBy(_._1).foreach { case (_, qr) =>
+      val sorted = qr.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 10))
+      assert(sorted.sliding(2).forall { case Array(x, y) => x._3 >= y._3 })
+    }
+  }
+
+  test("IVF top-k returns results from the query's own bucket only (subset of brute-force corpus)") {
+    val rows = run("ann2_topk_ivf")
+    assert(rows.length == 15) // 3 queries × k=5
+  }
+}
