@@ -1,0 +1,87 @@
+package graft.sinks
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Side-channel alert sink (K2): the reference posts to the Telegram Bot
+  * API on DAG failure (`dags/yougile_etl_dag.py:34-45`) and on the
+  * data-loss check (`:244`). Behind a trait so tests assert alerts
+  * without a network.
+  */
+trait Alerter {
+  def alert(text: String): Unit
+}
+
+object NoopAlerter extends Alerter {
+  override def alert(text: String): Unit = ()
+}
+
+/** POST `https://api.telegram.org/bot<token>/sendMessage` with
+  * form-encoded chat_id/text (ref `send_message_tg`, `:41-45`). The
+  * transport is injectable for offline tests.
+  */
+class TelegramAlerter(
+    botToken: String,
+    chatId: String,
+    transport: (String, Map[String, String]) => String = TelegramAlerter.defaultTransport)
+    extends Alerter {
+  override def alert(text: String): Unit = {
+    transport(
+      s"https://api.telegram.org/bot$botToken/sendMessage",
+      Map("chat_id" -> chatId, "text" -> text))
+    ()
+  }
+}
+
+object TelegramAlerter {
+  val defaultTransport: (String, Map[String, String]) => String = { (url, form) =>
+    val body = form
+      .map { case (k, v) => s"${URLEncoder.encode(k, UTF_8)}=${URLEncoder.encode(v, UTF_8)}" }
+      .mkString("&")
+    HttpClient.newHttpClient()
+      .send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      .body()
+  }
+}
+
+/** Mart output sink (K1). Implementations: batched JDBC append (the
+  * production target `tops_yg.cdm_tasks`) and parquet (tests/lake).
+  */
+trait MartSink {
+  def write(df: DataFrame): Unit
+}
+
+/** Batched JDBC append — replaces the reference's row-at-a-time
+  * `insert_rows` (`:325-333`) with `df.write.jdbc`, which batches
+  * `batchsize` rows per statement per partition and writes partitions in
+  * parallel. `stringtype=unspecified` should be set in the URL for
+  * Postgres UUID columns so VARCHAR task ids cast server-side
+  * (SURVEY.md §7.4). Append-only snapshot per run, like the reference —
+  * no truncate, no upsert.
+  */
+class JdbcSink(url: String, table: String, user: String, password: String,
+    batchSize: Int = 1000) extends MartSink {
+  override def write(df: DataFrame): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchSize.toString)
+      .save()
+}
+
+class ParquetSink(path: String) extends MartSink {
+  override def write(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Retry
+import graft.sinks.{Alerter, MartSink, TelegramAlerter}
+import graft.yougile._
+
+/** Sinks/ops units plus the orchestrated pipeline run with test doubles:
+  * the fixture universe plants 6 dangling lot references, so the run MUST
+  * fire the reference's data-loss alert and still load 240 mart rows.
+  */
+class SinksOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private class RecordingAlerter extends Alerter {
+    var alerts: List[String] = Nil
+    override def alert(text: String): Unit = alerts ::= text
+  }
+
+  test("Retry: recovers after transient failures, reports each attempt") {
+    var calls = 0
+    var reported = List.empty[Int]
+    val out = Retry.withRetries(2, (_, attempt) => reported ::= attempt) {
+      calls += 1
+      if (calls < 3) sys.error(s"boom $calls") else 42
+    }
+    assert(out == 42 && calls == 3 && reported.reverse == List(0, 1))
+  }
+
+  test("Retry: exhausts and rethrows the last failure") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry.withRetries(1) { calls += 1; sys.error("always") }
+    }
+    assert(e.getMessage == "always" && calls == 2)
+  }
+
+  test("TelegramAlerter posts the bot-API form to the right URL") {
+    var seen: Option[(String, Map[String, String])] = None
+    new TelegramAlerter("BOT", "42", (url, form) => { seen = Some((url, form)); "ok" })
+      .alert("hello")
+    val (url, form) = seen.get
+    assert(url == "https://api.telegram.org/botBOT/sendMessage")
+    assert(form == Map("chat_id" -> "42", "text" -> "hello"))
+  }
+
+  test("Pipeline.run on fixtures: fires the data-loss alert, sinks 240 rows, stamps run-ts") {
+    val alerter = new RecordingAlerter
+    var written: Option[DataFrame] = None
+    val sink = new MartSink { override def write(df: DataFrame): Unit = written = Some(df) }
+    val rows = Pipeline.run(spark, new JsonFixtureClient(Fixtures.jsonDir),
+      YouGileConfig.fixture, Fixtures.runTs, sink, alerter)
+    assert(rows == 240L)
+    assert(alerter.alerts == List(Pipeline.DataLossAlert))
+    assert(written.get.columns.length == 22)
+  }
+
+  test("ParquetSink round-trips the mart") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/mart"
+    val sink = new graft.sinks.ParquetSink(dir)
+    Pipeline.run(spark, new JsonFixtureClient(Fixtures.jsonDir),
+      YouGileConfig.fixture, Fixtures.runTs, sink, graft.sinks.NoopAlerter)
+    assert(spark.read.parquet(dir).count() == 240)
+  }
+}
