@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (LLM-pipeline component #3): media as
+  * opaque `binary` columns plus a typed metadata struct, processed
+  * batch-wise with `mapPartitions` over a typed Dataset — the Scala
+  * analog of pandas-batch UDF processing: the decoder is initialised once
+  * per partition and streams an iterator, so per-row setup cost is
+  * amortised exactly like a batch UDF.
+  *
+  * The actual codec work is STUBBED: this container has no imaging/audio
+  * libraries, so `NativeDecoder` is an explicit `???` seam and
+  * `FakeDecoder` produces deterministic features from the raw bytes. The
+  * Spark-side contract — schema, encoders, batch shape, partitioning — is
+  * real and tested; swapping a JNI/FFI decoder in changes nothing above
+  * the `MediaDecoder` trait.
+  *
+  * Scale posture: binary payloads dominate row size, so partition byte
+  * targets (`spark.sql.files.maxPartitionBytes`) — not row counts —
+  * govern task sizing; feature extraction is embarrassingly parallel with
+  * no shuffle (narrow mapPartitions), and downstream joins should carry
+  * only (media_id, features), never the payload.
+  */
+object Multimodal {
+
+  case class MediaMeta(format: String, width: Int, height: Int, duration_ms: Long)
+  case class MediaFile(media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int, mean_byte: Double,
+      content_hash: String, n_frames: Int)
+
+  /** Deterministic synthetic media over the documents table: content =
+    * UTF-8 bytes of the text (an honest opaque payload for plumbing
+    * purposes), kind round-robins image/audio/video, metadata derived
+    * from the id.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("content"),
+        struct(
+          lit("raw").as("format"),
+          (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+          (lit(16) + col("doc_id") % 48).cast("int").as("height"),
+          (col("doc_id") % 10000).as("duration_ms")).as("meta"))
+      .as[MediaFile]
+  }
+
+  /** The decode seam. Implementations must be deterministic per byte
+    * content (idempotent re-runs, cross-run joins).
+    */
+  trait MediaDecoder extends Serializable {
+    def features(m: MediaFile): MediaFeatures
+    /** Every-nth-chunk frame sampling for video payloads. */
+    def sampleFrames(content: Array[Byte], frameBytes: Int, everyNth: Int): Seq[Array[Byte]] =
+      content.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % everyNth == 0 => chunk }
+        .toSeq
+  }
+
+  /** Deterministic fake: features from raw bytes (no codec). */
+  object FakeDecoder extends MediaDecoder {
+    override def features(m: MediaFile): MediaFeatures = {
+      val n = m.content.length
+      val mean = if (n == 0) 0.0 else m.content.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(m.content).map("%02x".format(_)).mkString
+      val frames = if (m.kind == "video") sampleFrames(m.content, 64, 2).size else 1
+      MediaFeatures(m.media_id, m.kind, n, mean, hash, frames)
+    }
+  }
+
+  /** Real-codec seam — deliberately unimplemented in this environment
+    * (no image/audio libraries in the container). A production build
+    * binds an FFI/JNI codec here; everything above this trait is final.
+    */
+  object NativeDecoder extends MediaDecoder {
+    override def features(m: MediaFile): MediaFeatures =
+      ??? // stub: requires a codec library absent from this environment
+  }
+
+  /** Batch feature extraction: narrow mapPartitions, decoder shared per
+    * partition, iterator-to-iterator (no materialisation).
+    */
+  def extractFeatures(ds: Dataset[MediaFile], decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.map(decoder.features))
+  }
+
+  /** Gate-facing frame: id, kind, payload size, payload hash — the
+    * oracle-comparable slice of the plumbing (hashes/lengths of the
+    * binary column, no decode).
+    */
+  def mediaSummary(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(
+        col("media_id"),
+        col("kind"),
+        length(col("content")).as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .orderBy(col("media_id").asc_nulls_first)
+}
