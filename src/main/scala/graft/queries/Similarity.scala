@@ -84,21 +84,27 @@ object Similarity extends QueryModule {
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- ann2
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Nearest-centroid (IVF) bucket assignment as a map-side hash
+    * aggregate (min_by on the (dist, centroid) pair — deterministic
+    * tie-break), not a window: no per-vector sort, partial agg combines
+    * before the exchange.
+    */
+  private def assignedBuckets(s: SparkSession, dir: String): DataFrame = {
     val emb = quantized(s, dir)
     val cents = emb.filter(col("vec_id") < C)
       .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
     val l2 = aggregate(
       zip_with(col("q"), col("cv"), (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
-    // nearest-centroid assignment as a map-side hash aggregate (min_by on
-    // the (dist, centroid) pair — deterministic tie-break), not a window:
-    // no per-vector sort, partial agg combines before the exchange.
-    val assigned = emb.join(broadcast(cents))
+    emb.join(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"), col("q"), l2.as("dist"))
       .groupBy("vec_id")
       .agg(
         min_by(col("centroid_id"), struct(col("dist"), col("centroid_id"))).as("centroid_id"),
         first(col("q")).as("q"))
+  }
+
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val assigned = assignedBuckets(s, dir)
     val queries = assigned.filter(col("vec_id").isin(QueryIds: _*))
       .select(col("vec_id").as("query_id"), col("centroid_id").as("qc"), col("q").as("qv"))
     val topk = udaf(new TopKAgg(5))
@@ -136,6 +142,50 @@ object Similarity extends QueryModule {
       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dd4
+  /** Embedding-similarity near-dup pairs (the dedup family's vector leg):
+    * within-bucket self-join on the IVF assignment — never all-pairs —
+    * keeping pairs whose quantized dot product clears the threshold. At
+    * scale this is the standard "cluster then pairwise within cluster"
+    * dedup sweep; bucket skew is AQE skew-join territory.
+    */
+  private val NearDupThreshold = 300000L
+
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val assigned = assignedBuckets(s, dir)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        dot(col("a.q"), col("b.q")).as("dot_q"))
+      .filter(col("dot_q") >= NearDupThreshold)
+      .orderBy(col("vec_a").asc_nulls_first, col("vec_b").asc_nulls_first)
+  }
+
+  private val embeddingNearDupSql =
+    s"""WITH emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |centroids AS (SELECT vec_id AS centroid_id, q AS cv FROM emb WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id, q FROM (
+       |    SELECT e.vec_id, c.centroid_id, e.q,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(e.q) + 1),
+       |          i -> (e.q[i] - cv[i]) * (e.q[i] - cv[i]))) ASC,
+       |        c.centroid_id ASC) AS rn
+       |    FROM emb e CROSS JOIN centroids c) WHERE rn = 1)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_q
+       |FROM assigned a
+       |JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |WHERE CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT)
+       |  >= $NearDupThreshold
+       |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ann3
   /** Float cosine top-k — the real-valued API the library exposes. Not
     * oracle-compared (cross-engine float summation is not bit-stable);
@@ -166,9 +216,11 @@ object Similarity extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann1_topk_exact" -> (bruteTopK _),
     "ann2_topk_ivf" -> (ivfTopK _),
-    "ann3_topk_cosine" -> (cosineTopK _))
+    "ann3_topk_cosine" -> (cosineTopK _),
+    "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
     "ann1_topk_exact" -> bruteTopKSql,
-    "ann2_topk_ivf" -> ivfTopKSql)
+    "ann2_topk_ivf" -> ivfTopKSql,
+    "dd4_embedding_neardup" -> embeddingNearDupSql)
 }

@@ -36,7 +36,12 @@ object Text extends QueryModule {
         (size(array_distinct(col("w"))).cast(DoubleType) / size(col("w")).cast(DoubleType))
           .as("type_token_ratio"),
         (aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x).cast(DoubleType) /
-          size(col("w")).cast(DoubleType)).as("mean_token_len"))
+          size(col("w")).cast(DoubleType)).as("mean_token_len"),
+        // BPE-ish subword segmentation count: letter runs, digit runs,
+        // punctuation runs with optional leading space — the regex family
+        // GPT-style tokenizers pre-split with
+        expr("size(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0))")
+          .as("n_tokens_bpe"))
       .orderBy(col("doc_id").asc_nulls_first)
 
   private val tokenStatsSql =
@@ -44,8 +49,9 @@ object Text extends QueryModule {
       |  len(w) AS n_tokens,
       |  len(list_distinct(w)) AS n_types,
       |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS type_token_ratio,
-      |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_token_len
-      |FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_token_len,
+      |  len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0)) AS n_tokens_bpe
+      |FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w FROM documents)
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- tx2

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the events stream (beyond-reference:
+  * the YouGile pipeline is hourly batch, SURVEY.md §2.10, but this
+  * engine's 100 TB posture includes a streaming path for the same
+  * transforms).
+  *
+  * Both operators are written against plain Datasets, so the SAME code
+  * runs batch (events parquet) and streaming (readStream/MemoryStream) —
+  * Spark's unified-engine idiom. Watermarked windowed aggregation keeps
+  * state bounded (late events beyond the watermark are dropped, window
+  * state is evicted); the per-user running aggregate shows
+  * mapGroupsWithState custom state.
+  */
+object EventStream {
+
+  /** events schema for file stream sources (matches events.parquet after
+    * Tables' nanos normalization).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Hourly tumbling-window counts with a 10-minute watermark. On a
+    * streaming input the watermark bounds state; on a batch frame the
+    * watermark is a no-op and the result equals the ev1 gate query's
+    * shape.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("bucket_hour"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Running per-user totals via mapGroupsWithState: state survives
+    * across micro-batches (Update output mode). The state object is one
+    * small case class per user — bounded by the user population, the
+    * streaming analog of a partial aggregate.
+    */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val next = evs.foldLeft(prev)((acc, e) =>
+            UserTotals(uid, acc.n_events + 1, acc.total_value + e.value))
+          state.update(next)
+          next
+      }
+  }
+
+  /** File-source entry point for a directory of event parquet drops. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Convenience: run a streaming frame into an in-memory table. */
+  def startMemorySink(df: DataFrame, name: String, mode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}
