@@ -25,6 +25,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session warmup (codegen compiler, noop sink classloading,
+    // parquet footer caches) so it isn't billed to the first query
+    import spark.implicits._
+    spark.range(100000).select(org.apache.spark.sql.functions.sum($"id"))
+      .write.format("noop").mode("overwrite").save()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{LongDot, LongSquaredL2}
+
+/** Column-API and SQL-name surfaces for the codegen vector kernels
+  * (org.apache.spark.sql.graft.VectorKernels).
+  */
+object VectorFunctions {
+  def longDot(a: Column, b: Column): Column =
+    GraftShims.column(LongDot(GraftShims.expression(a), GraftShims.expression(b)))
+
+  def longSquaredL2(a: Column, b: Column): Column =
+    GraftShims.column(LongSquaredL2(GraftShims.expression(a), GraftShims.expression(b)))
+
+  private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "long_dot" -> (es => LongDot(es(0), es(1))),
+    "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))))
+
+  /** Runtime registration (for sessions we did not build, e.g. the
+    * driver's): makes the kernels callable from SQL text.
+    */
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (name, builder) =>
+      GraftShims.registerFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * production injection route for sessions built by spark-submit.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "long_dot"),
+      (es: Seq[Expression]) => LongDot(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("long_sq_l2"),
+      new ExpressionInfo(classOf[LongSquaredL2].getName, "long_sq_l2"),
+      (es: Seq[Expression]) => LongSquaredL2(es(0), es(1))))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.functions.{TopHit, TopKAgg}
+import graft.functions.{TopHit, TopKAgg, VectorFunctions}
 
 /** Similarity search over the `embeddings` table (LLM-pipeline component
   * #2): exact brute-force top-k as the verified baseline, an IVF-bucketed
@@ -41,8 +41,12 @@ object Similarity extends QueryModule {
       col("vec_id"),
       transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Codegen'd kernel (graft.functions.LongDot) — the HOF spelling
+    * `aggregate(zip_with(a,b,_*_), 0L, _+_)` is semantically identical
+    * but evaluates interpreted, and this dot product is the inner loop
+    * over the whole corpus.
+    */
+  private def dot(a: Column, b: Column): Column = VectorFunctions.longDot(a, b)
 
   private def explodeHits(grouped: DataFrame): DataFrame =
     grouped
@@ -93,8 +97,7 @@ object Similarity extends QueryModule {
     val emb = quantized(s, dir)
     val cents = emb.filter(col("vec_id") < C)
       .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
-    val l2 = aggregate(
-      zip_with(col("q"), col("cv"), (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
+    val l2 = VectorFunctions.longSquaredL2(col("q"), col("cv"))
     emb.join(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"), col("q"), l2.as("dist"))
       .groupBy("vec_id")

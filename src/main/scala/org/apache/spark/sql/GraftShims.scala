@@ -22,4 +22,21 @@ object GraftShims {
           df.sparkSession.asInstanceOf[classic.SparkSession], s.child)
       case _ => df
     }
+
+  /** Lift a catalyst Expression into the public Column API (the hook
+    * custom codegen expressions need; Spark 4 keeps it private[sql]).
+    */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
+  /** Register a catalyst function builder on an already-built session —
+    * the runtime counterpart of SparkSessionExtensions.injectFunction.
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[catalyst.expressions.Expression] => catalyst.expressions.Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+
+/** The codegen vector kernels must agree exactly with their HOF
+  * spellings, survive nulls, and resolve from SQL after registration.
+  */
+class VectorExprsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+    (2L, Seq(-7L, 0L, 2L), Seq(3L, 9L, -1L)),
+    (3L, null.asInstanceOf[Seq[Long]], Seq(1L, 2L, 3L))).toDF("id", "a", "b")
+
+  test("long_dot equals the HOF spelling and is null-safe") {
+    val out = df.select(
+      $"id",
+      VectorFunctions.longDot($"a", $"b").as("kernel"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (s, v) => s + v).as("hof"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 32L && out(0).getLong(1) == out(0).getLong(2))
+    assert(out(1).getLong(1) == -23L && out(1).getLong(1) == out(1).getLong(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
+  test("long_sq_l2 equals the HOF spelling") {
+    val out = df.filter($"a".isNotNull).select(
+      VectorFunctions.longSquaredL2($"a", $"b").as("kernel"),
+      aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v).as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("kernels participate in whole-stage codegen (no fallback)") {
+    // needs a file-backed scan: a local Seq collapses to an eagerly
+    // evaluated LocalTableScan with no codegen stage to observe
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("long")).as("q"))
+    val qe = emb.select(VectorFunctions.longDot($"q", $"q")).queryExecution
+    val formatted = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the long_dot Project carries a codegen id; the HOF transform Project
+    // above it does not (HOFs evaluate interpreted — the kernel's reason)
+    val dotSection = formatted.linesIterator.find(l => l.contains("Project") && l.contains("codegen id"))
+    assert(dotSection.isDefined, s"no codegen'd Project in:\n$formatted")
+  }
+
+  test("SQL registration makes the kernels resolvable by name") {
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      "SELECT id, long_dot(a, b) AS d, long_sq_l2(a, b) AS l FROM vecs WHERE a IS NOT NULL ORDER BY id")
+      .collect()
+    assert(rows(0).getLong(1) == 32L)
+    assert(rows(1).getLong(1) == -23L)
+  }
+}
