@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Deduplication operators over the `documents` corpus — the first of the
@@ -104,7 +105,12 @@ object Dedup extends QueryModule {
     * self-join (candidates) → true shingle-Jaccard filter ≥ 0.5.
     */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(corpus(s, dir))
+    // The shingle sets feed three consumers (both self-join sides + the
+    // verify stage) and the band signatures two — persist them instead of
+    // recomputing the md5 pipeline per consumer. At 100 TB this
+    // materialization is mandatory, not an option: signatures are ~1% of
+    // corpus size and the alternative is N full-corpus re-hashes.
+    val sh = shingled(corpus(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
     val withMh = (0 until K).foldLeft(sh)((df, k) =>
       df.withColumn(s"mh$k",
         array_min(transform(col("shingles"), x => md5(concat(lit(s"$k:"), x))))))
@@ -116,6 +122,7 @@ object Dedup extends QueryModule {
       explode(array((0 until B).map(b =>
         struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*)).as("kv"))
       .select(col("doc_id"), col("kv.band_id").as("band_id"), col("kv.sig").as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
