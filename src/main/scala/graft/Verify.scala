@@ -16,7 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // Write the sorted range partitions as-is (multi-file): the checker
+      // concatenates part files in name order, which preserves the global
+      // sort. coalesce(1) (r01) fused the whole final stage into one
+      // task; repartition(1) would shuffle AFTER the sort and lose row
+      // order — plain parallel write is the correct idiom.
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

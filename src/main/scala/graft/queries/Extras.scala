@@ -120,7 +120,50 @@ object Extras extends QueryModule {
       |GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev3
+  // Beyond-reference: gap-based sessionization over the events stream —
+  // the canonical window-function pipeline (lag → flag → running sum →
+  // per-session rollup). Shuffles once on user_id (the natural
+  // sessionization partitioning); power-user skew is AQE territory.
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000 // 30-minute inactivity gap
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(w))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy(col("user_id").asc_nulls_first, col("session_id").asc_nulls_first)
+  }
+
+  private val sessionizeSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start,
+      |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev3_sessionize" -> (sessionize _),
     "f5_empty_guard" -> (emptyGuard _),
     "p3_drop_columns" -> (dropColumns _),
     "s5_schema_conform" -> (schemaConform _),
@@ -128,6 +171,7 @@ object Extras extends QueryModule {
     "ev2_props_extract" -> (eventProps _))
 
   override val oracle: Map[String, String] = Map(
+    "ev3_sessionize" -> sessionizeSql,
     "f5_empty_guard" -> emptyGuardSql,
     "p3_drop_columns" -> dropColumnsSql,
     "s5_schema_conform" -> schemaConformSql,

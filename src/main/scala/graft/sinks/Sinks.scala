@@ -85,3 +85,13 @@ class ParquetSink(path: String) extends MartSink {
   override def write(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 }
+
+/** Hive-style partitioned parquet layout: readers filtering on the
+  * partition columns prune whole directories at planning time
+  * (PartitionFilters in the scan) — the table layout a 100 TB corpus
+  * needs so per-language/per-source queries never touch foreign files.
+  */
+class PartitionedParquetSink(path: String, partitionCols: Seq[String]) extends MartSink {
+  override def write(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+}

@@ -57,6 +57,17 @@ class SinksOpsSpec extends AnyFunSuite {
     assert(written.get.columns.length == 22)
   }
 
+  test("PartitionedParquetSink lays out hive dirs and filters prune partitions") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new graft.sinks.PartitionedParquetSink(dir, Seq("lang")).write(docs)
+    assert(new java.io.File(dir).list().count(_.startsWith("lang=")) >= 4)
+    val pruned = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === "de")
+    val scan = pruned.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"))
+    assert(pruned.count() == docs.filter(org.apache.spark.sql.functions.col("lang") === "de").count())
+  }
+
   test("ParquetSink round-trips the mart") {
     val dir = Files.createTempDirectory("graft-sink").toString + "/mart"
     val sink = new graft.sinks.ParquetSink(dir)
