@@ -162,7 +162,83 @@ object Extras extends QueryModule {
       |GROUP BY user_id, session_id
       |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- aj1
+  // As-of join (graft.operators.AsOfJoin): each event gets the latest
+  // order of "its" customer (user_id ↔ o_custkey) with o_orderdate <=
+  // event ts, ties broken by the largest o_orderkey. Implemented with
+  // the union+window technique (one shuffle, no pair explosion); the
+  // oracle states the same semantics as a correlated argmax.
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val ord = t(s, dir, "orders")
+    graft.operators.AsOfJoin.leftAsOf(
+      ev, ord,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate",
+      tieBreak = "o_orderkey",
+      payload = Seq("o_orderkey", "o_totalprice"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val asofJoinSql =
+    """WITH picked AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    (SELECT o.o_orderkey FROM orders o
+      |     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_o_orderkey
+      |  FROM events e)
+      |SELECT p.event_id, p.user_id, p.ts, p.asof_o_orderkey,
+      |       o.o_totalprice AS asof_o_totalprice
+      |FROM picked p
+      |LEFT JOIN orders o ON p.asof_o_orderkey = o.o_orderkey
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- j5
+  // Beyond-reference join coverage: semi (customers WITH orders) and
+  // anti (customers WITHOUT) — the allow-list idiom at fact scale, where
+  // an IN-list no longer fits and the filter must be a join.
+  private def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val withOrders = c.join(o, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("bucket"))
+    val without = c.join(o, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("bucket"))
+    withOrders.unionByName(without)
+      .orderBy(col("bucket").asc_nulls_first, col("c_custkey").asc_nulls_first)
+  }
+
+  private val semiAntiSql =
+    """SELECT * FROM (
+      |  SELECT c_custkey, 'has_orders' AS bucket FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, 'no_orders' AS bucket FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |ORDER BY bucket NULLS FIRST, c_custkey NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  // Beyond-reference agg coverage: ROLLUP hierarchy (flag → status →
+  // grand total) — partial agg + one exchange, same 2-stage shape as q01.
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val rollupAggSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aj1_asof_join" -> (asofJoin _),
+    "j5_semi_anti" -> (semiAnti _),
+    "q02_rollup" -> (rollupAgg _),
     "ev3_sessionize" -> (sessionize _),
     "f5_empty_guard" -> (emptyGuard _),
     "p3_drop_columns" -> (dropColumns _),
@@ -171,6 +247,9 @@ object Extras extends QueryModule {
     "ev2_props_extract" -> (eventProps _))
 
   override val oracle: Map[String, String] = Map(
+    "aj1_asof_join" -> asofJoinSql,
+    "j5_semi_anti" -> semiAntiSql,
+    "q02_rollup" -> rollupAggSql,
     "ev3_sessionize" -> sessionizeSql,
     "f5_empty_guard" -> emptyGuardSql,
     "p3_drop_columns" -> dropColumnsSql,

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+/** As-of join semantics on a hand-checked micro-case: latest right row
+  * at-or-before the left timestamp per key, largest tie-break wins at
+  * equal timestamps, no match → nulls, keys never cross.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val right = Seq(
+    (1L, 10L, 100L, "a"),
+    (1L, 20L, 200L, "b"),
+    (1L, 20L, 201L, "c"), // same ts as 200 — larger key must win
+    (2L, 99L, 300L, "d"))
+    .toDF("k", "rts", "o_id", "o_val")
+
+  private lazy val left = Seq(
+    (1L, 15L, "e1"), // between 10 and 20 → 100
+    (1L, 20L, "e2"), // equal ts → 201 (<= and tie-break)
+    (1L, 5L, "e3"), // before everything → null
+    (3L, 50L, "e4")) // key with no right rows → null
+    .toDF("k", "lts", "eid")
+
+  private lazy val out = AsOfJoin.leftAsOf(
+    left, right, leftKey = "k", rightKey = "k", leftTs = "lts", rightTs = "rts",
+    tieBreak = "o_id", payload = Seq("o_id", "o_val"))
+    .collect().map(r => r.getAs[String]("eid") ->
+      (Option(r.getAs[java.lang.Long]("asof_o_id")), Option(r.getAs[String]("asof_o_val")))).toMap
+
+  test("picks the latest right row at or before the left timestamp") {
+    assert(out("e1") == (Some(100L), Some("a")))
+  }
+  test("equal timestamps match (<=) and the largest tie-break wins") {
+    assert(out("e2") == (Some(201L), Some("c")))
+  }
+  test("left rows before any right row get nulls") {
+    assert(out("e3") == (None, None))
+  }
+  test("keys never leak across partitions") {
+    assert(out("e4") == (None, None))
+  }
+}
