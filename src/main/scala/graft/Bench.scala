@@ -44,6 +44,9 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
             Left(e.getClass.getSimpleName)
         }
+      // drop caches a query registered (e.g. LSH signature frames) so
+      // later queries aren't measured under someone else's memory
+      spark.sharedState.cacheManager.clearCache()
       name -> outcome
     }
     val qs = results.map {

@@ -4,6 +4,12 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,6 +22,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Pre-delete the query's output dir: a throw below must leave NO
+      // files, or stale parquet from a previous run would make the
+      // checker report a false PASS for a now-broken query. The checker
+      // reports the missing dir as a per-query FAIL, so the exit code
+      // stays 0 and one broken query can't zero out the whole round.
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       // Write the sorted range partitions as-is (multi-file): the checker
       // concatenates part files in name order, which preserves the global
       // sort. coalesce(1) (r01) fused the whole final stage into one
@@ -26,6 +38,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // caches registered by a query (e.g. LSH signature frames) must not
+      // occupy executor memory for the rest of the suite
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -34,10 +34,18 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(payload.map(col): _*)
+    // SQL join semantics: a right row with a null key, timestamp, or
+    // tie-break can never match (`rightTs <= leftTs` is null) — drop
+    // them up front, or nulls-first ordering would hand their payload to
+    // every left row that precedes the first real right row. Null-key
+    // LEFT rows still flow through and get null payload (left-join
+    // semantics): their partition simply contains no right rows.
+    val matchableRight = right.filter(
+      col(rightKey).isNotNull && col(rightTs).isNotNull && col(tieBreak).isNotNull)
     // tag: right rows sort BEFORE left rows at equal timestamps (<=);
     // the payload travels as ONE struct so all carried columns always
     // come from the same right row even when payload values are null
-    val taggedRight = right.select(
+    val taggedRight = matchableRight.select(
       (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
         col(tieBreak).as("__tie") +: payloadStruct.as("__p") +:
         leftCols.map(c => lit(null).as(s"__l_$c"))): _*)

@@ -81,8 +81,11 @@ object Dedup extends QueryModule {
        |ORDER BY text_hash NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- dd2
-  /** (doc_id, shingles): distinct word-3-gram sets. */
-  private def shingled(c: DataFrame): DataFrame = {
+  /** (doc_id, shingles): distinct word-3-gram sets. Shared with
+    * Text.fingerprint so shingle construction can't drift between the
+    * dedup pairs and the fingerprints.
+    */
+  private[queries] def shingled(c: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     c.withColumn("words", words)
       .filter(size(col("words")) >= 3)

@@ -151,13 +151,7 @@ object Text extends QueryModule {
   // smallest md5s of the word-trigram shingles, re-hashed into one id.
   // Robust to local edits (winnowing-style), cheap to compare at scale.
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("w", words)
-      .filter(size(col("w")) >= 3)
-      .withColumn("shingles", array_distinct(
-        transform(
-          sequence(lit(1), size(col("w")) - 2),
-          i => array_join(slice(col("w"), i, lit(3)), " "))))
+    Dedup.shingled(t(s, dir, "documents").select("doc_id", "text"))
       .select(
         col("doc_id"),
         md5(array_join(

@@ -39,8 +39,14 @@ object Pipeline {
       // F4: existence probe (limit-1), not a full count
       if (!Transform.lostSubtasks(assembled).isEmpty) alerter.alert(DataLossAlert)
       val mart = Transform.mart(assembled, bc, Transform.stickerStates(src.stickers()), runTs)
-      sink.write(mart)
-      mart.count()
+        .persist(StorageLevel.MEMORY_AND_DISK) // two actions: write + count
+      try {
+        sink.write(mart)
+        mart.count()
+      } finally {
+        mart.unpersist()
+        ()
+      }
     } finally {
       assembled.unpersist()
       ()

@@ -90,7 +90,9 @@ class RateLimiter(
     minIntervalMs: Long,
     nowMs: () => Long = () => System.currentTimeMillis(),
     sleep: Long => Unit = Thread.sleep) {
-  private var nextFreeAt = Long.MinValue
+  // 0L, NOT Long.MinValue: `nextFreeAt - now` with a sentinel MinValue
+  // underflows to a huge positive wait on the first real-clock call
+  private var nextFreeAt = 0L
 
   def acquire(): Unit = synchronized {
     val now = nowMs()

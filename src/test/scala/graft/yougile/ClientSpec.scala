@@ -34,6 +34,13 @@ class ClientSpec extends AnyFunSuite {
     assert(Paginator.fetchAll(c, "tasks", 100, includeDeleted = false, Some("col1")).isEmpty)
   }
 
+  test("RateLimiter's first acquire never sleeps under a realistic epoch clock (overflow regression)") {
+    var slept = List.empty[Long]
+    val rl = new RateLimiter(1500, nowMs = () => 1754980000000L, sleep = ms => slept ::= ms)
+    rl.acquire()
+    assert(slept.isEmpty) // Long.MinValue sentinel would wrap to a ~292M-year sleep
+  }
+
   test("RateLimiter sleeps only when requests arrive faster than the interval") {
     var now = 0L
     var slept = List.empty[Long]
