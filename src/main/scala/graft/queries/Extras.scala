@@ -120,6 +120,20 @@ object Extras extends QueryModule {
       |GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- f6
+  // Beyond-reference predicate coverage: LIKE prefix (pushed to the scan
+  // as StringStartsWith) + a word-boundary regex filter.
+  private def likeFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("source").like("src1%") && col("text").rlike("\\bspark\\b"))
+      .select("doc_id", "source", "n_chars")
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  private val likeFilterSql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE source LIKE 'src1%' AND regexp_matches(text, '\bspark\b')
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ev3
   // Beyond-reference: gap-based sessionization over the events stream —
   // the canonical window-function pipeline (lag → flag → running sum →
@@ -237,6 +251,7 @@ object Extras extends QueryModule {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aj1_asof_join" -> (asofJoin _),
+    "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
     "ev3_sessionize" -> (sessionize _),
@@ -248,6 +263,7 @@ object Extras extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "aj1_asof_join" -> asofJoinSql,
+    "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,
     "ev3_sessionize" -> sessionizeSql,

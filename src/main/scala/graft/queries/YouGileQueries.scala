@@ -55,17 +55,69 @@ object YouGileQueries extends QueryModule {
        |  FROM read_parquet('${pq("stickers")}'))
        |ORDER BY str_sticker_id NULLS FIRST, str_sticker_state_id NULLS FIRST""".stripMargin
 
-  /** The flagship: full extract+transform to the 22-column mart. */
-  private def ygMart(s: SparkSession, dir: String): DataFrame = {
+  private def assembledDf(s: SparkSession): DataFrame = {
     val src = source(s)
     val bc = brdClmnDf(s)
     // driver-side column-id loop = the per-column fetch workaround (S3);
     // brd_clmn is bounded dimensional data, so the collect is safe at any SF
     val columnIds = bc.select("column_id").collect().map(_.getString(0)).toSeq
-    val assembled = Transform.taskAssembly(
+    Transform.taskAssembly(
       Transform.contractsPrepared(src.contracts(columnIds)),
       Transform.subtasksPrepared(src.subtaskObjects()))
-    Transform.mart(assembled, bc, Transform.stickerStates(src.stickers()), Fixtures.runTs)
+  }
+
+  /** The contract×lot grain before hub enrichment (§3.2's output). */
+  private def ygAssembly(s: SparkSession, dir: String): DataFrame =
+    assembledDf(s)
+      .select("task_id", "subtask_id", "subtask_name", "deleted", "quantity_plan", "loading_dates")
+      .orderBy(Seq("task_id", "subtask_id", "subtask_name", "deleted", "quantity_plan", "loading_dates")
+        .map(col(_).asc_nulls_first): _*)
+
+  private val ygAssemblySql = {
+    val St = Stickers
+    s"""WITH contracts AS (
+       |  SELECT t.id AS task_id,
+       |    unnest(CASE WHEN t.subtasks IS NULL OR len(t.subtasks) = 0
+       |                THEN [CAST(NULL AS VARCHAR)] ELSE t.subtasks END) AS subtask_id
+       |  FROM read_parquet('${pq("contracts")}') t),
+       |subt AS (
+       |  SELECT o.title AS subtask_name, o.id AS subtask_id, o.deleted,
+       |    map_extract(o.stickers, '${St.QuantityPlan}')[1] AS quantity_plan,
+       |    coalesce(map_extract(o.stickers, '${St.LoadingDates1}')[1],
+       |             map_extract(o.stickers, '${St.LoadingDates2}')[1]) AS loading_dates
+       |  FROM read_parquet('${pq("subtask_objects")}') o)
+       |SELECT task_id, subtask_id, subtask_name, deleted, quantity_plan, loading_dates
+       |FROM contracts LEFT JOIN subt USING (subtask_id)
+       |WHERE deleted IS DISTINCT FROM TRUE
+       |ORDER BY task_id NULLS FIRST, subtask_id NULLS FIRST, subtask_name NULLS FIRST,
+       |  deleted NULLS FIRST, quantity_plan NULLS FIRST, loading_dates NULLS FIRST""".stripMargin
+  }
+
+  /** F4 on the real pipeline: rows whose lot was never fetched. */
+  private def ygDqLost(s: SparkSession, dir: String): DataFrame =
+    Transform.lostSubtasks(assembledDf(s))
+      .agg(count(lit(1)).as("lost_rows"))
+
+  private val ygDqLostSql = {
+    s"""WITH contracts AS (
+       |  SELECT t.id AS task_id,
+       |    unnest(CASE WHEN t.subtasks IS NULL OR len(t.subtasks) = 0
+       |                THEN [CAST(NULL AS VARCHAR)] ELSE t.subtasks END) AS subtask_id
+       |  FROM read_parquet('${pq("contracts")}') t),
+       |subt AS (
+       |  SELECT o.title AS subtask_name, o.id AS subtask_id, o.deleted
+       |  FROM read_parquet('${pq("subtask_objects")}') o)
+       |SELECT COUNT(*) AS lost_rows
+       |FROM contracts LEFT JOIN subt USING (subtask_id)
+       |WHERE deleted IS DISTINCT FROM TRUE
+       |  AND subtask_id IS NOT NULL AND subtask_name IS NULL""".stripMargin
+  }
+
+  /** The flagship: full extract+transform to the 22-column mart. */
+  private def ygMart(s: SparkSession, dir: String): DataFrame = {
+    val src = source(s)
+    Transform.mart(assembledDf(s), brdClmnDf(s),
+      Transform.stickerStates(src.stickers()), Fixtures.runTs)
       .orderBy(martColumns.map(col(_).asc_nulls_first): _*)
   }
 
@@ -146,10 +198,14 @@ object YouGileQueries extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "yg_brd_clmn" -> (ygBrdClmn _),
     "yg_hub_states" -> (ygHubStates _),
+    "yg_assembly" -> (ygAssembly _),
+    "yg_dq_lost" -> (ygDqLost _),
     "yg_mart" -> (ygMart _))
 
   override val oracle: Map[String, String] = Map(
     "yg_brd_clmn" -> ygBrdClmnSql,
     "yg_hub_states" -> ygHubStatesSql,
+    "yg_assembly" -> ygAssemblySql,
+    "yg_dq_lost" -> ygDqLostSql,
     "yg_mart" -> ygMartSql)
 }
