@@ -212,13 +212,75 @@ object Dedup extends QueryModule {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- cur1
+  // The composed curation pass an LLM-data pipeline actually runs:
+  // exact-dedup to keepers (semi-join on winning (hash, doc_id) pairs —
+  // payload never shuffles), then the tx2 quality gate, then a per-lang
+  // census of what survived. One pipeline, three shuffles (dedup group,
+  // keeper semi-join, final rollup), all narrow exchanges.
+  private def curation(s: SparkSession, dir: String): DataFrame = {
+    // corpus ids map back to their original document (copies are +1M/+2M)
+    val docLang = t(s, dir, "documents").select(col("doc_id").as("doc_key"), col("lang"))
+    val c = corpus(s, dir)
+      .join(docLang, col("doc_id") % 1000000L === col("doc_key"), "left")
+      .drop("doc_key")
+    val hashed = c.withColumn("text_hash",
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+    val keepers = hashed.groupBy("text_hash").agg(min("doc_id").as("doc_id"))
+    val deduped = hashed.join(keepers, Seq("text_hash", "doc_id"), "left_semi")
+    val w = split(col("text"), " ")
+    val nTok = size(w).cast(DoubleType)
+    val ttr = size(array_distinct(w)).cast(DoubleType) / nTok
+    val meanLen = aggregate(transform(w, x => length(x)), lit(0), (a, x) => a + x)
+      .cast(DoubleType) / nTok
+    val stopRatio = size(filter(w, x => x.isin(Text.stopwords: _*))).cast(DoubleType) / nTok
+    val score = lit(0.3) * least(lit(1.0), nTok / 100.0) + lit(0.3) * ttr +
+      lit(0.2) * least(lit(1.0), meanLen / 8.0) + lit(0.2) * (lit(1.0) - stopRatio)
+    deduped
+      .withColumn("quality", score)
+      .filter(col("quality") >= 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(w).cast(LongType)).as("n_tokens"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val curationSql = {
+    val sw = Text.stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH $corpusSql,
+       |tagged AS (
+       |  SELECT c.doc_id, c.text, d.lang,
+       |    md5(lower(trim(regexp_replace(c.text, '\\s+', ' ', 'g')))) AS text_hash
+       |  FROM corpus c
+       |  LEFT JOIN (SELECT doc_id, lang FROM documents) d
+       |    ON c.doc_id % 1000000 = d.doc_id),
+       |keepers AS (SELECT text_hash, MIN(doc_id) AS doc_id FROM tagged GROUP BY text_hash),
+       |deduped AS (SELECT t.* FROM tagged t SEMI JOIN keepers k
+       |            ON t.text_hash = k.text_hash AND t.doc_id = k.doc_id),
+       |scored AS (
+       |  SELECT lang, w,
+       |    0.3 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0) +
+       |    0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) +
+       |    0.2 * least(1.0, (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) /
+       |                      CAST(len(w) AS DOUBLE)) / 8.0) +
+       |    0.2 * (1.0 - CAST(len(list_filter(w, x -> x IN ($sw))) AS DOUBLE) /
+       |                 CAST(len(w) AS DOUBLE)) AS quality
+       |  FROM (SELECT lang, string_split(text, ' ') AS w FROM deduped))
+       |SELECT lang, COUNT(*) AS n_kept, SUM(len(w)) AS n_tokens
+       |FROM scored WHERE quality >= 0.5
+       |GROUP BY lang
+       |ORDER BY lang NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> (exactDedup _),
     "dd2_minhash_lsh_pairs" -> (minhashPairs _),
-    "dd3_simhash" -> (simhash _))
+    "dd3_simhash" -> (simhash _),
+    "cur1_curation_pipeline" -> (curation _))
 
   override val oracle: Map[String, String] = Map(
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_minhash_lsh_pairs" -> minhashPairsSql,
-    "dd3_simhash" -> simhashSql)
+    "dd3_simhash" -> simhashSql,
+    "cur1_curation_pipeline" -> curationSql)
 }

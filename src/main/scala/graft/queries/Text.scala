@@ -58,7 +58,7 @@ object Text extends QueryModule {
   // Quality score: bounded mix of length, lexical diversity, token shape,
   // and stopword load; `keep` is the filter decision a curation pipeline
   // would apply. Weights are fixed; all inputs are exact ints.
-  private val stopwords = Seq("a", "the", "data", "key", "row", "value")
+  private[queries] val stopwords = Seq("a", "the", "data", "key", "row", "value")
 
   private def quality(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(col("w")).cast(DoubleType)

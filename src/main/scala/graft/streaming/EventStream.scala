@@ -65,6 +65,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark window are dropped, and state for ids
+    * older than the watermark is evicted — the streaming twin of the
+    * batch dd1 operator (which can hold the full key set).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source entry point for a directory of event parquet drops. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)

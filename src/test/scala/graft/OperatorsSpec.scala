@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SaltedJoin
+import graft.streaming.EventStream
+
+/** Salted-join equivalence under skew and streaming dedup-within-
+  * watermark semantics.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("salted left join returns exactly the plain join's rows on skewed data") {
+    // hot key: 900 of 1000 left rows share k=1
+    val left = spark.range(1000)
+      .selectExpr("CASE WHEN id < 900 THEN 1 ELSE id END AS k", "id AS row_id")
+    val right = Seq((1L, "hot"), (950L, "cold"), (999L, "cold2")).toDF("k", "label")
+    val plain = left.join(right, Seq("k"), "left")
+      .select("k", "row_id", "label").collect().toSet
+    val salted = SaltedJoin.leftJoinSalted(left, right, key = "k",
+      dispersion = "row_id", buckets = 8)
+      .select("k", "row_id", "label").collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_.getString(2) == "hot") == 900)
+  }
+
+  private case class EvId(event_id: Long, ts: Timestamp, user_id: Long)
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[EvId]
+    val q = EventStream.startMemorySink(
+      EventStream.dedupedEvents(stream.toDF()), "dedup_events", OutputMode.Append())
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      stream.addData(EvId(1, t0, 5), EvId(1, t0, 5), EvId(2, t0, 6))
+      q.processAllAvailable()
+      stream.addData(EvId(2, t0, 6), EvId(3, t0, 7)) // dup of 2 across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
