@@ -28,6 +28,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain.count(_.getString(2) == "hot") == 900)
   }
 
+  test("same-key bucketed tables join without any shuffle exchange") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    graft.operators.Bucketing.writeBucketed(orders, "orders_b", "o_orderkey", 4)
+    graft.operators.Bucketing.writeBucketed(lineitem, "lineitem_b", "o_orderkey", 4)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = graft.operators.Bucketing.bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        orders.join(lineitem, Seq("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   private case class EvId(event_id: Long, ts: Timestamp, user_id: Long)
 
   test("streaming dedup drops duplicate event ids within the watermark") {
