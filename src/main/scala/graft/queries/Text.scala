@@ -194,7 +194,46 @@ object Text extends QueryModule {
       |GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- tx6
+  // Per-language top-10 bigram table (vocabulary census): explode →
+  // group → windowed rank, ties broken lexicographically. The group
+  // exchange carries only (lang, bigram, count); the rank window runs
+  // over the tiny aggregated frame, not the corpus.
+  private def topBigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "documents")
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(
+        transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => array_join(slice(col("w"), i, lit(2)), " "))).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n"))
+    val rank = row_number().over(
+      Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc))
+    counts.withColumn("rank", rank)
+      .filter(col("rank") <= 10)
+      .orderBy(col("lang").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  private val topBigramsSql =
+    """WITH counts AS (
+      |  SELECT lang, bigram, COUNT(*) AS n FROM (
+      |    SELECT lang,
+      |      unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS bigram
+      |    FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+      |    WHERE len(w) >= 2)
+      |  GROUP BY lang, bigram)
+      |SELECT lang, bigram, n, rank FROM (
+      |  SELECT lang, bigram, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rank
+      |  FROM counts)
+      |WHERE rank <= 10
+      |ORDER BY lang NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx6_top_bigrams" -> (topBigrams _),
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality_score" -> (quality _),
     "tx3_lang_id" -> (langId _),
@@ -202,6 +241,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx6_top_bigrams" -> topBigramsSql,
     "tx1_token_stats" -> tokenStatsSql,
     "tx2_quality_score" -> qualitySql,
     "tx3_lang_id" -> langIdSql,
