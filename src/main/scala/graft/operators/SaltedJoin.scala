@@ -25,6 +25,9 @@ object SaltedJoin {
     */
   def leftJoinSalted(left: DataFrame, right: DataFrame, key: String,
       dispersion: String, buckets: Int): DataFrame = {
+    // buckets <= 0 would silently null every match: explode(array()) drops
+    // all right rows and pmod(x, 0) nulls every left salt
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val saltedLeft = left.withColumn(
       "__salt", pmod(xxhash64(col(dispersion)), lit(buckets.toLong)).cast("int"))
     val saltedRight = right.withColumn(

@@ -65,16 +65,22 @@ object Dedup extends QueryModule {
   // the minimum id (deterministic). Recovering full rows at scale is a
   // broadcast/shuffle semi-join of keeper ids back to the corpus — the
   // payload never shuffles.
+  /** Normalization hash shared by dd1 and the curation pipeline. */
+  private[queries] def normalizedTextHash(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+  private[queries] def normalizedTextHashSql(textCol: String): String =
+    s"md5(lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))))"
+
   private def exactDedup(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir)
-      .withColumn("text_hash", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("text_hash", normalizedTextHash(col("text")))
       .groupBy("text_hash")
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash").asc_nulls_first)
 
   private val exactDedupSql =
     s"""WITH $corpusSql
-       |SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+       |SELECT ${normalizedTextHashSql("text")} AS text_hash,
        |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
        |FROM corpus
        |GROUP BY 1
@@ -224,18 +230,11 @@ object Dedup extends QueryModule {
     val c = corpus(s, dir)
       .join(docLang, col("doc_id") % 1000000L === col("doc_key"), "left")
       .drop("doc_key")
-    val hashed = c.withColumn("text_hash",
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+    val hashed = c.withColumn("text_hash", normalizedTextHash(col("text")))
     val keepers = hashed.groupBy("text_hash").agg(min("doc_id").as("doc_id"))
     val deduped = hashed.join(keepers, Seq("text_hash", "doc_id"), "left_semi")
     val w = split(col("text"), " ")
-    val nTok = size(w).cast(DoubleType)
-    val ttr = size(array_distinct(w)).cast(DoubleType) / nTok
-    val meanLen = aggregate(transform(w, x => length(x)), lit(0), (a, x) => a + x)
-      .cast(DoubleType) / nTok
-    val stopRatio = size(filter(w, x => x.isin(Text.stopwords: _*))).cast(DoubleType) / nTok
-    val score = lit(0.3) * least(lit(1.0), nTok / 100.0) + lit(0.3) * ttr +
-      lit(0.2) * least(lit(1.0), meanLen / 8.0) + lit(0.2) * (lit(1.0) - stopRatio)
+    val score = Text.qualityScore(w) // tx2's exact formula, shared
     deduped
       .withColumn("quality", score)
       .filter(col("quality") >= 0.5)
@@ -246,11 +245,10 @@ object Dedup extends QueryModule {
   }
 
   private val curationSql = {
-    val sw = Text.stopwords.map("'" + _ + "'").mkString(", ")
     s"""WITH $corpusSql,
        |tagged AS (
        |  SELECT c.doc_id, c.text, d.lang,
-       |    md5(lower(trim(regexp_replace(c.text, '\\s+', ' ', 'g')))) AS text_hash
+       |    ${normalizedTextHashSql("c.text")} AS text_hash
        |  FROM corpus c
        |  LEFT JOIN (SELECT doc_id, lang FROM documents) d
        |    ON c.doc_id % 1000000 = d.doc_id),
@@ -259,12 +257,7 @@ object Dedup extends QueryModule {
        |            ON t.text_hash = k.text_hash AND t.doc_id = k.doc_id),
        |scored AS (
        |  SELECT lang, w,
-       |    0.3 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0) +
-       |    0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) +
-       |    0.2 * least(1.0, (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) /
-       |                      CAST(len(w) AS DOUBLE)) / 8.0) +
-       |    0.2 * (1.0 - CAST(len(list_filter(w, x -> x IN ($sw))) AS DOUBLE) /
-       |                 CAST(len(w) AS DOUBLE)) AS quality
+       |    ${Text.qualityScoreSql} AS quality
        |  FROM (SELECT lang, string_split(text, ' ') AS w FROM deduped))
        |SELECT lang, COUNT(*) AS n_kept, SUM(len(w)) AS n_tokens
        |FROM scored WHERE quality >= 0.5

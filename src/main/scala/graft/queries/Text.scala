@@ -60,18 +60,37 @@ object Text extends QueryModule {
   // would apply. Weights are fixed; all inputs are exact ints.
   private[queries] val stopwords = Seq("a", "the", "data", "key", "row", "value")
 
-  private def quality(s: SparkSession, dir: String): DataFrame = {
-    val nTok = size(col("w")).cast(DoubleType)
-    val ttr = size(array_distinct(col("w"))).cast(DoubleType) / nTok
+  /** The quality formula, shared with the composed curation pipeline
+    * (Dedup.cur1) so the two can never drift. `w` is the token array.
+    */
+  private[queries] def stopwordRatio(w: Column): Column =
+    size(filter(w, x => x.isin(stopwords: _*))).cast(DoubleType) / size(w).cast(DoubleType)
+
+  private[queries] def qualityScore(w: Column): Column = {
+    val nTok = size(w).cast(DoubleType)
+    val ttr = size(array_distinct(w)).cast(DoubleType) / nTok
     val meanLen =
-      aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x).cast(DoubleType) / nTok
-    val stopRatio =
-      size(filter(col("w"), x => x.isin(stopwords: _*))).cast(DoubleType) / nTok
-    val score =
-      lit(0.3) * least(lit(1.0), nTok / 100.0) +
-        lit(0.3) * ttr +
-        lit(0.2) * least(lit(1.0), meanLen / 8.0) +
-        lit(0.2) * (lit(1.0) - stopRatio)
+      aggregate(transform(w, x => length(x)), lit(0), (a, x) => a + x).cast(DoubleType) / nTok
+    lit(0.3) * least(lit(1.0), nTok / 100.0) +
+      lit(0.3) * ttr +
+      lit(0.2) * least(lit(1.0), meanLen / 8.0) +
+      lit(0.2) * (lit(1.0) - stopwordRatio(w))
+  }
+
+  /** DuckDB spelling of qualityScore over a list column named `w`. */
+  private[queries] val qualityScoreSql: String = {
+    val sw = stopwords.map("'" + _ + "'").mkString(", ")
+    s"""0.3 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0) +
+       |    0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) +
+       |    0.2 * least(1.0, (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) /
+       |                      CAST(len(w) AS DOUBLE)) / 8.0) +
+       |    0.2 * (1.0 - CAST(len(list_filter(w, x -> x IN ($sw))) AS DOUBLE) /
+       |                 CAST(len(w) AS DOUBLE))""".stripMargin
+  }
+
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    val score = qualityScore(col("w"))
+    val stopRatio = stopwordRatio(col("w"))
     t(s, dir, "documents")
       .withColumn("w", words)
       .select(
@@ -89,11 +108,7 @@ object Text extends QueryModule {
        |  SELECT doc_id,
        |    CAST(len(list_filter(w, x -> x IN ($sw))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
        |      AS stopword_ratio,
-       |    0.3 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0) +
-       |    0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) +
-       |    0.2 * least(1.0, (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) /
-       |                      CAST(len(w) AS DOUBLE)) / 8.0) +
-       |    0.2 * (1.0 - CAST(len(list_filter(w, x -> x IN ($sw))) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+       |    $qualityScoreSql
        |      AS quality_score
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
        |ORDER BY doc_id NULLS FIRST""".stripMargin

@@ -20,17 +20,21 @@ object YouGileQueries extends QueryModule {
 
   private def pq(name: String) = s"${Fixtures.parquetDir}/$name/*.parquet"
 
+  /** Shared oracle fragments — the outer-unnest guard and the sticker
+    * map extraction appear in several oracles; single definitions keep
+    * them from drifting apart.
+    */
+  private val unnestSubtasks =
+    """unnest(CASE WHEN t.subtasks IS NULL OR len(t.subtasks) = 0
+      |                THEN [CAST(NULL AS VARCHAR)] ELSE t.subtasks END) AS subtask_id""".stripMargin
+  private def sticker(key: String) = s"map_extract(o.stickers, '$key')[1]"
+
   private def source(s: SparkSession): YouGileSource =
     new YouGileSource(s, new JsonFixtureClient(Fixtures.jsonDir), YouGileConfig.fixture)
 
-  private def brdClmnDf(s: SparkSession): DataFrame = {
-    val src = source(s)
-    Transform.brdClmn(src.boards(), src.columns(), Fixtures.allowedBoards)
-  }
-
   // ------------------------------------------------------------ entries
   private def ygBrdClmn(s: SparkSession, dir: String): DataFrame =
-    brdClmnDf(s).orderBy(col("column_id").asc_nulls_first)
+    withPipeline(s)((_, bc) => bc).orderBy(col("column_id").asc_nulls_first)
 
   private val ygBrdClmnSql =
     s"""SELECT c.boardId AS board_id, c.title AS column_name, c.id AS column_id,
@@ -55,9 +59,11 @@ object YouGileQueries extends QueryModule {
        |  FROM read_parquet('${pq("stickers")}'))
        |ORDER BY str_sticker_id NULLS FIRST, str_sticker_state_id NULLS FIRST""".stripMargin
 
-  private def assembledDf(s: SparkSession): DataFrame = {
-    val src = source(s)
-    val bc = brdClmnDf(s)
+  /** One source + one brd_clmn shared by every consumer of a run —
+    * against the real paginated API, re-creating them would repeat the
+    * boards/columns fetches per consumer.
+    */
+  private def assembledDf(src: YouGileSource, bc: DataFrame): DataFrame = {
     // driver-side column-id loop = the per-column fetch workaround (S3);
     // brd_clmn is bounded dimensional data, so the collect is safe at any SF
     val columnIds = bc.select("column_id").collect().map(_.getString(0)).toSeq
@@ -66,9 +72,14 @@ object YouGileQueries extends QueryModule {
       Transform.subtasksPrepared(src.subtaskObjects()))
   }
 
+  private def withPipeline[A](s: SparkSession)(f: (YouGileSource, DataFrame) => A): A = {
+    val src = source(s)
+    f(src, Transform.brdClmn(src.boards(), src.columns(), Fixtures.allowedBoards))
+  }
+
   /** The contract×lot grain before hub enrichment (§3.2's output). */
   private def ygAssembly(s: SparkSession, dir: String): DataFrame =
-    assembledDf(s)
+    withPipeline(s)((src, bc) => assembledDf(src, bc))
       .select("task_id", "subtask_id", "subtask_name", "deleted", "quantity_plan", "loading_dates")
       .orderBy(Seq("task_id", "subtask_id", "subtask_name", "deleted", "quantity_plan", "loading_dates")
         .map(col(_).asc_nulls_first): _*)
@@ -77,14 +88,13 @@ object YouGileQueries extends QueryModule {
     val St = Stickers
     s"""WITH contracts AS (
        |  SELECT t.id AS task_id,
-       |    unnest(CASE WHEN t.subtasks IS NULL OR len(t.subtasks) = 0
-       |                THEN [CAST(NULL AS VARCHAR)] ELSE t.subtasks END) AS subtask_id
+       |    $unnestSubtasks
        |  FROM read_parquet('${pq("contracts")}') t),
        |subt AS (
        |  SELECT o.title AS subtask_name, o.id AS subtask_id, o.deleted,
-       |    map_extract(o.stickers, '${St.QuantityPlan}')[1] AS quantity_plan,
-       |    coalesce(map_extract(o.stickers, '${St.LoadingDates1}')[1],
-       |             map_extract(o.stickers, '${St.LoadingDates2}')[1]) AS loading_dates
+       |    ${sticker(St.QuantityPlan)} AS quantity_plan,
+       |    coalesce(${sticker(St.LoadingDates1)},
+       |             ${sticker(St.LoadingDates2)}) AS loading_dates
        |  FROM read_parquet('${pq("subtask_objects")}') o)
        |SELECT task_id, subtask_id, subtask_name, deleted, quantity_plan, loading_dates
        |FROM contracts LEFT JOIN subt USING (subtask_id)
@@ -95,14 +105,13 @@ object YouGileQueries extends QueryModule {
 
   /** F4 on the real pipeline: rows whose lot was never fetched. */
   private def ygDqLost(s: SparkSession, dir: String): DataFrame =
-    Transform.lostSubtasks(assembledDf(s))
+    withPipeline(s)((src, bc) => Transform.lostSubtasks(assembledDf(src, bc)))
       .agg(count(lit(1)).as("lost_rows"))
 
   private val ygDqLostSql = {
     s"""WITH contracts AS (
        |  SELECT t.id AS task_id,
-       |    unnest(CASE WHEN t.subtasks IS NULL OR len(t.subtasks) = 0
-       |                THEN [CAST(NULL AS VARCHAR)] ELSE t.subtasks END) AS subtask_id
+       |    $unnestSubtasks
        |  FROM read_parquet('${pq("contracts")}') t),
        |subt AS (
        |  SELECT o.title AS subtask_name, o.id AS subtask_id, o.deleted
@@ -114,12 +123,11 @@ object YouGileQueries extends QueryModule {
   }
 
   /** The flagship: full extract+transform to the 22-column mart. */
-  private def ygMart(s: SparkSession, dir: String): DataFrame = {
-    val src = source(s)
-    Transform.mart(assembledDf(s), brdClmnDf(s),
-      Transform.stickerStates(src.stickers()), Fixtures.runTs)
-      .orderBy(martColumns.map(col(_).asc_nulls_first): _*)
-  }
+  private def ygMart(s: SparkSession, dir: String): DataFrame =
+    withPipeline(s) { (src, bc) =>
+      Transform.mart(assembledDf(src, bc), bc,
+        Transform.stickerStates(src.stickers()), Fixtures.runTs)
+    }.orderBy(martColumns.map(col(_).asc_nulls_first): _*)
 
   private val ygMartSql = {
     val St = Stickers
@@ -133,25 +141,24 @@ object YouGileQueries extends QueryModule {
        |  FROM (SELECT name, unnest(states) AS st FROM read_parquet('${pq("stickers")}'))),
        |contracts AS (
        |  SELECT t.title AS task_name, t."timestamp" AS ts_ms, t.id AS task_id,
-       |    unnest(CASE WHEN t.subtasks IS NULL OR len(t.subtasks) = 0
-       |                THEN [CAST(NULL AS VARCHAR)] ELSE t.subtasks END) AS subtask_id,
+       |    $unnestSubtasks,
        |    t.columnId AS column_id,
-       |    map_extract(t.stickers, '${St.ContractStatus}')[1] AS contract_status_state_id
+       |    ${sticker(St.ContractStatus).replace("o.stickers", "t.stickers")} AS contract_status_state_id
        |  FROM read_parquet('${pq("contracts")}') t),
        |subt AS (
        |  SELECT o.title AS subtask_name, o.id AS subtask_id, o.deleted,
-       |    map_extract(o.stickers, '${St.DeliveryTerm}')[1] AS delivery_term_state_id,
-       |    map_extract(o.stickers, '${St.LotStatus}')[1] AS lot_status_state_id,
-       |    map_extract(o.stickers, '${St.LoadingPlace}')[1] AS loading_place_state_id,
-       |    map_extract(o.stickers, '${St.ShipName}')[1] AS ship_name,
-       |    map_extract(o.stickers, '${St.QuantityPlan}')[1] AS quantity_plan,
-       |    map_extract(o.stickers, '${St.QuantityFact}')[1] AS quantity_fact,
-       |    coalesce(map_extract(o.stickers, '${St.DischargingPlace1}')[1],
-       |             map_extract(o.stickers, '${St.DischargingPlace2}')[1]) AS discharging_place,
-       |    coalesce(map_extract(o.stickers, '${St.LoadingDates1}')[1],
-       |             map_extract(o.stickers, '${St.LoadingDates2}')[1]) AS loading_dates,
-       |    map_extract(o.stickers, '${St.ProvPaid}')[1] AS prov_paid_state_id,
-       |    map_extract(o.stickers, '${St.FinalPaid}')[1] AS final_paid_state_id,
+       |    ${sticker(St.DeliveryTerm)} AS delivery_term_state_id,
+       |    ${sticker(St.LotStatus)} AS lot_status_state_id,
+       |    ${sticker(St.LoadingPlace)} AS loading_place_state_id,
+       |    ${sticker(St.ShipName)} AS ship_name,
+       |    ${sticker(St.QuantityPlan)} AS quantity_plan,
+       |    ${sticker(St.QuantityFact)} AS quantity_fact,
+       |    coalesce(${sticker(St.DischargingPlace1)},
+       |             ${sticker(St.DischargingPlace2)}) AS discharging_place,
+       |    coalesce(${sticker(St.LoadingDates1)},
+       |             ${sticker(St.LoadingDates2)}) AS loading_dates,
+       |    ${sticker(St.ProvPaid)} AS prov_paid_state_id,
+       |    ${sticker(St.FinalPaid)} AS final_paid_state_id,
        |    o.deadline_start_ms, o.deadline_end_ms
        |  FROM read_parquet('${pq("subtask_objects")}') o),
        |asm AS (

@@ -19,13 +19,17 @@ class OperatorsSpec extends AnyFunSuite {
     val left = spark.range(1000)
       .selectExpr("CASE WHEN id < 900 THEN 1 ELSE id END AS k", "id AS row_id")
     val right = Seq((1L, "hot"), (950L, "cold"), (999L, "cold2")).toDF("k", "label")
-    val plain = left.join(right, Seq("k"), "left")
-      .select("k", "row_id", "label").collect().toSet
-    val salted = SaltedJoin.leftJoinSalted(left, right, key = "k",
-      dispersion = "row_id", buckets = 8)
-      .select("k", "row_id", "label").collect().toSet
+    // compare as sorted multisets: the characteristic salted-join bug is
+    // row DUPLICATION (right side replicated per bucket), which a Set
+    // comparison would silently collapse
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "row_id", "label").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+    val plain = rows(left.join(right, Seq("k"), "left"))
+    val salted = rows(SaltedJoin.leftJoinSalted(left, right, key = "k",
+      dispersion = "row_id", buckets = 8))
     assert(salted == plain)
-    assert(plain.count(_.getString(2) == "hot") == 900)
+    assert(plain.count(_._3.contains("hot")) == 900)
   }
 
   test("same-key bucketed tables join without any shuffle exchange") {
