@@ -15,9 +15,15 @@ import graft.Tables
   * projection (P1) and full-row dedup (D1).
   *
   * Scale notes: orders⋈lineitem is the only real shuffle (two large
-  * tables, sort-merge under AQE); every dimension join is broadcast; the
-  * final dropDuplicates reuses the hash-aggregate path. No driver
-  * materialization anywhere.
+  * tables, sort-merge under AQE); bounded dims are broadcast and the
+  * SF-scaling ones left to AQE; the final dropDuplicates reuses the
+  * hash-aggregate path with map-side partial dedup, so only locally
+  * distinct rows reach its exchange. Full-row dedup is parity-mandated
+  * (ref drop_duplicates over the whole projection, :319); if the payload
+  * exchange ever dominated at extreme SF, the narrow-key variant —
+  * dropDuplicates on a row-hash column, then a semi-join to recover
+  * payloads (see Dedup.exactDedup's keeper pattern) — preserves the same
+  * semantics modulo hash collisions. No driver materialization anywhere.
   */
 object Mart extends QueryModule {
 
