@@ -50,3 +50,39 @@ class TopKAgg(k: Int) extends Aggregator[TopHit, List[TopHit], Seq[TopHit]] {
   override def bufferEncoder: Encoder[List[TopHit]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[TopHit]] = ExpressionEncoder()
 }
+
+/** A hit with a carried payload: ranking is (score desc, id asc) exactly
+  * as [[TopKAgg]]; `aux` rides along unexamined (e.g. the float cosine
+  * whose quantization `score` is).
+  */
+case class TopHitP(score: Long, id: Long, aux: Double)
+
+/** [[TopKAgg]] with a payload column — same bounded k-element buffer and
+  * map-side partial aggregation (ObjectHashAggregate), so only k rows per
+  * (group × partition) reach the exchange; the payload never changes the
+  * ordering.
+  */
+class TopKPayloadAgg(k: Int) extends Aggregator[TopHitP, List[TopHitP], Seq[TopHitP]] {
+
+  private def before(a: TopHitP, b: TopHitP): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: List[TopHitP] = Nil
+
+  private def insert(b: List[TopHitP], a: TopHitP): List[TopHitP] =
+    if (b.lengthCompare(k) >= 0 && before(b.last, a)) b
+    else {
+      val (pre, post) = b.span(h => before(h, a))
+      (pre ::: (a :: post)).take(k)
+    }
+
+  override def reduce(b: List[TopHitP], a: TopHitP): List[TopHitP] = insert(b, a)
+
+  override def merge(x: List[TopHitP], y: List[TopHitP]): List[TopHitP] =
+    y.foldLeft(x)(insert)
+
+  override def finish(b: List[TopHitP]): Seq[TopHitP] = b
+
+  override def bufferEncoder: Encoder[List[TopHitP]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[TopHitP]] = ExpressionEncoder()
+}

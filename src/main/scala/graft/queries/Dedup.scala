@@ -259,7 +259,7 @@ object Dedup extends QueryModule {
        |  SELECT lang, w,
        |    ${Text.qualityScoreSql} AS quality
        |  FROM (SELECT lang, string_split(text, ' ') AS w FROM deduped))
-       |SELECT lang, COUNT(*) AS n_kept, SUM(len(w)) AS n_tokens
+       |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(len(w)) AS BIGINT) AS n_tokens
        |FROM scored WHERE quality >= 0.5
        |GROUP BY lang
        |ORDER BY lang NULLS FIRST""".stripMargin

@@ -113,7 +113,7 @@ object Extras extends QueryModule {
 
   private val eventPropsSql =
     """SELECT event_type, COUNT(*) AS n_events,
-      |  MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+      |  MIN(k) AS min_k, MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k
       |FROM (SELECT event_type,
       |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
       |      FROM events)
@@ -167,7 +167,8 @@ object Extras extends QueryModule {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id, ts,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+      |      AS session_id
       |  FROM g)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start,

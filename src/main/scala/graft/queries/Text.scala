@@ -202,8 +202,8 @@ object Text extends QueryModule {
 
   private val langStatsSql =
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(len(string_split(text, ' '))) AS n_tokens,
-      |  SUM(n_chars) AS sum_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  COUNT(DISTINCT source) AS n_sources
       |FROM documents
       |GROUP BY lang
