@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -7,8 +9,15 @@ import org.apache.spark.sql.expressions.Aggregator
 /** One similarity hit: (score, id), ordered by score desc then id asc. */
 case class TopHit(score: Long, id: Long)
 
+/** A hit with a carried payload: ranking is (score desc, id asc) exactly
+  * as [[TopHit]]; `aux` rides along unexamined (e.g. the float cosine
+  * whose quantization `score` is).
+  */
+case class TopHitP(score: Long, id: Long, aux: Double)
+
 /** Exact per-group top-k as a typed Aggregator (SURVEY.md §7.5's
-  * suggested custom-aggregation surface).
+  * suggested custom-aggregation surface), generic in the hit type so the
+  * payload-carrying variant shares one bounded-buffer implementation.
   *
   * Why not a window: `row_number() OVER (PARTITION BY query ORDER BY
   * score)` shuffles every scored row to the query's partition — at 100 TB
@@ -18,71 +27,48 @@ case class TopHit(score: Long, id: Long)
   * only k rows per (group × partition) reach the shuffle. The buffer
   * lives as a JVM object between rows; serialization happens only at the
   * partial/final boundary.
-  *
-  * Ties are broken by id ascending, so results are deterministic and
-  * match a `ORDER BY score DESC, id ASC` oracle.
   */
-class TopKAgg(k: Int) extends Aggregator[TopHit, List[TopHit], Seq[TopHit]] {
+abstract class BoundedTopKAgg[H: TypeTag](k: Int) extends Aggregator[H, List[H], Seq[H]] {
 
-  /** Strict "a ranks before b". */
-  private def before(a: TopHit, b: TopHit): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Strict "a ranks before b"; must be a total order for determinism. */
+  protected def before(a: H, b: H): Boolean
 
-  override def zero: List[TopHit] = Nil
+  final override def zero: List[H] = Nil
 
   /** O(k) sorted insert; rejects early when the buffer is full and the
     * candidate ranks below the current worst.
     */
-  private def insert(b: List[TopHit], a: TopHit): List[TopHit] =
+  private def insert(b: List[H], a: H): List[H] =
     if (b.lengthCompare(k) >= 0 && before(b.last, a)) b
     else {
       val (pre, post) = b.span(h => before(h, a))
       (pre ::: (a :: post)).take(k)
     }
 
-  override def reduce(b: List[TopHit], a: TopHit): List[TopHit] = insert(b, a)
+  final override def reduce(b: List[H], a: H): List[H] = insert(b, a)
 
-  override def merge(x: List[TopHit], y: List[TopHit]): List[TopHit] =
+  final override def merge(x: List[H], y: List[H]): List[H] =
     y.foldLeft(x)(insert)
 
-  override def finish(b: List[TopHit]): Seq[TopHit] = b
+  final override def finish(b: List[H]): Seq[H] = b
 
-  override def bufferEncoder: Encoder[List[TopHit]] = ExpressionEncoder()
-  override def outputEncoder: Encoder[Seq[TopHit]] = ExpressionEncoder()
+  final override def bufferEncoder: Encoder[List[H]] = ExpressionEncoder()
+  final override def outputEncoder: Encoder[Seq[H]] = ExpressionEncoder()
 }
 
-/** A hit with a carried payload: ranking is (score desc, id asc) exactly
-  * as [[TopKAgg]]; `aux` rides along unexamined (e.g. the float cosine
-  * whose quantization `score` is).
+/** Top-k of (score, id) hits — ties broken by id ascending, so results
+  * are deterministic and match an `ORDER BY score DESC, id ASC` oracle.
   */
-case class TopHitP(score: Long, id: Long, aux: Double)
-
-/** [[TopKAgg]] with a payload column — same bounded k-element buffer and
-  * map-side partial aggregation (ObjectHashAggregate), so only k rows per
-  * (group × partition) reach the exchange; the payload never changes the
-  * ordering.
-  */
-class TopKPayloadAgg(k: Int) extends Aggregator[TopHitP, List[TopHitP], Seq[TopHitP]] {
-
-  private def before(a: TopHitP, b: TopHitP): Boolean =
+class TopKAgg(k: Int) extends BoundedTopKAgg[TopHit](k) {
+  override protected def before(a: TopHit, b: TopHit): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
+}
 
-  override def zero: List[TopHitP] = Nil
-
-  private def insert(b: List[TopHitP], a: TopHitP): List[TopHitP] =
-    if (b.lengthCompare(k) >= 0 && before(b.last, a)) b
-    else {
-      val (pre, post) = b.span(h => before(h, a))
-      (pre ::: (a :: post)).take(k)
-    }
-
-  override def reduce(b: List[TopHitP], a: TopHitP): List[TopHitP] = insert(b, a)
-
-  override def merge(x: List[TopHitP], y: List[TopHitP]): List[TopHitP] =
-    y.foldLeft(x)(insert)
-
-  override def finish(b: List[TopHitP]): Seq[TopHitP] = b
-
-  override def bufferEncoder: Encoder[List[TopHitP]] = ExpressionEncoder()
-  override def outputEncoder: Encoder[Seq[TopHitP]] = ExpressionEncoder()
+/** Top-k with a payload column — same ordering as [[TopKAgg]]; the
+  * payload never influences ranking, so a group's result set is identical
+  * to TopKAgg's on the same (score, id) stream.
+  */
+class TopKPayloadAgg(k: Int) extends BoundedTopKAgg[TopHitP](k) {
+  override protected def before(a: TopHitP, b: TopHitP): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
 }

@@ -1,11 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.functions.{TopHit, TopKAgg, VectorFunctions}
+import graft.functions.{TopKAgg, TopKPayloadAgg, VectorFunctions}
 
 /** Similarity search over the `embeddings` table (LLM-pipeline component
   * #2): exact brute-force top-k as the verified baseline, an IVF-bucketed
@@ -190,31 +189,71 @@ object Similarity extends QueryModule {
        |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- ann3
-  /** Float cosine top-k — the real-valued API the library exposes. Not
-    * oracle-compared (cross-engine float summation is not bit-stable);
-    * the driver records a rows-only check, and ScalaTest pins semantics.
+  /** Cosine top-k — the real-valued API surface, made both scale-safe and
+    * oracle-checkable in one move (VERDICT r02 #2): score on the quantized
+    * vectors, rank on the *integer* milli-cosine, and carry the double
+    * cosine as a payload through [[graft.functions.TopKPayloadAgg]].
+    *
+    * Every arithmetic step after quantization is a single IEEE-754 op on
+    * identical inputs in both engines (integer dot → double cast, sqrt,
+    * one multiply, one divide, floor), so even the double `cosine` column
+    * is bit-identical cross-engine — unlike a float *sum*, whose result
+    * depends on accumulation order.
+    *
+    * Plan shape: no window over the N×Q scored rows (the anti-pattern
+    * TopKAgg's scaladoc warns about) — ObjectHashAggregate keeps k rows
+    * per (query × partition) ahead of the exchange, same as ann1.
     */
   private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-    def ddot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
-    val withNorm = emb.withColumn("norm", sqrt(ddot(col("v"), col("v"))))
-    val queries = withNorm.filter(col("vec_id").isin(QueryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    withNorm.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    val emb = quantized(s, dir)
+    val withSq = emb.withColumn("sq", dot(col("q"), col("q")))
+    val queries = withSq.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("sq").as("qsq"))
+    val topk = udaf(new TopKPayloadAgg(10))
+    val scored = withSq.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("qv"), col("q")).cast(DoubleType) /
+          nullif(sqrt(col("qsq").cast(DoubleType)) * sqrt(col("sq").cast(DoubleType)), lit(0.0)))
+      .withColumn("score", floor(col("cosine") * 1000).cast(LongType))
+      .filter(col("score").isNotNull) // zero-norm guard: null cosine can't rank
+    scored.groupBy("query_id")
+      .agg(topk(col("score"), col("vec_id"), col("cosine")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(
         col("query_id"),
-        col("vec_id").as("neighbor_id"),
-        (ddot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+        (col("pos") + 1).as("rank"),
+        col("hit.id").as("neighbor_id"),
+        col("hit.score").as("score"),
+        col("hit.aux").as("cosine"))
       .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
   }
+
+  private val cosineTopKSql =
+    """WITH emb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |sq AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS BIGINT) AS sq
+      |  FROM emb),
+      |queries AS (SELECT vec_id AS query_id, q AS qv, sq AS qsq FROM sq WHERE vec_id IN (0, 1, 2)),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    CAST(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.q[i])) AS BIGINT)
+      |         AS DOUBLE)
+      |      / nullif(sqrt(CAST(qsq AS DOUBLE)) * sqrt(CAST(e.sq AS DOUBLE)), 0.0) AS cosine
+      |  FROM queries CROSS JOIN sq e
+      |  WHERE e.vec_id <> query_id),
+      |qz AS (
+      |  SELECT query_id, neighbor_id, cosine, CAST(floor(cosine * 1000) AS BIGINT) AS score
+      |  FROM scored WHERE cosine IS NOT NULL),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM qz)
+      |SELECT query_id, rank, neighbor_id, score, cosine FROM ranked WHERE rank <= 10
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann1_topk_exact" -> (bruteTopK _),
@@ -225,5 +264,6 @@ object Similarity extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "ann1_topk_exact" -> bruteTopKSql,
     "ann2_topk_ivf" -> ivfTopKSql,
+    "ann3_topk_cosine" -> cosineTopKSql,
     "dd4_embedding_neardup" -> embeddingNearDupSql)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{TopHit, TopKAgg}
+import graft.functions.{TopHit, TopHitP, TopKAgg, TopKPayloadAgg}
 import graft.queries.{Dedup, Similarity}
 
 /** Determinism/semantics checks for the LLM-pipeline operators, run at
@@ -29,6 +29,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val agg = new TopKAgg(4)
     val a = Seq(TopHit(9, 1), TopHit(3, 2), TopHit(3, 9))
     val b = Seq(TopHit(8, 4), TopHit(3, 1), TopHit(10, 7))
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == (a ++ b).sortBy(h => (-h.score, h.id)).take(4))
+  }
+
+  test("TopKPayloadAgg reduce-fold equals sort-then-take; payload never affects ranking") {
+    val agg = new TopKPayloadAgg(3)
+    val hits = Seq(
+      TopHitP(5, 9, 0.59), TopHitP(7, 2, 0.72), TopHitP(5, 1, 0.51),
+      TopHitP(7, 8, 0.78), TopHitP(1, 0, 0.10))
+    val folded = hits.foldLeft(agg.zero)(agg.reduce)
+    assert(folded == hits.sortBy(h => (-h.score, h.id)).take(3))
+    // same (score, id) stream as the TopKAgg test → same selected ids
+    assert(folded.map(_.id) == List(2L, 8L, 1L))
+  }
+
+  test("TopKPayloadAgg merge is consistent with folding everything on one side") {
+    val agg = new TopKPayloadAgg(4)
+    val a = Seq(TopHitP(9, 1, 0.9), TopHitP(3, 2, 0.3), TopHitP(3, 9, 0.3))
+    val b = Seq(TopHitP(8, 4, 0.8), TopHitP(3, 1, 0.3), TopHitP(10, 7, 1.0))
     val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
     assert(merged == (a ++ b).sortBy(h => (-h.score, h.id)).take(4))
   }
@@ -74,5 +93,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("IVF top-k returns results from the query's own bucket only (subset of brute-force corpus)") {
     val rows = run("ann2_topk_ivf")
     assert(rows.length == 15) // 3 queries × k=5
+  }
+
+  test("cosine top-k ranks on the quantized milli-cosine; payload stays consistent") {
+    val rows = run("ann3_topk_cosine").map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("score"), r.getAs[Double]("cosine")))
+    assert(rows.length == 30) // 3 queries × k=10
+    rows.foreach { case (_, _, s, c) =>
+      assert(s == math.floor(c * 1000).toLong) // score IS the quantized payload
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+    rows.groupBy(_._1).foreach { case (_, qr) =>
+      val sorted = qr.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 10))
+      assert(sorted.sliding(2).forall { case Array(x, y) => x._3 >= y._3 })
+    }
   }
 }
