@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   * output column row-by-row with zero I/O, so the measured time is the
   * real transform work.
   *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  * the **median**: single-shot numbers billed one-off JIT/codegen/GC to
+  * whichever query hit them, inflating the slow tail 10–20× over
+  * steady-state (VERDICT r02 "what's wrong" #2). Caches a run registers
+  * (e.g. the LSH signature frames) are dropped between runs, so every
+  * run measures the full plan, not a warm cache.
+  *
   * Failures are never swallowed into the timing: a failed query gets
   * "err" in the per-query map, is excluded from the total, and flips
   * the exit code to 1.
@@ -19,6 +26,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // brief: local[32], 32 shuffle partitions
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,21 +40,26 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       val outcome =
         try {
-          org.apache.spark.sql.GraftShims.dropTopLevelSort(fn(spark, sfDir))
-            .write.format("noop").mode("overwrite").save()
-          Right((System.nanoTime() - t0) / 1e9)
+          val times = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            org.apache.spark.sql.GraftShims.dropTopLevelSort(fn(spark, sfDir))
+              .write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            // drop caches the run registered so the next run (and the
+            // next query) measures the full plan under its own memory
+            spark.sharedState.cacheManager.clearCache()
+            sec
+          }.sorted
+          Right(times(times.size / 2)) // median (upper on even n)
         } catch {
           case e: Throwable =>
             failed ::= name
+            spark.sharedState.cacheManager.clearCache()
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
             Left(e.getClass.getSimpleName)
         }
-      // drop caches a query registered (e.g. LSH signature frames) so
-      // later queries aren't measured under someone else's memory
-      spark.sharedState.cacheManager.clearCache()
       name -> outcome
     }
     val qs = results.map {

@@ -22,8 +22,8 @@ import graft.functions.{TopKAgg, TopKPayloadAgg, VectorFunctions}
   * is per-partition codegen'd HOF work; top-k uses the TopKAgg Aggregator
   * so only k rows per (query × partition) reach the exchange. The IVF
   * variant touches ~1/C of the corpus per query after a map-side
-  * assignment aggregation; its centroid "codebook" here is the first C
-  * vectors — k-means training would slot into the same plan shape.
+  * assignment aggregation; its codebook is k-means-trained in DataFrame
+  * ops ([[trainCentroids]]) from a fixed seedless init.
   */
 object Similarity extends QueryModule {
 
@@ -87,15 +87,12 @@ object Similarity extends QueryModule {
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- ann2
-  /** Nearest-centroid (IVF) bucket assignment as a map-side hash
-    * aggregate (min_by on the (dist, centroid) pair — deterministic
-    * tie-break), not a window: no per-vector sort, partial agg combines
-    * before the exchange.
+  /** Nearest-centroid bucket assignment as a map-side hash aggregate
+    * (min_by on the (dist, centroid) pair — deterministic tie-break),
+    * not a window: no per-vector sort, partial agg combines before the
+    * exchange.
     */
-  private def assignedBuckets(s: SparkSession, dir: String): DataFrame = {
-    val emb = quantized(s, dir)
-    val cents = emb.filter(col("vec_id") < C)
-      .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame = {
     val l2 = VectorFunctions.longSquaredL2(col("q"), col("cv"))
     emb.join(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"), col("q"), l2.as("dist"))
@@ -103,6 +100,45 @@ object Similarity extends QueryModule {
       .agg(
         min_by(col("centroid_id"), struct(col("dist"), col("centroid_id"))).as("centroid_id"),
         first(col("q")).as("q"))
+  }
+
+  /** k-means codebook training (VERDICT r02 #5): [[LloydIters]] Lloyd
+    * iterations in DataFrame ops only — no driver-side math, no
+    * `.collect()`. Init is the first C vectors (a fixed, seedless
+    * choice both engines can state); each iteration re-assigns with the
+    * same min_by aggregate the query path uses, then recomputes per-
+    * (centroid, dim) integer means: posexplode → partial-agg sum/count
+    * (the only exchange carries (centroid_id, pos) rows, C×D after the
+    * map-side combine), floored in double math — deterministic IEEE in
+    * both engines. The centroid frame is C rows → broadcast; each
+    * iteration is one corpus pass, the standard k-means cost at any
+    * scale.
+    *
+    * Integer centroids keep every downstream distance/dot exact, so the
+    * DuckDB oracle restates the whole training fixpoint CTE-for-CTE
+    * ([[lloydCtes]]) and assignments hash-match bit-for-bit.
+    */
+  private val LloydIters = 2
+
+  private def trainCentroids(emb: DataFrame): DataFrame = {
+    val init = emb.filter(col("vec_id") < C)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+    (1 to LloydIters).foldLeft(init) { (cents, _) =>
+      assignTo(emb, cents)
+        .select(col("centroid_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("c",
+          floor(col("s").cast(DoubleType) / col("n").cast(DoubleType)).cast(LongType))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))), x => x("c")).as("cv"))
+    }
+  }
+
+  private def assignedBuckets(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    assignTo(emb, trainCentroids(emb))
   }
 
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -116,20 +152,50 @@ object Similarity extends QueryModule {
     explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
   }
 
+  /** The argmin-assignment CTE body over centroid set `$cents` — the
+    * oracle twin of [[assignTo]] (row_number instead of min_by: same
+    * (dist asc, centroid_id asc) order, SQL's spelling of argmin).
+    */
+  private def assignCte(cents: String): String =
+    s"""SELECT vec_id, centroid_id, q FROM (
+       |    SELECT e.vec_id, c.centroid_id, e.q,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(e.q) + 1),
+       |          i -> (e.q[i] - cv[i]) * (e.q[i] - cv[i]))) ASC,
+       |        c.centroid_id ASC) AS rn
+       |    FROM emb e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+
+  /** CTE chain restating quantization → Lloyd training ([[LloydIters]]
+    * unrolled iterations, [[trainCentroids]]'s oracle twin) → final
+    * `assigned` relation. Every step is integer or single-op-double
+    * math, so the fixpoint is bit-identical to Spark's.
+    */
+  private val lloydCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cents0 AS (SELECT vec_id AS centroid_id, q AS cv FROM emb WHERE vec_id < $C)""".stripMargin
+    for (i <- 1 to LloydIters) {
+      sb ++= s""",
+       |asg$i AS (${assignCte(s"cents${i - 1}")}),
+       |cents$i AS (
+       |  SELECT centroid_id, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT centroid_id, pos,
+       |      CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+       |    FROM (SELECT centroid_id, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+       |          FROM asg$i)
+       |    GROUP BY centroid_id, pos)
+       |  GROUP BY centroid_id)""".stripMargin
+    }
+    sb ++= s""",
+       |assigned AS (${assignCte(s"cents$LloydIters")})""".stripMargin
+    sb.toString
+  }
+
   private val ivfTopKSql =
-    """WITH emb AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-      |  FROM embeddings),
-      |centroids AS (SELECT vec_id AS centroid_id, q AS cv FROM emb WHERE vec_id < 8),
-      |assigned AS (
-      |  SELECT vec_id, centroid_id, q FROM (
-      |    SELECT e.vec_id, c.centroid_id, e.q,
-      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        list_sum(list_transform(range(1, len(e.q) + 1),
-      |          i -> (e.q[i] - cv[i]) * (e.q[i] - cv[i]))) ASC,
-      |        c.centroid_id ASC) AS rn
-      |    FROM emb e CROSS JOIN centroids c) WHERE rn = 1),
+    s"""WITH $lloydCtes,
       |queries AS (
       |  SELECT vec_id AS query_id, centroid_id AS qc, q AS qv
       |  FROM assigned WHERE vec_id IN (0, 1, 2)),
@@ -167,19 +233,7 @@ object Similarity extends QueryModule {
   }
 
   private val embeddingNearDupSql =
-    s"""WITH emb AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |centroids AS (SELECT vec_id AS centroid_id, q AS cv FROM emb WHERE vec_id < 8),
-       |assigned AS (
-       |  SELECT vec_id, centroid_id, q FROM (
-       |    SELECT e.vec_id, c.centroid_id, e.q,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_sum(list_transform(range(1, len(e.q) + 1),
-       |          i -> (e.q[i] - cv[i]) * (e.q[i] - cv[i]))) ASC,
-       |        c.centroid_id ASC) AS rn
-       |    FROM emb e CROSS JOIN centroids c) WHERE rn = 1)
+    s"""WITH $lloydCtes
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_q
        |FROM assigned a

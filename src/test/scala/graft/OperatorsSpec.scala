@@ -32,6 +32,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain.count(_._3.contains("hot")) == 900)
   }
 
+  test("narrow-key mart dedup is row-for-row equivalent to the wide dropDuplicates") {
+    val dir = "/root/testdata/sf0.001"
+    val s = SparkEntry.configure(spark)
+    val wide = graft.queries.Mart.build(s, dir).collect().map(_.toSeq).sortBy(_.mkString(""))
+    val narrow = graft.queries.Mart.buildNarrow(s, dir).collect().map(_.toSeq).sortBy(_.mkString(""))
+    assert(wide.nonEmpty)
+    assert(narrow.toSeq == wide.toSeq)
+  }
+
   test("same-key bucketed tables join without any shuffle exchange") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
