@@ -247,7 +247,25 @@ object Text extends QueryModule {
       |WHERE rank <= 10
       |ORDER BY lang NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- tx7
+  // HLL census (VERDICT r02 missing #4): tx5's exact countDistinct
+  // shuffles every distinct (group, value) pair — at 100 TB the distinct
+  // sets themselves are the exchange. approx_count_distinct carries a
+  // constant-size HyperLogLog++ sketch per group through the map-side
+  // combine instead, the standard corpus-census operator at scale. HLL
+  // estimates are engine-specific → rows-only gate (no DuckDB oracle);
+  // TextCensusSpec pins the relative error against the exact counts.
+  private def langStatsApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(md5(col("text"))).as("approx_distinct_texts"),
+        approx_count_distinct(col("source")).as("approx_sources"))
+      .orderBy(col("lang").asc_nulls_first)
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx7_census_hll" -> (langStatsApprox _),
     "tx6_top_bigrams" -> (topBigrams _),
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality_score" -> (quality _),

@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   * engine's 100 TB posture includes a streaming path for the same
   * transforms).
   *
-  * Both operators are written against plain Datasets, so the SAME code
+  * The operators are written against plain Datasets, so the SAME code
   * runs batch (events parquet) and streaming (readStream/MemoryStream) —
-  * Spark's unified-engine idiom. Watermarked windowed aggregation keeps
-  * state bounded (late events beyond the watermark are dropped, window
-  * state is evicted); the per-user running aggregate shows
-  * mapGroupsWithState custom state.
+  * Spark's unified-engine idiom. Watermarked windowed/session
+  * aggregation and the interval stream-stream join keep state bounded
+  * (late events beyond the watermark are dropped, closed windows and
+  * out-of-interval buffers are evicted); the per-user running aggregate
+  * shows mapGroupsWithState custom state.
   */
 object EventStream {
 
@@ -74,6 +75,48 @@ object EventStream {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization via `session_window` — the streaming twin
+    * of the batch ev3 gate query (lag → flag → running sum): sessions
+    * merge while consecutive events arrive within the gap. On a stream
+    * the watermark lets Spark finalize and evict a session once no
+    * in-gap event can still arrive; state is bounded by open sessions,
+    * not event history. Session identity here is (user_id,
+    * session_start) — the ordinal session_id of the batch variant is a
+    * presentation detail a ranking adds.
+    */
+  def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("duration_us"))
+
+  /** Stream-stream interval join: each `first`-type event paired with the
+    * same user's `second`-type events that follow within `within`. Both
+    * sides carry watermarks and the join predicate bounds event-time
+    * distance, so Spark can evict buffered rows once the watermark
+    * passes the interval — the state-bounded spelling of a stream-stream
+    * join (an unbounded-time join would grow state forever).
+    */
+  def followedWithin(events: DataFrame, first: String, second: String,
+      within: String = "10 minutes"): DataFrame = {
+    val a = events.filter(col("event_type") === first)
+      .select(col("user_id"), col("ts").as("first_ts"), col("event_id").as("first_id"))
+      .withWatermark("first_ts", "10 minutes")
+    val b = events.filter(col("event_type") === second)
+      .select(col("user_id").as("b_user"), col("ts").as("second_ts"),
+        col("event_id").as("second_id"))
+      .withWatermark("second_ts", "10 minutes")
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("second_ts") > col("first_ts") &&
+        col("second_ts") <= col("first_ts") + expr(s"INTERVAL $within"))
+      .drop("b_user")
+  }
 
   /** File-source entry point for a directory of event parquet drops. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

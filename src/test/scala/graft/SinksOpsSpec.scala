@@ -75,4 +75,30 @@ class SinksOpsSpec extends AnyFunSuite {
       YouGileConfig.fixture, Fixtures.runTs, sink, graft.sinks.NoopAlerter)
     assert(spark.read.parquet(dir).count() == 240)
   }
+
+  test("JdbcSink round-trips the 22-column mart through a real embedded-Derby database") {
+    import org.apache.spark.sql.functions.col
+    var captured: Option[DataFrame] = None
+    val capture = new MartSink { override def write(df: DataFrame): Unit = captured = Some(df) }
+    Pipeline.run(spark, new JsonFixtureClient(Fixtures.jsonDir),
+      YouGileConfig.fixture, Fixtures.runTs, capture, graft.sinks.NoopAlerter)
+    val mart = captured.get
+    // Derby ships on the Spark classpath; an in-memory db exercises the
+    // full df.write.jdbc path (table DDL from Spark's dialect, batched
+    // inserts — batchsize 50 forces multiple batches per partition).
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    new graft.sinks.JdbcSink(url, "cdm_tasks", "app", "app", batchSize = 50).write(mart)
+    val back = spark.read.format("jdbc").option("url", url).option("dbtable", "cdm_tasks").load()
+    assert(back.columns.sorted.toSeq == mart.columns.sorted.toSeq)
+    // value-level equality across the write/read type mapping (strings →
+    // CLOB, doubles → DOUBLE, dates/timestamps native): compare the full
+    // canonicalized multiset
+    def canon(df: DataFrame) = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(c => col(c).cast("string")): _*)
+        .collect().map(_.toSeq.map(v => Option(v).fold("∅")(_.toString)))
+        .sortBy(_.mkString("|")).toSeq
+    }
+    assert(canon(back) == canon(mart))
+  }
 }

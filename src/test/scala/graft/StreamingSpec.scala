@@ -51,6 +51,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
   }
 
+  test("session_window stream matches the batch run and the ev3 gap semantics") {
+    implicit val sq = spark.sqlContext
+    // two users, sessions split by >30min gaps (the ev3 gate's gap)
+    val evs = Seq(
+      Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(ts("2024-01-01 10:10:00"), 1, "click", 1.0), // same session (10 min gap)
+      Ev(ts("2024-01-01 11:00:00"), 1, "click", 1.0), // 50 min gap → new session
+      Ev(ts("2024-01-01 11:20:00"), 1, "click", 1.0),
+      Ev(ts("2024-01-01 10:05:00"), 2, "view", 1.0),
+      Ev(ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+    val stream = MemoryStream[Ev]
+    // session windows stream in Append mode: a session row is emitted
+    // once, when the watermark proves no in-gap event can still arrive
+    val q = EventStream.startMemorySink(
+      EventStream.sessionized(stream.toDF()), "sessions", OutputMode.Append())
+    try {
+      stream.addData(evs: _*)
+      q.processAllAvailable()
+      // push the watermark past every session's close; the sentinel's own
+      // session stays open and must NOT be emitted
+      stream.addData(Ev(ts("2024-01-02 00:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      def canon(rows: Seq[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_us")))
+        .toSet
+      val streamed = canon(spark.table("sessions").collect().toSeq)
+      val batched = canon(EventStream.sessionized(evs.toDF()).collect().toSeq)
+      assert(streamed == batched)
+      // the ev3 lag-based expectation, stated by hand
+      assert(streamed == Set(
+        (1L, "2024-01-01 10:00:00.0", 2L, 600000000L),
+        (1L, "2024-01-01 11:00:00.0", 2L, 1200000000L),
+        (2L, "2024-01-01 10:05:00.0", 1L, 0L),
+        (2L, "2024-01-01 12:00:00.0", 1L, 0L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join emits the same pairs as its batch run") {
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(ts("2024-01-01 10:05:00"), 1, "view", 1.0), // within 10 min → pair
+      Ev(ts("2024-01-01 10:20:00"), 1, "view", 1.0), // outside → no pair
+      Ev(ts("2024-01-01 10:00:00"), 2, "click", 1.0),
+      Ev(ts("2024-01-01 10:08:00"), 2, "view", 1.0)) // pair
+      .zipWithIndex.map { case (e, i) => e.copy(value = i.toDouble) }
+    // Ev has no event_id: give the operator a frame with one derived
+    val withId = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("event_id", (org.apache.spark.sql.functions.col("value") * 1).cast("long"))
+    val stream = MemoryStream[Ev]
+    val q = EventStream.startMemorySink(
+      EventStream.followedWithin(withId(stream.toDF()), "click", "view"),
+      "pairs", OutputMode.Append())
+    try {
+      stream.addData(evs: _*)
+      q.processAllAvailable()
+      def canon(rows: Seq[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_id"), r.getAs[Long]("second_id")))
+        .toSet
+      val streamed = canon(spark.table("pairs").collect().toSeq)
+      val batched = canon(EventStream.followedWithin(withId(evs.toDF()), "click", "view")
+        .collect().toSeq)
+      assert(streamed == batched)
+      assert(streamed == Set((1L, 0L, 1L), (2L, 3L, 4L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[Ev]
