@@ -187,7 +187,10 @@ object Dedup extends QueryModule {
   // of ±1 weighted by the high bit of md5 nibble i. Pure per-row HOF work
   // (one md5 per word, integer sums — order-independent), no shuffle at
   // all until the final sort; exact copies collide by construction.
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, simhash) without the gate sort — shared by dd3 (the
+    * fingerprint table) and dd5 (the near-dup pair sweep).
+    */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
     val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     def bit(i: Int): Column =
       when(
@@ -199,24 +202,81 @@ object Dedup extends QueryModule {
     corpus(s, dir)
       .withColumn("hs", transform(split(col("text"), " "), w => md5(w)))
       .select(col("doc_id"), (0 until 16).map(bit).reduce(_ + _).as("simhash"))
-      .orderBy(col("doc_id").asc_nulls_first)
   }
 
-  private val simhashSql = {
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashFrame(s, dir).orderBy(col("doc_id").asc_nulls_first)
+
+  private val simhashCtes = {
     val hn = "('8','9','a','b','c','d','e','f')"
     val bits = (0 until 16).map(i =>
       s"""CASE WHEN list_sum(list_transform(hs,
          |      h -> CASE WHEN substr(h, ${i + 1}, 1) IN $hn THEN 1 ELSE -1 END)) > 0
          |    THEN ${1L << i} ELSE 0 END""".stripMargin).mkString(" +\n  ")
-    s"""WITH $corpusSql,
+    s"""$corpusSql,
        |hashed AS (
        |  SELECT doc_id, list_transform(string_split(text, ' '), w -> md5(w)) AS hs
-       |  FROM corpus)
-       |SELECT doc_id,
+       |  FROM corpus),
+       |sims AS (
+       |  SELECT doc_id,
        |  $bits AS simhash
-       |FROM hashed
-       |ORDER BY doc_id NULLS FIRST""".stripMargin
+       |  FROM hashed)""".stripMargin
   }
+
+  private val simhashSql =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM sims
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- dd5
+  /** SimHash near-dup pair sweep — the hamming-ball member of the dedup
+    * family: 2 bands of 8 bits over the 16-bit fingerprint; pairs
+    * sharing either band bucket are candidates, verified by exact
+    * hamming distance `bit_count(xor) <= 1`. Recall at that radius is
+    * exact by pigeonhole (1 differing bit leaves 1 of 2 bands intact);
+    * a wider fingerprint (64-bit, 4×16 bands) buys a bigger radius at
+    * 4× the per-word hash fold — radius 1 on 16 bits keeps the random
+    * collision rate at ~0.03%, which is what stops the candidate set
+    * exploding on a large corpus. Same
+    * banded-bucket shape as the LSH pass: the pairwise work is confined
+    * to buckets, never all-pairs, and the frame that self-joins carries
+    * only (doc_id, simhash, band) — three longs — so the exchange is
+    * narrow no matter how wide the documents are.
+    */
+  private val SimBands = 2
+  private val HammingMax = 1
+
+  private def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sims = simhashFrame(s, dir)
+    val bandRows = sims.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("band_id", "bv")))
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  private val simhashNearDupSql =
+    s"""WITH $simhashCtes,
+       |bandrows AS (
+       |  SELECT doc_id, simhash, band_id, (simhash >> (8 * band_id)) & 255 AS bv
+       |  FROM sims, (SELECT unnest([0, 1]) AS band_id) bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM bandrows a
+       |  JOIN bandrows b ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $HammingMax
+       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- cur1
   // The composed curation pass an LLM-data pipeline actually runs:
@@ -269,11 +329,13 @@ object Dedup extends QueryModule {
     "dd1_exact_dedup" -> (exactDedup _),
     "dd2_minhash_lsh_pairs" -> (minhashPairs _),
     "dd3_simhash" -> (simhash _),
+    "dd5_simhash_neardup" -> (simhashNearDup _),
     "cur1_curation_pipeline" -> (curation _))
 
   override val oracle: Map[String, String] = Map(
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_minhash_lsh_pairs" -> minhashPairsSql,
     "dd3_simhash" -> simhashSql,
+    "dd5_simhash_neardup" -> simhashNearDupSql,
     "cur1_curation_pipeline" -> curationSql)
 }
