@@ -95,6 +95,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.length == 15) // 3 queries × k=5
   }
 
+  test("cosine top-k plan aggregates map-side — no corpus-wide window exchange") {
+    val plan = SparkEntry.queries("ann3_topk_cosine")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(!plan.contains("Window"), "ann3 must not rank via a row_number window")
+  }
+
   test("cosine top-k ranks on the quantized milli-cosine; payload stays consistent") {
     val rows = run("ann3_topk_cosine").map(r =>
       (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
