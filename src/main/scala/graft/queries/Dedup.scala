@@ -247,7 +247,10 @@ object Dedup extends QueryModule {
   private val HammingMax = 1
 
   private def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sims = simhashFrame(s, dir)
+    // both sides of the band self-join consume the fingerprint frame; the
+    // 16 per-word hash folds are the expensive part, so materialize once
+    // (same persist-the-signatures reasoning as the LSH pass above)
+    val sims = simhashFrame(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val bandRows = sims.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until SimBands).map(b =>

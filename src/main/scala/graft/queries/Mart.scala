@@ -59,6 +59,13 @@ object Mart extends QueryModule {
         md5(concat_ws("",
           base.columns.map(c => coalesce(col(c).cast(StringType), lit("null"))): _*)))
       .withColumn("row_id", monotonically_increasing_id())
+      // persist is load-bearing, not a cache hint: keepers and the probe
+      // side must observe the SAME row_id per row. Without it the two
+      // consumers re-evaluate monotonically_increasing_id independently,
+      // and a task retry / AQE re-plan could renumber one side, silently
+      // dropping rows whose winning (row_h, row_id) no longer exists.
+      // (It also halves the cost: one mart-assembly pass, not two.)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = hashed.select("row_h", "row_id")
       .groupBy("row_h").agg(min("row_id").as("row_id"))
     hashed.join(keepers, Seq("row_h", "row_id"), "left_semi")
