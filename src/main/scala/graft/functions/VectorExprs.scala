@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{LongDot, LongSquaredL2}
+import org.apache.spark.sql.graft.{LongDot, LongSquaredL2, SimHash16}
 
 /** Column-API and SQL-name surfaces for the codegen vector kernels
   * (org.apache.spark.sql.graft.VectorKernels).
@@ -16,9 +16,13 @@ object VectorFunctions {
   def longSquaredL2(a: Column, b: Column): Column =
     GraftShims.column(LongSquaredL2(GraftShims.expression(a), GraftShims.expression(b)))
 
+  def simhash16(words: Column): Column =
+    GraftShims.column(SimHash16(GraftShims.expression(words)))
+
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> (es => LongDot(es(0), es(1))),
-    "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))))
+    "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))),
+    "simhash16" -> (es => SimHash16(es(0))))
 
   /** Runtime registration (for sessions we did not build, e.g. the
     * driver's): makes the kernels callable from SQL text.
@@ -42,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("long_sq_l2"),
       new ExpressionInfo(classOf[LongSquaredL2].getName, "long_sq_l2"),
       (es: Seq[Expression]) => LongSquaredL2(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (es: Seq[Expression]) => SimHash16(es(0))))
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Deduplication operators over the `documents` corpus — the first of the
   * LLM-training-pipeline components (brief north star; SURVEY.md §7.5).
@@ -184,25 +185,18 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------- dd3
   // 16-bit SimHash fingerprint: bit i is the sign of the word-multiset sum
-  // of ±1 weighted by the high bit of md5 nibble i. Pure per-row HOF work
-  // (one md5 per word, integer sums — order-independent), no shuffle at
-  // all until the final sort; exact copies collide by construction.
+  // of ±1 weighted by the high bit of md5 nibble i — order-independent,
+  // no shuffle at all until the final sort; exact copies collide by
+  // construction. Computed by the codegen SimHash16 kernel (one pass,
+  // byte digests); the interpreted-HOF spelling it replaced survives in
+  // VectorExprsSpec as the equivalence reference.
   /** (doc_id, simhash) without the gate sort — shared by dd3 (the
     * fingerprint table) and dd5 (the near-dup pair sweep).
     */
-  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
-    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    def bit(i: Int): Column =
-      when(
-        aggregate(
-          transform(col("hs"), h => when(substring(h, i + 1, 1).isin(highNibble: _*), 1).otherwise(-1)),
-          lit(0),
-          (acc, x) => acc + x) > 0,
-        lit(1L << i)).otherwise(lit(0L))
-    corpus(s, dir)
-      .withColumn("hs", transform(split(col("text"), " "), w => md5(w)))
-      .select(col("doc_id"), (0 until 16).map(bit).reduce(_ + _).as("simhash"))
-  }
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).select(
+      col("doc_id"),
+      VectorFunctions.simhash16(split(col("text"), " ")).as("simhash"))
 
   private def simhash(s: SparkSession, dir: String): DataFrame =
     simhashFrame(s, dir).orderBy(col("doc_id").asc_nulls_first)

@@ -35,6 +35,38 @@ class VectorExprsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("simhash16 equals the interpreted-HOF spelling it replaced") {
+    // the reference spelling dd3 used before the kernel: md5-hex nibbles,
+    // 16 aggregate folds, bit set iff the signed count is positive
+    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    def hofBit(i: Int) =
+      when(
+        aggregate(
+          transform($"hs", h => when(substring(h, i + 1, 1).isin(highNibble: _*), 1).otherwise(-1)),
+          lit(0),
+          (acc, x) => acc + x) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("words"))
+      .withColumn("hs", transform($"words", w => md5(w)))
+    val out = docs.select(
+      VectorFunctions.simhash16($"words").as("kernel"),
+      (0 until 16).map(hofBit).reduce(_ + _).as("hof")).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // interpreted path (eval) must agree with codegen: exercised via a
+    // local relation, which Spark evaluates eagerly without codegen
+    val local = Seq((1L, Seq("hello", "world")), (2L, Seq("спарк", "поток", "спарк")))
+      .toDF("id", "words")
+    val kernelLocal = local.select($"id", VectorFunctions.simhash16($"words").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hofLocal = local
+      .withColumn("hs", transform($"words", w => md5(w)))
+      .select($"id", (0 until 16).map(hofBit).reduce(_ + _).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernelLocal == hofLocal)
+  }
+
   test("kernels participate in whole-stage codegen (no fallback)") {
     // needs a file-backed scan: a local Seq collapses to an eagerly
     // evaluated LocalTableScan with no codegen stage to observe
