@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{LongDot, LongSquaredL2, SimHash16}
+import org.apache.spark.sql.graft.{LongDot, LongSquaredL2, MinHashSigs, SimHash16}
 
 /** Column-API and SQL-name surfaces for the codegen vector kernels
   * (org.apache.spark.sql.graft.VectorKernels).
@@ -19,10 +19,15 @@ object VectorFunctions {
   def simhash16(words: Column): Column =
     GraftShims.column(SimHash16(GraftShims.expression(words)))
 
+  def minhashSigs(shingles: Column, k: Int): Column =
+    GraftShims.column(MinHashSigs(GraftShims.expression(shingles), k))
+
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> (es => LongDot(es(0), es(1))),
     "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))),
-    "simhash16" -> (es => SimHash16(es(0))))
+    "simhash16" -> (es => SimHash16(es(0))),
+    // SQL surface requires a foldable k (evaluated at registration time)
+    "minhash_sigs" -> (es => MinHashSigs(es(0), es(1).eval(null).asInstanceOf[Int])))
 
   /** Runtime registration (for sessions we did not build, e.g. the
     * driver's): makes the kernels callable from SQL text.
@@ -50,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (es: Seq[Expression]) => SimHash16(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (es: Seq[Expression]) => MinHashSigs(es(0), es(1).eval(null).asInstanceOf[Int])))
   }
 }

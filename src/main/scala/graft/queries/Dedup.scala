@@ -121,12 +121,13 @@ object Dedup extends QueryModule {
     // materialization is mandatory, not an option: signatures are ~1% of
     // corpus size and the alternative is N full-corpus re-hashes.
     val sh = shingled(corpus(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
-    val withMh = (0 until K).foldLeft(sh)((df, k) =>
-      df.withColumn(s"mh$k",
-        array_min(transform(col("shingles"), x => md5(concat(lit(s"$k:"), x))))))
+    // all K seeded minima in ONE codegen pass over the shingles (the HOF
+    // spelling — K interpreted array_min(transform(md5)) sweeps — is the
+    // equivalence reference in VectorExprsSpec)
+    val withMh = sh.withColumn("mhs", VectorFunctions.minhashSigs(col("shingles"), K))
     val withBands = (0 until B).foldLeft(withMh)((df, b) =>
       df.withColumn(s"band$b",
-        md5(concat_ws("|", (0 until R).map(r => col(s"mh${b * R + r}")): _*))))
+        md5(concat_ws("|", (0 until R).map(r => col("mhs")(b * R + r)): _*))))
     val bandRows = withBands.select(
       col("doc_id"),
       explode(array((0 until B).map(b =>

@@ -67,6 +67,26 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(kernelLocal == hofLocal)
   }
 
+  test("minhash_sigs equals the K-pass HOF spelling it replaced, incl. the empty set") {
+    val K = 12
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", when(size($"w") >= 3,
+        array_distinct(transform(sequence(lit(1), size($"w") - 2),
+          i => array_join(slice($"w", i, lit(3)), " ")))).otherwise(array()).as("shingles"))
+    val hof = (0 until K).map(k =>
+      array_min(transform($"shingles", x => md5(concat(lit(s"$k:"), x)))))
+    val out = docs.select(
+      VectorFunctions.minhashSigs($"shingles", K).as("kernel"),
+      array(hof: _*).as("hof")).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // empty shingle set → all-null minima, exactly array_min([])
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("shingles")
+      .select(VectorFunctions.minhashSigs($"shingles", 3)).collect()
+    assert(empty(0).getSeq[String](0) == Seq(null, null, null))
+  }
+
   test("kernels participate in whole-stage codegen (no fallback)") {
     // needs a file-backed scan: a local Seq collapses to an eagerly
     // evaluated LocalTableScan with no codegen stage to observe
