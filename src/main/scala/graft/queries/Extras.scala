@@ -208,6 +208,41 @@ object Extras extends QueryModule {
       |LEFT JOIN orders o ON p.asof_o_orderkey = o.o_orderkey
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- rj1
+  // Range join (graft.operators.RangeJoin): every event landing inside
+  // the 30-minute window after a same-user click — an equi-join on
+  // (key, time-bin) with interval replication, never a nested-loop.
+  // The oracle states the same containment directly.
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+    val windows = ev.filter(col("event_type") === "click").select(
+      col("user_id").as("w_user"),
+      col("event_id").as("click_id"),
+      col("ts").as("win_start"),
+      (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+    graft.operators.RangeJoin.pointInInterval(
+      ev, windows,
+      pointKey = "user_id", intervalKey = "w_user",
+      pointTs = "ts", start = "win_start", end = "win_end",
+      binUs = 30L * 60 * 1000000) // bin = the window span: ≤2 replicas each
+      .filter(col("event_id") =!= col("click_id")) // a click is not its own follower
+      .select("event_id", "user_id", "ts", "click_id", "win_start")
+      .orderBy(Seq("event_id", "user_id", "ts", "click_id", "win_start")
+        .map(col(_).asc_nulls_first): _*)
+  }
+
+  private val rangeJoinSql =
+    """SELECT e.event_id, e.user_id, e.ts, w.click_id, w.win_start
+      |FROM events e JOIN (
+      |  SELECT user_id AS w_user, event_id AS click_id, ts AS win_start,
+      |    ts + INTERVAL 30 MINUTE AS win_end
+      |  FROM events WHERE event_type = 'click') w
+      |  ON w.w_user = e.user_id
+      | AND e.ts >= w.win_start AND e.ts < w.win_end
+      | AND e.event_id <> w.click_id
+      |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST,
+      |  click_id NULLS FIRST, win_start NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- j5
   // Beyond-reference join coverage: semi (customers WITH orders) and
   // anti (customers WITHOUT) — the allow-list idiom at fact scale, where
@@ -252,6 +287,7 @@ object Extras extends QueryModule {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aj1_asof_join" -> (asofJoin _),
+    "rj1_range_join" -> (rangeJoin _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -264,6 +300,7 @@ object Extras extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "aj1_asof_join" -> asofJoinSql,
+    "rj1_range_join" -> rangeJoinSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

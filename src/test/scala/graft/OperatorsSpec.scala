@@ -32,6 +32,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain.count(_._3.contains("hot")) == 900)
   }
 
+  test("binned range join equals the naive predicate join and plans no nested loop") {
+    val s = SparkEntry.configure(spark)
+    val ev = graft.Tables(s, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts")
+    val win = ev.select($"user_id".as("w_user"), $"event_id".as("w_id"),
+      $"ts".as("win_start"), ($"ts" + org.apache.spark.sql.functions.expr("INTERVAL 2 HOURS")).as("win_end"))
+    val binned = graft.operators.RangeJoin.pointInInterval(
+      ev, win, "user_id", "w_user", "ts", "win_start", "win_end", binUs = 2L * 3600 * 1000000)
+    val naive = ev.join(win,
+      $"user_id" === $"w_user" && $"ts" >= $"win_start" && $"ts" < $"win_end")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = rows(binned)
+    assert(b.nonEmpty)
+    assert(b == rows(naive))
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range join must stay an equi-join on (key, bin)")
+  }
+
   test("narrow-key mart dedup is row-for-row equivalent to the wide dropDuplicates") {
     val dir = "/root/testdata/sf0.001"
     val s = SparkEntry.configure(spark)
