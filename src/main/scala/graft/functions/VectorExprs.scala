@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.{LongDot, LongSquaredL2, MinHashSigs, SimHash16}
 
 /** Column-API and SQL-name surfaces for the codegen vector kernels
@@ -26,8 +26,19 @@ object VectorFunctions {
     "long_dot" -> (es => LongDot(es(0), es(1))),
     "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))),
     "simhash16" -> (es => SimHash16(es(0))),
-    // SQL surface requires a foldable k (evaluated at registration time)
-    "minhash_sigs" -> (es => MinHashSigs(es(0), es(1).eval(null).asInstanceOf[Int])))
+    "minhash_sigs" -> (es => MinHashSigs(es(0), foldableK(es(1)))))
+
+  /** The SQL surface needs k at plan-construction time (it sizes the
+    * signature array): accept any integer literal, reject the rest with
+    * a targeted error instead of a ClassCastException.
+    */
+  private def foldableK(e: Expression): Int = e match {
+    case Literal(v: java.lang.Number, _) if v != null => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"minhash_sigs(shingles, k): k must be an integer literal, got $other")
+  }
+
+  private[functions] def foldableKPublic(e: Expression): Int = foldableK(e)
 
   /** Runtime registration (for sessions we did not build, e.g. the
     * driver's): makes the kernels callable from SQL text.
@@ -58,6 +69,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      (es: Seq[Expression]) => MinHashSigs(es(0), es(1).eval(null).asInstanceOf[Int])))
+      (es: Seq[Expression]) => MinHashSigs(es(0), VectorFunctions.foldableKPublic(es(1)))))
   }
 }

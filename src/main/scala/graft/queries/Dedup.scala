@@ -197,7 +197,10 @@ object Dedup extends QueryModule {
   private def simhashFrame(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir).select(
       col("doc_id"),
-      VectorFunctions.simhash16(split(col("text"), " ")).as("simhash"))
+      // null text → simhash 0, as the HOF chain and the oracle's CASE
+      // WHEN NULL > 0 … ELSE 0 bits both collapse to (no null docs in
+      // the fixtures, but the contract must not depend on that)
+      coalesce(VectorFunctions.simhash16(split(col("text"), " ")), lit(0L)).as("simhash"))
 
   private def simhash(s: SparkSession, dir: String): DataFrame =
     simhashFrame(s, dir).orderBy(col("doc_id").asc_nulls_first)

@@ -138,7 +138,12 @@ object Similarity extends QueryModule {
 
   private def assignedBuckets(s: SparkSession, dir: String): DataFrame = {
     val emb = quantized(s, dir)
+    // the trained assignment feeds multiple consumers (ann2: corpus +
+    // query sides; dd4: both self-join sides) and its lineage now embeds
+    // the whole Lloyd training — materialize once, same reasoning as the
+    // LSH signature persist
     assignTo(emb, trainCentroids(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {

@@ -50,6 +50,15 @@ object MinHashSigs {
 
   private val hex = "0123456789abcdef".toCharArray
 
+  // the seed prefixes depend only on k — computed once per k, not per row
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]
+
+  private def seedsFor(k: Int): Array[Array[Byte]] =
+    seedCache.computeIfAbsent(k, { n =>
+      Array.tabulate(n)(s => (s.toString + ":").getBytes("UTF-8"))
+    })
+
   private def toHex(d: Array[Byte]): UTF8String = {
     val out = new Array[Byte](d.length * 2)
     var i = 0
@@ -76,9 +85,7 @@ object MinHashSigs {
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val md = digester.get()
     val mins = new Array[Array[Byte]](k)
-    val seeds = new Array[Array[Byte]](k)
-    var s = 0
-    while (s < k) { seeds(s) = (s.toString + ":").getBytes("UTF-8"); s += 1 }
+    val seeds = seedsFor(k)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {

@@ -22,6 +22,11 @@ import org.apache.spark.sql.types._
   * A null word contributes −1 to every bit, matching the HOF chain
   * (`when(null).otherwise(-1)`). Ties (count == 0) yield an unset bit,
   * as in the `> 0` HOF comparison.
+  *
+  * A null ARRAY propagates null (standard expression semantics); the
+  * HOF chain and the DuckDB oracle both collapse a null document to
+  * simhash 0, so call sites that need that behavior coalesce the
+  * result to 0 (as Dedup.simhashFrame does).
   */
 case class SimHash16(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
@@ -30,7 +35,7 @@ case class SimHash16(child: Expression) extends UnaryExpression with ExpectsInpu
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SimHash16.digester.get()
     val cnt = new Array[Int](16)
     var w = 0
     val n = arr.numElements()
@@ -91,4 +96,11 @@ case class SimHash16(child: Expression) extends UnaryExpression with ExpectsInpu
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 = copy(newChild)
+}
+
+object SimHash16 {
+  private[graft] val digester = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }

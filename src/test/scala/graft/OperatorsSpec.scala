@@ -55,10 +55,14 @@ class OperatorsSpec extends AnyFunSuite {
   test("narrow-key mart dedup is row-for-row equivalent to the wide dropDuplicates") {
     val dir = "/root/testdata/sf0.001"
     val s = SparkEntry.configure(spark)
-    val wide = graft.queries.Mart.build(s, dir).collect().map(_.toSeq).sortBy(_.mkString(""))
-    val narrow = graft.queries.Mart.buildNarrow(s, dir).collect().map(_.toSeq).sortBy(_.mkString(""))
+    // compare as multisets: any concatenated sort key can collide, and
+    // between equal keys a stable sort preserves side-dependent order
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val wide = multiset(graft.queries.Mart.build(s, dir))
+    val narrow = multiset(graft.queries.Mart.buildNarrow(s, dir))
     assert(wide.nonEmpty)
-    assert(narrow.toSeq == wide.toSeq)
+    assert(narrow == wide)
   }
 
   test("same-key bucketed tables join without any shuffle exchange") {

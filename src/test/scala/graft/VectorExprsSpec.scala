@@ -67,6 +67,14 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(kernelLocal == hofLocal)
   }
 
+  test("simhash16 propagates a null array; the dd3 call site coalesces to the oracle's 0") {
+    val df = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("words")
+    val out = df.select(
+      VectorFunctions.simhash16($"words").as("k"),
+      coalesce(VectorFunctions.simhash16($"words"), lit(0L)).as("c")).collect()(0)
+    assert(out.isNullAt(0) && out.getLong(1) == 0L)
+  }
+
   test("minhash_sigs equals the K-pass HOF spelling it replaced, incl. the empty set") {
     val K = 12
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
