@@ -66,6 +66,77 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("generated sticker slots round-trip the C1–C7 scalar block, 6 universes") {
+    val qtyGen = Gen.oneOf(None, Some(""), Some("12.5"), Some("7"), Some("junk"))
+    val datesGen = Gen.oneOf(
+      None, Some(""), Some("01.02.2024 - 03.02.2024"), Some("01.02.2024-03.02.2024"),
+      Some("15.03.2024"))
+    val placeGen = Gen.oneOf(None, Some("Порт А"), Some("Порт Б"))
+    val deadlineGen = Gen.oneOf(
+      None,
+      Some(Deadline(Some(1706745600000L), Some(1707350400000L))), // 2024-02-01 / 02-08 UTC
+      Some(Deadline(None, None)))
+    case class LotSlots(qty: Option[String], dates: Option[String],
+        p1: Option[String], p2: Option[String], dl: Option[Deadline])
+    val lotGen = for {
+      q <- qtyGen; d <- datesGen; p1 <- placeGen; p2 <- placeGen; dl <- deadlineGen
+    } yield LotSlots(q, d, p1, p2, dl)
+    val uniGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, lotGen))
+
+    (40L to 45L).foreach { seed =>
+      val slots = uniGen.pureApply(Gen.Parameters.default, rng.Seed(seed))
+      val lots = slots.zipWithIndex.map { case (ls, i) =>
+        val m = Map.newBuilder[String, String]
+        ls.qty.foreach(v => m += Stickers.QuantityPlan -> v)
+        ls.dates.foreach(v => m += Stickers.LoadingDates1 -> v)
+        ls.p1.foreach(v => m += Stickers.DischargingPlace1 -> v)
+        ls.p2.foreach(v => m += Stickers.DischargingPlace2 -> v)
+        TaskObj(s"L$i", s"Лот $i", 0L, None, None, Some(false), Some(m.result()), ls.dl)
+      }
+      val contract = TaskObj("K0", "Сделка", 1706000000000L, Some("c1"),
+        Some(lots.map(_.id)), None, Some(Map.empty), None)
+      val boards = Seq(Board("b1", "Доска Трейдинг А", "p1")).toDF()
+      val cols = Seq(BoardColumn("c1", "В работе", "b1")).toDF()
+      val bc = Transform.brdClmn(boards, cols, Seq("Доска Трейдинг А"))
+      val states = Transform.stickerStates(
+        Seq(StickerDict(Stickers.LotStatus, HubNames.LotStatus,
+          Seq(StickerState("s1", "X")))).toDS().toDF())
+      val m = Transform.mart(
+        Transform.taskAssembly(
+          Transform.contractsPrepared(Seq(contract).toDS().toDF()),
+          Transform.subtasksPrepared(lots.toDS().toDF())),
+        bc, states, "2026-01-01 00:00:00")
+      val got = m.collect().map(r => r.getAs[String]("subtask_id") -> r).toMap
+      assert(got.size == lots.size, s"seed=$seed grain")
+
+      val utcDay = java.time.ZoneOffset.UTC
+      def msToDate(ms: Long) = java.sql.Date.valueOf(
+        java.time.Instant.ofEpochMilli(ms).atZone(utcDay).toLocalDate)
+      slots.zipWithIndex.foreach { case (ls, i) =>
+        val r = got(s"L$i")
+        // C7: empty/missing/garbage numeric slot → null, else double
+        val expQty: Any =
+          ls.qty.filter(_.nonEmpty).flatMap(_.toDoubleOption).map(Double.box).orNull
+        assert(r.getAs[Any]("quantity_plan") == expQty, s"seed=$seed L$i qty ${ls.qty}")
+        // C3: slot-1 wins, pandas-fillna style
+        val expPlace = ls.p1.orElse(ls.p2).orNull
+        assert(r.getAs[String]("discharging_place") == expPlace, s"seed=$seed L$i place")
+        // C1+C2+C4: strip spaces, split on '-', parse dd.MM.yyyy (null on missing)
+        val parts = ls.dates.map(_.replace(" ", "").split("-", -1)).getOrElse(Array.empty)
+        def datePart(j: Int) =
+          if (parts.length > j && parts(j).nonEmpty)
+            java.sql.Date.valueOf(java.time.LocalDate.parse(
+              parts(j), java.time.format.DateTimeFormatter.ofPattern("dd.MM.yyyy")))
+          else null
+        assert(r.getAs[java.sql.Date]("loading_start_date") == datePart(0), s"seed=$seed L$i start")
+        assert(r.getAs[java.sql.Date]("loading_end_date") == datePart(1), s"seed=$seed L$i end")
+        // C5: epoch-ms → UTC date, null-through
+        val expDl = ls.dl.flatMap(_.startDate).map(msToDate).orNull
+        assert(r.getAs[java.sql.Date]("deadline_start_date") == expDl, s"seed=$seed L$i deadline")
+      }
+    }
+  }
+
   test("mart row count never exceeds assembly and dedup is idempotent") {
     (20L to 23L).foreach { seed =>
       val u = sample(seed)
