@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Analytic-SQL surface beyond the reference: multi-grain aggregation
+  * (GROUPING SETS), pivot, and numerically-stable moment statistics.
+  *
+  * Cross-engine determinism notes: every floating aggregate goes through
+  * the DECIMAL-exact-sum idiom (cast each addend to DECIMAL, sum
+  * exactly, do ONE double formula at the end) — the built-in
+  * stddev/avg accumulate doubles in partition order and are not
+  * bit-stable across engines, the exact-sum spelling is. Money totals
+  * stay integer (cents): even a correctly-rounded decimal is not
+  * cast to double identically by both engines at 10-digit magnitudes
+  * (DuckDB's int128-scaled conversion can land one ulp off Spark's
+  * BigDecimal.doubleValue). Grouping
+  * flags are projected with `grouping()` so the multi-grain rows are
+  * self-describing (and null group keys can't be confused with the
+  * total row).
+  */
+object Stats extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- q03
+  // GROUPING SETS with two independent one-column grains + the grand
+  // total in ONE pass over orders — the multi-grain census a BI layer
+  // asks for; Spark expands it to a single expand+aggregate plan (no
+  // repeated scans).
+  private def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    val view = "orders_q03"
+    t(s, dir, "orders").createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10))) * 100 AS BIGINT) AS sum_price_cents
+         |FROM $view
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10))) * 100 AS BIGINT) AS sum_price_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  // Pivot: order counts by priority × status. The status domain is the
+  // fixed TPC-H triple — pinning it keeps the output schema static (a
+  // dynamic pivot would need a driver-side distinct pass) and lets the
+  // oracle state the same table as three conditional counts.
+  private val Statuses = Seq("F", "O", "P")
+
+  private def pivotCounts(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Statuses)
+      .count()
+    // pivot yields null for absent combinations; the oracle's conditional
+    // counts yield 0 — align on 0
+    Statuses.foldLeft(p)((df, st) => df.withColumn(st, coalesce(col(st), lit(0L))))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val pivotCountsSql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  // Decimal-exact moment statistics: n, mean, sample stddev per event
+  // type. The sums are exact (DECIMAL), the final formula is a fixed
+  // sequence of double ops spelled identically in the oracle — so even
+  // stddev hash-matches, which no built-in float aggregate can promise.
+  private def momentStats(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 10)
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).as("s1"),
+        sum((col("value") * col("value")).cast(dec)).as("s2"))
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("s1").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
+        sqrt(
+          (col("s2").cast(DoubleType) -
+            col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n").cast(DoubleType)) /
+            (col("n") - 1).cast(DoubleType)).as("stddev"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  private val momentStatsSql =
+    """SELECT event_type, n,
+      |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |       / CAST(n - 1 AS DOUBLE)) AS stddev
+      |FROM (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(28, 10))) AS s1,
+      |    SUM(CAST(value * value AS DECIMAL(28, 10))) AS s2
+      |  FROM events
+      |  GROUP BY event_type)
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q03_grouping_sets" -> (groupingSetsAgg _),
+    "q04_pivot" -> (pivotCounts _),
+    "q05_moment_stats" -> (momentStats _))
+
+  override val oracle: Map[String, String] = Map(
+    "q03_grouping_sets" -> groupingSetsSql,
+    "q04_pivot" -> pivotCountsSql,
+    "q05_moment_stats" -> momentStatsSql)
+}
