@@ -87,6 +87,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("filters push to the parquet scan and projections prune the read schema") {
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    def formatted(name: String) =
+      SparkEntry.queries(name)(s, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // f6: LIKE 'src1%' must reach the scan as StringStartsWith
+    val f6 = formatted("f6_like_regex")
+    assert(f6.contains("PushedFilters") && f6.contains("StartsWith"),
+      s"f6 prefix filter not pushed:\n$f6")
+    // p1: a 3-column projection over part must not read the wide columns
+    val p1 = formatted("p1_scan_project")
+    val read = p1.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("p_partkey") && !read.contains("p_retailprice") && !read.contains("p_comment"),
+      s"p1 scan reads pruned columns:\n$read")
+  }
+
   private case class EvId(event_id: Long, ts: Timestamp, user_id: Long)
 
   test("streaming dedup drops duplicate event ids within the watermark") {
