@@ -247,6 +247,88 @@ object Similarity extends QueryModule {
        |  >= $NearDupThreshold
        |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ann4
+  /** Sign-random-projection (SRP) LSH top-k — the LSH-bucketed ANN
+    * alternative to the IVF path: P pseudo-random ±1 hyperplanes (signs
+    * drawn from md5 of the (projection, dim) index, so both engines
+    * derive the identical matrix with no stored state), each vector
+    * bucketed by the P sign bits of its projections, candidates = the
+    * query's bucket. Projection dots are integer (LongDot on quantized
+    * vectors), so bucketing is exact cross-engine.
+    *
+    * Scale posture: the projection frame is P rows (broadcast); bucket
+    * assignment is one map-side pass + a (vec, P)-row aggregate; the
+    * search touches ~N/2^P of the corpus per query. Recall tuning =
+    * more tables (union over T independent sign matrices), same shape.
+    */
+  private val P = 5 // projections → 2^5 buckets
+
+  private def srpBuckets(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val dims = emb.select(max(size(col("q"))).as("d"))
+    val proj = dims
+      .select(explode(sequence(lit(0), lit(P - 1))).as("j"), col("d"))
+      .select(col("j"), transform(
+        sequence(lit(0), col("d") - 1),
+        i => when(substring(md5(concat(lit("p:"), col("j"), lit(":"), i)), 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L)).as("w"))
+    emb.crossJoin(broadcast(proj))
+      .select(col("vec_id"), col("q"), col("j"), dot(col("q"), col("w")).as("sdot"))
+      .groupBy("vec_id")
+      .agg(
+        sum(when(col("sdot") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+          .as("bucket"),
+        first(col("q")).as("q"))
+  }
+
+  private def srpTopK(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = srpBuckets(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = bucketed.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("bucket").as("qb"), col("q").as("qv"))
+    val topk = udaf(new TopKAgg(5))
+    val scored = bucketed
+      .join(broadcast(queries), col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), dot(col("qv"), col("q")).as("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  private val srpTopKSql =
+    s"""WITH emb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |dims AS (SELECT max(len(q)) AS d FROM emb),
+      |proj AS (
+      |  SELECT j, list_transform(range(0, d),
+      |    i -> CASE WHEN substr(md5('p:' || j || ':' || i), 1, 1)
+      |                   IN ('8','9','a','b','c','d','e','f')
+      |         THEN 1 ELSE -1 END) AS w
+      |  FROM dims, (SELECT unnest(range(0, $P)) AS j) js),
+      |projected AS (
+      |  SELECT e.vec_id, e.q, p.j,
+      |    CAST(list_sum(list_transform(range(1, len(e.q) + 1), i -> e.q[i] * p.w[i])) AS BIGINT)
+      |      AS sdot
+      |  FROM emb e CROSS JOIN proj p),
+      |bucketed AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN sdot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket,
+      |    any_value(q) AS q
+      |  FROM projected GROUP BY vec_id),
+      |queries AS (
+      |  SELECT vec_id AS query_id, bucket AS qb, q AS qv
+      |  FROM bucketed WHERE vec_id IN (0, 1, 2)),
+      |scored AS (
+      |  SELECT query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * b.q[i])) AS BIGINT) AS score
+      |  FROM queries JOIN bucketed b ON b.bucket = queries.qb AND b.vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ann3
   /** Cosine top-k — the real-valued API surface, made both scale-safe and
     * oracle-checkable in one move (VERDICT r02 #2): score on the quantized
@@ -318,11 +400,13 @@ object Similarity extends QueryModule {
     "ann1_topk_exact" -> (bruteTopK _),
     "ann2_topk_ivf" -> (ivfTopK _),
     "ann3_topk_cosine" -> (cosineTopK _),
+    "ann4_topk_srp" -> (srpTopK _),
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
     "ann1_topk_exact" -> bruteTopKSql,
     "ann2_topk_ivf" -> ivfTopKSql,
     "ann3_topk_cosine" -> cosineTopKSql,
+    "ann4_topk_srp" -> srpTopKSql,
     "dd4_embedding_neardup" -> embeddingNearDupSql)
 }

@@ -126,4 +126,19 @@ object EventStream {
   def startMemorySink(df: DataFrame, name: String, mode: OutputMode)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Route a stream into the SAME MartSink the batch pipeline loads
+    * through (foreachBatch): each micro-batch arrives as a plain
+    * DataFrame, so one sink implementation serves both execution modes —
+    * the streaming twin of the reference's hourly JDBC load. Appending
+    * sinks are at-least-once under task retries; pair with an upstream
+    * `dropDuplicatesWithinWatermark` (or an idempotent key) when the
+    * target needs effective exactly-once.
+    */
+  def startSink(df: DataFrame, sink: graft.sinks.MartSink, mode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(mode)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) => sink.write(batch.toDF()))
+      .start()
 }

@@ -119,6 +119,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch routes a deduped stream through the batch JDBC sink (Derby)") {
+    implicit val sq = spark.sqlContext
+    // drive with the typed Ev stream; the fixture's value column is
+    // unique per event, so it doubles as the dedup key
+    val tstream = MemoryStream[Ev]
+    val withId = tstream.toDF()
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.col("value").cast("long"))
+    val url = s"jdbc:derby:memory:graftstream${System.nanoTime()};create=true"
+    val q = EventStream.startSink(
+      EventStream.dedupedEvents(withId),
+      new graft.sinks.JdbcSink(url, "stream_events", "app", "app"),
+      OutputMode.Append())
+    try {
+      tstream.addData(batch1: _*)
+      q.processAllAvailable()
+      tstream.addData(batch1.head) // duplicate within the watermark → dropped
+      tstream.addData(batch2: _*)
+      q.processAllAvailable()
+      val back = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "stream_events").load()
+      assert(back.count() == (batch1 ++ batch2).length)
+      assert(back.select("event_type").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[Ev]
