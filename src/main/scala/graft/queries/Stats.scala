@@ -118,10 +118,27 @@ object Stats extends QueryModule {
       |  GROUP BY event_type)
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q06
+  // Quantile sketch census: per-type p25/p50/p75 via approx_percentile
+  // (GK sketch) — with HLL (tx7) this completes the sketch pair a
+  // 100 TB census runs instead of exact sort/distinct. Sketch
+  // estimates are engine-specific → rows-only gate; StatsSpec bounds
+  // the error against exact quantiles.
+  private def quantileSketch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(percentile_approx(
+        col("value"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+      .select(
+        col("event_type"),
+        col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"))
+      .orderBy(col("event_type").asc_nulls_first)
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q03_grouping_sets" -> (groupingSetsAgg _),
     "q04_pivot" -> (pivotCounts _),
-    "q05_moment_stats" -> (momentStats _))
+    "q05_moment_stats" -> (momentStats _),
+    "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
     "q03_grouping_sets" -> groupingSetsSql,
