@@ -6,7 +6,9 @@ import org.apache.spark.sql.types._
 import graft.Tables
 
 /** Analytic-SQL surface beyond the reference: multi-grain aggregation
-  * (GROUPING SETS), pivot, and numerically-stable moment statistics.
+  * (GROUPING SETS), pivot, set operations (INTERSECT/EXCEPT), ROWS
+  * window frames, numerically-stable moment statistics, and the GK
+  * quantile sketch.
   *
   * Cross-engine determinism notes: every floating aggregate goes through
   * the DECIMAL-exact-sum idiom (cast each addend to DECIMAL, sum
@@ -134,13 +136,76 @@ object Stats extends QueryModule {
         col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"))
       .orderBy(col("event_type").asc_nulls_first)
 
+  // ---------------------------------------------------------------- u2
+  // Set operations beyond union: the customer nations that have orders
+  // in both halves of the date range (INTERSECT) and only in the first
+  // (EXCEPT). Spark plans both as aggregate+join (no sort needed);
+  // DuckDB states them with the same operators.
+  private def intersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    def nationsWhere(cond: org.apache.spark.sql.Column) =
+      orders.filter(cond)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"))
+    val mid = to_timestamp(lit("1998-01-01"))
+    val early = nationsWhere(col("o_orderdate") < mid)
+    val late = nationsWhere(col("o_orderdate") >= mid)
+    early.intersect(late).withColumn("set_op", lit("both"))
+      .unionByName(early.except(late).withColumn("set_op", lit("early_only")))
+      .orderBy(col("set_op").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+  }
+
+  private val intersectExceptSql =
+    """WITH early AS (
+      |  SELECT c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+      |late AS (
+      |  SELECT c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      |SELECT c_nationkey, 'both' AS set_op FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+      |UNION ALL
+      |SELECT c_nationkey, 'early_only' AS set_op FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+      |ORDER BY set_op NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- w1
+  // Window frames: per-user 3-event moving sum + cumulative count over
+  // the event stream — ROWS frames with the decimal-exact sum idiom so
+  // the moving aggregate hash-matches. One shuffle on user_id.
+  private def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        sum(col("value").cast(DecimalType(28, 10)))
+          .over(w.rowsBetween(-2, 0)).cast(DoubleType).as("moving_sum3"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("n_so_far"))
+      .orderBy(col("user_id").asc_nulls_first, col("ts").asc_nulls_first,
+        col("event_id").asc_nulls_first)
+  }
+
+  private val windowFramesSql =
+    """SELECT event_id, user_id, ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(28, 10)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+      |FROM events
+      |ORDER BY user_id NULLS FIRST, ts NULLS FIRST, event_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u2_intersect_except" -> (intersectExcept _),
+    "w1_window_frames" -> (windowFrames _),
     "q03_grouping_sets" -> (groupingSetsAgg _),
     "q04_pivot" -> (pivotCounts _),
     "q05_moment_stats" -> (momentStats _),
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "u2_intersect_except" -> intersectExceptSql,
+    "w1_window_frames" -> windowFramesSql,
     "q03_grouping_sets" -> groupingSetsSql,
     "q04_pivot" -> pivotCountsSql,
     "q05_moment_stats" -> momentStatsSql)
