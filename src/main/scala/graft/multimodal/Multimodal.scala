@@ -94,6 +94,27 @@ object Multimodal {
     ds.mapPartitions(it => it.map(decoder.features))
   }
 
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame_bytes: Int, frame_hash: String)
+
+  /** Frame sampling as a table: every-2nd 64-byte chunk of each video
+    * payload becomes a row — the explode-to-frame-grain step a video
+    * pipeline feeds to per-frame featurizers. Narrow mapPartitions
+    * (digest shared per partition, iterator-to-iterator); downstream
+    * joins carry (media_id, frame_idx, features), never the payload.
+    */
+  def sampledFrames(ds: Dataset[MediaFile], decoder: MediaDecoder): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.filter(_.kind == "video").flatMap { m =>
+        decoder.sampleFrames(m.content, 64, 2).zipWithIndex.map { case (chunk, p) =>
+          MediaFrame(m.media_id, p, chunk.length,
+            md.digest(chunk).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** Gate-facing frame: id, kind, payload size, payload hash — the
     * oracle-comparable slice of the plumbing (hashes/lengths of the
     * binary column, no decode).

@@ -49,11 +49,33 @@ object MultimodalQueries extends QueryModule {
       |FROM documents
       |ORDER BY media_id NULLS FIRST""".stripMargin
 
+  // mm3: the frame-grain table. DuckDB can neither slice nor md5 BLOBs,
+  // so the gate checks the sampling GEOMETRY (sampled index ↔ source
+  // chunk 2·idx, byte count of each frame) arithmetically; the frame
+  // hashes stay pinned in MultimodalSpec against a hand-computed slice.
+  private def mm3(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampledFrames(Multimodal.mediaTable(s, dir), Multimodal.FakeDecoder)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
+      .orderBy(col("media_id").asc_nulls_first, col("frame_idx").asc_nulls_first)
+
+  private val mm3Sql =
+    """SELECT doc_id AS media_id,
+      |  CAST(p AS INT) AS frame_idx,
+      |  CAST(LEAST(64, octet_length(encode(text)) - 128 * p) AS INT) AS frame_bytes
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, ((octet_length(encode(text)) + 63) // 64 + 1) // 2)) AS p
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |ORDER BY media_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_summary" -> (mm1 _),
-    "mm2_decode_features" -> (mm2 _))
+    "mm2_decode_features" -> (mm2 _),
+    "mm3_frame_sample" -> (mm3 _))
 
   override val oracle: Map[String, String] = Map(
     "mm1_media_summary" -> mm1Sql,
-    "mm2_decode_features" -> mm2Sql)
+    "mm2_decode_features" -> mm2Sql,
+    "mm3_frame_sample" -> mm3Sql)
 }

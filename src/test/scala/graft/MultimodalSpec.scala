@@ -37,6 +37,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.length) == Seq(64, 64, 44)) // chunks 0,2,4 of 64,64,64,64,44
   }
 
+  test("sampledFrames rows carry the md5 of the exact byte slice they sample") {
+    import spark.implicits._
+    val bytes = Array.tabulate[Byte](300)(_.toByte)
+    val ds = Seq(MediaFile(7, "video", bytes, MediaMeta("raw", 16, 16, 0)),
+      MediaFile(8, "image", bytes, MediaMeta("raw", 16, 16, 0))).toDS()
+    val frames = Multimodal.sampledFrames(ds, FakeDecoder).collect().sortBy(_.frame_idx)
+    // only the video row produces frames; sampled index p ↔ source chunk 2p
+    assert(frames.map(_.media_id).distinct.toSeq == Seq(7L))
+    assert(frames.map(f => (f.frame_idx, f.frame_bytes)).toSeq == Seq((0, 64), (1, 64), (2, 44)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    frames.foreach { f =>
+      val slice = bytes.slice(128 * f.frame_idx, 128 * f.frame_idx + f.frame_bytes)
+      assert(f.frame_hash == md.digest(slice).map("%02x".format(_)).mkString)
+    }
+  }
+
   test("extractFeatures over partitions equals direct per-row decoding") {
     val ds = Multimodal.mediaTable(spark, dir).repartition(3)
     val viaSpark = Multimodal.extractFeatures(ds, FakeDecoder)
