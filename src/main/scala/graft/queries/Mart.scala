@@ -68,8 +68,10 @@ object Mart extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = hashed.select("row_h", "row_id")
       .groupBy("row_h").agg(min("row_id").as("row_id"))
-    hashed.join(keepers, Seq("row_h", "row_id"), "left_semi")
-      .drop("row_h", "row_id")
+      .select("row_id") // row_id is unique → the hash has done its job
+    hashed.drop("row_h") // don't carry 32 hash bytes through the probe shuffle
+      .join(keepers, Seq("row_id"), "left_semi")
+      .drop("row_id")
       .orderBy(martCols.map(col(_).asc_nulls_first): _*)
   }
 
