@@ -195,7 +195,91 @@ object Stats extends QueryModule {
       |FROM events
       |ORDER BY user_id NULLS FIRST, ts NULLS FIRST, event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q07
+  // TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+  // orders ⋈ lineitem, revenue per order, top 10. The selective filters
+  // reach the scans; the fact-fact join shuffles under AQE; the top-10
+  // sorts only the aggregated frame. Revenue is computed fully in
+  // integers — price has 2 decimals and discount is a 2-decimal
+  // fraction, so cents × (100 − pct) is EXACT in units of 1e-4; even a
+  // decimal CAST of the double product rounds differently across
+  // engines on long tails (observed 1-cent drift), integers cannot.
+  /** Σ cents·(100−pct): exact per-row integer revenue in 1e-4 units. */
+  private def revenueE4 =
+    round(col("l_extendedprice") * 100).cast(LongType) *
+      (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+
+  private def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(revenueE4).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  private val shippingPrioritySql =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_e4
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_e4 DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  // TPC-H Q5 shape (local-supplier revenue by nation): the 6-table join
+  // with the c_nationkey = s_nationkey co-location condition. Bounded
+  // dims (nation, region) broadcast; the fact chain shuffles under AQE.
+  private def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(revenueE4).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("nation").asc)
+  }
+
+  private val localSupplierVolumeSql =
+    """SELECT n_name AS nation,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_e4
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_e4 DESC, nation ASC""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_shipping_priority" -> (shippingPriority _),
+    "q08_local_supplier" -> (localSupplierVolume _),
     "u2_intersect_except" -> (intersectExcept _),
     "w1_window_frames" -> (windowFrames _),
     "q03_grouping_sets" -> (groupingSetsAgg _),
@@ -204,6 +288,8 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "q07_shipping_priority" -> shippingPrioritySql,
+    "q08_local_supplier" -> localSupplierVolumeSql,
     "u2_intersect_except" -> intersectExceptSql,
     "w1_window_frames" -> windowFramesSql,
     "q03_grouping_sets" -> groupingSetsSql,
