@@ -279,6 +279,68 @@ object Dedup extends QueryModule {
        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $HammingMax
        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dd6
+  /** Direct n-gram Jaccard near-dup pairs — the plain-similarity member
+    * of the dedup family, with *anchor blocking* instead of MinHash
+    * bands: documents sharing their opening word-3-gram are candidates
+    * (copies and prefix-truncations always collide by construction;
+    * general corpora would block on k anchors, same shape). Candidates
+    * then get the exact shingle-set Jaccard, threshold 0.3. Like every
+    * dedup pass here the pairwise work is confined to buckets — the
+    * blocking column is one md5 string, the exchange carries
+    * (anchor, doc_id), and payload shingles are fetched for candidate
+    * pairs only.
+    */
+  private val NgramJaccardMin = 0.3
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
+    // anchor = the opening trigram taken from the RAW word sequence:
+    // the distinct-shingle list's order is engine-specific (DuckDB's
+    // list_distinct does not preserve first-occurrence order), the
+    // word sequence is not
+    val words = split(col("text"), " ")
+    val anchored = c
+      .filter(size(words) >= 3)
+      .select(col("doc_id"),
+        md5(array_join(slice(words, 1, 3), " ")).as("anchor"))
+    val cand = anchored.as("a")
+      .join(anchored.as("b"),
+        col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= NgramJaccardMin)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH $corpusSql,
+       |$shingledSql,
+       |anchored AS (
+       |  SELECT doc_id, md5(array_to_string(w[1:3], ' ')) AS anchor
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+       |  WHERE len(w) >= 3),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM anchored a JOIN anchored b
+       |    ON a.anchor = b.anchor AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON cand.doc_a = sa.doc_id
+       |JOIN sh sb ON cand.doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+       |  >= $NgramJaccardMin
+       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- cur1
   // The composed curation pass an LLM-data pipeline actually runs:
   // exact-dedup to keepers (semi-join on winning (hash, doc_id) pairs —
@@ -331,6 +393,7 @@ object Dedup extends QueryModule {
     "dd2_minhash_lsh_pairs" -> (minhashPairs _),
     "dd3_simhash" -> (simhash _),
     "dd5_simhash_neardup" -> (simhashNearDup _),
+    "dd6_ngram_jaccard" -> (ngramJaccard _),
     "cur1_curation_pipeline" -> (curation _))
 
   override val oracle: Map[String, String] = Map(
@@ -338,5 +401,6 @@ object Dedup extends QueryModule {
     "dd2_minhash_lsh_pairs" -> minhashPairsSql,
     "dd3_simhash" -> simhashSql,
     "dd5_simhash_neardup" -> simhashNearDupSql,
+    "dd6_ngram_jaccard" -> ngramJaccardSql,
     "cur1_curation_pipeline" -> curationSql)
 }
