@@ -111,6 +111,32 @@ object Dedup extends QueryModule {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
       |  WHERE len(w) >= 3)""".stripMargin
 
+  /** Exact shingle-set Jaccard over candidate (doc_a, doc_b) pairs —
+    * shared by the LSH (dd2) and anchor-blocked (dd6) passes so the
+    * verify semantics cannot drift between them.
+    */
+  private def jaccardVerified(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+
+  /** The oracle twin of [[jaccardVerified]]: expects CTEs `cand` and `sh`. */
+  private def jaccardVerifySqlTail(minJ: Double): String =
+    s"""SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON cand.doc_a = sa.doc_id
+       |JOIN sh sb ON cand.doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) >= $minJ
+       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
   /** MinHash-LSH near-dup pairs, verified: signature → banded bucket
     * self-join (candidates) → true shingle-Jaccard filter ≥ 0.5.
     */
@@ -140,14 +166,7 @@ object Dedup extends QueryModule {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-          size(array_union(col("sa"), col("sb"))).cast(DoubleType)).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+    jaccardVerified(cand, sh, minJ = 0.5)
   }
 
   private val minhashPairsSql = {
@@ -173,15 +192,7 @@ object Dedup extends QueryModule {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bandrows a
        |  JOIN bandrows b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jaccard
-       |FROM cand
-       |JOIN sh sa ON cand.doc_a = sa.doc_id
-       |JOIN sh sb ON cand.doc_b = sb.doc_id
-       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |      CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) >= 0.5
-       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+       |${jaccardVerifySqlTail(0.5)}""".stripMargin
   }
 
   // ---------------------------------------------------------------- dd3
@@ -309,14 +320,7 @@ object Dedup extends QueryModule {
       .join(anchored.as("b"),
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-          size(array_union(col("sa"), col("sb"))).cast(DoubleType)).as("jaccard"))
-      .filter(col("jaccard") >= NgramJaccardMin)
-      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+    jaccardVerified(cand, sh, minJ = NgramJaccardMin)
   }
 
   private val ngramJaccardSql =
@@ -330,16 +334,7 @@ object Dedup extends QueryModule {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM anchored a JOIN anchored b
        |    ON a.anchor = b.anchor AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jaccard
-       |FROM cand
-       |JOIN sh sa ON cand.doc_a = sa.doc_id
-       |JOIN sh sb ON cand.doc_b = sb.doc_id
-       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |      CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
-       |  >= $NgramJaccardMin
-       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+       |${jaccardVerifySqlTail(NgramJaccardMin)}""".stripMargin
 
   // ---------------------------------------------------------------- cur1
   // The composed curation pass an LLM-data pipeline actually runs:

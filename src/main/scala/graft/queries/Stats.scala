@@ -31,7 +31,9 @@ object Stats extends QueryModule {
   // GROUPING SETS with two independent one-column grains + the grand
   // total in ONE pass over orders — the multi-grain census a BI layer
   // asks for; Spark expands it to a single expand+aggregate plan (no
-  // repeated scans).
+  // repeated scans). Money goes integer PER ROW (round(price*100)):
+  // sum-then-cast lets sub-cent decimal drift reach the BIGINT cast,
+  // where Spark truncates and DuckDB rounds — one-cent divergence.
   private def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
     val view = "orders_q03"
     t(s, dir, "orders").createOrReplaceTempView(view)
@@ -40,7 +42,7 @@ object Stats extends QueryModule {
          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
          |  COUNT(*) AS n,
-         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10))) * 100 AS BIGINT) AS sum_price_cents
+         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
          |FROM $view
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
@@ -51,7 +53,7 @@ object Stats extends QueryModule {
       |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
       |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10))) * 100 AS BIGINT) AS sum_price_cents
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
@@ -100,18 +102,25 @@ object Stats extends QueryModule {
         col("event_type"),
         col("n"),
         (col("s1").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
+        // guards: n=1 → null (not a div-by-zero, whose result differs
+        // across engines), and the cancellation formula can round to a
+        // tiny negative for constant groups — clamp before sqrt (DuckDB
+        // would raise on sqrt of a negative, Spark yields NaN)
         sqrt(
-          (col("s2").cast(DoubleType) -
-            col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n").cast(DoubleType)) /
-            (col("n") - 1).cast(DoubleType)).as("stddev"))
+          greatest(
+            (col("s2").cast(DoubleType) -
+              col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n").cast(DoubleType)),
+            lit(0.0)) /
+            nullif((col("n") - 1).cast(DoubleType), lit(0.0))).as("stddev"))
       .orderBy(col("event_type").asc_nulls_first)
   }
 
   private val momentStatsSql =
     """SELECT event_type, n,
       |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-      |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-      |       / CAST(n - 1 AS DOUBLE)) AS stddev
+      |  sqrt(greatest(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE),
+      |                0.0)
+      |       / nullif(CAST(n - 1 AS DOUBLE), 0.0)) AS stddev
       |FROM (
       |  SELECT event_type, COUNT(*) AS n,
       |    SUM(CAST(value AS DECIMAL(28, 10))) AS s1,

@@ -133,12 +133,18 @@ object EventStream {
     * the streaming twin of the reference's hourly JDBC load. Appending
     * sinks are at-least-once under task retries; pair with an upstream
     * `dropDuplicatesWithinWatermark` (or an idempotent key) when the
-    * target needs effective exactly-once.
+    * target needs effective exactly-once — and pass a durable
+    * `checkpoint` path, or a restart reprocesses the entire source.
     */
-  def startSink(df: DataFrame, sink: graft.sinks.MartSink, mode: OutputMode)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+  def startSink(df: DataFrame, sink: graft.sinks.MartSink, mode: OutputMode,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream
       .outputMode(mode)
       .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) => sink.write(batch.toDF()))
-      .start()
+    // without a durable checkpoint a restart replays the whole source
+    // into an append-only sink; production callers MUST pass one (tests
+    // may rely on the ephemeral temp checkpoint)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

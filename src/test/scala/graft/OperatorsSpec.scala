@@ -90,9 +90,15 @@ class OperatorsSpec extends AnyFunSuite {
   test("filters push to the parquet scan and projections prune the read schema") {
     val s = SparkEntry.configure(spark)
     val dir = "/root/testdata/sf0.001"
+    // explain truncates ReadSchema at spark.sql.maxMetadataStringLength
+    // (default 100) — a pruning regression would hide BEHIND the cut,
+    // making the negative assertions vacuous; widen for this check
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     def formatted(name: String) =
-      SparkEntry.queries(name)(s, dir).queryExecution
+      try SparkEntry.queries(name)(s, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
     // f6: LIKE 'src1%' must reach the scan as StringStartsWith
     val f6 = formatted("f6_like_regex")
     assert(f6.contains("PushedFilters") && f6.contains("StartsWith"),
