@@ -145,6 +145,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream picks up parquet drops incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    def drop(name: String, evs: Seq[Ev]): Unit =
+      evs.toDF("ts", "user_id", "event_type", "value")
+        .withColumn("event_id", org.apache.spark.sql.functions.col("value").cast("long"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    drop("b1", batch1.zipWithIndex.map { case (e, i) => e.copy(value = i.toDouble) })
+    val q = EventStream.startMemorySink(
+      EventStream.readEventStream(spark, dir), "file_events", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_events").count() == batch1.length)
+      // a later file drop is discovered as a new micro-batch
+      drop("b2", batch2.zipWithIndex.map { case (e, i) => e.copy(value = (10 + i).toDouble) })
+      q.processAllAvailable()
+      assert(spark.table("file_events").count() == (batch1 ++ batch2).length)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[Ev]
