@@ -26,6 +26,9 @@ object Parity extends QueryModule {
 
   /** Exact decimal sum of a double column, returned as double. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact 2-decimal value → integer 1e-2 units (see q01 scale note). */
+  private def e2(c: Column): Column = round(c * 100).cast(LongType)
   /** Exact decimal sum of a per-row double product (wider scale). */
   private def dsumWide(c: Column): Column = sum(c.cast(DecimalType(24, 8))).cast(DoubleType)
   /** Total order with pinned null position (Spark defaults nulls-first,
@@ -41,22 +44,34 @@ object Parity extends QueryModule {
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // Every measure is an exact 2-decimal value, so the sums are pure
+      // integers: qty/price in 1e-2 units, disc_price in 1e-4
+      // (cents × (100−disc%)), charge in 1e-6. Decimal-sum-to-double
+      // spelling diverged from DuckDB by one ulp once sums crossed ~2^31
+      // at sf0.1 (decimal→double conversion is not identically rounded
+      // in both engines); integer sums cannot. avg_qty derives from the
+      // exact integer sum with one identically-spelled double division.
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        sum(e2(col("l_quantity"))).as("sum_qty_e2"),
+        sum(e2(col("l_extendedprice"))).as("sum_base_price_e2"),
+        sum(e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount")))).as("sum_disc_price_e4"),
+        sum(e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount")))
+          * (lit(100L) + e2(col("l_tax")))).as("sum_charge_e6"),
+        (sum(e2(col("l_quantity"))).cast(DoubleType) / count(lit(1)).cast(DoubleType) / lit(100.0))
+          .as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -91,41 +91,47 @@ object Stats extends QueryModule {
   // sequence of double ops spelled identically in the oracle — so even
   // stddev hash-matches, which no built-in float aggregate can promise.
   private def momentStats(s: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(28, 10)
+    // fixed-point statistics: value quantized to 1e-2 units, so both
+    // sums are EXACT integers (the decimal-sum variant diverged from
+    // DuckDB by one ulp at sf0.1 — decimal→double conversion is not
+    // identically rounded in both engines); the final formulas are
+    // double ops on exactly-representable integers (< 2^53 up to ~1e7
+    // rows), spelled identically in the oracle, /100 back to units
+    val vq = round(col("value") * 100).cast(LongType)
     t(s, dir, "events")
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(dec)).as("s1"),
-        sum((col("value") * col("value")).cast(dec)).as("s2"))
+        sum(vq).as("s1"),
+        sum(vq * vq).as("s2"))
       .select(
         col("event_type"),
         col("n"),
-        (col("s1").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
+        (col("s1").cast(DoubleType) / col("n").cast(DoubleType) / lit(100.0)).as("mean"),
         // guards: n=1 → null (not a div-by-zero, whose result differs
         // across engines), and the cancellation formula can round to a
         // tiny negative for constant groups — clamp before sqrt (DuckDB
         // would raise on sqrt of a negative, Spark yields NaN)
-        sqrt(
+        (sqrt(
           greatest(
             (col("s2").cast(DoubleType) -
               col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n").cast(DoubleType)),
             lit(0.0)) /
-            nullif((col("n") - 1).cast(DoubleType), lit(0.0))).as("stddev"))
+            nullif((col("n") - 1).cast(DoubleType), lit(0.0))) / lit(100.0)).as("stddev"))
       .orderBy(col("event_type").asc_nulls_first)
   }
 
   private val momentStatsSql =
     """SELECT event_type, n,
-      |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
       |  sqrt(greatest(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE),
       |                0.0)
-      |       / nullif(CAST(n - 1 AS DOUBLE), 0.0)) AS stddev
+      |       / nullif(CAST(n - 1 AS DOUBLE), 0.0)) / 100.0 AS stddev
       |FROM (
       |  SELECT event_type, COUNT(*) AS n,
-      |    SUM(CAST(value AS DECIMAL(28, 10))) AS s1,
-      |    SUM(CAST(value * value AS DECIMAL(28, 10))) AS s2
-      |  FROM events
+      |    SUM(vq) AS s1,
+      |    SUM(vq * vq) AS s2
+      |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vq FROM events)
       |  GROUP BY event_type)
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
