@@ -86,13 +86,17 @@ object Extras extends QueryModule {
       .groupBy(date_trunc("hour", col("ts")).as("bucket_hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        // integer 1e-2 units then one double division: the decimal-sum
+        // cast to double drifts an ulp from DuckDB once sums grow (q01
+        // lesson); round(value*100) matches DECIMAL(18,2)'s rounding
+        (sum(round(col("value") * 100).cast(LongType)).cast(DoubleType) / lit(100.0))
+          .as("sum_value"))
       .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
 
   private val eventBucketsSql =
     """SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY bucket_hour NULLS FIRST, event_type NULLS FIRST""".stripMargin

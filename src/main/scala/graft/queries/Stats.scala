@@ -193,8 +193,10 @@ object Stats extends QueryModule {
     t(s, dir, "events")
       .select(
         col("event_id"), col("user_id"), col("ts"),
-        sum(col("value").cast(DecimalType(28, 10)))
-          .over(w.rowsBetween(-2, 0)).cast(DoubleType).as("moving_sum3"),
+        // integer units inside the frame, one division outside — same
+        // ulp-proofing as the grouped sums (q01 lesson)
+        (sum(round(col("value") * 100).cast(LongType))
+          .over(w.rowsBetween(-2, 0)).cast(DoubleType) / lit(100.0)).as("moving_sum3"),
         count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("n_so_far"))
       .orderBy(col("user_id").asc_nulls_first, col("ts").asc_nulls_first,
         col("event_id").asc_nulls_first)
@@ -202,9 +204,9 @@ object Stats extends QueryModule {
 
   private val windowFramesSql =
     """SELECT event_id, user_id, ts,
-      |  CAST(SUM(CAST(value AS DECIMAL(28, 10)))
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT))
       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS moving_sum3,
       |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
       |FROM events
