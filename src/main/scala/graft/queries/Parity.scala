@@ -9,11 +9,14 @@ import graft.Tables
   * tables so the DuckDB oracle can differentially verify each one.
   *
   * Float-determinism rule used throughout: SUM over doubles is
-  * order-dependent, so any summed measure is first cast to DECIMAL (exact,
-  * associative) and the final aggregate cast back to DOUBLE — bit-identical
-  * in Spark and DuckDB regardless of execution order. Per-row double
-  * arithmetic (products, divisions) is IEEE-deterministic and needs no such
-  * treatment.
+  * order-dependent, so any summed measure is quantized to integer units
+  * per row (`round(x*100)` — exact for the 2-decimal measures) and
+  * summed as BIGINT; derived doubles come from ONE identically-spelled
+  * division at the end. (Decimal sums are also order-independent, but
+  * their conversion back to double is not identically rounded across
+  * engines once sums grow — the integer spelling has no such edge.)
+  * Per-row double arithmetic (products, divisions) is
+  * IEEE-deterministic and needs no such treatment.
   *
   * Every query ends in a total ORDER BY (unique key last) with explicit
   * null ordering, so row order can't flip the comparison. Under `count()`
@@ -24,13 +27,8 @@ object Parity extends QueryModule {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** Exact decimal sum of a double column, returned as double. */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
-
   /** Exact 2-decimal value → integer 1e-2 units (see q01 scale note). */
   private def e2(c: Column): Column = round(c * 100).cast(LongType)
-  /** Exact decimal sum of a per-row double product (wider scale). */
-  private def dsumWide(c: Column): Column = sum(c.cast(DecimalType(24, 8))).cast(DoubleType)
   /** Total order with pinned null position (Spark defaults nulls-first,
     * DuckDB nulls-last — every oracle ORDER BY carries NULLS FIRST too). */
   private def sortAsc(df: DataFrame, cols: String*): DataFrame =
