@@ -42,8 +42,8 @@ class InvariantSpec extends AnyFunSuite {
   private def sample(seed: Long): U =
     genUniverse.pureApply(Gen.Parameters.default, rng.Seed(seed))
 
-  test("assembly row count and DQ count match the model for 8 generated universes") {
-    (1L to 8L).foreach { seed =>
+  test("assembly row count and DQ count match the model for 16 generated universes") {
+    (1L to 16L).foreach { seed =>
       val u = sample(seed)
       val deleted = u.lots.filter(_.deleted.contains(true)).map(_.id).toSet
       val real = u.lots.map(_.id).toSet
@@ -66,7 +66,7 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
-  test("generated sticker slots round-trip the C1–C7 scalar block, 6 universes") {
+  test("generated sticker slots round-trip the C1–C7 scalar block, 12 universes") {
     val qtyGen = Gen.oneOf(None, Some(""), Some("12.5"), Some("7"), Some("junk"))
     val datesGen = Gen.oneOf(
       None, Some(""), Some("01.02.2024 - 03.02.2024"), Some("01.02.2024-03.02.2024"),
@@ -83,7 +83,7 @@ class InvariantSpec extends AnyFunSuite {
     } yield LotSlots(q, d, p1, p2, dl)
     val uniGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, lotGen))
 
-    (40L to 45L).foreach { seed =>
+    (40L to 51L).foreach { seed =>
       val slots = uniGen.pureApply(Gen.Parameters.default, rng.Seed(seed))
       val lots = slots.zipWithIndex.map { case (ls, i) =>
         val m = Map.newBuilder[String, String]
