@@ -279,12 +279,15 @@ object Extras extends QueryModule {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+        // integer 1e-2 units, one division back — decimal-to-double
+        // conversion drifts an ulp cross-engine once sums grow (q01)
+        (sum(round(col("l_quantity") * 100).cast(LongType)).cast(DoubleType) / lit(100.0))
+          .as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private val rollupAggSql =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
