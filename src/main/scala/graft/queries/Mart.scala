@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
 
@@ -21,8 +22,8 @@ import graft.Tables
   * distinct rows reach its exchange. Full-row dedup is parity-mandated
   * (ref drop_duplicates over the whole projection, :319); the narrow-key
   * scale variant is [[buildNarrow]] (`mart_flagship_narrow`), which
-  * dedups on an md5 row-hash and recovers payloads by semi-join — both
-  * entries hash-match the same oracle. No driver materialization
+  * dedups on a content-derived md5 row-hash with one sort-based exchange —
+  * both entries hash-match the same oracle. No driver materialization
   * anywhere.
   */
 object Mart extends QueryModule {
@@ -38,40 +39,36 @@ object Mart extends QueryModule {
 
   /** The scale path for the mart's full-row dedup (VERDICT r02 #4): the
     * parity entry's `dropDuplicates()` hash-aggregates the entire wide
-    * row, so at extreme SF the whole mart payload crosses the dedup
-    * exchange and sits in the aggregate's hash map. Here only
-    * `(row_hash, row_id)` — ~50 bytes — goes through the groupBy
-    * exchange; the payload crosses once more as the probe side of the
-    * keeper semi-join (a plain repartition, no wide-row agg buffering),
-    * mirroring Dedup.exactDedup's keeper pattern.
+    * row, so at extreme SF every distinct wide row sits in the aggregate
+    * hash map. Here the dedup key is a 32-byte md5 row-hash: the payload
+    * crosses exactly ONE exchange (partitioned by row_h) and is reduced
+    * by a partition-local row_number — sort-based, so it spills to disk
+    * instead of growing a wide-row hash map.
     *
-    * Correctness: rows sharing an md5 row-hash are identical (nulls are
-    * sentinel-separated before hashing, so `("a", null)` never collides
-    * with `("anull",)`), hence *which* row_id wins per hash group is
-    * irrelevant to the output — monotonically_increasing_id's
-    * partition-dependence cannot leak into the result, and the entry
-    * hash-matches the same DuckDB oracle as `mart_flagship`.
+    * row_h is derived purely from row CONTENT: per-column values joined
+    * with a \u0001 separator plus a trailing null bitmap, so ("a", null),
+    * ("a", "") and ("anull",) all hash apart (ADVICE r04: the previous
+    * "null" sentinel was itself a reachable string value). Content-derived
+    * hashing also makes the plan recompute-safe end to end: the previous
+    * monotonically_increasing_id tiebreak could renumber under task retry
+    * and silently drop rows (ADVICE r04) — there is no longer any per-row
+    * id, no persist, and no cross-consumer consistency requirement. Rows
+    * sharing row_h are identical (a collision would need a value
+    * containing the \u0001 separator — unreachable for this mart's
+    * values), so WHICH one row_number keeps cannot affect the output, and
+    * the entry hash-matches the same DuckDB oracle as `mart_flagship`.
     */
   def buildNarrow(s: SparkSession, dir: String): DataFrame = {
     val base = preDedup(s, dir)
-    val hashed = base
-      .withColumn("row_h",
-        md5(concat_ws("",
-          base.columns.map(c => coalesce(col(c).cast(StringType), lit("null"))): _*)))
-      .withColumn("row_id", monotonically_increasing_id())
-      // persist is load-bearing, not a cache hint: keepers and the probe
-      // side must observe the SAME row_id per row. Without it the two
-      // consumers re-evaluate monotonically_increasing_id independently,
-      // and a task retry / AQE re-plan could renumber one side, silently
-      // dropping rows whose winning (row_h, row_id) no longer exists.
-      // (It also halves the cost: one mart-assembly pass, not two.)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keepers = hashed.select("row_h", "row_id")
-      .groupBy("row_h").agg(min("row_id").as("row_id"))
-      .select("row_id") // row_id is unique → the hash has done its job
-    hashed.drop("row_h") // don't carry 32 hash bytes through the probe shuffle
-      .join(keepers, Seq("row_id"), "left_semi")
-      .drop("row_id")
+    val cols = base.columns.toSeq
+    val rowHash = md5(concat(
+      concat_ws("\u0001", cols.map(c => coalesce(col(c).cast(StringType), lit(""))): _*),
+      concat(cols.map(c => when(col(c).isNull, lit("N")).otherwise(lit("V"))): _*)))
+    val win = Window.partitionBy("row_h").orderBy("row_h")
+    base.withColumn("row_h", rowHash)
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .drop("rn", "row_h")
       .orderBy(martCols.map(col(_).asc_nulls_first): _*)
   }
 

@@ -94,20 +94,27 @@ class OperatorsSpec extends AnyFunSuite {
     // (default 100) — a pruning regression would hide BEHIND the cut,
     // making the negative assertions vacuous; widen for this check
     val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
-    def formatted(name: String) =
-      try SparkEntry.queries(name)(s, dir).queryExecution
+    // (re)widen before EVERY explain: restoring in a per-call finally
+    // would leave the second call truncated to the 100-char default,
+    // making its negative assertions vacuous (ADVICE r04)
+    def formatted(name: String) = {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+      SparkEntry.queries(name)(s, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
-      finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
-    // f6: LIKE 'src1%' must reach the scan as StringStartsWith
-    val f6 = formatted("f6_like_regex")
-    assert(f6.contains("PushedFilters") && f6.contains("StartsWith"),
-      s"f6 prefix filter not pushed:\n$f6")
-    // p1: a 3-column projection over part must not read the wide columns
-    val p1 = formatted("p1_scan_project")
-    val read = p1.linesIterator.filter(_.contains("ReadSchema")).mkString
-    assert(read.contains("p_partkey") && !read.contains("p_retailprice") && !read.contains("p_comment"),
-      s"p1 scan reads pruned columns:\n$read")
+    }
+    try {
+      // f6: LIKE 'src1%' must reach the scan as StringStartsWith
+      val f6 = formatted("f6_like_regex")
+      assert(f6.contains("PushedFilters") && f6.contains("StartsWith"),
+        s"f6 prefix filter not pushed:\n$f6")
+      // p1: a 3-column projection over part must not read the wide columns
+      val p1 = formatted("p1_scan_project")
+      val read = p1.linesIterator.filter(_.contains("ReadSchema")).mkString
+      // untruncated-explain guard: the full struct must close with ">"
+      assert(read.contains(">"), s"ReadSchema still truncated:\n$read")
+      assert(read.contains("p_partkey") && !read.contains("p_retailprice") && !read.contains("p_comment"),
+        s"p1 scan reads pruned columns:\n$read")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
   }
 
   private case class EvId(event_id: Long, ts: Timestamp, user_id: Long)
