@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(Parity, Mart, Extras, Stats, YouGileQueries, Dedup, Similarity, Text, MultimodalQueries)
+    Seq(Parity, Mart, Extras, Stats, YouGileQueries, Dedup, Similarity, Text,
+      Sampling, MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list by iterative
+  * min-label propagation — the Pregel shape in plain DataFrames, used by
+  * the dedup pipeline to collapse transitive near-dup pairs ("A≈B, B≈C"
+  * → one cluster) without a graph library.
+  *
+  * Each sweep updates label(x) ← min over {x} ∪ {labels of x's
+  * neighbors} and the fixpoint assigns every node the minimum node id of
+  * its component — a value independent of sweep count, partitioning, or
+  * execution order, so the result is deterministic even though the loop
+  * length is data-dependent (= graph diameter). Per sweep the exchange
+  * carries only (node, label) pairs of longs — never any payload — and
+  * the convergence probe is a limit-1 existence check, not a count.
+  * Components in dedup graphs are shallow (boilerplate chains, a few
+  * hops); `maxSweeps` guards against a pathological path graph looping
+  * unbounded.
+  */
+object ConnectedComponents {
+
+  /** @param edges two long columns `a`, `b` (undirected; need not be
+    *              symmetrized or deduplicated)
+    * @return (node, cluster) — every node that appears in an edge,
+    *         labeled with its component's minimum node id
+    */
+  def run(edges: DataFrame, maxSweeps: Int = 64): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // consumed once per sweep
+    // Every sweep must TRUNCATE lineage, not just cache it: the sweep
+    // plan references the previous labels twice (join + union), so with
+    // persist alone the logical plan doubles per sweep — exponential
+    // planning cost that OOMs the driver near ~16 sweeps. localCheckpoint
+    // is eager, so it also materializes the frame the convergence probe
+    // and next sweep reuse. (A lost checkpoint block fails the job
+    // loudly — the correct failure mode; a production run on an
+    // unreliable cluster would use reliable checkpoint() instead.)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var sweeps = 0
+    while (!converged) {
+      sweeps += 1
+      require(sweeps <= maxSweeps, s"label propagation did not converge in $maxSweeps sweeps")
+      val prop = sym.join(labels.select(col("node").as("a"), col("lab")), Seq("a"))
+        .select(col("b").as("node"), col("lab"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("lab").as("lab"))
+        .localCheckpoint()
+      converged = prop.join(labels.withColumnRenamed("lab", "old"), Seq("node"))
+        .filter(col("lab") =!= col("old")).isEmpty
+      labels = prop
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("lab").as("cluster"))
+  }
+}

@@ -383,12 +383,121 @@ object Dedup extends QueryModule {
        |ORDER BY lang NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- dd7
+  /** Duplicate-CLUSTER assembly — the step a real dedup pipeline runs
+    * after pair generation: connected components over the verified
+    * near-dup pairs (dd2), so "A≈B, B≈C" collapses to one keeper even
+    * when A–C never met in a bucket. Iterative min-label propagation in
+    * plain DataFrames (the Pregel shape): label(x) ← min over {x} ∪
+    * neighbors' labels, repeated to the fixpoint, which is the
+    * min-doc_id of each component — deterministic regardless of how
+    * many sweeps convergence took. Iterations = graph diameter (dup
+    * clusters are shallow; boilerplate chains stay < ~10 hops), each
+    * one a narrow (node, label) shuffle — edges and labels are pairs of
+    * longs no matter how wide the documents are, and the convergence
+    * probe is a limit-1 existence check, not a count. The oracle states
+    * the same fixpoint as reachability: cluster_id = MIN(label) over
+    * all nodes that can reach it in a recursive CTE.
+    */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.operators.ConnectedComponents.run(pairs)
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$minhashPairsSql
+       |  )),
+       |nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM labels
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- dd8
+  /** Benchmark decontamination — remove eval-set leakage from training
+    * data: any corpus document sharing a word-4-gram with a benchmark
+    * document is flagged, with its overlap count. The benchmark here is
+    * the doc_id % 97 slice of the raw table (a stand-in for a real eval
+    * suite); the corpus side is the dedup corpus minus the benchmark
+    * docs themselves — its injected +1M/+2M copies of benchmark docs
+    * guarantee the leak path fires. 4-grams (vs the dedup trigrams)
+    * because decontamination wants high precision: real pipelines use
+    * 8–13-grams; the fixture texts are too short for that to signal.
+    *
+    * Scale: benchmark suites are tiny by construction (MBs against a
+    * 100 TB corpus), so the distinct benchmark-shingle set is broadcast
+    * — the corpus-side exchange never materializes; per-doc shingles
+    * stream map-side into the hash probe and only hits reach the
+    * (doc_id, count) aggregate.
+    */
+  private val DecontamN = 4
+
+  private def shingled4(df: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    df.withColumn("words", words)
+      .filter(size(col("words")) >= DecontamN)
+      .withColumn("shingles", array_distinct(
+        transform(
+          sequence(lit(1), size(col("words")) - (DecontamN - 1)),
+          i => md5(array_join(slice(col("words"), i, lit(DecontamN)), " ")))))
+      .select("doc_id", "shingles")
+  }
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val bench = shingled4(t(s, dir, "documents").filter(col("doc_id") % 97 === 0))
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    // exclude only the raw benchmark rows — their +1M/+2M corpus copies
+    // STAY, as the guaranteed leak the operator must catch
+    val corp = shingled4(corpus(s, dir)
+      .filter(!(col("doc_id") < 1000000L && col("doc_id") % 97 === 0)))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    corp.join(broadcast(bench), Seq("shingle"))
+      // shingles are distinct per doc → plain count = distinct overlaps
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private def shingle4Sql(src: String, pred: String): String =
+    s"""SELECT doc_id, list_distinct(list_transform(range(1, len(w) - ${DecontamN - 2}),
+       |      i -> md5(array_to_string(w[i:i+${DecontamN - 1}], ' ')))) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src WHERE $pred)
+       |  WHERE len(w) >= $DecontamN""".stripMargin
+
+  private val decontaminateSql =
+    s"""WITH $corpusSql,
+       |bsh AS (
+       |  ${shingle4Sql("documents", "doc_id % 97 = 0")}),
+       |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM bsh),
+       |csh AS (
+       |  ${shingle4Sql("corpus", "NOT (doc_id < 1000000 AND doc_id % 97 = 0)")}),
+       |corpus_sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM csh)
+       |SELECT c.doc_id, COUNT(*) AS n_hit_shingles
+       |FROM corpus_sh c JOIN bench b ON c.shingle = b.shingle
+       |GROUP BY c.doc_id
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> (exactDedup _),
     "dd2_minhash_lsh_pairs" -> (minhashPairs _),
     "dd3_simhash" -> (simhash _),
     "dd5_simhash_neardup" -> (simhashNearDup _),
     "dd6_ngram_jaccard" -> (ngramJaccard _),
+    "dd7_dup_clusters" -> (dupClusters _),
+    "dd8_decontaminate" -> (decontaminate _),
     "cur1_curation_pipeline" -> (curation _))
 
   override val oracle: Map[String, String] = Map(
@@ -397,5 +506,7 @@ object Dedup extends QueryModule {
     "dd3_simhash" -> simhashSql,
     "dd5_simhash_neardup" -> simhashNearDupSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,
+    "dd7_dup_clusters" -> dupClustersSql,
+    "dd8_decontaminate" -> decontaminateSql,
     "cur1_curation_pipeline" -> curationSql)
 }

@@ -292,7 +292,85 @@ object Extras extends QueryModule {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev4
+  // Beyond-reference: time-series gap-fill (resample to a dense hourly
+  // grid, zero-filling silent hours) — the step between sessionization
+  // and any rate/anomaly model. The grid is generated per group from its
+  // own [min, max] hour via sequence() — no driver loop, no cross joins;
+  // the per-type counts frame is tiny after aggregation, so the
+  // grid-side join is broadcast territory at any corpus scale.
+  private def gapfill(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket_hour"))
+      .agg(count(lit(1)).as("n"))
+      // two consumers (bounds + the fill join) of one aggregated pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = counts.groupBy("event_type")
+      .agg(min("bucket_hour").as("h0"), max("bucket_hour").as("h1"))
+    val grid = bounds.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("bucket_hour"))
+    grid.join(counts, Seq("event_type", "bucket_hour"), "left")
+      .select(col("event_type"), col("bucket_hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type").asc_nulls_first, col("bucket_hour").asc_nulls_first)
+  }
+
+  private val gapfillSql =
+    """WITH counts AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM counts GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type, unnest(gs) AS h
+      |  FROM (SELECT event_type, generate_series(h0, h1, INTERVAL 1 HOUR) AS gs FROM bounds))
+      |SELECT g.event_type, g.h AS bucket_hour, COALESCE(c.n, 0) AS n_events
+      |FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.h = c.h
+      |ORDER BY g.event_type NULLS FIRST, bucket_hour NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- j6
+  // Beyond-reference join coverage: FULL OUTER — both unmatched sides
+  // survive with nulls. The USING-style key list makes Spark coalesce
+  // the join key exactly like the oracle's COALESCE(l.k, r.k); sides are
+  // filtered to distinct modulo classes so left-only, right-only and
+  // matched rows all occur non-vacuously.
+  private def fullOuter(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val r = t(s, dir, "orders").filter(col("o_custkey") % 2 === 0)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+    l.join(r, Seq("k"), "full_outer")
+      .select(col("k").as("custkey"), col("c_name"), col("n_orders"))
+      .orderBy(col("custkey").asc_nulls_first, col("c_name").asc_nulls_first)
+  }
+
+  private val fullOuterSql =
+    """WITH l AS (SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey % 3 = 0),
+      |r AS (SELECT o_custkey AS k, COUNT(*) AS n_orders
+      |      FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1)
+      |SELECT COALESCE(l.k, r.k) AS custkey, l.c_name, r.n_orders
+      |FROM l FULL OUTER JOIN r ON l.k = r.k
+      |ORDER BY custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- e3
+  // Beyond-reference generator coverage: posexplode — explode WITH the
+  // element's position (SURVEY §2.6 listed it absent in the reference).
+  // The oracle zips unnest with generate_subscripts in one SELECT.
+  private def posExplodeWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("word"))
+      .orderBy(col("doc_id").asc_nulls_first, col("pos").asc_nulls_first)
+
+  private val posExplodeWordsSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE doc_id % 50 = 0)
+      |SELECT doc_id, CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos, unnest(w) AS word
+      |FROM w ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev4_gapfill" -> (gapfill _),
+    "j6_full_outer" -> (fullOuter _),
+    "e3_posexplode" -> (posExplodeWords _),
     "aj1_asof_join" -> (asofJoin _),
     "rj1_range_join" -> (rangeJoin _),
     "f6_like_regex" -> (likeFilter _),
@@ -306,6 +384,9 @@ object Extras extends QueryModule {
     "ev2_props_extract" -> (eventProps _))
 
   override val oracle: Map[String, String] = Map(
+    "ev4_gapfill" -> gapfillSql,
+    "j6_full_outer" -> fullOuterSql,
+    "e3_posexplode" -> posExplodeWordsSql,
     "aj1_asof_join" -> asofJoinSql,
     "rj1_range_join" -> rangeJoinSql,
     "f6_like_regex" -> likeFilterSql,

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling for training-data pipelines: hash-gated
+  * stratified sampling plus train/test split assignment. Both decisions
+  * derive from md5 of the row key — the one hash both engines spell
+  * identically — so the same row is sampled into the same split on every
+  * run, on every engine, regardless of partitioning or cluster size.
+  * That reproducibility is the property `df.sample()` (seeded per
+  * partition, repartition-sensitive) cannot give at scale, and it is
+  * what makes downstream ablations comparable across pipeline runs.
+  *
+  * Mechanics: the first two hex chars of `md5(tag || doc_id)` are a
+  * uniform draw from 256 buckets; a lexicographic compare against a
+  * per-stratum hex threshold implements P(keep) = threshold/256
+  * (hex strings compare identically to their numeric value — same trick
+  * as the MinHash string-min). Sampling and split use different tags so
+  * the two decisions are independent.
+  *
+  * Scale posture: pure map-side filter + projection — no shuffle at all
+  * until the gate sort (which real pipelines don't run); the sampled
+  * fraction streams straight into whatever consumes it.
+  */
+object Sampling extends QueryModule {
+
+  /** P(keep) per stratum in 1/256 units, as two-hex-char thresholds:
+    * en is downsampled to 64/256, everything else kept at 128/256.
+    */
+  private val EnThreshold = "40"
+  private val DefaultThreshold = "80"
+
+  /** Test-split fraction: 13/256 ≈ 5%. */
+  private val TestThreshold = "0d"
+
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(
+        substring(md5(concat(lit("smp:"), col("doc_id"))), 1, 2) <
+          when(col("lang") === "en", lit(EnThreshold)).otherwise(lit(DefaultThreshold)))
+      .select(
+        col("doc_id"), col("lang"),
+        when(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 2) < lit(TestThreshold),
+          lit("test")).otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  private val stratifiedSampleSql =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN substr(md5('split:' || doc_id), 1, 2) < '$TestThreshold'
+       |       THEN 'test' ELSE 'train' END AS split
+       |FROM documents
+       |WHERE substr(md5('smp:' || doc_id), 1, 2) <
+       |  CASE WHEN lang = 'en' THEN '$EnThreshold' ELSE '$DefaultThreshold' END
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] =
+    Map("ds1_stratified_sample" -> (stratifiedSample _))
+
+  override val oracle: Map[String, String] =
+    Map("ds1_stratified_sample" -> stratifiedSampleSql)
+}

@@ -294,7 +294,104 @@ object Stats extends QueryModule {
       |GROUP BY n_name
       |ORDER BY revenue_e4 DESC, nation ASC""".stripMargin
 
+  // ---------------------------------------------------------------- w2
+  // The navigation/ranking window family beyond w1's frames: lead, lag,
+  // dense_rank (over a coarser grain, so ties occur non-vacuously),
+  // ntile, first_value, percent_rank — one shuffle on event_type, every
+  // partition totally ordered by (ts, event_id) so each function is
+  // deterministic. Rank-family outputs are cast to BIGINT on both sides
+  // (Spark returns INT, DuckDB BIGINT); percent_rank is (rank−1)/(n−1) —
+  // a single double division of exact integers, bit-stable cross-engine.
+  private def windowExtras(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+    val wh = Window.partitionBy("event_type")
+      .orderBy(date_trunc("hour", col("ts")).asc_nulls_first)
+    t(s, dir, "events").filter(col("event_id") % 20 === 0)
+      .select(
+        col("event_id"), col("event_type"), col("ts"),
+        lead("event_id", 1).over(w).as("next_id"),
+        lag("event_id", 2).over(w).as("prev2_id"),
+        dense_rank().over(wh).cast(LongType).as("hour_rank"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        first(col("event_id")).over(w).as("first_id"),
+        percent_rank().over(w).cast(DoubleType).as("pr"))
+      .orderBy(col("event_type").asc_nulls_first, col("ts").asc_nulls_first,
+        col("event_id").asc_nulls_first)
+  }
+
+  private val windowExtrasSql =
+    """SELECT event_id, event_type, ts,
+      |  lead(event_id) OVER w AS next_id,
+      |  lag(event_id, 2) OVER w AS prev2_id,
+      |  CAST(dense_rank() OVER (PARTITION BY event_type
+      |         ORDER BY date_trunc('hour', ts) NULLS FIRST) AS BIGINT) AS hour_rank,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  first_value(event_id) OVER w AS first_id,
+      |  CAST(percent_rank() OVER w AS DOUBLE) AS pr
+      |FROM events WHERE event_id % 20 = 0
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+      |ORDER BY event_type NULLS FIRST, ts NULLS FIRST, event_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  // CUBE: all four grains of (returnflag, linestatus) in one
+  // expand+aggregate pass — completes the multi-grain family with q02's
+  // ROLLUP and q03's GROUPING SETS. Same integer-cents money idiom;
+  // grouping flags keep null keys distinguishable from total rows.
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast(IntegerType).as("g_rf"),
+        grouping(col("l_linestatus")).cast(IntegerType).as("g_ls"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast(LongType)).as("sum_price_cents"))
+      .orderBy(col("g_rf").asc_nulls_first, col("g_ls").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val cubeAggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf NULLS FIRST, g_ls NULLS FIRST,
+      |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  // EXACT percentiles (vs q06's sketch): linear-interpolation quantiles
+  // over integer cents. On exactly-representable integers the
+  // interpolation (lo + (hi−lo)·frac with frac ∈ {.25,.5,.75}) is a
+  // fixed sequence of exact double ops, so Spark's percentile() and
+  // DuckDB's quantile_cont() hash-match bit for bit. Exact percentile
+  // sorts per group — the 100 TB census uses q06's GK sketch instead;
+  // this entry is the ground truth that bounds the sketch's error.
+  private def exactPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast(LongType)
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(cents, lit(0.25)).as("p25"),
+        percentile(cents, lit(0.5)).as("p50"),
+        percentile(cents, lit(0.75)).as("p75"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  private val exactPercentilesSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w2_window_nav" -> (windowExtras _),
+    "q09_cube" -> (cubeAgg _),
+    "q10_percentiles" -> (exactPercentiles _),
     "q07_shipping_priority" -> (shippingPriority _),
     "q08_local_supplier" -> (localSupplierVolume _),
     "u2_intersect_except" -> (intersectExcept _),
@@ -305,6 +402,9 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "w2_window_nav" -> windowExtrasSql,
+    "q09_cube" -> cubeAggSql,
+    "q10_percentiles" -> exactPercentilesSql,
     "q07_shipping_priority" -> shippingPrioritySql,
     "q08_local_supplier" -> localSupplierVolumeSql,
     "u2_intersect_except" -> intersectExceptSql,

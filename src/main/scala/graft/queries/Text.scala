@@ -264,7 +264,47 @@ object Text extends QueryModule {
         approx_count_distinct(col("source")).as("approx_sources"))
       .orderBy(col("lang").asc_nulls_first)
 
+  // ---------------------------------------------------------------- tx8
+  /** Context-window chunking — the step that turns curated documents
+    * into training sequences: split each document's word stream into
+    * windows of 64 tokens with stride 48 (16-token overlap so no
+    * boundary context is lost). Pure map-side generate (sequence →
+    * posexplode → slice): each row expands to ceil(len/stride) chunks
+    * with no shuffle until the gate sort; chunk identity is the md5 of
+    * the chunk text, so downstream dedup/packing can key on it without
+    * re-reading the payload.
+    */
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  private def chunk(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    t(s, dir, "documents")
+      .withColumn("w", w)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1), size(col("w")), lit(ChunkStride))).as(Seq("chunk_id", "cs")),
+        col("w"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast(LongType).as("chunk_id"),
+        size(slice(col("w"), col("cs"), lit(ChunkLen))).cast(LongType).as("n_tokens"),
+        md5(array_join(slice(col("w"), col("cs"), lit(ChunkLen)), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id").asc_nulls_first, col("chunk_id").asc_nulls_first)
+  }
+
+  private val chunkSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, w, range(1, len(w) + 1, $ChunkStride) AS starts FROM w),
+       |ex AS (SELECT doc_id, w, generate_subscripts(starts, 1) - 1 AS chunk_id,
+       |              unnest(starts) AS cs FROM s)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(w[cs:cs+${ChunkLen - 1}]) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(w[cs:cs+${ChunkLen - 1}], ' ')) AS chunk_hash
+       |FROM ex
+       |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx8_chunking" -> (chunk _),
     "tx7_census_hll" -> (langStatsApprox _),
     "tx6_top_bigrams" -> (topBigrams _),
     "tx1_token_stats" -> (tokenStats _),
@@ -274,6 +314,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx8_chunking" -> chunkSql,
     "tx6_top_bigrams" -> topBigramsSql,
     "tx1_token_stats" -> tokenStatsSql,
     "tx2_quality_score" -> qualitySql,

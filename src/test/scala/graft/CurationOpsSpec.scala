@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ConnectedComponents
+
+/** Semantics pins for the round-5 curation operators: connected
+  * components (dd7's engine), decontamination (dd8), deterministic
+  * stratified sampling (ds1), context-window chunking (tx8), and
+  * time-series gap-fill (ev4). The oracle gate proves cross-engine
+  * equality; these tests pin the PROPERTIES the oracle can't state
+  * (transitivity, reproducibility, coverage bounds, grid density).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("connected components collapses transitive chains and keeps components apart") {
+    // chain 1-2-3-4 (diameter 3, needs >1 sweep), pair 10-11, triangle
+    // 20-21-22 with a redundant duplicate edge
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (20L, 21L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components handles a long path within the sweep budget") {
+    // path of 17 nodes: min-label needs ~16 sweeps to reach the far end
+    val edges = (0L until 16L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges).collect()
+    assert(got.length == 17 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("dd7 cluster ids are component minima and sizes count members") {
+    val s = SparkEntry.configure(spark)
+    val rows = SparkEntry.queries("dd7_dup_clusters")(s, sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid, s"cluster $cid label is not its min doc_id")
+      assert(members.forall(_.getLong(2) == members.length), s"cluster $cid size mismatch")
+      assert(members.length >= 2, s"cluster $cid has no partner (pairs input!)")
+    }
+  }
+
+  test("dd8 flags the injected copies of benchmark documents") {
+    val s = SparkEntry.configure(spark)
+    val flagged = SparkEntry.queries("dd8_decontaminate")(s, sf)
+      .select("doc_id").as[Long].collect().toSet
+    // corpus() injects an exact copy (+1M) of every doc_id % 7 == 0; any
+    // such doc that is ALSO a benchmark doc (% 97 == 0, >= 4 words) must
+    // be flagged through its copy — the guaranteed leak path
+    val docs = Tables(s, sf, "documents")
+      .filter(col("doc_id") % 97 === 0 && col("doc_id") % 7 === 0 &&
+        size(split(col("text"), " ")) >= 4)
+      .select("doc_id").as[Long].collect()
+    assert(docs.nonEmpty, "fixture lost its benchmark-copy overlap")
+    docs.foreach(d => assert(flagged.contains(d + 1000000L),
+      s"exact copy of benchmark doc $d escaped decontamination"))
+  }
+
+  test("ds1 sampling is reproducible and respects the per-stratum rates") {
+    val s = SparkEntry.configure(spark)
+    def run() = SparkEntry.queries("ds1_stratified_sample")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val a = run()
+    assert(a == run(), "hash-gated sampling must be bit-reproducible")
+    val total = Tables(s, sf, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.size).toMap
+    kept.foreach { case (lang, n) =>
+      val p = n.toDouble / total(lang)
+      val expected = if (lang == "en") 64.0 / 256 else 128.0 / 256
+      // 4-sigma binomial tolerance on small strata
+      val tol = 4 * math.sqrt(expected * (1 - expected) / total(lang))
+      assert(math.abs(p - expected) <= tol, s"$lang rate $p vs $expected (tol $tol)")
+    }
+    // both splits occur, and test stays the small side
+    val splits = a.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(splits.keySet == Set("train", "test") && splits("test") < splits("train"))
+  }
+
+  test("tx8 chunk geometry: ceil-division count, stride starts, bounded tails") {
+    val s = SparkEntry.configure(spark)
+    val chunks = SparkEntry.queries("tx8_chunking")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lens = Tables(s, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == lens.keySet, "every document must chunk")
+    byDoc.foreach { case (doc, cs) =>
+      val n = lens(doc)
+      val expected = ((n - 1) / 48) + 1 // ceil(n / stride), n >= 1
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks for $n words")
+      assert(cs.map(_._2).sorted.toSeq == (0L until expected).toSeq)
+      cs.sortBy(_._2).zipWithIndex.foreach { case ((_, id, tokens), i) =>
+        val start = 1 + 48 * id
+        val want = math.min(64L, n - start + 1)
+        assert(tokens == want, s"doc $doc chunk $i: $tokens tokens, want $want")
+      }
+    }
+  }
+
+  test("ev4 grid is hour-dense per type and zero rows are true gaps") {
+    val s = SparkEntry.configure(spark)
+    val rows = SparkEntry.queries("ev4_gapfill")(s, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, g) =>
+      val hours = g.map(_._2.getTime).sorted
+      hours.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 3600000L, s"$tpe grid has a hole or dup")
+        case _ =>
+      }
+    }
+    val real = SparkEntry.queries("ev1_time_buckets")(s, sf).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0))).toSet
+    rows.filter(_._3 == 0L).foreach { case (tpe, h, _) =>
+      assert(!real.contains((tpe, h)), s"zero-filled ($tpe, $h) actually has events")
+    }
+    rows.filter(_._3 > 0L).foreach { case (tpe, h, _) =>
+      assert(real.contains((tpe, h)), s"non-zero ($tpe, $h) missing from ev1")
+    }
+  }
+}
