@@ -110,6 +110,15 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd8 probes the corpus against a BROADCAST benchmark set") {
+    val s = SparkEntry.configure(spark)
+    val plan = SparkEntry.queries("dd8_decontaminate")(s, sf)
+      .queryExecution.executedPlan.toString
+    // the benchmark suite is bounded by design — the corpus side must
+    // stream into a broadcast hash probe, never shuffle on shingle
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
+  }
+
   test("ev4 grid is hour-dense per type and zero rows are true gaps") {
     val s = SparkEntry.configure(spark)
     val rows = SparkEntry.queries("ev4_gapfill")(s, sf).collect()
