@@ -44,19 +44,20 @@ object ConnectedComponents {
       .localCheckpoint()
     var converged = false
     var sweeps = 0
-    while (!converged) {
-      sweeps += 1
-      require(sweeps <= maxSweeps, s"label propagation did not converge in $maxSweeps sweeps")
-      val prop = sym.join(labels.select(col("node").as("a"), col("lab")), Seq("a"))
-        .select(col("b").as("node"), col("lab"))
-        .unionByName(labels)
-        .groupBy("node").agg(min("lab").as("lab"))
-        .localCheckpoint()
-      converged = prop.join(labels.withColumnRenamed("lab", "old"), Seq("node"))
-        .filter(col("lab") =!= col("old")).isEmpty
-      labels = prop
-    }
-    sym.unpersist()
+    try {
+      while (!converged) {
+        sweeps += 1
+        require(sweeps <= maxSweeps, s"label propagation did not converge in $maxSweeps sweeps")
+        val prop = sym.join(labels.select(col("node").as("a"), col("lab")), Seq("a"))
+          .select(col("b").as("node"), col("lab"))
+          .unionByName(labels)
+          .groupBy("node").agg(min("lab").as("lab"))
+          .localCheckpoint()
+        converged = prop.join(labels.withColumnRenamed("lab", "old"), Seq("node"))
+          .filter(col("lab") =!= col("old")).isEmpty
+        labels = prop
+      }
+    } finally sym.unpersist() // also on sweep failure / non-convergence
     labels.select(col("node"), col("lab").as("cluster"))
   }
 }

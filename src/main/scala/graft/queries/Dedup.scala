@@ -92,24 +92,39 @@ object Dedup extends QueryModule {
     * Text.fingerprint so shingle construction can't drift between the
     * dedup pairs and the fingerprints.
     */
-  private[queries] def shingled(c: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    c.withColumn("words", words)
-      .filter(size(col("words")) >= 3)
+  private[queries] def shingled(c: DataFrame): DataFrame =
+    shingledN(c, n = 3, hashed = false)
+
+  /** One shingle pipeline for every n-gram consumer (dd2/dd6 raw
+    * trigrams, dd8 hashed 4-grams): tokenization and windowing changes
+    * apply to all of them or none — no drift channel.
+    */
+  private[queries] def shingledN(c: DataFrame, n: Int, hashed: Boolean): DataFrame = {
+    val gram = (i: Column) => array_join(slice(col("words"), i, lit(n)), " ")
+    c.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= n)
       .withColumn("shingles", array_distinct(
         transform(
-          sequence(lit(1), size(col("words")) - 2),
-          i => array_join(slice(col("words"), i, lit(3)), " "))))
+          sequence(lit(1), size(col("words")) - (n - 1)),
+          i => if (hashed) md5(gram(i)) else gram(i))))
       .select("doc_id", "shingles")
   }
 
+  /** DuckDB twin of [[shingledN]]'s shingle-list expression over a
+    * word-list column `w`.
+    */
+  private def shingleListSql(n: Int, hashed: Boolean): String = {
+    val gram = s"array_to_string(w[i:i+${n - 1}], ' ')"
+    val e = if (hashed) s"md5($gram)" else gram
+    s"list_distinct(list_transform(range(1, len(w) - ${n - 2}), i -> $e))"
+  }
+
   private val shingledSql =
-    """sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(w) - 1),
-      |      i -> array_to_string(w[i:i+2], ' '))) AS shingles
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
-      |  WHERE len(w) >= 3)""".stripMargin
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    ${shingleListSql(n = 3, hashed = false)} AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+       |  WHERE len(w) >= 3)""".stripMargin
 
   /** Exact shingle-set Jaccard over candidate (doc_a, doc_b) pairs —
     * shared by the LSH (dd2) and anchor-blocked (dd6) passes so the
@@ -446,16 +461,8 @@ object Dedup extends QueryModule {
     */
   private val DecontamN = 4
 
-  private def shingled4(df: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    df.withColumn("words", words)
-      .filter(size(col("words")) >= DecontamN)
-      .withColumn("shingles", array_distinct(
-        transform(
-          sequence(lit(1), size(col("words")) - (DecontamN - 1)),
-          i => md5(array_join(slice(col("words"), i, lit(DecontamN)), " ")))))
-      .select("doc_id", "shingles")
-  }
+  private def shingled4(df: DataFrame): DataFrame =
+    shingledN(df, n = DecontamN, hashed = true)
 
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val bench = shingled4(t(s, dir, "documents").filter(col("doc_id") % 97 === 0))
@@ -472,8 +479,7 @@ object Dedup extends QueryModule {
   }
 
   private def shingle4Sql(src: String, pred: String): String =
-    s"""SELECT doc_id, list_distinct(list_transform(range(1, len(w) - ${DecontamN - 2}),
-       |      i -> md5(array_to_string(w[i:i+${DecontamN - 1}], ' ')))) AS shingles
+    s"""SELECT doc_id, ${shingleListSql(n = DecontamN, hashed = true)} AS shingles
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src WHERE $pred)
        |  WHERE len(w) >= $DecontamN""".stripMargin
 

@@ -269,8 +269,10 @@ object Text extends QueryModule {
     * into training sequences: split each document's word stream into
     * windows of 64 tokens with stride 48 (16-token overlap so no
     * boundary context is lost). Pure map-side generate (sequence →
-    * posexplode → slice): each row expands to ceil(len/stride) chunks
-    * with no shuffle until the gate sort; chunk identity is the md5 of
+    * posexplode → slice): each row expands to ~len/stride chunks with
+    * no shuffle until the gate sort; a tail window that would sit
+    * wholly inside the previous one is suppressed (it would emit a
+    * pure duplicate training sequence); chunk identity is the md5 of
     * the chunk text, so downstream dedup/packing can key on it without
     * re-reading the payload.
     */
@@ -279,10 +281,15 @@ object Text extends QueryModule {
 
   private def chunk(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
+    // a start beyond n − (len − stride) would open a window wholly
+    // contained in the previous one — a pure duplicate sequence, the
+    // thing the dedup stages upstream exist to remove — so the start
+    // grid stops there (floor 1 keeps single-chunk docs)
+    val lastStart = greatest(lit(1), size(col("w")) - (ChunkLen - ChunkStride))
     t(s, dir, "documents")
       .withColumn("w", w)
       .select(col("doc_id"),
-        posexplode(sequence(lit(1), size(col("w")), lit(ChunkStride))).as(Seq("chunk_id", "cs")),
+        posexplode(sequence(lit(1), lastStart, lit(ChunkStride))).as(Seq("chunk_id", "cs")),
         col("w"))
       .select(
         col("doc_id"),
@@ -294,7 +301,9 @@ object Text extends QueryModule {
 
   private val chunkSql =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |s AS (SELECT doc_id, w, range(1, len(w) + 1, $ChunkStride) AS starts FROM w),
+       |s AS (SELECT doc_id, w,
+       |        range(1, greatest(len(w) - ${ChunkLen - ChunkStride}, 1) + 1, $ChunkStride)
+       |          AS starts FROM w),
        |ex AS (SELECT doc_id, w, generate_subscripts(starts, 1) - 1 AS chunk_id,
        |              unnest(starts) AS cs FROM s)
        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,

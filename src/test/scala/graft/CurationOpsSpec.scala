@@ -69,18 +69,24 @@ class CurationOpsSpec extends AnyFunSuite {
 
   test("ds1 sampling is reproducible and respects the per-stratum rates") {
     val s = SparkEntry.configure(spark)
-    def run() = SparkEntry.queries("ds1_stratified_sample")(s, sf).collect()
+    // sf0.01, not sf0.001: ~100 docs per stratum makes a silently
+    // dropped stratum statistically detectable (at 10 docs a zero rate
+    // sits inside any honest binomial tolerance)
+    val dir = "/root/testdata/sf0.01"
+    def run() = SparkEntry.queries("ds1_stratified_sample")(s, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     val a = run()
     assert(a == run(), "hash-gated sampling must be bit-reproducible")
-    val total = Tables(s, sf, "documents")
+    val total = Tables(s, dir, "documents")
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     val kept = a.groupBy(_._2).view.mapValues(_.size).toMap
-    kept.foreach { case (lang, n) =>
-      val p = n.toDouble / total(lang)
+    // iterate the CORPUS strata, not the sampled ones: a stratum whose
+    // rate regressed to zero must fail here, not vanish from the check
+    total.foreach { case (lang, n) =>
+      val p = kept.getOrElse(lang, 0).toDouble / n
       val expected = if (lang == "en") 64.0 / 256 else 128.0 / 256
-      // 4-sigma binomial tolerance on small strata
-      val tol = 4 * math.sqrt(expected * (1 - expected) / total(lang))
+      // 4-sigma binomial tolerance
+      val tol = 4 * math.sqrt(expected * (1 - expected) / n)
       assert(math.abs(p - expected) <= tol, s"$lang rate $p vs $expected (tol $tol)")
     }
     // both splits occur, and test stays the small side
@@ -88,7 +94,7 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(splits.keySet == Set("train", "test") && splits("test") < splits("train"))
   }
 
-  test("tx8 chunk geometry: ceil-division count, stride starts, bounded tails") {
+  test("tx8 chunk geometry: stride starts, bounded tails, no contained duplicates") {
     val s = SparkEntry.configure(spark)
     val chunks = SparkEntry.queries("tx8_chunking")(s, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -99,13 +105,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byDoc.keySet == lens.keySet, "every document must chunk")
     byDoc.foreach { case (doc, cs) =>
       val n = lens(doc)
-      val expected = ((n - 1) / 48) + 1 // ceil(n / stride), n >= 1
+      // starts walk the stride grid but stop once a window could not
+      // add tokens beyond the previous one (len − stride = 16 overlap)
+      val expected = ((math.max(1L, n - 16) - 1) / 48) + 1
       assert(cs.length == expected, s"doc $doc: ${cs.length} chunks for $n words")
       assert(cs.map(_._2).sorted.toSeq == (0L until expected).toSeq)
       cs.sortBy(_._2).zipWithIndex.foreach { case ((_, id, tokens), i) =>
         val start = 1 + 48 * id
         val want = math.min(64L, n - start + 1)
         assert(tokens == want, s"doc $doc chunk $i: $tokens tokens, want $want")
+        // every non-first chunk must reach past the previous window's
+        // end (start+15): a <=16-token tail would be a pure duplicate
+        if (id > 0) assert(tokens >= 17, s"doc $doc chunk $i is contained in its predecessor")
       }
     }
   }
