@@ -72,3 +72,19 @@ class TopKPayloadAgg(k: Int) extends BoundedTopKAgg[TopHitP](k) {
   override protected def before(a: TopHitP, b: TopHitP): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 }
+
+/** A hash-order sample member: (key, id), ranked by key ASCENDING. */
+case class MinHit(key: String, id: Long)
+
+/** Bottom-k by string key — the deterministic "exactly K per group"
+  * sampler: with key = md5 of the row id, the k lexicographically
+  * smallest keys are a uniform fixed-size sample of the group, chosen
+  * identically on every run and every engine (hex order = digest order).
+  * Same map-side bounded buffer as the top-k family, so only k rows per
+  * (group × partition) reach the exchange — the window-free spelling of
+  * `row_number() OVER (ORDER BY md5)  <= k`.
+  */
+class BottomKAgg(k: Int) extends BoundedTopKAgg[MinHit](k) {
+  override protected def before(a: MinHit, b: MinHit): Boolean =
+    a.key < b.key || (a.key == b.key && a.id < b.id)
+}

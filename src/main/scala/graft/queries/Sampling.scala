@@ -55,9 +55,51 @@ object Sampling extends QueryModule {
        |  CASE WHEN lang = 'en' THEN '$EnThreshold' ELSE '$DefaultThreshold' END
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ds2
+  /** Exactly-K-per-stratum sampling (ds1 keeps a *fraction*; evaluation
+    * sets want a fixed COUNT): the K smallest md5 keys per lang via the
+    * bounded BottomKAgg — ObjectHashAggregate with map-side partials,
+    * so each task forwards at most K rows per stratum and the exchange
+    * never sees the corpus, where the `row_number() OVER (PARTITION BY
+    * lang ORDER BY md5)` spelling (= the oracle) shuffles every row.
+    */
+  private val SampleK = 10
+
+  private def topkSample(s: SparkSession, dir: String): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomKAgg(SampleK))
+    Tables(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("smpk:"), col("doc_id"))).as("k"))
+      .groupBy("lang")
+      .agg(bottomK(col("k"), col("doc_id")).as("hits"))
+      .select(col("lang"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("lang"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as("doc_id"),
+        col("hit.key").as("sort_key"))
+      .orderBy(col("lang").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  private val topkSampleSql =
+    s"""WITH keyed AS (
+       |  SELECT lang, doc_id, md5('smpk:' || doc_id) AS k FROM documents),
+       |ranked AS (
+       |  SELECT lang, doc_id, k,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY k NULLS FIRST, doc_id NULLS FIRST) AS rank
+       |  FROM keyed)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, k AS sort_key
+       |FROM ranked WHERE rank <= $SampleK
+       |ORDER BY lang NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ds1_stratified_sample" -> (stratifiedSample _))
+    Map(
+      "ds1_stratified_sample" -> (stratifiedSample _),
+      "ds2_topk_sample" -> (topkSample _))
 
   override val oracle: Map[String, String] =
-    Map("ds1_stratified_sample" -> stratifiedSampleSql)
+    Map(
+      "ds1_stratified_sample" -> stratifiedSampleSql,
+      "ds2_topk_sample" -> topkSampleSql)
 }

@@ -279,7 +279,10 @@ object Text extends QueryModule {
   private val ChunkLen = 64
   private val ChunkStride = 48
 
-  private def chunk(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, chunk_id, n_tokens, chunk_hash) without the gate sort —
+    * shared by tx8 (the chunk table) and tx9 (sequence packing).
+    */
+  private def chunkFrame(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
     // a start beyond n − (len − stride) would open a window wholly
     // contained in the previous one — a pure duplicate sequence, the
@@ -296,23 +299,77 @@ object Text extends QueryModule {
         col("chunk_id").cast(LongType).as("chunk_id"),
         size(slice(col("w"), col("cs"), lit(ChunkLen))).cast(LongType).as("n_tokens"),
         md5(array_join(slice(col("w"), col("cs"), lit(ChunkLen)), " ")).as("chunk_hash"))
-      .orderBy(col("doc_id").asc_nulls_first, col("chunk_id").asc_nulls_first)
   }
 
-  private val chunkSql =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def chunk(s: SparkSession, dir: String): DataFrame =
+    chunkFrame(s, dir)
+      .orderBy(col("doc_id").asc_nulls_first, col("chunk_id").asc_nulls_first)
+
+  /** The oracle twin of [[chunkFrame]], as CTEs ending in `ch`. */
+  private val chunkCtes =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |s AS (SELECT doc_id, w,
        |        range(1, greatest(len(w) - ${ChunkLen - ChunkStride}, 1) + 1, $ChunkStride)
        |          AS starts FROM w),
        |ex AS (SELECT doc_id, w, generate_subscripts(starts, 1) - 1 AS chunk_id,
-       |              unnest(starts) AS cs FROM s)
-       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       |  CAST(len(w[cs:cs+${ChunkLen - 1}]) AS BIGINT) AS n_tokens,
-       |  md5(array_to_string(w[cs:cs+${ChunkLen - 1}], ' ')) AS chunk_hash
-       |FROM ex
+       |              unnest(starts) AS cs FROM s),
+       |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |         CAST(len(w[cs:cs+${ChunkLen - 1}]) AS BIGINT) AS n_tokens,
+       |         md5(array_to_string(w[cs:cs+${ChunkLen - 1}], ' ')) AS chunk_hash
+       |       FROM ex)""".stripMargin
+
+  private val chunkSql =
+    s"""WITH $chunkCtes
+       |SELECT doc_id, chunk_id, n_tokens, chunk_hash FROM ch
        |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- tx9
+  /** Sequence packing — the step after chunking that fills fixed
+    * 2048-token training bins. Greedy packing is inherently sequential,
+    * so the scalable formulation packs WITHIN hash buckets: chunks are
+    * bucketed by their hash's first hex char (16 independent streams —
+    * at corpus scale, thousands), each bucket is totally ordered by
+    * (chunk_hash, doc_id, chunk_id), and a running token sum assigns
+    * each chunk to the bin where its stream offset lands (next-fit:
+    * bins overflow by at most one chunk, < 64 tokens on 2048). One
+    * shuffle on bucket; the window sort is per-bucket, never global.
+    * Output is the per-bin manifest a trainer consumes.
+    */
+  private val PackCapacity = 2048L
+
+  private def pack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("chunk_hash").asc_nulls_first, col("doc_id").asc_nulls_first,
+        col("chunk_id").asc_nulls_first)
+    chunkFrame(s, dir)
+      .withColumn("bucket", substring(col("chunk_hash"), 1, 1))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin_id", expr(s"(cum - n_tokens) div $PackCapacity"))
+      .groupBy("bucket", "bin_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_tokens_packed"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("bucket").asc_nulls_first, col("bin_id").asc_nulls_first)
+  }
+
+  private val packSql =
+    s"""WITH $chunkCtes,
+       |b AS (SELECT *, substr(chunk_hash, 1, 1) AS bucket FROM ch),
+       |c AS (SELECT bucket, doc_id, n_tokens,
+       |        SUM(n_tokens) OVER (PARTITION BY bucket
+       |          ORDER BY chunk_hash NULLS FIRST, doc_id NULLS FIRST,
+       |                   chunk_id NULLS FIRST) AS cum
+       |      FROM b)
+       |SELECT bucket, CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS bin_id,
+       |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_packed,
+       |  COUNT(DISTINCT doc_id) AS n_docs
+       |FROM c GROUP BY 1, 2
+       |ORDER BY bucket NULLS FIRST, bin_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx9_pack" -> (pack _),
     "tx8_chunking" -> (chunk _),
     "tx7_census_hll" -> (langStatsApprox _),
     "tx6_top_bigrams" -> (topBigrams _),
@@ -323,6 +380,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx9_pack" -> packSql,
     "tx8_chunking" -> chunkSql,
     "tx6_top_bigrams" -> topBigramsSql,
     "tx1_token_stats" -> tokenStatsSql,

@@ -130,6 +130,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
   }
 
+  test("tx9 packing conserves tokens and fills every non-final bin") {
+    val s = SparkEntry.configure(spark)
+    val bins = SparkEntry.queries("tx9_pack")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(bins.nonEmpty)
+    // conservation: packed tokens == chunk-table tokens
+    val chunkTokens = SparkEntry.queries("tx8_chunking")(s, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).as[Long].head()
+    assert(bins.map(_._4).sum == chunkTokens, "packing lost or duplicated tokens")
+    bins.groupBy(_._1).foreach { case (bucket, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), s"bucket $bucket bin ids not dense")
+      // next-fit: every bin except the last must have been closed by an
+      // overflow, i.e. reached capacity − (max chunk − 1)
+      sorted.dropRight(1).foreach { case (_, bin, _, tokens, _) =>
+        assert(tokens >= 2048 - 63, s"bucket $bucket bin $bin closed at $tokens tokens")
+      }
+    }
+  }
+
+  test("ds2 keeps exactly K per stratum through a map-side bounded aggregate") {
+    val s = SparkEntry.configure(spark)
+    val df = SparkEntry.queries("ds2_topk_sample")(s, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"BottomKAgg not planned as agg:\n$plan")
+    assert(!plan.toLowerCase.contains("window"), s"sampler must not shuffle all rows into a window:\n$plan")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perLang = rows.groupBy(_._1)
+    val totals = Tables(s, "/root/testdata/sf0.01", "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.keySet == totals.keySet)
+    perLang.foreach { case (lang, g) =>
+      assert(g.length == math.min(10L, totals(lang)), s"$lang sample size ${g.length}")
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq, s"$lang ranks not dense")
+    }
+  }
+
   test("ev4 grid is hour-dense per type and zero rows are true gaps") {
     val s = SparkEntry.configure(spark)
     val rows = SparkEntry.queries("ev4_gapfill")(s, sf).collect()
