@@ -367,7 +367,52 @@ object Extras extends QueryModule {
       |SELECT doc_id, CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos, unnest(w) AS word
       |FROM w ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev5
+  // Beyond-reference scalar coverage: JSON functions (SURVEY §2.9 lists
+  // them absent in the reference) — path extraction from the props
+  // column with get_json_object, string and numeric forms plus a
+  // derived predicate. DuckDB's bundled json extension states the same
+  // paths. ev2 extracts the same field by regex; both must agree.
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    t(s, dir, "events").filter(col("event_id") % 10 === 0)
+      .select(
+        col("event_id"),
+        k.as("k_str"),
+        k.cast(LongType).as("k"),
+        (k.cast(LongType) % 2 === 0).as("k_even"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val jsonExtractSql =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 AS k_even
+      |FROM events WHERE event_id % 10 = 0
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- u3
+  // §2.7 completion: UNION DISTINCT (u1 is union-all, u2 is
+  // INTERSECT/EXCEPT) — Spark plans union().distinct() as one
+  // hash-aggregate over the concatenation, same as SQL UNION.
+  private def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.filter(col("c_custkey") % 2 === 0).select("c_nationkey")
+      .union(c.filter(col("c_acctbal") > 0).select("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_nationkey").asc_nulls_first)
+  }
+
+  private val unionDistinctSql =
+    """SELECT c_nationkey FROM customer WHERE c_custkey % 2 = 0
+      |UNION
+      |SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+      |ORDER BY c_nationkey NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev5_json_extract" -> (jsonExtract _),
+    "u3_union_distinct" -> (unionDistinct _),
     "ev4_gapfill" -> (gapfill _),
     "j6_full_outer" -> (fullOuter _),
     "e3_posexplode" -> (posExplodeWords _),
@@ -384,6 +429,8 @@ object Extras extends QueryModule {
     "ev2_props_extract" -> (eventProps _))
 
   override val oracle: Map[String, String] = Map(
+    "ev5_json_extract" -> jsonExtractSql,
+    "u3_union_distinct" -> unionDistinctSql,
     "ev4_gapfill" -> gapfillSql,
     "j6_full_outer" -> fullOuterSql,
     "e3_posexplode" -> posExplodeWordsSql,

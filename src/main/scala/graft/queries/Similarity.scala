@@ -35,10 +35,11 @@ object Similarity extends QueryModule {
   /** floor(x·1000) as BIGINT; float32 → double widening is exact, double
     * ops are IEEE-identical in Spark and DuckDB.
     */
+  private def quantExpr: Column =
+    transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType))
+
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(
-      col("vec_id"),
-      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+    t(s, dir, "embeddings").select(col("vec_id"), quantExpr.as("q"))
 
   /** Codegen'd kernel (graft.functions.LongDot) — the HOF spelling
     * `aggregate(zip_with(a,b,_*_), 0L, _+_)` is semantically identical
@@ -396,11 +397,45 @@ object Similarity extends QueryModule {
       |SELECT query_id, rank, neighbor_id, score, cosine FROM ranked WHERE rank <= 10
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- emb1
+  /** Per-label embedding centroids — vector AGGREGATION (mean pooling)
+    * alongside the family's vector search: quantized dims explode to
+    * (label, dim, v) and a plain 2-stage aggregate yields exact integer
+    * sums plus a floor-mean centroid (exact double division of ints,
+    * identical in both engines). At corpus scale the exchange carries
+    * only (label, dim, partial sum) triples — map-side combine folds
+    * each partition's vectors before anything shuffles, which is how
+    * class centroids / mean pooling stay cheap at any corpus size.
+    */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(quantExpr).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast(LongType).as("dim"), col("v"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_q"))
+      .select(col("label"), col("dim"), col("n"), col("sum_q"),
+        floor(col("sum_q").cast(DoubleType) / col("n").cast(DoubleType))
+          .cast(LongType).as("centroid_q"))
+      .orderBy(col("label").asc_nulls_first, col("dim").asc_nulls_first)
+
+  private val labelCentroidsSql =
+    """WITH q AS (
+      |  SELECT label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |ex AS (SELECT label, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS v FROM q)
+      |SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+      |  CAST(SUM(v) AS BIGINT) AS sum_q,
+      |  CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS centroid_q
+      |FROM ex GROUP BY 1, 2
+      |ORDER BY label NULLS FIRST, dim NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann1_topk_exact" -> (bruteTopK _),
     "ann2_topk_ivf" -> (ivfTopK _),
     "ann3_topk_cosine" -> (cosineTopK _),
     "ann4_topk_srp" -> (srpTopK _),
+    "emb1_label_centroids" -> (labelCentroids _),
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
@@ -408,5 +443,6 @@ object Similarity extends QueryModule {
     "ann2_topk_ivf" -> ivfTopKSql,
     "ann3_topk_cosine" -> cosineTopKSql,
     "ann4_topk_srp" -> srpTopKSql,
+    "emb1_label_centroids" -> labelCentroidsSql,
     "dd4_embedding_neardup" -> embeddingNearDupSql)
 }
