@@ -181,6 +181,40 @@ object Extras extends QueryModule {
       |GROUP BY user_id, session_id
       |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw1
+  // The NATIVE batch session_window against ev3's manual spelling: same
+  // 30-minute gap, grouped by (user_id, session_window(ts)). Spark's
+  // operator merges overlapping [ts, ts+gap) intervals, which is exactly
+  // the lag/flag/running-sum construction — the oracle states that
+  // construction, so a hash match proves the built-in's session
+  // boundaries equal the portable definition (and StreamingSpec already
+  // proves streaming session_window equals batch). session_end is
+  // last-event + gap, Spark's window.end convention.
+  private def sessionWindowNative(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first)
+
+  private val sessionWindowNativeSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sid
+      |  FROM g)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- aj1
   // As-of join (graft.operators.AsOfJoin): each event gets the latest
   // order of "its" customer (user_id ↔ o_custkey) with o_orderdate <=
@@ -413,6 +447,7 @@ object Extras extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev5_json_extract" -> (jsonExtract _),
     "u3_union_distinct" -> (unionDistinct _),
+    "sw1_session_window" -> (sessionWindowNative _),
     "ev4_gapfill" -> (gapfill _),
     "j6_full_outer" -> (fullOuter _),
     "e3_posexplode" -> (posExplodeWords _),
@@ -431,6 +466,7 @@ object Extras extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "ev5_json_extract" -> jsonExtractSql,
     "u3_union_distinct" -> unionDistinctSql,
+    "sw1_session_window" -> sessionWindowNativeSql,
     "ev4_gapfill" -> gapfillSql,
     "j6_full_outer" -> fullOuterSql,
     "e3_posexplode" -> posExplodeWordsSql,

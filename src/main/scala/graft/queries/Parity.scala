@@ -352,7 +352,43 @@ object Parity extends QueryModule {
       |      FROM orders)
       |ORDER BY o_orderkey NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- c9
+  // Beyond-reference scalar coverage: the date-arithmetic battery (add
+  // days, month truncation, last_day, calendar fields, day diff). One
+  // cross-engine trap pinned here: DuckDB's dayofweek is 0-based-Sunday
+  // while Spark's is 1-based-Sunday — both sides use the ISO numbering
+  // (Monday=1..Sunday=7; Spark weekday()+1 = DuckDB isodow) instead.
+  private def scalarDateArith(s: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    t(s, dir, "orders").filter(col("o_orderkey") % 25 === 0)
+      .select(
+        col("o_orderkey"),
+        d.as("order_d"),
+        date_add(d, 30).as("due_d"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        last_day(d).as("month_end"),
+        year(d).cast(LongType).as("y"),
+        month(d).cast(LongType).as("m"),
+        (weekday(d) + 1).cast(LongType).as("dow_iso"),
+        datediff(to_date(lit("1999-01-01")), d).cast(LongType).as("days_to_99"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
+  private val scalarDateArithSql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_d,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_d,
+      |  date_trunc('month', o_orderdate) AS order_month,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_99
+      |FROM orders WHERE o_orderkey % 25 = 0
+      |ORDER BY o_orderkey NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c9_date_arith" -> (scalarDateArith _),
     "q01_pricing_summary" -> (q01 _),
     "p1_scan_project" -> (scanProject _),
     "f1_filter_eq" -> (filterEq _),
@@ -370,6 +406,7 @@ object Parity extends QueryModule {
     "c7_scalar_cast" -> (scalarCast _))
 
   override val oracle: Map[String, String] = Map(
+    "c9_date_arith" -> scalarDateArithSql,
     "q01_pricing_summary" -> q01Sql,
     "p1_scan_project" -> scanProjectSql,
     "f1_filter_eq" -> filterEqSql,

@@ -391,7 +391,37 @@ object Stats extends QueryModule {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q11
+  // TPC-H Q4 shape: correlated EXISTS with a theta conjunct — orders
+  // having at least one lineitem shipped 60+ days after the order date,
+  // counted per priority. Spark plans the EXISTS as a LEFT SEMI hash
+  // join on o_orderkey with the date comparison as a residual join
+  // condition (no nested loop), then a tiny 2-stage count.
+  private def latePriorityCount(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          // timestamp + interval, not date_add: date_add would floor the
+          // order timestamp to a date before comparing
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val latePriorityCountSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_exists_late" -> (latePriorityCount _),
     "w2_window_nav" -> (windowExtras _),
     "q09_cube" -> (cubeAgg _),
     "q10_percentiles" -> (exactPercentiles _),
@@ -405,6 +435,7 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "q11_exists_late" -> latePriorityCountSql,
     "w2_window_nav" -> windowExtrasSql,
     "q09_cube" -> cubeAggSql,
     "q10_percentiles" -> exactPercentilesSql,
