@@ -39,6 +39,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.length == 17 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components equals a union-find reference on 12 generated graphs") {
+    import org.scalacheck.{Gen, rng}
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield es.filter(e => e._1 != e._2) // CC input is near-dup PAIRS: no self loops
+
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // roots are component minima because unions always point high → low
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+
+    (1L to 12L).foreach { seed =>
+      val edges = genEdges.pureApply(Gen.Parameters.default, rng.Seed(seed))
+      if (edges.nonEmpty) {
+        val got = ConnectedComponents.run(edges.toDF("a", "b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == unionFind(edges), s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
   test("dd7 cluster ids are component minima and sizes count members") {
     val s = SparkEntry.configure(spark)
     val rows = SparkEntry.queries("dd7_dup_clusters")(s, sf).collect()
