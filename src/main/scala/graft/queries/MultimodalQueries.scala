@@ -75,34 +75,38 @@ object MultimodalQueries extends QueryModule {
   // (frame_hash, packed keeper key) cross the aggregate; payload bytes
   // never shuffle. The keeper is the lexicographically first
   // (media_id, frame_idx), packed into one BIGINT so a single MIN
-  // carries it. The oracle can state the frame hashes because the
-  // fixture payloads are pure ASCII (byte slice == substr) — verified:
+  // carries it; the factor is 2^32, which no frame_idx can reach (it is
+  // an Int), so packed keys cannot collide across media at ANY payload
+  // size. The oracle can state the frame hashes because the fixture
+  // payloads are pure ASCII (byte slice == substr) — verified:
   // octet_length(encode(text)) == length(text) for every fixture row.
+  private val FramePack = 1L << 32
+
   private def mm4(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampledFrames(Multimodal.mediaTable(s, dir), Multimodal.FakeDecoder)
       .toDF()
       .groupBy("frame_hash")
       .agg(
         count(lit(1)).as("n_copies"),
-        min(col("media_id") * 100000 + col("frame_idx")).as("kk"))
+        min(col("media_id") * FramePack + col("frame_idx")).as("kk"))
       .select(col("frame_hash"), col("n_copies"),
-        expr("kk div 100000").as("keeper_media"),
-        (col("kk") % 100000).as("keeper_idx"))
+        expr(s"kk div ${FramePack}L").as("keeper_media"),
+        (col("kk") % FramePack).as("keeper_idx"))
       .orderBy(col("frame_hash").asc_nulls_first)
 
   private val mm4Sql =
-    """WITH fr AS (
-      |  SELECT doc_id AS media_id, CAST(p AS INT) AS frame_idx,
-      |    md5(substr(text, 128 * p + 1, 64)) AS frame_hash
-      |  FROM (
-      |    SELECT doc_id, text,
-      |      unnest(range(0, ((octet_length(encode(text)) + 63) // 64 + 1) // 2)) AS p
-      |    FROM documents WHERE doc_id % 3 = 2))
-      |SELECT frame_hash, COUNT(*) AS n_copies,
-      |  CAST(MIN(media_id * 100000 + frame_idx) // 100000 AS BIGINT) AS keeper_media,
-      |  CAST(MIN(media_id * 100000 + frame_idx) % 100000 AS BIGINT) AS keeper_idx
-      |FROM fr GROUP BY frame_hash
-      |ORDER BY frame_hash NULLS FIRST""".stripMargin
+    s"""WITH fr AS (
+       |  SELECT doc_id AS media_id, CAST(p AS INT) AS frame_idx,
+       |    md5(substr(text, 128 * p + 1, 64)) AS frame_hash
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(range(0, ((octet_length(encode(text)) + 63) // 64 + 1) // 2)) AS p
+       |    FROM documents WHERE doc_id % 3 = 2))
+       |SELECT frame_hash, COUNT(*) AS n_copies,
+       |  CAST(MIN(media_id * $FramePack + frame_idx) // $FramePack AS BIGINT) AS keeper_media,
+       |  CAST(MIN(media_id * $FramePack + frame_idx) % $FramePack AS BIGINT) AS keeper_idx
+       |FROM fr GROUP BY frame_hash
+       |ORDER BY frame_hash NULLS FIRST""".stripMargin
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_summary" -> (mm1 _),

@@ -355,9 +355,11 @@ object Parity extends QueryModule {
   // ---------------------------------------------------------------- c9
   // Beyond-reference scalar coverage: the date-arithmetic battery (add
   // days, month truncation, last_day, calendar fields, day diff). One
-  // cross-engine trap pinned here: DuckDB's dayofweek is 0-based-Sunday
+  // cross-engine traps pinned here: DuckDB's dayofweek is 0-based-Sunday
   // while Spark's is 1-based-Sunday — both sides use the ISO numbering
-  // (Monday=1..Sunday=7; Spark weekday()+1 = DuckDB isodow) instead.
+  // (Monday=1..Sunday=7; Spark weekday()+1 = DuckDB isodow) — and
+  // DuckDB's date_trunc('month', ts) returns DATE where Spark keeps
+  // TIMESTAMP, so the oracle casts it back to TIMESTAMP explicitly.
   private def scalarDateArith(s: SparkSession, dir: String): DataFrame = {
     val d = to_date(col("o_orderdate"))
     t(s, dir, "orders").filter(col("o_orderkey") % 25 === 0)
@@ -378,7 +380,7 @@ object Parity extends QueryModule {
     """SELECT o_orderkey,
       |  CAST(o_orderdate AS DATE) AS order_d,
       |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_d,
-      |  date_trunc('month', o_orderdate) AS order_month,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
       |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
       |  CAST(year(o_orderdate) AS BIGINT) AS y,
       |  CAST(month(o_orderdate) AS BIGINT) AS m,

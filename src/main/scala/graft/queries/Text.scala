@@ -276,8 +276,10 @@ object Text extends QueryModule {
     * the chunk text, so downstream dedup/packing can key on it without
     * re-reading the payload.
     */
-  private val ChunkLen = 64
-  private val ChunkStride = 48
+  // package-visible so specs derive their geometry bounds from the SAME
+  // constants the operators use (no silently-stale mirrored literals)
+  private[graft] val ChunkLen = 64
+  private[graft] val ChunkStride = 48
 
   /** (doc_id, chunk_id, n_tokens, chunk_hash) without the gate sort —
     * shared by tx8 (the chunk table) and tx9 (sequence packing).
@@ -335,7 +337,7 @@ object Text extends QueryModule {
     * shuffle on bucket; the window sort is per-bucket, never global.
     * Output is the per-bin manifest a trainer consumes.
     */
-  private val PackCapacity = 2048L
+  private[graft] val PackCapacity = 2048L
 
   private def pack(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -136,22 +136,27 @@ class CurationOpsSpec extends AnyFunSuite {
     val lens = Tables(s, sf, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
       .as[(Long, Long)].collect().toMap
+    // geometry bounds derive from the operator's own constants — a
+    // retuned chunk size retunes the assertions with it
+    val len = graft.queries.Text.ChunkLen.toLong
+    val stride = graft.queries.Text.ChunkStride.toLong
+    val overlap = len - stride
     val byDoc = chunks.groupBy(_._1)
     assert(byDoc.keySet == lens.keySet, "every document must chunk")
     byDoc.foreach { case (doc, cs) =>
       val n = lens(doc)
       // starts walk the stride grid but stop once a window could not
-      // add tokens beyond the previous one (len − stride = 16 overlap)
-      val expected = ((math.max(1L, n - 16) - 1) / 48) + 1
+      // add tokens beyond the previous one
+      val expected = ((math.max(1L, n - overlap) - 1) / stride) + 1
       assert(cs.length == expected, s"doc $doc: ${cs.length} chunks for $n words")
       assert(cs.map(_._2).sorted.toSeq == (0L until expected).toSeq)
       cs.sortBy(_._2).zipWithIndex.foreach { case ((_, id, tokens), i) =>
-        val start = 1 + 48 * id
-        val want = math.min(64L, n - start + 1)
+        val start = 1 + stride * id
+        val want = math.min(len, n - start + 1)
         assert(tokens == want, s"doc $doc chunk $i: $tokens tokens, want $want")
         // every non-first chunk must reach past the previous window's
-        // end (start+15): a <=16-token tail would be a pure duplicate
-        if (id > 0) assert(tokens >= 17, s"doc $doc chunk $i is contained in its predecessor")
+        // end: a <=overlap-token tail would be a pure duplicate
+        if (id > 0) assert(tokens >= overlap + 1, s"doc $doc chunk $i is contained in its predecessor")
       }
     }
   }
@@ -179,21 +184,23 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), s"bucket $bucket bin ids not dense")
       // next-fit: every bin except the last must have been closed by an
       // overflow, i.e. reached capacity − (max chunk − 1)
+      val minFill = graft.queries.Text.PackCapacity - (graft.queries.Text.ChunkLen - 1)
       sorted.dropRight(1).foreach { case (_, bin, _, tokens, _) =>
-        assert(tokens >= 2048 - 63, s"bucket $bucket bin $bin closed at $tokens tokens")
+        assert(tokens >= minFill, s"bucket $bucket bin $bin closed at $tokens tokens")
       }
     }
   }
 
   test("ds2 keeps exactly K per stratum through a map-side bounded aggregate") {
     val s = SparkEntry.configure(spark)
-    val df = SparkEntry.queries("ds2_topk_sample")(s, "/root/testdata/sf0.01")
+    // sf0.001 has 71+ docs per lang — plenty to exercise the full K=10
+    val df = SparkEntry.queries("ds2_topk_sample")(s, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"BottomKAgg not planned as agg:\n$plan")
     assert(!plan.toLowerCase.contains("window"), s"sampler must not shuffle all rows into a window:\n$plan")
     val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val perLang = rows.groupBy(_._1)
-    val totals = Tables(s, "/root/testdata/sf0.01", "documents")
+    val totals = Tables(s, sf, "documents")
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(perLang.keySet == totals.keySet)
     perLang.foreach { case (lang, g) =>
