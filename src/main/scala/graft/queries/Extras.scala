@@ -181,6 +181,97 @@ object Extras extends QueryModule {
       |GROUP BY user_id, session_id
       |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- j7
+  // RIGHT OUTER join with a filtering conjunct in the join condition
+  // (not the WHERE — pushed there it would kill the unmatched-right
+  // rows the join type exists to keep). Bounded dims, so broadcast.
+  private def rightJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey") && col("n_nationkey") % 7 === 0,
+        "right")
+      .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+      .orderBy(Seq("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .map(col(_).asc_nulls_first): _*)
+
+  private val rightJoinSql =
+    """SELECT r_regionkey, r_name, n_nationkey, n_name
+      |FROM nation n RIGHT JOIN region r
+      |  ON n.n_regionkey = r.r_regionkey AND n.n_nationkey % 7 = 0
+      |ORDER BY r_regionkey NULLS FIRST, r_name NULLS FIRST,
+      |  n_nationkey NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- j8
+  // CROSS join of two BOUNDED dims (25 × 5 at every SF) — the one shape
+  // where a cartesian product is legitimate; anything SF-scaling on
+  // either side would be a plan bug, which is why the gate keeps it to
+  // dimension tables only.
+  private def crossSmall(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+      .select("n_nationkey", "r_regionkey", "n_name", "r_name")
+      .orderBy(col("n_nationkey").asc_nulls_first, col("r_regionkey").asc_nulls_first)
+
+  private val crossSmallSql =
+    """SELECT n_nationkey, r_regionkey, n_name, r_name
+      |FROM nation CROSS JOIN region
+      |ORDER BY n_nationkey NULLS FIRST, r_regionkey NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- un1
+  // Unpivot (melt) — wide metric columns to (key, metric, value) rows,
+  // the inverse of q04's pivot; Spark's Dataset.unpivot plans it as a
+  // single Expand, the oracle states the equivalent UNION ALL.
+  private def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("totalprice"),
+        col("o_custkey").cast(DoubleType).as("custkey"))
+      .unpivot(Array(col("o_orderkey")), Array(col("totalprice"), col("custkey")),
+        "metric", "val")
+      .orderBy(col("o_orderkey").asc_nulls_first, col("metric").asc_nulls_first)
+
+  private val unpivotMetricsSql =
+    """SELECT o_orderkey, metric, val FROM (
+      |  SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders)
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderkey NULLS FIRST, metric NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- c10
+  // Integer math battery: abs, sign, mod, greatest/least, and the bit
+  // ops (xor/and/shift/popcount). All integer in, integer out — no
+  // float libm divergence possible (ln/exp/pow are NOT in the gate for
+  // exactly that reason). Sign is cast on both sides (Spark signum
+  // yields DOUBLE, DuckDB sign yields TINYINT).
+  private def intMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_orderkey") - 3000).as("a"),
+        signum(col("l_orderkey") - 3000).cast(LongType).as("sgn"),
+        (col("l_orderkey") % 7).as("m7"),
+        greatest(col("l_orderkey") % 7, col("l_linenumber").cast(LongType)).as("g"),
+        least(col("l_orderkey") % 7, col("l_linenumber").cast(LongType)).as("l"),
+        col("l_orderkey").bitwiseXOR(col("l_linenumber").cast(LongType)).as("x"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("low8"),
+        shiftright(col("l_orderkey"), 3).as("shr3"),
+        bit_count(col("l_orderkey")).cast(LongType).as("bits"))
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+        col("a").asc_nulls_first)
+
+  private val intMathSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_orderkey - 3000) AS a,
+      |  CAST(sign(l_orderkey - 3000) AS BIGINT) AS sgn,
+      |  l_orderkey % 7 AS m7,
+      |  greatest(l_orderkey % 7, CAST(l_linenumber AS BIGINT)) AS g,
+      |  least(l_orderkey % 7, CAST(l_linenumber AS BIGINT)) AS l,
+      |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS x,
+      |  l_orderkey & 255 AS low8,
+      |  l_orderkey >> 3 AS shr3,
+      |  CAST(bit_count(l_orderkey) AS BIGINT) AS bits
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, a NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- sw1
   // The NATIVE batch session_window against ev3's manual spelling: same
   // 30-minute gap, grouped by (user_id, session_window(ts)). Spark's
@@ -448,6 +539,10 @@ object Extras extends QueryModule {
     "ev5_json_extract" -> (jsonExtract _),
     "u3_union_distinct" -> (unionDistinct _),
     "sw1_session_window" -> (sessionWindowNative _),
+    "j7_right_join" -> (rightJoin _),
+    "j8_cross_small" -> (crossSmall _),
+    "un1_unpivot" -> (unpivotMetrics _),
+    "c10_int_math" -> (intMath _),
     "ev4_gapfill" -> (gapfill _),
     "j6_full_outer" -> (fullOuter _),
     "e3_posexplode" -> (posExplodeWords _),
@@ -467,6 +562,10 @@ object Extras extends QueryModule {
     "ev5_json_extract" -> jsonExtractSql,
     "u3_union_distinct" -> unionDistinctSql,
     "sw1_session_window" -> sessionWindowNativeSql,
+    "j7_right_join" -> rightJoinSql,
+    "j8_cross_small" -> crossSmallSql,
+    "un1_unpivot" -> unpivotMetricsSql,
+    "c10_int_math" -> intMathSql,
     "ev4_gapfill" -> gapfillSql,
     "j6_full_outer" -> fullOuterSql,
     "e3_posexplode" -> posExplodeWordsSql,
