@@ -464,17 +464,31 @@ object Dedup extends QueryModule {
   private def shingled4(df: DataFrame): DataFrame =
     shingledN(df, n = DecontamN, hashed = true)
 
-  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val bench = shingled4(t(s, dir, "documents").filter(col("doc_id") % 97 === 0))
-      .select(explode(col("shingles")).as("shingle")).distinct()
-    // exclude only the raw benchmark rows — their +1M/+2M corpus copies
-    // STAY, as the guaranteed leak the operator must catch
-    val corp = shingled4(corpus(s, dir)
-      .filter(!(col("doc_id") < 1000000L && col("doc_id") % 97 === 0)))
+  /** The dd8 core, shared batch/streaming: per-document count of
+    * word-4-gram overlaps with a broadcast benchmark-shingle set. The
+    * input contract is (doc_id, text); `benchShingles` is one `shingle`
+    * column. Works unchanged on a streaming docs frame (stream-static
+    * broadcast join + aggregation) — StreamingSpec pins that the
+    * streaming flags equal this batch path's.
+    */
+  private[graft] def contaminationCounts(docs: DataFrame, benchShingles: DataFrame): DataFrame =
+    shingledN(docs, n = DecontamN, hashed = true)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    corp.join(broadcast(bench), Seq("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"))
       // shingles are distinct per doc → plain count = distinct overlaps
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+
+  /** Benchmark-suite shingles: the doc_id % 97 slice of the raw table. */
+  private[graft] def benchmarkShingles(s: SparkSession, dir: String): DataFrame =
+    shingled4(t(s, dir, "documents").filter(col("doc_id") % 97 === 0))
+      .select(explode(col("shingles")).as("shingle")).distinct()
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // exclude only the raw benchmark rows — their +1M/+2M corpus copies
+    // STAY, as the guaranteed leak the operator must catch
+    val corp = corpus(s, dir)
+      .filter(!(col("doc_id") < 1000000L && col("doc_id") % 97 === 0))
+    contaminationCounts(corp, benchmarkShingles(s, dir))
       .orderBy(col("doc_id").asc_nulls_first)
   }
 

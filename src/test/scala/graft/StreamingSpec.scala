@@ -119,6 +119,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static decontamination flags the same docs as the batch pass") {
+    implicit val sq = spark.sqlContext
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    // static side: the benchmark shingle set (broadcast in the plan);
+    // streaming side: corpus documents arriving in micro-batches
+    val bench = graft.queries.Dedup.benchmarkShingles(s, dir)
+    val docs = Tables(s, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStream.startMemorySink(
+      graft.queries.Dedup.contaminationCounts(
+        stream.toDF().toDF("doc_id", "text"), bench),
+      "contam", OutputMode.Complete())
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq) // counts must accumulate across batches
+      q.processAllAvailable()
+      val streamed = spark.table("contam").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.queries.Dedup.contaminationCounts(
+        Tables(s, dir, "documents").select("doc_id", "text"), bench)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("foreachBatch routes a deduped stream through the batch JDBC sink (Derby)") {
     implicit val sq = spark.sqlContext
     // drive with the typed Ev stream; the fixture's value column is
