@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{LongDot, LongSquaredL2, MinHashSigs, SimHash16}
+import org.apache.spark.sql.graft.{LongDot, LongSquaredL2, MinHashSigs, NgramMd5, SimHash16}
 
 /** Column-API and SQL-name surfaces for the codegen vector kernels
   * (org.apache.spark.sql.graft.VectorKernels).
@@ -22,11 +22,15 @@ object VectorFunctions {
   def minhashSigs(shingles: Column, k: Int): Column =
     GraftShims.column(MinHashSigs(GraftShims.expression(shingles), k))
 
+  def ngramMd5(words: Column, n: Int): Column =
+    GraftShims.column(NgramMd5(GraftShims.expression(words), n))
+
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> (es => LongDot(es(0), es(1))),
     "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))),
     "simhash16" -> (es => SimHash16(es(0))),
-    "minhash_sigs" -> (es => MinHashSigs(es(0), foldableK(es(1)))))
+    "minhash_sigs" -> (es => MinHashSigs(es(0), foldableK(es(1)))),
+    "ngram_md5" -> (es => NgramMd5(es(0), foldableK(es(1)))))
 
   /** The SQL surface needs k at plan-construction time (it sizes the
     * signature array): accept any integer literal, reject the rest with
@@ -35,7 +39,7 @@ object VectorFunctions {
   private def foldableK(e: Expression): Int = e match {
     case Literal(v: java.lang.Number, _) if v != null => v.intValue()
     case other => throw new IllegalArgumentException(
-      s"minhash_sigs(shingles, k): k must be an integer literal, got $other")
+      s"the k/n argument must be an integer literal (it sizes the kernel at plan time), got $other")
   }
 
   private[functions] def foldableKPublic(e: Expression): Int = foldableK(e)
@@ -70,5 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (es: Seq[Expression]) => MinHashSigs(es(0), VectorFunctions.foldableKPublic(es(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_md5"),
+      new ExpressionInfo(classOf[NgramMd5].getName, "ngram_md5"),
+      (es: Seq[Expression]) => NgramMd5(es(0), VectorFunctions.foldableKPublic(es(1)))))
   }
 }

@@ -97,16 +97,20 @@ object Dedup extends QueryModule {
 
   /** One shingle pipeline for every n-gram consumer (dd2/dd6 raw
     * trigrams, dd8 hashed 4-grams): tokenization and windowing changes
-    * apply to all of them or none — no drift channel.
+    * apply to all of them or none — no drift channel. The hashed path
+    * runs the one-pass codegen NgramMd5 kernel (per-gram md5 IS the
+    * corpus inner loop there); the interpreted HOF spelling it equals
+    * is the equivalence reference in VectorExprsSpec.
     */
   private[queries] def shingledN(c: DataFrame, n: Int, hashed: Boolean): DataFrame = {
     val gram = (i: Column) => array_join(slice(col("words"), i, lit(n)), " ")
+    val shingles =
+      if (hashed) VectorFunctions.ngramMd5(col("words"), n)
+      else array_distinct(
+        transform(sequence(lit(1), size(col("words")) - (n - 1)), i => gram(i)))
     c.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= n)
-      .withColumn("shingles", array_distinct(
-        transform(
-          sequence(lit(1), size(col("words")) - (n - 1)),
-          i => if (hashed) md5(gram(i)) else gram(i))))
+      .withColumn("shingles", shingles)
       .select("doc_id", "shingles")
   }
 

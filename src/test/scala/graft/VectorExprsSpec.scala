@@ -95,6 +95,27 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(empty(0).getSeq[String](0) == Seq(null, null, null))
   }
 
+  test("ngram_md5 equals the distinct-transform-md5 HOF spelling it replaced") {
+    val n = 4
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= n)
+    val hof = array_distinct(transform(
+      sequence(lit(1), size($"w") - (n - 1)),
+      i => md5(array_join(slice($"w", i, lit(n)), " "))))
+    val out = docs.select(
+      VectorFunctions.ngramMd5($"w", n).as("kernel"), hof.as("hof")).collect()
+    assert(out.nonEmpty)
+    // array_distinct keeps first occurrence — the kernel must match
+    // element-for-element, not just as a set
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // under-length input → empty set (callers filter, but the contract
+    // must not depend on that; the HOF's sequence(1,0) would step BACKWARD)
+    val short = Seq(Tuple1(Seq("a", "b"))).toDF("w")
+      .select(VectorFunctions.ngramMd5($"w", 4)).collect()
+    assert(short(0).getSeq[String](0).isEmpty)
+  }
+
   test("kernels participate in whole-stage codegen (no fallback)") {
     // needs a file-backed scan: a local Seq collapses to an eagerly
     // evaluated LocalTableScan with no codegen stage to observe
