@@ -29,20 +29,20 @@ object VectorFunctions {
     "long_dot" -> (es => LongDot(es(0), es(1))),
     "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))),
     "simhash16" -> (es => SimHash16(es(0))),
-    "minhash_sigs" -> (es => MinHashSigs(es(0), foldableK(es(1)))),
-    "ngram_md5" -> (es => NgramMd5(es(0), foldableK(es(1)))))
+    "minhash_sigs" -> (es => MinHashSigs(es(0), foldableK(es(1), "minhash_sigs"))),
+    "ngram_md5" -> (es => NgramMd5(es(0), foldableK(es(1), "ngram_md5"))))
 
-  /** The SQL surface needs k at plan-construction time (it sizes the
-    * signature array): accept any integer literal, reject the rest with
-    * a targeted error instead of a ClassCastException.
+  /** The SQL surface needs k/n at plan-construction time (it sizes the
+    * kernel): accept any integer literal, reject the rest with an error
+    * naming the offending function instead of a ClassCastException.
     */
-  private def foldableK(e: Expression): Int = e match {
+  private def foldableK(e: Expression, fn: String): Int = e match {
     case Literal(v: java.lang.Number, _) if v != null => v.intValue()
     case other => throw new IllegalArgumentException(
-      s"the k/n argument must be an integer literal (it sizes the kernel at plan time), got $other")
+      s"$fn: the k/n argument must be an integer literal (it sizes the kernel at plan time), got $other")
   }
 
-  private[functions] def foldableKPublic(e: Expression): Int = foldableK(e)
+  private[functions] def foldableKPublic(e: Expression, fn: String): Int = foldableK(e, fn)
 
   /** Runtime registration (for sessions we did not build, e.g. the
     * driver's): makes the kernels callable from SQL text.
@@ -73,10 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      (es: Seq[Expression]) => MinHashSigs(es(0), VectorFunctions.foldableKPublic(es(1)))))
+      (es: Seq[Expression]) => MinHashSigs(es(0),
+        VectorFunctions.foldableKPublic(es(1), "minhash_sigs"))))
     ext.injectFunction((
       FunctionIdentifier("ngram_md5"),
       new ExpressionInfo(classOf[NgramMd5].getName, "ngram_md5"),
-      (es: Seq[Expression]) => NgramMd5(es(0), VectorFunctions.foldableKPublic(es(1)))))
+      (es: Seq[Expression]) => NgramMd5(es(0),
+        VectorFunctions.foldableKPublic(es(1), "ngram_md5"))))
   }
 }

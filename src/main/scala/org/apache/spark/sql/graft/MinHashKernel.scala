@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd K-function MinHash signature over a shingle set.
   *
@@ -43,13 +42,6 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression with E
 }
 
 object MinHashSigs {
-  private val digester = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  private val hex = "0123456789abcdef".toCharArray
-
   // the seed prefixes depend only on k — computed once per k, not per row
   private val seedCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]
@@ -58,17 +50,6 @@ object MinHashSigs {
     seedCache.computeIfAbsent(k, { n =>
       Array.tabulate(n)(s => (s.toString + ":").getBytes("UTF-8"))
     })
-
-  private def toHex(d: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](d.length * 2)
-    var i = 0
-    while (i < d.length) {
-      out(2 * i) = hex((d(i) >> 4) & 0xf).toByte
-      out(2 * i + 1) = hex(d(i) & 0xf).toByte
-      i += 1
-    }
-    UTF8String.fromBytes(out)
-  }
 
   /** a < b as unsigned lexicographic byte compare (same-length MD5s). */
   private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -83,7 +64,7 @@ object MinHashSigs {
 
   /** Called from both interpreted eval and generated code. */
   def compute(shingles: ArrayData, k: Int): ArrayData = {
-    val md = digester.get()
+    val md = Md5Util.md5()
     val mins = new Array[Array[Byte]](k)
     val seeds = seedsFor(k)
     val n = shingles.numElements()
@@ -107,7 +88,7 @@ object MinHashSigs {
     }
     val out = new Array[AnyRef](k)
     var j = 0
-    while (j < k) { out(j) = if (mins(j) == null) null else toHex(mins(j)); j += 1 }
+    while (j < k) { out(j) = if (mins(j) == null) null else Md5Util.toHex(mins(j)); j += 1 }
     new GenericArrayData(out)
   }
 }

@@ -15,12 +15,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Per gram the digest input is the UTF-8 bytes of the words joined by a
   * single space, fed to MD5 incrementally (no concatenated string is
-  * materialized). Dedup preserves first-occurrence order on the hex
-  * encoding, matching Spark's `array_distinct`; element count below n
-  * yields an empty array (callers filter those rows anyway, as the HOF
-  * spelling must too — Spark's `sequence(1, 0)` would otherwise step
-  * BACKWARD). Null words cannot occur in `split()` output; a null array
-  * returns null via the null-safe wrapper.
+  * materialized). Null elements are SKIPPED along with their delimiter —
+  * exactly `array_join`'s contract — so the kernel stays hash-identical
+  * to the HOF spelling even for callers other than `split()` (the
+  * function is SQL-registered; inputs with nulls are reachable). Dedup
+  * preserves first-occurrence order on the hex encoding, matching
+  * Spark's `array_distinct`; element count below n yields an empty
+  * array (callers filter those rows anyway, as the HOF spelling must
+  * too — Spark's `sequence(1, 0)` would otherwise step BACKWARD). A
+  * null array returns null via the null-safe wrapper.
   */
 case class NgramMd5(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes {
   require(n > 0, "n-gram width must be positive")
@@ -41,48 +44,38 @@ case class NgramMd5(child: Expression, n: Int) extends UnaryExpression with Expe
 }
 
 object NgramMd5 {
-  private val digester = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   private val Space = Array(' '.toByte)
-  private val hex = "0123456789abcdef".toCharArray
-
-  private def toHex(d: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](d.length * 2)
-    var i = 0
-    while (i < d.length) {
-      out(2 * i) = hex((d(i) >> 4) & 0xf).toByte
-      out(2 * i + 1) = hex(d(i) & 0xf).toByte
-      i += 1
-    }
-    UTF8String.fromBytes(out)
-  }
 
   /** Called from both interpreted eval and generated code. */
   def compute(words: ArrayData, n: Int): ArrayData = {
     val len = words.numElements()
     if (len < n) return new GenericArrayData(new Array[AnyRef](0))
-    val md = digester.get()
+    val md = Md5Util.md5()
     // UTF8String hashes by content — first-occurrence order preserved
     val seen = new java.util.LinkedHashSet[UTF8String]()
+    // null stays null: array_join drops null elements AND their
+    // delimiter, which "" would not reproduce ("" is a legal word)
     val bytes = new Array[Array[Byte]](len)
     var i = 0
     while (i < len) {
-      bytes(i) = if (words.isNullAt(i)) Array.emptyByteArray else words.getUTF8String(i).getBytes
+      bytes(i) = if (words.isNullAt(i)) null else words.getUTF8String(i).getBytes
       i += 1
     }
     var start = 0
     while (start <= len - n) {
       md.reset()
       var j = 0
+      var emitted = false
       while (j < n) {
-        if (j > 0) md.update(Space)
-        md.update(bytes(start + j))
+        val b = bytes(start + j)
+        if (b != null) {
+          if (emitted) md.update(Space)
+          md.update(b)
+          emitted = true
+        }
         j += 1
       }
-      seen.add(toHex(md.digest()))
+      seen.add(Md5Util.toHex(md.digest()))
       start += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])

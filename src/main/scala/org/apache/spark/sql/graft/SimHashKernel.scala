@@ -35,7 +35,7 @@ case class SimHash16(child: Expression) extends UnaryExpression with ExpectsInpu
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val md = SimHash16.digester.get()
+    val md = Md5Util.md5()
     val cnt = new Array[Int](16)
     var w = 0
     val n = arr.numElements()
@@ -96,11 +96,4 @@ case class SimHash16(child: Expression) extends UnaryExpression with ExpectsInpu
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 = copy(newChild)
-}
-
-object SimHash16 {
-  private[graft] val digester = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 }

@@ -114,6 +114,15 @@ class VectorExprsSpec extends AnyFunSuite {
     val short = Seq(Tuple1(Seq("a", "b"))).toDF("w")
       .select(VectorFunctions.ngramMd5($"w", 4)).collect()
     assert(short(0).getSeq[String](0).isEmpty)
+    // null elements are skipped WITH their delimiter, like array_join:
+    // the function is SQL-registered, so non-split() inputs are reachable
+    val withNull = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("w")
+      .select(
+        VectorFunctions.ngramMd5($"w", 2).as("kernel"),
+        array_distinct(transform(sequence(lit(1), size($"w") - 1),
+          i => md5(array_join(slice($"w", i, lit(2)), " ")))).as("hof"))
+      .collect()
+    assert(withNull(0).getSeq[String](0) == withNull(0).getSeq[String](1))
   }
 
   test("kernels participate in whole-stage codegen (no fallback)") {
