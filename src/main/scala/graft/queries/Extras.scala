@@ -535,7 +535,122 @@ object Extras extends QueryModule {
       |SELECT c_nationkey FROM customer WHERE c_acctbal > 0
       |ORDER BY c_nationkey NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev6
+  /** Ordered funnel: per user, the earliest view → click (within 6 h of
+    * the first view) → purchase (within 12 h of that click), with the
+    * furthest stage reached. The strictly-ordered "min after previous
+    * step, within window" chain is what a window-function funnel gets
+    * wrong (a flat min(click) can precede the first view).
+    *
+    * Plan: three filtered aggregates on user_id + two left joins — all
+    * on the same key, so after the first shuffle the joins co-partition
+    * (one exchange at scale, not five). The per-stage frames shrink
+    * monotonically (131→19→5 users at sf0.01).
+    */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    def stageMin(typ: String) = ev.filter(col("event_type") === typ)
+    val v = stageMin("view").groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = stageMin("click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 6 HOURS"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = stageMin("purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 12 HOURS"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        when(col("t3").isNotNull, lit(3L))
+          .when(col("t2").isNotNull, lit(2L))
+          .otherwise(lit(1L)).as("stage"))
+      .orderBy(col("user_id").asc_nulls_first)
+  }
+
+  private val funnelSql =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1
+      |        AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |        AND e.ts <= c.t2 + INTERVAL 12 HOUR GROUP BY e.user_id)
+      |SELECT v.user_id, v.t1, c.t2, p.t3,
+      |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+      |            WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON c.user_id = p.user_id
+      |ORDER BY v.user_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- dq1
+  /** Single-pass column profile (the data-quality census every ingest
+    * runs): row count, non-null count, distinct count, min/max per
+    * audited column, emitted long-format (one row per column) so the
+    * profile is schema-stable as audited columns are added. ONE
+    * aggregate over the table computes every measure (Spark plans the
+    * multi-distinct via one expand), then three projections of the
+    * single-row frame union — the table is scanned once, the union
+    * costs nothing. min/max are surfaced as strings so numeric and
+    * text columns share the schema.
+    */
+  private def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables(s, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_custkey")).as("nn_cust"),
+      countDistinct(col("o_custkey")).as("nd_cust"),
+      min(col("o_custkey")).cast(StringType).as("min_cust"),
+      max(col("o_custkey")).cast(StringType).as("max_cust"),
+      count(col("o_orderstatus")).as("nn_status"),
+      countDistinct(col("o_orderstatus")).as("nd_status"),
+      min(col("o_orderstatus")).cast(StringType).as("min_status"),
+      max(col("o_orderstatus")).cast(StringType).as("max_status"),
+      count(col("o_orderpriority")).as("nn_prio"),
+      countDistinct(col("o_orderpriority")).as("nd_prio"),
+      min(col("o_orderpriority")).cast(StringType).as("min_prio"),
+      max(col("o_orderpriority")).cast(StringType).as("max_prio"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def row(name: String, suffix: String) = stats.select(
+      lit(name).as("col_name"), col("n_rows"),
+      col(s"nn_$suffix").as("n_notnull"),
+      col(s"nd_$suffix").as("n_distinct"),
+      col(s"min_$suffix").as("min_s"),
+      col(s"max_$suffix").as("max_s"))
+    row("o_custkey", "cust")
+      .unionAll(row("o_orderstatus", "status"))
+      .unionAll(row("o_orderpriority", "prio"))
+      .orderBy(col("col_name").asc_nulls_first)
+  }
+
+  private val columnProfileSql =
+    """WITH s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(o_custkey) AS BIGINT) AS nn_cust,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+      |    CAST(min(o_custkey) AS VARCHAR) AS min_cust,
+      |    CAST(max(o_custkey) AS VARCHAR) AS max_cust,
+      |    CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_status,
+      |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+      |    CAST(min(o_orderstatus) AS VARCHAR) AS min_status,
+      |    CAST(max(o_orderstatus) AS VARCHAR) AS max_status,
+      |    CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_prio,
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+      |    CAST(min(o_orderpriority) AS VARCHAR) AS min_prio,
+      |    CAST(max(o_orderpriority) AS VARCHAR) AS max_prio
+      |  FROM orders)
+      |SELECT 'o_custkey' AS col_name, n_rows, nn_cust AS n_notnull,
+      |  nd_cust AS n_distinct, min_cust AS min_s, max_cust AS max_s FROM s
+      |UNION ALL
+      |SELECT 'o_orderstatus', n_rows, nn_status, nd_status, min_status, max_status FROM s
+      |UNION ALL
+      |SELECT 'o_orderpriority', n_rows, nn_prio, nd_prio, min_prio, max_prio FROM s
+      |ORDER BY col_name NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev6_funnel" -> (funnel _),
+    "dq1_column_profile" -> (columnProfile _),
     "ev5_json_extract" -> (jsonExtract _),
     "u3_union_distinct" -> (unionDistinct _),
     "sw1_session_window" -> (sessionWindowNative _),

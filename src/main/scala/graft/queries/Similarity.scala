@@ -430,7 +430,60 @@ object Similarity extends QueryModule {
       |FROM ex GROUP BY 1, 2
       |ORDER BY label NULLS FIRST, dim NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- emb2
+  /** Int8-range embedding quantization — the storage/bandwidth lever a
+    * 100 TB vector corpus pulls first (4 bytes/dim → 1). Per-vector
+    * affine quantization: q = floor((x − min)·255/(max − min)) per
+    * element, plus the scale parameters needed to dequantize. Entirely
+    * map-side (array_min/array_max/transform per row, no shuffle until
+    * the gate sort); the compared columns are the quantized extremes,
+    * an md5 of the quantized vector, and its element sum — which pin
+    * every element's value without emitting 64 columns.
+    *
+    * Each element's math is one identical cast-sub-mul-div-floor chain
+    * in both engines (exact float→double widening, IEEE double ops), so
+    * the BIGINT outputs are bit-stable. Constant vectors (max = min)
+    * would divide by zero → null elements; the fixture has none, and a
+    * real pipeline routes them to a degenerate-vector sink first.
+    */
+  private def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val lo = array_min(col("embedding")).cast(DoubleType)
+    val hi = array_max(col("embedding")).cast(DoubleType)
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        floor(lo * 10000).cast(LongType).as("lo_q"),
+        floor(hi * 10000).cast(LongType).as("hi_q"),
+        transform(col("embedding"),
+          x => floor((x.cast(DoubleType) - lo) * 255.0 / (hi - lo)).cast(LongType)
+        ).as("qv"))
+      .select(
+        col("vec_id"), col("lo_q"), col("hi_q"),
+        md5(concat_ws(",", col("qv"))).as("q_hash"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"))
+      .orderBy(col("vec_id").asc_nulls_first)
+  }
+
+  private val quantizeInt8Sql =
+    """WITH mm AS (
+      |  SELECT vec_id, embedding AS e,
+      |    CAST(list_min(embedding) AS DOUBLE) AS lo,
+      |    CAST(list_max(embedding) AS DOUBLE) AS hi
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    CAST(floor(lo * 10000) AS BIGINT) AS lo_q,
+      |    CAST(floor(hi * 10000) AS BIGINT) AS hi_q,
+      |    list_transform(e, x ->
+      |      CAST(floor((CAST(x AS DOUBLE) - lo) * 255.0 / (hi - lo)) AS BIGINT)) AS qv
+      |  FROM mm)
+      |SELECT vec_id, lo_q, hi_q,
+      |  md5(array_to_string(qv, ',')) AS q_hash,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum
+      |FROM q ORDER BY vec_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb2_quantize" -> (quantizeInt8 _),
     "ann1_topk_exact" -> (bruteTopK _),
     "ann2_topk_ivf" -> (ivfTopK _),
     "ann3_topk_cosine" -> (cosineTopK _),
@@ -439,6 +492,7 @@ object Similarity extends QueryModule {
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
+    "emb2_quantize" -> quantizeInt8Sql,
     "ann1_topk_exact" -> bruteTopKSql,
     "ann2_topk_ivf" -> ivfTopKSql,
     "ann3_topk_cosine" -> cosineTopKSql,

@@ -420,7 +420,85 @@ object Stats extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- w3
+  // Time-interval RANGE frame: per-user rolling 7-day event sums —
+  // the sliding-window census w1's ROWS frames can't express (ROWS
+  // counts rows, RANGE bounds the ORDER-BY value). Ordering on integer
+  // epoch seconds keeps the frame bound exact and engine-agnostic
+  // (interval literals against TIMESTAMP would re-open timezone/DST
+  // spelling differences). Spark's unix_timestamp() FLOORS to the
+  // second; the oracle must spell the same floor as integer microsecond
+  // division — DuckDB's epoch() yields fractional seconds and CAST
+  // rounds, skewing frame edges by 1 s. One shuffle on user_id; each
+  // maintains the frame with two moving pointers — no per-row rescan.
+  // RANGE includes all ORDER-BY ties in the frame on both engines.
+  private val RollSeconds = 7L * 86400
+
+  private def rollingRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-RollSeconds, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("value_c", round(col("value") * 100).cast(LongType))
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value_c")).over(w).as("roll_value_c"),
+        count(lit(1)).over(w).as("roll_n"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val rollingRangeSql =
+    s"""SELECT event_id, user_id,
+       |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS roll_value_c,
+       |  CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+       |FROM (SELECT *, epoch_us(ts) // 1000000 AS es FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY es
+       |             RANGE BETWEEN $RollSeconds PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- h1
+  // Fixed-width histogram over order totals — the distribution census a
+  // data-quality dashboard runs per ingest. Buckets from pure integer /
+  // exact-double math (cents → floor-divide by the bucket width, capped
+  // at the last bucket) rather than width_bucket(), whose edge rounding
+  // is engine-private. Map-side bucket assignment, then a ~NBuckets-row
+  // aggregate: at 100 TB the exchange carries one row per bucket per
+  // task. (floor(double/double) over exact integers is bit-stable.)
+  private val HistBuckets = 20L
+  private val HistWidthUnits = 30000L // bucket width in 100-unit cents
+
+  private def histogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(LongType)
+    t(s, dir, "orders")
+      .select(least(
+        lit(HistBuckets - 1),
+        floor(cents.cast(DoubleType) / lit(HistWidthUnits * 100.0)).cast(LongType)
+      ).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bucket"),
+        (col("bucket") * HistWidthUnits).as("lo_units"),
+        ((col("bucket") + 1) * HistWidthUnits).as("hi_units"),
+        col("n"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
+  private val histogramSql =
+    s"""WITH b AS (
+       |  SELECT LEAST($HistBuckets - 1,
+       |    CAST(floor(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+       |         / ${HistWidthUnits * 100}.0) AS BIGINT)) AS bucket
+       |  FROM orders)
+       |SELECT bucket, bucket * $HistWidthUnits AS lo_units,
+       |  (bucket + 1) * $HistWidthUnits AS hi_units,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM b GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w3_rolling_range" -> (rollingRange _),
+    "h1_histogram" -> (histogram _),
     "q11_exists_late" -> (latePriorityCount _),
     "w2_window_nav" -> (windowExtras _),
     "q09_cube" -> (cubeAgg _),
@@ -435,6 +513,8 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "w3_rolling_range" -> rollingRangeSql,
+    "h1_histogram" -> histogramSql,
     "q11_exists_late" -> latePriorityCountSql,
     "w2_window_nav" -> windowExtrasSql,
     "q09_cube" -> cubeAggSql,

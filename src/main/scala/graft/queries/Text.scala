@@ -370,7 +370,68 @@ object Text extends QueryModule {
        |FROM c GROUP BY 1, 2
        |ORDER BY bucket NULLS FIRST, bin_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- tx10
+  /** TF-IDF keyword extraction: the top-3 most distinctive terms per
+    * document. tf comes from one explode+aggregate pass; df is a second
+    * aggregate OVER THE tf FRAME (one row per (doc, term) already — no
+    * second corpus scan), vocabulary-sized, so the tf⋈df join broadcasts.
+    * The per-doc rank window partitions on doc_id with bounded group
+    * size (a document's distinct terms), which scales with documents,
+    * not corpus bytes.
+    *
+    * Scoring: floor(1e6·tf/df) — a monotone integer surrogate for
+    * tf·idf that both engines compute bit-identically (one cast-mul-div
+    * chain on exact integers). log-idf orders terms identically for
+    * fixed tf (log is monotone); the classic tf·log(N/df) formula is a
+    * one-line swap but libm log is not cross-engine bit-stable, so the
+    * gate pins the rational form. Ties (same score) break on the term.
+    */
+  private val TfIdfTopK = 3
+
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      // tf feeds the df aggregate AND the join probe: one computed frame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_ppm").desc_nulls_first, col("term").asc_nulls_first)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score_ppm",
+        floor(col("tf").cast(DoubleType) * 1000000.0 / col("df").cast(DoubleType))
+          .cast(LongType))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= TfIdfTopK)
+      .select("doc_id", "rnk", "term", "tf", "df", "score_ppm")
+      .orderBy(col("doc_id").asc_nulls_first, col("rnk").asc_nulls_first)
+  }
+
+  private val tfidfSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+       |        FROM documents)
+       |  WHERE term != '' GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(floor(CAST(tf.tf AS DOUBLE) * 1000000.0 / CAST(df.df AS DOUBLE))
+       |         AS BIGINT) AS score_ppm
+       |  FROM tf JOIN df USING (term)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score_ppm DESC NULLS FIRST, term NULLS FIRST) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score_ppm
+       |FROM ranked WHERE rnk <= $TfIdfTopK
+       |ORDER BY doc_id NULLS FIRST, rnk NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx10_tfidf" -> (tfidf _),
     "tx9_pack" -> (pack _),
     "tx8_chunking" -> (chunk _),
     "tx7_census_hll" -> (langStatsApprox _),
@@ -382,6 +443,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx10_tfidf" -> tfidfSql,
     "tx9_pack" -> packSql,
     "tx8_chunking" -> chunkSql,
     "tx6_top_bigrams" -> topBigramsSql,

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-5 linkage / maintenance / census
+  * additions (fz1, cdc1, w3, h1, tx10, emb2). The DuckDB gate pins
+  * bit-equality; these tests pin the *claims the operators make* — the
+  * properties a user relies on that a hash can't name.
+  */
+class LinkageSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("fz1: pairs are canonical, within-block, and within distance") {
+    val rows = SparkEntry.queries("fz1_fuzzy_join")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a < b, s"pair not canonical: $a / $b") // each pair once, no self-pairs
+      assert(a.split(' ').last == b.split(' ').last, s"cross-block pair: $a / $b")
+      val d = r.getAs[Long]("dist")
+      assert(d >= 1 && d <= 2, s"distance $d out of band for distinct names $a / $b")
+    }
+  }
+
+  test("fz1: linkage is over distinct names — row multiplicity lives in rows_a/rows_b") {
+    val parts = SparkEntry.configure(spark).read.parquet(s"$dir/part.parquet")
+    val byName = parts.groupBy("p_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("fz1_fuzzy_join")(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("rows_a") == byName(r.getAs[String]("name_a")))
+      assert(r.getAs[Long]("rows_b") == byName(r.getAs[String]("name_b")))
+    }
+  }
+
+  test("cdc1: merge applies exactly the MERGE outcome per key class") {
+    val out = SparkEntry.queries("cdc1_merge_upsert")(spark, dir).collect()
+    val kinds = out.groupBy(_.getAs[String]("change_kind")).view.mapValues(_.length).toMap
+    assert(kinds.keySet == Set("kept", "updated", "inserted"))
+    out.foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      r.getAs[String]("change_kind") match {
+        case "kept" => // untouched snapshot row: not a change key
+          assert(k % 3 != 0 && k % 7 != 0)
+        case "updated" => // in snapshot AND upserted
+          assert(k % 3 == 0 && k % 15 != 0 && k % 7 != 0)
+          assert(r.getAs[String]("o_orderstatus") == "X")
+        case "inserted" => // upsert for a key absent from the snapshot
+          assert(k % 3 == 0 && k % 15 != 0 && k % 7 == 0)
+          assert(r.getAs[String]("o_orderstatus") == "X")
+      }
+      assert(k % 3 != 0 || k % 15 != 0, s"deleted key $k survived the merge")
+    }
+  }
+
+  test("w3: rolling frame equals a brute-force range self-count on a slice") {
+    val out = SparkEntry.queries("w3_rolling_range")(spark, dir)
+      .limit(0) // plan-only guard below; values checked on the slice
+    assert(out.columns.toSeq ==
+      Seq("event_id", "user_id", "roll_value_c", "roll_n"))
+    val ev = Tables(SparkEntry.configure(spark), dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val users = ev.select("user_id").distinct().limit(3)
+    val slice = ev.join(users, Seq("user_id")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("es"), r.getAs[Long]("vc")))
+    val got = SparkEntry.queries("w3_rolling_range")(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("roll_value_c"), r.getAs[Long]("roll_n"))).toMap
+    slice.foreach { case (id, u, es, _) =>
+      val frame = slice.filter { case (_, u2, es2, _) =>
+        u2 == u && es2 >= es - 7L * 86400 && es2 <= es
+      }
+      assert(got(id) == (frame.map(_._4).sum, frame.length.toLong),
+        s"event $id: window result ${got(id)} != brute force")
+    }
+  }
+
+  test("tx10: ranks are 1..3 per doc, scores descend, surrogate matches tf/df") {
+    val out = SparkEntry.queries("tx10_tfidf")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to byRank.length).toSeq)
+      assert(byRank.length <= 3)
+      val scores = byRank.map(_.getAs[Long]("score_ppm")).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $doc scores not descending")
+      val terms = rs.map(_.getAs[String]("term"))
+      assert(terms.distinct.length == terms.length, s"doc $doc repeated a term")
+    }
+    out.foreach { r =>
+      val expected = math.floor(r.getAs[Long]("tf").toDouble * 1e6 /
+        r.getAs[Long]("df").toDouble).toLong
+      assert(r.getAs[Long]("score_ppm") == expected)
+    }
+  }
+
+  test("h1: buckets partition the table — counts sum to row count, edges align") {
+    val out = SparkEntry.queries("h1_histogram")(spark, dir).collect()
+    val orders = SparkEntry.configure(spark).read.parquet(s"$dir/orders.parquet")
+    assert(out.map(_.getAs[Long]("n")).sum == orders.count())
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 19)
+      assert(r.getAs[Long]("lo_units") == b * 30000)
+      assert(r.getAs[Long]("hi_units") == (b + 1) * 30000)
+      assert(r.getAs[Long]("n") > 0) // empty buckets are absent, not zero
+    }
+  }
+
+  test("tri1: census satisfies the combinatorial identities of the co-purchase graph") {
+    val r = SparkEntry.queries("tri1_triangle_census")(spark, dir).collect().head
+    val (e, w, t) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"))
+    assert(e > 0 && w > 0 && t > 0)
+    assert(t <= w, "every triangle closes an oriented wedge")
+    assert(r.getAs[Long]("closure_ppm") == math.floor(t.toDouble * 1e6 / w.toDouble).toLong)
+    // brute-force recount on the raw table (sf0.01 is small enough)
+    val op = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length) yield (parts(i), parts(j))
+    }.toSet
+    assert(e == edges.size)
+    val byU = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tri = edges.iterator.map { case (a, b) =>
+      byU.getOrElse(b, Set.empty).count(c => edges.contains((a, c))).toLong
+    }.sum
+    assert(t == tri, s"triangle count $t != brute force $tri")
+  }
+
+  test("ev6: stages are monotone and each step lands inside its conversion window") {
+    val out = SparkEntry.queries("ev6_funnel")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val stages = out.groupBy(_.getAs[Long]("stage")).view.mapValues(_.length).toMap
+    assert(stages.keySet == Set(1L, 2L, 3L), s"funnel collapsed: $stages")
+    // exact microseconds — Timestamp.getTime truncates to millis and a
+    // strict `>` on same-millisecond events would flake
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    out.foreach { r =>
+      val (t1, t2, t3) = (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))
+      assert(t1 != null)
+      if (t3 != null) assert(t2 != null, "stage-3 user missing its click")
+      if (t2 != null) assert(us(t2) > us(t1) && us(t2) <= us(t1) + 6L * 3600 * 1000000)
+      if (t3 != null) assert(us(t3) > us(t2) && us(t3) <= us(t2) + 12L * 3600 * 1000000)
+    }
+  }
+
+  test("dq1: profile rows agree with directly-computed per-column statistics") {
+    val out = SparkEntry.queries("dq1_column_profile")(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.keySet == Set("o_custkey", "o_orderstatus", "o_orderpriority"))
+    val orders = SparkEntry.configure(spark).read.parquet(s"$dir/orders.parquet")
+    val n = orders.count()
+    out.foreach { case (cn, r) =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_notnull") ==
+        orders.filter(col(cn).isNotNull).count())
+      assert(r.getAs[Long]("n_distinct") ==
+        orders.select(cn).na.drop().distinct().count())
+    }
+  }
+
+  test("emb2: quantized elements span [0, 255] and q_sum reproduces from raw vectors") {
+    val out = SparkEntry.queries("emb2_quantize")(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("lo_q"), r.getAs[Long]("hi_q"), r.getAs[Long]("q_sum"))).toMap
+    val raw = SparkEntry.configure(spark).read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    assert(out.keySet == raw.keySet)
+    raw.foreach { case (id, e) =>
+      val lo = e.min.toDouble; val hi = e.max.toDouble
+      val q = e.map(x => math.floor((x.toDouble - lo) * 255.0 / (hi - lo)).toLong)
+      assert(q.forall(v => v >= 0 && v <= 255), s"vec $id out of int8 range")
+      val (loQ, hiQ, qSum) = out(id)
+      assert(loQ == math.floor(lo * 10000).toLong && hiQ == math.floor(hi * 10000).toLong)
+      assert(qSum == q.sum, s"vec $id q_sum mismatch")
+    }
+  }
+}
