@@ -674,6 +674,8 @@ object Extras extends QueryModule {
     "ev2_props_extract" -> (eventProps _))
 
   override val oracle: Map[String, String] = Map(
+    "ev6_funnel" -> funnelSql,
+    "dq1_column_profile" -> columnProfileSql,
     "ev5_json_extract" -> jsonExtractSql,
     "u3_union_distinct" -> unionDistinctSql,
     "sw1_session_window" -> sessionWindowNativeSql,
