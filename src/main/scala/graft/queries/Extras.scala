@@ -567,14 +567,22 @@ object Extras extends QueryModule {
       .orderBy(col("user_id").asc_nulls_first)
   }
 
+  /** The oracle truncates ts to MICROSECONDS up front (make_timestamp of
+    * epoch_us): events.parquet stores TIMESTAMP(NANOS) and DuckDB reads
+    * it at full precision, while Tables.events floors to micros — the
+    * window predicates (`>`, `<= t1 + 6h`) must compare the same values
+    * or a boundary event inside the truncated microsecond diverges.
+    */
   private val funnelSql =
-    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+    """WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_us(ts)) AS ts)
+      |            FROM events),
+      |v AS (SELECT user_id, min(ts) AS t1 FROM ev
       |           WHERE event_type = 'view' GROUP BY user_id),
-      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
       |      JOIN v ON e.user_id = v.user_id
       |      WHERE e.event_type = 'click' AND e.ts > v.t1
       |        AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY e.user_id),
-      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
       |      JOIN c ON e.user_id = c.user_id
       |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
       |        AND e.ts <= c.t2 + INTERVAL 12 HOUR GROUP BY e.user_id)

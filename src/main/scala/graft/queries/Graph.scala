@@ -35,13 +35,20 @@ object Graph extends QueryModule {
     *  - `edges` feeds four consumers (count, degrees, wedge ends, the
     *    closing probe) → persisted once.
     */
-  private def triangleCensus(s: SparkSession, dir: String): DataFrame = {
+  /** Oriented (u < v) distinct co-purchase edges, persisted: both graph
+    * entries fan out over this frame several times.
+    */
+  private def orientedEdges(s: SparkSession, dir: String): DataFrame = {
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-    val edges = op.join(op.select(col("k"), col("p").as("p2")), Seq("k"))
+    op.join(op.select(col("k"), col("p").as("p2")), Seq("k"))
       .filter(col("p") < col("p2"))
       .select(col("p").as("u"), col("p2").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def triangleCensus(s: SparkSession, dir: String): DataFrame = {
+    val edges = orientedEdges(s, dir)
 
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val wedges = edges.select(col("v").as("node"), lit(1L).as("ins"), lit(0L).as("outs"))
@@ -89,9 +96,80 @@ object Graph extends QueryModule {
       |     CAST((SELECT SUM(d_in * d_out) FROM deg) AS DOUBLE)) AS BIGINT)
       |   FROM tri) AS closure_ppm""".stripMargin
 
+  // ---------------------------------------------------------------- pr1
+  /** PageRank over the undirected co-purchase graph, THREE unrolled
+    * power iterations in pure integer arithmetic — the same
+    * oracle-an-iterative-fixpoint technique as the trained IVF codebook
+    * (Similarity.trainCentroids): keep all state integer (mass in ppm
+    * units, damping 0.85 as ·85//100, per-edge contribution mass//deg)
+    * and both engines land on the identical fixpoint, which a recursive
+    * float PageRank never would. Rounding drops sub-unit mass (no
+    * redistribution) — deterministic, and irrelevant at ppm resolution.
+    *
+    * Scale posture: each sweep is contribution-join (shuffle on src) +
+    * sum (shuffle on dst) over the directed edge frame — the standard
+    * Pregel-style plan; the edge frame and per-sweep masses are the only
+    * state. Three sweeps keep the lineage linear (no checkpoint needed;
+    * the >10-sweep variant would localCheckpoint per sweep, the
+    * ConnectedComponents lesson). Top-20 by final mass bounds output.
+    */
+  private val PrIters = 3
+  private val PrTopK = 20
+
+  private def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val und = orientedEdges(s, dir)
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var masses = deg.select(col("node"), lit(1000000L).as("mass"), col("deg"))
+    for (_ <- 1 to PrIters) {
+      val next = edges
+        .join(masses.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("mass DIV deg").as("contrib"))
+        .groupBy("node")
+        .agg((lit(150000L) + expr("(sum(contrib) * 85) DIV 100")).as("mass"))
+      masses = next.join(deg, Seq("node"))
+    }
+    masses.select(col("node"), col("mass"))
+      .orderBy(col("mass").desc_nulls_first, col("node").asc_nulls_first)
+      .limit(PrTopK)
+  }
+
+  private def prSweepSql(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT e.dst AS node,
+       |    CAST(150000 + (SUM(m.mass // m.deg) * 85) // 100 AS BIGINT) AS mass
+       |  FROM edges e JOIN $prev m ON e.src = m.node GROUP BY e.dst),
+       |${next}d AS (SELECT $next.node, $next.mass, deg.deg
+       |             FROM $next JOIN deg ON $next.node = deg.node)""".stripMargin
+
+  private val pageRankSql = {
+    val sweeps = (1 to PrIters)
+      .map(i => prSweepSql(s"m${i - 1}d", s"m$i")).mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |                     AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT u AS src, v AS dst FROM und
+       |          UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY src),
+       |m0d AS (SELECT node, CAST(1000000 AS BIGINT) AS mass, deg FROM deg),
+       |$sweeps
+       |SELECT node, mass FROM m${PrIters}d
+       |ORDER BY mass DESC NULLS FIRST, node NULLS FIRST LIMIT $PrTopK""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tri1_triangle_census" -> (triangleCensus _))
+    "tri1_triangle_census" -> (triangleCensus _),
+    "pr1_pagerank" -> (pageRank _))
 
   override val oracle: Map[String, String] = Map(
-    "tri1_triangle_census" -> triangleCensusSql)
+    "tri1_triangle_census" -> triangleCensusSql,
+    "pr1_pagerank" -> pageRankSql)
 }

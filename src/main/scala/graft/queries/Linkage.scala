@@ -44,27 +44,31 @@ object Linkage extends QueryModule {
       .groupBy("p_name")
       .agg(count(lit(1)).as("n_rows"), min(col("p_partkey")).as("canon_key"))
       .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-    val a = names.select(col("p_name").as("name_a"), col("n_rows").as("rows_a"), col("blk"))
-    val b = names.select(col("p_name").as("name_b"), col("n_rows").as("rows_b"), col("blk"))
+    val a = names.select(col("p_name").as("name_a"), col("n_rows").as("rows_a"),
+      col("canon_key").as("key_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("n_rows").as("rows_b"),
+      col("canon_key").as("key_b"), col("blk"))
     a.join(broadcast(b), Seq("blk"))
-      .filter(col("name_a") < col("name_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= FuzzyMaxDist)
-      .select(
-        col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast(LongType).as("dist"),
-        col("rows_a"), col("rows_b"))
+      .filter(col("name_a") < col("name_b"))
+      // levenshtein is O(|a|·|b|) — compute once, filter and emit the column
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select("name_a", "name_b", "dist", "rows_a", "rows_b", "key_a", "key_b")
       .orderBy(col("name_a").asc_nulls_first, col("name_b").asc_nulls_first)
   }
 
   private val fuzzyJoinSql =
     s"""WITH names AS (
-       |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    MIN(p_partkey) AS canon_key
        |  FROM part GROUP BY p_name),
        |keyed AS (
-       |  SELECT p_name, n_rows, string_split(p_name, ' ')[-1] AS blk FROM names)
+       |  SELECT p_name, n_rows, canon_key,
+       |    string_split(p_name, ' ')[-1] AS blk FROM names)
        |SELECT a.p_name AS name_a, b.p_name AS name_b,
        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-       |  a.n_rows AS rows_a, b.n_rows AS rows_b
+       |  a.n_rows AS rows_a, b.n_rows AS rows_b,
+       |  a.canon_key AS key_a, b.canon_key AS key_b
        |FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.p_name < b.p_name
        |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
        |ORDER BY name_a NULLS FIRST, name_b NULLS FIRST""".stripMargin

@@ -447,15 +447,22 @@ object Similarity extends QueryModule {
     * real pipeline routes them to a degenerate-vector sink first.
     */
   private def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
-    val lo = array_min(col("embedding")).cast(DoubleType)
-    val hi = array_max(col("embedding")).cast(DoubleType)
+    // lo/hi materialize in their own projection BEFORE the transform:
+    // HOF lambdas don't hoist loop-invariant subtrees, so inlining the
+    // array_min/max trees in the lambda would rescan the array per
+    // ELEMENT — O(d²) per row (the oracle's `mm` CTE, mirrored)
     t(s, dir, "embeddings")
       .select(
+        col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast(DoubleType).as("lo"),
+        array_max(col("embedding")).cast(DoubleType).as("hi"))
+      .select(
         col("vec_id"),
-        floor(lo * 10000).cast(LongType).as("lo_q"),
-        floor(hi * 10000).cast(LongType).as("hi_q"),
+        floor(col("lo") * 10000).cast(LongType).as("lo_q"),
+        floor(col("hi") * 10000).cast(LongType).as("hi_q"),
         transform(col("embedding"),
-          x => floor((x.cast(DoubleType) - lo) * 255.0 / (hi - lo)).cast(LongType)
+          x => floor((x.cast(DoubleType) - col("lo")) * 255.0 /
+            (col("hi") - col("lo"))).cast(LongType)
         ).as("qv"))
       .select(
         col("vec_id"), col("lo_q"), col("hi_q"),

@@ -134,6 +134,32 @@ class LinkageSpec extends AnyFunSuite {
     assert(t == tri, s"triangle count $t != brute force $tri")
   }
 
+  test("pr1: top-20 masses match a driver-side integer PageRank replay") {
+    val got = SparkEntry.queries("pr1_pagerank")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("mass")))
+    assert(got.length == 20)
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    // replay the exact integer recurrence on the collected edge list
+    val op = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = op.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length) yield (parts(i), parts(j))
+    }.toSet
+    val edges = und.toSeq.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var mass = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inc = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.iterator.map { case (src, _) => mass(src) / deg(src) }.sum
+      }
+      mass = inc.map { case (n, s) => n -> (150000L + s * 85 / 100) }
+    }
+    val expTop = mass.toSeq.sortBy { case (n, m) => (-m, n) }.take(20)
+    assert(got.toSeq == expTop, s"got ${got.take(3).toSeq} vs ${expTop.take(3)}")
+  }
+
   test("ev6: stages are monotone and each step lands inside its conversion window") {
     val out = SparkEntry.queries("ev6_funnel")(spark, dir).collect()
     assert(out.nonEmpty)
