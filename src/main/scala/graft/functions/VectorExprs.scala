@@ -25,6 +25,14 @@ object VectorFunctions {
   def ngramMd5(words: Column, n: Int): Column =
     GraftShims.column(NgramMd5(GraftShims.expression(words), n))
 
+  /** Probe a driver-built `util.sketch.BloomFilter` (serialized bytes).
+    * Not in the SQL-name registry: the filter bytes aren't expressible
+    * as a SQL literal users should type.
+    */
+  def bloomMightContain(value: Column, bloomBytes: Array[Byte]): Column =
+    GraftShims.column(
+      org.apache.spark.sql.graft.BloomMightContain(GraftShims.expression(value), bloomBytes))
+
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> (es => LongDot(es(0), es(1))),
     "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))),

@@ -514,7 +514,45 @@ object Dedup extends QueryModule {
        |GROUP BY c.doc_id
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dd9
+  /** dd8 with the 100 TB probe structure: a driver-built Bloom filter
+    * over the benchmark shingles prefilters the corpus shingle stream
+    * BEFORE the exact verify join. At gate scale dd8's broadcast set is
+    * fine; against a real corpus the distinct-shingle hash relation is
+    * GBs where the Bloom is ~1.2 MB per million shingles at 1% fpp —
+    * the standard two-tier probe (bloom gate → exact join on survivors).
+    * False positives cost only a wasted probe row: the verify join
+    * removes them, so the result — and the oracle — are EXACTLY dd8's;
+    * the gate hash-proves prefilter+verify ≡ exact. A true member never
+    * probes false (no false negatives), so no hits are lost.
+    *
+    * The `count()` job sizing the filter runs over the tiny benchmark
+    * side only — bounded by construction, same class as the IVF
+    * codebook collect.
+    */
+  private val BloomFpp = 0.01
+
+  private def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val bench = benchmarkShingles(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK) // sizes + fills the bloom, then verifies
+    val bloom = bench.stat.bloomFilter("shingle", math.max(bench.count(), 1L), BloomFpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val corp = corpus(s, dir)
+      .filter(!(col("doc_id") < 1000000L && col("doc_id") % 97 === 0))
+    shingledN(corp, n = DecontamN, hashed = true)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .filter(graft.functions.VectorFunctions.bloomMightContain(col("shingle"), bytes))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd9_bloom_decontaminate" -> (bloomDecontaminate _),
     "dd1_exact_dedup" -> (exactDedup _),
     "dd2_minhash_lsh_pairs" -> (minhashPairs _),
     "dd3_simhash" -> (simhash _),
@@ -525,6 +563,9 @@ object Dedup extends QueryModule {
     "cur1_curation_pipeline" -> (curation _))
 
   override val oracle: Map[String, String] = Map(
+    // same result as dd8 by construction (bloom FPs die in the verify
+    // join) — the gate proves the equivalence
+    "dd9_bloom_decontaminate" -> decontaminateSql,
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_minhash_lsh_pairs" -> minhashPairsSql,
     "dd3_simhash" -> simhashSql,

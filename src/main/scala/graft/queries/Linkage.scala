@@ -137,11 +137,55 @@ object Linkage extends QueryModule {
       |WHERE c.op IS NULL OR c.op != 'D'
       |ORDER BY o_orderkey NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- cdc2
+  /** Latest-version-per-key current view (the read side of CDC: collapse
+    * an event/change log to each key's newest state). Spelled as ONE
+    * aggregate with `max_by` over a composite sort key — map-side
+    * partials mean each task forwards one row per key to the exchange,
+    * where the `row_number() OVER (PARTITION BY key ORDER BY ts DESC)`
+    * spelling shuffles the whole log and discards all but one row per
+    * partition afterward (the TopK.scala anti-pattern, log-scale
+    * edition).
+    *
+    * Determinism: max_by ties are engine-private, so the sort key is a
+    * zero-padded `(epoch micros, event_id)` string — unique by
+    * construction, so no tie exists to break. Value surfaces as integer
+    * cents per the cross-engine money rule.
+    */
+  private def latestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val key = concat(
+      lpad(unix_micros(col("ts")).cast(StringType), 20, "0"),
+      lpad(col("event_id").cast(StringType), 12, "0"))
+    t(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(
+        max_by(col("ts"), key).as("last_ts"),
+        max_by(col("event_id"), key).as("last_event_id"),
+        max_by(round(col("value") * 100).cast(LongType), key).as("last_value_c"),
+        count(lit(1)).as("n_versions"))
+      .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
+  private val latestPerKeySql =
+    """SELECT user_id, event_type,
+      |  arg_max(ts, k) AS last_ts,
+      |  arg_max(event_id, k) AS last_event_id,
+      |  arg_max(CAST(round(value * 100) AS BIGINT), k) AS last_value_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_versions
+      |FROM (SELECT *,
+      |        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+      |        lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      |      FROM events)
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fz1_fuzzy_join" -> (fuzzyJoin _),
-    "cdc1_merge_upsert" -> (mergeUpsert _))
+    "cdc1_merge_upsert" -> (mergeUpsert _),
+    "cdc2_latest_per_key" -> (latestPerKey _))
 
   override val oracle: Map[String, String] = Map(
     "fz1_fuzzy_join" -> fuzzyJoinSql,
-    "cdc1_merge_upsert" -> mergeUpsertSql)
+    "cdc1_merge_upsert" -> mergeUpsertSql,
+    "cdc2_latest_per_key" -> latestPerKeySql)
 }

@@ -125,6 +125,23 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(withNull(0).getSeq[String](0) == withNull(0).getSeq[String](1))
   }
 
+  test("bloom_might_contain: no false negatives, fpp-bounded false positives, null-safe") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0 until 1000).foreach(i => bf.putBinary(s"member-$i".getBytes("UTF-8")))
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+    val members = (0 until 1000).map(i => s"member-$i")
+    val strangers = (0 until 10000).map(i => s"stranger-$i")
+    val probe = (members ++ strangers).map(Option(_)).:+(None.asInstanceOf[Option[String]])
+      .toDF("s")
+    val got = probe
+      .select($"s", graft.functions.VectorFunctions.bloomMightContain($"s", bytes).as("hit"))
+      .collect().map(r => Option(r.getAs[String]("s")) -> Option(r.get(1))).toMap
+    members.foreach(m => assert(got(Some(m)) == Some(true), s"false negative on $m"))
+    assert(got(None).isEmpty, "null input must yield null")
+    val fp = strangers.count(s => got(Some(s)) == Some(true))
+    assert(fp <= 300, s"$fp false positives out of 10000 at fpp=0.01") // 3% headroom on 1%
+  }
+
   test("kernels participate in whole-stage codegen (no fallback)") {
     // needs a file-backed scan: a local Seq collapses to an eagerly
     // evaluated LocalTableScan with no codegen stage to observe
