@@ -468,16 +468,23 @@ object Dedup extends QueryModule {
   private def shingled4(df: DataFrame): DataFrame =
     shingledN(df, n = DecontamN, hashed = true)
 
-  /** The dd8 core, shared batch/streaming: per-document count of
+  /** The dd8/dd9 core, shared batch/streaming: per-document count of
     * word-4-gram overlaps with a broadcast benchmark-shingle set. The
     * input contract is (doc_id, text); `benchShingles` is one `shingle`
     * column. Works unchanged on a streaming docs frame (stream-static
     * broadcast join + aggregation) — StreamingSpec pins that the
-    * streaming flags equal this batch path's.
+    * streaming flags equal this batch path's. `shinglePrefilter` is the
+    * dd9 seam: a cheap per-shingle gate (the Bloom probe) applied
+    * before the verify join; it may pass false positives (the join
+    * removes them) but must never drop a true member. ONE shared chain
+    * so the verify semantics cannot drift between dd8, dd9, and the
+    * streaming path.
     */
-  private[graft] def contaminationCounts(docs: DataFrame, benchShingles: DataFrame): DataFrame =
+  private[graft] def contaminationCounts(docs: DataFrame, benchShingles: DataFrame,
+      shinglePrefilter: Column => Column = _ => lit(true)): DataFrame =
     shingledN(docs, n = DecontamN, hashed = true)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .filter(shinglePrefilter(col("shingle")))
       .join(broadcast(benchShingles), Seq("shingle"))
       // shingles are distinct per doc → plain count = distinct overlaps
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
@@ -543,11 +550,8 @@ object Dedup extends QueryModule {
     }
     val corp = corpus(s, dir)
       .filter(!(col("doc_id") < 1000000L && col("doc_id") % 97 === 0))
-    shingledN(corp, n = DecontamN, hashed = true)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .filter(graft.functions.VectorFunctions.bloomMightContain(col("shingle"), bytes))
-      .join(broadcast(bench), Seq("shingle"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+    contaminationCounts(corp, bench,
+      shinglePrefilter = VectorFunctions.bloomMightContain(_, bytes))
       .orderBy(col("doc_id").asc_nulls_first)
   }
 

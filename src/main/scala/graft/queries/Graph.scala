@@ -17,6 +17,20 @@ object Graph extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
   // ---------------------------------------------------------------- tri1
+  /** Oriented (u < v) distinct co-purchase edges, persisted: each graph
+    * entry fans out over this frame several times (tri1: the edge
+    * count, the degree aggregate, both wedge ends, and the closing
+    * probe; pr1: both directions plus every sweep).
+    */
+  private def orientedEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    op.join(op.select(col("k"), col("p").as("p2")), Seq("k"))
+      .filter(col("p") < col("p2"))
+      .select(col("p").as("u"), col("p2").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Triangle census of the co-purchase graph: parts are nodes, an edge
     * links two parts appearing in the same order. Emits edge / oriented-
     * wedge / triangle counts plus the wedge-closure rate — the global
@@ -30,23 +44,9 @@ object Graph extends QueryModule {
     *    a two-row-per-edge aggregate — the 49M-row wedge set at sf0.1 is
     *    never materialized for counting.
     *  - Only the triangle check joins the wedge stream against edges
-    *    (shuffle on the (a,c) closing pair). Hot nodes skew the wedge
-    *    join → AQE skew split, same posture as dd2's banded buckets.
-    *  - `edges` feeds four consumers (count, degrees, wedge ends, the
-    *    closing probe) → persisted once.
+    *    (broadcast probes — see the inline note). Hot nodes skew the
+    *    wedge join → AQE skew split, same posture as dd2's buckets.
     */
-  /** Oriented (u < v) distinct co-purchase edges, persisted: both graph
-    * entries fan out over this frame several times.
-    */
-  private def orientedEdges(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-    op.join(op.select(col("k"), col("p").as("p2")), Seq("k"))
-      .filter(col("p") < col("p2"))
-      .select(col("p").as("u"), col("p2").as("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-  }
-
   private def triangleCensus(s: SparkSession, dir: String): DataFrame = {
     val edges = orientedEdges(s, dir)
 

@@ -50,7 +50,11 @@ object Linkage extends QueryModule {
       col("canon_key").as("key_b"), col("blk"))
     a.join(broadcast(b), Seq("blk"))
       .filter(col("name_a") < col("name_b"))
-      // levenshtein is O(|a|·|b|) — compute once, filter and emit the column
+      // NB: the optimizer pushes the dist predicate back below the
+      // Project (alias substituted), so levenshtein still evaluates in
+      // both the Filter and the Project — acceptable: it runs on the
+      // vocabulary-sized candidate set, not the corpus. The withColumn
+      // spelling is for clarity, not (despite appearances) for sharing.
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
       .filter(col("dist") <= FuzzyMaxDist)
       .select("name_a", "name_b", "dist", "rows_a", "rows_b", "key_a", "key_b")
@@ -148,20 +152,27 @@ object Linkage extends QueryModule {
     * edition).
     *
     * Determinism: max_by ties are engine-private, so the sort key is a
-    * zero-padded `(epoch micros, event_id)` string — unique by
-    * construction, so no tie exists to break. Value surfaces as integer
-    * cents per the cross-engine money rule.
+    * zero-padded `(epoch micros, event_id)` string — unique as long as
+    * each component fits its pad (lpad TRUNCATES overflow; 20 digits
+    * hold any BIGINT, so no collision is reachable). NULL payloads are
+    * the other engine trap: Spark's max_by returns whatever value sits
+    * at the max key — including NULL — where DuckDB's arg_max SKIPS
+    * null-argument rows and would surface an OLDER non-null value, so
+    * the value column is sentinel-coalesced (−1 = "latest version has
+    * no value") on both sides before aggregating. Integer cents per
+    * the cross-engine money rule.
     */
   private def latestPerKey(s: SparkSession, dir: String): DataFrame = {
     val key = concat(
       lpad(unix_micros(col("ts")).cast(StringType), 20, "0"),
-      lpad(col("event_id").cast(StringType), 12, "0"))
+      lpad(col("event_id").cast(StringType), 20, "0"))
     t(s, dir, "events")
       .groupBy("user_id", "event_type")
       .agg(
         max_by(col("ts"), key).as("last_ts"),
         max_by(col("event_id"), key).as("last_event_id"),
-        max_by(round(col("value") * 100).cast(LongType), key).as("last_value_c"),
+        max_by(coalesce(round(col("value") * 100).cast(LongType), lit(-1L)), key)
+          .as("last_value_c"),
         count(lit(1)).as("n_versions"))
       .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first)
   }
@@ -170,11 +181,11 @@ object Linkage extends QueryModule {
     """SELECT user_id, event_type,
       |  arg_max(ts, k) AS last_ts,
       |  arg_max(event_id, k) AS last_event_id,
-      |  arg_max(CAST(round(value * 100) AS BIGINT), k) AS last_value_c,
+      |  arg_max(COALESCE(CAST(round(value * 100) AS BIGINT), -1), k) AS last_value_c,
       |  CAST(COUNT(*) AS BIGINT) AS n_versions
       |FROM (SELECT *,
       |        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-      |        lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      |        lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
       |      FROM events)
       |GROUP BY user_id, event_type
       |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin

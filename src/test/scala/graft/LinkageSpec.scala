@@ -111,6 +111,20 @@ class LinkageSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side reference reconstruction of the oriented co-purchase
+    * edge set — ONE definition shared by the tri1 and pr1 replays so the
+    * two tests cannot drift on what an edge is.
+    */
+  private def bruteForceEdges(): Set[(Long, Long)] = {
+    val op = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    op.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length) yield (parts(i), parts(j))
+    }.toSet
+  }
+
   test("tri1: census satisfies the combinatorial identities of the co-purchase graph") {
     val r = SparkEntry.queries("tri1_triangle_census")(spark, dir).collect().head
     val (e, w, t) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
@@ -119,13 +133,7 @@ class LinkageSpec extends AnyFunSuite {
     assert(t <= w, "every triangle closes an oriented wedge")
     assert(r.getAs[Long]("closure_ppm") == math.floor(t.toDouble * 1e6 / w.toDouble).toLong)
     // brute-force recount on the raw table (sf0.01 is small enough)
-    val op = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")
-      .select("l_orderkey", "l_partkey").distinct().collect()
-      .map(r2 => (r2.getLong(0), r2.getLong(1)))
-    val edges = op.groupBy(_._1).values.flatMap { ps =>
-      val parts = ps.map(_._2).distinct.sorted
-      for (i <- parts.indices; j <- i + 1 until parts.length) yield (parts(i), parts(j))
-    }.toSet
+    val edges = bruteForceEdges()
     assert(e == edges.size)
     val byU = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val tri = edges.iterator.map { case (a, b) =>
@@ -140,13 +148,7 @@ class LinkageSpec extends AnyFunSuite {
     assert(got.length == 20)
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
     // replay the exact integer recurrence on the collected edge list
-    val op = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")
-      .select("l_orderkey", "l_partkey").distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val und = op.groupBy(_._1).values.flatMap { ps =>
-      val parts = ps.map(_._2).distinct.sorted
-      for (i <- parts.indices; j <- i + 1 until parts.length) yield (parts(i), parts(j))
-    }.toSet
+    val und = bruteForceEdges()
     val edges = und.toSeq.flatMap { case (u, v) => Seq((u, v), (v, u)) }
     val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     var mass = deg.keys.map(_ -> 1000000L).toMap
