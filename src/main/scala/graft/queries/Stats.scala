@@ -496,7 +496,42 @@ object Stats extends QueryModule {
        |  CAST(COUNT(*) AS BIGINT) AS n
        |FROM b GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q12
+  // TPC-H Q18 shape: HAVING over a per-key aggregate, then the
+  // qualifying keys (a tiny surviving set) drive joins back to the
+  // dimension tables. The aggregate-then-filter runs 2-stage with the
+  // HAVING applied at the final aggregate; AQE sees the filtered side
+  // shrink and broadcasts it into the orders/customer joins. Quantities
+  // are exact integers so the threshold is engine-stable.
+  private val LargeOrderQty = 250L
+
+  private def largeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity")).cast(LongType)).as("total_qty"))
+      .filter(col("total_qty") > LargeOrderQty)
+    big
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc_nulls_first, col("o_orderkey").asc_nulls_first,
+        col("c_name").asc_nulls_first)
+  }
+
+  private val largeOrdersSql =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > $LargeOrderQty)
+       |SELECT c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+       |FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+       |           JOIN customer c ON o.o_custkey = c.c_custkey
+       |ORDER BY b.total_qty DESC NULLS FIRST, o.o_orderkey NULLS FIRST,
+       |  c.c_name NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_large_orders" -> (largeOrders _),
     "w3_rolling_range" -> (rollingRange _),
     "h1_histogram" -> (histogram _),
     "q11_exists_late" -> (latePriorityCount _),
@@ -513,6 +548,7 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "q12_large_orders" -> largeOrdersSql,
     "w3_rolling_range" -> rollingRangeSql,
     "h1_histogram" -> histogramSql,
     "q11_exists_late" -> latePriorityCountSql,

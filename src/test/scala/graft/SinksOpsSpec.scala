@@ -76,6 +76,29 @@ class SinksOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 240)
   }
 
+  test("file-format coverage: a gate result round-trips through CSV, JSON, and ORC") {
+    import org.apache.spark.sql.functions._
+    // h1's frame: simple BIGINT columns every text format can carry
+    val src = SparkEntry.queries("h1_histogram")(spark, "/root/testdata/sf0.001")
+    val expected = src.collect().map(_.toSeq).toSet
+    val base = Files.createTempDirectory("graft_fmt").toString
+    val schema = src.schema
+    def reread(fmt: String, write: String => Unit): Unit = {
+      val p = s"$base/$fmt"
+      write(p)
+      val back = fmt match {
+        // text formats need the explicit schema back (inference drifts)
+        case "csv" => spark.read.schema(schema).option("header", "true").csv(p)
+        case "json" => spark.read.schema(schema).json(p)
+        case _ => spark.read.orc(p)
+      }
+      assert(back.collect().map(_.toSeq).toSet == expected, s"$fmt round-trip drifted")
+    }
+    reread("csv", p => src.write.option("header", "true").csv(p))
+    reread("json", p => src.write.json(p))
+    reread("orc", p => src.write.orc(p))
+  }
+
   test("JdbcSink round-trips the 22-column mart through a real embedded-Derby database") {
     import org.apache.spark.sql.functions.col
     var captured: Option[DataFrame] = None
