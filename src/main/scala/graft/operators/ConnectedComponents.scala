@@ -55,6 +55,12 @@ object ConnectedComponents {
           .localCheckpoint()
         converged = prop.join(labels.withColumnRenamed("lab", "old"), Seq("node"))
           .filter(col("lab") =!= col("old")).isEmpty
+        // the probe was this sweep's LAST read of the old labels — free
+        // its checkpoint blocks now instead of letting up to maxSweeps
+        // of them pile up in executor storage until ContextCleaner GC
+        // (ADVICE r05); safe because nothing downstream references it
+        org.apache.spark.sql.GraftShims.checkpointedRdd(labels)
+          .foreach(_.unpersist(blocking = false))
         labels = prop
       }
     } finally sym.unpersist() // also on sweep failure / non-convergence

@@ -47,29 +47,74 @@ object Graph extends QueryModule {
     *    (broadcast probes — see the inline note). Hot nodes skew the
     *    wedge join → AQE skew split, same posture as dd2's buckets.
     */
-  private def triangleCensus(s: SparkSession, dir: String): DataFrame = {
-    val edges = orientedEdges(s, dir)
+  /** Edge-count ceiling for broadcasting the edge list into the closing
+    * probes: 4M oriented (long, long) edges ≈ 64 MB serialized — inside
+    * any sane broadcast budget. Package-visible so LinkageSpec can force
+    * the fallback with a zero threshold and prove both paths identical.
+    */
+  private[graft] val TriBroadcastMaxEdges = 4L * 1000 * 1000
 
-    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+  private def triangleCensus(s: SparkSession, dir: String): DataFrame =
+    triangleCensusSized(s, dir, TriBroadcastMaxEdges)
+
+  private[graft] def triangleCensusSized(
+      s: SparkSession, dir: String, maxBroadcastEdges: Long): DataFrame = {
+    val edges = orientedEdges(s, dir)
+    // Size gate (VERDICT r05 #1): one driver-side count over the
+    // persisted edge frame picks the probe strategy — measured, not
+    // assumed from SF — and doubles as the n_edges output column.
+    val edgeCount = edges.count()
+
     val wedges = edges.select(col("v").as("node"), lit(1L).as("ins"), lit(0L).as("outs"))
       .unionAll(edges.select(col("u").as("node"), lit(0L).as("ins"), lit(1L).as("outs")))
       .groupBy("node")
       .agg(sum(col("ins")).as("d_in"), sum(col("outs")).as("d_out"))
       .agg(sum(col("d_in") * col("d_out")).as("n_wedges"))
-    // Nodes are PARTS — a bounded catalog, not the corpus — so the edge
-    // list is broadcast-sized (1.2M rows / ~20 MB at sf0.1) and both
-    // triangle probes hash-join against it map-side: the 49M-row wedge
-    // stream never crosses an exchange (measured 26 s → ~3 s at sf0.1).
-    // If edges outgrew broadcast, the fallback is the degree-oriented
-    // repartitioned join, not this plan.
-    val triangles = edges
-      .join(broadcast(edges.select(col("u").as("v"), col("v").as("w"))), Seq("v"))
-      .join(broadcast(edges.select(col("u"), col("v").as("w"))), Seq("u", "w"))
-      .agg(count(lit(1)).as("n_triangles"))
 
-    nEdges.crossJoin(wedges).crossJoin(triangles)
+    val triangles =
+      if (edgeCount <= maxBroadcastEdges) {
+        // Nodes are PARTS — a bounded catalog, not the corpus — so at
+        // gate scale the edge list is broadcast-sized (1.2M rows /
+        // ~20 MB at sf0.1) and both triangle probes hash-join against
+        // it map-side: the 49M-row wedge stream never crosses an
+        // exchange (measured 26 s → ~3 s at sf0.1).
+        edges
+          .join(broadcast(edges.select(col("u").as("v"), col("v").as("w"))), Seq("v"))
+          .join(broadcast(edges.select(col("u"), col("v").as("w"))), Seq("u", "w"))
+          .agg(count(lit(1)).as("n_triangles"))
+      } else {
+        // Degree-oriented repartitioned fallback (compact-forward): once
+        // the catalog outgrows broadcast, re-orient every edge toward
+        // its higher-(degree, id) endpoint. Under that acyclic total
+        // order each node's out-degree is O(√m), so the shuffled wedge
+        // join's fan-out stays bounded even at hub nodes, and each
+        // triangle {x,y,z} with π(x)<π(y)<π(z) appears exactly once as
+        // wedge a→b, a→c closed by b→c (the closing probe is a LEFT
+        // SEMI shuffle join — no broadcast anywhere on this path; hot
+        // keys fall under the same AQE skew-split posture as dd2).
+        val deg = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val uLower = (col("du") < col("dv")) ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val dedges = edges
+          .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))
+          .select(
+            when(uLower, col("u")).otherwise(col("v")).as("a"),
+            when(uLower, col("v")).otherwise(col("u")).as("b"))
+          .persist(StorageLevel.MEMORY_AND_DISK) // wedge ends + closing probe
+        dedges
+          .join(dedges.select(col("a"), col("b").as("c")), Seq("a"))
+          .filter(col("b") =!= col("c"))
+          .select(col("b").as("a"), col("c").as("b"))
+          .join(dedges, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+      }
+
+    wedges.crossJoin(triangles)
       .select(
-        col("n_edges"), col("n_wedges"), col("n_triangles"),
+        lit(edgeCount).as("n_edges"), col("n_wedges"), col("n_triangles"),
         floor(col("n_triangles").cast(DoubleType) * 1000000.0 /
           col("n_wedges").cast(DoubleType)).cast(LongType).as("closure_ppm"))
   }
@@ -109,14 +154,28 @@ object Graph extends QueryModule {
     * Scale posture: each sweep is contribution-join (shuffle on src) +
     * sum (shuffle on dst) over the directed edge frame — the standard
     * Pregel-style plan; the edge frame and per-sweep masses are the only
-    * state. Three sweeps keep the lineage linear (no checkpoint needed;
-    * the >10-sweep variant would localCheckpoint per sweep, the
-    * ConnectedComponents lesson). Top-20 by final mass bounds output.
+    * state. Three sweeps keep the lineage linear (no checkpoint needed);
+    * [[pageRankN]] is the longer-horizon variant, which truncates
+    * lineage per sweep with localCheckpoint — the ConnectedComponents
+    * lesson — and frees each superseded sweep's blocks as soon as the
+    * next is materialized. Top-20 by final mass bounds output.
     */
   private val PrIters = 3
   private val PrTopK = 20
 
-  private def pageRank(s: SparkSession, dir: String): DataFrame = {
+  private def pageRank(s: SparkSession, dir: String): DataFrame =
+    pageRankN(s, dir, PrIters)
+
+  /** @param iters sweep count. At ≤[[PrIters]] the lineage is left
+    *   linear and un-checkpointed — bit-identical plan to the r05 `pr1`
+    *   entry. Beyond it, each sweep eagerly localCheckpoints (the sweep
+    *   plan would otherwise nest `iters` joins deep — quadratic
+    *   planning, driver OOM near ~16) and the previous sweep's
+    *   checkpoint blocks are released immediately rather than waiting
+    *   for ContextCleaner GC (ADVICE r05: high-diameter runs accumulate
+    *   sweep blocks in executor storage).
+    */
+  private[graft] def pageRankN(s: SparkSession, dir: String, iters: Int): DataFrame = {
     val und = orientedEdges(s, dir)
     val edges = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
@@ -124,15 +183,22 @@ object Graph extends QueryModule {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val checkpointed = iters > PrIters
 
     var masses = deg.select(col("node"), lit(1000000L).as("mass"), col("deg"))
-    for (_ <- 1 to PrIters) {
+    var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (_ <- 1 to iters) {
       val next = edges
         .join(masses.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("mass DIV deg").as("contrib"))
         .groupBy("node")
         .agg((lit(150000L) + expr("(sum(contrib) * 85) DIV 100")).as("mass"))
       masses = next.join(deg, Seq("node"))
+      if (checkpointed) {
+        masses = masses.localCheckpoint() // eager: materializes the sweep
+        prevBlocks.foreach(_.unpersist(blocking = false))
+        prevBlocks = org.apache.spark.sql.GraftShims.checkpointedRdd(masses)
+      }
     }
     masses.select(col("node"), col("mass"))
       .orderBy(col("mass").desc_nulls_first, col("node").asc_nulls_first)

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
 
@@ -22,9 +21,9 @@ import graft.Tables
   * distinct rows reach its exchange. Full-row dedup is parity-mandated
   * (ref drop_duplicates over the whole projection, :319); the narrow-key
   * scale variant is [[buildNarrow]] (`mart_flagship_narrow`), which
-  * dedups on a content-derived md5 row-hash with one sort-based exchange —
-  * both entries hash-match the same oracle. No driver materialization
-  * anywhere.
+  * dedups on a content-derived md5 row-hash so only the 32-byte key is
+  * grouped and compared — both entries hash-match the same oracle. No
+  * driver materialization anywhere.
   */
 object Mart extends QueryModule {
 
@@ -38,12 +37,18 @@ object Mart extends QueryModule {
       .orderBy(martCols.map(col(_).asc_nulls_first): _*)
 
   /** The scale path for the mart's full-row dedup (VERDICT r02 #4): the
-    * parity entry's `dropDuplicates()` hash-aggregates the entire wide
-    * row, so at extreme SF every distinct wide row sits in the aggregate
-    * hash map. Here the dedup key is a 32-byte md5 row-hash: the payload
-    * crosses exactly ONE exchange (partitioned by row_h) and is reduced
-    * by a partition-local row_number — sort-based, so it spills to disk
-    * instead of growing a wide-row hash map.
+    * parity entry's `dropDuplicates()` hash-aggregates — and so hash-
+    * COMPARES — the entire wide row at every map-side probe. Here the
+    * dedup key is a 32-byte md5 row-hash: grouping, exchange
+    * partitioning, and every equality probe touch only the fixed-width
+    * hash, and map-side partial dedup means only locally-distinct rows
+    * cross the single exchange. (The r05 spelling reduced per-key with a
+    * `row_number` window, which sorted every partition and benched 2.2×
+    * SLOWER than the sibling at every measured scale — VERDICT r05 #2.
+    * The hash aggregate needs no such sort, and when the distinct set
+    * outgrows the aggregate map Spark's own sort-based fallback is the
+    * spill path, so the "sorts spill, hash maps OOM" rationale is
+    * already covered by the engine.)
     *
     * row_h is derived purely from row CONTENT: per-column values joined
     * with a \u0001 separator plus a trailing null bitmap, so ("a", null),
@@ -55,8 +60,9 @@ object Mart extends QueryModule {
     * id, no persist, and no cross-consumer consistency requirement. Rows
     * sharing row_h are identical (a collision would need a value
     * containing the \u0001 separator — unreachable for this mart's
-    * values), so WHICH one row_number keeps cannot affect the output, and
-    * the entry hash-matches the same DuckDB oracle as `mart_flagship`.
+    * values), so WHICH row the per-key `first` keeps cannot affect the
+    * output, and the entry hash-matches the same DuckDB oracle as
+    * `mart_flagship`.
     */
   def buildNarrow(s: SparkSession, dir: String): DataFrame = {
     val base = preDedup(s, dir)
@@ -64,11 +70,9 @@ object Mart extends QueryModule {
     val rowHash = md5(concat(
       concat_ws("\u0001", cols.map(c => coalesce(col(c).cast(StringType), lit(""))): _*),
       concat(cols.map(c => when(col(c).isNull, lit("N")).otherwise(lit("V"))): _*)))
-    val win = Window.partitionBy("row_h").orderBy("row_h")
     base.withColumn("row_h", rowHash)
-      .withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .drop("rn", "row_h")
+      .dropDuplicates("row_h") // first-row-per-hash hash aggregate
+      .drop("row_h")
       .orderBy(martCols.map(col(_).asc_nulls_first): _*)
   }
 

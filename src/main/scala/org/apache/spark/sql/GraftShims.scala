@@ -32,6 +32,18 @@ object GraftShims {
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The RDD backing a (local)checkpointed Dataset, so iterative
+    * operators can RELEASE a superseded sweep's blocks explicitly
+    * (ADVICE r05: checkpoint blocks otherwise accumulate in executor
+    * storage until ContextCleaner GC catches up). Only safe once no
+    * later plan references the frame — an unpersisted localCheckpoint
+    * is unrecoverable by design.
+    */
+  def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: execution.LogicalRDD => l.rdd
+    }
+
   /** Register a catalyst function builder on an already-built session —
     * the runtime counterpart of SparkSessionExtensions.injectFunction.
     */

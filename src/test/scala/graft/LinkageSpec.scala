@@ -142,24 +142,71 @@ class LinkageSpec extends AnyFunSuite {
     assert(t == tri, s"triangle count $t != brute force $tri")
   }
 
-  test("pr1: top-20 masses match a driver-side integer PageRank replay") {
-    val got = SparkEntry.queries("pr1_pagerank")(spark, dir).collect()
-      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("mass")))
-    assert(got.length == 20)
-    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
-    // replay the exact integer recurrence on the collected edge list
+  test("tri1: forced degree-oriented fallback matches the broadcast path, no broadcast") {
+    val s = SparkEntry.configure(spark)
+    val reference = SparkEntry.queries("tri1_triangle_census")(spark, dir).collect().toSeq
+    // Disable compile-time AND runtime (AQE) broadcast conversion: the
+    // assert is that the fallback plan never HARD-broadcasts — at real
+    // scale nothing would be broadcastable; at sf0.01 AQE would happily
+    // (and legitimately) convert these small shuffle joins, which is
+    // exactly what must not be confused with a hard-coded hint.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      keys.foreach(s.conf.set(_, "-1"))
+      // drop the reference run's cached edge frame: its plan was
+      // finalized under the default thresholds (AQE broadcast inside),
+      // and a cache hit would smuggle that BroadcastExchange into the
+      // fallback's plan string
+      s.sharedState.cacheManager.clearCache()
+      val fb = graft.queries.Graph.triangleCensusSized(s, dir, maxBroadcastEdges = 0L)
+      val rows = fb.collect().toSeq
+      assert(rows == reference, "fallback census diverged from the broadcast path")
+      val plan = fb.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"fallback path still broadcasts:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The exact integer PageRank recurrence on the collected edge list —
+    * shared by the 3-sweep gate replay and the checkpointed 12-sweep
+    * variant so both compare against ONE definition.
+    */
+  private def replayPageRank(iters: Int): Seq[(Long, Long)] = {
     val und = bruteForceEdges()
     val edges = und.toSeq.flatMap { case (u, v) => Seq((u, v), (v, u)) }
     val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     var mass = deg.keys.map(_ -> 1000000L).toMap
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       val inc = edges.groupBy(_._2).map { case (dst, es) =>
         dst -> es.iterator.map { case (src, _) => mass(src) / deg(src) }.sum
       }
       mass = inc.map { case (n, s) => n -> (150000L + s * 85 / 100) }
     }
-    val expTop = mass.toSeq.sortBy { case (n, m) => (-m, n) }.take(20)
+    mass.toSeq.sortBy { case (n, m) => (-m, n) }.take(20)
+  }
+
+  test("pr1: top-20 masses match a driver-side integer PageRank replay") {
+    val got = SparkEntry.queries("pr1_pagerank")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("mass")))
+    assert(got.length == 20)
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    val expTop = replayPageRank(3)
     assert(got.toSeq == expTop, s"got ${got.take(3).toSeq} vs ${expTop.take(3)}")
+  }
+
+  test("pr1: 12-sweep checkpointed variant matches the replay with a bounded plan") {
+    val out = graft.queries.Graph.pageRankN(SparkEntry.configure(spark), dir, iters = 12)
+    val got = out.collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("mass"))).toSeq
+    assert(got == replayPageRank(12), s"12-sweep masses diverged: ${got.take(3)}")
+    // per-sweep localCheckpoint truncates lineage: the final plan hangs
+    // off one LogicalRDD, not 12 nested join/aggregate sweeps
+    val nodes = out.queryExecution.optimizedPlan.collect { case p => p }.length
+    assert(nodes < 15, s"plan not truncated: $nodes logical nodes")
   }
 
   test("ev6: stages are monotone and each step lands inside its conversion window") {
