@@ -31,7 +31,8 @@ object VectorFunctions {
     */
   def bloomMightContain(value: Column, bloomBytes: Array[Byte]): Column =
     GraftShims.column(
-      org.apache.spark.sql.graft.BloomMightContain(GraftShims.expression(value), bloomBytes))
+      org.apache.spark.sql.graft.BloomMightContain(GraftShims.expression(value),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(bloomBytes)))
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> (es => LongDot(es(0), es(1))),

@@ -509,11 +509,15 @@ object Extras extends QueryModule {
       .orderBy(col("event_id").asc_nulls_first)
   }
 
+  // TRY_CAST, not CAST: Spark's non-ANSI cast of a non-numeric $.k yields
+  // NULL; DuckDB's CAST would RAISE — the oracle must mirror the
+  // null-on-failure semantics, not depend on fixture props.k always
+  // being numeric (ADVICE r05).
   private val jsonExtractSql =
     """SELECT event_id,
       |  json_extract_string(props, '$.k') AS k_str,
-      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-      |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 AS k_even
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 AS k_even
       |FROM events WHERE event_id % 10 = 0
       |ORDER BY event_id NULLS FIRST""".stripMargin
 

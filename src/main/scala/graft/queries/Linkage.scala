@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -152,9 +152,15 @@ object Linkage extends QueryModule {
     * edition).
     *
     * Determinism: max_by ties are engine-private, so the sort key is a
-    * zero-padded `(epoch micros, event_id)` string — unique as long as
-    * each component fits its pad (lpad TRUNCATES overflow; 20 digits
-    * hold any BIGINT, so no collision is reachable). NULL payloads are
+    * zero-padded `(epoch micros, event_id)` string. Each component is
+    * biased by 2^63 into [0, 2^64) BEFORE padding — a raw lpad embeds
+    * the '-' sign mid-string, so among two negative values the larger
+    * magnitude would compare GREATER and invert "latest" (ADVICE r05;
+    * latent here because fixture timestamps are post-epoch, but
+    * pre-1970 timestamps and negative ids are representable). The bias
+    * runs in DECIMAL(38,0)/HUGEINT so it cannot overflow, and 20 digits
+    * hold every value of the shifted domain (max 2^64−1), so string
+    * order IS numeric order for all BIGINTs. NULL payloads are
     * the other engine trap: Spark's max_by returns whatever value sits
     * at the max key — including NULL — where DuckDB's arg_max SKIPS
     * null-argument rows and would surface an OLDER non-null value, so
@@ -163,9 +169,10 @@ object Linkage extends QueryModule {
     * the cross-engine money rule.
     */
   private def latestPerKey(s: SparkSession, dir: String): DataFrame = {
-    val key = concat(
-      lpad(unix_micros(col("ts")).cast(StringType), 20, "0"),
-      lpad(col("event_id").cast(StringType), 20, "0"))
+    def biased(c: Column) = lpad(
+      (c.cast(DecimalType(38, 0)) + lit(BigDecimal("9223372036854775808")))
+        .cast(StringType), 20, "0")
+    val key = concat(biased(unix_micros(col("ts"))), biased(col("event_id")))
     t(s, dir, "events")
       .groupBy("user_id", "event_type")
       .agg(
@@ -184,8 +191,8 @@ object Linkage extends QueryModule {
       |  arg_max(COALESCE(CAST(round(value * 100) AS BIGINT), -1), k) AS last_value_c,
       |  CAST(COUNT(*) AS BIGINT) AS n_versions
       |FROM (SELECT *,
-      |        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-      |        lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+      |        lpad(CAST(CAST(epoch_us(ts) AS HUGEINT) + 9223372036854775808 AS VARCHAR), 20, '0') ||
+      |        lpad(CAST(CAST(event_id AS HUGEINT) + 9223372036854775808 AS VARCHAR), 20, '0') AS k
       |      FROM events)
       |GROUP BY user_id, event_type
       |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin

@@ -138,18 +138,46 @@ object Stats extends QueryModule {
   // ---------------------------------------------------------------- q06
   // Quantile sketch census: per-type p25/p50/p75 via approx_percentile
   // (GK sketch) — with HLL (tx7) this completes the sketch pair a
-  // 100 TB census runs instead of exact sort/distinct. Sketch
-  // estimates are engine-specific → rows-only gate; StatsSpec bounds
-  // the error against exact quantiles.
-  private def quantileSketch(s: SparkSession, dir: String): DataFrame =
+  // 100 TB census runs instead of exact sort/distinct.
+  //
+  // Sketch estimates are engine-specific, so the raw estimates can't be
+  // hash-compared; instead the entry VERIFIES the sketch inside the gate
+  // (VERDICT r05 #4): output columns are the EXACT quantiles (integer-
+  // quantized, the q10 cross-engine idiom — DuckDB quantile_cont twins
+  // them bit for bit) plus one boolean per percentile asserting the
+  // sketch landed inside the exact [q−1%, q+1%] rank bracket. GK at
+  // accuracy 10000 guarantees rank error ≤ n/10000, two orders of
+  // magnitude tighter, so the flags are TRUE by construction — and the
+  // oracle states them as literal TRUE, so a sketch regression breaks
+  // the hash. The exact side exists only to bound the sketch; the
+  // 100 TB census runs the sketch alone (q10 carries the exact-path
+  // cost argument).
+  private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val vq = round(col("value") * 100).cast(LongType)
+    val fr = Seq(0.24, 0.25, 0.26, 0.49, 0.50, 0.51, 0.74, 0.75, 0.76)
+    def ok(i: Int) = // sketch inside the exact ±1%-rank bracket
+      col("sk")(i).cast(DoubleType).between(col("ex")(3 * i), col("ex")(3 * i + 2))
     t(s, dir, "events")
       .groupBy("event_type")
-      .agg(percentile_approx(
-        col("value"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+      .agg(
+        percentile_approx(vq, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("sk"),
+        percentile(vq, array(fr.map(lit): _*)).as("ex"))
       .select(
         col("event_type"),
-        col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"))
+        col("ex")(1).as("p25"), col("ex")(4).as("p50"), col("ex")(7).as("p75"),
+        ok(0).as("p25_ok"), ok(1).as("p50_ok"), ok(2).as("p75_ok"))
       .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  private val quantileSketchSql =
+    """SELECT event_type,
+      |  quantile_cont(vq, 0.25) AS p25,
+      |  quantile_cont(vq, 0.5) AS p50,
+      |  quantile_cont(vq, 0.75) AS p75,
+      |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+      |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vq FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- u2
   // Set operations beyond union: the customer nations that have orders
@@ -561,5 +589,6 @@ object Stats extends QueryModule {
     "w1_window_frames" -> windowFramesSql,
     "q03_grouping_sets" -> groupingSetsSql,
     "q04_pivot" -> pivotCountsSql,
-    "q05_moment_stats" -> momentStatsSql)
+    "q05_moment_stats" -> momentStatsSql,
+    "q06_quantile_sketch" -> quantileSketchSql)
 }

@@ -252,17 +252,44 @@ object Text extends QueryModule {
   // shuffles every distinct (group, value) pair — at 100 TB the distinct
   // sets themselves are the exchange. approx_count_distinct carries a
   // constant-size HyperLogLog++ sketch per group through the map-side
-  // combine instead, the standard corpus-census operator at scale. HLL
-  // estimates are engine-specific → rows-only gate (no DuckDB oracle);
-  // TextCensusSpec pins the relative error against the exact counts.
-  private def langStatsApprox(s: SparkSession, dir: String): DataFrame =
+  // combine instead, the standard corpus-census operator at scale.
+  //
+  // HLL estimates are engine-specific, so like q06 the entry verifies
+  // the sketch INSIDE the gate (VERDICT r05 #4): outputs are the exact
+  // distinct counts (DuckDB-twinned) plus a boolean per sketch asserting
+  // |estimate − exact| ≤ max(5, 15% of exact) — 3× the default 5% rsd,
+  // so TRUE by construction, and the oracle states literal TRUE: a
+  // sketch regression breaks the hash instead of hiding behind a
+  // rows-only check. The exact side exists only as the in-gate bound;
+  // the 100 TB census runs the sketch alone (tx5 is the exact-path
+  // entry). TextCensusSpec still pins the tighter observed error.
+  private def langStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    def ok(approx: Column, exact: Column) =
+      abs(approx - exact) <= greatest(lit(5L), (exact * 15) / lit(100))
     t(s, dir, "documents")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        approx_count_distinct(md5(col("text"))).as("approx_distinct_texts"),
-        approx_count_distinct(col("source")).as("approx_sources"))
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("source")).as("n_sources"),
+        approx_count_distinct(md5(col("text"))).as("ad_texts"),
+        approx_count_distinct(col("source")).as("ad_sources"))
+      .select(
+        col("lang"), col("n_docs"), col("n_distinct_texts"), col("n_sources"),
+        ok(col("ad_texts"), col("n_distinct_texts")).as("texts_ok"),
+        ok(col("ad_sources"), col("n_sources")).as("sources_ok"))
       .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val langStatsApproxSql =
+    """SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  TRUE AS texts_ok, TRUE AS sources_ok
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- tx8
   /** Context-window chunking — the step that turns curated documents
@@ -451,5 +478,6 @@ object Text extends QueryModule {
     "tx2_quality_score" -> qualitySql,
     "tx3_lang_id" -> langIdSql,
     "tx4_fingerprint" -> fingerprintSql,
-    "tx5_lang_rollup" -> langStatsSql)
+    "tx5_lang_rollup" -> langStatsSql,
+    "tx7_census_hll" -> langStatsApproxSql)
 }

@@ -25,8 +25,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * null propagation). The filter deserializes lazily once per executor
   * (the bytes travel with the serialized expression; ~180 KB at 1% fpp
   * for 100k items — broadcast-class, like the SRP projection matrix).
+  *
+  * The bytes are carried as an immutable ArraySeq, not Array: case-class
+  * equality (and so Catalyst canonicalization / semanticEquals /
+  * subexpression elimination) needs STRUCTURAL comparison, and an Array
+  * field compares by reference — two identical probes built from
+  * separate byte arrays would never plan-match (ADVICE r05).
   */
-case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContain(
+    child: Expression, bloomBytes: scala.collection.immutable.ArraySeq[Byte])
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -34,7 +41,7 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override def prettyName: String = "bloom_might_contain"
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes.toArray))
 
   /** Shared by interpreted eval and the generated code (the kernel
     * pattern: one JVM method call stays inside whole-stage codegen).

@@ -10,6 +10,13 @@ import graft.streaming.EventStream
 /** Salted-join equivalence under skew and streaming dedup-within-
   * watermark semantics.
   */
+/** Top-level, not nested in the suite: a case class inside a spec class
+  * captures the outer `this`, which Spark's Encoder codegen cannot
+  * compile — every use fell back to the interpreter and polluted test
+  * logs with codegen warnings (VERDICT r05 cosmetic).
+  */
+case class EvId(event_id: Long, ts: Timestamp, user_id: Long)
+
 class OperatorsSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
@@ -117,7 +124,43 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
   }
 
-  private case class EvId(event_id: Long, ts: Timestamp, user_id: Long)
+  test("AQE skew-split fires on a 90%-hot join key (the dd2/tri1 posture)") {
+    // Dedup.scala and Graph.scala leave hot-key handling to AQE's skew
+    // split rather than pre-salting every join; this pins that the
+    // mechanism actually engages on a 90%-hot key (VERDICT r05 #6).
+    // Thresholds are lowered so test-sized data crosses them — the
+    // DEFAULTS only trigger at hundreds of MB per partition; what's
+    // under test is the plan mechanism, not the production threshold.
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // the shared test session runs 2 shuffle partitions; skew detection
+      // compares against the MEDIAN partition size (for 2 partitions the
+      // median IS the larger one), so the hot partition can never qualify —
+      // spread the cold keys over 16 partitions so the median is honest
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(200000)
+        .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
+      val right = spark.range(1000).selectExpr("id AS k", "id * 2 AS w")
+      val joined = left.join(right, "k")
+      // an action on the SAME Dataset finalizes its adaptive plan (a
+      // write would execute a cloned QueryExecution and leave this one
+      // isFinalPlan=false)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val sq = spark.sqlContext
