@@ -24,6 +24,10 @@ object SparkEntry {
     * DQ counters, not exceptions, surface bad input.
     */
   def configure(spark: SparkSession): SparkSession = {
+    // first-row-per-key window dedups plan as min_by hash aggregates
+    // (graft.plans.RowNumberDedupRewrite; extensions route in
+    // GraftExtensions, runtime route here for sessions we did not build)
+    graft.plans.RowNumberDedupRewrite.install(spark)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet carries TIMESTAMP(NANOS); Spark only exposes it as a

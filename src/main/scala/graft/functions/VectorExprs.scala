@@ -67,6 +67,7 @@ object VectorFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberDedupRewrite)
     ext.injectFunction((
       FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongDot].getName, "long_dot"),

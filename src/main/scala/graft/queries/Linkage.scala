@@ -197,13 +197,73 @@ object Linkage extends QueryModule {
       |GROUP BY user_id, event_type
       |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- opt1
+  /** cdc2's problem written the way users actually write it — the
+    * `row_number() = 1` window idiom — relying on the
+    * [[graft.plans.RowNumberDedupRewrite]] optimizer rule (installed by
+    * `SparkEntry.configure` / GraftExtensions) to plan it as the min_by
+    * hash aggregate cdc2 hand-writes. The oracle executes the window
+    * spelling literally in DuckDB, so the gate hash-proves the REWRITE:
+    * any semantic slip in the rule (tie handling, null ordering, payload
+    * extraction) breaks this entry. OptimizerRuleSpec additionally pins
+    * the plan shape (no Window/Sort, an aggregate with min_by).
+    *
+    * First lineitem per order by (ship date, content key): the md5
+    * content key makes the sort key unique per distinct payload, so both
+    * spellings are deterministic — ties can only occur between fully
+    * identical rows (integer-surrogate columns per the cross-engine
+    * money rule; integral doubles cast exactly).
+    */
+  private def firstPerKeyWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_shipdate"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast(LongType).as("qty"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("price_c"))
+      .withColumn("rk", md5(concat_ws("|",
+        col("l_partkey").cast(StringType), col("l_suppkey").cast(StringType),
+        col("l_linenumber").cast(StringType), col("qty").cast(StringType),
+        col("price_c").cast(StringType))))
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate").asc_nulls_first, col("rk").asc_nulls_first)
+    base
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("l_orderkey"), col("l_shipdate").as("first_shipdate"), col("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("qty"), col("price_c"), col("rk"))
+      .orderBy(col("l_orderkey").asc_nulls_first)
+  }
+
+  private val firstPerKeyWindowSql =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_shipdate, l_partkey, l_suppkey, l_linenumber,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    md5(concat_ws('|', CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+      |      CAST(l_linenumber AS VARCHAR), CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+      |      CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR))) AS rk
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_shipdate NULLS FIRST, rk NULLS FIRST) AS rn
+      |  FROM base)
+      |SELECT l_orderkey, l_shipdate AS first_shipdate, l_partkey, l_suppkey,
+      |  l_linenumber, qty, price_c, rk
+      |FROM r WHERE rn = 1
+      |ORDER BY l_orderkey NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fz1_fuzzy_join" -> (fuzzyJoin _),
     "cdc1_merge_upsert" -> (mergeUpsert _),
-    "cdc2_latest_per_key" -> (latestPerKey _))
+    "cdc2_latest_per_key" -> (latestPerKey _),
+    "opt1_window_dedup" -> (firstPerKeyWindow _))
 
   override val oracle: Map[String, String] = Map(
     "fz1_fuzzy_join" -> fuzzyJoinSql,
     "cdc1_merge_upsert" -> mergeUpsertSql,
-    "cdc2_latest_per_key" -> latestPerKeySql)
+    "cdc2_latest_per_key" -> latestPerKeySql,
+    "opt1_window_dedup" -> firstPerKeyWindowSql)
 }

@@ -457,7 +457,208 @@ object Text extends QueryModule {
        |FROM ranked WHERE rnk <= $TfIdfTopK
        |ORDER BY doc_id NULLS FIRST, rnk NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- tx11
+  /** Zipf coverage curve — the vocabulary-design census: top-[[ZipfTopK]]
+    * corpus terms with rank and the cumulative fraction of all corpus
+    * tokens they cover (the curve a tokenizer team reads to size a
+    * vocabulary). One explode+aggregate compresses the corpus to a
+    * vocabulary-sized frame; the rank/cumulative window then runs over
+    * THAT frame (terms, not tokens — at 100 TB the corpus is billions of
+    * tokens but the vocabulary is millions of rows, and only the
+    * vocabulary crosses the final single-partition window; if even that
+    * outgrew one partition, the same curve falls out of a two-stage
+    * range-partitioned prefix sum). Coverage is floor-ppm on exact
+    * integers — bit-identical in both engines (the tx10 rationale).
+    */
+  private val ZipfTopK = 30
+
+  private def zipfCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+    val order = Window.orderBy(col("n").desc_nulls_first, col("term").asc_nulls_first)
+    val total = Window.partitionBy() // vocabulary-sized frame, see scaladoc
+    tf.withColumn("rank", row_number().over(order).cast(LongType))
+      .withColumn("cum", sum(col("n")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("n")).over(total))
+      .filter(col("rank") <= ZipfTopK)
+      .select(
+        col("rank"), col("term"), col("n"),
+        floor(col("cum").cast(DoubleType) * 1000000.0 / col("total").cast(DoubleType))
+          .cast(LongType).as("coverage_ppm"))
+      .orderBy(col("rank").asc_nulls_first)
+  }
+
+  private val zipfCoverageSql =
+    s"""WITH tf AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT lower(unnest(string_split(text, ' '))) AS term FROM documents)
+       |  WHERE term != '' GROUP BY term),
+       |ranked AS (
+       |  SELECT term, n,
+       |    row_number() OVER (ORDER BY n DESC NULLS FIRST, term NULLS FIRST) AS rank,
+       |    SUM(n) OVER (ORDER BY n DESC NULLS FIRST, term NULLS FIRST
+       |                 ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(n) OVER () AS total
+       |  FROM tf)
+       |SELECT CAST(rank AS BIGINT) AS rank, term, n,
+       |  CAST(floor(CAST(cum AS DOUBLE) * 1000000.0 / CAST(total AS DOUBLE)) AS BIGINT)
+       |    AS coverage_ppm
+       |FROM ranked WHERE rank <= $ZipfTopK
+       |ORDER BY rank NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- tx12
+  /** Repetition signals (the Gopher/MassiveText quality battery): per
+    * document, the fraction of tokens taken by the single most frequent
+    * token, and the duplicate fractions among bigrams and trigrams —
+    * high values mark boilerplate/keyword-stuffed pages a curation
+    * pipeline drops. Entirely map-side: the top-token count is a
+    * run-length scan over the SORTED token array (one `aggregate` HOF
+    * with struct state — no per-document explode+groupBy, so nothing
+    * but the gate sort shuffles), and the n-gram duplicate counts are
+    * `size − size(array_distinct)` on arrays built in place. Fractions
+    * are floor-ppm on exact integers (cross-engine bit-stable).
+    */
+  private[graft] val RepTopTokenMaxPpm = 200000L // Gopher-style keep thresholds
+  private[graft] val RepDupBigramMaxPpm = 400000L
+
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    // longest run in the sorted token array = max multiplicity
+    val topCount = aggregate(
+      array_sort(col("w")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    def ngrams(n: Int) = when(size(col("w")) >= n,
+      transform(sequence(lit(1), size(col("w")) - (n - 1)),
+        i => array_join(slice(col("w"), i, lit(n)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+    def dupPpm(g: Column) = when(size(g) > 0,
+      floor((size(g) - size(array_distinct(g))).cast(DoubleType) * 1000000.0 /
+        size(g).cast(DoubleType)).cast(LongType)).otherwise(lit(0L))
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .withColumn("bg", ngrams(2))
+      .withColumn("tg", ngrams(3))
+      .select(
+        col("doc_id"),
+        floor(topCount.cast(DoubleType) * 1000000.0 / size(col("w")).cast(DoubleType))
+          .cast(LongType).as("top_token_ppm"),
+        dupPpm(col("bg")).as("dup_bigram_ppm"),
+        dupPpm(col("tg")).as("dup_trigram_ppm"))
+      .withColumn("keep",
+        col("top_token_ppm") <= RepTopTokenMaxPpm &&
+          col("dup_bigram_ppm") <= RepDupBigramMaxPpm)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  // The oracle spells the top-token count as unnest+GROUP BY+MAX — a
+  // different (set-oriented) formulation of the same quantity, which is
+  // the point of a differential oracle.
+  private val repetitionSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tc AS (SELECT doc_id, tk, COUNT(*) AS n
+       |       FROM (SELECT doc_id, unnest(w) AS tk FROM w) GROUP BY doc_id, tk),
+       |top AS (SELECT doc_id, MAX(n) AS topn, CAST(SUM(n) AS BIGINT) AS ntok
+       |        FROM tc GROUP BY doc_id),
+       |gr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 2 THEN
+       |      list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+       |      ELSE [] END AS bg,
+       |    CASE WHEN len(w) >= 3 THEN
+       |      list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+       |      ELSE [] END AS tg
+       |  FROM w),
+       |ppm AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(CAST(t.topn AS DOUBLE) * 1000000.0 / CAST(t.ntok AS DOUBLE))
+       |         AS BIGINT) AS top_token_ppm,
+       |    CASE WHEN len(g.bg) > 0 THEN
+       |      CAST(floor(CAST(len(g.bg) - len(list_distinct(g.bg)) AS DOUBLE) * 1000000.0 /
+       |                 CAST(len(g.bg) AS DOUBLE)) AS BIGINT) ELSE 0 END AS dup_bigram_ppm,
+       |    CASE WHEN len(g.tg) > 0 THEN
+       |      CAST(floor(CAST(len(g.tg) - len(list_distinct(g.tg)) AS DOUBLE) * 1000000.0 /
+       |                 CAST(len(g.tg) AS DOUBLE)) AS BIGINT) ELSE 0 END AS dup_trigram_ppm
+       |  FROM top t JOIN gr g USING (doc_id))
+       |SELECT doc_id, top_token_ppm, dup_bigram_ppm, dup_trigram_ppm,
+       |  top_token_ppm <= $RepTopTokenMaxPpm AND dup_bigram_ppm <= $RepDupBigramMaxPpm
+       |    AS keep
+       |FROM ppm ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- red1
+  /** PII redaction pass — the masking step a pipeline runs before any
+    * text leaves curation: count and replace email addresses and phone
+    * numbers with typed placeholder tokens, and emit a per-row `clean`
+    * proof (no pattern survives its own redaction). The fixture corpus
+    * is synthetic word-salad with no organic PII, so the entry first
+    * plants one deterministic email + phone per row (derived from
+    * doc_id/source) — the REDACTOR is the operator under test, and the
+    * planted rows prove it fires on every row rather than vacuously
+    * matching nothing. Pure per-row regexp work (codegen'd
+    * `RegExpReplace`/`RegExpExtractAll`) — zero shuffles before the gate
+    * sort; patterns are RE2-compatible so both engines execute the same
+    * automaton.
+    */
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  private[graft] val PhoneRe = "\\+1-555-[0-9][0-9][0-9][0-9]"
+
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast(StringType), lit("@"),
+      col("source"), lit(".example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"))
+    t(s, dir, "documents")
+      .withColumn("raw", planted)
+      .withColumn("red",
+        regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(
+        col("doc_id"),
+        // Column-API regexp_extract_all, NOT expr(): a SQL-text round
+        // trip would run the pattern through Spark's string-literal
+        // escape processing and silently strip the backslashes
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).cast(LongType)
+          .as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).cast(LongType)
+          .as("n_phones"),
+        md5(col("red")).as("red_hash"),
+        (!col("red").rlike(EmailRe) && !col("red").rlike(PhoneRe)).as("clean"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val piiRedactSql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source ||
+       |      '.example.com or +1-555-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id, raw,
+       |    regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g') AS red
+       |  FROM base)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(red) AS red_hash,
+       |  NOT regexp_matches(red, '$EmailRe') AND NOT regexp_matches(red, '$PhoneRe')
+       |    AS clean
+       |FROM red ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx11_zipf_coverage" -> (zipfCoverage _),
+    "tx12_repetition" -> (repetition _),
+    "red1_pii_redact" -> (piiRedact _),
     "tx10_tfidf" -> (tfidf _),
     "tx9_pack" -> (pack _),
     "tx8_chunking" -> (chunk _),
@@ -470,6 +671,9 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx11_zipf_coverage" -> zipfCoverageSql,
+    "tx12_repetition" -> repetitionSql,
+    "red1_pii_redact" -> piiRedactSql,
     "tx10_tfidf" -> tfidfSql,
     "tx9_pack" -> packSql,
     "tx8_chunking" -> chunkSql,

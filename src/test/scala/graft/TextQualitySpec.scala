@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side recomputation pins for the round-6 text-quality battery:
+  * tx11 (Zipf coverage), tx12 (repetition signals), red1 (PII redaction).
+  * Each test independently recomputes the quantity in plain Scala over
+  * the same fixture corpus and compares row-for-row — a second
+  * implementation in a different paradigm, complementing the DuckDB
+  * oracle (which is itself a third).
+  */
+class TextQualitySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def docs: Seq[(Long, String, String)] =
+    SparkEntry.configure(spark).read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("tx12: ppm signals match a plain-Scala recomputation for every document") {
+    val got = SparkEntry.queries("tx12_repetition")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("top_token_ppm"), r.getAs[Long]("dup_bigram_ppm"),
+          r.getAs[Long]("dup_trigram_ppm"), r.getAs[Boolean]("keep")))).toMap
+    assert(got.size == docs.size)
+    def dupPpm(grams: Seq[String]): Long =
+      if (grams.isEmpty) 0L
+      else math.floor((grams.size - grams.distinct.size).toDouble * 1e6 / grams.size).toLong
+    docs.foreach { case (id, text, _) =>
+      val w = text.split(" ", -1).toSeq
+      val top = w.groupBy(identity).values.map(_.size).max
+      val topPpm = math.floor(top.toDouble * 1e6 / w.size).toLong
+      val bg = w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tg = w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val expect = (topPpm, dupPpm(bg), dupPpm(tg),
+        topPpm <= 200000L && dupPpm(bg) <= 400000L)
+      assert(got(id) == expect, s"doc $id: got ${got(id)}, expected $expect")
+    }
+  }
+
+  test("tx11: rank/coverage invariants + exact recomputation of the head") {
+    val rows = SparkEntry.queries("tx11_zipf_coverage")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("term"),
+        r.getAs[Long]("n"), r.getAs[Long]("coverage_ppm")))
+    assert(rows.map(_._1).toSeq == (1L to rows.size).toSeq) // dense, ordered
+    assert(rows.map(_._3).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
+    assert(rows.map(_._4).sliding(2).forall(p => p.size < 2 || p(0) <= p(1)))
+    assert(rows.last._4 <= 1000000L)
+    // full driver-side vocabulary recount
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      .foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L)))
+    val total = counts.values.sum
+    val expect = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(rows.size)
+    var cum = 0L
+    expect.zip(rows).foreach { case ((term, n), row) =>
+      cum += n
+      val ppm = math.floor(cum.toDouble * 1e6 / total.toDouble).toLong
+      assert(row._2 == term && row._3 == n && row._4 == ppm,
+        s"rank ${row._1}: got $row, expected ($term, $n, $ppm)")
+    }
+  }
+
+  test("red1: every row is redacted clean, with one planted email and phone") {
+    val out = SparkEntry.queries("red1_pii_redact")(spark, dir).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L, s"doc ${r.getLong(0)}: emails")
+      assert(r.getAs[Long]("n_phones") == 1L, s"doc ${r.getLong(0)}: phones")
+      assert(r.getAs[Boolean]("clean"), s"doc ${r.getLong(0)}: not clean")
+    }
+    // one row recomputed end-to-end driver-side (plant + redact + md5)
+    val hashes = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("red_hash")).toMap
+    val (id, text, source) = docs.head
+    val raw = s"$text contact user$id@$source.example.com or +1-555-" +
+      (id % 10000).toString.reverse.padTo(4, '0').reverse
+    val red = raw
+      .replaceAll("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+", "<EMAIL>")
+      .replaceAll("\\+1-555-[0-9][0-9][0-9][0-9]", "<PHONE>")
+    val md = MessageDigest.getInstance("MD5")
+      .digest(red.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    assert(hashes(id) == md)
+  }
+}
