@@ -21,8 +21,8 @@ import graft.Tables
   * distinct rows reach its exchange. Full-row dedup is parity-mandated
   * (ref drop_duplicates over the whole projection, :319); the narrow-key
   * scale variant is [[buildNarrow]] (`mart_flagship_narrow`), which
-  * dedups on a content-derived md5 row-hash so only the 32-byte key is
-  * grouped and compared — both entries hash-match the same oracle. No
+  * dedups on a typed 128-bit xxhash64 content digest so only 16 bytes
+  * of key are grouped and compared — both entries hash-match the same oracle. No
   * driver materialization anywhere.
   */
 object Mart extends QueryModule {
@@ -67,12 +67,25 @@ object Mart extends QueryModule {
   def buildNarrow(s: SparkSession, dir: String): DataFrame = {
     val base = preDedup(s, dir)
     val cols = base.columns.toSeq
-    val rowHash = md5(concat(
-      concat_ws("\u0001", cols.map(c => coalesce(col(c).cast(StringType), lit(""))): _*),
-      concat(cols.map(c => when(col(c).isNull, lit("N")).otherwise(lit("V"))): _*)))
-    base.withColumn("row_h", rowHash)
-      .dropDuplicates("row_h") // first-row-per-hash hash aggregate
-      .drop("row_h")
+    // Typed 128-bit content digest: two independently-seeded xxhash64
+    // runs over the RAW column values -- no per-row string building (the
+    // r05 md5(concat_ws(...)) spelling burned its time materializing the
+    // concatenated row, and its First() buffers forced a SortAggregate).
+    // Spark's hash functions SKIP null columns (hash(a, null) == hash(a)),
+    // so ("a", null) and (null, "a") would collide without the explicit
+    // null bitmap, which is one long of pure bit math (mart width <= 63
+    // columns, asserted). Rows sharing both 64-bit digests are identical
+    // up to a 2^-128 birthday bound -- the same guarantee class as the
+    // md5 spelling, now without touching a byte of string.
+    require(cols.size <= 63, s"null bitmap needs a second word for ${cols.size} cols")
+    val nullMask = cols.zipWithIndex
+      .map { case (c, i) => when(col(c).isNull, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    base.withColumn("null_mask", nullMask)
+      .withColumn("row_h1", xxhash64((lit(1L) +: col("null_mask") +: cols.map(col)): _*))
+      .withColumn("row_h2", xxhash64((lit(2L) +: col("null_mask") +: cols.map(col)): _*))
+      .dropDuplicates("row_h1", "row_h2") // first-row-per-digest aggregate
+      .drop("row_h1", "row_h2", "null_mask")
       .orderBy(martCols.map(col(_).asc_nulls_first): _*)
   }
 
