@@ -337,6 +337,37 @@ object Extras extends QueryModule {
       |LEFT JOIN orders o ON p.asof_o_orderkey = o.o_orderkey
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- aj2
+  // Forward as-of join (graft.operators.AsOfJoin.leftAsOfForward): each
+  // event gets the EARLIEST order of its customer with o_orderdate >=
+  // event ts, ties broken by the smallest o_orderkey — the "next
+  // scheduled delivery" direction. Same union+window plan as aj1,
+  // scanned descending.
+  private def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val ord = t(s, dir, "orders")
+    graft.operators.AsOfJoin.leftAsOfForward(
+      ev, ord,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate",
+      tieBreak = "o_orderkey",
+      payload = Seq("o_orderkey", "o_totalprice"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val asofForwardSql =
+    """WITH picked AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    (SELECT o.o_orderkey FROM orders o
+      |     WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      |     ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS asof_o_orderkey
+      |  FROM events e)
+      |SELECT p.event_id, p.user_id, p.ts, p.asof_o_orderkey,
+      |       o.o_totalprice AS asof_o_totalprice
+      |FROM picked p
+      |LEFT JOIN orders o ON p.asof_o_orderkey = o.o_orderkey
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- rj1
   // Range join (graft.operators.RangeJoin): every event landing inside
   // the 30-minute window after a same-user click — an equi-join on
@@ -674,6 +705,7 @@ object Extras extends QueryModule {
     "j6_full_outer" -> (fullOuter _),
     "e3_posexplode" -> (posExplodeWords _),
     "aj1_asof_join" -> (asofJoin _),
+    "aj2_asof_forward" -> (asofForward _),
     "rj1_range_join" -> (rangeJoin _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
@@ -699,6 +731,7 @@ object Extras extends QueryModule {
     "j6_full_outer" -> fullOuterSql,
     "e3_posexplode" -> posExplodeWordsSql,
     "aj1_asof_join" -> asofJoinSql,
+    "aj2_asof_forward" -> asofForwardSql,
     "rj1_range_join" -> rangeJoinSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,

@@ -231,11 +231,93 @@ object Graph extends QueryModule {
        |ORDER BY mass DESC NULLS FIRST, node NULLS FIRST LIMIT $PrTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g2
+  /** Multi-source BFS layers: minimal hop distance from a deterministic
+    * source set (the [[BfsSources]] lowest node ids) to every node within
+    * [[BfsSweeps]] hops, aggregated to one row per layer (nodes reached,
+    * id range) — the reachability census behind "how far is every product
+    * from the catalog's core".
+    *
+    * Each sweep is the standard frontier relaxation: current distances ∪
+    * (neighbor distances + 1) → min per node — one shuffle-join on src
+    * plus one min-aggregate on node per sweep, the same Pregel plan shape
+    * as pr1, with state = (node, d) longs only. Sweeps ≤ [[PrIters]]-
+    * style fixed unrolling keeps lineage linear; beyond that the
+    * [[bfsLayersN]] variant applies the pageRankN localCheckpoint +
+    * superseded-block-release discipline. The oracle restates the sweeps
+    * CTE-for-CTE (a WITH RECURSIVE path walk would enumerate all ≤N-hop
+    * paths — degree^N of them on a dense co-purchase graph — where the
+    * per-sweep min-fold stays node-bounded in both engines).
+    */
+  private val BfsSweeps = 4
+  private val BfsSources = 5
+
+  private def bfsLayers(s: SparkSession, dir: String): DataFrame =
+    bfsLayersN(s, dir, BfsSweeps)
+
+  private[graft] def bfsLayersN(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val und = orientedEdges(s, dir)
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sources = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node").asc_nulls_first).limit(BfsSources)
+    val checkpointed = iters > BfsSweeps
+    var dist = sources.select(col("node"), lit(0L).as("d"))
+    var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (_ <- 1 to iters) {
+      val relaxed = dist
+        .join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+        .unionAll(dist)
+        .groupBy("node")
+        .agg(min(col("d")).as("d"))
+      dist = relaxed
+      if (checkpointed) {
+        dist = dist.localCheckpoint()
+        prevBlocks.foreach(_.unpersist(blocking = false))
+        prevBlocks = org.apache.spark.sql.GraftShims.checkpointedRdd(dist)
+      }
+    }
+    dist.groupBy("d")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("d").asc_nulls_first)
+  }
+
+  private def bfsSweepSql(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+       |    SELECT e.dst AS node, m.d + 1 AS d
+       |    FROM $prev m JOIN edges e ON e.src = m.node
+       |    UNION ALL SELECT node, d FROM $prev) GROUP BY node)""".stripMargin
+
+  private val bfsLayersSql = {
+    val sweeps = (1 to BfsSweeps).map(i => bfsSweepSql(s"s${i - 1}", s"s$i")).mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |                     AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT u AS src, v AS dst FROM und
+       |          UNION ALL SELECT v, u FROM und),
+       |s0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM (
+       |         SELECT DISTINCT src AS node FROM edges
+       |         ORDER BY node LIMIT $BfsSources)),
+       |$sweeps
+       |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  MIN(node) AS min_node, MAX(node) AS max_node
+       |FROM s$BfsSweeps GROUP BY d
+       |ORDER BY d NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tri1_triangle_census" -> (triangleCensus _),
-    "pr1_pagerank" -> (pageRank _))
+    "pr1_pagerank" -> (pageRank _),
+    "g2_bfs_layers" -> (bfsLayers _))
 
   override val oracle: Map[String, String] = Map(
     "tri1_triangle_census" -> triangleCensusSql,
-    "pr1_pagerank" -> pageRankSql)
+    "pr1_pagerank" -> pageRankSql,
+    "g2_bfs_layers" -> bfsLayersSql)
 }

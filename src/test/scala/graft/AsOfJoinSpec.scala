@@ -43,4 +43,27 @@ class AsOfJoinSpec extends AnyFunSuite {
   test("keys never leak across partitions") {
     assert(out("e4") == (None, None))
   }
+
+  private lazy val fwd = AsOfJoin.leftAsOfForward(
+    left, right, leftKey = "k", rightKey = "k", leftTs = "lts", rightTs = "rts",
+    tieBreak = "o_id", payload = Seq("o_id", "o_val"))
+    .collect().map(r => r.getAs[String]("eid") ->
+      (Option(r.getAs[java.lang.Long]("asof_o_id")), Option(r.getAs[String]("asof_o_val")))).toMap
+
+  test("forward: picks the earliest right row at or after the left timestamp") {
+    assert(fwd("e1") == (Some(200L), Some("b")))
+    assert(fwd("e3") == (Some(100L), Some("a"))) // everything is ahead of ts 5
+  }
+  test("forward: equal timestamps match (>=) and the SMALLEST tie-break wins") {
+    assert(fwd("e2") == (Some(200L), Some("b")))
+  }
+  test("forward: left rows after the last right row, or alien keys, get nulls") {
+    val late = AsOfJoin.leftAsOfForward(
+      Seq((1L, 25L, "e5")).toDF("k", "lts", "eid"), right,
+      leftKey = "k", rightKey = "k", leftTs = "lts", rightTs = "rts",
+      tieBreak = "o_id", payload = Seq("o_id", "o_val"))
+      .collect().map(r => Option(r.getAs[java.lang.Long]("asof_o_id"))).head
+    assert(late.isEmpty)
+    assert(fwd("e4") == (None, None))
+  }
 }

@@ -209,6 +209,25 @@ class LinkageSpec extends AnyFunSuite {
     assert(nodes < 15, s"plan not truncated: $nodes logical nodes")
   }
 
+  test("g2: layers partition the reached set; 10-sweep checkpointed run is stable") {
+    val got = SparkEntry.queries("g2_bfs_layers")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("min_node"), r.getAs[Long]("max_node")))
+    // layer 0 is exactly the 5 lowest-id sources; distances are dense from 0
+    assert(got.head._1 == 0L && got.head._2 == 5L)
+    assert(got.map(_._1).toSeq == (0L until got.length).toSeq)
+    got.foreach { case (_, n, lo, hi) => assert(n > 0 && lo <= hi) }
+    // diameter < 4 here, so a longer checkpointed horizon must not change
+    // layers — and its lineage must hang off a truncated plan
+    val ten = graft.queries.Graph.bfsLayersN(SparkEntry.configure(spark), dir, iters = 10)
+    val tenRows = ten.collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("min_node"), r.getAs[Long]("max_node")))
+    assert(tenRows.toSeq == got.toSeq, "extra sweeps changed converged layers")
+    val nodes = ten.queryExecution.optimizedPlan.collect { case p => p }.length
+    assert(nodes < 15, s"plan not truncated: $nodes logical nodes")
+  }
+
   test("ev6: stages are monotone and each step lands inside its conversion window") {
     val out = SparkEntry.queries("ev6_funnel")(spark, dir).collect()
     assert(out.nonEmpty)
