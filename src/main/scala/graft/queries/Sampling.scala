@@ -93,13 +93,58 @@ object Sampling extends QueryModule {
        |FROM ranked WHERE rank <= $SampleK
        |ORDER BY lang NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ds3
+  /** Weight-proportional Bernoulli sampling: P(keep) ∝ document length
+    * (the standard quality/length-weighted downsampling move), still
+    * fully deterministic and partitioning-independent. The uniform draw
+    * is the first 8 md5 hex chars; the per-row acceptance threshold is
+    * the weight scaled into the same 32-bit space and rendered as a
+    * zero-padded lowercase hex string, so one lexicographic compare
+    * implements P(keep) = min(n_chars, cap)/cap in pure integer/string
+    * math both engines evaluate bit-identically (no float RNG anywhere).
+    * Map-side filter only — same zero-shuffle posture as ds1. Rows with
+    * n_chars at/over the cap keep P = (2^32−1)/2^32 (one draw in 4
+    * billion lost — documented, irrelevant, and identical across
+    * engines). w_ppm is emitted for observability/audit.
+    */
+  private val WeightCap = 512L // chars at which P(keep) saturates
+
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val thr = least(
+      least(col("n_chars"), lit(WeightCap)) * lit(4294967296L / WeightCap),
+      lit(4294967295L))
+    Tables(s, dir, "documents")
+      .withColumn("thr", thr)
+      .filter(
+        substring(md5(concat(lit("wsmp:"), col("doc_id"))), 1, 8) <
+          lower(lpad(hex(col("thr")), 8, "0")))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        expr("(thr * 1000000) DIV 4294967296").as("w_ppm")) // integer div, not `/`
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val weightedSampleSql =
+    s"""WITH thr AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    least(least(n_chars, $WeightCap) * ${4294967296L / WeightCap},
+       |          4294967295) AS thr
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars,
+       |  CAST(thr * 1000000 // 4294967296 AS BIGINT) AS w_ppm
+       |FROM thr
+       |WHERE substr(md5('wsmp:' || doc_id), 1, 8) < lower(lpad(hex(thr), 8, '0'))
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "ds1_stratified_sample" -> (stratifiedSample _),
-      "ds2_topk_sample" -> (topkSample _))
+      "ds2_topk_sample" -> (topkSample _),
+      "ds3_weighted_sample" -> (weightedSample _))
 
   override val oracle: Map[String, String] =
     Map(
       "ds1_stratified_sample" -> stratifiedSampleSql,
-      "ds2_topk_sample" -> topkSampleSql)
+      "ds2_topk_sample" -> topkSampleSql,
+      "ds3_weighted_sample" -> weightedSampleSql)
 }

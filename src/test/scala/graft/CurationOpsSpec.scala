@@ -129,6 +129,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(splits.keySet == Set("train", "test") && splits("test") < splits("train"))
   }
 
+  test("ds3 weighted sampling equals an exact driver-side recomputation") {
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("ds3_weighted_sample")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("w_ppm"))).toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(s, dir, "documents").select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = docs.flatMap { case (id, n) =>
+      val thr = math.min(math.min(n, 512L) * (4294967296L / 512L), 4294967295L)
+      val keep = md5hex(s"wsmp:$id").substring(0, 8) < f"$thr%08x"
+      if (keep) Some(id -> thr * 1000000L / 4294967296L) else None
+    }.toMap
+    assert(got == expect, s"sampled set diverged (got ${got.size}, expected ${expect.size})")
+    // longer docs must be sampled strictly more often in aggregate
+    val kept = expect.keySet
+    val (long_, short_) = docs.partition(_._2 >= 256)
+    val pLong = long_.count(d => kept(d._1)).toDouble / long_.size.max(1)
+    val pShort = short_.count(d => kept(d._1)).toDouble / short_.size.max(1)
+    assert(pLong > pShort, s"length weighting inverted: $pLong vs $pShort")
+  }
+
   test("tx8 chunk geometry: stride starts, bounded tails, no contained duplicates") {
     val s = SparkEntry.configure(spark)
     val chunks = SparkEntry.queries("tx8_chunking")(s, sf).collect()
