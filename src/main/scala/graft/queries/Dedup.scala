@@ -159,6 +159,25 @@ object Dedup extends QueryModule {
   /** MinHash-LSH near-dup pairs, verified: signature → banded bucket
     * self-join (candidates) → true shingle-Jaccard filter ≥ 0.5.
     */
+  /** (doc_id, band_id, sig) LSH band rows for a shingled frame: all K
+    * seeded minima in ONE codegen pass over the shingles (the HOF
+    * spelling — K interpreted array_min(transform(md5)) sweeps — is the
+    * equivalence reference in VectorExprsSpec), banded B×R. Shared by the
+    * self-join (dd2) and incremental (dd10) passes so banding can't
+    * drift between them.
+    */
+  private def bandRowsOf(sh: DataFrame): DataFrame = {
+    val withMh = sh.withColumn("mhs", VectorFunctions.minhashSigs(col("shingles"), K))
+    val withBands = (0 until B).foldLeft(withMh)((df, b) =>
+      df.withColumn(s"band$b",
+        md5(concat_ws("|", (0 until R).map(r => col("mhs")(b * R + r)): _*))))
+    withBands.select(
+      col("doc_id"),
+      explode(array((0 until B).map(b =>
+        struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*)).as("kv"))
+      .select(col("doc_id"), col("kv.band_id").as("band_id"), col("kv.sig").as("sig"))
+  }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // The shingle sets feed three consumers (both self-join sides + the
     // verify stage) and the band signatures two — persist them instead of
@@ -166,19 +185,7 @@ object Dedup extends QueryModule {
     // materialization is mandatory, not an option: signatures are ~1% of
     // corpus size and the alternative is N full-corpus re-hashes.
     val sh = shingled(corpus(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
-    // all K seeded minima in ONE codegen pass over the shingles (the HOF
-    // spelling — K interpreted array_min(transform(md5)) sweeps — is the
-    // equivalence reference in VectorExprsSpec)
-    val withMh = sh.withColumn("mhs", VectorFunctions.minhashSigs(col("shingles"), K))
-    val withBands = (0 until B).foldLeft(withMh)((df, b) =>
-      df.withColumn(s"band$b",
-        md5(concat_ws("|", (0 until R).map(r => col("mhs")(b * R + r)): _*))))
-    val bandRows = withBands.select(
-      col("doc_id"),
-      explode(array((0 until B).map(b =>
-        struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*)).as("kv"))
-      .select(col("doc_id"), col("kv.band_id").as("band_id"), col("kv.sig").as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandRows = bandRowsOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
@@ -555,7 +562,62 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  // --------------------------------------------------------------- dd10
+  /** Incremental near-dup: the every-ingest variant of dd2. The "new
+    * batch" (the planted ≥1M ids) is banded with the SAME shared
+    * pipeline and its band rows join ONLY against the existing corpus's
+    * band rows — never batch×batch or corpus×corpus — so each ingest
+    * costs O(batch bands ⋈ corpus band table), independent of how many
+    * pairs the corpus itself contains. At production scale the corpus
+    * band table is a maintained bucketed table (operators/Bucketing
+    * posture): the per-batch join is then shuffle-free on the corpus
+    * side; a batch is dropped/kept per its matches here and its bands
+    * appended — the corpus is never re-paired. Verification is the
+    * shared exact-Jaccard join, so dd2 and dd10 agree on what "near-dup"
+    * means by construction.
+    */
+  private def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(corpus(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandRows = bandRowsOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val existing = bandRows.filter(col("doc_id") < 1000000L)
+    val batch = bandRows.filter(col("doc_id") >= 1000000L)
+    val cand = existing.as("o")
+      .join(batch.as("n"),
+        col("o.band_id") === col("n.band_id") && col("o.sig") === col("n.sig"))
+      .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerified(cand, sh, minJ = 0.5)
+  }
+
+  private val incrementalNearDupSql = {
+    val minhs = (0 until K).map(k =>
+      s"list_min(list_transform(shingles, x -> md5('$k:' || x))) AS mh$k").mkString(",\n    ")
+    val bands = (0 until B).map(b =>
+      s"md5(${(0 until R).map(r => s"mh${b * R + r}").mkString(" || '|' || ")}) AS band$b")
+      .mkString(",\n    ")
+    val bandRows = (0 until B).map(b =>
+      s"SELECT doc_id, $b AS band_id, band$b AS sig FROM sigs").mkString(" UNION ALL ")
+    s"""WITH $corpusSql,
+       |$shingledSql,
+       |mh AS (
+       |  SELECT doc_id,
+       |    $minhs
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $bands
+       |  FROM mh),
+       |bandrows AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
+       |  FROM bandrows o
+       |  JOIN bandrows n ON o.band_id = n.band_id AND o.sig = n.sig
+       |   AND o.doc_id < 1000000 AND n.doc_id >= 1000000)
+       |${jaccardVerifySqlTail(0.5)}""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd10_incremental_neardup" -> (incrementalNearDup _),
     "dd9_bloom_decontaminate" -> (bloomDecontaminate _),
     "dd1_exact_dedup" -> (exactDedup _),
     "dd2_minhash_lsh_pairs" -> (minhashPairs _),
@@ -570,6 +632,7 @@ object Dedup extends QueryModule {
     // same result as dd8 by construction (bloom FPs die in the verify
     // join) — the gate proves the equivalence
     "dd9_bloom_decontaminate" -> decontaminateSql,
+    "dd10_incremental_neardup" -> incrementalNearDupSql,
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_minhash_lsh_pairs" -> minhashPairsSql,
     "dd3_simhash" -> simhashSql,

@@ -691,8 +691,44 @@ object Extras extends QueryModule {
       |SELECT 'o_orderpriority', n_rows, nn_prio, nd_prio, min_prio, max_prio FROM s
       |ORDER BY col_name NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev7
+  /** Weekly cohort retention — the standard activity matrix: users
+    * cohorted by the ISO week of their first event, each later active
+    * week counted at its offset. Two aggregates over events (first-week
+    * per user, distinct active (user, week)) joined on user_id — after
+    * the first shuffle everything co-partitions on the same key, and the
+    * output is cohorts × offsets, bounded by the calendar, not the
+    * event volume. Both engines truncate weeks to Monday and the offset
+    * division is exact (Monday-to-Monday is always a multiple of 7
+    * days), so the matrix is integer-deterministic.
+    */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").select(col("user_id"), col("ts"))
+    val firstWeek = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+    active.join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(w, cohort_week) DIV 7 AS BIGINT)").as("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // active is (user, week)-distinct
+      .orderBy(col("cohort_week").asc_nulls_first, col("week_offset").asc_nulls_first)
+  }
+
+  private val cohortRetentionSql =
+    """WITH fw AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+      |SELECT f.cohort_week,
+      |  CAST(datediff('day', f.cohort_week, a.w) // 7 AS BIGINT) AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM act a JOIN fw f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev6_funnel" -> (funnel _),
+    "ev7_cohort_retention" -> (cohortRetention _),
     "dq1_column_profile" -> (columnProfile _),
     "ev5_json_extract" -> (jsonExtract _),
     "u3_union_distinct" -> (unionDistinct _),
@@ -719,6 +755,7 @@ object Extras extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "ev6_funnel" -> funnelSql,
+    "ev7_cohort_retention" -> cohortRetentionSql,
     "dq1_column_profile" -> columnProfileSql,
     "ev5_json_extract" -> jsonExtractSql,
     "u3_union_distinct" -> unionDistinctSql,

@@ -558,7 +558,44 @@ object Stats extends QueryModule {
        |ORDER BY b.total_qty DESC NULLS FIRST, o.o_orderkey NULLS FIRST,
        |  c.c_name NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q13
+  // TPC-H Q16 shape: supplier diversity per part attribute bucket with a
+  // NOT-IN supplier exclusion. The Spark-first spelling of NOT IN over a
+  // non-nullable key is a LEFT ANTI hash join (the excluded set is tiny
+  // → broadcast); the distinct-count groups on bounded part attributes,
+  // so only (brand, type, size, suppkey) pairs cross the exchange — never
+  // lineitem payload. The oracle keeps the literal NOT IN + COUNT
+  // DISTINCT so the gate proves the anti-join spelling equivalent.
+  private def supplierDiversity(s: SparkSession, dir: String): DataFrame = {
+    val excluded = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("l_suppkey"))
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), Seq("l_suppkey"), "left_anti")
+      .join(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" &&
+          col("p_size").isin(1, 5, 9, 13, 17))
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_type"),
+          col("p_size")),
+        Seq("l_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc_nulls_first, col("p_brand").asc_nulls_first,
+        col("p_type").asc_nulls_first, col("p_size").asc_nulls_first)
+  }
+
+  private val supplierDiversitySql =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand != 'Brand#13'
+      |  AND p.p_size IN (1, 5, 9, 13, 17)
+      |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC NULLS FIRST, p_brand NULLS FIRST,
+      |  p_type NULLS FIRST, p_size NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_supplier_diversity" -> (supplierDiversity _),
     "q12_large_orders" -> (largeOrders _),
     "w3_rolling_range" -> (rollingRange _),
     "h1_histogram" -> (histogram _),
@@ -576,6 +613,7 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "q13_supplier_diversity" -> supplierDiversitySql,
     "q12_large_orders" -> largeOrdersSql,
     "w3_rolling_range" -> rollingRangeSql,
     "h1_histogram" -> histogramSql,

@@ -117,4 +117,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(sorted.sliding(2).forall { case Array(x, y) => x._3 >= y._3 })
     }
   }
+
+  test("incremental near-dup equals dd2's pairs restricted to corpus x batch") {
+    def pairs(name: String) = run(name)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs("dd2_minhash_lsh_pairs")
+      .filter { case (a, b, _) => a < 1000000L && b >= 1000000L }
+    val inc = pairs("dd10_incremental_neardup")
+    assert(inc == full, s"incremental diverged: ${inc.size} vs ${full.size} pairs")
+    assert(inc.nonEmpty, "planted batch duplicates must surface")
+    // every planted exact copy (+1M of a %7 doc) must match its original
+    inc.foreach { case (a, b, j) => assert(a < 1000000L && b >= 1000000L && j >= 0.5) }
+  }
 }
