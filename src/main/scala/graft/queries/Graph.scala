@@ -241,13 +241,16 @@ object Graph extends QueryModule {
     * Each sweep is the standard frontier relaxation: current distances ∪
     * (neighbor distances + 1) → min per node — one shuffle-join on src
     * plus one min-aggregate on node per sweep, the same Pregel plan shape
-    * as pr1, with state = (node, d) longs only. Sweeps ≤ [[PrIters]]-
-    * style fixed unrolling keeps lineage linear; beyond that the
-    * [[bfsLayersN]] variant applies the pageRankN localCheckpoint +
-    * superseded-block-release discipline. The oracle restates the sweeps
-    * CTE-for-CTE (a WITH RECURSIVE path walk would enumerate all ≤N-hop
-    * paths — degree^N of them on a dense co-purchase graph — where the
-    * per-sweep min-fold stays node-bounded in both engines).
+    * as pr1, with state = (node, d) longs only. EVERY sweep
+    * localCheckpoints (+ releases the superseded sweep's blocks): the
+    * relaxation references the distance frame twice (probe + union), so
+    * un-truncated lineage doubles per sweep — 2^N copies of the
+    * small-frame shuffle DAG (pr1 can defer this to long horizons
+    * because its sweep touches each state frame once). The oracle
+    * restates the sweeps CTE-for-CTE (a WITH RECURSIVE path walk would
+    * enumerate all ≤N-hop paths — degree^N of them on a dense
+    * co-purchase graph — where the per-sweep min-fold stays
+    * node-bounded in both engines).
     */
   private val BfsSweeps = 4
   private val BfsSources = 5
@@ -262,7 +265,6 @@ object Graph extends QueryModule {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sources = edges.select(col("src").as("node")).distinct()
       .orderBy(col("node").asc_nulls_first).limit(BfsSources)
-    val checkpointed = iters > BfsSweeps
     var dist = sources.select(col("node"), lit(0L).as("d"))
     var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
     for (_ <- 1 to iters) {
@@ -272,12 +274,15 @@ object Graph extends QueryModule {
         .unionAll(dist)
         .groupBy("node")
         .agg(min(col("d")).as("d"))
-      dist = relaxed
-      if (checkpointed) {
-        dist = dist.localCheckpoint()
-        prevBlocks.foreach(_.unpersist(blocking = false))
-        prevBlocks = org.apache.spark.sql.GraftShims.checkpointedRdd(dist)
-      }
+      // EVERY sweep truncates: unlike pr1 (one dist reference per
+      // sweep), the relaxation references `dist` twice (probe + union),
+      // so an un-truncated lineage doubles per sweep — 2^N copies of
+      // the small-frame shuffle DAG, measured 30 s vs 3 s at sf0.1 for
+      // N=4. localCheckpoint is eager: each sweep materializes the
+      // (node, d) frame once and the next plans against the blocks.
+      dist = relaxed.localCheckpoint()
+      prevBlocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = org.apache.spark.sql.GraftShims.checkpointedRdd(dist)
     }
     dist.groupBy("d")
       .agg(count(lit(1)).as("n_nodes"),
