@@ -166,16 +166,17 @@ object Dedup extends QueryModule {
     * self-join (dd2) and incremental (dd10) passes so banding can't
     * drift between them.
     */
-  private def bandRowsOf(sh: DataFrame): DataFrame = {
+  private def bandRowsOf(sh: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val withMh = sh.withColumn("mhs", VectorFunctions.minhashSigs(col("shingles"), K))
     val withBands = (0 until B).foldLeft(withMh)((df, b) =>
       df.withColumn(s"band$b",
         md5(concat_ws("|", (0 until R).map(r => col("mhs")(b * R + r)): _*))))
     withBands.select(
-      col("doc_id"),
-      explode(array((0 until B).map(b =>
-        struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*)).as("kv"))
-      .select(col("doc_id"), col("kv.band_id").as("band_id"), col("kv.sig").as("sig"))
+      col("doc_id") +: carry.map(col) :+
+        explode(array((0 until B).map(b =>
+          struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*)).as("kv"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("kv.band_id").as("band_id") :+ col("kv.sig").as("sig"): _*)
   }
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
@@ -576,6 +577,49 @@ object Dedup extends QueryModule {
     * shared exact-Jaccard join, so dd2 and dd10 agree on what "near-dup"
     * means by construction.
     */
+  /** Streaming-compatible incremental core: band rows of the EXISTING
+    * corpus with their shingle sets attached — the static side a
+    * micro-batched ingest joins against. (doc_id, band_id, sig,
+    * shingles); at production scale this is a maintained bucketed
+    * table, here it is computed from the <1M corpus slice.
+    */
+  /** The planted "new batch" slice (ids ≥ 1M) as (doc_id, text) — the
+    * streaming spec drives [[incrementalMatches]] with exactly these
+    * rows to prove stream ≡ batch.
+    */
+  private[graft] def plantedBatch(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).filter(col("doc_id") >= 1000000L)
+
+  private[graft] def corpusBandsWithShingles(s: SparkSession, dir: String): DataFrame =
+    bandRowsOf(shingled(corpus(s, dir)).filter(col("doc_id") < 1000000L),
+      carry = Seq("shingles"))
+      .select(col("doc_id").as("corp_doc_id"), col("band_id"), col("sig"),
+        col("shingles").as("corp_shingles"))
+
+  /** The per-ingest match pass, runnable on a STREAMING `newDocs`
+    * (doc_id, text): shingle → band (pure map-side generate) →
+    * stream-static join against [[corpusBandsWithShingles]] → in-row
+    * exact Jaccard (both shingle sets are present on the joined row, so
+    * no second join back to the stream — the spelling that avoids a
+    * stream-stream join entirely) → ≥ minJ filter → pair dedup (the one
+    * stateful operator; band collisions produce the same pair up to B
+    * times). Carrying shingles through the bands costs ×B payload on
+    * the batch side — bounded by the INGEST batch, not the corpus,
+    * which is the right side to pay it on. StreamingSpec proves
+    * micro-batched output ≡ the dd10 batch pass.
+    */
+  private[graft] def incrementalMatches(
+      newDocs: DataFrame, corpusBands: DataFrame, minJ: Double = 0.5): DataFrame = {
+    val bands = bandRowsOf(shingled(newDocs), carry = Seq("shingles"))
+    bands.join(corpusBands, Seq("band_id", "sig"))
+      .select(col("corp_doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        (size(array_intersect(col("corp_shingles"), col("shingles"))).cast(DoubleType) /
+          size(array_union(col("corp_shingles"), col("shingles"))).cast(DoubleType))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   private def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(corpus(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
     val bandRows = bandRowsOf(sh).persist(StorageLevel.MEMORY_AND_DISK)

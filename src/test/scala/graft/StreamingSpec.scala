@@ -148,6 +148,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dup matches the dd10 batch pass across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    // static side: the corpus band table (shingles attached); streaming
+    // side: the planted ingest batch arriving in two micro-batches
+    val corpusBands = graft.queries.Dedup.corpusBandsWithShingles(s, dir)
+    val batchDocs = graft.queries.Dedup.plantedBatch(s, dir)
+      .as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStream.startMemorySink(
+      graft.queries.Dedup.incrementalMatches(
+        stream.toDF().toDF("doc_id", "text"), corpusBands),
+      "inc_dedup", OutputMode.Append())
+    try {
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      def canon(rows: Seq[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      val streamed = canon(spark.table("inc_dedup").collect().toSeq)
+      val batch = canon(graft.queries.Dedup.incrementalMatches(
+        graft.queries.Dedup.plantedBatch(s, dir), corpusBands).collect().toSeq)
+      val gate = canon(SparkEntry.queries("dd10_incremental_neardup")(spark, dir)
+        .collect().toSeq)
+      assert(batch.nonEmpty && streamed == batch,
+        s"stream ${streamed.size} pairs vs batch ${batch.size}")
+      assert(streamed == gate, "streaming core diverged from the dd10 gate entry")
+    } finally q.stop()
+  }
+
   test("foreachBatch routes a deduped stream through the batch JDBC sink (Derby)") {
     implicit val sq = spark.sqlContext
     // drive with the typed Ev stream; the fixture's value column is
