@@ -726,9 +726,46 @@ object Extras extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev8
+  /** Volume-anomaly days via the median/MAD rule — the robust DQ monitor
+    * (a mean/stddev z-score is itself dragged by the outliers it is
+    * meant to find). Day counts → median → median absolute deviation →
+    * flag |cnt − med| > 2·MAD. The exact interpolated percentile runs
+    * over the DAY-GRAIN frame (calendar-bounded, thousands of rows at
+    * any corpus size — the same exact-over-aggregated posture as q10,
+    * whose entry pins Spark `percentile` ≡ DuckDB `quantile_cont`);
+    * medians of integer counts land on exact .0/.5 doubles, so the
+    * comparison is engine-stable. Scalars attach via broadcast cross
+    * joins of one-row frames, never a driver collect.
+    */
+  private def anomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = daily.agg(percentile(col("cnt"), lit(0.5)).as("med"))
+    val withMed = daily.crossJoin(broadcast(med))
+    val mad = withMed.agg(percentile(abs(col("cnt") - col("med")), lit(0.5)).as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("day"), col("cnt"), col("med"), col("mad"),
+        (abs(col("cnt") - col("med")) > lit(2.0) * col("mad")).as("is_anomaly"))
+      .orderBy(col("day").asc_nulls_first)
+  }
+
+  private val anomalyDaysSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT quantile_cont(cnt, 0.5) AS med FROM daily),
+      |md AS (SELECT quantile_cont(abs(cnt - m.med), 0.5) AS mad FROM daily, m)
+      |SELECT d.day, d.cnt, m.med, md.mad,
+      |  abs(d.cnt - m.med) > 2 * md.mad AS is_anomaly
+      |FROM daily d, m, md
+      |ORDER BY day NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
+    "ev8_anomaly_days" -> (anomalyDays _),
     "dq1_column_profile" -> (columnProfile _),
     "ev5_json_extract" -> (jsonExtract _),
     "u3_union_distinct" -> (unionDistinct _),
@@ -756,6 +793,7 @@ object Extras extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,
+    "ev8_anomaly_days" -> anomalyDaysSql,
     "dq1_column_profile" -> columnProfileSql,
     "ev5_json_extract" -> jsonExtractSql,
     "u3_union_distinct" -> unionDistinctSql,

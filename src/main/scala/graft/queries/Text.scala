@@ -525,10 +525,13 @@ object Text extends QueryModule {
   private[graft] val RepTopTokenMaxPpm = 200000L // Gopher-style keep thresholds
   private[graft] val RepDupBigramMaxPpm = 400000L
 
-  private def repetition(s: SparkSession, dir: String): DataFrame = {
-    // longest run in the sorted token array = max multiplicity
-    val topCount = aggregate(
-      array_sort(col("w")),
+  /** Longest run in the sorted token array = the max token multiplicity
+    * — one `aggregate` HOF with struct state, no explode. Shared by tx12
+    * and the composed curation pass (cur2) so the signal can't drift.
+    */
+  private[queries] def topTokenCount(w: Column): Column =
+    aggregate(
+      array_sort(w),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
@@ -537,28 +540,36 @@ object Text extends QueryModule {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    def ngrams(n: Int) = when(size(col("w")) >= n,
-      transform(sequence(lit(1), size(col("w")) - (n - 1)),
-        i => array_join(slice(col("w"), i, lit(n)), " ")))
+
+  private[queries] def topTokenPpm(w: Column): Column =
+    floor(topTokenCount(w).cast(DoubleType) * 1000000.0 / size(w).cast(DoubleType))
+      .cast(LongType)
+
+  private[queries] def ngramsOf(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
       .otherwise(typedLit(Seq.empty[String]))
-    def dupPpm(g: Column) = when(size(g) > 0,
+
+  private[queries] def dupNgramPpm(g: Column): Column =
+    when(size(g) > 0,
       floor((size(g) - size(array_distinct(g))).cast(DoubleType) * 1000000.0 /
         size(g).cast(DoubleType)).cast(LongType)).otherwise(lit(0L))
+
+  private def repetition(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("w", words)
-      .withColumn("bg", ngrams(2))
-      .withColumn("tg", ngrams(3))
+      .withColumn("bg", ngramsOf(col("w"), 2))
+      .withColumn("tg", ngramsOf(col("w"), 3))
       .select(
         col("doc_id"),
-        floor(topCount.cast(DoubleType) * 1000000.0 / size(col("w")).cast(DoubleType))
-          .cast(LongType).as("top_token_ppm"),
-        dupPpm(col("bg")).as("dup_bigram_ppm"),
-        dupPpm(col("tg")).as("dup_trigram_ppm"))
+        topTokenPpm(col("w")).as("top_token_ppm"),
+        dupNgramPpm(col("bg")).as("dup_bigram_ppm"),
+        dupNgramPpm(col("tg")).as("dup_trigram_ppm"))
       .withColumn("keep",
         col("top_token_ppm") <= RepTopTokenMaxPpm &&
           col("dup_bigram_ppm") <= RepDupBigramMaxPpm)
       .orderBy(col("doc_id").asc_nulls_first)
-  }
 
   // The oracle spells the top-token count as unnest+GROUP BY+MAX — a
   // different (set-oriented) formulation of the same quantity, which is
@@ -655,7 +666,85 @@ object Text extends QueryModule {
        |    AS clean
        |FROM red ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- cur2
+  /** The round-6 composed curation pass — quality gate ∧ repetition gate
+    * ∧ weight-proportional sampling, reported as a per-language funnel
+    * census (docs in → quality-kept → repetition-kept → both → sampled,
+    * plus the sampled token mass). Every stage reuses the EXACT shared
+    * expression its standalone entry uses ([[qualityScore]],
+    * [[topTokenPpm]]/[[dupNgramPpm]], the ds3 hex-threshold gate with
+    * its own tag), so this entry pins that the operators COMPOSE without
+    * drift: one map-side pass per document, one tiny per-language
+    * aggregate, no intermediate materialization.
+    */
+  private def curationV2(s: SparkSession, dir: String): DataFrame = {
+    val keepQ = qualityScore(col("w")) >= 0.5
+    val keepRep = topTokenPpm(col("w")) <= RepTopTokenMaxPpm &&
+      dupNgramPpm(ngramsOf(col("w"), 2)) <= RepDupBigramMaxPpm
+    val thr = least(least(col("n_chars"), lit(512L)) * lit(4294967296L / 512L),
+      lit(4294967295L))
+    val sampGate =
+      substring(md5(concat(lit("cur2:"), col("doc_id"))), 1, 8) <
+        lower(lpad(hex(thr), 8, "0"))
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .withColumn("keep_q", keepQ)
+      .withColumn("keep_rep", keepRep)
+      .withColumn("sampled", col("keep_q") && col("keep_rep") && sampGate)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        n(col("keep_q")).as("n_keep_quality"),
+        n(col("keep_rep")).as("n_keep_repetition"),
+        n(col("keep_q") && col("keep_rep")).as("n_pass_both"),
+        n(col("sampled")).as("n_sampled"),
+        sum(when(col("sampled"), size(col("w")).cast(LongType)).otherwise(0L))
+          .as("tokens_sampled"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val curationV2Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents),
+       |tc AS (SELECT doc_id, tk, COUNT(*) AS n
+       |       FROM (SELECT doc_id, unnest(w) AS tk FROM base) GROUP BY doc_id, tk),
+       |top AS (SELECT doc_id, MAX(n) AS topn, CAST(SUM(n) AS BIGINT) AS ntok
+       |        FROM tc GROUP BY doc_id),
+       |flags AS (
+       |  SELECT b.lang, len(b.w) AS ntok_w,
+       |    ($qualityScoreSql) >= 0.5 AS keep_q,
+       |    CAST(floor(CAST(t.topn AS DOUBLE) * 1000000.0 / CAST(t.ntok AS DOUBLE))
+       |         AS BIGINT) <= $RepTopTokenMaxPpm
+       |    AND (CASE WHEN len(b.w) >= 2 THEN
+       |      CAST(floor(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) * 1000000.0 /
+       |                 CAST(len(bg) AS DOUBLE)) AS BIGINT) ELSE 0 END)
+       |        <= $RepDupBigramMaxPpm AS keep_rep,
+       |    substr(md5('cur2:' || b.doc_id), 1, 8) <
+       |      lower(lpad(hex(least(least(b.n_chars, 512) * ${4294967296L / 512L},
+       |                           4294967295)), 8, '0')) AS samp_gate
+       |  FROM (SELECT *,
+       |          CASE WHEN len(w) >= 2 THEN
+       |            list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+       |          ELSE [] END AS bg
+       |        FROM base) b
+       |  JOIN top t ON b.doc_id = t.doc_id)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_quality,
+       |  CAST(SUM(CASE WHEN keep_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_repetition,
+       |  CAST(SUM(CASE WHEN keep_q AND keep_rep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pass_both,
+       |  CAST(SUM(CASE WHEN keep_q AND keep_rep AND samp_gate THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN keep_q AND keep_rep AND samp_gate THEN ntok_w ELSE 0 END)
+       |       AS BIGINT) AS tokens_sampled
+       |FROM flags
+       |GROUP BY lang
+       |ORDER BY lang NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur2_curation_v2" -> (curationV2 _),
     "tx11_zipf_coverage" -> (zipfCoverage _),
     "tx12_repetition" -> (repetition _),
     "red1_pii_redact" -> (piiRedact _),
@@ -671,6 +760,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "cur2_curation_v2" -> curationV2Sql,
     "tx11_zipf_coverage" -> zipfCoverageSql,
     "tx12_repetition" -> repetitionSql,
     "red1_pii_redact" -> piiRedactSql,

@@ -228,6 +228,24 @@ class LinkageSpec extends AnyFunSuite {
     assert(nodes < 15, s"plan not truncated: $nodes logical nodes")
   }
 
+  test("ev8: median/MAD flags agree with a driver-side recomputation") {
+    val rows = SparkEntry.queries("ev8_anomaly_days")(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("med"), r.getAs[Double]("mad"), r.getAs[Boolean]("is_anomaly")))
+    assert(rows.nonEmpty)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val med = medianOf(rows.map(_._2.toDouble).toSeq)
+    val mad = medianOf(rows.map(r => math.abs(r._2 - med)).toSeq)
+    rows.foreach { case (day, cnt, m, md, flag) =>
+      assert(m == med && md == mad, s"$day: med/mad ($m, $md) vs ($med, $mad)")
+      assert(flag == (math.abs(cnt - med) > 2 * mad), s"$day: flag mismatch")
+    }
+  }
+
   test("ev6: stages are monotone and each step lands inside its conversion window") {
     val out = SparkEntry.queries("ev6_funnel")(spark, dir).collect()
     assert(out.nonEmpty)

@@ -64,6 +64,24 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("cur2: the funnel is monotone and consistent with the standalone gates") {
+    val out = SparkEntry.queries("cur2_curation_v2")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val repKeep = SparkEntry.queries("tx12_repetition")(spark, dir).collect()
+      .count(_.getAs[Boolean]("keep"))
+    var repTotal = 0L
+    out.foreach { r =>
+      val Seq(docs, q, rep, both, samp) = Seq("n_docs", "n_keep_quality",
+        "n_keep_repetition", "n_pass_both", "n_sampled").map(r.getAs[Long])
+      assert(samp <= both && both <= math.min(q, rep) && rep <= docs && q <= docs,
+        s"${r.getString(0)}: funnel not monotone ($docs, $q, $rep, $both, $samp)")
+      assert(r.getAs[Long]("tokens_sampled") >= samp, "sampled docs have ≥1 token each")
+      repTotal += rep
+    }
+    // the composed repetition gate must agree with tx12's keep count
+    assert(repTotal == repKeep, s"composed rep gate $repTotal vs tx12 $repKeep")
+  }
+
   test("red1: every row is redacted clean, with one planted email and phone") {
     val out = SparkEntry.queries("red1_pii_redact")(spark, dir).collect()
     assert(out.length == docs.size)
