@@ -16,15 +16,28 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * {{{ ... .groupBy(k).agg(min_by(struct(payload), struct(o))) }}}
   *
   * The window form is how virtually every pipeline spells dedup/latest-
-  * per-key, and it plans as exchange + PER-PARTITION SORT + window +
-  * filter: the sort touches every row and spills at corpus scale, and the
-  * map side can't pre-aggregate (this repo measured the two plans at 2.2×
-  * on the mart dedup — VERDICT r05 #2 — and keeps the hand-written
-  * aggregate spelling in `Mart.buildNarrow` / `Linkage.cdc2`). The
-  * aggregate form hash-folds each partition map-side and shuffles only
-  * one row per (partition key × task) — no sort anywhere. This rule buys
-  * that plan for the window SPELLING, so users keep writing the idiom
-  * they know.
+  * per-key, and it plans as exchange of EVERY input row + per-partition
+  * sort on (key, orderKeys) + window + filter: the map side can't
+  * pre-aggregate, so the exchange carries the whole input (this repo
+  * measured the window spelling at 2.2× on the mart dedup — VERDICT r05
+  * #2 — and keeps hand-written aggregate spellings in `Mart.buildNarrow`
+  * / `Linkage.cdc2`). The aggregate form reduces map-side first: the
+  * exchange carries at most one row per (partition key × task). Physical
+  * honesty (review r06): because `MinBy`'s buffers hold the payload and
+  * ordering STRUCTS — immutable buffer types — the aggregate plans as
+  * SortAggregate, not HashAggregate, so a per-task sort on the GROUP KEY
+  * remains on both sides of the exchange (the same engine constraint
+  * `Mart.buildNarrow` documents for First()). The rewrite's win is the
+  * map-side reduction and the narrower sort key (group key only, not
+  * key + order columns), not sort elimination — so it scales with
+  * PER-KEY DUPLICATION. Measured at sf0.1 (steady-state, local[32]):
+  * ~1.2–1.4× faster on a high-duplication shape (events latest-per-key,
+  * ~130 rows/key: 0.52 → 0.45 s, and far less cold-start variance), and
+  * parity on the low-duplication opt1 gate shape (~4 rows/key: ~1.8 vs
+  * ~1.9 s) — the rewrite never carries more through the exchange than
+  * the window form, so firing unconditionally is safe. This rule buys
+  * the aggregate plan for the window SPELLING, so users keep writing
+  * the idiom they know.
   *
   * Fires only on the exact shape whose semantics the aggregate
   * reproduces:

@@ -57,6 +57,13 @@ object Graph extends QueryModule {
   private def triangleCensus(s: SparkSession, dir: String): DataFrame =
     triangleCensusSized(s, dir, TriBroadcastMaxEdges)
 
+  /** NOTE: CONSTRUCTING this plan runs a Spark job — the size gate
+    * counts the persisted edge frame before choosing the probe
+    * strategy, so plan-only tools (graft.Explain, map iteration) pay
+    * the edge build here. Inherent to a measured pre-AQE strategy
+    * choice; the count doubles as the n_edges output column and the
+    * built edges stay persisted for the probes that follow.
+    */
   private[graft] def triangleCensusSized(
       s: SparkSession, dir: String, maxBroadcastEdges: Long): DataFrame = {
     val edges = orientedEdges(s, dir)

@@ -107,33 +107,50 @@ object Sampling extends QueryModule {
     * billion lost — documented, irrelevant, and identical across
     * engines). w_ppm is emitted for observability/audit.
     */
-  private val WeightCap = 512L // chars at which P(keep) saturates
+  // Shared with the composed curation pass (Text.curationV2) so the
+  // sampling stage cannot drift from ds3 (review r06: the constants
+  // were previously copied there).
+  private[queries] val WeightCap = 512L // chars at which P(keep) saturates
 
-  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
-    val thr = least(
-      least(col("n_chars"), lit(WeightCap)) * lit(4294967296L / WeightCap),
+  /** Weight scaled into 32-bit draw space, capped at 2^32−1. */
+  private[queries] def weightThreshold(nChars: org.apache.spark.sql.Column) =
+    least(least(nChars, lit(WeightCap)) * lit(4294967296L / WeightCap),
       lit(4294967295L))
+
+  /** The keep decision: md5 draw (first 8 hex chars, tagged) compared
+    * against the hex-rendered threshold.
+    */
+  private[queries] def weightGate(
+      docId: org.apache.spark.sql.Column, nChars: org.apache.spark.sql.Column,
+      tag: String) =
+    substring(md5(concat(lit(tag), docId)), 1, 8) <
+      lower(lpad(hex(weightThreshold(nChars)), 8, "0"))
+
+  /** DuckDB twins of [[weightThreshold]] / [[weightGate]]. */
+  private[queries] def weightThresholdSql(nCharsCol: String): String =
+    s"least(least($nCharsCol, $WeightCap) * ${4294967296L / WeightCap}, 4294967295)"
+  private[queries] def weightGateSql(docIdCol: String, nCharsCol: String, tag: String): String =
+    s"substr(md5('$tag' || $docIdCol), 1, 8) < " +
+      s"lower(lpad(hex(${weightThresholdSql(nCharsCol)}), 8, '0'))"
+
+  private def weightedSample(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .withColumn("thr", thr)
-      .filter(
-        substring(md5(concat(lit("wsmp:"), col("doc_id"))), 1, 8) <
-          lower(lpad(hex(col("thr")), 8, "0")))
+      .withColumn("thr", weightThreshold(col("n_chars")))
+      .filter(weightGate(col("doc_id"), col("n_chars"), "wsmp:"))
       .select(
         col("doc_id"), col("lang"), col("n_chars"),
         expr("(thr * 1000000) DIV 4294967296").as("w_ppm")) // integer div, not `/`
       .orderBy(col("doc_id").asc_nulls_first)
-  }
 
   private val weightedSampleSql =
     s"""WITH thr AS (
        |  SELECT doc_id, lang, n_chars,
-       |    least(least(n_chars, $WeightCap) * ${4294967296L / WeightCap},
-       |          4294967295) AS thr
+       |    ${weightThresholdSql("n_chars")} AS thr
        |  FROM documents)
        |SELECT doc_id, lang, n_chars,
        |  CAST(thr * 1000000 // 4294967296 AS BIGINT) AS w_ppm
        |FROM thr
-       |WHERE substr(md5('wsmp:' || doc_id), 1, 8) < lower(lpad(hex(thr), 8, '0'))
+       |WHERE ${weightGateSql("doc_id", "n_chars", "wsmp:")}
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] =

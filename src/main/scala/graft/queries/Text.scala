@@ -681,11 +681,7 @@ object Text extends QueryModule {
     val keepQ = qualityScore(col("w")) >= 0.5
     val keepRep = topTokenPpm(col("w")) <= RepTopTokenMaxPpm &&
       dupNgramPpm(ngramsOf(col("w"), 2)) <= RepDupBigramMaxPpm
-    val thr = least(least(col("n_chars"), lit(512L)) * lit(4294967296L / 512L),
-      lit(4294967295L))
-    val sampGate =
-      substring(md5(concat(lit("cur2:"), col("doc_id"))), 1, 8) <
-        lower(lpad(hex(thr), 8, "0"))
+    val sampGate = Sampling.weightGate(col("doc_id"), col("n_chars"), "cur2:")
     def n(c: Column) = sum(when(c, 1L).otherwise(0L))
     t(s, dir, "documents")
       .withColumn("w", words)
@@ -720,9 +716,7 @@ object Text extends QueryModule {
        |      CAST(floor(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) * 1000000.0 /
        |                 CAST(len(bg) AS DOUBLE)) AS BIGINT) ELSE 0 END)
        |        <= $RepDupBigramMaxPpm AS keep_rep,
-       |    substr(md5('cur2:' || b.doc_id), 1, 8) <
-       |      lower(lpad(hex(least(least(b.n_chars, 512) * ${4294967296L / 512L},
-       |                           4294967295)), 8, '0')) AS samp_gate
+       |    ${Sampling.weightGateSql("b.doc_id", "b.n_chars", "cur2:")} AS samp_gate
        |  FROM (SELECT *,
        |          CASE WHEN len(w) >= 2 THEN
        |            list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
