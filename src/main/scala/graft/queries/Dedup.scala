@@ -660,7 +660,116 @@ object Dedup extends QueryModule {
        |${jaccardVerifySqlTail(0.5)}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- dd11
+  /** Content-defined segment dedup — the scalable approximation of
+    * substring-level exact dedup (the "repeated passage" pass of the
+    * dedup-training-data literature; suffix-array dedup needs a global
+    * sort, this needs one hash aggregate): split each document at
+    * content-defined boundaries (words whose md5 starts 0–3, P=1/4 →
+    * ~4-word expected segments), so a passage shared by two documents
+    * segments IDENTICALLY regardless of its offset in either — the
+    * property fixed-stride chunking (tx8) lacks. Dedup the segments by
+    * content hash across the corpus (keeper = lowest (doc, idx)) and
+    * emit per-document duplication stats.
+    *
+    * Scale posture: segmentation is ONE map-side fold per document (an
+    * `aggregate` HOF over the word array — no word-grain explode, no
+    * window over positions); only (doc_id, seg_h, key, n_w) ever cross
+    * an exchange — segment text is pruned before both the hash
+    * aggregate and the join back. The oracle rebuilds the same segments
+    * relationally (unnest + cumulative boundary sum + ordered
+    * string_agg), proving the fold semantics, and restates the dedup.
+    */
+  private val SegBoundaryFirstHex = "('0','1','2','3')" // P(boundary) = 4/16
+  private val SegIdxWidth = 1L << 20 // composite key stride; segs/doc ≪ 2^20
+
+  /** The map-side segmentation fold over a `text` column; package-visible
+    * so the spec can pin CDC's defining property (a shared passage
+    * segments identically at any offset) on hand-built documents.
+    * A boundary word starts a new segment unless nothing is buffered yet.
+    */
+  private[graft] def cdcSegments: Column = expr(
+    s"""aggregate(
+       |  filter(split(text, ' '), w -> w != ''),
+       |  struct(cast(array() as array<string>) as done, '' as cur),
+       |  (acc, w) -> if(substring(md5(w), 1, 1) in $SegBoundaryFirstHex and acc.cur != '',
+       |    struct(concat(acc.done, array(acc.cur)) as done, w as cur),
+       |    struct(acc.done as done, if(acc.cur = '', w, concat(acc.cur, ' ', w)) as cur)),
+       |  acc -> if(acc.cur = '', acc.done, concat(acc.done, array(acc.cur))))""".stripMargin)
+
+  private def cdcSegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = corpus(s, dir).select(col("doc_id"), cdcSegments.as("segs"))
+    val segGrain = base
+      .select(col("doc_id"), posexplode(col("segs")))
+      .select(
+        col("doc_id"),
+        md5(col("col")).as("seg_h"),
+        size(split(col("col"), " ")).cast(LongType).as("n_w"),
+        (col("doc_id") * SegIdxWidth + col("pos")).as("k"))
+    val minKeys = segGrain.groupBy("seg_h").agg(min(col("k")).as("min_k"))
+    val perDoc = segGrain.join(minKeys, Seq("seg_h"))
+      .withColumn("isd", when(col("k") =!= col("min_k"), 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("isd")).as("n_dup_segs"),
+        sum(col("n_w")).as("n_words"),
+        sum(col("isd") * col("n_w")).as("n_dup_words"))
+    // empty/null texts have no segments — keep their rows (count 0,
+    // null ratio) via the left join; n_segs ≥ 1 wherever it is non-null,
+    // so the ppm division can't hit zero in either engine
+    base.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_dup_segs"), lit(0L)).as("n_dup_segs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_dup_words"), lit(0L)).as("n_dup_words"),
+        expr("(n_dup_segs * 1000000) DIV n_segs").as("dup_ppm"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val cdcSegmentDedupSql =
+    s"""WITH $corpusSql,
+       |w AS (
+       |  SELECT doc_id, CAST(generate_subscripts(wa, 1) AS BIGINT) AS pos,
+       |    unnest(wa) AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> x != '') AS wa
+       |        FROM corpus)),
+       |segw AS (
+       |  SELECT doc_id, pos, word,
+       |    SUM(CASE WHEN substr(md5(word), 1, 1) IN $SegBoundaryFirstHex
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS seg0
+       |  FROM w),
+       |segs AS (
+       |  SELECT doc_id, seg0, string_agg(word, ' ' ORDER BY pos) AS seg_text,
+       |    CAST(COUNT(*) AS BIGINT) AS n_w, MIN(pos) AS first_pos
+       |  FROM segw GROUP BY doc_id, seg0),
+       |keyed AS (
+       |  SELECT doc_id, n_w, md5(seg_text) AS seg_h,
+       |    doc_id * $SegIdxWidth +
+       |      (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY first_pos) - 1) AS k
+       |  FROM segs),
+       |mk AS (SELECT seg_h, MIN(k) AS min_k FROM keyed GROUP BY seg_h),
+       |pd AS (
+       |  SELECT keyed.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       |    CAST(SUM(CASE WHEN k != min_k THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       |    CAST(SUM(n_w) AS BIGINT) AS n_words,
+       |    CAST(SUM(CASE WHEN k != min_k THEN n_w ELSE 0 END) AS BIGINT) AS n_dup_words
+       |  FROM keyed JOIN mk USING (seg_h) GROUP BY keyed.doc_id)
+       |SELECT c.doc_id,
+       |  COALESCE(pd.n_segs, 0) AS n_segs,
+       |  COALESCE(pd.n_dup_segs, 0) AS n_dup_segs,
+       |  COALESCE(pd.n_words, 0) AS n_words,
+       |  COALESCE(pd.n_dup_words, 0) AS n_dup_words,
+       |  CAST(pd.n_dup_segs * 1000000 // pd.n_segs AS BIGINT) AS dup_ppm
+       |FROM corpus c LEFT JOIN pd ON c.doc_id = pd.doc_id
+       |ORDER BY c.doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd11_segment_dedup" -> (cdcSegmentDedup _),
     "dd10_incremental_neardup" -> (incrementalNearDup _),
     "dd9_bloom_decontaminate" -> (bloomDecontaminate _),
     "dd1_exact_dedup" -> (exactDedup _),
@@ -676,6 +785,7 @@ object Dedup extends QueryModule {
     // same result as dd8 by construction (bloom FPs die in the verify
     // join) — the gate proves the equivalence
     "dd9_bloom_decontaminate" -> decontaminateSql,
+    "dd11_segment_dedup" -> cdcSegmentDedupSql,
     "dd10_incremental_neardup" -> incrementalNearDupSql,
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_minhash_lsh_pairs" -> minhashPairsSql,

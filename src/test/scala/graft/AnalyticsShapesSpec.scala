@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-6 analytic shapes (q14/q15/q17/q19) and the
+  * content-defined segment dedup (dd11). The gate hash-proves each
+  * against its DuckDB oracle; these tests pin the properties the hash
+  * can't see — plan shape (pushdown, single scan) and the CDC
+  * shift-invariance that makes dd11 a substring-dedup approximation.
+  */
+class AnalyticsShapesSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q19: the factored disjunction reaches BOTH parquet scans") {
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try {
+      val plan = SparkEntry.queries("q19_disjunctive_pred")(spark, dir)
+        .queryExecution.executedPlan.toString
+      // part side: the OR of part-local conjunct weakenings is pushed
+      assert(plan.contains("EqualTo(p_brand,Brand#13)"), "part-side OR not pushed")
+      // lineitem side: the OR of quantity-bound weakenings is pushed —
+      // this is exactly what wrapping l_quantity in round() would break
+      assert(plan.contains("GreaterThanOrEqual(l_quantity,5.0)"),
+        "lineitem-side quantity bounds not pushed")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
+
+  test("q17: integer cross-multiply equals the float-threshold filter") {
+    // qty·5·n < Σqty  ⇔  qty < 0.2·avg for integral quantities — replay
+    // the naive float spelling and compare the aggregate it produces
+    val li = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")
+    val avg_ = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_q"))
+    val naive = li.join(avg_, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_q") * 0.2)
+      .agg(count(lit(1)), sum(round(col("l_extendedprice") * 100).cast("long")))
+      .head
+    val got = SparkEntry.queries("q17_small_qty_revenue")(spark, dir).head
+    assert(got.getLong(0) == naive.getLong(0))
+    assert(got.getLong(1) == naive.getLong(1))
+  }
+
+  test("q15: lineitem is scanned once (the revenue frame is persisted)") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, dir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // after the action the persisted rev frame backs both branches: the
+    // executed plan reads it as InMemoryTableScan instead of re-scanning
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), "rev frame not cached")
+    // every returned supplier carries the same (max) revenue
+    assert(out.map(_.getAs[Long]("total_rev_e4")).distinct.length == 1)
+  }
+
+  test("dd11: a shared passage dedups at ANY offset (CDC shift-invariance)") {
+    val s = SparkEntry.configure(spark)
+    import s.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      s"$passage trailing words here",
+      s"completely different prefix of some length $passage").toDF("text")
+    val segs = docs.select(graft.queries.Dedup.cdcSegments.as("segs"))
+      .collect().map(_.getSeq[String](0))
+    // fixed-stride chunking would misalign these; CDC must produce the
+    // passage's interior segments identically in both documents
+    val shared = segs(0).toSet.intersect(segs(1).toSet)
+    assert(shared.nonEmpty, s"no shared segments: ${segs.toSeq}")
+    // the shared segments must cover most of the passage's words
+    val sharedWords = shared.toSeq.map(_.split(" ").length).sum
+    assert(sharedWords >= passage.split(" ").length - 6,
+      s"only $sharedWords shared words via $shared")
+  }
+
+  test("dd11: planted exact copies are 100% duplicate segments") {
+    val out = SparkEntry.queries("dd11_segment_dedup")(spark, dir)
+      .filter(col("doc_id").between(1000000L, 1999999L)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_segs") > 0)
+      assert(r.getAs[Long]("n_dup_segs") == r.getAs[Long]("n_segs"),
+        s"doc ${r.getAs[Long]("doc_id")} not fully duplicate")
+      assert(r.getAs[Long]("dup_ppm") == 1000000L)
+    }
+  }
+
+  test("dd11: segment indexes stay far below the composite-key stride") {
+    val s = SparkEntry.configure(spark)
+    val maxSegs = s.read.parquet(s"$dir/documents.parquet")
+      .select(graft.queries.Dedup.cdcSegments.as("segs"))
+      .agg(max(size(col("segs")))).head.getInt(0)
+    assert(maxSegs.toLong < (1L << 20) / 1024,
+      s"$maxSegs segments/doc — composite key headroom eroding")
+  }
+}
