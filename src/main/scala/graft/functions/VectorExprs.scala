@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{LongDot, LongSquaredL2, MinHashSigs, NgramMd5, SimHash16}
+import org.apache.spark.sql.graft.{CdcSegments, LongDot, LongSquaredL2, MinHashSigs, NgramMd5, SimHash16}
 
 /** Column-API and SQL-name surfaces for the codegen vector kernels
   * (org.apache.spark.sql.graft.VectorKernels).
@@ -25,6 +25,9 @@ object VectorFunctions {
   def ngramMd5(words: Column, n: Int): Column =
     GraftShims.column(NgramMd5(GraftShims.expression(words), n))
 
+  def cdcSegments(words: Column, nibbles: Int): Column =
+    GraftShims.column(CdcSegments(GraftShims.expression(words), nibbles))
+
   /** Probe a driver-built `util.sketch.BloomFilter` (serialized bytes).
     * Not in the SQL-name registry: the filter bytes aren't expressible
     * as a SQL literal users should type.
@@ -39,7 +42,8 @@ object VectorFunctions {
     "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))),
     "simhash16" -> (es => SimHash16(es(0))),
     "minhash_sigs" -> (es => MinHashSigs(es(0), foldableK(es(1), "minhash_sigs"))),
-    "ngram_md5" -> (es => NgramMd5(es(0), foldableK(es(1), "ngram_md5"))))
+    "ngram_md5" -> (es => NgramMd5(es(0), foldableK(es(1), "ngram_md5"))),
+    "cdc_segments" -> (es => CdcSegments(es(0), foldableK(es(1), "cdc_segments"))))
 
   /** The SQL surface needs k/n at plan-construction time (it sizes the
     * kernel): accept any integer literal, reject the rest with an error
@@ -90,5 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramMd5].getName, "ngram_md5"),
       (es: Seq[Expression]) => NgramMd5(es(0),
         VectorFunctions.foldableKPublic(es(1), "ngram_md5"))))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_segments"),
+      new ExpressionInfo(classOf[CdcSegments].getName, "cdc_segments"),
+      (es: Seq[Expression]) => CdcSegments(es(0),
+        VectorFunctions.foldableKPublic(es(1), "cdc_segments"))))
   }
 }

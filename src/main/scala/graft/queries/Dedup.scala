@@ -672,23 +672,35 @@ object Dedup extends QueryModule {
     * content hash across the corpus (keeper = lowest (doc, idx)) and
     * emit per-document duplication stats.
     *
-    * Scale posture: segmentation is ONE map-side fold per document (an
-    * `aggregate` HOF over the word array — no word-grain explode, no
-    * window over positions); only (doc_id, seg_h, key, n_w) ever cross
-    * an exchange — segment text is pruned before both the hash
-    * aggregate and the join back. The oracle rebuilds the same segments
-    * relationally (unnest + cumulative boundary sum + ordered
-    * string_agg), proving the fold semantics, and restates the dedup.
+    * Scale posture: segmentation is ONE map-side pass per document (the
+    * codegen `CdcSegments` kernel over the word array — no word-grain
+    * explode, no window over positions, no interpreted per-word lambda;
+    * the `aggregate`-HOF spelling survives as the spec's equivalence
+    * reference); only (doc_id, seg_h, key, n_w) ever cross an exchange —
+    * segment text is pruned before both the hash aggregate and the join
+    * back. The oracle rebuilds the same segments relationally (unnest +
+    * cumulative boundary sum + ordered string_agg), proving the
+    * segmentation semantics, and restates the dedup.
     */
   private val SegBoundaryFirstHex = "('0','1','2','3')" // P(boundary) = 4/16
   private val SegIdxWidth = 1L << 20 // composite key stride; segs/doc ≪ 2^20
 
-  /** The map-side segmentation fold over a `text` column; package-visible
-    * so the spec can pin CDC's defining property (a shared passage
-    * segments identically at any offset) on hand-built documents.
-    * A boundary word starts a new segment unless nothing is buffered yet.
+  /** The segmentation over a `text` column: the codegen `CdcSegments`
+    * kernel (one pass, no per-word lambda dispatch or accumulator
+    * copies). 4 = boundary on md5 first nibble < 4, P = 4/16 — the
+    * kernel twin of [[SegBoundaryFirstHex]]. Package-visible so the spec
+    * can pin CDC's defining property (a shared passage segments
+    * identically at any offset) on hand-built documents.
     */
-  private[graft] def cdcSegments: Column = expr(
+  private[graft] def cdcSegments: Column =
+    VectorFunctions.cdcSegments(split(col("text"), " "), 4)
+
+  /** The interpreted `aggregate`-HOF spelling of [[cdcSegments]] — the
+    * semantics reference the kernel is equivalence-tested against
+    * (repo convention: HOF spellings survive in tests). A boundary word
+    * starts a new segment unless nothing is buffered yet.
+    */
+  private[graft] def cdcSegmentsHof: Column = expr(
     s"""aggregate(
        |  filter(split(text, ' '), w -> w != ''),
        |  struct(cast(array() as array<string>) as done, '' as cur),

@@ -489,7 +489,132 @@ object Similarity extends QueryModule {
       |  CAST(list_sum(qv) AS BIGINT) AS q_sum
       |FROM q ORDER BY vec_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ann5
+  /** Product-quantization (PQ) top-k with asymmetric distance computation
+    * (ADC) — the memory-compressed ANN leg beside IVF (ann2) and SRP
+    * (ann4): each vector is stored as [[PqM]] small codes (one per
+    * subspace) instead of its full [[quantExpr]] form, and a query is
+    * scored against a vector by TABLE LOOKUP — Σ_m dot(query_sub_m,
+    * codeword_{m,code_m}) — never touching the original vector. At
+    * 100 TB this is what makes the candidate set fit in memory: codes
+    * are M small ints per vector (vs D longs), and the per-query lookup
+    * table is M×Ks entries built once from the full-precision query.
+    *
+    * Per-subspace codebooks are trained exactly like ann2's IVF
+    * codebook (min_by argmin assignment + floored integer means, one
+    * Lloyd pass, first-[[PqKs]]-vectors init) but keyed by subspace —
+    * all integer/single-op-double math, so the DuckDB oracle restates
+    * training, encoding, LUT build and ADC scoring CTE-for-CTE and the
+    * gate hash-matches the whole pipeline. Scale posture: training and
+    * encoding are corpus passes with (m, code, pos)-grain exchanges
+    * after map-side combine; the LUT (queries × M × Ks rows) and
+    * codebooks broadcast; scoring shuffles only (query, vec, partial)
+    * triples into a map-side-combined sum + bounded TopKAgg.
+    */
+  private val PqM = 4 // subspaces
+  private val PqKs = 8 // codewords per subspace
+  private val PqTopK = 5
+
+  /** (vec_id, m, sq): the corpus split into [[PqM]] subvectors. */
+  private def subspaced(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("q"))
+      .select(col("vec_id"), col("m"),
+        // integer div: size(q)/PqM via `div` — `/` would widen to double
+        expr(s"slice(q, m * (size(q) div $PqM) + 1, size(q) div $PqM)").as("sq"))
+
+  /** Per-(vec, subspace) argmin codeword — [[assignTo]] keyed by m. */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val l2 = VectorFunctions.longSquaredL2(col("sq"), col("cv"))
+    sub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"), col("sq"), l2.as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(
+        min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+        first(col("sq")).as("sq"))
+  }
+
+  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val sub = subspaced(quantized(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = sub.filter(col("vec_id") < PqKs)
+      .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
+    // one Lloyd pass per subspace codebook (the ann2 update, keyed by m)
+    val cents = pqAssign(sub, init)
+      .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("pos", "v")))
+      .groupBy("m", "code", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("c",
+        floor(col("s").cast(DoubleType) / col("n").cast(DoubleType)).cast(LongType))
+      .groupBy("m", "code")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))), x => x("c")).as("cv"))
+    val codes = pqAssign(sub, cents).select("vec_id", "m", "code")
+    // per-query ADC lookup table: partial dot of the full-precision query
+    // subvector against every codeword — queries × M × Ks rows, broadcast
+    val lut = sub.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("m"), col("sq"))
+      .join(cents, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"), dot(col("sq"), col("cv")).as("part"))
+    val topk = udaf(new TopKAgg(PqTopK))
+    val scored = codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("part")).as("score"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  /** Oracle argmin over per-subspace codebook `$cents` (pqAssign's twin). */
+  private def pqAssignCte(cents: String): String =
+    s"""SELECT vec_id, m, code, sq FROM (
+       |    SELECT s.vec_id, s.m, c.code, s.sq,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        list_sum(list_transform(range(1, len(s.sq) + 1),
+       |          i -> (s.sq[i] - cv[i]) * (s.sq[i] - cv[i]))) ASC,
+       |        c.code ASC) AS rn
+       |    FROM sub s JOIN $cents c ON s.m = c.m) WHERE rn = 1""".stripMargin
+
+  private val pqTopKSql =
+    s"""WITH emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(q, m * (len(q) // $PqM) + 1, (m + 1) * (len(q) // $PqM)) AS sq
+       |  FROM emb, (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |pc0 AS (SELECT m, vec_id AS code, sq AS cv FROM sub WHERE vec_id < $PqKs),
+       |pasg AS (${pqAssignCte("pc0")}),
+       |pc1 AS (
+       |  SELECT m, code, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT m, code, pos,
+       |      CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+       |    FROM (SELECT m, code, generate_subscripts(sq, 1) AS pos, unnest(sq) AS v
+       |          FROM pasg)
+       |    GROUP BY m, code, pos)
+       |  GROUP BY m, code),
+       |codes AS (SELECT vec_id, m, code FROM (${pqAssignCte("pc1")})),
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.m, c.code,
+       |    CAST(list_sum(list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] * cv[i]))
+       |      AS BIGINT) AS part
+       |  FROM sub s JOIN pc1 c ON s.m = c.m
+       |  WHERE s.vec_id IN (0, 1, 2)),
+       |scored AS (
+       |  SELECT query_id, codes.vec_id AS neighbor_id, CAST(SUM(part) AS BIGINT) AS score
+       |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+       |  WHERE codes.vec_id <> query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= $PqTopK
+       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann5_topk_pq" -> (pqTopK _),
     "emb2_quantize" -> (quantizeInt8 _),
     "ann1_topk_exact" -> (bruteTopK _),
     "ann2_topk_ivf" -> (ivfTopK _),
@@ -499,6 +624,7 @@ object Similarity extends QueryModule {
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
+    "ann5_topk_pq" -> pqTopKSql,
     "emb2_quantize" -> quantizeInt8Sql,
     "ann1_topk_exact" -> bruteTopKSql,
     "ann2_topk_ivf" -> ivfTopKSql,

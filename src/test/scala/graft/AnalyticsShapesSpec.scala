@@ -55,6 +55,30 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("total_rev_e4")).distinct.length == 1)
   }
 
+  test("dd11: the CdcSegments kernel equals the aggregate-HOF fold") {
+    val s = SparkEntry.configure(spark)
+    // the gate corpus plus hand-built edges: null text, empty text,
+    // consecutive boundary words, double spaces (empty split tokens)
+    val corpus = s.read.parquet(s"$dir/documents.parquet").select("text")
+      .unionAll(s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(null),
+          org.apache.spark.sql.Row(""),
+          org.apache.spark.sql.Row("   "),
+          org.apache.spark.sql.Row("single"),
+          org.apache.spark.sql.Row("the the the  spark   dup dup")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))))
+    val both = corpus.select(
+      graft.queries.Dedup.cdcSegments.as("kernel"),
+      graft.queries.Dedup.cdcSegmentsHof.as("hof")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("dd11: a shared passage dedups at ANY offset (CDC shift-invariance)") {
     val s = SparkEntry.configure(spark)
     import s.implicits._
@@ -84,6 +108,24 @@ class AnalyticsShapesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_dup_segs") == r.getAs[Long]("n_segs"),
         s"doc ${r.getAs[Long]("doc_id")} not fully duplicate")
       assert(r.getAs[Long]("dup_ppm") == 1000000L)
+    }
+  }
+
+  test("ann5: PQ top-5 is well-formed and overlaps the exact top-10") {
+    val pq = SparkEntry.queries("ann5_topk_pq")(spark, dir).collect()
+    val exact = SparkEntry.queries("ann1_topk_exact")(spark, dir).collect()
+    val byQuery = pq.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5),
+        s"query $q ranks malformed")
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q), s"query $q returned itself")
+      // ADC is approximate — but on this corpus its top-5 must overlap
+      // the exact top-10 (a zero-overlap PQ would mean broken codebooks)
+      val exactTop = exact.filter(_.getAs[Long]("query_id") == q)
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      val hits = rows.map(_.getAs[Long]("neighbor_id")).count(exactTop)
+      assert(hits >= 1, s"query $q: PQ top-5 disjoint from exact top-10")
     }
   }
 
