@@ -762,7 +762,162 @@ object Extras extends QueryModule {
       |FROM daily d, m, md
       |ORDER BY day NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev9
+  /** Peak interval concurrency per event type — the sweep-line census
+    * ("how many sessions were live at once") behind capacity profiling.
+    * Each event becomes an interval [es, es + dur] (dur = its value in
+    * seconds, floored at 1 s so zero-length intervals cannot produce a
+    * negative transient), the interval becomes a +1/−1 delta pair, and
+    * the running delta sum under a total (t, delta, event_id) order is
+    * the live count — delta sorts −1 before +1, so an interval ending
+    * exactly when another starts does NOT overlap it, pinned identically
+    * in both engines. Epoch-second integer time (the w3 convention)
+    * keeps the order engine-stable.
+    *
+    * Scale posture: the expansion is map-side (2 rows per event); the
+    * running sum partitions by event_type — fine for a bounded type
+    * domain (one partition per type), while an unbounded key domain
+    * would need the hierarchical two-level prefix sum (per-bucket delta
+    * totals + carry-in) this entry deliberately avoids at gate scale.
+    */
+  private def concurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val es = unix_timestamp(col("ts"))
+    val dur = greatest(lit(1L), round(col("value")).cast(LongType))
+    val deltas = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), es.as("es"), dur.as("dur"))
+      .select(col("event_id"), col("event_type"), explode(array(
+        struct(col("es").as("t"), lit(1L).as("delta")),
+        struct((col("es") + col("dur")).as("t"), lit(-1L).as("delta")))).as("ev"))
+      .select(col("event_id"), col("event_type"), col("ev.t"), col("ev.delta"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("t").asc_nulls_first, col("delta").asc_nulls_first,
+        col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("live", sum(col("delta")).over(w))
+      .groupBy("event_type")
+      .agg(max(col("live")).as("peak_concurrency"),
+        (count(lit(1)) / 2).cast(LongType).as("n_intervals"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  private val concurrencySql =
+    """WITH iv AS (
+      |  SELECT event_id, event_type, epoch_us(ts) // 1000000 AS es,
+      |    GREATEST(1, CAST(round(value) AS BIGINT)) AS dur
+      |  FROM events),
+      |deltas AS (
+      |  SELECT event_id, event_type, u.t, u.delta
+      |  FROM iv, LATERAL unnest(
+      |    [{'t': es, 'delta': CAST(1 AS BIGINT)},
+      |     {'t': es + dur, 'delta': CAST(-1 AS BIGINT)}]) AS v(u)),
+      |live AS (
+      |  SELECT event_type,
+      |    SUM(delta) OVER (PARTITION BY event_type
+      |      ORDER BY t NULLS FIRST, delta NULLS FIRST, event_id NULLS FIRST
+      |      ROWS UNBOUNDED PRECEDING) AS live
+      |  FROM deltas)
+      |SELECT event_type,
+      |  CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+      |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+      |FROM live GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- w4
+  /** Running DISTINCT user count per event type — the cumulative-reach
+    * curve. SQL has no windowed COUNT(DISTINCT); the scalable spelling
+    * is first-occurrence flags (row_number over (type, user) = 1) summed
+    * by a running window — two shuffles, no per-row distinct state. The
+    * row_number here is a projected VALUE, not a `= 1` filter, so the
+    * RowNumberDedupRewrite rule correctly leaves it alone (its guards
+    * are pinned in OptimizerRuleSpec).
+    */
+  private def runningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+    val running = Window.partitionBy("event_type")
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("user_id"))
+      .withColumn("first_seen",
+        when(row_number().over(perUser) === 1, 1L).otherwise(0L))
+      .withColumn("users_so_far", sum(col("first_seen")).over(running))
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"), col("ts"), col("users_so_far"))
+      .orderBy(col("event_type").asc_nulls_first, col("ts").asc_nulls_first,
+        col("event_id").asc_nulls_first)
+  }
+
+  private val runningDistinctSql =
+    """WITH flagged AS (
+      |  SELECT event_id, event_type, ts,
+      |    CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+      |           ORDER BY ts NULLS FIRST, event_id NULLS FIRST) = 1
+      |         THEN 1 ELSE 0 END AS first_seen
+      |  FROM events),
+      |running AS (
+      |  SELECT event_id, event_type, ts,
+      |    SUM(first_seen) OVER (PARTITION BY event_type
+      |      ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+      |      ROWS UNBOUNDED PRECEDING) AS users_so_far
+      |  FROM flagged)
+      |SELECT event_id, event_type, ts, CAST(users_so_far AS BIGINT) AS users_so_far
+      |FROM running WHERE event_id % 20 = 0
+      |ORDER BY event_type NULLS FIRST, ts NULLS FIRST, event_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- imp1
+  /** Group-median null imputation — the standard curation fill for
+    * missing numerics, as ONE aggregate pass: per group, count the
+    * nulls, take the exact interpolated median of the non-nulls (both
+    * engines ignore nulls in percentile/quantile_cont; integer inputs →
+    * the interpolation is bit-stable, the q10 argument), and state the
+    * imputed sum arithmetically as sum + n_null·floor(median) — no
+    * second pass over the data, no join back. Nulls are the C7-style
+    * planted ones (quantity < 5 → null).
+    */
+  private def medianImpute(s: SparkSession, dir: String): DataFrame = {
+    val qn = when(col("l_quantity") < 5.0, lit(null).cast(LongType))
+      .otherwise(round(col("l_quantity")).cast(LongType))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), qn.as("qn"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("qn")).as("n_present"),
+        percentile(col("qn"), lit(0.5)).as("median_q"),
+        sum(col("qn")).as("sum_present"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("n") - col("n_present")).as("n_imputed"),
+        col("median_q"),
+        (col("sum_present") +
+          (col("n") - col("n_present")) * floor(col("median_q")).cast(LongType))
+          .as("sum_imputed"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  private val medianImputeSql =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |    CASE WHEN l_quantity < 5.0 THEN NULL
+      |         ELSE CAST(round(l_quantity) AS BIGINT) END AS qn
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) - COUNT(qn) AS BIGINT) AS n_imputed,
+      |  quantile_cont(qn, 0.5) AS median_q,
+      |  CAST(SUM(qn) + (COUNT(*) - COUNT(qn))
+      |    * CAST(floor(quantile_cont(qn, 0.5)) AS BIGINT) AS BIGINT) AS sum_imputed
+      |FROM q GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev9_concurrency" -> (concurrency _),
+    "w4_running_distinct" -> (runningDistinct _),
+    "imp1_median_impute" -> (medianImpute _),
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
     "ev8_anomaly_days" -> (anomalyDays _),
@@ -791,6 +946,9 @@ object Extras extends QueryModule {
     "ev2_props_extract" -> (eventProps _))
 
   override val oracle: Map[String, String] = Map(
+    "ev9_concurrency" -> concurrencySql,
+    "w4_running_distinct" -> runningDistinctSql,
+    "imp1_median_impute" -> medianImputeSql,
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,
     "ev8_anomaly_days" -> anomalyDaysSql,

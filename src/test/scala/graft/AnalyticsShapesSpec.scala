@@ -129,6 +129,59 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("ev9: peak concurrency matches a driver-side sweep replay") {
+    val s = SparkEntry.configure(spark)
+    val events = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"), unix_timestamp(col("ts")).as("es"),
+        greatest(lit(1L), round(col("value")).cast("long")).as("dur"))
+      .collect()
+    val expected = events.groupBy(_.getAs[String]("event_type")).map { case (t, rows) =>
+      val deltas = rows.flatMap { r =>
+        val es = r.getAs[Long]("es"); val id = r.getAs[Long]("event_id")
+        Seq((es, 1L, id), (es + r.getAs[Long]("dur"), -1L, id))
+      }.sortBy { case (ts, d, id) => (ts, d, id) }
+      t -> deltas.scanLeft(0L)(_ + _._2).max
+    }
+    val got = SparkEntry.queries("ev9_concurrency")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("peak_concurrency")).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("w4: running distinct matches a driver-side recompute") {
+    val s = SparkEntry.configure(spark)
+    val events = Tables(s, dir, "events")
+      .select("event_id", "event_type", "ts", "user_id").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("user_id")))
+    val expected = events.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2.getTime, r._3))
+      val seen = collection.mutable.Set[Long]()
+      sorted.map { r => seen += r._4; (r._3, seen.size.toLong) }
+    }.toMap
+    val got = SparkEntry.queries("w4_running_distinct")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      assert(r.getAs[Long]("users_so_far") == expected(id), s"event $id")
+    }
+  }
+
+  test("imp1: the arithmetic imputed sum equals an explicit imputation pass") {
+    val s = SparkEntry.configure(spark)
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        when(col("l_quantity") < 5.0, lit(null).cast("long"))
+          .otherwise(round(col("l_quantity")).cast("long")).as("qn"))
+    val got = SparkEntry.queries("imp1_median_impute")(spark, dir).collect()
+    got.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val med = math.floor(r.getAs[Double]("median_q")).toLong
+      val direct = li.filter(col("l_returnflag") === flag)
+        .select(sum(coalesce(col("qn"), lit(med)))).head.getLong(0)
+      assert(r.getAs[Long]("sum_imputed") == direct, s"flag $flag")
+    }
+  }
+
   test("dd11: segment indexes stay far below the composite-key stride") {
     val s = SparkEntry.configure(spark)
     val maxSegs = s.read.parquet(s"$dir/documents.parquet")
