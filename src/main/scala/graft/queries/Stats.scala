@@ -765,7 +765,109 @@ object Stats extends QueryModule {
       |GROUP BY p_brand
       |ORDER BY p_brand NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q21
+  // TPC-H Q21 shape (adapted to this schema's shipdate): late lots whose
+  // supplier is the ONLY late supplier on a multi-supplier order — the
+  // EXISTS + NOT-EXISTS pair. Spark-first spelling decorrelates both
+  // into ONE per-order aggregate (distinct suppliers, distinct late
+  // suppliers) joined back to the late lots: EXISTS(other supplier) ⇔
+  // n_supp ≥ 2, NOT EXISTS(other late supplier) ⇔ n_late_supp = 1 given
+  // the probe lot is itself late. The oracle keeps both correlated
+  // subqueries literally, so the gate proves the rewrite. Date
+  // arithmetic is exact; counts are integers — no float anywhere.
+  private val LateDays = 90
+
+  private def waitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lots = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val perOrder = lots.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    lots.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc_nulls_first, col("s_name").asc_nulls_first)
+      .limit(10)
+  }
+
+  private val waitingSupplierSql =
+    s"""SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       |FROM supplier s, lineitem l1, orders o
+       |WHERE s.s_suppkey = l1.l_suppkey
+       |  AND o.o_orderkey = l1.l_orderkey
+       |  AND l1.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey
+       |                    AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY)
+       |GROUP BY s.s_name
+       |ORDER BY numwait DESC NULLS FIRST, s_name NULLS FIRST
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  // TPC-H Q22 shape: customers above the positive-balance average with
+  // no RECENT order (every customer in the testdata has SOME order — a
+  // literal never-ordered filter is vacuous; inactivity-since-a-cutoff
+  // is both non-vacuous and the realistic churn census), per nation.
+  // The scalar AVG subquery becomes a broadcast 1-row (sum, count)
+  // aggregate with the comparison spelled as the exact integer
+  // cross-multiply bal·n > Σbal (cents) — no float average to sit on a
+  // boundary; the NOT EXISTS becomes a LEFT ANTI join against the
+  // date-filtered orders (the date filter is pushed to the parquet
+  // scan, and only o_custkey survives pruning — the anti side is one
+  // narrow column). The oracle keeps the scalar subquery and NOT EXISTS
+  // literally.
+  private val InactiveSince = "1999-01-01"
+
+  private def noOrderRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast(LongType)
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
+    val avgBal = cust.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("s_bal"), count(lit(1)).as("n_bal"))
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("bal_cents") * col("n_bal") > col("s_bal"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(InactiveSince).cast(TimestampType))
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("total_cents"))
+      .orderBy(col("c_nationkey").asc_nulls_first)
+  }
+
+  private val noOrderRichCustomersSql =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+       |  FROM customer),
+       |a AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS s_bal,
+       |             CAST(COUNT(*) AS BIGINT) AS n_bal
+       |      FROM c WHERE bal_cents > 0)
+       |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |  CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+       |FROM c, a
+       |WHERE c.bal_cents * a.n_bal > a.s_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderdate >= TIMESTAMP '$InactiveSince')
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_waiting_supplier" -> (waitingSupplier _),
+    "q22_no_order_customers" -> (noOrderRichCustomers _),
     "q14_promo_revenue" -> (promoRevenue _),
     "q15_top_supplier" -> (topSupplier _),
     "q17_small_qty_revenue" -> (smallQuantityRevenue _),
@@ -788,6 +890,8 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "q21_waiting_supplier" -> waitingSupplierSql,
+    "q22_no_order_customers" -> noOrderRichCustomersSql,
     "q14_promo_revenue" -> promoRevenueSql,
     "q15_top_supplier" -> topSupplierSql,
     "q17_small_qty_revenue" -> smallQuantityRevenueSql,

@@ -129,6 +129,20 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("q21: the EXISTS/NOT-EXISTS pair plans with no nested loop") {
+    val plan = SparkEntry.queries("q21_waiting_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested loop in q21 plan:\n$plan")
+  }
+
+  test("q22: the inactivity census is non-vacuous and exactly the anti set") {
+    val out = SparkEntry.queries("q22_no_order_customers")(spark, dir).collect()
+    // an always-false NOT EXISTS would hash-match an empty oracle — pin
+    // that the entry actually selects customers at gate scale
+    assert(out.map(_.getAs[Long]("n_cust")).sum > 0, "q22 selects nobody")
+  }
+
   test("ev9: peak concurrency matches a driver-side sweep replay") {
     val s = SparkEntry.configure(spark)
     val events = Tables(s, dir, "events")
