@@ -783,16 +783,27 @@ object Stats extends QueryModule {
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"))
       .select("l_orderkey", "l_suppkey", "late")
-    val perOrder = lots.groupBy(col("l_orderkey").as("po_orderkey"))
+    // collapse to (order, supplier) grain FIRST: map-side partial
+    // aggregation shrinks the lot stream before any exchange, and both
+    // distinct-supplier counts become plain counts over this frame — no
+    // countDistinct expand (which re-shuffles the lot grain per distinct
+    // aggregate). The frame feeds the per-order census AND the probe
+    // side, so it is persisted (harness sweeps the cache between
+    // entries).
+    val perOS = lots
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lots"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perOrder = perOS.groupBy(col("l_orderkey").as("po_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-    lots.filter(col("late"))
+        count(lit(1)).as("n_supp"),
+        sum(when(col("n_late_lots") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+    perOS.filter(col("n_late_lots") > 0)
       .join(perOrder, col("l_orderkey") === col("po_orderkey"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lots")).as("numwait"))
       .orderBy(col("numwait").desc_nulls_first, col("s_name").asc_nulls_first)
       .limit(10)
   }

@@ -196,6 +196,39 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("dd11: kernel matches a plain-Scala reference on generated word arrays") {
+    import org.scalacheck.{Gen, rng}
+    // null/empty elements, unicode, repeats — the full kernel contract
+    val word = Gen.oneOf("a", "bb", "the", "spark", "é", "λx", "слово", "", "x y")
+    val genWords = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(8 -> word, 1 -> Gen.const(null: String))))
+    def ref(words: Seq[String]): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = collection.mutable.Buffer[String]()
+      val cur = new StringBuilder
+      words.filter(w => w != null && w.nonEmpty).foreach { w =>
+        val boundary = (md.digest(w.getBytes("UTF-8"))(0) & 0xff) < 0x40
+        if (boundary && cur.nonEmpty) { out += cur.toString; cur.clear() }
+        if (cur.nonEmpty) cur += ' '
+        cur ++= w
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.toSeq
+    }
+    val s = SparkEntry.configure(spark)
+    import s.implicits._
+    val universes = (1L to 32L).map(seed =>
+      genWords.pureApply(Gen.Parameters.default, rng.Seed(seed)))
+    val got = universes.map(Tuple1(_)).toDF("words")
+      .select(graft.functions.VectorFunctions.cdcSegments(col("words"), 4).as("segs"))
+      .collect().map(_.getSeq[String](0))
+    universes.zip(got).foreach { case (words, segs) =>
+      assert(segs == ref(words), s"words=$words")
+      // conservation: segments re-joined reproduce the kept word stream
+      assert(segs.mkString(" ") == words.filter(w => w != null && w.nonEmpty).mkString(" "))
+    }
+  }
+
   test("dd11: segment indexes stay far below the composite-key stride") {
     val s = SparkEntry.configure(spark)
     val maxSegs = s.read.parquet(s"$dir/documents.parquet")
