@@ -255,14 +255,68 @@ object Linkage extends QueryModule {
       |FROM r WHERE rn = 1
       |ORDER BY l_orderkey NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- cdc3
+  /** SCD Type-2 history build — the write side cdc1/cdc2 don't cover:
+    * turn a change log into versioned validity intervals per key.
+    * Version numbers and interval edges come from one window pass over
+    * (user_id, event_type): valid_from = the event's time, valid_to =
+    * `lead` of it (null = open-ended), is_current ⇔ no successor. Time
+    * is integer epoch-micros (the w3/cdc2 convention) and the in-key
+    * order is the total (ts, event_id), so intervals are engine-exact;
+    * value payloads are sentinel-coalesced like cdc2 (null value ≠
+    * absent row). Keys are sampled (user_id % 10 = 0) BEFORE the
+    * window — a per-key pre-filter cannot change any surviving key's
+    * history, and it pushes to the scan.
+    *
+    * Scale posture: one shuffle on the key, each partition windowed in
+    * time order — the minimal plan for interval construction; nothing
+    * driver-side.
+    */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("es").asc_nulls_first, col("event_id").asc_nulls_first)
+    t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("es"),
+        coalesce(round(col("value") * 100).cast(LongType), lit(-1L)).as("value_c"))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"), col("value_c"),
+        row_number().over(w).cast(LongType).as("version"),
+        col("es").as("valid_from_us"),
+        lead(col("es"), 1).over(w).as("valid_to_us"),
+        lead(col("es"), 1).over(w).isNull.as("is_current"))
+      .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first,
+        col("version").asc_nulls_first)
+  }
+
+  private val scd2HistorySql =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS es,
+      |    COALESCE(CAST(round(value * 100) AS BIGINT), -1) AS value_c
+      |  FROM events WHERE user_id % 10 = 0)
+      |SELECT user_id, event_type, event_id, value_c,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  es AS valid_from_us,
+      |  lead(es) OVER w AS valid_to_us,
+      |  lead(es) OVER w IS NULL AS is_current
+      |FROM base
+      |WINDOW w AS (PARTITION BY user_id, event_type
+      |             ORDER BY es NULLS FIRST, event_id NULLS FIRST)
+      |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, version NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fz1_fuzzy_join" -> (fuzzyJoin _),
+    "cdc3_scd2_history" -> (scd2History _),
     "cdc1_merge_upsert" -> (mergeUpsert _),
     "cdc2_latest_per_key" -> (latestPerKey _),
     "opt1_window_dedup" -> (firstPerKeyWindow _))
 
   override val oracle: Map[String, String] = Map(
     "fz1_fuzzy_join" -> fuzzyJoinSql,
+    "cdc3_scd2_history" -> scd2HistorySql,
     "cdc1_merge_upsert" -> mergeUpsertSql,
     "cdc2_latest_per_key" -> latestPerKeySql,
     "opt1_window_dedup" -> firstPerKeyWindowSql)

@@ -153,15 +153,79 @@ object Sampling extends QueryModule {
        |WHERE ${weightGateSql("doc_id", "n_chars", "wsmp:")}
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ds4
+  /** Temperature resampling across languages — the multilingual data-mix
+    * move: downsample each language toward the rarest one's scale with
+    * P(keep | lang) = sqrt(n_min / n_lang) (temperature τ = 0.5 applied
+    * to corpus shares; the rarest language keeps everything, a language
+    * 4× the rarest keeps half). The per-language keep probability is
+    * computed ONCE from the per-language counts (two tiny aggregates +
+    * a broadcast back), rendered into the same 32-bit hex-threshold
+    * space as ds3, and applied with the md5-draw gate — deterministic,
+    * partitioning-independent, no float RNG. sqrt and one division are
+    * single IEEE ops on exact integers, spelled identically in the
+    * oracle, so the thresholds are bit-stable cross-engine.
+    *
+    * Output is the per-language census (total, kept, p_ppm) — the mix
+    * report a data-mix pass is judged by.
+    */
+  private def temperatureResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang")
+    val perLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val minLang = perLang.agg(min(col("n_lang")).as("n_min"))
+    val thr = least(
+      floor(lit(4294967296.0) *
+        sqrt(col("n_min").cast("double") / col("n_lang").cast("double")))
+        .cast("long"),
+      lit(4294967295L))
+    val gated = docs
+      .join(broadcast(perLang), Seq("lang"))
+      .join(broadcast(minLang))
+      .withColumn("thr", thr)
+      .withColumn("kept",
+        substring(md5(concat(lit("tsmp:"), col("doc_id"))), 1, 8) <
+          lower(lpad(hex(col("thr")), 8, "0")))
+    gated.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        first(expr("(thr * 1000000) DIV 4294967296")).as("p_ppm"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val temperatureResampleSql =
+    """WITH perlang AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+      |  FROM documents GROUP BY lang),
+      |m AS (SELECT CAST(MIN(n_lang) AS BIGINT) AS n_min FROM perlang),
+      |thr AS (
+      |  SELECT lang, n_lang,
+      |    LEAST(CAST(floor(4294967296.0 *
+      |      sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE))) AS BIGINT),
+      |      4294967295) AS thr
+      |  FROM perlang, m),
+      |gated AS (
+      |  SELECT d.lang, t.thr,
+      |    substr(md5('tsmp:' || d.doc_id), 1, 8)
+      |      < lower(lpad(hex(t.thr), 8, '0')) AS kept
+      |  FROM documents d JOIN thr t ON d.lang = t.lang)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(ANY_VALUE(thr * 1000000 // 4294967296) AS BIGINT) AS p_ppm
+      |FROM gated GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "ds1_stratified_sample" -> (stratifiedSample _),
       "ds2_topk_sample" -> (topkSample _),
-      "ds3_weighted_sample" -> (weightedSample _))
+      "ds3_weighted_sample" -> (weightedSample _),
+      "ds4_temperature_resample" -> (temperatureResample _))
 
   override val oracle: Map[String, String] =
     Map(
       "ds1_stratified_sample" -> stratifiedSampleSql,
       "ds2_topk_sample" -> topkSampleSql,
-      "ds3_weighted_sample" -> weightedSampleSql)
+      "ds3_weighted_sample" -> weightedSampleSql,
+      "ds4_temperature_resample" -> temperatureResampleSql)
 }

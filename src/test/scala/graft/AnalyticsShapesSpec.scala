@@ -229,6 +229,45 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc3: SCD2 intervals chain, don't overlap, and close all but the last") {
+    val out = SparkEntry.queries("cdc3_scd2_history")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .foreach { case (key, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("version"))
+        assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to sorted.length),
+          s"$key versions not contiguous")
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+              s"$key intervals don't chain")
+            assert(!a.getAs[Boolean]("is_current"))
+          case _ =>
+        }
+        assert(sorted.last.getAs[Boolean]("is_current"), s"$key last not current")
+        assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")))
+      }
+  }
+
+  test("ds4: rarest language keeps ~everything, thresholds fall with size, rates hold") {
+    val out = SparkEntry.queries("ds4_temperature_resample")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("p_ppm")))
+    assert(out.nonEmpty)
+    assert(out.map(_._4).max == 999999L, "rarest language should keep everything")
+    // monotone: a bigger language never has a higher keep probability
+    out.sortBy(_._2).sliding(2).foreach {
+      case Array(small, big) => assert(big._4 <= small._4, s"$small vs $big")
+      case _ =>
+    }
+    out.foreach { case (lang, n, kept, ppm) =>
+      val p = ppm / 1e6
+      val sigma = math.sqrt(n * p * (1 - p))
+      assert(math.abs(kept - n * p) <= 4 * sigma + 1,
+        s"$lang keep rate $kept/$n far from p=$p")
+    }
+  }
+
   test("dd11: segment indexes stay far below the composite-key stride") {
     val s = SparkEntry.configure(spark)
     val maxSegs = s.read.parquet(s"$dir/documents.parquet")
