@@ -737,7 +737,75 @@ object Text extends QueryModule {
        |GROUP BY lang
        |ORDER BY lang NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- tx13
+  /** Corpus-rank rarity score — the corpus-statistics quality filter the
+    * per-document batteries (tx2 heuristics, tx12 repetition) can't
+    * express: score each document by the mean frequency-rank of its
+    * tokens in the corpus vocabulary (rank 1 = most common), and flag
+    * documents whose mean rank sits above the corpus average — rare-
+    * token-heavy documents (OCR noise, codes, gibberish) score high and
+    * are dropped by the keep flag. This is the integer-exact surrogate
+    * for a unigram-LM perplexity filter: log-probabilities are NOT
+    * bit-stable cross-engine (libm ln differs), frequency ranks are.
+    *
+    * Two corpus passes by necessity (the statistic IS corpus-global):
+    * build the ranked vocabulary (tx11's frame), broadcast it into the
+    * token stream, one (doc)-grain aggregate, then the corpus-average
+    * threshold attached as a broadcast 1-row aggregate. At 100 TB the
+    * vocabulary broadcast truncates to top-K ranks with a tail bucket
+    * (rank = K+1 for out-of-vocab) — same posture as tx10's idf vocab.
+    */
+  private def rarityScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("trank", row_number().over(
+        Window.orderBy(col("n").desc_nulls_first, col("term").asc_nulls_first))
+        .cast(LongType))
+      .select("term", "trank")
+    val perDoc = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("trank")).as("rank_sum"))
+      .withColumn("mean_rank_x1000", expr("(rank_sum * 1000) DIV n_tokens"))
+    // floor-integer average (DIV) — a double-divide-then-cast would hit
+    // the Spark-truncates / DuckDB-rounds divergence
+    val thr = perDoc.agg(sum(col("mean_rank_x1000")).as("s"), count(lit(1)).as("c"))
+      .select(expr("s DIV c").as("avg_rank"))
+    perDoc.join(broadcast(thr))
+      .select(
+        col("doc_id"), col("n_tokens"), col("mean_rank_x1000"),
+        (col("mean_rank_x1000") <= col("avg_rank")).as("keep"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val rarityScoreSql =
+    """WITH vocab AS (
+      |  SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC NULLS FIRST,
+      |    term NULLS FIRST) AS trank
+      |  FROM (SELECT lower(unnest(string_split(text, ' '))) AS term FROM documents)
+      |  WHERE term != '' GROUP BY term),
+      |toks AS (
+      |  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term FROM documents),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(trank) * 1000 // COUNT(*) AS BIGINT) AS mean_rank_x1000
+      |  FROM toks JOIN vocab USING (term)
+      |  WHERE term != ''
+      |  GROUP BY doc_id),
+      |thr AS (SELECT CAST(SUM(mean_rank_x1000) // COUNT(*) AS BIGINT) AS avg_rank
+      |        FROM perdoc)
+      |SELECT doc_id, n_tokens, mean_rank_x1000,
+      |  mean_rank_x1000 <= avg_rank AS keep
+      |FROM perdoc, thr
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx13_rarity_score" -> (rarityScore _),
     "cur2_curation_v2" -> (curationV2 _),
     "tx11_zipf_coverage" -> (zipfCoverage _),
     "tx12_repetition" -> (repetition _),
@@ -754,6 +822,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx13_rarity_score" -> rarityScoreSql,
     "cur2_curation_v2" -> curationV2Sql,
     "tx11_zipf_coverage" -> zipfCoverageSql,
     "tx12_repetition" -> repetitionSql,

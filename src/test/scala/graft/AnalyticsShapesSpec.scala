@@ -268,6 +268,28 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("tx13: the rarity gate splits the corpus and matches a driver replay") {
+    val out = SparkEntry.queries("tx13_rarity_score")(spark, dir).collect()
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < out.length, s"vacuous gate: $kept/${out.length}")
+    // driver replay of the mean-rank score for a handful of documents
+    val s = SparkEntry.configure(spark)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val vocab = docs.values.toSeq.flatMap(t =>
+        Option(t).toSeq.flatMap(_.toLowerCase.split(" ")).filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, n) => (-n, t) }.zipWithIndex
+      .map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    out.take(5).foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).toLowerCase.split(" ").filter(_.nonEmpty)
+      val expected = toks.map(vocab).sum * 1000 / toks.length
+      assert(r.getAs[Long]("mean_rank_x1000") == expected,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("dd11: segment indexes stay far below the composite-key stride") {
     val s = SparkEntry.configure(spark)
     val maxSegs = s.read.parquet(s"$dir/documents.parquet")
