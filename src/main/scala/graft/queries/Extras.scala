@@ -798,7 +798,7 @@ object Extras extends QueryModule {
       .withColumn("live", sum(col("delta")).over(w))
       .groupBy("event_type")
       .agg(max(col("live")).as("peak_concurrency"),
-        (count(lit(1)) / 2).cast(LongType).as("n_intervals"))
+        expr("count(1) DIV 2").as("n_intervals")) // integer DIV, not `/`
       .orderBy(col("event_type").asc_nulls_first)
   }
 

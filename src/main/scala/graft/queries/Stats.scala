@@ -631,7 +631,15 @@ object Stats extends QueryModule {
         sum(revE4).as("total_rev_e4"))
       .select(
         col("promo_rev_e4"), col("total_rev_e4"),
-        expr("(promo_rev_e4 * 1000000) DIV total_rev_e4").as("promo_ppm"))
+        // ppm through DECIMAL(38,0) + integral DIV: promo_rev_e4·1e6 is
+        // ~7.4e18 at sf0.1 — a BIGINT multiply sits one doubling below
+        // silent wraparound (DuckDB's HUGEINT sum would NOT wrap →
+        // divergence), a double-floor spelling loses exactness past
+        // 2^53, and a decimal `/`+floor could round up at the result
+        // scale before flooring. DIV on the exact decimal product is
+        // the true integer quotient in both engines.
+        expr("CAST((CAST(promo_rev_e4 AS DECIMAL(38,0)) * 1000000)" +
+          " DIV total_rev_e4 AS BIGINT)").as("promo_ppm"))
   }
 
   private val promoRevenueSql =
