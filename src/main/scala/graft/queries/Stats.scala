@@ -620,8 +620,7 @@ object Stats extends QueryModule {
   // part is the only shuffle; part scales with SF so the broadcast
   // decision is left to AQE (same posture as the mart's supplier join).
   private def promoRevenue(s: SparkSession, dir: String): DataFrame = {
-    val revE4 = round(col("l_extendedprice") * 100).cast(LongType) *
-      (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+    val revE4 = revenueE4 // shared exact 1e-4-unit revenue (see q07 scaladoc)
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
         col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
@@ -669,8 +668,7 @@ object Stats extends QueryModule {
   // integer-e4 revenue makes the tie condition exact — a float max
   // would make "equal to the max" engine-dependent.
   private def topSupplier(s: SparkSession, dir: String): DataFrame = {
-    val revE4 = round(col("l_extendedprice") * 100).cast(LongType) *
-      (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+    val revE4 = revenueE4 // shared exact 1e-4-unit revenue (see q07 scaladoc)
     val rev = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
         col("l_shipdate") < lit("1997-07-01").cast(TimestampType))
@@ -749,8 +747,7 @@ object Stats extends QueryModule {
       col("l_quantity").between(10.0, 40.0)
     val branch3 = col("p_name").contains("anvil") && col("p_size").between(10, 30) &&
       col("l_quantity").between(1.0, 15.0)
-    val revE4 = round(col("l_extendedprice") * 100).cast(LongType) *
-      (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+    val revE4 = revenueE4 // shared exact 1e-4-unit revenue (see q07 scaladoc)
     t(s, dir, "lineitem")
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .filter(branch1 || branch2 || branch3)

@@ -772,6 +772,10 @@ object Text extends QueryModule {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("trank")).as("rank_sum"))
       .withColumn("mean_rank_x1000", expr("(rank_sum * 1000) DIV n_tokens"))
+      // referenced twice (threshold aggregate + final projection): persist,
+      // or the whole tokenize+vocab+join pipeline plans under both branches
+      // (the q15 convention; harness sweeps the cache between entries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // floor-integer average (DIV) — a double-divide-then-cast would hit
     // the Spark-truncates / DuckDB-rounds divergence
     val thr = perDoc.agg(sum(col("mean_rank_x1000")).as("s"), count(lit(1)).as("c"))

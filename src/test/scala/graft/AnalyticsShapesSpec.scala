@@ -163,12 +163,16 @@ class AnalyticsShapesSpec extends AnyFunSuite {
 
   test("w4: running distinct matches a driver-side recompute") {
     val s = SparkEntry.configure(spark)
+    // microsecond epoch, not Timestamp.getTime: millisecond truncation
+    // could reorder same-millisecond ties vs the query's full-precision
+    // (ts, event_id) order (latent — no collisions in current testdata)
     val events = Tables(s, dir, "events")
-      .select("event_id", "event_type", "ts", "user_id").collect()
-      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("ts"),
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("user_id")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("us"),
         r.getAs[Long]("event_id"), r.getAs[Long]("user_id")))
     val expected = events.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-      val sorted = rows.sortBy(r => (r._2.getTime, r._3))
+      val sorted = rows.sortBy(r => (r._2, r._3))
       val seen = collection.mutable.Set[Long]()
       sorted.map { r => seen += r._4; (r._3, seen.size.toLong) }
     }.toMap
