@@ -881,7 +881,94 @@ object Stats extends QueryModule {
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey NULLS FIRST""".stripMargin
 
+  // ----------------------------------------------------------------- h2
+  // Equi-DEPTH histogram — h1's sibling with quantile edges instead of
+  // fixed widths: bucket bounds are the exact quartiles of the cents
+  // distribution (ONE array-fraction percentile aggregate, the q10
+  // idiom — integer inputs make the interpolation bit-stable), attached
+  // by broadcast, and each row is assigned by comparing against the
+  // edge array map-side. Exchange carries one row per bucket per task.
+  // width_bucket() exists in both engines but its edge semantics are
+  // engine-private — the explicit comparisons are the portable spelling.
+  private def equiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(LongType)
+    val edges = t(s, dir, "orders")
+      .agg(percentile(cents, array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+      .select(
+        floor(col("q")(0)).cast(LongType).as("q1"),
+        floor(col("q")(1)).cast(LongType).as("q2"),
+        floor(col("q")(2)).cast(LongType).as("q3"))
+    t(s, dir, "orders")
+      .select(cents.as("c"))
+      .join(broadcast(edges))
+      .select(
+        when(col("c") <= col("q1"), 0L)
+          .when(col("c") <= col("q2"), 1L)
+          .when(col("c") <= col("q3"), 2L)
+          .otherwise(3L).as("bucket"),
+        col("q1"), col("q2"), col("q3"))
+      .groupBy("bucket", "q1", "q2", "q3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
+  private val equiDepthHistogramSql =
+    """WITH edges AS (
+      |  SELECT
+      |    CAST(floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)) AS BIGINT) AS q1,
+      |    CAST(floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT) AS q2,
+      |    CAST(floor(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)) AS BIGINT) AS q3
+      |  FROM orders)
+      |SELECT CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1
+      |            WHEN c <= q3 THEN 2 ELSE 3 END AS bucket,
+      |  q1, q2, q3, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders), edges
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY bucket NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- dq2
+  // Reference audit — the DQ sweep a warehouse runs per ingest: for
+  // each fact→dimension reference, how many lineitem rows point OUTSIDE
+  // the allowed key set. Two probes are pure referential integrity
+  // (missing order/part keys — structurally zero on intact data, which
+  // is the point of an audit); the third audits against a POLICY set
+  // (suppliers in good standing, s_acctbal ≥ 0), which is non-vacuous
+  // by data shape — so the report exercises both the all-clear and the
+  // violation paths, and the anti-join ≡ NOT IN equivalence is proven
+  // on a non-empty count. Each probe is a LEFT ANTI join against the
+  // single pruned key column of its (filtered) dimension.
+  private def integrityAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def orphans(refCol: String, dimKeys: DataFrame, label: String) =
+      li.select(col(refCol).as("k"))
+        .join(dimKeys, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(label).as("reference"), col("n_orphans"))
+    orphans("l_orderkey",
+        t(s, dir, "orders").select(col("o_orderkey").as("k")), "lineitem.orderkey")
+      .unionByName(orphans("l_partkey",
+        t(s, dir, "part").select(col("p_partkey").as("k")), "lineitem.partkey"))
+      .unionByName(orphans("l_suppkey",
+        t(s, dir, "supplier").filter(col("s_acctbal") >= 0)
+          .select(col("s_suppkey").as("k")), "lineitem.suppkey_good_standing"))
+      .orderBy(col("reference").asc_nulls_first)
+  }
+
+  private val integrityAuditSql =
+    """SELECT 'lineitem.orderkey' AS reference, CAST(COUNT(*) AS BIGINT) AS n_orphans
+      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |UNION ALL
+      |SELECT 'lineitem.partkey', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      |UNION ALL
+      |SELECT 'lineitem.suppkey_good_standing', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem WHERE l_suppkey NOT IN
+      |  (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+      |ORDER BY reference NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h2_equidepth_histogram" -> (equiDepthHistogram _),
+    "dq2_integrity_audit" -> (integrityAudit _),
     "q21_waiting_supplier" -> (waitingSupplier _),
     "q22_no_order_customers" -> (noOrderRichCustomers _),
     "q14_promo_revenue" -> (promoRevenue _),
@@ -906,6 +993,8 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "h2_equidepth_histogram" -> equiDepthHistogramSql,
+    "dq2_integrity_audit" -> integrityAuditSql,
     "q21_waiting_supplier" -> waitingSupplierSql,
     "q22_no_order_customers" -> noOrderRichCustomersSql,
     "q14_promo_revenue" -> promoRevenueSql,

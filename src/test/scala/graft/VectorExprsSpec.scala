@@ -153,6 +153,13 @@ class VectorExprsSpec extends AnyFunSuite {
     // above it does not (HOFs evaluate interpreted — the kernel's reason)
     val dotSection = formatted.linesIterator.find(l => l.contains("Project") && l.contains("codegen id"))
     assert(dotSection.isDefined, s"no codegen'd Project in:\n$formatted")
+    // cdc_segments likewise: its Project must sit inside a codegen stage
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(split($"text", " ").as("w"))
+    val segFmt = docs.select(VectorFunctions.cdcSegments($"w", 4)).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(segFmt.linesIterator.exists(l => l.contains("Project") && l.contains("codegen id")),
+      s"no codegen'd Project for cdc_segments in:\n$segFmt")
   }
 
   test("SQL registration makes the kernels resolvable by name") {
