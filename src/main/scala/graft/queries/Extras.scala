@@ -914,7 +914,50 @@ object Extras extends QueryModule {
       |FROM q GROUP BY l_returnflag
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev10
+  /** Event-transition census (first-order Markov structure of user
+    * behavior): count consecutive (event_type → next event_type) pairs
+    * within each user's timeline. One window pass per user computes the
+    * successor (`lead` under the total (ts, event_id) order), then a
+    * plain aggregate counts the pairs; terminal events (no successor)
+    * are dropped. Output adds the per-source floor-ppm transition
+    * probability — integer math over exact counts, the engine-stable
+    * ratio idiom. One shuffle on user_id, one on the pair — the minimal
+    * plan; no per-row state beyond the window.
+    */
+  private def transitionCensus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p_ppm", expr("(n * 1000000) DIV sum(n) OVER (PARTITION BY from_type)"))
+      .orderBy(col("from_type").asc_nulls_first, col("to_type").asc_nulls_first)
+  }
+
+  private val transitionCensusSql =
+    """WITH nxt AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM nxt WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM pairs
+      |ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev10_transition_census" -> (transitionCensus _),
     "ev9_concurrency" -> (concurrency _),
     "w4_running_distinct" -> (runningDistinct _),
     "imp1_median_impute" -> (medianImpute _),
@@ -946,6 +989,7 @@ object Extras extends QueryModule {
     "ev2_props_extract" -> (eventProps _))
 
   override val oracle: Map[String, String] = Map(
+    "ev10_transition_census" -> transitionCensusSql,
     "ev9_concurrency" -> concurrencySql,
     "w4_running_distinct" -> runningDistinctSql,
     "imp1_median_impute" -> medianImputeSql,

@@ -966,7 +966,51 @@ object Stats extends QueryModule {
       |  (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
       |ORDER BY reference NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- rr1
+  // Ratio-to-report: each nation's share of its region's revenue — the
+  // percent-of-total window over an aggregate (Oracle's RATIO_TO_REPORT,
+  // spelled portably). One aggregate to nation grain (integer-e4
+  // revenue), bounded dims broadcast in, then a window sum partitioned
+  // by region attaches the denominator without a second scan; the share
+  // is floor-ppm integer division. The window partitions a 25-row
+  // frame — the aggregate did the data reduction, the window only
+  // decorates it (the scalable order: aggregate first, window after).
+  private def ratioToReport(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    val perNation = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(revenueE4).as("rev_e4"))
+    perNation
+      // the q14 decimal idiom: per-nation rev_e4·1e6 passes 1.2e19 at
+      // sf0.1 — beyond BIGINT — and DuckDB would RAISE where Spark wraps
+      .withColumn("share_ppm",
+        expr("CAST((CAST(rev_e4 AS DECIMAL(38,0)) * 1000000)" +
+          " DIV sum(rev_e4) OVER (PARTITION BY r_name) AS BIGINT)"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  private val ratioToReportSql =
+    """WITH pernation AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, rev_e4,
+      |  CAST(CAST(rev_e4 AS HUGEINT) * 1000000
+      |    // SUM(rev_e4) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+      |FROM pernation
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rr1_ratio_to_report" -> (ratioToReport _),
     "h2_equidepth_histogram" -> (equiDepthHistogram _),
     "dq2_integrity_audit" -> (integrityAudit _),
     "q21_waiting_supplier" -> (waitingSupplier _),
@@ -993,6 +1037,7 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "rr1_ratio_to_report" -> ratioToReportSql,
     "h2_equidepth_histogram" -> equiDepthHistogramSql,
     "dq2_integrity_audit" -> integrityAuditSql,
     "q21_waiting_supplier" -> waitingSupplierSql,
