@@ -294,6 +294,34 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 tail entries: share/probability sums, depth balance, audit non-vacuity") {
+    // ev10: per-source transition probabilities sum to 1e6 minus floor loss
+    val ev10 = SparkEntry.queries("ev10_transition_census")(spark, dir).collect()
+    ev10.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rows) =>
+      val s = rows.map(_.getAs[Long]("p_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$ft ppm sum $s")
+    }
+    // rr1: per-region revenue shares likewise
+    val rr1 = SparkEntry.queries("rr1_ratio_to_report")(spark, dir).collect()
+    rr1.groupBy(_.getAs[String]("r_name")).foreach { case (rn, rows) =>
+      val s = rows.map(_.getAs[Long]("share_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$rn share sum $s")
+    }
+    // h2: equi-depth buckets hold near-equal counts (quartile edges)
+    val h2 = SparkEntry.queries("h2_equidepth_histogram")(spark, dir).collect()
+    val ns = h2.map(_.getAs[Long]("n"))
+    assert(h2.length == 4 && ns.max - ns.min <= ns.sum / 100,
+      s"buckets unbalanced: ${ns.toSeq}")
+    // dq2: the policy probe must flag rows (all-zero would be vacuous) —
+    // at sf0.001 the 10-supplier table happens to have no negative
+    // balances, so the pin runs at the gate scale (sf0.01)
+    val dq2 = SparkEntry.queries("dq2_integrity_audit")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getAs[String]("reference") -> r.getAs[Long]("n_orphans")).toMap
+    assert(dq2("lineitem.orderkey") == 0 && dq2("lineitem.partkey") == 0)
+    assert(dq2("lineitem.suppkey_good_standing") > 0, "policy probe vacuous")
+  }
+
   test("dd11: segment indexes stay far below the composite-key stride") {
     val s = SparkEntry.configure(spark)
     val maxSegs = s.read.parquet(s"$dir/documents.parquet")
