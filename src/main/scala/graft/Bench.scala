@@ -23,6 +23,21 @@ import org.apache.spark.sql.SparkSession
   * the exit code to 1.
   */
 object Bench {
+  /** Release ALL executor-side state a query registered, so the next
+    * entry measures under its own memory. `cacheManager.clearCache()`
+    * alone is not enough: `localCheckpoint` materializes plain
+    * persistent RDD blocks (graph fixpoints in g2/dd7/pr1) that the SQL
+    * cache manager never sees, so without the RDD sweep those blocks
+    * accumulate across the alphabetical sweep and squeeze the storage/
+    * execution memory of every later entry (the round-6 regressed
+    * cluster sat right after the checkpoint users). Blocking unpersist
+    * so the release is visible to the *next* timed run, not eventual.
+    */
+  private def sweepState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // brief: local[32], 32 shuffle partitions
@@ -49,14 +64,14 @@ object Bench {
             val sec = (System.nanoTime() - t0) / 1e9
             // drop caches the run registered so the next run (and the
             // next query) measures the full plan under its own memory
-            spark.sharedState.cacheManager.clearCache()
+            sweepState(spark)
             sec
           }.sorted
           Right(times(times.size / 2)) // median (upper on even n)
         } catch {
           case e: Throwable =>
             failed ::= name
-            spark.sharedState.cacheManager.clearCache()
+            sweepState(spark)
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
             Left(e.getClass.getSimpleName)
         }
@@ -67,8 +82,18 @@ object Bench {
       case (k, Left(err))  => s"\"$k\":\"err:$err\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(sec)) => sec }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+    println(line)
+    // Persist the complete per-query map as a file artifact: the driver
+    // captures a truncated log *tail*, so with 128 entries the printed
+    // line can lose the first half of the alphabet (BENCH_r06.json kept
+    // only 63 entries, "parsed": null). The file always has all of them.
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(artifact),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

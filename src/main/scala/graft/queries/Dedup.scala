@@ -729,15 +729,19 @@ object Dedup extends QueryModule {
         sum(col("isd") * col("n_w")).as("n_dup_words"))
     // empty/null texts have no segments — keep their rows (count 0,
     // null ratio) via the left join; n_segs ≥ 1 wherever it is non-null,
-    // so the ppm division can't hit zero in either engine
+    // so the ppm division can't hit zero in either engine (ANSI-safe).
+    // dup_ppm is computed BEFORE the coalesce projection so it reads the
+    // nullable join columns by construction (null for segment-less docs,
+    // matching the oracle) — not via name-shadowing inside the same select
     base.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_ppm", expr("(n_dup_segs * 1000000) DIV n_segs"))
       .select(
         col("doc_id"),
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         coalesce(col("n_dup_segs"), lit(0L)).as("n_dup_segs"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_dup_words"), lit(0L)).as("n_dup_words"),
-        expr("(n_dup_segs * 1000000) DIV n_segs").as("dup_ppm"))
+        col("dup_ppm"))
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
