@@ -115,6 +115,28 @@ object Multimodal {
     }
   }
 
+  case class MediaFrameContent(media_id: Long, frame_idx: Int, frame_str: String)
+
+  /** Frame sampling carrying the frame PAYLOAD (as a string — fixture
+    * payloads are pure ASCII, byte slice == substring, the same property
+    * mm4's oracle leans on): the input to perceptual-fingerprint passes
+    * (mm5) that need frame content, not just its exact hash. Same narrow
+    * iterator-to-iterator shape as [[sampledFrames]]; the payload leaves
+    * the partition only as 64-byte frames, never as whole media blobs,
+    * and downstream fingerprinting reduces each frame to one long before
+    * any exchange.
+    */
+  def frameContents(ds: Dataset[MediaFile], decoder: MediaDecoder): Dataset[MediaFrameContent] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.filter(_.kind == "video").flatMap { m =>
+        decoder.sampleFrames(m.content, 64, 2).zipWithIndex.map { case (chunk, p) =>
+          MediaFrameContent(m.media_id, p, new String(chunk, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    }
+  }
+
   /** Gate-facing frame: id, kind, payload size, payload hash — the
     * oracle-comparable slice of the plumbing (hashes/lengths of the
     * binary column, no decode).
