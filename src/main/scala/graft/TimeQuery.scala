@@ -1,16 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev-loop per-query timing (steady-state, no first-run codegen bill):
+  * one JVM, named queries, SPARK_GRAFT_RUNS runs each (default 3) at
+  * SPARK_GRAFT_CPUS (default 8). Between runs it sweeps the SQL cache
+  * AND persistent RDD blocks — the same isolation Bench applies — so a
+  * run never measures under another run's leftover storage.
+  */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8").config("spark.ui.enabled", "false").getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus).config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     spark.range(100000).select(org.apache.spark.sql.functions.sum($"id")).write.format("noop").mode("overwrite").save()
     args.foreach { name =>
-      (1 to 3).foreach { i =>
+      (1 to runs).foreach { i =>
         spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         org.apache.spark.sql.GraftShims.dropTopLevelSort(SparkEntry.queries(name)(spark, sfDir))
           .write.format("noop").mode("overwrite").save()

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Inventory rows from SURVEY.md §2 that round 1 left without a named gate
@@ -868,6 +869,57 @@ object Extras extends QueryModule {
       |FROM running WHERE event_id % 20 = 0
       |ORDER BY event_type NULLS FIRST, ts NULLS FIRST, event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- w5
+  /** The SAME cumulative-reach curve as w4, spelled as a HIERARCHICAL
+    * PREFIX SUM — the unbounded-partition alternative w4's scaladoc
+    * names. w4's running window funnels every event of one type through
+    * ONE task (fine for bounded type domains; a single type with 10^10
+    * events would serialize). Here the running sum is three bounded
+    * steps instead:
+    *   1. within-CHUNK running sums (chunk = hour of ts) — windows
+    *      partitioned by (type, chunk), parallel across chunks;
+    *   2. per-chunk totals aggregated and turned into running chunk
+    *      OFFSETS by a window over the tiny (type × chunk) frame;
+    *   3. offsets broadcast-joined back: users_so_far = offset + local.
+    * No task ever sees more than one chunk of one type; the only serial
+    * window runs over chunk TOTALS (hours × types — thousands of rows at
+    * any corpus size, sized by time span, not data volume). The chunk
+    * key is a prefix of the running order (ts asc, event_id asc), so
+    * cross-chunk order is preserved by construction. Oracle: the SAME
+    * serial running-window SQL as w4 — the gate hash-proves the
+    * hierarchical spelling equals the serial one.
+    */
+  private def runningDistinctChunked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+    val withinChunk = Window.partitionBy("event_type", "chunk")
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overChunks = Window.partitionBy("event_type")
+      .orderBy(col("chunk").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("user_id"))
+      .withColumn("first_seen",
+        when(row_number().over(perUser) === 1, 1L).otherwise(0L))
+      .withColumn("chunk", expr("unix_micros(ts) DIV 3600000000"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // local-sum side + offsets side
+    val offsets = flagged
+      .groupBy("event_type", "chunk")
+      .agg(sum(col("first_seen")).as("chunk_total"))
+      .withColumn("offset", coalesce(sum(col("chunk_total")).over(overChunks), lit(0L)))
+      .select("event_type", "chunk", "offset")
+    flagged
+      .withColumn("local_sum", sum(col("first_seen")).over(withinChunk))
+      .join(broadcast(offsets), Seq("event_type", "chunk"))
+      .withColumn("users_so_far", col("offset") + col("local_sum"))
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"), col("ts"), col("users_so_far"))
+      .orderBy(col("event_type").asc_nulls_first, col("ts").asc_nulls_first,
+        col("event_id").asc_nulls_first)
+  }
+
   // ---------------------------------------------------------------- imp1
   /** Group-median null imputation — the standard curation fill for
     * missing numerics, as ONE aggregate pass: per group, count the
@@ -960,6 +1012,7 @@ object Extras extends QueryModule {
     "ev10_transition_census" -> (transitionCensus _),
     "ev9_concurrency" -> (concurrency _),
     "w4_running_distinct" -> (runningDistinct _),
+    "w5_running_distinct_chunked" -> (runningDistinctChunked _),
     "imp1_median_impute" -> (medianImpute _),
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
@@ -992,6 +1045,9 @@ object Extras extends QueryModule {
     "ev10_transition_census" -> transitionCensusSql,
     "ev9_concurrency" -> concurrencySql,
     "w4_running_distinct" -> runningDistinctSql,
+    // w5 intentionally shares w4's serial-window oracle: the gate proves
+    // the hierarchical prefix-sum spelling ≡ the serial running window
+    "w5_running_distinct_chunked" -> runningDistinctSql,
     "imp1_median_impute" -> medianImputeSql,
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,

@@ -190,6 +190,23 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("w5: hierarchical prefix sum equals w4's serial window, non-trivially chunked") {
+    val s = SparkEntry.configure(spark)
+    val serial = SparkEntry.queries("w4_running_distinct")(s, dir).collect().toSeq
+    val chunked = SparkEntry.queries("w5_running_distinct_chunked")(s, dir).collect().toSeq
+    assert(serial.nonEmpty)
+    assert(chunked == serial)
+    // the equivalence must exercise the hierarchy: the fixture must span
+    // multiple hour-chunks per type, or the offset join is vacuous
+    val nChunks = Tables(s, dir, "events")
+      .select(expr("unix_micros(ts) DIV 3600000000").as("chunk")).distinct().count()
+    assert(nChunks > 1, s"fixture spans $nChunks hour-chunk(s) — offset path untested")
+    // the offsets frame must come back via a broadcast join, not an exchange
+    val plan = SparkEntry.queries("w5_running_distinct_chunked")(s, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "chunk offsets were not broadcast")
+  }
+
   test("imp1: the arithmetic imputed sum equals an explicit imputation pass") {
     val s = SparkEntry.configure(spark)
     val li = s.read.parquet(s"$dir/lineitem.parquet")
