@@ -22,25 +22,62 @@ object Graph extends QueryModule {
     * count, the degree aggregate, both wedge ends, and the closing
     * probe; pr1: both directions plus every sweep).
     */
+  /** Per-order set-size ceiling for the map-side pair explosion: a set
+    * of n parts flattens to n(n-1)/2 structs inside ONE task, so the
+    * ceiling bounds per-task memory (2000 → ≤2M pairs ≈ tens of MB).
+    * TPC-H order shape keeps real sets far below it; a pathological hub
+    * order trips the measured probe and the build falls back to the
+    * (key, part) equi-self-join, whose quadratic output is produced
+    * across the join's tasks under AQE's skew split instead of inside
+    * one flatten. Package-visible so LinkageSpec can force the fallback
+    * with a zero ceiling and prove both paths build identical edges.
+    */
+  private[graft] val MaxOrderSetSize = 2000
+
   private def orientedEdges(s: SparkSession, dir: String): DataFrame =
+    orientedEdgesSized(s, dir, MaxOrderSetSize)
+
+  /** NOTE: like [[triangleCensusSized]], CONSTRUCTING this plan runs a
+    * Spark job — the probe measures max per-order set size (one scan of
+    * the persisted sets frame) before choosing the pair spelling;
+    * measured, not assumed from SF.
+    */
+  private[graft] def orientedEdgesSized(
+      s: SparkSession, dir: String, maxSetSize: Int): DataFrame = {
     // pair generation from per-order part SETS, not a self-join: one
     // groupBy (map-side partial collect_set) + map-side pair explosion +
     // one distinct — the (k,p)-distinct + equi-self-join spelling paid
     // two more exchanges for the same oriented pairs (steady-state
     // tri1 6.7 → 5.4 s, g2 3.8 → 3.3 s at sf0.1). sort_array makes
-    // u < v by construction; per-order part sets are small (TPC-H order
-    // shape), so the quadratic pair list stays narrow — a pathological
-    // hub order would shift this back to the self-join + AQE skew
-    // spelling.
-    t(s, dir, "lineitem")
+    // u < v by construction. The sets frame is persisted so the size
+    // probe and the pair build share one lineitem scan + shuffle.
+    val sets = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x as u, y as v))))"))
-        .as("e"))
-      .select(col("e.u"), col("e.v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val probed = sets.agg(max(size(col("ps")))).head()
+    val maxSz = if (probed.isNullAt(0)) 0 else probed.getInt(0)
+    val edges =
+      if (maxSz <= maxSetSize)
+        sets.select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x as u, y as v))))"))
+          .as("e"))
+          .select(col("e.u"), col("e.v")).distinct()
+      else {
+        // fallback: explode the persisted sets back to (key, part) grain
+        // and equi-self-join on the order key; u < v keeps orientation.
+        // The per-order quadratic output is now emitted by join tasks
+        // (AQE skew-splits a hub order across several), never buffered
+        // whole in one flatten.
+        val kp = sets.select(col("l_orderkey"), explode(col("ps")).as("p"))
+        kp.as("a")
+          .join(kp.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      }
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Triangle census of the co-purchase graph: parts are nodes, an edge
     * links two parts appearing in the same order. Emits edge / oriented-

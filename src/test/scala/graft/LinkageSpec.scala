@@ -172,6 +172,20 @@ class LinkageSpec extends AnyFunSuite {
     }
   }
 
+  test("tri1: forced self-join edge fallback builds the identical edge set") {
+    val s = SparkEntry.configure(spark)
+    // zero ceiling trips the measured max-set-size probe, forcing the
+    // (key, part) equi-self-join spelling; both paths must produce the
+    // same oriented edges (and match the raw-table brute force)
+    val viaSets = graft.queries.Graph.orientedEdgesSized(s, dir, graft.queries.Graph.MaxOrderSetSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaJoin = graft.queries.Graph.orientedEdgesSized(s, dir, maxSetSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSets.nonEmpty)
+    assert(viaJoin == viaSets, "fallback edge build diverged from the set-explosion build")
+    assert(viaSets == bruteForceEdges())
+  }
+
   /** The exact integer PageRank recurrence on the collected edge list —
     * shared by the 3-sweep gate replay and the checkpointed 12-sweep
     * variant so both compare against ONE definition.
