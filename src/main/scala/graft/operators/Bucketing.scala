@@ -14,12 +14,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent rewrite: a managed location can survive from a previous
+    // session whose (in-memory) catalog is gone, and saveAsTable then
+    // refuses with LOCATION_ALREADY_EXISTS — drop both catalog entry and
+    // any orphaned location before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    deleteRecursively(new java.io.File(warehouse, table))
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
 
   /** Join two same-bucketed tables on their bucket key — shuffle-free. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -590,10 +590,17 @@ object Dedup extends QueryModule {
   private[graft] def plantedBatch(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir).filter(col("doc_id") >= 1000000L)
 
+  /** Bucket/join key of the corpus band table: band_id and sig packed
+    * into one column so the table can be BUCKETED by it (Bucketing
+    * bucketBy takes one key) and the ingest join is a single-key equi
+    * join the bucketed scan's HashPartitioning satisfies directly.
+    */
+  private def bandKey: Column = concat_ws(":", col("band_id"), col("sig"))
+
   private[graft] def corpusBandsWithShingles(s: SparkSession, dir: String): DataFrame =
     bandRowsOf(shingled(corpus(s, dir)).filter(col("doc_id") < 1000000L),
       carry = Seq("shingles"))
-      .select(col("doc_id").as("corp_doc_id"), col("band_id"), col("sig"),
+      .select(col("doc_id").as("corp_doc_id"), bandKey.as("bkey"),
         col("shingles").as("corp_shingles"))
 
   /** The per-ingest match pass, runnable on a STREAMING `newDocs`
@@ -611,7 +618,8 @@ object Dedup extends QueryModule {
   private[graft] def incrementalMatches(
       newDocs: DataFrame, corpusBands: DataFrame, minJ: Double = 0.5): DataFrame = {
     val bands = bandRowsOf(shingled(newDocs), carry = Seq("shingles"))
-    bands.join(corpusBands, Seq("band_id", "sig"))
+      .withColumn("bkey", bandKey)
+    bands.join(corpusBands, Seq("bkey"))
       .select(col("corp_doc_id").as("doc_a"), col("doc_id").as("doc_b"),
         (size(array_intersect(col("corp_shingles"), col("shingles"))).cast(DoubleType) /
           size(array_union(col("corp_shingles"), col("shingles"))).cast(DoubleType))
@@ -620,17 +628,23 @@ object Dedup extends QueryModule {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** The gate entry now RUNS the production posture the scaladoc above
+    * describes, instead of only documenting it: the corpus band table is
+    * materialized BUCKETED by the band key (operators/Bucketing — the
+    * write-once side of "maintained bucketed table"), and the ingest
+    * pass joins the planted batch against the bucketed SCAN — at scale
+    * that join is shuffle-free on the corpus side, which OperatorsSpec
+    * plan-pins (SMJ with the exchange on the batch side only). Output
+    * and oracle are unchanged: same bands, same pairs, same exact
+    * in-row Jaccard ≥ 0.5.
+    */
+  private[graft] val Dd10CorpusTable = "graft_dd10_corpus_bands"
+
   private def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(corpus(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
-    val bandRows = bandRowsOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    val existing = bandRows.filter(col("doc_id") < 1000000L)
-    val batch = bandRows.filter(col("doc_id") >= 1000000L)
-    val cand = existing.as("o")
-      .join(batch.as("n"),
-        col("o.band_id") === col("n.band_id") && col("o.sig") === col("n.sig"))
-      .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
-      .distinct()
-    jaccardVerified(cand, sh, minJ = 0.5)
+    graft.operators.Bucketing.writeBucketed(
+      corpusBandsWithShingles(s, dir), Dd10CorpusTable, "bkey", 8)
+    incrementalMatches(plantedBatch(s, dir), s.table(Dd10CorpusTable), minJ = 0.5)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
 
   private val incrementalNearDupSql = {

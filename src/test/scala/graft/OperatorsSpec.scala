@@ -94,6 +94,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd10 posture: ingest join reads the bucketed corpus band table shuffle-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    // disable broadcast AND adaptive re-planning: at fixture scale AQE
+    // would (legitimately) broadcast the tiny corpus table, which is
+    // exactly what must not be confused with the bucketed-scan property
+    // this test pins — that the corpus side needs NO exchange at any size
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = SparkEntry.queries("dd10_incremental_neardup")(s, dir)
+      val smjs = out.queryExecution.executedPlan.collect { case j: SortMergeJoinExec => j }
+      val ingest = smjs.filter(
+        _.children.exists(_.collectLeaves().exists(_.toString.contains(
+          graft.queries.Dedup.Dd10CorpusTable))))
+      assert(ingest.nonEmpty, "ingest join is not a sort-merge join over the bucketed table")
+      val corpusSide = ingest.head.children.find(
+        _.collectLeaves().exists(_.toString.contains(graft.queries.Dedup.Dd10CorpusTable))).get
+      val shuffles = corpusSide.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"corpus side of the ingest join shuffles:\n$corpusSide")
+      assert(out.collect().nonEmpty, "dd10 produced no matches at fixture scale — vacuous pin")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("filters push to the parquet scan and projections prune the read schema") {
     val s = SparkEntry.configure(spark)
     val dir = "/root/testdata/sf0.001"
