@@ -777,20 +777,28 @@ object Extras extends QueryModule {
     *
     * Scale posture: the expansion is map-side (2 rows per event); the
     * running sum partitions by event_type — fine for a bounded type
-    * domain (one partition per type), while an unbounded key domain
-    * would need the hierarchical two-level prefix sum (per-bucket delta
-    * totals + carry-in) this entry deliberately avoids at gate scale.
+    * domain (one partition per type); the hierarchical two-level prefix
+    * sum for unbounded domains (per-bucket delta totals + carry-in) is
+    * implemented and hash-proven equivalent as `ev11`.
     */
-  private def concurrency(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The map-side interval→delta expansion shared by ev9 (serial sweep)
+    * and ev11 (hierarchical sweep) so the interval semantics can't drift
+    * between the two spellings.
+    */
+  private def concurrencyDeltas(s: SparkSession, dir: String): DataFrame = {
     val es = unix_timestamp(col("ts"))
     val dur = greatest(lit(1L), round(col("value")).cast(LongType))
-    val deltas = t(s, dir, "events")
+    t(s, dir, "events")
       .select(col("event_id"), col("event_type"), es.as("es"), dur.as("dur"))
       .select(col("event_id"), col("event_type"), explode(array(
         struct(col("es").as("t"), lit(1L).as("delta")),
         struct((col("es") + col("dur")).as("t"), lit(-1L).as("delta")))).as("ev"))
       .select(col("event_id"), col("event_type"), col("ev.t"), col("ev.delta"))
+  }
+
+  private def concurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = concurrencyDeltas(s, dir)
     val w = Window.partitionBy("event_type")
       .orderBy(col("t").asc_nulls_first, col("delta").asc_nulls_first,
         col("event_id").asc_nulls_first)
@@ -824,6 +832,46 @@ object Extras extends QueryModule {
       |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
       |FROM live GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- ev11
+  /** The SAME peak-concurrency census as ev9, spelled as the
+    * HIERARCHICAL two-level prefix sum ev9's scaladoc names as the
+    * unbounded-domain alternative (the w5 technique applied to the
+    * sweep-line): within-hour-chunk running delta sums in parallel, the
+    * per-chunk delta totals rolled into exclusive carry-in offsets by a
+    * window over the tiny (type × chunk) frame, offsets broadcast back,
+    * live = carry-in + local. The chunk key (t DIV 3600) is a monotone
+    * function of the sweep order's leading key, so cross-chunk order is
+    * preserved by construction; ties (same t) land in the same chunk and
+    * resolve under the same (delta, event_id) tiebreak. Oracle: ev9's
+    * serial sweep SQL verbatim — the gate hash-proves the two spellings
+    * equal.
+    */
+  private def concurrencyChunked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withinChunk = Window.partitionBy("event_type", "chunk")
+      .orderBy(col("t").asc_nulls_first, col("delta").asc_nulls_first,
+        col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overChunks = Window.partitionBy("event_type")
+      .orderBy(col("chunk").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val deltas = concurrencyDeltas(s, dir)
+      .withColumn("chunk", expr("t DIV 3600"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // local-sum side + offsets side
+    val offsets = deltas
+      .groupBy("event_type", "chunk")
+      .agg(sum(col("delta")).as("chunk_total"))
+      .withColumn("carry", coalesce(sum(col("chunk_total")).over(overChunks), lit(0L)))
+      .select("event_type", "chunk", "carry")
+    deltas
+      .withColumn("local", sum(col("delta")).over(withinChunk))
+      .join(broadcast(offsets), Seq("event_type", "chunk"))
+      .groupBy("event_type")
+      .agg(max(col("carry") + col("local")).as("peak_concurrency"),
+        expr("count(1) DIV 2").as("n_intervals"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
 
   // ---------------------------------------------------------------- w4
   /** Running DISTINCT user count per event type — the cumulative-reach
@@ -1011,6 +1059,7 @@ object Extras extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev10_transition_census" -> (transitionCensus _),
     "ev9_concurrency" -> (concurrency _),
+    "ev11_concurrency_chunked" -> (concurrencyChunked _),
     "w4_running_distinct" -> (runningDistinct _),
     "w5_running_distinct_chunked" -> (runningDistinctChunked _),
     "imp1_median_impute" -> (medianImpute _),
@@ -1044,6 +1093,9 @@ object Extras extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "ev10_transition_census" -> transitionCensusSql,
     "ev9_concurrency" -> concurrencySql,
+    // ev11 intentionally shares ev9's serial sweep oracle: the gate
+    // proves the hierarchical spelling ≡ the serial sweep-line
+    "ev11_concurrency_chunked" -> concurrencySql,
     "w4_running_distinct" -> runningDistinctSql,
     // w5 intentionally shares w4's serial-window oracle: the gate proves
     // the hierarchical prefix-sum spelling ≡ the serial running window

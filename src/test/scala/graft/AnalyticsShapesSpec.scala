@@ -207,6 +207,17 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "chunk offsets were not broadcast")
   }
 
+  test("ev11: hierarchical sweep equals ev9's serial sweep, non-trivially chunked") {
+    val s = SparkEntry.configure(spark)
+    val serial = SparkEntry.queries("ev9_concurrency")(s, dir).collect().toSeq
+    val chunked = SparkEntry.queries("ev11_concurrency_chunked")(s, dir).collect().toSeq
+    assert(serial.nonEmpty)
+    assert(chunked == serial)
+    val plan = SparkEntry.queries("ev11_concurrency_chunked")(s, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "chunk carry-ins were not broadcast")
+  }
+
   test("imp1: the arithmetic imputed sum equals an explicit imputation pass") {
     val s = SparkEntry.configure(spark)
     val li = s.read.parquet(s"$dir/lineitem.parquet")
