@@ -881,6 +881,132 @@ object Stats extends QueryModule {
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  // TPC-H Q7 shape (volume shipping between two nations): the two-sided
+  // nation-pair disjunction ((s=A ∧ c=B) ∨ (s=B ∧ c=A)) over the
+  // 4-fact-join chain, grouped by (supp_nation, cust_nation, year).
+  // The nation dim joins broadcast (bounded catalog); the pair filter
+  // can only be applied AFTER both nation names are attached, so it
+  // rides the joined stream — but each nation join itself pre-filters
+  // to the two named nations, so the fact chain is cut down before the
+  // disjunction ever evaluates. Year extraction is cast to BIGINT on
+  // both sides (Spark year() is INT, DuckDB's is BIGINT).
+  private def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    val natPair = t(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+    li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natPair.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .join(broadcast(natPair.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(sum(revenueE4).as("revenue_e4"))
+      .orderBy(col("supp_nation").asc_nulls_first, col("cust_nation").asc_nulls_first,
+        col("l_year").asc_nulls_first)
+  }
+
+  private val nationVolumeSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_e4
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST, l_year NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  // TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+  // per customer in a quarter-window, top 20. The returnflag filter cuts
+  // lineitem at the scan; the top-20 is a TakeOrdered over the
+  // aggregated frame (never a global sort of the join); balance stays
+  // in integer cents (the money idiom) so the group key is exact.
+  private def returnedTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast(LongType).as("acctbal_cents"),
+        col("n_name").as("nation"))
+      .agg(sum(revenueE4).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  private val returnedTopCustomersSql =
+    """SELECT c_custkey, c_name,
+      |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      |  n_name AS nation,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_e4
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue_e4 DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  // TPC-H Q13 shape (customer order-count distribution): LEFT join with
+  // the exclusion INSIDE the join (the classic Q13 trap — a WHERE would
+  // drop zero-order customers; the left join must keep them at count 0),
+  // then the two-level aggregate: per-customer count, then the histogram
+  // of counts. count(o_orderkey) counts non-null matches only, so
+  // unmatched customers land in the c_count = 0 bucket in both engines.
+  // Non-vacuous at gate scale: sf0.01 has a zero-order customer under
+  // this exclusion (vacuity-checked), so the hash compare exercises the
+  // left-join retention, not just the happy path.
+  private def orderCountDistribution(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val orderCountDistributionSql =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer
+      |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+      |             WHERE o_orderpriority <> '1-URGENT') o
+      |    ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM per_cust
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   // ----------------------------------------------------------------- h2
   // Equi-DEPTH histogram — h1's sibling with quantile edges instead of
   // fixed widths: bucket bounds are the exact quartiles of the cents
@@ -1015,6 +1141,9 @@ object Stats extends QueryModule {
     "dq2_integrity_audit" -> (integrityAudit _),
     "q21_waiting_supplier" -> (waitingSupplier _),
     "q22_no_order_customers" -> (noOrderRichCustomers _),
+    "q23_nation_volume" -> (nationVolume _),
+    "q24_returned_top_customers" -> (returnedTopCustomers _),
+    "q25_order_count_distribution" -> (orderCountDistribution _),
     "q14_promo_revenue" -> (promoRevenue _),
     "q15_top_supplier" -> (topSupplier _),
     "q17_small_qty_revenue" -> (smallQuantityRevenue _),
@@ -1042,6 +1171,9 @@ object Stats extends QueryModule {
     "dq2_integrity_audit" -> integrityAuditSql,
     "q21_waiting_supplier" -> waitingSupplierSql,
     "q22_no_order_customers" -> noOrderRichCustomersSql,
+    "q23_nation_volume" -> nationVolumeSql,
+    "q24_returned_top_customers" -> returnedTopCustomersSql,
+    "q25_order_count_distribution" -> orderCountDistributionSql,
     "q14_promo_revenue" -> promoRevenueSql,
     "q15_top_supplier" -> topSupplierSql,
     "q17_small_qty_revenue" -> smallQuantityRevenueSql,
