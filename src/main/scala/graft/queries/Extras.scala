@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Inventory rows from SURVEY.md §2 that round 1 left without a named gate
   * entry (VERDICT r01 "missing" #7, #10): the empty-input guard (F5), the
@@ -833,6 +834,81 @@ object Extras extends QueryModule {
       |FROM live GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sj1
+  /** The salted skew-resistant join as a GATE entry (previously only
+    * spec-pinned): lineitem ⟕ supplier through operators/SaltedJoin —
+    * the left side salted by a hash of the dispersion column, the small
+    * side replicated once per salt bucket, join key (key, salt). The
+    * oracle states the PLAIN left join: salting must be invisible in the
+    * result, which is exactly the property worth hash-proving. Integer
+    * casts (qty, cents) keep every output column engine-exact.
+    */
+  private def saltedJoinGate(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      round(col("l_quantity")).cast(LongType).as("l_qty"))
+    val supp = t(s, dir, "supplier").select(
+      col("s_suppkey").as("l_suppkey"), col("s_name"),
+      round(col("s_acctbal") * 100).cast(LongType).as("s_acctbal_cents"))
+    graft.operators.SaltedJoin
+      .leftJoinSalted(li, supp, key = "l_suppkey", dispersion = "l_orderkey", buckets = 8)
+      .orderBy(col("l_suppkey").asc_nulls_first, col("l_orderkey").asc_nulls_first,
+        col("l_linenumber").asc_nulls_first, col("l_qty").asc_nulls_first,
+        col("s_name").asc_nulls_first, col("s_acctbal_cents").asc_nulls_first)
+  }
+
+  private val saltedJoinGateSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(round(l_quantity) AS BIGINT) AS l_qty,
+      |  s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents
+      |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY l_suppkey NULLS FIRST, l_orderkey NULLS FIRST,
+      |  l_linenumber NULLS FIRST, l_qty NULLS FIRST,
+      |  s_name NULLS FIRST, s_acctbal_cents NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- bf1
+  /** Bloom-prefiltered semi join — the manual spelling of the runtime
+    * bloom filter (semi-join pushdown): build a bloom over the filtered
+    * build side's keys (driver-side, ~180 KB at 1% fpp — broadcast
+    * class), probe it map-side on the probe side via the codegen
+    * `BloomMightContain` kernel so ~77% of customers never reach the
+    * exchange, then the exact left-semi join removes the false
+    * positives. No false negatives (dd9's spec-pinned property) ⇒ the
+    * result is EXACTLY the plain semi join, which is what the oracle
+    * states (a literal EXISTS). The build-side count sizing the filter
+    * is one job over the date-pruned scan; at production scale that
+    * number comes from table stats instead.
+    */
+  private val RecentCut = "2001-06-01"
+
+  private def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(RecentCut).cast(TimestampType))
+      .select(col("o_custkey").cast(StringType).as("k"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // bloom build + count + semi probe
+    val bloom = recent.stat.bloomFilter("k", math.max(recent.count(), 1L), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    t(s, dir, "customer")
+      .filter(VectorFunctions.bloomMightContain(col("c_custkey").cast(StringType), bytes))
+      .join(recent.select(col("k").cast(LongType).as("c_custkey")), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast(LongType).as("acctbal_cents"))
+      .orderBy(col("c_custkey").asc_nulls_first)
+  }
+
+  private val bloomSemiJoinSql =
+    s"""SELECT c_custkey, c_name,
+       |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+       |FROM customer
+       |WHERE EXISTS (SELECT 1 FROM orders
+       |              WHERE o_custkey = c_custkey
+       |                AND o_orderdate >= TIMESTAMP '$RecentCut')
+       |ORDER BY c_custkey NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ev11
   /** The SAME peak-concurrency census as ev9, spelled as the
     * HIERARCHICAL two-level prefix sum ev9's scaladoc names as the
@@ -1072,6 +1148,8 @@ object Extras extends QueryModule {
     "sw1_session_window" -> (sessionWindowNative _),
     "j7_right_join" -> (rightJoin _),
     "j8_cross_small" -> (crossSmall _),
+    "sj1_salted_join" -> (saltedJoinGate _),
+    "bf1_bloom_semi_join" -> (bloomSemiJoin _),
     "un1_unpivot" -> (unpivotMetrics _),
     "c10_int_math" -> (intMath _),
     "ev4_gapfill" -> (gapfill _),
@@ -1110,6 +1188,8 @@ object Extras extends QueryModule {
     "sw1_session_window" -> sessionWindowNativeSql,
     "j7_right_join" -> rightJoinSql,
     "j8_cross_small" -> crossSmallSql,
+    "sj1_salted_join" -> saltedJoinGateSql,
+    "bf1_bloom_semi_join" -> bloomSemiJoinSql,
     "un1_unpivot" -> unpivotMetricsSql,
     "c10_int_math" -> intMathSql,
     "ev4_gapfill" -> gapfillSql,

@@ -207,6 +207,19 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "chunk offsets were not broadcast")
   }
 
+  test("bf1: the bloom prefilter is in the plan and actually prunes") {
+    val s = SparkEntry.configure(spark)
+    val df = SparkEntry.queries("bf1_bloom_semi_join")(s, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      "bloom prefilter missing from the semi-join plan")
+    // the prefilter must prune non-vacuously at fixture scale: matched
+    // customers are a strict subset of all customers (43/150 at sf0.001)
+    val matched = df.count()
+    val total = Tables(s, dir, "customer").count()
+    assert(matched > 0 && matched < total, s"$matched of $total — prefilter untestable")
+  }
+
   test("ev11: hierarchical sweep equals ev9's serial sweep, non-trivially chunked") {
     val s = SparkEntry.configure(spark)
     val serial = SparkEntry.queries("ev9_concurrency")(s, dir).collect().toSeq
