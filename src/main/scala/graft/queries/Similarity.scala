@@ -216,6 +216,67 @@ object Similarity extends QueryModule {
       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ann6
+  /** Two-stage retrieval — the production ANN pattern ann2 stops short
+    * of: a MULTI-PROBE shortlist (each query probes its [[NProbe]]
+    * nearest centroid buckets, recovering the recall a single-bucket
+    * probe loses at bucket boundaries) re-ranked by the exact
+    * full-dimension integer dot. The probe ranking is a window over the
+    * tiny (queries × C) frame; the shortlist join is the same
+    * broadcast-queries bucket join as ann2 (touches ~NProbe/C of the
+    * corpus per query, never all of it); the re-rank pays the exact dot
+    * only on the shortlist. Every score is an exact integer, so the
+    * oracle restates probe → shortlist → re-rank CTE-for-CTE on top of
+    * the shared Lloyd fixpoint.
+    */
+  private val NProbe = 2
+
+  private def ivfRerankTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = quantized(s, dir)
+    val cents = trainCentroids(emb)
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("centroid_id").asc)
+    val qprobe = emb.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        VectorFunctions.longSquaredL2(col("qv"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(probeRank))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("qc"))
+    val topk = udaf(new TopKAgg(5))
+    val scored = assignedBuckets(s, dir)
+      .join(broadcast(qprobe),
+        col("centroid_id") === col("qc") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("q")).as("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  private val ivfRerankTopKSql =
+    s"""WITH $lloydCtes,
+       |qprobe AS (
+       |  SELECT query_id, qv, centroid_id AS qc FROM (
+       |    SELECT e.vec_id AS query_id, e.q AS qv, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(e.q) + 1),
+       |          i -> (e.q[i] - cv[i]) * (e.q[i] - cv[i]))) ASC,
+       |        c.centroid_id ASC) AS rn
+       |    FROM emb e CROSS JOIN cents$LloydIters c
+       |    WHERE e.vec_id IN (0, 1, 2))
+       |  WHERE rn <= $NProbe),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * a.q[i])) AS BIGINT) AS score
+       |  FROM qprobe JOIN assigned a ON a.centroid_id = qprobe.qc AND a.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- dd4
   /** Embedding-similarity near-dup pairs (the dedup family's vector leg):
     * within-bucket self-join on the IVF assignment — never all-pairs —
@@ -618,6 +679,7 @@ object Similarity extends QueryModule {
     "emb2_quantize" -> (quantizeInt8 _),
     "ann1_topk_exact" -> (bruteTopK _),
     "ann2_topk_ivf" -> (ivfTopK _),
+    "ann6_topk_ivf_rerank" -> (ivfRerankTopK _),
     "ann3_topk_cosine" -> (cosineTopK _),
     "ann4_topk_srp" -> (srpTopK _),
     "emb1_label_centroids" -> (labelCentroids _),
@@ -628,6 +690,7 @@ object Similarity extends QueryModule {
     "emb2_quantize" -> quantizeInt8Sql,
     "ann1_topk_exact" -> bruteTopKSql,
     "ann2_topk_ivf" -> ivfTopKSql,
+    "ann6_topk_ivf_rerank" -> ivfRerankTopKSql,
     "ann3_topk_cosine" -> cosineTopKSql,
     "ann4_topk_srp" -> srpTopKSql,
     "emb1_label_centroids" -> labelCentroidsSql,

@@ -117,6 +117,23 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("ann6: multi-probe re-rank dominates ann2's single-probe scores rank-for-rank") {
+    // the NProbe=2 shortlist is a superset of ann2's single-bucket
+    // shortlist, and the re-rank scores exactly — so at every rank the
+    // ann6 score must be >= ann2's score for the same query
+    val byQR = (df: Array[org.apache.spark.sql.Row]) =>
+      df.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("score")).toMap
+    val a2 = byQR(SparkEntry.queries("ann2_topk_ivf")(spark, dir).collect())
+    val a6 = byQR(SparkEntry.queries("ann6_topk_ivf_rerank")(spark, dir).collect())
+    assert(a6.nonEmpty && a6.keySet == a2.keySet)
+    a2.foreach { case (qr, s2) =>
+      assert(a6(qr) >= s2, s"rank $qr: rerank score ${a6(qr)} < single-probe $s2")
+    }
+    // and the wider shortlist must actually change something at fixture
+    // scale, or the multi-probe leg is vacuous
+    assert(a6 != a2, "NProbe=2 shortlist identical to single-probe — probe untested")
+  }
+
   test("ann5: PQ top-5 is well-formed and overlaps the exact top-10") {
     val pq = SparkEntry.queries("ann5_topk_pq")(spark, dir).collect()
     val exact = SparkEntry.queries("ann1_topk_exact")(spark, dir).collect()
