@@ -1132,8 +1132,55 @@ object Extras extends QueryModule {
       |FROM pairs
       |ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev12
+  /** Session-path census — ev10's higher-order sibling: instead of
+    * first-order (from → to) transitions, the full opening PATH (first
+    * [[PathLen]] event types per user under the (ts, event_id) total
+    * order) concatenated into one journey string, counted across users,
+    * top 20. One window pass ranks each user's events; the in-order
+    * concat is the array_sort(collect_list(struct(rn, type))) idiom
+    * (collect_list alone has nondeterministic order — the struct sort
+    * restores it, same as the k-means centroid assembly); the census
+    * aggregate reduces to path grain before the top-20 TakeOrdered.
+    */
+  private val PathLen = 3
+
+  private def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+      .groupBy("user_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(20)
+  }
+
+  private val sessionPathsSql =
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
+       |  FROM events),
+       |paths AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM ranked WHERE rn <= $PathLen
+       |  GROUP BY user_id)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+       |FROM paths GROUP BY path
+       |ORDER BY n_users DESC, path ASC
+       |LIMIT 20""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev10_transition_census" -> (transitionCensus _),
+    "ev12_session_paths" -> (sessionPaths _),
     "ev9_concurrency" -> (concurrency _),
     "ev11_concurrency_chunked" -> (concurrencyChunked _),
     "w4_running_distinct" -> (runningDistinct _),
@@ -1170,6 +1217,7 @@ object Extras extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "ev10_transition_census" -> transitionCensusSql,
+    "ev12_session_paths" -> sessionPathsSql,
     "ev9_concurrency" -> concurrencySql,
     // ev11 intentionally shares ev9's serial sweep oracle: the gate
     // proves the hierarchical spelling ≡ the serial sweep-line

@@ -1092,6 +1092,53 @@ object Stats extends QueryModule {
       |  (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
       |ORDER BY reference NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dq3
+  // Key-uniqueness audit — dq2's sibling for PRIMARY keys: per declared
+  // key, row count, distinct-key count, duplicated-key count, and the
+  // worst multiplicity. One grouped aggregate per table (map-side
+  // partials; the exchange carries key-grain rows, the second aggregate
+  // is a single row). Non-vacuous by data shape: the synthetic
+  // (l_orderkey, l_linenumber) pairs are NOT unique (the known fixture
+  // property every gate sort already works around), so the lineitem row
+  // exercises the violation path while orders/customer prove the
+  // all-clear path.
+  private def keyUniquenessAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, keyCols: Seq[String], label: String) =
+      df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("m"))
+        .agg(
+          sum(col("m")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          max(col("m")).as("max_multiplicity"))
+        .select(lit(label).as("table_key"), col("n_rows"), col("n_keys"),
+          col("n_dup_keys"), col("max_multiplicity"))
+    audit(t(s, dir, "customer"), Seq("c_custkey"), "customer.c_custkey")
+      .unionByName(audit(t(s, dir, "orders"), Seq("o_orderkey"), "orders.o_orderkey"))
+      .unionByName(audit(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"),
+        "lineitem.(l_orderkey,l_linenumber)"))
+      .orderBy(col("table_key").asc_nulls_first)
+  }
+
+  private val keyUniquenessAuditSql =
+    """WITH a AS (
+      |  SELECT 'customer.c_custkey' AS table_key, COUNT(*) AS m
+      |  FROM customer GROUP BY c_custkey),
+      |b AS (
+      |  SELECT 'orders.o_orderkey' AS table_key, COUNT(*) AS m
+      |  FROM orders GROUP BY o_orderkey),
+      |c AS (
+      |  SELECT 'lineitem.(l_orderkey,l_linenumber)' AS table_key, COUNT(*) AS m
+      |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+      |u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+      |SELECT table_key,
+      |  CAST(SUM(m) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+      |  CAST(MAX(m) AS BIGINT) AS max_multiplicity
+      |FROM u GROUP BY table_key
+      |ORDER BY table_key NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- rr1
   // Ratio-to-report: each nation's share of its region's revenue — the
   // percent-of-total window over an aggregate (Oracle's RATIO_TO_REPORT,
@@ -1139,6 +1186,7 @@ object Stats extends QueryModule {
     "rr1_ratio_to_report" -> (ratioToReport _),
     "h2_equidepth_histogram" -> (equiDepthHistogram _),
     "dq2_integrity_audit" -> (integrityAudit _),
+    "dq3_key_uniqueness" -> (keyUniquenessAudit _),
     "q21_waiting_supplier" -> (waitingSupplier _),
     "q22_no_order_customers" -> (noOrderRichCustomers _),
     "q23_nation_volume" -> (nationVolume _),
@@ -1169,6 +1217,7 @@ object Stats extends QueryModule {
     "rr1_ratio_to_report" -> ratioToReportSql,
     "h2_equidepth_histogram" -> equiDepthHistogramSql,
     "dq2_integrity_audit" -> integrityAuditSql,
+    "dq3_key_uniqueness" -> keyUniquenessAuditSql,
     "q21_waiting_supplier" -> waitingSupplierSql,
     "q22_no_order_customers" -> noOrderRichCustomersSql,
     "q23_nation_volume" -> nationVolumeSql,
