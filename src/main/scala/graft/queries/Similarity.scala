@@ -277,6 +277,77 @@ object Similarity extends QueryModule {
        |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ann7
+  /** Matryoshka-style two-stage retrieval — ann6's dimension-reduced
+    * sibling: candidate generation scores only the first [[PrefixDims]]
+    * of 64 dimensions (the "nested-representation" trick: a prefix of a
+    * well-trained embedding is itself an embedding, so the shortlist
+    * pass reads 1/4 of the vector bytes), keeps the top [[ShortlistK]]
+    * per query via the bounded aggregator, then re-ranks the shortlist
+    * with the exact full-dimension dot. Shortlist ids are queries×K
+    * rows — broadcast back to fetch full vectors; the final rank is a
+    * window over that tiny frame. All scores are exact integers; the
+    * oracle restates prefix-score → shortlist → re-rank CTE-for-CTE.
+    * TopKAgg's (score desc, id asc) tie order is the same as the
+    * oracle's row_number — the boundary is deterministic (ann1's
+    * hash-green gate already pins that equivalence).
+    */
+  private val PrefixDims = 16
+  private val ShortlistK = 20
+
+  private def matryoshkaTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = quantized(s, dir)
+    val queries = emb.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val topk = udaf(new TopKAgg(ShortlistK))
+    val shortlist = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        dot(slice(col("qv"), 1, PrefixDims), slice(col("q"), 1, PrefixDims)).as("pscore"))
+      .groupBy("query_id").agg(topk(col("pscore"), col("neighbor_id")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.id").as("neighbor_id"))
+    val rerank = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    broadcast(shortlist)
+      .join(emb, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("q")).as("score"))
+      .withColumn("rank", row_number().over(rerank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  private val matryoshkaTopKSql =
+    s"""WITH emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |queries AS (SELECT vec_id AS query_id, q AS qv FROM emb WHERE vec_id IN (0, 1, 2)),
+       |pre AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, ${PrefixDims + 1}), i -> qv[i] * e.q[i])) AS BIGINT) AS pscore
+       |  FROM queries CROSS JOIN emb e WHERE e.vec_id <> query_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY pscore DESC, neighbor_id) AS rn
+       |    FROM pre) WHERE rn <= $ShortlistK),
+       |scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(e.q) + 1), i -> qq.qv[i] * e.q[i])) AS BIGINT) AS score
+       |  FROM short s
+       |  JOIN emb e ON e.vec_id = s.neighbor_id
+       |  JOIN queries qq ON qq.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- dd4
   /** Embedding-similarity near-dup pairs (the dedup family's vector leg):
     * within-bucket self-join on the IVF assignment — never all-pairs —
@@ -680,6 +751,7 @@ object Similarity extends QueryModule {
     "ann1_topk_exact" -> (bruteTopK _),
     "ann2_topk_ivf" -> (ivfTopK _),
     "ann6_topk_ivf_rerank" -> (ivfRerankTopK _),
+    "ann7_topk_matryoshka" -> (matryoshkaTopK _),
     "ann3_topk_cosine" -> (cosineTopK _),
     "ann4_topk_srp" -> (srpTopK _),
     "emb1_label_centroids" -> (labelCentroids _),
@@ -691,6 +763,7 @@ object Similarity extends QueryModule {
     "ann1_topk_exact" -> bruteTopKSql,
     "ann2_topk_ivf" -> ivfTopKSql,
     "ann6_topk_ivf_rerank" -> ivfRerankTopKSql,
+    "ann7_topk_matryoshka" -> matryoshkaTopKSql,
     "ann3_topk_cosine" -> cosineTopKSql,
     "ann4_topk_srp" -> srpTopKSql,
     "emb1_label_centroids" -> labelCentroidsSql,

@@ -134,6 +134,28 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     assert(a6 != a2, "NProbe=2 shortlist identical to single-probe — probe untested")
   }
 
+  test("ann7: matryoshka re-rank scores are exact full-dim dots, top-5 overlaps exact top-10") {
+    val m = SparkEntry.queries("ann7_topk_matryoshka")(spark, dir).collect()
+    val exact = SparkEntry.queries("ann1_topk_exact")(spark, dir).collect()
+    val exactScores = exact.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      -> r.getAs[Long]("score")).toMap
+    assert(m.map(_.getAs[Long]("query_id")).toSet == Set(0L, 1L, 2L))
+    m.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      // wherever a matryoshka hit is also in the exact top-10, the
+      // re-ranked score must BE the exact score (full-dim dot, not the
+      // prefix approximation)
+      exactScores.get(key).foreach(es => assert(r.getAs[Long]("score") == es, s"$key"))
+    }
+    val byQ = m.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rows) =>
+      val exactTop = exact.filter(_.getAs[Long]("query_id") == q)
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      assert(rows.map(_.getAs[Long]("neighbor_id")).count(exactTop) >= 1,
+        s"query $q: matryoshka top-5 disjoint from exact top-10")
+    }
+  }
+
   test("ann5: PQ top-5 is well-formed and overlaps the exact top-10") {
     val pq = SparkEntry.queries("ann5_topk_pq")(spark, dir).collect()
     val exact = SparkEntry.queries("ann1_topk_exact")(spark, dir).collect()
