@@ -122,10 +122,18 @@ object EventStream {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** Convenience: run a streaming frame into an in-memory table. */
-  def startMemorySink(df: DataFrame, name: String, mode: OutputMode)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+  /** Convenience: run a streaming frame into an in-memory table. Pass a
+    * durable `checkpoint` to make the query RESTARTABLE: the offset log
+    * skips already-processed source files and the state store recovers
+    * aggregation state, so a restarted query resumes instead of
+    * replaying (pinned by the recovery test in StreamingSpec).
+    */
+  def startMemorySink(df: DataFrame, name: String, mode: OutputMode,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format("memory").queryName(name).outputMode(mode)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Route a stream into the SAME MartSink the batch pipeline loads
     * through (foreachBatch): each micro-batch arrives as a plain

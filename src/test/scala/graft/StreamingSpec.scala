@@ -228,6 +228,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed restart recovers aggregation state without reprocessing") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def drop(evs: Seq[Ev]): Unit =
+      evs.toDF("ts", "user_id", "event_type", "value")
+        .withColumn("event_id", org.apache.spark.sql.functions.col("value").cast("long"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    // the drop helper derives event_id from value, so the batch twin must
+    // see the SAME re-valued rows the files carry
+    val b1 = batch1.zipWithIndex.map { case (e, i) => e.copy(value = i.toDouble) }
+    val b2 = batch2.zipWithIndex.map { case (e, i) => e.copy(value = (10 + i).toDouble) }
+    drop(b1)
+    val q1 = EventStream.startMemorySink(
+      EventStream.windowedCounts(EventStream.readEventStream(spark, src)),
+      "ckpt_counts", OutputMode.Complete(), Some(ckpt))
+    q1.processAllAvailable()
+    q1.stop() // simulate a crash/deploy between file drops
+    drop(b2)
+    val q2 = EventStream.startMemorySink(
+      EventStream.windowedCounts(EventStream.readEventStream(spark, src)),
+      "ckpt_counts", OutputMode.Complete(), Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      // output covers BOTH drops — the window counts over batch1 can only
+      // come from the recovered state store...
+      val streamed = spark.table("ckpt_counts").orderBy("bucket_hour", "event_type").collect()
+      val batched = EventStream.windowedCounts((b1 ++ b2).toDF())
+        .orderBy("bucket_hour", "event_type").collect()
+      assert(streamed.toSeq == batched.toSeq)
+      // ...because the restarted query read ONLY the new file (the offset
+      // log skipped batch1's) — this is what distinguishes real recovery
+      // from a fresh query silently replaying the whole directory
+      val rowsRead = q2.recentProgress.map(_.numInputRows).sum
+      assert(rowsRead == batch2.length.toLong,
+        s"restarted query read $rowsRead rows, expected only ${batch2.length}")
+    } finally q2.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[Ev]
