@@ -89,7 +89,13 @@ object Bench {
     // captures a truncated log *tail*, so with 128 entries the printed
     // line can lose the first half of the alphabet (BENCH_r06.json kept
     // only 63 entries, "parsed": null). The file always has all of them.
-    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // bench_full.json is the COMMITTED recorded baseline (BASELINE.md,
+    // sf0.1): a run at any other scale factor defaults to a suffixed
+    // name so a quick smoke at sf0.001 can't silently clobber the
+    // baseline the 2× gate reads
+    val sfName = new java.io.File(sfDir).getName
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sfName == "sf0.1") "bench_full.json" else s"bench_full_$sfName.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(artifact),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

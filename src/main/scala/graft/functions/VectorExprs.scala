@@ -37,6 +37,20 @@ object VectorFunctions {
       org.apache.spark.sql.graft.BloomMightContain(GraftShims.expression(value),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(bloomBytes)))
 
+  /** Driver-side bloom build + serialization for [[bloomMightContain]]
+    * probes — one helper so the sizing count and the wire format can't
+    * drift between call sites (dd9 decontamination, bf1 semi join). The
+    * sizing `count()` runs over the (pre-filtered, usually persisted)
+    * build side; at production scale that number comes from table stats.
+    */
+  def bloomBytesOf(df: org.apache.spark.sql.DataFrame, colName: String,
+      fpp: Double): Array[Byte] = {
+    val bloom = df.stat.bloomFilter(colName, math.max(df.count(), 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> (es => LongDot(es(0), es(1))),
     "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))),

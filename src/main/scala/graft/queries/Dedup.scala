@@ -550,12 +550,7 @@ object Dedup extends QueryModule {
   private def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val bench = benchmarkShingles(s, dir)
       .persist(StorageLevel.MEMORY_AND_DISK) // sizes + fills the bloom, then verifies
-    val bloom = bench.stat.bloomFilter("shingle", math.max(bench.count(), 1L), BloomFpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = VectorFunctions.bloomBytesOf(bench, "shingle", BloomFpp)
     val corp = corpus(s, dir)
       .filter(!(col("doc_id") < 1000000L && col("doc_id") % 97 === 0))
     contaminationCounts(corp, bench,

@@ -886,12 +886,7 @@ object Extras extends QueryModule {
       .filter(col("o_orderdate") >= lit(RecentCut).cast(TimestampType))
       .select(col("o_custkey").cast(StringType).as("k"))
       .persist(StorageLevel.MEMORY_AND_DISK) // bloom build + count + semi probe
-    val bloom = recent.stat.bloomFilter("k", math.max(recent.count(), 1L), 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = VectorFunctions.bloomBytesOf(recent, "k", fpp = 0.01)
     t(s, dir, "customer")
       .filter(VectorFunctions.bloomMightContain(col("c_custkey").cast(StringType), bytes))
       .join(recent.select(col("k").cast(LongType).as("c_custkey")), Seq("c_custkey"), "left_semi")
@@ -939,10 +934,14 @@ object Extras extends QueryModule {
       .groupBy("event_type", "chunk")
       .agg(sum(col("delta")).as("chunk_total"))
       .withColumn("carry", coalesce(sum(col("chunk_total")).over(overChunks), lit(0L)))
-      .select("event_type", "chunk", "carry")
+      .select(col("event_type").as("o_type"), col("chunk").as("o_chunk"), col("carry"))
     deltas
       .withColumn("local", sum(col("delta")).over(withinChunk))
-      .join(broadcast(offsets), Seq("event_type", "chunk"))
+      // null-SAFE join: the serial sweep (and the shared oracle) keeps a
+      // null event_type as its own window partition, so the offset
+      // attach must not drop null keys the way a plain equi-join would
+      .join(broadcast(offsets),
+        col("event_type") <=> col("o_type") && col("chunk") <=> col("o_chunk"))
       .groupBy("event_type")
       .agg(max(col("carry") + col("local")).as("peak_concurrency"),
         expr("count(1) DIV 2").as("n_intervals"))
@@ -1033,10 +1032,13 @@ object Extras extends QueryModule {
       .groupBy("event_type", "chunk")
       .agg(sum(col("first_seen")).as("chunk_total"))
       .withColumn("offset", coalesce(sum(col("chunk_total")).over(overChunks), lit(0L)))
-      .select("event_type", "chunk", "offset")
+      .select(col("event_type").as("o_type"), col("chunk").as("o_chunk"), col("offset"))
     flagged
       .withColumn("local_sum", sum(col("first_seen")).over(withinChunk))
-      .join(broadcast(offsets), Seq("event_type", "chunk"))
+      // null-SAFE join — same reasoning as ev11: the serial window keeps
+      // null keys as their own partition, the offset attach must too
+      .join(broadcast(offsets),
+        col("event_type") <=> col("o_type") && col("chunk") <=> col("o_chunk"))
       .withColumn("users_so_far", col("offset") + col("local_sum"))
       .filter(col("event_id") % 20 === 0)
       .select(col("event_id"), col("event_type"), col("ts"), col("users_so_far"))
@@ -1154,9 +1156,13 @@ object Extras extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= PathLen)
       .groupBy("user_id")
-      .agg(concat_ws(">", transform(
-        array_sort(collect_list(struct(col("rn"), col("event_type")))),
-        x => x("event_type"))).as("path"))
+      // nullif aligns the all-null corner with the oracle: concat_ws
+      // yields '' when every element is null where string_agg yields
+      // NULL (both skip interior nulls identically, so only the
+      // zero-non-null case needs the pin)
+      .agg(expr("nullif(concat_ws('>', transform(" +
+        "array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)), '')")
+        .as("path"))
       .groupBy("path")
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path").asc)

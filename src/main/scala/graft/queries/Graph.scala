@@ -76,7 +76,15 @@ object Graph extends QueryModule {
             col("a.l_orderkey") === col("b.l_orderkey") && col("a.p") < col("b.p"))
           .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
       }
+    // materialize the edge cache NOW so the sets cache can be released
+    // before returning — otherwise every graph entry would hold TWO full
+    // MEMORY_AND_DISK frames for its whole lifetime (the cross-entry
+    // storage squeeze this round's Bench fix diagnosed). tri1's edge
+    // count reads this warm cache, so the job is not wasted work.
     edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    sets.unpersist()
+    edges
   }
 
   /** Triangle census of the co-purchase graph: parts are nodes, an edge

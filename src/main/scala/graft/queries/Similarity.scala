@@ -234,7 +234,15 @@ object Similarity extends QueryModule {
   private def ivfRerankTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = quantized(s, dir)
+    // ONE Lloyd training feeds both the probe ranking and the corpus
+    // assignment (calling assignedBuckets here would re-train internally
+    // — the k-means fixpoint is the expensive leg, never pay it twice).
+    // The C-row centroid frame is persisted because BOTH consumers would
+    // otherwise re-execute the whole training lineage behind it.
     val cents = trainCentroids(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignTo(emb, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeRank = Window.partitionBy("query_id")
       .orderBy(col("dist").asc, col("centroid_id").asc)
     val qprobe = emb.filter(col("vec_id").isin(QueryIds: _*))
@@ -246,7 +254,7 @@ object Similarity extends QueryModule {
       .filter(col("rn") <= NProbe)
       .select(col("query_id"), col("qv"), col("centroid_id").as("qc"))
     val topk = udaf(new TopKAgg(5))
-    val scored = assignedBuckets(s, dir)
+    val scored = assigned
       .join(broadcast(qprobe),
         col("centroid_id") === col("qc") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

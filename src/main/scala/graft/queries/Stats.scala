@@ -1103,16 +1103,19 @@ object Stats extends QueryModule {
   // exercises the violation path while orders/customer prove the
   // all-clear path.
   private def keyUniquenessAudit(s: SparkSession, dir: String): DataFrame = {
+    // the outer aggregate GROUPS BY the literal label (not a global
+    // agg): on an empty table a global agg would emit one null row where
+    // the oracle's GROUP BY emits zero — grouping by the label keeps the
+    // engines aligned at zero rows
     def audit(df: DataFrame, keyCols: Seq[String], label: String) =
       df.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("m"))
+        .groupBy(lit(label).as("table_key"))
         .agg(
           sum(col("m")).as("n_rows"),
           count(lit(1)).as("n_keys"),
           sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
           max(col("m")).as("max_multiplicity"))
-        .select(lit(label).as("table_key"), col("n_rows"), col("n_keys"),
-          col("n_dup_keys"), col("max_multiplicity"))
     audit(t(s, dir, "customer"), Seq("c_custkey"), "customer.c_custkey")
       .unionByName(audit(t(s, dir, "orders"), Seq("o_orderkey"), "orders.o_orderkey"))
       .unionByName(audit(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"),
