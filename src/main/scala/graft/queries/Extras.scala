@@ -554,6 +554,36 @@ object Extras extends QueryModule {
       |FROM events WHERE event_id % 10 = 0
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev13
+  // Schema-projected JSON parse — the production spelling ev5's
+  // repeated get_json_object paths approximate: ONE from_json with an
+  // explicit StructType parses the document once and yields every field
+  // typed (N path extractions re-parse the document N times). Also pins
+  // the absent-field contract: a schema field the document lacks is
+  // NULL, not an error, in both engines (the schema-on-read posture all
+  // ingest normalization relies on).
+  private def fromJsonTyped(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", LongType),
+      org.apache.spark.sql.types.StructField("label", StringType)))
+    t(s, dir, "events").filter(col("event_id") % 10 === 0)
+      .withColumn("p", from_json(col("props"), schema))
+      .select(
+        col("event_id"),
+        col("p.k").as("k"),
+        col("p.k").isNotNull.as("has_k"),
+        col("p.label").as("label")) // absent in every document → null
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val fromJsonTypedSql =
+    """SELECT event_id,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL AS has_k,
+      |  json_extract_string(props, '$.label') AS label
+      |FROM events WHERE event_id % 10 = 0
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- u3
   // §2.7 completion: UNION DISTINCT (u1 is union-all, u2 is
   // INTERSECT/EXCEPT) — Spark plans union().distinct() as one
@@ -1197,6 +1227,7 @@ object Extras extends QueryModule {
     "ev8_anomaly_days" -> (anomalyDays _),
     "dq1_column_profile" -> (columnProfile _),
     "ev5_json_extract" -> (jsonExtract _),
+    "ev13_from_json" -> (fromJsonTyped _),
     "u3_union_distinct" -> (unionDistinct _),
     "sw1_session_window" -> (sessionWindowNative _),
     "j7_right_join" -> (rightJoin _),
@@ -1238,6 +1269,7 @@ object Extras extends QueryModule {
     "ev8_anomaly_days" -> anomalyDaysSql,
     "dq1_column_profile" -> columnProfileSql,
     "ev5_json_extract" -> jsonExtractSql,
+    "ev13_from_json" -> fromJsonTypedSql,
     "u3_union_distinct" -> unionDistinctSql,
     "sw1_session_window" -> sessionWindowNativeSql,
     "j7_right_join" -> rightJoinSql,
