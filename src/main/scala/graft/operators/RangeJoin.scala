@@ -50,4 +50,35 @@ object RangeJoin {
         p(pointTs) >= i(start) && p(pointTs) < i(end))
       .drop("__bin")
   }
+
+  /** Inner interval-OVERLAP join (both sides are interval sets): pairs
+    * with `aS < bE AND bS < aE` under an equi-key, half-open `[s, e)`.
+    *
+    * Same binning as [[pointInInterval]], replicated on BOTH sides —
+    * but two overlapping intervals can share MANY bins, so instead of a
+    * post-join `distinct` (a full extra shuffle of the pair stream) the
+    * join emits each pair only in ONE bin: the bin containing the
+    * overlap's start `max(aS, bS)`. That bin is covered by both
+    * intervals by construction, so no pair is lost, and no other bin
+    * passes the predicate — exactly-once without dedup.
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binUs: Long): DataFrame = {
+    def bin(c: Column): Column = floor(unix_micros(c) / binUs).cast("long")
+    def binned(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) > col(s))
+        .withColumn("__bin",
+          explode(sequence(bin(col(s)), floor((unix_micros(col(e)) - 1) / binUs).cast("long"))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+    l.join(r,
+      l(leftKey) === r(rightKey) && l("__bin") === r("__bin") &&
+        l(lStart) < r(rEnd) && r(rStart) < l(lEnd) &&
+        l("__bin") === floor(
+          greatest(unix_micros(l(lStart)), unix_micros(r(rStart))) / binUs).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -405,6 +405,52 @@ object Extras extends QueryModule {
       |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, ts NULLS FIRST,
       |  click_id NULLS FIRST, win_start NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- rj2
+  /** Interval-OVERLAP join (rj1's two-sided sibling): each event is an
+    * interval [ts, ts + value-seconds) (ev9's duration convention);
+    * even-id intervals joined to odd-id intervals of the same user that
+    * OVERLAP, plus the exact overlap width in integer micros. The
+    * operator bins both sides and emits each pair in exactly one bin
+    * (the overlap-start bin) — no post-join distinct; the oracle states
+    * the plain overlap predicate join. Bin = 512 s ≳ the max duration
+    * (490 s), so each interval replicates to ≤ 2 bins.
+    */
+  private def intervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        greatest(lit(1L), round(col("value")).cast(LongType)).as("dur"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("s"),
+        timestamp_micros(unix_micros(col("ts")) + col("dur") * 1000000L).as("e"))
+    val a = iv.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("s").as("a_s"), col("e").as("a_e"))
+    val b = iv.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("s").as("b_s"), col("e").as("b_e"))
+    graft.operators.RangeJoin.intervalOverlap(
+      a, b, leftKey = "a_user", rightKey = "b_user",
+      lStart = "a_s", lEnd = "a_e", rStart = "b_s", rEnd = "b_e",
+      binUs = 512L * 1000000)
+      .select(col("a_id"), col("b_id"),
+        (least(unix_micros(col("a_e")), unix_micros(col("b_e"))) -
+          greatest(unix_micros(col("a_s")), unix_micros(col("b_s")))).as("overlap_us"))
+      .orderBy(col("a_id").asc_nulls_first, col("b_id").asc_nulls_first,
+        col("overlap_us").asc_nulls_first)
+  }
+
+  private val intervalOverlapJoinSql =
+    """WITH iv AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(GREATEST(1, round(value)) AS BIGINT) * 1000000 AS e
+      |  FROM events)
+      |SELECT a.event_id AS a_id, b.event_id AS b_id,
+      |  LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+      |FROM iv a JOIN iv b ON a.user_id = b.user_id
+      | AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+      | AND a.s < b.e AND b.s < a.e
+      |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST, overlap_us NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- j5
   // Beyond-reference join coverage: semi (customers WITH orders) and
   // anti (customers WITHOUT) — the allow-list idiom at fact scale, where
@@ -1242,6 +1288,7 @@ object Extras extends QueryModule {
     "aj1_asof_join" -> (asofJoin _),
     "aj2_asof_forward" -> (asofForward _),
     "rj1_range_join" -> (rangeJoin _),
+    "rj2_interval_overlap" -> (intervalOverlapJoin _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -1284,6 +1331,7 @@ object Extras extends QueryModule {
     "aj1_asof_join" -> asofJoinSql,
     "aj2_asof_forward" -> asofForwardSql,
     "rj1_range_join" -> rangeJoinSql,
+    "rj2_interval_overlap" -> intervalOverlapJoinSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

@@ -59,6 +59,33 @@ class OperatorsSpec extends AnyFunSuite {
       "range join must stay an equi-join on (key, bin)")
   }
 
+  test("interval-overlap join equals the naive join with no duplicate pairs") {
+    val s = SparkEntry.configure(spark)
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = graft.Tables(s, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts")
+    // LONG intervals (4h) against a SMALL bin (30min): every interval
+    // covers ~8 bins, so any exactly-once bug (pair emitted per shared
+    // bin) multiplies pairs ~8x — the multiset compare catches it where
+    // a span-sized bin would mask it
+    val a = ev.filter(col("event_id") % 2 === 0).select(col("event_id").as("a_id"),
+      col("user_id").as("a_user"), col("ts").as("a_s"),
+      (col("ts") + expr("INTERVAL 4 HOURS")).as("a_e"))
+    val b = ev.filter(col("event_id") % 2 === 1).select(col("event_id").as("b_id"),
+      col("user_id").as("b_user"), col("ts").as("b_s"),
+      (col("ts") + expr("INTERVAL 4 HOURS")).as("b_e"))
+    val binned = graft.operators.RangeJoin.intervalOverlap(
+      a, b, "a_user", "b_user", "a_s", "a_e", "b_s", "b_e", binUs = 30L * 60 * 1000000)
+    val naive = a.join(b,
+      col("a_user") === col("b_user") && col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = rows(binned)
+    assert(got.nonEmpty)
+    assert(got == rows(naive)) // sorted SEQ compare: duplicates would diverge
+    assert(got.distinct == got, "pair emitted in more than one shared bin")
+  }
+
   test("narrow-key mart dedup is row-for-row equivalent to the wide dropDuplicates") {
     val dir = "/root/testdata/sf0.001"
     val s = SparkEntry.configure(spark)
