@@ -28,6 +28,9 @@ object SparkEntry {
     // (graft.plans.RowNumberDedupRewrite; extensions route in
     // GraftExtensions, runtime route here for sessions we did not build)
     graft.plans.RowNumberDedupRewrite.install(spark)
+    // naive point-in-interval joins plan as binned equi-joins when a
+    // session opts in via spark.graft.rangeJoin.binUs (see RangeBinJoin)
+    graft.plans.RangeBinJoinRewrite.install(spark)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet carries TIMESTAMP(NANOS); Spark only exposes it as a

@@ -86,6 +86,7 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RowNumberDedupRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongDot].getName, "long_dot"),

@@ -451,6 +451,42 @@ object Extras extends QueryModule {
       | AND a.s < b.e AND b.s < a.e
       |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST, overlap_us NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- opt2
+  /** rj1's problem spelled the way users actually write it — the naive
+    * KEYLESS containment join (no equi predicate at all, which Spark
+    * can only nested-loop) — relying on the
+    * [[graft.plans.RangeBinJoinRewrite]] optimizer rule to plan it as
+    * the binned equi-join `RangeJoin.pointInInterval` hand-writes. The
+    * oracle executes the same naive SQL literally in DuckDB, so the
+    * gate hash-proves the REWRITE end-to-end (bin coverage, exactly-
+    * once pairing, strict upper bound, null drops); RangeBinRewriteSpec
+    * pins the plan shape. Intervals are 2-hour windows opened at every
+    * 97th event; bin = the window span, so each interval replicates to
+    * ≤ 2 bins. The conf is sticky on the session by design — the rule
+    * only ever fires on keyless containment joins, and this entry owns
+    * the only one in the gate.
+    */
+  private def rangeBinAuto(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.RangeBinJoinRewrite.BinConfKey, (2L * 3600 * 1000000).toString)
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val win = t(s, dir, "events")
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("w_s"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_e"))
+    ev.join(win, col("ts") >= col("w_s") && col("ts") < col("w_e"))
+      .select("event_id", "user_id", "win_id")
+      .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
+        col("win_id").asc_nulls_first)
+  }
+
+  private val rangeBinAutoSql =
+    """SELECT e.event_id, e.user_id, w.win_id
+      |FROM events e JOIN (
+      |  SELECT event_id AS win_id, ts AS w_s, ts + INTERVAL 2 HOUR AS w_e
+      |  FROM events WHERE event_id % 97 = 0) w
+      |  ON e.ts >= w.w_s AND e.ts < w.w_e
+      |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, win_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- j5
   // Beyond-reference join coverage: semi (customers WITH orders) and
   // anti (customers WITHOUT) — the allow-list idiom at fact scale, where
@@ -1289,6 +1325,7 @@ object Extras extends QueryModule {
     "aj2_asof_forward" -> (asofForward _),
     "rj1_range_join" -> (rangeJoin _),
     "rj2_interval_overlap" -> (intervalOverlapJoin _),
+    "opt2_range_bin_auto" -> (rangeBinAuto _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -1332,6 +1369,7 @@ object Extras extends QueryModule {
     "aj2_asof_forward" -> asofForwardSql,
     "rj1_range_join" -> rangeJoinSql,
     "rj2_interval_overlap" -> intervalOverlapJoinSql,
+    "opt2_range_bin_auto" -> rangeBinAutoSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,
