@@ -454,6 +454,70 @@ object Dedup extends QueryModule {
        |FROM labels
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ds6
+  /** Leakage-safe train/test split — ds1's split decision made at the
+    * DUP-CLUSTER grain instead of the document grain: hashing each
+    * doc's own id would scatter near-identical documents across train
+    * and test (the classic eval-contamination bug: the model "memorizes"
+    * test items from their training-set near-copies), so the split key
+    * is the cluster representative from dd7's connected components, and
+    * every member of a cluster lands in the same split by construction.
+    * Documents in no near-dup pair are their own singleton cluster.
+    * The corpus's injected exact/near copies guarantee multi-member
+    * clusters, so the property is exercised, not vacuous
+    * (DedupSimilaritySpec pins one-split-per-cluster and that the
+    * cluster key actually CHANGED some member's split vs a doc-id
+    * hash).
+    *
+    * Scale posture: dd7's label propagation + one broadcast-size left
+    * join of (doc_id, cluster) back to the id universe — cluster maps
+    * are tiny next to the corpus (only docs that appear in a pair);
+    * the split itself is a map-side hash gate like ds1.
+    */
+  private def clusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val cc = graft.operators.ConnectedComponents.run(pairs)
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+    corpus(s, dir).select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(substring(md5(concat(lit("csplit:"), col("cluster_id"))), 1, 2) < lit(TestThresholdDs6),
+          lit("test")).otherwise(lit("train")))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Test-split fraction: 38/256 ≈ 15% of clusters (larger than ds1's 5%
+    * so that sf0.001's ~40 multi-member clusters land test members with
+    * certainty-in-practice rather than by luck).
+    */
+  private val TestThresholdDs6 = "26"
+
+  private val clusterSafeSplitSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$minhashPairsSql
+       |  )),
+       |nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+       |univ AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id % 5 = 0)
+       |SELECT u.doc_id, COALESCE(l.cluster_id, u.doc_id) AS cluster_id,
+       |  CASE WHEN substr(md5('csplit:' || COALESCE(l.cluster_id, u.doc_id)), 1, 2)
+       |         < '$TestThresholdDs6'
+       |       THEN 'test' ELSE 'train' END AS split
+       |FROM univ u LEFT JOIN labels l ON l.doc_id = u.doc_id
+       |ORDER BY u.doc_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- dd8
   /** Benchmark decontamination — remove eval-set leakage from training
     * data: any corpus document sharing a word-4-gram with a benchmark
@@ -803,6 +867,7 @@ object Dedup extends QueryModule {
     "dd5_simhash_neardup" -> (simhashNearDup _),
     "dd6_ngram_jaccard" -> (ngramJaccard _),
     "dd7_dup_clusters" -> (dupClusters _),
+    "ds6_cluster_safe_split" -> (clusterSafeSplit _),
     "dd8_decontaminate" -> (decontaminate _),
     "cur1_curation_pipeline" -> (curation _))
 
@@ -818,6 +883,7 @@ object Dedup extends QueryModule {
     "dd5_simhash_neardup" -> simhashNearDupSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,
     "dd7_dup_clusters" -> dupClustersSql,
+    "ds6_cluster_safe_split" -> clusterSafeSplitSql,
     "dd8_decontaminate" -> decontaminateSql,
     "cur1_curation_pipeline" -> curationSql)
 }

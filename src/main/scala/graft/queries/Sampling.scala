@@ -215,8 +215,73 @@ object Sampling extends QueryModule {
       |FROM gated GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ds5
+  /** Token-budget data mixing — the step that turns a curated corpus
+    * into a training MIX: each source gets a token budget proportional
+    * to its mixture weight, and documents are admitted per source in
+    * deterministic hash priority order until the budget is spent (the
+    * straddling document is admitted, the standard convention). Weights
+    * here derive from the source id (`srcN` → N % 4 + 1, so the domain
+    * is covered with no default case and budgets stay non-degenerate at
+    * every SF); the overall budget is one third of the corpus token
+    * mass; tokens are the `n_chars DIV 4` proxy (integer — the exact
+    * tokenizer is tx1's job, the mixing math is this entry's). All
+    * arithmetic is integral, so budgets and cuts are bit-stable
+    * cross-engine.
+    *
+    * Scale posture: two scalar broadcasts (corpus total, weight sum
+    * over the distinct-source table) + ONE shuffle on source for the
+    * per-source ordered prefix sum. A pathologically hot source makes
+    * that window serial — the w5 hierarchical chunked-prefix-sum
+    * technique is the drop-in unbounded alternative; budgets
+    * themselves never need the data sorted globally.
+    */
+  private def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        greatest(lit(1L), expr("n_chars DIV 4")).as("tok"),
+        md5(concat(lit("mix:"), col("doc_id"))).as("k"))
+      .withColumn("w", expr("CAST(substr(source, 4) AS BIGINT) % 4 + 1"))
+    val total = docs.agg(sum(col("tok")).as("corpus_tok"))
+    val wsum = docs.select("source", "w").distinct()
+      .agg(sum(col("w")).as("wsum"))
+    val win = Window.partitionBy("source")
+      .orderBy(col("k").asc_nulls_first, col("doc_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(total)).join(broadcast(wsum))
+      .withColumn("budget_tok", expr("(corpus_tok DIV 3) * w DIV wsum"))
+      .withColumn("cum_tok", sum(col("tok")).over(win))
+      .filter(col("cum_tok") - col("tok") < col("budget_tok"))
+      .select("doc_id", "source", "tok", "cum_tok", "budget_tok")
+      .orderBy(col("source").asc_nulls_first, col("cum_tok").asc_nulls_first,
+        col("doc_id").asc_nulls_first)
+  }
+
+  private val tokenBudgetMixSql =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    GREATEST(1, n_chars // 4) AS tok,
+      |    md5('mix:' || doc_id) AS k,
+      |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+      |  FROM documents),
+      |t AS (SELECT SUM(tok) AS corpus_tok FROM docs),
+      |ws AS (SELECT SUM(w) AS wsum FROM (SELECT DISTINCT source, w FROM docs)),
+      |c AS (
+      |  SELECT d.doc_id, d.source, d.tok,
+      |    (t.corpus_tok // 3) * d.w // ws.wsum AS budget_tok,
+      |    SUM(d.tok) OVER (PARTITION BY d.source
+      |      ORDER BY d.k NULLS FIRST, d.doc_id NULLS FIRST
+      |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+      |  FROM docs d, t, ws)
+      |SELECT doc_id, source, CAST(tok AS BIGINT) AS tok,
+      |  CAST(cum_tok AS BIGINT) AS cum_tok, CAST(budget_tok AS BIGINT) AS budget_tok
+      |FROM c WHERE cum_tok - tok < budget_tok
+      |ORDER BY source NULLS FIRST, cum_tok NULLS FIRST, doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "ds5_token_budget_mix" -> (tokenBudgetMix _),
       "ds1_stratified_sample" -> (stratifiedSample _),
       "ds2_topk_sample" -> (topkSample _),
       "ds3_weighted_sample" -> (weightedSample _),
@@ -224,6 +289,7 @@ object Sampling extends QueryModule {
 
   override val oracle: Map[String, String] =
     Map(
+      "ds5_token_budget_mix" -> tokenBudgetMixSql,
       "ds1_stratified_sample" -> stratifiedSampleSql,
       "ds2_topk_sample" -> topkSampleSql,
       "ds3_weighted_sample" -> weightedSampleSql,

@@ -129,6 +129,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(splits.keySet == Set("train", "test") && splits("test") < splits("train"))
   }
 
+  test("ds5 mixing honors each source's token budget up to the straddling doc") {
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.01"
+    val kept = SparkEntry.queries("ds5_token_budget_mix")(s, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("tok"), r.getAs[Long]("cum_tok"), r.getAs[Long]("budget_tok")))
+    assert(kept.nonEmpty)
+    val bySource = kept.groupBy(_._2)
+    val corpusBySource = Tables(s, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source is represented, none is swallowed whole: the budget
+    // must cut INSIDE each source for the entry to exercise the cut
+    assert(bySource.keySet == corpusBySource.keySet)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length < corpusBySource(src).toInt, s"$src kept everything")
+      val budget = rows.head._5
+      // admitted-iff-budget-not-yet-spent: every kept doc started under
+      // budget; only the straddling doc may end past it
+      assert(rows.forall { case (_, _, tok, cum, b) => b == budget && cum - tok < b })
+      assert(rows.count { case (_, _, _, cum, b) => cum >= b } <= 1,
+        s"$src admitted more than one straddler")
+      // kept token mass reaches the budget (the straddler closes it)
+      assert(rows.map(_._4).max >= budget, s"$src under-filled its budget")
+    }
+    // weights 1..4 produce monotone budgets: a weight-4 source's budget
+    // is 4x a weight-1 source's (same corpus total, same weight sum)
+    val budgetOf = bySource.view.mapValues(_.head._5).toMap
+    val w = (src: String) => src.drop(3).toLong % 4 + 1
+    val perUnit = budgetOf.map { case (src, b) => b / w(src) }
+    assert(perUnit.max - perUnit.min <= 1, s"budgets not weight-proportional: $budgetOf")
+  }
+
   test("ds3 weighted sampling equals an exact driver-side recomputation") {
     val s = SparkEntry.configure(spark)
     val dir = "/root/testdata/sf0.01"

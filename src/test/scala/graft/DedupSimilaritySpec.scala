@@ -72,6 +72,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nearCopies.forall { case (_, _, j) => j >= 0.5 && j < 1.0 })
   }
 
+  test("ds6: every dup cluster lands in ONE split, and the cluster key changed someone's split") {
+    val rows = run("ds6_cluster_safe_split")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[String]("split")))
+    val byCluster = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(byCluster.nonEmpty, "fixture must produce multi-member clusters")
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $c split across ${members.map(_._3).distinct.mkString(",")}")
+    }
+    // non-vacuity: for at least one multi-member cluster member, splitting
+    // by the doc's OWN id hash would have disagreed — the cluster grain
+    // is doing real work, not coinciding with per-doc hashing
+    def docSplit(id: Long): String = {
+      // same gate as the query: first two hex chars of md5("csplit:"+id)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"csplit:$id".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      if (hex < "26") "test" else "train"
+    }
+    val changed = byCluster.values.flatten.filter { case (id, c, split) =>
+      id != c && docSplit(id) != split
+    }
+    assert(changed.nonEmpty, "no member's split differs from its own-id hash — vacuous pin")
+  }
+
   test("SimHash of an exact copy equals the original's") {
     val sh = run("dd3_simhash").map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash"))).toMap
     val originalsWithCopy = sh.keys.filter(id => id < 1000000L && sh.contains(id + 1000000L))
