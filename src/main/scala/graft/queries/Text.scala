@@ -808,7 +808,63 @@ object Text extends QueryModule {
       |FROM perdoc, thr
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- tx14
+  /** Bigram-LM familiarity — the perplexity-filter proxy: score each
+    * document by how common its word-bigrams are in the corpus itself
+    * (a 2-gram language model's numerator, no external model needed).
+    * Two signals per doc: the mean corpus frequency of its bigrams
+    * (`familiarity_milli`, ×1000 — low = the doc's phrasing is unlike
+    * the corpus) and the fraction of its bigrams that are corpus-hapax
+    * (`hapax_ppm` — high = mostly never-repeated word contexts, the
+    * gibberish/boilerplate-free tail a perplexity filter trims from
+    * both ends). tx13 scores TOKEN rarity against a vocabulary; this is
+    * the CONTEXT-level sibling, and the pair brackets what a real KenLM
+    * pass measures. Integer outputs via the big-sum DIV convention.
+    *
+    * Scale posture: the corpus bigram table is too big to broadcast and
+    * isn't — both the count build and the score join shuffle on the
+    * bigram key (co-partitioned hash join), then one doc_id aggregate;
+    * three exchanges total, all narrow (doc_id, bigram, n). At 100 TB
+    * the counts side can be truncated to top-K + a tail bucket exactly
+    * like tx13's vocabulary if the full table ever outgrows the join.
+    */
+  private def bigramFamiliarity(s: SparkSession, dir: String): DataFrame = {
+    val bg = t(s, dir, "documents")
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => array_join(slice(col("w"), i, lit(2)), " "))).as("bigram"))
+    val counts = bg.groupBy("bigram").agg(count(lit(1)).as("n"))
+    bg.join(counts, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("CAST(CAST(sum(n) AS DECIMAL(38,0)) * 1000 DIV count(1) AS BIGINT)")
+          .as("familiarity_milli"),
+        expr("CAST(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) * 1000000 DIV count(1) AS BIGINT)")
+          .as("hapax_ppm"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val bigramFamiliaritySql =
+    """WITH bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 2),
+      |counts AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
+      |SELECT b.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(CAST(SUM(n) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT) AS familiarity_milli,
+      |  CAST(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS hapax_ppm
+      |FROM bg b JOIN counts c ON b.bigram = c.bigram
+      |GROUP BY b.doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx14_bigram_familiarity" -> (bigramFamiliarity _),
     "tx13_rarity_score" -> (rarityScore _),
     "cur2_curation_v2" -> (curationV2 _),
     "tx11_zipf_coverage" -> (zipfCoverage _),
@@ -826,6 +882,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx14_bigram_familiarity" -> bigramFamiliaritySql,
     "tx13_rarity_score" -> rarityScoreSql,
     "cur2_curation_v2" -> curationV2Sql,
     "tx11_zipf_coverage" -> zipfCoverageSql,

@@ -20,6 +20,29 @@ class TextQualitySpec extends AnyFunSuite {
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
+  test("tx14: familiarity and hapax match a plain-Scala recomputation for every document") {
+    val got = SparkEntry.queries("tx14_bigram_familiarity")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("familiarity_milli"),
+          r.getAs[Long]("hapax_ppm")))).toMap
+    // split(" ", -1): Spark's split keeps empty tokens; Scala's default drops them
+    val perDoc = docs.map { case (id, text, _) =>
+      val w = text.split(" ", -1).toSeq
+      id -> (if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty[String])
+    }
+    val counts = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val withBigrams = perDoc.filter(_._2.nonEmpty)
+    assert(got.size == withBigrams.size)
+    withBigrams.foreach { case (id, grams) =>
+      val ns = grams.map(counts)
+      val n = grams.size.toLong
+      val expect = (n, ns.sum * 1000L / n, ns.count(_ == 1L) * 1000000L / n)
+      assert(got(id) == expect, s"doc $id: ${got(id)} vs $expect")
+    }
+    // non-vacuity: the corpus exercises both tails of the hapax signal
+    assert(got.values.exists(_._3 > 0L) && got.values.exists(_._3 < 1000000L))
+  }
+
   test("tx12: ppm signals match a plain-Scala recomputation for every document") {
     val got = SparkEntry.queries("tx12_repetition")(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
