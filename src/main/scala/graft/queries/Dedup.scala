@@ -857,7 +857,79 @@ object Dedup extends QueryModule {
        |FROM corpus c LEFT JOIN pd ON c.doc_id = pd.doc_id
        |ORDER BY c.doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- cur3
+  /** Canonical-document election per duplicate cluster — the step between
+    * near-dup detection (dd2/dd7) and corpus emission: inside every dup
+    * cluster keep the richest member (max distinct-word count; doc_id is
+    * the deterministic tiebreak) and mark the rest as drops. Docs in no
+    * near-dup pair are their own singleton cluster and trivially kept —
+    * so the output is the full corpus annotated with (cluster, winner,
+    * kept?), ready for a `is_kept` filter downstream.
+    *
+    * Scale posture: the CC label map covers only docs that appear in a
+    * pair (tiny vs the corpus) so the label attach is a broadcast left
+    * join; the election is ONE unordered aggregate window over
+    * cluster_id — `min(struct(-score, doc_id))` — no corpus self-join
+    * against per-cluster winners and no second shuffle (cluster_size
+    * rides the same window). Dup clusters are short by construction
+    * (near-dup radius), so per-cluster partitions cannot skew.
+    */
+  private def canonicalPick(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val cc = graft.operators.ConnectedComponents.run(pairs)
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+    val scored = corpus(s, dir)
+      .join(broadcast(cc), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(size(array_distinct(split(col("text"), " "))).cast(LongType),
+          lit(0L)).as("score"))
+    val w = Window.partitionBy("cluster_id")
+    scored
+      .withColumn("best", min(struct((-col("score")).as("ns"), col("doc_id"))).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        col("best.doc_id").as("kept_doc_id"),
+        (col("doc_id") === col("best.doc_id")).as("is_kept"),
+        col("cluster_size"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val canonicalPickSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$minhashPairsSql
+       |  )),
+       |nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+       |$corpusSql,
+       |scored AS (
+       |  SELECT c.doc_id,
+       |    COALESCE(l.cluster_id, c.doc_id) AS cluster_id,
+       |    COALESCE(CAST(len(list_distinct(string_split(c.text, ' '))) AS BIGINT), 0)
+       |      AS score
+       |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id)
+       |SELECT doc_id, cluster_id, score,
+       |  first_value(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY score DESC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_doc_id,
+       |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY score DESC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS is_kept,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM scored
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur3_canonical_pick" -> (canonicalPick _),
     "dd11_segment_dedup" -> (cdcSegmentDedup _),
     "dd10_incremental_neardup" -> (incrementalNearDup _),
     "dd9_bloom_decontaminate" -> (bloomDecontaminate _),
@@ -872,6 +944,7 @@ object Dedup extends QueryModule {
     "cur1_curation_pipeline" -> (curation _))
 
   override val oracle: Map[String, String] = Map(
+    "cur3_canonical_pick" -> canonicalPickSql,
     // same result as dd8 by construction (bloom FPs die in the verify
     // join) — the gate proves the equivalence
     "dd9_bloom_decontaminate" -> decontaminateSql,

@@ -307,9 +307,88 @@ object Linkage extends QueryModule {
       |             ORDER BY es NULLS FIRST, event_id NULLS FIRST)
       |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, version NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- cdc4
+  /** Incremental SCD Type-2 MERGE — cdc3's history REBUILD restated as
+    * the maintenance operation a warehouse actually runs: a maintained
+    * versioned dimension (the history of every change before the split
+    * point) absorbs a new change batch (changes at/after it) by closing
+    * each touched key's open row at the batch's first change time and
+    * appending the batch's rows as continuation versions. The oracle is
+    * cdc3's FULL-REBUILD SQL verbatim (the w5/ev11 shared-oracle
+    * pattern), so the gate hash-proves the merge invariant: incremental
+    * merge ≡ full rebuild, with the split point invisible in the output.
+    *
+    * Correctness rests on the split respecting the in-key total order
+    * (es asc NULLS FIRST, event_id): every "old" event (es < T, or null
+    * es — nulls sort first) precedes every batch event (es ≥ T), so the
+    * per-side `row_number`s compose into the full-history version
+    * sequence, the old current row's successor in the full order is
+    * exactly the key's first batch row, and a key absent from the batch
+    * keeps its history untouched.
+    *
+    * Plan shape: one windowed pass per side, plus two key-grain side
+    * inputs joined back null-safely (`<=>` — the r7 lesson: equi-joins
+    * drop null keys that window PARTITION BY keeps): the batch's
+    * first-change time per key (batch-sized → broadcast) and the
+    * dimension's CURRENT version per key (the is_current-pruned slice a
+    * real dimension reads cheaply, not a rescan of closed history).
+    * Nothing re-windows the maintained history.
+    */
+  private val Cdc4SplitUs = 1705363200000000L // 2024-01-16T00:00Z, mid-fixture
+
+  private def scd2MergeIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("es"),
+        coalesce(round(col("value") * 100).cast(LongType), lit(-1L)).as("value_c"))
+    val older = base.filter(col("es").isNull || col("es") < Cdc4SplitUs)
+    val batch = base.filter(col("es") >= Cdc4SplitUs)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("es").asc_nulls_first, col("event_id").asc_nulls_first)
+    val hist = older.select(
+      col("user_id"), col("event_type"), col("event_id"), col("value_c"),
+      row_number().over(w).cast(LongType).as("version"),
+      col("es").as("valid_from_us"),
+      lead(col("es"), 1).over(w).as("valid_to_us"),
+      lead(col("es"), 1).over(w).isNull.as("is_current"))
+    val batchRows = batch.select(
+      col("user_id"), col("event_type"), col("event_id"), col("value_c"),
+      row_number().over(w).cast(LongType).as("brn"),
+      col("es").as("valid_from_us"),
+      lead(col("es"), 1).over(w).as("valid_to_us"),
+      lead(col("es"), 1).over(w).isNull.as("is_current"))
+    val firstChange = batch
+      .groupBy(col("user_id").as("fc_uid"), col("event_type").as("fc_et"))
+      .agg(min(col("es")).as("first_change_us"))
+    val carryBase = hist.filter(col("is_current"))
+      .select(col("user_id").as("cb_uid"), col("event_type").as("cb_et"),
+        col("version").as("base_version"))
+    val closed = hist
+      .join(broadcast(firstChange),
+        col("user_id") <=> col("fc_uid") && col("event_type") <=> col("fc_et"), "left")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value_c"),
+        col("version"), col("valid_from_us"),
+        when(col("is_current") && col("first_change_us").isNotNull,
+          col("first_change_us")).otherwise(col("valid_to_us")).as("valid_to_us"),
+        (col("is_current") && col("first_change_us").isNull).as("is_current"))
+    val appended = batchRows
+      .join(broadcast(carryBase),
+        col("user_id") <=> col("cb_uid") && col("event_type") <=> col("cb_et"), "left")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value_c"),
+        (coalesce(col("base_version"), lit(0L)) + col("brn")).as("version"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    closed.unionByName(appended)
+      .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first,
+        col("version").asc_nulls_first)
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fz1_fuzzy_join" -> (fuzzyJoin _),
     "cdc3_scd2_history" -> (scd2History _),
+    "cdc4_scd2_merge" -> (scd2MergeIncremental _),
     "cdc1_merge_upsert" -> (mergeUpsert _),
     "cdc2_latest_per_key" -> (latestPerKey _),
     "opt1_window_dedup" -> (firstPerKeyWindow _))
@@ -317,6 +396,8 @@ object Linkage extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "fz1_fuzzy_join" -> fuzzyJoinSql,
     "cdc3_scd2_history" -> scd2HistorySql,
+    // cdc4's oracle IS the full rebuild: hash-proves merge ≡ rebuild
+    "cdc4_scd2_merge" -> scd2HistorySql,
     "cdc1_merge_upsert" -> mergeUpsertSql,
     "cdc2_latest_per_key" -> latestPerKeySql,
     "opt1_window_dedup" -> firstPerKeyWindowSql)

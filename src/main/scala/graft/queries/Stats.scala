@@ -954,6 +954,49 @@ object Stats extends QueryModule {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q26
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity exceeds a threshold, attributed to their customer, top-100
+    * by order value. The qualifying-order set comes from ONE lineitem
+    * hash aggregate (map-side partials on l_orderkey collapse the fact
+    * table before any exchange) and the >threshold survivors are a tiny
+    * heavy-hitter tail, so they BROADCAST into the orders join — orders
+    * is touched once, lineitem is never re-scanned per order, and the
+    * only wide exchange left is the orders⋈customer key join (AQE's to
+    * plan by measured size). Threshold 250 keeps the entry non-vacuous
+    * from sf0.001 up (25 qualifying orders there).
+    */
+  private val Q26QtyThreshold = 250
+
+  private def largeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(LongType)).as("total_qty"))
+      .filter(col("total_qty") > Q26QtyThreshold)
+    t(s, dir, "orders")
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast(LongType).as("totalprice_c"),
+        col("total_qty"))
+      .orderBy(col("totalprice_c").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  private val largeVolumeCustomersSql =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS BIGINT)) > $Q26QtyThreshold)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       |  b.total_qty
+       |FROM orders JOIN big b ON o_orderkey = b.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY totalprice_c DESC, o_orderkey ASC
+       |LIMIT 100""".stripMargin
+
   private val returnedTopCustomersSql =
     """SELECT c_custkey, c_name,
       |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
@@ -1195,6 +1238,7 @@ object Stats extends QueryModule {
     "q23_nation_volume" -> (nationVolume _),
     "q24_returned_top_customers" -> (returnedTopCustomers _),
     "q25_order_count_distribution" -> (orderCountDistribution _),
+    "q26_large_volume_customers" -> (largeVolumeCustomers _),
     "q14_promo_revenue" -> (promoRevenue _),
     "q15_top_supplier" -> (topSupplier _),
     "q17_small_qty_revenue" -> (smallQuantityRevenue _),
@@ -1226,6 +1270,7 @@ object Stats extends QueryModule {
     "q23_nation_volume" -> nationVolumeSql,
     "q24_returned_top_customers" -> returnedTopCustomersSql,
     "q25_order_count_distribution" -> orderCountDistributionSql,
+    "q26_large_volume_customers" -> largeVolumeCustomersSql,
     "q14_promo_revenue" -> promoRevenueSql,
     "q15_top_supplier" -> topSupplierSql,
     "q17_small_qty_revenue" -> smallQuantityRevenueSql,

@@ -416,4 +416,22 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     assert(maxSegs.toLong < (1L << 20) / 1024,
       s"$maxSegs segments/doc — composite key headroom eroding")
   }
+
+  test("q26: surfaced orders exceed the threshold (recomputed), ranked by value, qualifiers broadcast") {
+    val df = SparkEntry.queries("q26_large_volume_customers")(spark, dir)
+    val out = df.collect()
+    val byOrder = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qualifying = byOrder.count(_._2 > 250)
+    assert(qualifying > 0 && out.length == math.min(100, qualifying))
+    out.foreach { r =>
+      val total = byOrder(r.getAs[Long]("o_orderkey"))
+      assert(total > 250 && r.getAs[Long]("total_qty") == total)
+    }
+    val prices = out.map(_.getAs[Long]("totalprice_c")).toSeq
+    assert(prices == prices.sorted(Ordering[Long].reverse), "not ranked by order value")
+    // the heavy-hitter set joins into orders as a broadcast, never a shuffle
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
 }

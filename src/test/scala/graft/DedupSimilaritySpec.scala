@@ -153,4 +153,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // every planted exact copy (+1M of a %7 doc) must match its original
     inc.foreach { case (a, b, j) => assert(a < 1000000L && b >= 1000000L && j >= 0.5) }
   }
+
+  test("cur3: one winner per cluster, richest member wins, planted copies lose to their source") {
+    val out = run("cur3_canonical_pick")
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (c, rs) =>
+      val kept = rs.filter(_.getAs[Boolean]("is_kept"))
+      assert(kept.length == 1, s"cluster $c elected ${kept.length} winners")
+      val k = kept.head
+      assert(rs.forall(_.getAs[Long]("kept_doc_id") == k.getAs[Long]("doc_id")),
+        s"cluster $c: kept_doc_id disagrees with the is_kept row")
+      val best = rs.map(r => (-r.getAs[Long]("score"), r.getAs[Long]("doc_id"))).min
+      assert((-k.getAs[Long]("score"), k.getAs[Long]("doc_id")) == best,
+        s"cluster $c: winner is not (max score, min doc_id)")
+      assert(rs.forall(_.getAs[Long]("cluster_size") == rs.length))
+    }
+    // non-vacuous: multi-member clusters exist, so drops actually happen
+    assert(byCluster.exists(_._2.length > 1), "no multi-member cluster — election vacuous")
+    // a +1M exact copy clustered with anything never wins: its source is in
+    // the same cluster with an identical score and a smaller doc_id
+    val clusteredCopies = out.filter { r =>
+      val id = r.getAs[Long]("doc_id")
+      id >= 1000000L && id < 2000000L && r.getAs[Long]("cluster_id") != id
+    }
+    assert(clusteredCopies.nonEmpty)
+    clusteredCopies.foreach(r => assert(!r.getAs[Boolean]("is_kept"),
+      s"exact copy ${r.getAs[Long]("doc_id")} won its cluster"))
+  }
 }

@@ -309,4 +309,32 @@ class LinkageSpec extends AnyFunSuite {
       assert(qSum == q.sum, s"vec $id q_sum mismatch")
     }
   }
+
+  test("cdc4: incremental merge yields dense versions, chained intervals, one current row per key") {
+    val split = 1705363200000000L // Cdc4SplitUs
+    val out = SparkEntry.queries("cdc4_scd2_merge")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byKey = out.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    // non-vacuous: some key has versions on BOTH sides of the split, so the
+    // close-and-continue path (not just pass-through) is exercised
+    assert(byKey.exists { case (_, rs) =>
+      rs.exists(_.getAs[Long]("valid_from_us") < split) &&
+        rs.exists(_.getAs[Long]("valid_from_us") >= split)
+    }, "no key spans the split — merge path vacuous")
+    byKey.foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to rs.length).toSeq,
+        s"$k: versions not dense")
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1, s"$k: current-row count != 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"$k: interval chain broken at version ${a.getAs[Long]("version")}")
+        case _ => ()
+      }
+      val last = sorted.last
+      assert(last.getAs[Boolean]("is_current") &&
+        last.isNullAt(last.fieldIndex("valid_to_us")), s"$k: tail row not open-ended")
+    }
+  }
 }
