@@ -1296,7 +1296,73 @@ object Extras extends QueryModule {
        |ORDER BY n_users DESC, path ASC
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- ev14
+  /** Interval coalescing (union of overlapping intervals) — the missing
+    * third of the interval toolbox next to ev9 (how many overlap) and
+    * rj2 (which pairs overlap): merge each user's [es, es+dur) event
+    * intervals (ev9's duration convention) into maximal covered spans.
+    * Touching intervals ([a,b) then [b,c)) merge. The output is the
+    * activity-coverage table sessionization-by-gap (ev3) can't produce,
+    * because here span boundaries come from explicit durations, not
+    * inter-event gaps.
+    *
+    * Plan: the textbook scalable spelling — per-key running max of
+    * interval end over the (es, event_id) order, a new-span flag where
+    * the current start clears it, a running sum of flags as the span id,
+    * then one hash aggregate per (user, span). Two window passes and one
+    * aggregate, all partitioned by user_id (unbounded key domain — no
+    * per-type serial task anywhere).
+    */
+  private def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val es = unix_timestamp(col("ts"))
+    val dur = greatest(lit(1L), round(col("value")).cast(LongType))
+    val iv = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), es.as("es"), (es + dur).as("en"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("es").asc_nulls_first, col("event_id").asc_nulls_first)
+    iv
+      .withColumn("prev_max",
+        max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_max").isNull || col("es") > col("prev_max"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("span_id",
+        sum(col("new_span")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "span_id")
+      .agg(min(col("es")).as("span_start"), max(col("en")).as("span_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("covered_s", col("span_end") - col("span_start"))
+      .orderBy(col("user_id").asc_nulls_first, col("span_start").asc_nulls_first,
+        col("span_id").asc_nulls_first)
+  }
+
+  private val intervalMergeSql =
+    """WITH iv AS (
+      |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+      |    epoch_us(ts) // 1000000 + GREATEST(1, CAST(round(value) AS BIGINT)) AS en
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, event_id, es, en,
+      |    MAX(en) OVER (PARTITION BY user_id
+      |      ORDER BY es NULLS FIRST, event_id NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM iv),
+      |g AS (
+      |  SELECT *, SUM(CASE WHEN prev_max IS NULL OR es > prev_max THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id
+      |      ORDER BY es NULLS FIRST, event_id NULLS FIRST
+      |      ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o)
+      |SELECT user_id, CAST(grp AS BIGINT) AS span_id,
+      |  MIN(es) AS span_start, MAX(en) AS span_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(en) - MIN(es) AS BIGINT) AS covered_s
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id NULLS FIRST, span_start NULLS FIRST, span_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev14_interval_merge" -> (intervalMerge _),
     "ev10_transition_census" -> (transitionCensus _),
     "ev12_session_paths" -> (sessionPaths _),
     "ev9_concurrency" -> (concurrency _),
@@ -1337,6 +1403,7 @@ object Extras extends QueryModule {
     "ev2_props_extract" -> (eventProps _))
 
   override val oracle: Map[String, String] = Map(
+    "ev14_interval_merge" -> intervalMergeSql,
     "ev10_transition_census" -> transitionCensusSql,
     "ev12_session_paths" -> sessionPathsSql,
     "ev9_concurrency" -> concurrencySql,

@@ -279,8 +279,75 @@ object Sampling extends QueryModule {
       |FROM c WHERE cum_tok - tok < budget_tok
       |ORDER BY source NULLS FIRST, cum_tok NULLS FIRST, doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ds7
+  /** Deterministic interleaved epoch ordering + shard assignment — the
+    * "write the training order" step: every doc gets a reproducible
+    * position in the epoch and a shard file number. Per-source order is
+    * an md5 permutation (repartition-independent, the ds1 rule); the
+    * global order interleaves sources by per-source rank — every source's
+    * rank-1 docs come before any source's rank-2 docs — so a training
+    * run reading shards in order sees all sources uniformly mixed from
+    * the first batch instead of source-sized runs.
+    *
+    * Scale posture: the serial spelling of "global position" is one
+    * total-order row_number — a single-task sort. This entry computes it
+    * HIERARCHICALLY (w5's pattern): rank within the (small, bounded)
+    * per-rank wave + broadcast cumulative wave offsets, so no task ever
+    * sees more than a wave and the only full exchanges are the two
+    * waves/source window shuffles. The oracle executes the serial
+    * row_number spelling literally — the gate hash-proves
+    * hierarchical ≡ serial.
+    */
+  private val NShards = 64
+
+  private def interleaveShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val keyed = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("ord:"), col("doc_id"))).as("okey"))
+    val bySrc = Window.partitionBy("source")
+      .orderBy(col("okey").asc_nulls_first, col("doc_id").asc_nulls_first)
+    val ranked = keyed
+      .withColumn("src_rank", row_number().over(bySrc).cast(LongType))
+    val byWave = Window.partitionBy("src_rank")
+      .orderBy(col("okey").asc_nulls_first, col("doc_id").asc_nulls_first)
+    val offsets = ranked.groupBy("src_rank").agg(count(lit(1)).as("wave_n"))
+      .withColumn("wave_off",
+        coalesce(sum(col("wave_n")).over(Window
+          .orderBy(col("src_rank").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("src_rank").as("off_rank"), col("wave_off"))
+    ranked
+      .withColumn("wave_pos", row_number().over(byWave).cast(LongType))
+      .join(broadcast(offsets), col("src_rank") === col("off_rank"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        (col("wave_off") + col("wave_pos")).as("global_pos"),
+        ((col("wave_off") + col("wave_pos") - 1) % NShards).as("shard"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val interleaveShardsSql =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source, md5('ord:' || doc_id) AS okey FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, source, okey,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY okey NULLS FIRST, doc_id NULLS FIRST) AS BIGINT) AS src_rank
+       |  FROM keyed),
+       |pos AS (
+       |  SELECT doc_id, source, src_rank,
+       |    CAST(row_number() OVER (ORDER BY src_rank,
+       |      okey NULLS FIRST, doc_id NULLS FIRST) AS BIGINT) AS global_pos
+       |  FROM ranked)
+       |SELECT doc_id, source, src_rank, global_pos,
+       |  CAST((global_pos - 1) % $NShards AS BIGINT) AS shard
+       |FROM pos
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "ds7_interleave_shards" -> (interleaveShards _),
       "ds5_token_budget_mix" -> (tokenBudgetMix _),
       "ds1_stratified_sample" -> (stratifiedSample _),
       "ds2_topk_sample" -> (topkSample _),
@@ -289,6 +356,8 @@ object Sampling extends QueryModule {
 
   override val oracle: Map[String, String] =
     Map(
+      // serial total-order spelling — hash-proves hierarchical ≡ serial
+      "ds7_interleave_shards" -> interleaveShardsSql,
       "ds5_token_budget_mix" -> tokenBudgetMixSql,
       "ds1_stratified_sample" -> stratifiedSampleSql,
       "ds2_topk_sample" -> topkSampleSql,

@@ -753,7 +753,55 @@ object Similarity extends QueryModule {
        |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= $PqTopK
        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- emb3
+  /** Clustering-quality audit of the IVF codebook — the health check a
+    * vector-index build job emits alongside the index: per cluster, the
+    * member count, exact integer inertia (sum of squared L2 to the
+    * assigned centroid), the worst member distance, and the integral mean
+    * distance. Skewed bucket sizes or exploding inertia are the
+    * operational signals that the codebook needs retraining (C too
+    * small, drifted corpus) — the same audit any 100 TB ANN build keeps
+    * as a table next to the index files.
+    *
+    * Scale posture: ONE Lloyd training (persisted C-row centroid frame —
+    * ann6's never-train-twice rule), one broadcast join to re-attach
+    * member distances, one hash aggregate on centroid_id: partial
+    * aggregation collapses the corpus to C rows before the exchange.
+    * All-integer distances keep the oracle bit-exact.
+    */
+  private def clusterAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val cents = trainCentroids(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assignTo(emb, cents)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col("centroid_id"),
+        VectorFunctions.longSquaredL2(col("q"), col("cv")).as("dist"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist")).as("inertia"),
+        max(col("dist")).as("max_dist"))
+      .withColumn("mean_dist", expr("inertia DIV n_members"))
+      .orderBy(col("centroid_id").asc_nulls_first)
+  }
+
+  private val clusterAuditSql =
+    s"""WITH $lloydCtes,
+       |dists AS (
+       |  SELECT a.centroid_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+       |      i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))) AS BIGINT) AS dist
+       |  FROM assigned a JOIN cents$LloydIters c ON a.centroid_id = c.centroid_id)
+       |SELECT centroid_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(SUM(dist) AS BIGINT) AS inertia,
+       |  CAST(MAX(dist) AS BIGINT) AS max_dist,
+       |  CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_dist
+       |FROM dists GROUP BY centroid_id
+       |ORDER BY centroid_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb3_cluster_audit" -> (clusterAudit _),
     "ann5_topk_pq" -> (pqTopK _),
     "emb2_quantize" -> (quantizeInt8 _),
     "ann1_topk_exact" -> (bruteTopK _),
@@ -766,6 +814,7 @@ object Similarity extends QueryModule {
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
+    "emb3_cluster_audit" -> clusterAuditSql,
     "ann5_topk_pq" -> pqTopKSql,
     "emb2_quantize" -> quantizeInt8Sql,
     "ann1_topk_exact" -> bruteTopKSql,

@@ -1166,6 +1166,62 @@ object Stats extends QueryModule {
       .orderBy(col("table_key").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- dq4
+  /** Distribution-drift monitor — the DQ check that catches a silently
+    * changed upstream mix: compare the event-type distribution of two
+    * adjacent time windows (split at mid-fixture, cdc4's boundary) as
+    * integer ppm shares and flag types whose share moved more than 2
+    * percentage points. Complements dq1 (single-snapshot profile) /
+    * ev8 (volume anomalies): this one is about *composition*, which can
+    * drift while totals look healthy.
+    *
+    * Plan: ONE scan — both windows aggregate as conditional sums in a
+    * single hash aggregate on event_type (map-side partials); the grand
+    * totals attach via an unpartitioned window over the already
+    * aggregated #types-row frame, so "move everything to one partition"
+    * costs nothing. Shares go through DECIMAL(38,0) DIV (the ppm rule);
+    * the drift delta subtracts already-integral shares, so no integral
+    * division ever sees a negative operand.
+    */
+  private val DriftSplit = "2024-01-16 00:00:00"
+  private val DriftPpmThreshold = 20000L // 2 percentage points
+
+  private def distDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = to_timestamp(lit(DriftSplit))
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("ts") < split, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(Window.partitionBy()))
+      .withColumn("tot_b", sum(col("n_b")).over(Window.partitionBy()))
+      .withColumn("share_a_ppm",
+        expr("CAST(CAST(n_a AS DECIMAL(38,0)) * 1000000 DIV tot_a AS BIGINT)"))
+      .withColumn("share_b_ppm",
+        expr("CAST(CAST(n_b AS DECIMAL(38,0)) * 1000000 DIV tot_b AS BIGINT)"))
+      .withColumn("delta_ppm", col("share_b_ppm") - col("share_a_ppm"))
+      .withColumn("drifted", abs(col("delta_ppm")) > lit(DriftPpmThreshold))
+      .select("event_type", "n_a", "n_b", "share_a_ppm", "share_b_ppm",
+        "delta_ppm", "drifted")
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  private val distDriftSql =
+    s"""WITH agg AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN ts < TIMESTAMP '$DriftSplit' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '$DriftSplit' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM events GROUP BY event_type),
+       |tot AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM agg)
+       |SELECT event_type, n_a, n_b,
+       |  CAST(n_a * 1000000 // tot_a AS BIGINT) AS share_a_ppm,
+       |  CAST(n_b * 1000000 // tot_b AS BIGINT) AS share_b_ppm,
+       |  CAST(n_b * 1000000 // tot_b - n_a * 1000000 // tot_a AS BIGINT) AS delta_ppm,
+       |  abs(n_b * 1000000 // tot_b - n_a * 1000000 // tot_a) > $DriftPpmThreshold AS drifted
+       |FROM agg, tot
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
   private val keyUniquenessAuditSql =
     """WITH a AS (
       |  SELECT 'customer.c_custkey' AS table_key, COUNT(*) AS m
@@ -1233,6 +1289,7 @@ object Stats extends QueryModule {
     "h2_equidepth_histogram" -> (equiDepthHistogram _),
     "dq2_integrity_audit" -> (integrityAudit _),
     "dq3_key_uniqueness" -> (keyUniquenessAudit _),
+    "dq4_dist_drift" -> (distDrift _),
     "q21_waiting_supplier" -> (waitingSupplier _),
     "q22_no_order_customers" -> (noOrderRichCustomers _),
     "q23_nation_volume" -> (nationVolume _),
@@ -1265,6 +1322,7 @@ object Stats extends QueryModule {
     "h2_equidepth_histogram" -> equiDepthHistogramSql,
     "dq2_integrity_audit" -> integrityAuditSql,
     "dq3_key_uniqueness" -> keyUniquenessAuditSql,
+    "dq4_dist_drift" -> distDriftSql,
     "q21_waiting_supplier" -> waitingSupplierSql,
     "q22_no_order_customers" -> noOrderRichCustomersSql,
     "q23_nation_volume" -> nationVolumeSql,

@@ -434,4 +434,37 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     // the heavy-hitter set joins into orders as a broadcast, never a shuffle
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("ev14: spans equal a driver-side serial merge, stay disjoint, and conserve events") {
+    val out = SparkEntry.queries("ev14_interval_merge")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val events = Tables(SparkEntry.configure(spark), dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        (unix_timestamp(col("ts")) +
+          greatest(lit(1L), round(col("value")).cast("long"))).as("en"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // conservation: every event lands in exactly one span
+    assert(out.map(_.getAs[Long]("n_events")).sum == events.length)
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rows) =>
+      val spans = rows.sortBy(_.getAs[Long]("span_start"))
+        .map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(e1 < s2, s"user $u has touching/overlapping output spans")
+        case _ => ()
+      }
+      // serial sweep replay over the same (es, event_id) order
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      events.filter(_._1 == u).map(t => (t._2, t._3, t._4))
+        .sortBy(t => (t._1, t._3)).foreach { case (es, en, _) =>
+          if (merged.nonEmpty && es <= merged.last._2)
+            merged(merged.length - 1) =
+              (merged.last._1, math.max(merged.last._2, en))
+          else merged += ((es, en))
+        }
+      assert(merged.toSeq == spans.toSeq, s"user $u spans differ from serial merge")
+    }
+  }
 }

@@ -286,4 +286,29 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(real.contains((tpe, h)), s"non-zero ($tpe, $h) missing from ev1")
     }
   }
+
+  test("ds7 epoch order is a permutation, interleaves sources by wave, and balances shards") {
+    val out = SparkEntry.queries("ds7_interleave_shards")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // global_pos is exactly 1..N — no gaps, no collisions across waves
+    val pos = out.map(_.getAs[Long]("global_pos")).sorted.toSeq
+    assert(pos == (1L to out.length).toSeq, "global_pos is not a permutation")
+    // wave contiguity: every rank-r doc precedes every rank-(r+1) doc, so
+    // a prefix of the epoch covers all sources as evenly as possible
+    val maxPosByRank = out.groupBy(_.getAs[Long]("src_rank"))
+      .view.mapValues(_.map(_.getAs[Long]("global_pos"))).toMap
+    maxPosByRank.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq((r1, p1), (r2, p2)) =>
+        assert(p1.max < p2.min, s"wave $r1 overlaps wave $r2 in the epoch order")
+      case _ => ()
+    }
+    // consecutive-modulo sharding balances to within one doc
+    val shardCounts = out.groupBy(_.getAs[Long]("shard")).values.map(_.length)
+    assert(shardCounts.max - shardCounts.min <= 1, "shard skew > 1")
+    // per-source ranks are dense from 1
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ranks = rs.map(_.getAs[Long]("src_rank")).sorted.toSeq
+      assert(ranks == (1L to rs.length).toSeq, s"source $src ranks not dense")
+    }
+  }
 }

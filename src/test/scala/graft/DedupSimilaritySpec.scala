@@ -181,4 +181,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     clusteredCopies.foreach(r => assert(!r.getAs[Boolean]("is_kept"),
       s"exact copy ${r.getAs[Long]("doc_id")} won its cluster"))
   }
+
+  test("emb3: audit covers every vector once and its stats are internally consistent") {
+    val out = run("emb3_cluster_audit")
+    assert(out.nonEmpty)
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == nVecs,
+      "cluster member counts do not cover the corpus exactly")
+    out.foreach { r =>
+      val (n, inertia) = (r.getAs[Long]("n_members"), r.getAs[Long]("inertia"))
+      val (mean, max) = (r.getAs[Long]("mean_dist"), r.getAs[Long]("max_dist"))
+      assert(n > 0 && inertia >= 0)
+      assert(mean == inertia / n, s"mean_dist disagrees with inertia/n for ${r}")
+      assert(max >= mean, "max member distance below the mean")
+    }
+  }
 }

@@ -41,4 +41,26 @@ class StatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dq4: ppm shares normalize per window and the drift flag recomputes") {
+    val out = SparkEntry.queries("dq4_dist_drift")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val totA = out.map(_.getAs[Long]("n_a")).sum
+    val totB = out.map(_.getAs[Long]("n_b")).sum
+    assert(totA > 0 && totB > 0, "a drift window is empty — entry vacuous")
+    // truncating integral division: each window's shares sum into (1M - #types, 1M]
+    Seq("share_a_ppm", "share_b_ppm").foreach { c =>
+      val s = out.map(_.getAs[Long](c)).sum
+      assert(s > 1000000L - out.length && s <= 1000000L, s"$c sums to $s")
+    }
+    out.foreach { r =>
+      val sa = (BigInt(r.getAs[Long]("n_a")) * 1000000 / totA).toLong
+      val sb = (BigInt(r.getAs[Long]("n_b")) * 1000000 / totB).toLong
+      assert(sa == r.getAs[Long]("share_a_ppm"), s"share_a mismatch: $r")
+      assert(sb == r.getAs[Long]("share_b_ppm"), s"share_b mismatch: $r")
+      assert(r.getAs[Long]("delta_ppm") == sb - sa, s"delta mismatch: $r")
+      assert(r.getAs[Boolean]("drifted") ==
+        (math.abs(sb - sa) > 20000L), s"drift flag mismatch: $r")
+    }
+  }
 }
