@@ -1284,7 +1284,113 @@ object Stats extends QueryModule {
       |FROM pernation
       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  // TPC-H Q8 shape (national market share): of all STANDARD-part revenue
+  // sold into the ASIA customer market per year, the share supplied by
+  // one nation. The two nation roles (customer's region gate, supplier's
+  // share flag) are the same 25-row dim joined twice under different
+  // aliases — both broadcast. Numerator and denominator come from ONE
+  // conditional-sum aggregate over the join tree (no second pass, no
+  // self-join); the share goes through the rr1 DECIMAL ppm idiom since
+  // rev_e4·1e6 exceeds BIGINT at scale. Selective filters (p_type,
+  // o_orderdate range, r_name) all reach their scans; the fact chain
+  // shuffles under AQE.
+  private val MarketNation = "NATION_18" // has suppliers in the ASIA-market join at every fixture scale
+
+  private def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val prt = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val custNat = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val suppNat = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("cn_region") === col("r_regionkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === MarketNation, revenueE4)
+          .otherwise(0L)).as("nation_rev_e4"),
+        sum(revenueE4).as("total_rev_e4"))
+      .withColumn("share_ppm",
+        expr("CAST((CAST(nation_rev_e4 AS DECIMAL(38,0)) * 1000000)" +
+          " DIV total_rev_e4 AS BIGINT)"))
+      .orderBy(col("o_year").asc_nulls_first)
+  }
+
+  private val marketShareSql =
+    s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(CASE WHEN n2.n_name = '$MarketNation'
+       |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |    ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |    AS total_rev_e4,
+       |  CAST(CAST(SUM(CASE WHEN n2.n_name = '$MarketNation'
+       |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |      ELSE 0 END) AS HUGEINT) * 1000000
+       |    // SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       |    AS BIGINT) AS share_ppm
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN region ON n1.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01'
+       |GROUP BY 1
+       |ORDER BY o_year NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  // TPC-H Q6 shape (forecast revenue change): the canonical single-scan
+  // scalar aggregate — every predicate (ship-year, discount band,
+  // quantity cap) is a plain column-vs-literal comparison, so ALL of
+  // them push into the parquet scan (pinned in StatsSpec; wrapping
+  // l_discount in round() here would silently un-push it — the q19
+  // lesson). Revenue is price-cents × discount-pct: exact 1e-4-unit
+  // integers, no float accumulation. The double literals 0.05/0.07
+  // parse to identical IEEE doubles in both engines, so the band is the
+  // same row set cross-engine.
+  private def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(round(col("l_extendedprice") * 100).cast(LongType) *
+          round(col("l_discount") * 100).cast(LongType)).as("revenue_e4"),
+        count(lit(1)).as("n_rows"))
+
+  private val forecastRevenueSql =
+    """SELECT
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_market_share" -> (marketShare _),
+    "q28_forecast_revenue" -> (forecastRevenue _),
     "rr1_ratio_to_report" -> (ratioToReport _),
     "h2_equidepth_histogram" -> (equiDepthHistogram _),
     "dq2_integrity_audit" -> (integrityAudit _),
@@ -1318,6 +1424,8 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "q27_market_share" -> marketShareSql,
+    "q28_forecast_revenue" -> forecastRevenueSql,
     "rr1_ratio_to_report" -> ratioToReportSql,
     "h2_equidepth_histogram" -> equiDepthHistogramSql,
     "dq2_integrity_audit" -> integrityAuditSql,

@@ -42,6 +42,35 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q27: both nation roles broadcast, share recomputes, numerator non-vacuous") {
+    val df = SparkEntry.queries("q27_market_share")(spark, dir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // the share nation actually supplies into the market at this scale
+    assert(out.exists(_.getAs[Long]("nation_rev_e4") > 0), "share numerator vacuous")
+    out.foreach { r =>
+      val (n, t) = (r.getAs[Long]("nation_rev_e4"), r.getAs[Long]("total_rev_e4"))
+      assert(n >= 0 && n <= t)
+      assert(r.getAs[Long]("share_ppm") == (BigInt(n) * 1000000 / t).toLong)
+    }
+    // nation (twice), region: the bounded dims never shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "expected the three dim joins to broadcast")
+  }
+
+  test("q28: every Q6 predicate reaches the parquet scan") {
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try {
+      val plan = SparkEntry.queries("q28_forecast_revenue")(spark, dir)
+        .queryExecution.executedPlan.toString
+      Seq("LessThan(l_quantity,24", "GreaterThanOrEqual(l_discount,0.05",
+        "LessThanOrEqual(l_discount,0.07", "GreaterThanOrEqual(l_shipdate,")
+        .foreach(p => assert(plan.contains(p), s"predicate not pushed: $p"))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
+
   test("dq4: ppm shares normalize per window and the drift flag recomputes") {
     val out = SparkEntry.queries("dq4_dist_drift")(spark, dir).collect()
     assert(out.nonEmpty)
