@@ -928,7 +928,79 @@ object Dedup extends QueryModule {
        |FROM scored
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dd12
+  /** Asymmetric containment near-dup — the quote/sub-document detector
+    * the symmetric passes (dd2/dd6) can't be: C(A→B) = |A∩B| / |A|
+    * finds A buried inside a much larger B even when Jaccard is tiny.
+    * Candidate generation is textbook PREFIX FILTERING over an inverted
+    * shingle index: if C(A→B) ≥ t then B misses at most ⌊(1−t)·|A|⌋ of
+    * A's shingles, so among A's ⌊(1−t)·|A|⌋+1 md5-smallest shingles at
+    * least one is in B — A probes only that prefix against the index,
+    * which provably loses no qualifying pair. The exchanges carry
+    * (shingle_hash, doc_id) pairs — index O(Σ shingles), probes O(0.2·Σ)
+    * — never document payloads; exact containment is then computed for
+    * the candidate pairs only. At open-web scale the index side
+    * additionally drops ultra-common shingles by a document-frequency
+    * cap (a "stop-shingle" list — loses only pairs whose overlap is
+    * pure boilerplate); the fixture corpus is clean, so the gate entry
+    * keeps the exact no-cap spelling. The +2M 90%-prefix planted docs
+    * make the containment path non-vacuous by construction (their
+    * shingle sets are true subsets of their source's → exactly 1e6 ppm).
+    */
+  private val ContainmentMinPpm = 800000L // t = 0.8
+
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingledN(corpus(s, dir), n = 3, hashed = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ⌊0.2·|A|⌋+1-element sorted prefix — the only shingles A must probe
+    val probes = sh.select(col("doc_id").as("doc_a"),
+      explode(expr("slice(array_sort(shingles), 1, size(shingles) DIV 5 + 1)"))
+        .as("sh_h"))
+    val index = sh.select(col("doc_id").as("doc_b"),
+      explode(col("shingles")).as("sh_h"))
+    val cand = probes.join(index, "sh_h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sa")).cast(LongType).as("na"),
+        size(col("sb")).cast(LongType).as("nb"),
+        expr("CAST(size(array_intersect(sa, sb)) AS BIGINT) * 1000000 DIV size(sa)")
+          .as("containment_ppm"))
+      .filter(col("containment_ppm") >= ContainmentMinPpm)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  private val containmentPairsSql =
+    s"""WITH $corpusSql,
+       |sh AS (
+       |  SELECT doc_id, ${shingleListSql(n = 3, hashed = true)} AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+       |  WHERE len(w) >= 3),
+       |pr AS (
+       |  SELECT doc_id AS doc_a,
+       |    unnest(list_sort(shingles)[1 : len(shingles) // 5 + 1]) AS sh_h
+       |  FROM sh),
+       |ix AS (SELECT doc_id AS doc_b, unnest(shingles) AS sh_h FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM pr JOIN ix USING (sh_h)
+       |  WHERE doc_a <> doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(sa.shingles) AS BIGINT) AS na,
+       |  CAST(len(sb.shingles) AS BIGINT) AS nb,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
+       |    // len(sa.shingles) AS containment_ppm
+       |FROM cand
+       |JOIN sh sa ON cand.doc_a = sa.doc_id
+       |JOIN sh sb ON cand.doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
+       |    // len(sa.shingles) >= $ContainmentMinPpm
+       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd12_containment" -> (containmentPairs _),
     "cur3_canonical_pick" -> (canonicalPick _),
     "dd11_segment_dedup" -> (cdcSegmentDedup _),
     "dd10_incremental_neardup" -> (incrementalNearDup _),
@@ -954,6 +1026,7 @@ object Dedup extends QueryModule {
     "dd2_minhash_lsh_pairs" -> minhashPairsSql,
     "dd3_simhash" -> simhashSql,
     "dd5_simhash_neardup" -> simhashNearDupSql,
+    "dd12_containment" -> containmentPairsSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,
     "dd7_dup_clusters" -> dupClustersSql,
     "ds6_cluster_safe_split" -> clusterSafeSplitSql,

@@ -800,7 +800,51 @@ object Similarity extends QueryModule {
        |FROM dists GROUP BY centroid_id
        |ORDER BY centroid_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- emb4
+  /** Centroid-separation audit — emb3's companion retrain signal: for
+    * each trained centroid, the squared-L2 distance to its nearest
+    * sibling (ties broken by the lower sibling id). Two centroids far
+    * closer to each other than their clusters' spread (emb3's mean_dist)
+    * mean the codebook over-partitioned that region — the standard
+    * "merge candidates" heuristic. The pairwise frame is C×(C−1) rows of
+    * an already-trained C-row codebook (ONE Lloyd training, persisted —
+    * ann6's rule), so the cross join is a few dozen rows of driver-free
+    * arithmetic regardless of corpus size; argmin is `min(struct(dist,
+    * id))`, the TopKAgg tie convention.
+    */
+  private def centroidSeparation(s: SparkSession, dir: String): DataFrame = {
+    val cents = trainCentroids(quantized(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cents.select(col("centroid_id").as("ca"), col("cv").as("va"))
+    val b = cents.select(col("centroid_id").as("cb"), col("cv").as("vb"))
+    a.join(b, col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"),
+        VectorFunctions.longSquaredL2(col("va"), col("vb")).as("dist"))
+      .groupBy(col("ca").as("centroid_id"))
+      .agg(min(struct(col("dist"), col("cb"))).as("m"))
+      .select(col("centroid_id"), col("m.cb").as("nearest_id"),
+        col("m.dist").as("min_sqdist"))
+      .orderBy(col("centroid_id").asc_nulls_first)
+  }
+
+  private val centroidSeparationSql =
+    s"""WITH $lloydCtes,
+       |pairs AS (
+       |  SELECT a.centroid_id AS ca, b.centroid_id AS cb,
+       |    CAST(list_sum(list_transform(range(1, len(a.cv) + 1),
+       |      i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))) AS BIGINT) AS dist
+       |  FROM cents$LloydIters a JOIN cents$LloydIters b
+       |    ON a.centroid_id <> b.centroid_id),
+       |r AS (
+       |  SELECT ca, cb, dist,
+       |    row_number() OVER (PARTITION BY ca ORDER BY dist, cb) AS rn
+       |  FROM pairs)
+       |SELECT ca AS centroid_id, cb AS nearest_id, dist AS min_sqdist
+       |FROM r WHERE rn = 1
+       |ORDER BY centroid_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb4_centroid_separation" -> (centroidSeparation _),
     "emb3_cluster_audit" -> (clusterAudit _),
     "ann5_topk_pq" -> (pqTopK _),
     "emb2_quantize" -> (quantizeInt8 _),
@@ -814,6 +858,7 @@ object Similarity extends QueryModule {
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
+    "emb4_centroid_separation" -> centroidSeparationSql,
     "emb3_cluster_audit" -> clusterAuditSql,
     "ann5_topk_pq" -> pqTopKSql,
     "emb2_quantize" -> quantizeInt8Sql,

@@ -182,6 +182,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"exact copy ${r.getAs[Long]("doc_id")} won its cluster"))
   }
 
+  test("dd12: planted prefix docs are fully contained in their source; copies contain both ways") {
+    val out = run("dd12_containment")
+    assert(out.nonEmpty)
+    val pairs = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      r.getAs[Long]("containment_ppm")).toMap
+    // every +2M prefix doc long enough to shingle: its set is a true
+    // subset of its source's → containment exactly 1e6, and the pair
+    // must survive prefix filtering (no false negatives)
+    val prefixPairs = pairs.keys.filter { case (a, b) => a >= 2000000L && a - 2000000L == b }
+    assert(prefixPairs.nonEmpty, "no prefix-doc containment pairs found")
+    prefixPairs.foreach(p => assert(pairs(p) == 1000000L, s"prefix pair $p not fully contained"))
+    // exact copies (+1M) contain their source in BOTH directions
+    val copyAB = pairs.keys.filter { case (a, b) => a >= 1000000L && a < 2000000L && a - 1000000L == b }
+    assert(copyAB.nonEmpty, "no exact-copy containment pairs found")
+    copyAB.foreach { case (a, b) =>
+      assert(pairs((a, b)) == 1000000L && pairs.get((b, a)).contains(1000000L),
+        s"exact copy ($a,$b) not mutually contained")
+    }
+    // thresholding actually applied
+    out.foreach(r => assert(r.getAs[Long]("containment_ppm") >= 800000L))
+  }
+
+  test("emb4: nearest sibling is the true argmin of the recomputed distance matrix") {
+    val audit = run("emb3_cluster_audit").map(r =>
+      r.getAs[Long]("centroid_id") -> r.getAs[Long]("mean_dist")).toMap
+    val out = run("emb4_centroid_separation")
+    assert(out.nonEmpty && out.length == audit.size,
+      "separation audit must cover every trained centroid")
+    // emb4's min_sqdist must be consistent pairwise: the distance is
+    // symmetric, so A's min through B implies B's min is <= that value
+    val minBy = out.map(r => r.getAs[Long]("centroid_id") ->
+      (r.getAs[Long]("nearest_id"), r.getAs[Long]("min_sqdist"))).toMap
+    minBy.foreach { case (a, (b, d)) =>
+      assert(a != b && d >= 0)
+      assert(minBy(b)._2 <= d, s"centroid $b claims a min above its incoming distance $d")
+    }
+  }
+
   test("emb3: audit covers every vector once and its stats are internally consistent") {
     val out = run("emb3_cluster_audit")
     assert(out.nonEmpty)
