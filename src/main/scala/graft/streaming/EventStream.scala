@@ -66,6 +66,35 @@ object EventStream {
       }
   }
 
+  /** Per-window event-type composition shares — the streaming twin of
+    * the dq4 drift monitor's share computation: each CLOSED hour emits
+    * its type mix as integer ppm shares, the feed a drift alerter
+    * consumes. Two chained stateful aggregations (supported in append
+    * mode because both group on the event-time window): per-(window,
+    * type) counts first, then a per-window rollup carrying the mix as a
+    * struct list — the type domain is bounded, so the rollup row stays
+    * tiny no matter the event volume, and watermark eviction bounds
+    * state to open windows. Shares use the DECIMAL ppm idiom. On a
+    * batch frame the identical code computes the batch mix — the
+    * equivalence the spec pins.
+    */
+  def windowTypeMix(events: DataFrame): DataFrame = {
+    val counts = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(window(window_time(col("w")), "1 hour").as("w2"))
+      .agg(sum(col("n")).as("tot"),
+        collect_list(struct(col("event_type"), col("n"))).as("mix"))
+      .select(col("w2.start").as("bucket_hour"), col("tot"),
+        explode(col("mix")).as("m"))
+      .select(col("bucket_hour"), col("m.event_type").as("event_type"),
+        col("m.n").as("n"),
+        expr("CAST(CAST(m.n AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)")
+          .as("share_ppm"))
+  }
+
   /** Streaming exact dedup on event_id with bounded state: duplicates
     * arriving within the watermark window are dropped, and state for ids
     * older than the watermark is evicted — the streaming twin of the

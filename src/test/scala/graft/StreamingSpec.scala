@@ -89,6 +89,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained window-mix aggregation: closed-window ppm shares equal the batch run") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    // append mode: a window's mix is emitted once, when the watermark
+    // closes it — the second (rollup) aggregation must therefore also
+    // be event-time windowed (the chained-stateful-aggregation rule)
+    val q = EventStream.startMemorySink(
+      EventStream.windowTypeMix(stream.toDF()), "mix", OutputMode.Append())
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      // close the 10h and 11h windows; the sentinel's own window stays open
+      stream.addData(Ev(ts("2024-01-02 00:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      def canon(rows: Seq[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getAs[Timestamp]("bucket_hour").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("share_ppm")))
+        .toSet
+      val streamed = canon(spark.table("mix").collect().toSeq)
+      val batched = canon(EventStream.windowTypeMix((batch1 ++ batch2).toDF())
+        .collect().toSeq)
+      assert(streamed == batched)
+      // hand-stated: 10h = 2 clicks + 1 view, 11h = 1 click + 1 view
+      assert(streamed == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 666666L),
+        ("2024-01-01 10:00:00.0", "view", 1L, 333333L),
+        ("2024-01-01 11:00:00.0", "click", 1L, 500000L),
+        ("2024-01-01 11:00:00.0", "view", 1L, 500000L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits the same pairs as its batch run") {
     implicit val sq = spark.sqlContext
     val evs = Seq(
