@@ -28,6 +28,13 @@ object VectorFunctions {
   def cdcSegments(words: Column, nibbles: Int): Column =
     GraftShims.column(CdcSegments(GraftShims.expression(words), nibbles))
 
+  /** |A∩B| of two SORTED, distinct string arrays — one codegen merge
+    * pass, no intersection materialization (see SetKernels scaladoc).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftShims.column(org.apache.spark.sql.graft.SortedIntersectCount(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
   /** Probe a driver-built `util.sketch.BloomFilter` (serialized bytes).
     * Not in the SQL-name registry: the filter bytes aren't expressible
     * as a SQL literal users should type.

@@ -142,6 +142,33 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(fp <= 300, s"$fp false positives out of 10000 at fpp=0.01") // 3% headroom on 1%
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    // fixture-scale exhaustive check over real shingle lists: every pair
+    // of docs' sorted distinct trigram sets must agree with the built-in
+    val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", array_sort(array_distinct(
+        transform(sequence(lit(1), size(split($"text", " ")) - 2),
+          i => array_join(slice(split($"text", " "), i, lit(3)), " ")))).as("s"))
+      .filter(size($"s") > 0).limit(60)
+    val pairs = sh.as("x").crossJoin(sh.as("y"))
+      .select(
+        VectorFunctions.sortedIntersectCount($"x.s", $"y.s").as("kernel"),
+        size(array_intersect($"x.s", $"y.s")).cast("long").as("builtin"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"kernel ${r.getLong(0)} != builtin ${r.getLong(1)}"))
+    // edge cases: empty / disjoint / identical / null
+    val edge = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "c"), Seq("b", "d")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (null.asInstanceOf[Seq[String]], Seq("a"))).toDF("a", "b")
+    val out = edge.select(VectorFunctions.sortedIntersectCount($"a", $"b")).collect()
+    assert(out(0).getLong(0) == 0L && out(1).getLong(0) == 0L && out(2).getLong(0) == 3L)
+    assert(out(3).isNullAt(0))
+  }
+
   test("kernels participate in whole-stage codegen (no fallback)") {
     // needs a file-backed scan: a local Seq collapses to an eagerly
     // evaluated LocalTableScan with no codegen stage to observe
