@@ -863,7 +863,104 @@ object Text extends QueryModule {
       |GROUP BY b.doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- tx15
+  /** Mixed-language (code-switching / concatenation) detection — the
+    * quality gate tx3's whole-document argmax cannot express: a document
+    * whose two HALVES identify as different languages is usually two
+    * documents glued together (crawler frame pages, wiki dumps) and
+    * poisons language-targeted training mixes. Each half runs tx3's
+    * profile-overlap scorer (same `profiles`, no drift channel); a doc
+    * is flagged when the halves' argmaxes disagree AND both halves carry
+    * non-zero evidence. The gate corpus plants true positives: long
+    * documents re-keyed at +3M with a German-profile tail appended
+    * (the fixture's synthetic texts share one vocabulary across its
+    * `lang` labels, so a genuine bilingual positive must be planted) —
+    * the tail is derived from the SAME `profiles` constant the scorer
+    * uses, so marker and detector cannot drift. Docs are filtered to
+    * ≥30 words so the 15-word tail sits wholly inside the second half.
+    * Pure per-row expression work — one scan, no shuffle but the sort.
+    */
+  private val mixedMarker: String =
+    Seq.fill(3)(profiles.toMap.apply("de")).flatten.mkString(" ")
+
+  private def mixedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val planted = d
+      .filter(col("doc_id") % 3 === 0 && size(split(col("text"), " ")) >= 30)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", col("text"), lit(mixedMarker)).as("text"))
+    d.unionByName(planted)
+  }
+
+  private def mixedLang(s: SparkSession, dir: String): DataFrame = {
+    val base = mixedCorpus(s, dir)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .withColumn("ha", array_distinct(expr("slice(w, 1, size(w) DIV 2)")))
+      .withColumn("hb", array_distinct(expr("slice(w, size(w) DIV 2 + 1, size(w) - size(w) DIV 2)")))
+    val scored = profiles.foldLeft(base) { case (df, (l, prof)) =>
+      df.withColumn(s"a_$l", size(array_intersect(col("ha"), array(prof.map(lit): _*))))
+        .withColumn(s"b_$l", size(array_intersect(col("hb"), array(prof.map(lit): _*))))
+    }
+    def argmax(p: String) = {
+      val Seq(en, de, es, fr) = profiles.map(x => col(s"${p}_${x._1}"))
+      when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    }
+    def ev(p: String) =
+      greatest(profiles.map(x => col(s"${p}_${x._1}")): _*).cast(LongType)
+    scored
+      .select(col("doc_id"),
+        argmax("a").as("pred_a"), argmax("b").as("pred_b"),
+        ev("a").as("ev_a"), ev("b").as("ev_b"))
+      .withColumn("mixed",
+        col("pred_a") =!= col("pred_b") && col("ev_a") > 0 && col("ev_b") > 0)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val mixedLangSql = {
+    def prof(h: String, l: String) =
+      s"len(list_intersect($h, [${profiles.toMap.apply(l).map("'" + _ + "'").mkString(", ")}]))"
+    def scores(p: String, h: String) =
+      profiles.map(x => s"${prof(h, x._1)} AS ${p}_${x._1}").mkString(",\n    ")
+    def argmax(p: String) =
+      s"""CASE WHEN ${p}_en >= ${p}_de AND ${p}_en >= ${p}_es AND ${p}_en >= ${p}_fr THEN 'en'
+         |       WHEN ${p}_de >= ${p}_es AND ${p}_de >= ${p}_fr THEN 'de'
+         |       WHEN ${p}_es >= ${p}_fr THEN 'es'
+         |       ELSE 'fr' END""".stripMargin
+    def ev(p: String) =
+      s"CAST(greatest(${profiles.map(x => s"${p}_${x._1}").mkString(", ")}) AS BIGINT)"
+    s"""WITH mx AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, concat_ws(' ', text, '$mixedMarker')
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0 AND len(string_split(text, ' ')) >= 30),
+       |halves AS (
+       |  SELECT doc_id,
+       |    list_distinct(w[1 : len(w) // 2]) AS ha,
+       |    list_distinct(w[len(w) // 2 + 1 : len(w)]) AS hb
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM mx)
+       |  WHERE len(w) >= 2),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ${scores("a", "ha")},
+       |    ${scores("b", "hb")}
+       |  FROM halves)
+       |SELECT doc_id,
+       |  ${argmax("a")} AS pred_a,
+       |  ${argmax("b")} AS pred_b,
+       |  ${ev("a")} AS ev_a,
+       |  ${ev("b")} AS ev_b,
+       |  (${argmax("a")}) <> (${argmax("b")}) AND ${ev("a")} > 0 AND ${ev("b")} > 0 AS mixed
+       |FROM scored
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx15_mixed_lang" -> (mixedLang _),
     "tx14_bigram_familiarity" -> (bigramFamiliarity _),
     "tx13_rarity_score" -> (rarityScore _),
     "cur2_curation_v2" -> (curationV2 _),
@@ -882,6 +979,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx15_mixed_lang" -> mixedLangSql,
     "tx14_bigram_familiarity" -> bigramFamiliaritySql,
     "tx13_rarity_score" -> rarityScoreSql,
     "cur2_curation_v2" -> curationV2Sql,

@@ -126,4 +126,25 @@ class TextQualitySpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     assert(hashes(id) == md)
   }
+
+  test("tx15: planted bilingual docs flag as mixed, the flag recomputes, organics stay clean") {
+    val out = SparkEntry.queries("tx15_mixed_lang")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val recomputed = r.getAs[String]("pred_a") != r.getAs[String]("pred_b") &&
+        r.getAs[Long]("ev_a") > 0 && r.getAs[Long]("ev_b") > 0
+      assert(r.getAs[Boolean]("mixed") == recomputed, s"flag disagrees with its inputs: $r")
+    }
+    val planted = out.filter(_.getAs[Long]("doc_id") >= 3000000L)
+    assert(planted.nonEmpty)
+    // the appended German tail must dominate every planted second half
+    planted.foreach(r => assert(r.getAs[String]("pred_b") == "de",
+      s"planted doc ${r.getAs[Long]("doc_id")} second half not German"))
+    // and a solid majority flip the flag (first halves with zero profile
+    // evidence are the only legitimate misses)
+    assert(planted.count(_.getAs[Boolean]("mixed")) * 10 >= planted.length * 9,
+      "planted bilingual docs mostly failed to flag")
+    // the fixture's organic docs share one vocabulary — none should flag
+    assert(!out.filter(_.getAs[Long]("doc_id") < 3000000L).exists(_.getAs[Boolean]("mixed")))
+  }
 }
