@@ -1016,6 +1016,68 @@ object Extras extends QueryModule {
        |                AND o_orderdate >= TIMESTAMP '$RecentCut')
        |ORDER BY c_custkey NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- bkt1
+  /** Bucketed co-located fact-fact join + aggregation as a GATE entry
+    * (previously only spec-pinned in OperatorsSpec): lineitem and orders
+    * are laid out once as same-bucketed catalog tables on the order key,
+    * then joined AND aggregated on that key. The bucketed scans report
+    * `HashPartitioning(o_orderkey, 8)`, which satisfies the join's
+    * clustered distribution on both sides AND the aggregate's (the
+    * group-by keys are a superset of the bucket key), so the whole
+    * join+agg runs with ZERO shuffle exchanges before the presentation
+    * sort — the spec pins exactly that on this entry's plan. This is the
+    * canonical 100 TB fact-fact posture: bucketing is a one-time layout
+    * cost paid at ingest and amortized over every subsequent co-located
+    * join/agg on the key, where it deletes the two largest exchanges a
+    * TPC-H-shaped pipeline would otherwise pay per query. The oracle
+    * states the PLAIN join+agg over the raw parquet: the physical layout
+    * must be invisible in the result, which is the property worth
+    * hash-proving (same contract as sj1's salting invisibility).
+    */
+  private[graft] val Bkt1OrdersTable = "graft_bkt1_orders"
+  private[graft] val Bkt1LineitemTable = "graft_bkt1_lineitem"
+
+  /** Ingest-time semantics made literal: the bucketed layout is written
+    * once per (table, corpus dir) per JVM and reused after that — the
+    * first call pays the layout job, repeat calls measure the amortized
+    * co-located query, which is the posture the entry exists to show.
+    * A dir change (sf0.001 spec vs sf0.01 gate) forces a rewrite.
+    */
+  private val bktWritten = scala.collection.mutable.Map.empty[String, String]
+
+  private def ensureBucketed(df: DataFrame, table: String, key: String, dir: String): Unit =
+    bktWritten.synchronized {
+      val s = df.sparkSession
+      if (!bktWritten.get(table).contains(dir) || !s.catalog.tableExists(table)) {
+        graft.operators.Bucketing.writeBucketed(df, table, key, 8)
+        bktWritten(table) = dir
+      }
+    }
+
+  private def bucketedJoinGate(s: SparkSession, dir: String): DataFrame = {
+    ensureBucketed(t(s, dir, "orders"), Bkt1OrdersTable, "o_orderkey", dir)
+    ensureBucketed(t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      Bkt1LineitemTable, "o_orderkey", dir)
+    s.table(Bkt1LineitemTable)
+      .join(s.table(Bkt1OrdersTable), Seq("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(Stats.revenueE4).as("revenue_e4"))
+      .orderBy(col("o_orderkey").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first,
+        col("n_lines").asc_nulls_first, col("revenue_e4").asc_nulls_first)
+  }
+
+  private val bucketedJoinGateSql =
+    """SELECT l_orderkey AS o_orderkey, o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_e4
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
+      |  n_lines NULLS FIRST, revenue_e4 NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ev11
   /** The SAME peak-concurrency census as ev9, spelled as the
     * HIERARCHICAL two-level prefix sum ev9's scaladoc names as the
@@ -1382,6 +1444,7 @@ object Extras extends QueryModule {
     "j8_cross_small" -> (crossSmall _),
     "sj1_salted_join" -> (saltedJoinGate _),
     "bf1_bloom_semi_join" -> (bloomSemiJoin _),
+    "bkt1_bucketed_join" -> (bucketedJoinGate _),
     "un1_unpivot" -> (unpivotMetrics _),
     "c10_int_math" -> (intMath _),
     "ev4_gapfill" -> (gapfill _),
@@ -1427,6 +1490,7 @@ object Extras extends QueryModule {
     "j8_cross_small" -> crossSmallSql,
     "sj1_salted_join" -> saltedJoinGateSql,
     "bf1_bloom_semi_join" -> bloomSemiJoinSql,
+    "bkt1_bucketed_join" -> bucketedJoinGateSql,
     "un1_unpivot" -> unpivotMetricsSql,
     "c10_int_math" -> intMathSql,
     "ev4_gapfill" -> gapfillSql,

@@ -266,7 +266,7 @@ object Stats extends QueryModule {
   // decimal CAST of the double product rounds differently across
   // engines on long tails (observed 1-cent drift), integers cannot.
   /** Σ cents·(100−pct): exact per-row integer revenue in 1e-4 units. */
-  private def revenueE4 =
+  private[queries] def revenueE4 =
     round(col("l_extendedprice") * 100).cast(LongType) *
       (lit(100L) - round(col("l_discount") * 100).cast(LongType))
 

@@ -121,6 +121,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bkt1 gate entry: co-located bucketed join + agg plans with zero shuffle exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    // broadcast + AQE off for the same reason as the dd10 pin below: the
+    // property is that the bucketed layout itself satisfies BOTH the
+    // join's and the aggregate's distribution at any size — not that AQE
+    // happened to broadcast a fixture-sized side
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      // drop the presentation sort exactly like Bench does — its range
+      // exchange is the one shuffle the entry is allowed
+      val out = org.apache.spark.sql.GraftShims.dropTopLevelSort(
+        SparkEntry.queries("bkt1_bucketed_join")(s, dir))
+      val shuffles =
+        out.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join+agg must be shuffle-free:\n${out.queryExecution.executedPlan}")
+      assert(out.collect().nonEmpty, "bkt1 produced no rows at fixture scale — vacuous pin")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("dd10 posture: ingest join reads the bucketed corpus band table shuffle-free") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
