@@ -843,7 +843,71 @@ object Similarity extends QueryModule {
        |FROM r WHERE rn = 1
        |ORDER BY centroid_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dd13
+  /** Semantic dedup, SemDeDup-shaped (cluster, then prune ε-neighbors
+    * within each cluster): the vector-space sibling of the text passes —
+    * it drops *paraphrases*, which share no shingles (invisible to
+    * dd2/dd6/dd12) but embed nearby. Reuses the SAME trained IVF
+    * assignment as the ANN path — one codebook serves retrieval, near-dup
+    * pair listing (dd4) and corpus pruning — so the pairwise pass runs
+    * within clusters only, never all-pairs. The keep rule is greedy by
+    * id: a vector is dropped iff some LOWER-id cluster-mate sits within
+    * the ε-ball, so the kept set is exactly the independent set at radius
+    * ε a sequential sweep would keep, decided per-vector with no
+    * iteration. Similarity is quantized cosine in ppm — every step
+    * (dot·1e6 ≤ 1e12 exact in double, one sqrt, one divide, floor) is a
+    * single correctly-rounded IEEE op, so Spark and DuckDB agree
+    * bit-for-bit and the oracle restates the whole chain CTE-for-CTE on
+    * the shared Lloyd fixpoint.
+    *
+    * Output is the full corpus ANNOTATED (vec, cluster, kept?) — policy
+    * (filter, down-weight, sample) stays downstream, same contract as
+    * cur3. Scale posture: cluster count scales with corpus size so
+    * cluster width stays bounded (the paper's regime); the within-cluster
+    * self-join is AQE skew-join territory exactly like dd4; drops never
+    * materialize vectors — only (vec_id) keys cross the final exchange.
+    */
+  private[graft] val SemDedupPpm = 350000L // ε: cos ≥ 0.35, ≈ p99.8 of pair sims
+
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val nrm = assignedBuckets(s, dir).withColumn("nn", dot(col("q"), col("q")))
+    val cos = floor(
+      dot(col("a.q"), col("b.q")).cast(DoubleType) * lit(1000000.0) /
+        sqrt(col("a.nn").cast(DoubleType) * col("b.nn").cast(DoubleType)))
+      .cast(LongType)
+    val drops = nrm.as("a")
+      .join(nrm.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= SemDedupPpm)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    nrm.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("dropped").isNull.as("is_kept"))
+      .orderBy(col("vec_id").asc_nulls_first, col("centroid_id").asc_nulls_first,
+        col("is_kept").asc_nulls_first)
+  }
+
+  private val semanticDedupSql =
+    s"""WITH $lloydCtes,
+       |nrm AS (
+       |  SELECT vec_id, centroid_id, q,
+       |    CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS BIGINT) AS nn
+       |  FROM assigned),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM nrm a JOIN nrm b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  WHERE CAST(floor(
+       |      CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |        * 1000000.0
+       |        / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE))) AS BIGINT)
+       |    >= $SemDedupPpm)
+       |SELECT n.vec_id, n.centroid_id, d.vec_id IS NULL AS is_kept
+       |FROM nrm n LEFT JOIN drops d ON n.vec_id = d.vec_id
+       |ORDER BY n.vec_id NULLS FIRST, centroid_id NULLS FIRST, is_kept NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd13_semantic_dedup" -> (semanticDedup _),
     "emb4_centroid_separation" -> (centroidSeparation _),
     "emb3_cluster_audit" -> (clusterAudit _),
     "ann5_topk_pq" -> (pqTopK _),
@@ -858,6 +922,7 @@ object Similarity extends QueryModule {
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
+    "dd13_semantic_dedup" -> semanticDedupSql,
     "emb4_centroid_separation" -> centroidSeparationSql,
     "emb3_cluster_audit" -> clusterAuditSql,
     "ann5_topk_pq" -> pqTopKSql,

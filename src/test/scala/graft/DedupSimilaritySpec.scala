@@ -234,4 +234,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(max >= mean, "max member distance below the mean")
     }
   }
+
+  test("dd13: kept set is an independent set at radius ε; every drop has an earlier ε-neighbor") {
+    val out = run("dd13_semantic_dedup")
+    val kept = out.filter(_.getAs[Boolean]("is_kept")).map(_.getAs[Long]("vec_id")).toSet
+    val dropped = out.filterNot(_.getAs[Boolean]("is_kept")).map(_.getAs[Long]("vec_id")).toSet
+    assert(kept.nonEmpty && dropped.nonEmpty, "vacuous: ε never fired at smoke scale")
+    val cluster = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    // recompute quantized cosine straight from the parquet — no reuse of
+    // the entry's own kernels, so a dot/norm bug cannot self-certify
+    val q = spark.read.parquet(s"$dir/embeddings.parquet").collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(x => math.floor(x.toDouble * 1000).toLong).toArray
+    }.toMap
+    def cosPpm(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val (na, nb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+      math.floor(dot.toDouble * 1000000.0 / math.sqrt(na.toDouble * nb.toDouble)).toLong
+    }
+    val byCluster = q.keys.toSeq.groupBy(cluster)
+    for ((_, vs) <- byCluster; Seq(u, v) <- vs.sorted.combinations(2)) {
+      val sim = cosPpm(q(u), q(v))
+      if (kept(u) && kept(v))
+        assert(sim < Similarity.SemDedupPpm, s"kept pair ($u, $v) violates ε: $sim")
+    }
+    for (v <- dropped) {
+      val mates = byCluster(cluster(v)).filter(u => u < v)
+      assert(mates.exists(u => cosPpm(q(u), q(v)) >= Similarity.SemDedupPpm),
+        s"dropped $v has no earlier ε-neighbor in its cluster")
+    }
+  }
 }
