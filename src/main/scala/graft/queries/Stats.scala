@@ -464,6 +464,67 @@ object Stats extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- w6
+  /** Rolling EXACT median — the order-statistic the w-family still
+    * lacked (w1 frames / w2 nav / w3 range sums / w4-w5 running
+    * distinct are all sum-shaped; a median cannot be maintained by any
+    * running accumulator): per event type, the median of the last
+    * [[MedianFrame]] values in time order. Spark refuses its percentile
+    * family over a sliding frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_
+    * FUNC — the buffer aggregate can't retract rows), so the frame is
+    * materialized explicitly: `array_sort(collect_list)` over the ROWS
+    * frame, median read off the middle element(s). Cross-engine
+    * exactness is the doubled-median trick: values go integer (cents)
+    * first and the output is 2·median — middle+middle for an odd frame,
+    * the sum of the two middles for an even one — so the Spark side is
+    * INTEGER end-to-end, and DuckDB's interpolating double median,
+    * doubled, lands on the same integer exactly. Frame order is
+    * (epoch µs, event_id) with NULLS FIRST pinned on both sides — a
+    * total order, so both engines build identical frames.
+    *
+    * Scale posture: one shuffle on the partition key, then each bounded
+    * frame costs O(k log k) per row — the honest cost of an exact
+    * sliding order statistic, linear in corpus size for fixed k, and
+    * the k-row arrays live only inside the window operator. An
+    * UNBOUNDED running median would instead pair the w5 chunked prefix
+    * technique with per-chunk two-heap state; approximate wide-frame
+    * medians belong to the q06 sketch family.
+    */
+  private val MedianFrame = 7
+
+  private def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("es_us").asc_nulls_first, col("event_id").asc_nulls_first)
+      .rowsBetween(-(MedianFrame - 1), Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("es_us", unix_micros(col("ts")))
+      .withColumn("value_c", round(col("value") * 100).cast(LongType))
+      .withColumn("frame", array_sort(collect_list(col("value_c")).over(w)))
+      .withColumn("n_vals", size(col("frame")).cast(LongType))
+      .select(
+        col("event_id"), col("event_type"), col("n_vals"),
+        when(col("n_vals") > 0,
+          element_at(col("frame"), expr("CAST((n_vals + 1) DIV 2 AS INT)")) +
+            element_at(col("frame"), expr("CAST(n_vals DIV 2 + 1 AS INT)")))
+          .as("med2_c"))
+      .orderBy(col("event_id").asc_nulls_first, col("event_type").asc_nulls_first,
+        col("n_vals").asc_nulls_first, col("med2_c").asc_nulls_first)
+  }
+
+  private val rollingMedianSql =
+    s"""SELECT event_id, event_type,
+       |  CAST(COUNT(value_c) OVER w AS BIGINT) AS n_vals,
+       |  CAST(median(value_c) OVER w * 2 AS BIGINT) AS med2_c
+       |FROM (SELECT event_id, event_type, epoch_us(ts) AS es_us,
+       |        CAST(round(value * 100) AS BIGINT) AS value_c
+       |      FROM events)
+       |WINDOW w AS (PARTITION BY event_type
+       |             ORDER BY es_us NULLS FIRST, event_id NULLS FIRST
+       |             ROWS BETWEEN ${MedianFrame - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id NULLS FIRST, event_type NULLS FIRST,
+       |  n_vals NULLS FIRST, med2_c NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- w3
   // Time-interval RANGE frame: per-user rolling 7-day event sums —
   // the sliding-window census w1's ROWS frames can't express (ROWS
@@ -1409,6 +1470,7 @@ object Stats extends QueryModule {
     "q13_supplier_diversity" -> (supplierDiversity _),
     "q12_large_orders" -> (largeOrders _),
     "w3_rolling_range" -> (rollingRange _),
+    "w6_rolling_median" -> (rollingMedian _),
     "h1_histogram" -> (histogram _),
     "q11_exists_late" -> (latePriorityCount _),
     "w2_window_nav" -> (windowExtras _),
@@ -1444,6 +1506,7 @@ object Stats extends QueryModule {
     "q13_supplier_diversity" -> supplierDiversitySql,
     "q12_large_orders" -> largeOrdersSql,
     "w3_rolling_range" -> rollingRangeSql,
+    "w6_rolling_median" -> rollingMedianSql,
     "h1_histogram" -> histogramSql,
     "q11_exists_late" -> latePriorityCountSql,
     "w2_window_nav" -> windowExtrasSql,

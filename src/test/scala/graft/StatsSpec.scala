@@ -92,4 +92,18 @@ class StatsSpec extends AnyFunSuite {
         (math.abs(sb - sa) > 20000L), s"drift flag mismatch: $r")
     }
   }
+
+  test("w6: rolling median exercises odd AND even frames; null only on empty frames") {
+    val out = SparkEntry.queries("w6_rolling_median")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ns = out.map(_.getAs[Long]("n_vals")).toSet
+    // partition warmups guarantee short frames; both parities must occur
+    // >1 so the two-middle interpolation branch is genuinely exercised
+    assert(ns.exists(n => n > 1 && n % 2 == 1), s"no odd frame > 1 in $ns")
+    assert(ns.exists(n => n > 1 && n % 2 == 0), s"no even frame > 1 in $ns")
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("med2_c")) == (r.getAs[Long]("n_vals") == 0L),
+        s"med2_c nullability disagrees with frame emptiness: $r")
+    }
+  }
 }
