@@ -39,29 +39,37 @@ object ConnectedComponents {
     // and next sweep reuse. (A lost checkpoint block fails the job
     // loudly — the correct failure mode; a production run on an
     // unreliable cluster would use reliable checkpoint() instead.)
-    var labels = sym.select(col("a").as("node")).distinct()
+    var checkpointed = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
+    var labels = checkpointed
     var converged = false
     var sweeps = 0
     try {
       while (!converged) {
         sweeps += 1
         require(sweeps <= maxSweeps, s"label propagation did not converge in $maxSweeps sweeps")
+        // The self-arm of the union carries the node's OLD label through
+        // the aggregate (each node has exactly one self row, so max() is
+        // that value): the sweep's output then answers the convergence
+        // question by itself, and the probe is a filter over the frame
+        // the checkpoint just materialized — no per-sweep probe JOIN
+        // against the previous labels (which used to cost a second
+        // shuffle-shaped job every sweep).
         val prop = sym.join(labels.select(col("node").as("a"), col("lab")), Seq("a"))
-          .select(col("b").as("node"), col("lab"))
-          .unionByName(labels)
-          .groupBy("node").agg(min("lab").as("lab"))
+          .select(col("b").as("node"), col("lab"), lit(null).cast("bigint").as("old"))
+          .unionByName(labels.select(col("node"), col("lab"), col("lab").as("old")))
+          .groupBy("node").agg(min("lab").as("lab"), max("old").as("old"))
           .localCheckpoint()
-        converged = prop.join(labels.withColumnRenamed("lab", "old"), Seq("node"))
-          .filter(col("lab") =!= col("old")).isEmpty
+        converged = prop.filter(col("lab") =!= col("old")).isEmpty
         // the probe was this sweep's LAST read of the old labels — free
         // its checkpoint blocks now instead of letting up to maxSweeps
         // of them pile up in executor storage until ContextCleaner GC
         // (ADVICE r05); safe because nothing downstream references it
-        org.apache.spark.sql.GraftShims.checkpointedRdd(labels)
+        org.apache.spark.sql.GraftShims.checkpointedRdd(checkpointed)
           .foreach(_.unpersist(blocking = false))
-        labels = prop
+        checkpointed = prop
+        labels = prop.select(col("node"), col("lab"))
       }
     } finally sym.unpersist() // also on sweep failure / non-convergence
     labels.select(col("node"), col("lab").as("cluster"))
