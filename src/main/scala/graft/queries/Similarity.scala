@@ -843,6 +843,55 @@ object Similarity extends QueryModule {
        |FROM r WHERE rn = 1
        |ORDER BY centroid_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ann8
+  /** Metadata-FILTERED retrieval ("hybrid search") — the production ask
+    * every pure-vector entry dodges: top-k under a predicate, here
+    * same-label-as-the-query ("more like this within my class"). The
+    * load-bearing choice is PRE-filtering: the predicate joins into
+    * candidate generation itself (the label equality rides the
+    * broadcast-join condition, so non-matching vectors never reach the
+    * scoring kernel), versus post-filtering an ANN shortlist, which
+    * returns up to ZERO of k when predicate selectivity (~1/10 here)
+    * eats the shortlist. Exact scoring keeps the oracle a literal
+    * restatement; the sub-linear scale path composes existing pieces —
+    * label-partitioned storage makes the predicate partition PRUNING
+    * (the scan never reads other labels), and per-label IVF lists
+    * restore ann2's bucket sub-linearity inside each label.
+    */
+  private def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), quantExpr.as("q"))
+    val queries = emb.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("q").as("qv"))
+    val topk = udaf(new TopKAgg(5))
+    val scored = emb
+      .join(broadcast(queries),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("q")).as("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  private val filteredTopKSql =
+    """WITH emb AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |queries AS (
+      |  SELECT vec_id AS query_id, label AS qlabel, q AS qv
+      |  FROM emb WHERE vec_id IN (0, 1, 2)),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.q[i])) AS BIGINT) AS score
+      |  FROM queries JOIN emb e
+      |    ON e.label = queries.qlabel AND e.vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- dd13
   /** Semantic dedup, SemDeDup-shaped (cluster, then prune ε-neighbors
     * within each cluster): the vector-space sibling of the text passes —
@@ -908,6 +957,7 @@ object Similarity extends QueryModule {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd13_semantic_dedup" -> (semanticDedup _),
+    "ann8_topk_filtered" -> (filteredTopK _),
     "emb4_centroid_separation" -> (centroidSeparation _),
     "emb3_cluster_audit" -> (clusterAudit _),
     "ann5_topk_pq" -> (pqTopK _),
@@ -923,6 +973,7 @@ object Similarity extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "dd13_semantic_dedup" -> semanticDedupSql,
+    "ann8_topk_filtered" -> filteredTopKSql,
     "emb4_centroid_separation" -> centroidSeparationSql,
     "emb3_cluster_audit" -> clusterAuditSql,
     "ann5_topk_pq" -> pqTopKSql,

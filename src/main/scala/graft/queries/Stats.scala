@@ -1283,6 +1283,69 @@ object Stats extends QueryModule {
        |FROM agg, tot
        |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dq5
+  /** Functional-dependency audit — the constraint family dq3's key
+    * uniqueness can't express (Deequ's hasUniqueness/satisfies tier):
+    * for each DECLARED dependency X → Y, a group of X is violating iff
+    * it carries more than one distinct Y. Distinguishes benign
+    * duplication from contradiction: a key group repeated with the SAME
+    * payload trips dq3 but not the FD (the fixture has exactly this —
+    * a handful of dup (l_orderkey, l_linenumber) groups agree on
+    * l_partkey), while a group with two different payloads is upstream
+    * data corruption no uniqueness count can see. Three declared FDs
+    * exercise both paths: the orders PK dependency holds, both lineitem
+    * dependencies are violated by fixture construction.
+    *
+    * Plan: one grouped aggregate per FD at determinant grain (distinct
+    * count two-phase, map-side partials), then a single-row rollup
+    * GROUPED BY the literal label (dq3's empty-table alignment rule).
+    * violation_ppm goes through DECIMAL(38,0) DIV (the ppm rule — a
+    * 100 TB determinant count times 1e6 overflows BIGINT).
+    */
+  private def fdAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, lhs: Seq[String], rhs: String, label: String) =
+      df.groupBy(lhs.map(col): _*)
+        .agg(countDistinct(col(rhs)).as("ny"), count(lit(1)).as("m"))
+        .groupBy(lit(label).as("fd"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("ny") > 1, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_multirow"),
+          max(col("ny")).as("max_rhs_card"))
+        .withColumn("violation_ppm",
+          expr("CAST(CAST(n_violating AS DECIMAL(38,0)) * 1000000 DIV n_groups AS BIGINT)"))
+        .withColumn("holds", col("n_violating") === 0L)
+    audit(t(s, dir, "orders"), Seq("o_orderkey"), "o_custkey",
+      "orders: o_orderkey -> o_custkey")
+      .unionByName(audit(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"),
+        "l_partkey", "lineitem: (l_orderkey,l_linenumber) -> l_partkey"))
+      .unionByName(audit(t(s, dir, "lineitem"), Seq("l_partkey"), "l_suppkey",
+        "lineitem: l_partkey -> l_suppkey"))
+      .orderBy(col("fd").asc_nulls_first)
+  }
+
+  private val fdAuditSql = {
+    def auditCte(from: String, lhs: String, rhs: String, label: String) =
+      s"""SELECT '$label' AS fd,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multirow,
+         |  CAST(MAX(ny) AS BIGINT) AS max_rhs_card,
+         |  CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS violation_ppm,
+         |  SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS ny, COUNT(*) AS m
+         |      FROM $from GROUP BY $lhs)""".stripMargin
+    s"""SELECT * FROM (
+       |${auditCte("orders", "o_orderkey", "o_custkey", "orders: o_orderkey -> o_custkey")}
+       |UNION ALL
+       |${auditCte("lineitem", "l_orderkey, l_linenumber", "l_partkey",
+        "lineitem: (l_orderkey,l_linenumber) -> l_partkey")}
+       |UNION ALL
+       |${auditCte("lineitem", "l_partkey", "l_suppkey", "lineitem: l_partkey -> l_suppkey")})
+       |ORDER BY fd NULLS FIRST""".stripMargin
+  }
+
   private val keyUniquenessAuditSql =
     """WITH a AS (
       |  SELECT 'customer.c_custkey' AS table_key, COUNT(*) AS m
@@ -1457,6 +1520,7 @@ object Stats extends QueryModule {
     "dq2_integrity_audit" -> (integrityAudit _),
     "dq3_key_uniqueness" -> (keyUniquenessAudit _),
     "dq4_dist_drift" -> (distDrift _),
+    "dq5_fd_audit" -> (fdAudit _),
     "q21_waiting_supplier" -> (waitingSupplier _),
     "q22_no_order_customers" -> (noOrderRichCustomers _),
     "q23_nation_volume" -> (nationVolume _),
@@ -1493,6 +1557,7 @@ object Stats extends QueryModule {
     "dq2_integrity_audit" -> integrityAuditSql,
     "dq3_key_uniqueness" -> keyUniquenessAuditSql,
     "dq4_dist_drift" -> distDriftSql,
+    "dq5_fd_audit" -> fdAuditSql,
     "q21_waiting_supplier" -> waitingSupplierSql,
     "q22_no_order_customers" -> noOrderRichCustomersSql,
     "q23_nation_volume" -> nationVolumeSql,

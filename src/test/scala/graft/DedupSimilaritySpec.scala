@@ -235,6 +235,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ann8: every hit shares the query's label, and post-filtering ann1 would lose hits") {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = run("ann8_topk_filtered")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) == labels(r.getAs[Long]("query_id")),
+        s"cross-label hit leaked through the pre-filter: $r")
+    }
+    // the predicate must BIND: the unfiltered exact top-k (ann1) carries
+    // cross-label neighbors for at least one query, i.e. post-filtering
+    // that shortlist would return fewer than k — the recall loss the
+    // pre-filter spelling exists to avoid
+    val unfiltered = run("ann1_topk_exact")
+    assert(unfiltered.exists { r =>
+      labels(r.getAs[Long]("neighbor_id")) != labels(r.getAs[Long]("query_id"))
+    }, "vacuous: the unfiltered top-k is already label-pure at smoke scale")
+  }
+
   test("dd13: kept set is an independent set at radius ε; every drop has an earlier ε-neighbor") {
     val out = run("dd13_semantic_dedup")
     val kept = out.filter(_.getAs[Boolean]("is_kept")).map(_.getAs[Long]("vec_id")).toSet
