@@ -87,6 +87,50 @@ object Graph extends QueryModule {
     edges
   }
 
+  private def directedEdges(s: SparkSession, dir: String): DataFrame =
+    directedEdgesSized(s, dir, MaxOrderSetSize)
+
+  /** Both-direction edge frame for the Pregel-style entries (pr1/g2),
+    * built in ONE pass: the pair explosion emits (x,y) AND (y,x) per
+    * unordered pair and a single distinct lands the directed frame
+    * directly. The former spelling (orient → persist+count → unionAll
+    * the swap → persist again) paid an extra materialization job and
+    * held two full MEMORY_AND_DISK frames through every sweep; the
+    * sweeps only ever read the directed frame, so orientation was a
+    * detour. Same measured set-size gate / self-join fallback as
+    * [[orientedEdgesSized]] (fallback pairs on `=!=` instead of `<`).
+    * NOTE: like the oriented build, CONSTRUCTING this plan runs the
+    * probe + materialization jobs.
+    */
+  private[graft] def directedEdgesSized(
+      s: SparkSession, dir: String, maxSetSize: Int): DataFrame = {
+    val sets = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probed = sets.agg(max(size(col("ps")))).head()
+    val maxSz = if (probed.isNullAt(0)) 0 else probed.getInt(0)
+    val edges =
+      if (maxSz <= maxSetSize)
+        sets.select(explode(expr(
+          "flatten(transform(ps, (x, i) -> flatten(" +
+            "transform(slice(ps, i + 2, size(ps)), y -> " +
+            "array(struct(x as src, y as dst), struct(y as src, x as dst))))))"))
+          .as("e"))
+          .select(col("e.src"), col("e.dst")).distinct()
+      else {
+        val kp = sets.select(col("l_orderkey"), explode(col("ps")).as("p"))
+        kp.as("a")
+          .join(kp.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") && col("a.p") =!= col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      }
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    sets.unpersist()
+    edges
+  }
+
   /** Triangle census of the co-purchase graph: parts are nodes, an edge
     * links two parts appearing in the same order. Emits edge / oriented-
     * wedge / triangle counts plus the wedge-closure rate — the global
@@ -226,8 +270,26 @@ object Graph extends QueryModule {
   private val PrIters = 3
   private val PrTopK = 20
 
+  /** Edge-count ceiling under which the per-sweep STATE frame (node →
+    * mass/distance; one row per node, nodes ≤ edges since every node
+    * has an out-edge) broadcasts into the sweep join. State frames are
+    * checkpoint- or aggregate-backed, so Catalyst has no usable stats
+    * and would otherwise plan a shuffle join that re-exchanges the
+    * persisted 2·|E| edge frame EVERY sweep; broadcasting ≤4M rows of
+    * 16–24-byte state (≤ ~96 MB, the tri1 envelope) leaves the edge
+    * cache map-side across all sweeps. Nodes are the bounded parts
+    * catalog — the same posture as [[TriBroadcastMaxEdges]] — and the
+    * gate is measured (a count on the already-materialized edge cache),
+    * not assumed from SF. Package-visible so LinkageSpec can force the
+    * shuffle path with a zero ceiling and prove both paths identical.
+    */
+  private[graft] val StateBroadcastMaxEdges = 4L * 1000 * 1000
+
   private def pageRank(s: SparkSession, dir: String): DataFrame =
     pageRankN(s, dir, PrIters)
+
+  private[graft] def pageRankN(s: SparkSession, dir: String, iters: Int): DataFrame =
+    pageRankSized(s, dir, iters, StateBroadcastMaxEdges)
 
   /** @param iters sweep count. At ≤[[PrIters]] the lineage is left
     *   linear and un-checkpointed — bit-identical plan to the r05 `pr1`
@@ -238,11 +300,12 @@ object Graph extends QueryModule {
     *   for ContextCleaner GC (ADVICE r05: high-diameter runs accumulate
     *   sweep blocks in executor storage).
     */
-  private[graft] def pageRankN(s: SparkSession, dir: String, iters: Int): DataFrame = {
-    val und = orientedEdges(s, dir)
-    val edges = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  private[graft] def pageRankSized(
+      s: SparkSession, dir: String, iters: Int, maxBroadcastEdges: Long): DataFrame = {
+    val edges = directedEdges(s, dir)
+    // measured state-broadcast gate; the count reads the cache the
+    // directedEdges build just materialized, so it is metadata-cheap
+    val broadcastState = edges.count() <= maxBroadcastEdges
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -251,12 +314,13 @@ object Graph extends QueryModule {
     var masses = deg.select(col("node"), lit(1000000L).as("mass"), col("deg"))
     var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
     for (_ <- 1 to iters) {
+      val state = masses.withColumnRenamed("node", "src")
       val next = edges
-        .join(masses.withColumnRenamed("node", "src"), Seq("src"))
+        .join(if (broadcastState) broadcast(state) else state, Seq("src"))
         .select(col("dst").as("node"), expr("mass DIV deg").as("contrib"))
         .groupBy("node")
         .agg((lit(150000L) + expr("(sum(contrib) * 85) DIV 100")).as("mass"))
-      masses = next.join(deg, Seq("node"))
+      masses = next.join(if (broadcastState) broadcast(deg) else deg, Seq("node"))
       if (checkpointed) {
         masses = masses.localCheckpoint() // eager: materializes the sweep
         prevBlocks.foreach(_.unpersist(blocking = false))
@@ -321,18 +385,25 @@ object Graph extends QueryModule {
   private def bfsLayers(s: SparkSession, dir: String): DataFrame =
     bfsLayersN(s, dir, BfsSweeps)
 
-  private[graft] def bfsLayersN(s: SparkSession, dir: String, iters: Int): DataFrame = {
-    val und = orientedEdges(s, dir)
-    val edges = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  private[graft] def bfsLayersN(s: SparkSession, dir: String, iters: Int): DataFrame =
+    bfsLayersSized(s, dir, iters, StateBroadcastMaxEdges)
+
+  private[graft] def bfsLayersSized(
+      s: SparkSession, dir: String, iters: Int, maxBroadcastEdges: Long): DataFrame = {
+    val edges = directedEdges(s, dir)
+    // measured state-broadcast gate (see StateBroadcastMaxEdges): the
+    // (node, d) frame is node-bounded, so at catalog scale each sweep's
+    // relaxation probes it map-side against the persisted edge cache
+    // instead of re-exchanging the edge frame every sweep
+    val broadcastState = edges.count() <= maxBroadcastEdges
     val sources = edges.select(col("src").as("node")).distinct()
       .orderBy(col("node").asc_nulls_first).limit(BfsSources)
     var dist = sources.select(col("node"), lit(0L).as("d"))
     var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
     for (_ <- 1 to iters) {
-      val relaxed = dist
-        .join(edges, dist("node") === edges("src"))
+      val relaxed = edges
+        .join(if (broadcastState) broadcast(dist) else dist,
+          dist("node") === edges("src"))
         .select(col("dst").as("node"), (col("d") + 1L).as("d"))
         .unionAll(dist)
         .groupBy("node")

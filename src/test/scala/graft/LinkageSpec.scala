@@ -186,6 +186,18 @@ class LinkageSpec extends AnyFunSuite {
     assert(viaSets == bruteForceEdges())
   }
 
+  test("pr1/g2: one-pass directed edge build == oriented edges plus their swap, both paths") {
+    val s = SparkEntry.configure(spark)
+    val expected = bruteForceEdges().flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val viaSets = graft.queries.Graph.directedEdgesSized(s, dir, graft.queries.Graph.MaxOrderSetSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaJoin = graft.queries.Graph.directedEdgesSized(s, dir, maxSetSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSets.nonEmpty)
+    assert(viaSets == expected, "directed set-explosion build diverged from oriented ∪ swap")
+    assert(viaJoin == viaSets, "fallback directed build diverged from the set-explosion build")
+  }
+
   /** The exact integer PageRank recurrence on the collected edge list —
     * shared by the 3-sweep gate replay and the checkpointed 12-sweep
     * variant so both compare against ONE definition.
@@ -221,6 +233,23 @@ class LinkageSpec extends AnyFunSuite {
     // off one LogicalRDD, not 12 nested join/aggregate sweeps
     val nodes = out.queryExecution.optimizedPlan.collect { case p => p }.length
     assert(nodes < 15, s"plan not truncated: $nodes logical nodes")
+  }
+
+  test("pr1/g2: forced shuffle-state path (zero broadcast ceiling) matches the broadcast path") {
+    val s = SparkEntry.configure(spark)
+    // NOTE: no plan assertion here — at fixture scale AQE freely
+    // broadcasts whichever side it measures small (it even builds the
+    // edge cache side), with or without our hint; what the zero ceiling
+    // must guarantee is that the un-hinted plan computes the same thing
+    val prShuffle = graft.queries.Graph.pageRankSized(s, dir, iters = 3, maxBroadcastEdges = 0L)
+    assert(prShuffle.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == replayPageRank(3),
+      "shuffle-state PageRank diverged from the replay")
+    val g2Bcast = graft.queries.Graph.bfsLayersSized(
+      s, dir, iters = 4, maxBroadcastEdges = Long.MaxValue).collect().map(_.toSeq).toSeq
+    val g2Shuffle = graft.queries.Graph.bfsLayersSized(
+      s, dir, iters = 4, maxBroadcastEdges = 0L).collect().map(_.toSeq).toSeq
+    assert(g2Bcast.nonEmpty && g2Shuffle == g2Bcast,
+      "shuffle-state BFS layers diverged from the broadcast-state layers")
   }
 
   test("g2: layers partition the reached set; 10-sweep checkpointed run is stable") {
