@@ -753,6 +753,184 @@ object Similarity extends QueryModule {
        |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= $PqTopK
        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ann9
+  /** IVF-PQ with residual encoding — the composition FAISS ships as its
+    * default billion-scale index, assembled from the two legs this
+    * module already verifies separately: ann2/ann6's coarse IVF cells
+    * bound WHICH vectors a query touches (~NProbe/C of the corpus), and
+    * ann5's product quantization bounds WHAT is read per touched vector
+    * (M small codes, never the full-precision vector). The glue that
+    * makes the composition more than a concatenation is RESIDUAL
+    * encoding: PQ codebooks are trained on r = q − cv(assigned cell),
+    * not on raw vectors — residuals concentrate near zero once the
+    * coarse cell absorbs the bulk of the magnitude, so the same Ks
+    * codewords quantize far finer (the Jégou et al. IVFADC design).
+    *
+    * Scoring is pure ADC in exact integer math: for inner-product
+    * retrieval, q·x ≈ q·cv + Σ_m rq_m·codeword_{m,code_m}, where the
+    * per-(query, probed-cell) residual rq = qv − cv feeds an M×Ks
+    * lookup table and q·cv is a per-cell constant. Every term is an
+    * integer dot over [[quantExpr]] values, so the DuckDB oracle
+    * restates coarse training (shared [[lloydCtes]] fixpoint), residual
+    * split, PQ training, encoding, probe ranking, LUT build and ADC
+    * scoring CTE-for-CTE and the gate hash-matches end to end.
+    *
+    * Scale posture: the residual-subvector frame is one corpus pass
+    * (persisted — it feeds codebook init, the Lloyd update, and
+    * encoding); codebooks (M×Ks rows) and the per-query LUT
+    * (queries × NProbe × M × Ks) broadcast; the scoring join touches
+    * only codes whose cell a query probed, and the per-(query, vec)
+    * partial sums collapse map-side before the exchange. The bounded
+    * TopKAgg keeps k rows per (query × partition).
+    */
+  private val IvfPqTopK = 5
+
+  /** [[pqAssign]] carrying the vector's IVF cell through the argmin. */
+  private def rpqAssign(rsub: DataFrame, cents: DataFrame): DataFrame = {
+    val l2 = VectorFunctions.longSquaredL2(col("sq"), col("cv"))
+    rsub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("centroid_id"), col("m"), col("code"), col("sq"), l2.as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(
+        min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+        first(col("sq")).as("sq"),
+        first(col("centroid_id")).as("centroid_id"))
+  }
+
+  private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = quantized(s, dir)
+    // ONE coarse training, persisted: probe ranking, residual build and
+    // the qc_dot constant all read it (ann6's never-train-twice rule)
+    val cents = trainCentroids(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignTo(emb, cents)
+    val rsub = assigned.join(broadcast(cents), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("q"), col("cv"), (a, b) => a - b).as("r"))
+      .select(col("vec_id"), col("centroid_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
+      .select(col("vec_id"), col("centroid_id"), col("m"),
+        expr(s"slice(r, m * (size(r) div $PqM) + 1, size(r) div $PqM)").as("sq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one Lloyd pass per residual-subspace codebook (ann5's update)
+    val init = rsub.filter(col("vec_id") < PqKs)
+      .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
+    val pqCents = rpqAssign(rsub, init)
+      .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("pos", "v")))
+      .groupBy("m", "code", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("c",
+        floor(col("s").cast(DoubleType) / col("n").cast(DoubleType)).cast(LongType))
+      .groupBy("m", "code")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))), x => x("c")).as("cv"))
+    val codes = rpqAssign(rsub, pqCents)
+      .select(col("vec_id"), col("centroid_id"), col("m"), col("code"))
+    // multi-probe ranking (ann6's window over queries × C), keeping per
+    // probed cell the ADC constant q·cv and the residual query vector
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("centroid_id").asc)
+    val qprobe = emb.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("centroid_id"), col("cv"),
+        VectorFunctions.longSquaredL2(col("qv"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(probeRank))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("centroid_id"),
+        dot(col("qv"), col("cv")).as("qc_dot"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rq"))
+    val lut = qprobe
+      .select(col("query_id"), col("centroid_id"), col("qc_dot"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("rq"))
+      .select(col("query_id"), col("centroid_id"), col("qc_dot"), col("m"),
+        expr(s"slice(rq, m * (size(rq) div $PqM) + 1, size(rq) div $PqM)").as("rqm"))
+      .join(pqCents, Seq("m"))
+      .select(col("query_id"), col("centroid_id"), col("qc_dot"), col("m"), col("code"),
+        dot(col("rqm"), col("cv")).as("part"))
+    val topk = udaf(new TopKAgg(IvfPqTopK))
+    val scored = codes
+      .join(broadcast(lut), Seq("centroid_id", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      // qc_dot is constant per (query, vec): vec fixes the cell, the
+      // cell fixes the constant — min == first, stated as MIN to match
+      // the oracle's spelling exactly
+      .agg((min(col("qc_dot")) + sum(col("part"))).as("score"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  /** Oracle argmin over residual codebook `$cents`, keeping the IVF cell
+    * ([[rpqAssign]]'s twin).
+    */
+  private def rAssignCte(cents: String): String =
+    s"""SELECT vec_id, centroid_id, m, code, sq FROM (
+       |    SELECT s.vec_id, s.centroid_id, s.m, c.code, s.sq,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        list_sum(list_transform(range(1, len(s.sq) + 1),
+       |          i -> (s.sq[i] - cv[i]) * (s.sq[i] - cv[i]))) ASC,
+       |        c.code ASC) AS rn
+       |    FROM rsub s JOIN $cents c ON s.m = c.m) WHERE rn = 1""".stripMargin
+
+  private val ivfPqTopKSql =
+    s"""WITH $lloydCtes,
+       |rsub AS (
+       |  SELECT vec_id, centroid_id, m,
+       |    list_slice(r, m * (len(r) // $PqM) + 1, (m + 1) * (len(r) // $PqM)) AS sq
+       |  FROM (
+       |    SELECT a.vec_id, a.centroid_id,
+       |      list_transform(range(1, len(a.q) + 1), i -> a.q[i] - c.cv[i]) AS r
+       |    FROM assigned a JOIN cents$LloydIters c ON a.centroid_id = c.centroid_id) t,
+       |    (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |rpc0 AS (SELECT m, vec_id AS code, sq AS cv FROM rsub WHERE vec_id < $PqKs),
+       |rasg AS (${rAssignCte("rpc0")}),
+       |rpc1 AS (
+       |  SELECT m, code, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT m, code, pos,
+       |      CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+       |    FROM (SELECT m, code, generate_subscripts(sq, 1) AS pos, unnest(sq) AS v
+       |          FROM rasg)
+       |    GROUP BY m, code, pos)
+       |  GROUP BY m, code),
+       |rcodes AS (SELECT vec_id, centroid_id, m, code FROM (${rAssignCte("rpc1")})),
+       |qprobe AS (
+       |  SELECT query_id, centroid_id, qc_dot, rq FROM (
+       |    SELECT e.vec_id AS query_id, c.centroid_id,
+       |      CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+       |        i -> e.q[i] * c.cv[i])) AS BIGINT) AS qc_dot,
+       |      list_transform(range(1, len(e.q) + 1), i -> e.q[i] - c.cv[i]) AS rq,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(e.q) + 1),
+       |          i -> (e.q[i] - c.cv[i]) * (e.q[i] - c.cv[i]))) ASC,
+       |        c.centroid_id ASC) AS rn
+       |    FROM emb e CROSS JOIN cents$LloydIters c
+       |    WHERE e.vec_id IN (0, 1, 2))
+       |  WHERE rn <= $NProbe),
+       |lut AS (
+       |  SELECT query_id, centroid_id, qc_dot, m, code,
+       |    CAST(list_sum(list_transform(range(1, len(rqm) + 1),
+       |      i -> rqm[i] * cv[i])) AS BIGINT) AS part
+       |  FROM (
+       |    SELECT q.query_id, q.centroid_id, q.qc_dot, p.m, p.code, p.cv,
+       |      list_slice(q.rq, p.m * (len(q.rq) // $PqM) + 1,
+       |        (p.m + 1) * (len(q.rq) // $PqM)) AS rqm
+       |    FROM qprobe q CROSS JOIN rpc1 p) sl),
+       |scored AS (
+       |  SELECT l.query_id, r.vec_id AS neighbor_id,
+       |    CAST(MIN(l.qc_dot) + SUM(l.part) AS BIGINT) AS score
+       |  FROM rcodes r JOIN lut l
+       |    ON r.centroid_id = l.centroid_id AND r.m = l.m AND r.code = l.code
+       |  WHERE r.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= $IvfPqTopK
+       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- emb3
   /** Clustering-quality audit of the IVF codebook — the health check a
     * vector-index build job emits alongside the index: per cluster, the
@@ -961,6 +1139,7 @@ object Similarity extends QueryModule {
     "emb4_centroid_separation" -> (centroidSeparation _),
     "emb3_cluster_audit" -> (clusterAudit _),
     "ann5_topk_pq" -> (pqTopK _),
+    "ann9_topk_ivfpq" -> (ivfPqTopK _),
     "emb2_quantize" -> (quantizeInt8 _),
     "ann1_topk_exact" -> (bruteTopK _),
     "ann2_topk_ivf" -> (ivfTopK _),
@@ -977,6 +1156,7 @@ object Similarity extends QueryModule {
     "emb4_centroid_separation" -> centroidSeparationSql,
     "emb3_cluster_audit" -> clusterAuditSql,
     "ann5_topk_pq" -> pqTopKSql,
+    "ann9_topk_ivfpq" -> ivfPqTopKSql,
     "emb2_quantize" -> quantizeInt8Sql,
     "ann1_topk_exact" -> bruteTopKSql,
     "ann2_topk_ivf" -> ivfTopKSql,

@@ -174,6 +174,30 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("ann9: IVF-PQ top-5 is well-formed, overlaps exact top-10, and the residual leg is live") {
+    val out = SparkEntry.queries("ann9_topk_ivfpq")(spark, dir).collect()
+    val exact = SparkEntry.queries("ann1_topk_exact")(spark, dir).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5),
+        s"query $q ranks malformed")
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q), s"query $q returned itself")
+      val exactTop = exact.filter(_.getAs[Long]("query_id") == q)
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      assert(rows.map(_.getAs[Long]("neighbor_id")).count(exactTop) >= 1,
+        s"query $q: IVF-PQ top-5 disjoint from exact top-10")
+    }
+    // residual encoding + cell restriction must actually change the ADC
+    // outcome vs plain global PQ at fixture scale, or the IVF leg and
+    // the residual codebooks are vacuous decoration over ann5
+    val pq = SparkEntry.queries("ann5_topk_pq")(spark, dir).collect()
+    val key = (rs: Array[org.apache.spark.sql.Row]) => rs.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("score"))).toSet
+    assert(key(out) != key(pq), "IVF-PQ output identical to global-PQ ann5 — residual leg vacuous")
+  }
+
   test("q21: the EXISTS/NOT-EXISTS pair plans with no nested loop") {
     val plan = SparkEntry.queries("q21_waiting_supplier")(spark, dir)
       .queryExecution.executedPlan.toString
