@@ -1133,7 +1133,69 @@ object Similarity extends QueryModule {
        |FROM nrm n LEFT JOIN drops d ON n.vec_id = d.vec_id
        |ORDER BY n.vec_id NULLS FIRST, centroid_id NULLS FIRST, is_kept NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- emb5
+  /** Per-dimension corpus profile of the embedding space — the
+    * whitening-prep / drift audit a vector pipeline keeps beside its
+    * index builds: for every dimension, the member count, integer sum,
+    * extrema, floored mean, and population variance in ppm of a squared
+    * quantization unit. A dimension whose variance collapses toward 0
+    * is dead weight (prune it before PQ); a mean drifting off-center
+    * breaks SRP's sign-bucket balance (ann4) — this table is where both
+    * show up first.
+    *
+    * Scale posture: one corpus pass, posexplode → hash aggregate on the
+    * D-bounded dimension key; partial aggregation collapses each map
+    * task to ≤D rows before the exchange, so the shuffle carries
+    * tasks×D rows regardless of corpus size. Sums accumulate in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — at 10^12 vectors a
+    * LongType Σv² wraps, the ppm-over-big-sums rule — and the variance
+    * identity n·Σv² − (Σv)² is non-negative by Cauchy–Schwarz, so the
+    * integral DIV is floor in both engines. The floored mean goes
+    * through the one-op double floor both engines share (the
+    * trainCentroids spelling — sign-safe for negative sums where
+    * truncating integer division is not).
+    */
+  private def dimProfile(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir)
+      .select(posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 0))).as("s"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 0))).as("ssq"))
+      .select(
+        col("dim").cast(LongType).as("dim"),
+        col("n"),
+        col("s").cast(LongType).as("sum_v"),
+        col("min_v"), col("max_v"),
+        floor(col("s").cast(DoubleType) / col("n").cast(DoubleType))
+          .cast(LongType).as("mean_floor"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * ssq - s * s) * 1000000" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+          .as("var_ppm"))
+      .orderBy(col("dim").asc_nulls_first)
+
+  private val dimProfileSql =
+    """WITH emb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |vals AS (
+      |  SELECT generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS v FROM emb),
+      |agg AS (
+      |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s,
+      |    CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v,
+      |    SUM(v * v) AS ssq
+      |  FROM vals GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, n, CAST(s AS BIGINT) AS sum_v, min_v, max_v,
+      |  CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_floor,
+      |  CAST((CAST(n AS HUGEINT) * ssq - s * s) * 1000000
+      |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_ppm
+      |FROM agg ORDER BY dim NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb5_dim_profile" -> (dimProfile _),
     "dd13_semantic_dedup" -> (semanticDedup _),
     "ann8_topk_filtered" -> (filteredTopK _),
     "emb4_centroid_separation" -> (centroidSeparation _),
@@ -1151,6 +1213,7 @@ object Similarity extends QueryModule {
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
+    "emb5_dim_profile" -> dimProfileSql,
     "dd13_semantic_dedup" -> semanticDedupSql,
     "ann8_topk_filtered" -> filteredTopKSql,
     "emb4_centroid_separation" -> centroidSeparationSql,

@@ -198,6 +198,28 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     assert(key(out) != key(pq), "IVF-PQ output identical to global-PQ ann5 — residual leg vacuous")
   }
 
+  test("emb5: per-dimension profile agrees with a driver-side recomputation") {
+    val out = SparkEntry.queries("emb5_dim_profile")(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") -> r).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("q"))
+    assert(out.size == vecs.head.size)
+    for (d <- Seq(0, vecs.head.size / 2, vecs.head.size - 1)) {
+      val col = vecs.map(_(d))
+      val r = out(d.toLong)
+      val n = col.size.toLong
+      val s = col.sum
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("sum_v") == s, s"dim $d n/sum")
+      assert(r.getAs[Long]("min_v") == col.min && r.getAs[Long]("max_v") == col.max, s"dim $d extrema")
+      assert(r.getAs[Long]("mean_floor") == math.floor(s.toDouble / n).toLong, s"dim $d mean")
+      val ssq = col.map(v => BigInt(v) * v).sum
+      val expVar = (BigInt(n) * ssq - BigInt(s) * s) * 1000000 / (BigInt(n) * n)
+      assert(r.getAs[Long]("var_ppm") == expVar.toLong, s"dim $d var")
+      assert(r.getAs[Long]("var_ppm") >= 0L)
+    }
+  }
+
   test("q21: the EXISTS/NOT-EXISTS pair plans with no nested loop") {
     val plan = SparkEntry.queries("q21_waiting_supplier")(spark, dir)
       .queryExecution.executedPlan.toString
