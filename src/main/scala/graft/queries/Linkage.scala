@@ -385,7 +385,86 @@ object Linkage extends QueryModule {
         col("version").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- cdc5
+  /** Delete-aware SCD Type-2 history — the change-log shape cdc3/cdc4
+    * leave uncovered: a CDC stream carries TOMBSTONES (delete records),
+    * and a delete must close the key's open interval without emitting a
+    * version row, leaving the key with NO current row until a later
+    * change re-opens it. The live-row version sequence stays dense
+    * across deletes (row 3 deleted → the next insert is version 3, not
+    * 4 — versions number surviving rows, not raw events).
+    *
+    * The fixture has no literal delete records, so the op-code derives
+    * deterministically from the payload (`value_c % 5 = 0` ≈ 20%
+    * tombstones — both engines state the same derivation); everything
+    * downstream of the marker is the real operator. `closed_by_delete`
+    * distinguishes intervals ended by a new value from intervals ended
+    * by a delete; `is_current` uses the non-nullable successor probe
+    * `lead(event_id)` (a null-es successor would alias "no successor"
+    * under `lead(es)`). Three-valued logic: `has_next AND next_tomb`
+    * is FALSE (not null) when has_next is false, in both engines.
+    *
+    * Scale posture: one shuffle on the key; the tombstone pass and the
+    * live-row renumbering share the same partitioning AND sort order,
+    * so Catalyst plans one Exchange + one Sort feeding both Window
+    * operators — deletes cost no extra pass.
+    */
+  private def scd2Tombstones(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("es").asc_nulls_first, col("event_id").asc_nulls_first)
+    val wLive = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("valid_from_us").asc_nulls_first, col("event_id").asc_nulls_first)
+    t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("es"),
+        coalesce(round(col("value") * 100).cast(LongType), lit(-1L)).as("value_c"))
+      .withColumn("tomb", col("value_c") % 5 === 0)
+      .select(
+        col("user_id"), col("event_type"), col("event_id"), col("value_c"), col("tomb"),
+        col("es").as("valid_from_us"),
+        lead(col("es"), 1).over(w).as("valid_to_us"),
+        lead(col("tomb"), 1).over(w).as("next_tomb"),
+        lead(col("event_id"), 1).over(w).isNotNull.as("has_next"))
+      .filter(!col("tomb"))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"), col("value_c"),
+        row_number().over(wLive).cast(LongType).as("version"),
+        col("valid_from_us"), col("valid_to_us"),
+        (col("has_next") && col("next_tomb")).as("closed_by_delete"),
+        (!col("has_next")).as("is_current"))
+      .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first,
+        col("version").asc_nulls_first)
+  }
+
+  private val scd2TombstonesSql =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS es,
+      |    COALESCE(CAST(round(value * 100) AS BIGINT), -1) AS value_c
+      |  FROM events WHERE user_id % 10 = 0),
+      |marked AS (SELECT *, value_c % 5 = 0 AS tomb FROM base),
+      |seq AS (
+      |  SELECT user_id, event_type, event_id, value_c, tomb,
+      |    es AS valid_from_us,
+      |    lead(es) OVER w AS valid_to_us,
+      |    lead(tomb) OVER w AS next_tomb,
+      |    lead(event_id) OVER w IS NOT NULL AS has_next
+      |  FROM marked
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |               ORDER BY es NULLS FIRST, event_id NULLS FIRST))
+      |SELECT user_id, event_type, event_id, value_c,
+      |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY valid_from_us NULLS FIRST, event_id NULLS FIRST) AS BIGINT) AS version,
+      |  valid_from_us, valid_to_us,
+      |  (has_next AND next_tomb) AS closed_by_delete,
+      |  NOT has_next AS is_current
+      |FROM seq WHERE NOT tomb
+      |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, version NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc5_scd2_tombstones" -> (scd2Tombstones _),
     "fz1_fuzzy_join" -> (fuzzyJoin _),
     "cdc3_scd2_history" -> (scd2History _),
     "cdc4_scd2_merge" -> (scd2MergeIncremental _),
@@ -395,6 +474,7 @@ object Linkage extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "fz1_fuzzy_join" -> fuzzyJoinSql,
+    "cdc5_scd2_tombstones" -> scd2TombstonesSql,
     "cdc3_scd2_history" -> scd2HistorySql,
     // cdc4's oracle IS the full rebuild: hash-proves merge ≡ rebuild
     "cdc4_scd2_merge" -> scd2HistorySql,

@@ -271,6 +271,45 @@ class LinkageSpec extends AnyFunSuite {
     assert(nodes < 15, s"plan not truncated: $nodes logical nodes")
   }
 
+  test("cdc5: tombstones close intervals without rows, versions stay dense, one shuffle") {
+    val q = SparkEntry.queries("cdc5_scd2_tombstones")(spark, dir)
+    val out = q.collect()
+    assert(out.nonEmpty)
+    // driver-side replay of the delete-aware history over the same slice
+    val raw = graft.Tables(spark, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS es",
+        "coalesce(CAST(round(value * 100) AS BIGINT), -1L) AS value_c")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("es"), r.getAs[Long]("value_c")))
+    val expected = raw.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((uid, et), es) =>
+      val ordered = es.sortBy(e => (e._4, e._3))
+      val live = ordered.zipWithIndex.filterNot(_._1._5 % 5 == 0)
+      live.zipWithIndex.map { case ((ev, idx), vn) =>
+        val next = if (idx + 1 < ordered.length) Some(ordered(idx + 1)) else None
+        (uid, et, ev._3, ev._5, (vn + 1).toLong, ev._4,
+          next.map(_._4), next.exists(_._5 % 5 == 0), next.isEmpty)
+      }
+    }.toSet
+    val got = out.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+      r.getAs[Long]("event_id"), r.getAs[Long]("value_c"), r.getAs[Long]("version"),
+      r.getAs[Long]("valid_from_us"), Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+      r.getAs[Boolean]("closed_by_delete"), r.getAs[Boolean]("is_current"))).toSet
+    assert(got == expected, "delete-aware history diverged from the replay")
+    // the replay must exercise all three delete branches or the pin is vacuous
+    assert(got.exists(_._8), "no interval closed by a delete in the fixture slice")
+    val keysNoCurrent = got.groupBy(t => (t._1, t._2)).filter(!_._2.exists(_._9))
+    assert(keysNoCurrent.nonEmpty, "no key ends on a tombstone in the fixture slice")
+    // both window passes share one hash exchange (same partitioning + sort).
+    // Plan-check a FRESH frame: after collect(), AQE's plan string holds
+    // initial AND final plans, double-counting every exchange.
+    val fresh = SparkEntry.queries("cdc5_scd2_tombstones")(spark, dir)
+    val exchanges = fresh.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"tombstone pass re-shuffled: $exchanges hash exchanges")
+  }
+
   test("ev8: median/MAD flags agree with a driver-side recomputation") {
     val rows = SparkEntry.queries("ev8_anomaly_days")(spark, dir).collect()
       .map(r => (r.getAs[java.sql.Date]("day"), r.getAs[Long]("cnt"),
