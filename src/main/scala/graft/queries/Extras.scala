@@ -1078,6 +1078,66 @@ object Extras extends QueryModule {
       |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
       |  n_lines NULLS FIRST, revenue_e4 NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- zo1
+  /** Z-order layout audit — the data-layout leg beside bkt1's
+    * bucketing: interleave the bits of the two dominant filter keys
+    * (part, supplier) into a Morton code, range-bucket the code, and
+    * report each bucket's per-dimension key spans. This is the health
+    * table behind OPTIMIZE ZORDER-style clustering: a file written per
+    * z-range covers a NARROW rectangle in (part × supplier) space, so
+    * min/max file statistics prune scans on EITHER key — the reason
+    * multi-dimensional layouts beat single-key sort at 100 TB, made
+    * measurable (tight spans ⇒ effective pruning; a span that covers
+    * the whole key domain ⇒ that dimension's filters hit every file).
+    *
+    * The 16-bit interleave is generated once and spelled per engine
+    * (Spark shiftleft/shiftright functions, DuckDB native shift
+    * operators — same arithmetic, operator syntax only); keys mask to
+    * 16 bits by construction, stated rather than assumed. One narrow
+    * scan + one hash aggregate on the bucket key; the audit never
+    * sorts or shuffles the fact rows themselves.
+    */
+  private val ZBits = 16
+
+  private def zInterleaveSpark: String =
+    (0 until ZBits).map(i =>
+      s"(shiftleft((shiftright(pk, $i) & 1), ${2 * i})" +
+        s" | shiftleft((shiftright(sk, $i) & 1), ${2 * i + 1}))")
+      .mkString(" | ")
+
+  private def zInterleaveDuck: String =
+    (0 until ZBits).map(i =>
+      s"((((pk >> $i) & 1) << ${2 * i}) | (((sk >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" | ")
+
+  private def zorderAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select((col("l_partkey") % 65536).as("pk"), (col("l_suppkey") % 65536).as("sk"))
+      .withColumn("z", expr(zInterleaveSpark))
+      .withColumn("zbucket", expr("shiftright(z, 16)"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("pk").as("min_pk"), max("pk").as("max_pk"),
+        min("sk").as("min_sk"), max("sk").as("max_sk"))
+      .select(col("zbucket"), col("n_rows"),
+        col("min_pk"), col("max_pk"), col("min_sk"), col("max_sk"),
+        (col("max_pk") - col("min_pk") + 1).as("pk_span"),
+        (col("max_sk") - col("min_sk") + 1).as("sk_span"))
+      .orderBy(col("zbucket").asc_nulls_first)
+
+  private def zorderAuditSql =
+    s"""WITH keys AS (
+       |  SELECT l_partkey % 65536 AS pk, l_suppkey % 65536 AS sk FROM lineitem),
+       |coded AS (SELECT pk, sk, ($zInterleaveDuck) AS z FROM keys),
+       |agg AS (
+       |  SELECT z >> 16 AS zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+       |    MIN(sk) AS min_sk, MAX(sk) AS max_sk
+       |  FROM coded GROUP BY 1)
+       |SELECT zbucket, n_rows, min_pk, max_pk, min_sk, max_sk,
+       |  max_pk - min_pk + 1 AS pk_span, max_sk - min_sk + 1 AS sk_span
+       |FROM agg ORDER BY zbucket NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ev11
   /** The SAME peak-concurrency census as ev9, spelled as the
     * HIERARCHICAL two-level prefix sum ev9's scaladoc names as the
@@ -1445,6 +1505,7 @@ object Extras extends QueryModule {
     "sj1_salted_join" -> (saltedJoinGate _),
     "bf1_bloom_semi_join" -> (bloomSemiJoin _),
     "bkt1_bucketed_join" -> (bucketedJoinGate _),
+    "zo1_zorder_audit" -> (zorderAudit _),
     "un1_unpivot" -> (unpivotMetrics _),
     "c10_int_math" -> (intMath _),
     "ev4_gapfill" -> (gapfill _),
@@ -1491,6 +1552,7 @@ object Extras extends QueryModule {
     "sj1_salted_join" -> saltedJoinGateSql,
     "bf1_bloom_semi_join" -> bloomSemiJoinSql,
     "bkt1_bucketed_join" -> bucketedJoinGateSql,
+    "zo1_zorder_audit" -> zorderAuditSql,
     "un1_unpivot" -> unpivotMetricsSql,
     "c10_int_math" -> intMathSql,
     "ev4_gapfill" -> gapfillSql,

@@ -1512,7 +1512,49 @@ object Stats extends QueryModule {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  // ---------------------------------------------------------------- w7
+  /** Equal-count decile bucketing via `ntile` — the window op the
+    * w-family still lacked and the shape every quality-filter pipeline
+    * runs ("score the corpus, keep the top decile"): documents deciled
+    * by length within language, rolled up to one row per (lang, decile)
+    * with count, char range, and mass. The in-partition order
+    * (n_chars, doc_id) is total, and both engines implement standard
+    * SQL ntile (larger buckets first when n % 10 ≠ 0), so bucket edges
+    * are engine-exact. h2 is the same idea as a global-sort-free
+    * two-pass histogram; THIS spelling is the one-shuffle windowed
+    * form — exact, at the price of a per-language sort, the right
+    * trade while each language partition fits an executor (salting/h2
+    * take over beyond that).
+    */
+  private def ntileDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").asc_nulls_first, col("doc_id").asc_nulls_first)
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("decile").asc_nulls_first)
+  }
+
+  private val ntileDecilesSql =
+    """WITH ranked AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ntile(10) OVER (PARTITION BY lang
+      |      ORDER BY n_chars NULLS FIRST, doc_id NULLS FIRST) AS decile
+      |  FROM documents)
+      |SELECT lang, CAST(decile AS BIGINT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM ranked GROUP BY lang, decile
+      |ORDER BY lang NULLS FIRST, decile NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w7_ntile_deciles" -> (ntileDeciles _),
     "q27_market_share" -> (marketShare _),
     "q28_forecast_revenue" -> (forecastRevenue _),
     "rr1_ratio_to_report" -> (ratioToReport _),
@@ -1550,6 +1592,7 @@ object Stats extends QueryModule {
     "q06_quantile_sketch" -> (quantileSketch _))
 
   override val oracle: Map[String, String] = Map(
+    "w7_ntile_deciles" -> ntileDecilesSql,
     "q27_market_share" -> marketShareSql,
     "q28_forecast_revenue" -> forecastRevenueSql,
     "rr1_ratio_to_report" -> ratioToReportSql,

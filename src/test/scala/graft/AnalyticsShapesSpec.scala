@@ -220,6 +220,58 @@ class AnalyticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("w7: deciles are equal-count (larger-first), cover each language exactly") {
+    val out = SparkEntry.queries("w7_ntile_deciles")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == docs.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val counts = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("n_docs"))
+      assert(counts.sum == docs(lang), s"$lang: deciles lose docs")
+      // standard ntile: bucket sizes differ by <= 1, larger buckets first
+      assert(counts.max - counts.min <= 1, s"$lang: uneven deciles $counts")
+      assert(counts.sameElements(counts.sortBy(-_)), s"$lang: larger-first violated")
+      // bucket char-ranges are non-overlapping and ordered
+      val ordered = rows.sortBy(_.getAs[Long]("decile"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_chars") <= b.getAs[Long]("min_chars"),
+            s"$lang: decile ranges overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("zo1: Morton codes interleave bits exactly; bucket spans bound their keys") {
+    val out = SparkEntry.queries("zo1_zorder_audit")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_pk") <= r.getAs[Long]("max_pk"))
+      assert(r.getAs[Long]("min_sk") <= r.getAs[Long]("max_sk"))
+      assert(r.getAs[Long]("pk_span") == r.getAs[Long]("max_pk") - r.getAs[Long]("min_pk") + 1)
+      assert(r.getAs[Long]("sk_span") == r.getAs[Long]("max_sk") - r.getAs[Long]("min_sk") + 1)
+    }
+    // driver-side Morton replay over the raw keys: every (pk, sk) must
+    // land in the bucket whose span covers it, and bucket row counts add
+    // up to the fact row count
+    def morton(pk: Long, sk: Long): Long =
+      (0 until 16).map(i => (((pk >> i) & 1L) << (2 * i)) | (((sk >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val keys = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_partkey % 65536 AS pk", "l_suppkey % 65536 AS sk").collect()
+      .map(r => (r.getAs[Long]("pk"), r.getAs[Long]("sk")))
+    assert(out.map(_.getAs[Long]("n_rows")).sum == keys.length)
+    val buckets = out.map(r => r.getAs[Long]("zbucket") ->
+      (r.getAs[Long]("min_pk"), r.getAs[Long]("max_pk"),
+        r.getAs[Long]("min_sk"), r.getAs[Long]("max_sk"))).toMap
+    keys.foreach { case (pk, sk) =>
+      val b = morton(pk, sk) >> 16
+      val (lo, hi, slo, shi) = buckets(b)
+      assert(pk >= lo && pk <= hi && sk >= slo && sk <= shi, s"($pk,$sk) outside bucket $b span")
+    }
+  }
+
   test("q21: the EXISTS/NOT-EXISTS pair plans with no nested loop") {
     val plan = SparkEntry.queries("q21_waiting_supplier")(spark, dir)
       .queryExecution.executedPlan.toString
