@@ -450,13 +450,53 @@ object Graph extends QueryModule {
        |ORDER BY d NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g3
+  /** Degree distribution of the co-purchase graph — the power-law /
+    * hub audit read before every other graph job here: tri1's broadcast
+    * gate, pr1/g2's skew posture and dd2-style AQE skew splits all
+    * assume "bounded hubs, heavy tail", and this table is where that
+    * assumption is checked. One row per distinct degree with the node
+    * count and the id range of its members.
+    *
+    * Scale posture: per-node degree is one hash aggregate over the
+    * persisted directed edge frame (out-degree = undirected degree by
+    * construction); the distribution is a second aggregate whose
+    * exchange carries at most #distinct-degrees rows per task after the
+    * map-side combine — the corpus never reaches the second shuffle.
+    */
+  private def degreeCensus(s: SparkSession, dir: String): DataFrame =
+    directedEdges(s, dir)
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("deg").asc_nulls_first)
+
+  private val degreeCensusSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |                     AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT u AS src, v AS dst FROM und
+      |          UNION ALL SELECT v, u FROM und),
+      |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM edges GROUP BY src)
+      |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  MIN(node) AS min_node, MAX(node) AS max_node
+      |FROM deg GROUP BY deg
+      |ORDER BY deg NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tri1_triangle_census" -> (triangleCensus _),
     "pr1_pagerank" -> (pageRank _),
-    "g2_bfs_layers" -> (bfsLayers _))
+    "g2_bfs_layers" -> (bfsLayers _),
+    "g3_degree_census" -> (degreeCensus _))
 
   override val oracle: Map[String, String] = Map(
     "tri1_triangle_census" -> triangleCensusSql,
     "pr1_pagerank" -> pageRankSql,
-    "g2_bfs_layers" -> bfsLayersSql)
+    "g2_bfs_layers" -> bfsLayersSql,
+    "g3_degree_census" -> degreeCensusSql)
 }

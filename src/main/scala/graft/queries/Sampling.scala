@@ -345,8 +345,57 @@ object Sampling extends QueryModule {
        |FROM pos
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ds8
+  /** Class-balance downsampling: equalize every language to the
+    * MINORITY class's size — the companion to ds4's temperature
+    * softening (τ→∞ flattens the mix; this is the hard τ=∞ endpoint a
+    * classifier-training set wants). The per-language quota is the min
+    * group count, computed in-plan (two tiny aggregates, broadcast back
+    * — never a driver-side collect), and admission within a language is
+    * by the ds3-style tagged md5 draw, so membership is a pure function
+    * of (doc_id, corpus) — partitioning- and engine-independent.
+    *
+    * Scale posture: one shuffle on lang for the rank window; the quota
+    * side is a #langs-row frame cross-joined broadcast. ds2's bounded
+    * BottomKAgg is the no-window alternative when the quota is a
+    * compile-time constant; here k is data-dependent, which is exactly
+    * when the window spelling earns its sort.
+    */
+  private def balanceDownsample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("bal:"), col("doc_id"))).as("draw"))
+    val quota = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("n_min"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("draw").asc_nulls_first, col("doc_id").asc_nulls_first)
+    docs
+      .withColumn("bal_rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(quota))
+      .filter(col("bal_rank") <= col("n_min"))
+      .select(col("lang"), col("doc_id"), col("bal_rank"))
+      .orderBy(col("lang").asc_nulls_first, col("bal_rank").asc_nulls_first)
+  }
+
+  private val balanceDownsampleSql =
+    """WITH keyed AS (
+      |  SELECT lang, doc_id, md5('bal:' || doc_id) AS draw FROM documents),
+      |quota AS (
+      |  SELECT CAST(MIN(n) AS BIGINT) AS n_min FROM (
+      |    SELECT lang, COUNT(*) AS n FROM keyed GROUP BY lang)),
+      |ranked AS (
+      |  SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY draw NULLS FIRST, doc_id NULLS FIRST) AS BIGINT) AS bal_rank
+      |  FROM keyed)
+      |SELECT lang, doc_id, bal_rank
+      |FROM ranked, quota WHERE bal_rank <= n_min
+      |ORDER BY lang NULLS FIRST, bal_rank NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "ds8_balance_downsample" -> (balanceDownsample _),
       "ds7_interleave_shards" -> (interleaveShards _),
       "ds5_token_budget_mix" -> (tokenBudgetMix _),
       "ds1_stratified_sample" -> (stratifiedSample _),
@@ -357,6 +406,7 @@ object Sampling extends QueryModule {
   override val oracle: Map[String, String] =
     Map(
       // serial total-order spelling — hash-proves hierarchical ≡ serial
+      "ds8_balance_downsample" -> balanceDownsampleSql,
       "ds7_interleave_shards" -> interleaveShardsSql,
       "ds5_token_budget_mix" -> tokenBudgetMixSql,
       "ds1_stratified_sample" -> stratifiedSampleSql,

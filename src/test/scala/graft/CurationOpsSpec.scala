@@ -287,6 +287,25 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ds8 equalizes every language to the minority count via the md5 draw") {
+    val out = SparkEntry.queries("ds8_balance_downsample")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[Long]("bal_rank")))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "doc_id", "md5('bal:' || CAST(doc_id AS STRING)) AS draw").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[String]("draw")))
+    val nMin = docs.groupBy(_._1).values.map(_.size).min.toLong
+    val byLang = out.groupBy(_._1)
+    assert(byLang.keySet == docs.map(_._1).toSet, "a language vanished")
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == nMin, s"$lang kept ${rows.length} != n_min $nMin")
+      assert(rows.map(_._3).sorted.toSeq == (1L to nMin), s"$lang ranks not dense")
+      // membership is exactly the n_min smallest (draw, doc_id) of the language
+      val expect = docs.filter(_._1 == lang).sortBy(d => (d._3, d._2)).take(nMin.toInt)
+        .map(_._2).toSet
+      assert(rows.map(_._2).toSet == expect, s"$lang membership diverged from the draw order")
+    }
+  }
+
   test("ds7 epoch order is a permutation, interleaves sources by wave, and balances shards") {
     val out = SparkEntry.queries("ds7_interleave_shards")(spark, sf).collect()
     assert(out.nonEmpty)

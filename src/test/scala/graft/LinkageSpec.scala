@@ -310,6 +310,20 @@ class LinkageSpec extends AnyFunSuite {
     assert(exchanges == 1, s"tombstone pass re-shuffled: $exchanges hash exchanges")
   }
 
+  test("g3: degree census satisfies the handshake lemma and covers every node") {
+    val out = SparkEntry.queries("g3_degree_census")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("deg"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("min_node"), r.getAs[Long]("max_node")))
+    val und = bruteForceEdges()
+    val degOf = und.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.map(_._2).sum == degOf.size, "census loses nodes")
+    assert(out.map(t => t._1 * t._2).sum == 2L * und.size, "handshake lemma violated")
+    val expected = degOf.groupBy(_._2).map { case (d, m) =>
+      (d, m.size.toLong, m.keys.min, m.keys.max) }.toSet
+    assert(out.toSet == expected, "distribution diverged from the brute-force degrees")
+  }
+
   test("ev8: median/MAD flags agree with a driver-side recomputation") {
     val rows = SparkEntry.queries("ev8_anomaly_days")(spark, dir).collect()
       .map(r => (r.getAs[java.sql.Date]("day"), r.getAs[Long]("cnt"),
