@@ -463,7 +463,55 @@ object Linkage extends QueryModule {
       |FROM seq WHERE NOT tomb
       |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, version NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- inc1
+  /** Incremental AGGREGATE refresh — materialized-view maintenance, the
+    * aggregate-side sibling of cdc4's dimension merge: a maintained
+    * per-(flag, ship-year) count/sum table absorbs a new fact batch by
+    * aggregating ONLY the batch and outer-merging the two group frames
+    * (coalesce-to-zero on both sides). The oracle is the full rebuild
+    * GROUP BY over the whole fact table, so the gate hash-proves
+    * refresh ≡ rebuild — the invariant every incremental MV engine
+    * (Delta MVs, Materialize, dbt incremental) rests on. The split
+    * (mid-1997) leaves base-only, batch-only AND spanning groups in the
+    * fixture, so all three merge branches are live, not just the
+    * append-new-groups easy case.
+    *
+    * Scale posture: this is THE reason incremental refresh exists —
+    * the batch-side aggregate touches only new data, and the merge
+    * joins two group-grain frames (thousands of rows), never the fact
+    * history. Counts and integer-e2 sums are self-commutative, so the
+    * merge is exact; AVG-shaped measures must be carried as (sum, n)
+    * pairs — stated here because silently merging averages is the
+    * classic incremental-MV bug.
+    */
+  private val Inc1SplitTs = "1997-06-01 00:00:00"
+
+  private def aggRefresh(s: SparkSession, dir: String): DataFrame = {
+    val qtyE2 = round(col("l_quantity") * 100).cast(LongType)
+    def aggSide(df: DataFrame, n: String, q: String) =
+      df.groupBy(col("l_returnflag"), year(col("l_shipdate")).cast(LongType).as("ship_year"))
+        .agg(count(lit(1)).as(n), sum(qtyE2).as(q))
+    val li = t(s, dir, "lineitem")
+    val split = to_timestamp(lit(Inc1SplitTs))
+    val maintained = aggSide(li.filter(col("l_shipdate") < split), "n_a", "q_a")
+    val delta = aggSide(li.filter(col("l_shipdate") >= split), "n_b", "q_b")
+    maintained.join(delta, Seq("l_returnflag", "ship_year"), "full_outer")
+      .select(col("l_returnflag"), col("ship_year"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_rows"),
+        (coalesce(col("q_a"), lit(0L)) + coalesce(col("q_b"), lit(0L))).as("sum_qty_e2"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("ship_year").asc_nulls_first)
+  }
+
+  // full-rebuild spelling: hash-proves incremental refresh ≡ rebuild
+  private val aggRefreshSql =
+    """SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2
+      |FROM lineitem GROUP BY 1, 2
+      |ORDER BY l_returnflag NULLS FIRST, ship_year NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inc1_agg_refresh" -> (aggRefresh _),
     "cdc5_scd2_tombstones" -> (scd2Tombstones _),
     "fz1_fuzzy_join" -> (fuzzyJoin _),
     "cdc3_scd2_history" -> (scd2History _),
@@ -475,6 +523,7 @@ object Linkage extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "fz1_fuzzy_join" -> fuzzyJoinSql,
     "cdc5_scd2_tombstones" -> scd2TombstonesSql,
+    "inc1_agg_refresh" -> aggRefreshSql,
     "cdc3_scd2_history" -> scd2HistorySql,
     // cdc4's oracle IS the full rebuild: hash-proves merge ≡ rebuild
     "cdc4_scd2_merge" -> scd2HistorySql,

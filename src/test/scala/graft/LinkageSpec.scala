@@ -310,6 +310,29 @@ class LinkageSpec extends AnyFunSuite {
     assert(exchanges == 1, s"tombstone pass re-shuffled: $exchanges hash exchanges")
   }
 
+  test("inc1: all three merge branches are live and the refresh equals a direct rebuild") {
+    val out = SparkEntry.queries("inc1_agg_refresh")(spark, dir).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("ship_year")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_qty_e2"))).toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_returnflag", "CAST(year(l_shipdate) AS BIGINT) AS y",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS q",
+        "l_shipdate >= TIMESTAMP '1997-06-01' AS is_batch").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("y"),
+        r.getAs[Long]("q"), r.getAs[Boolean]("is_batch")))
+    val byGroup = li.groupBy(e => (e._1, e._2))
+    assert(out.keySet == byGroup.keySet, "refresh lost or invented groups")
+    byGroup.foreach { case (k, rows) =>
+      assert(out(k) == (rows.size.toLong, rows.map(_._3).sum), s"group $k diverged")
+    }
+    // fixture must exercise base-only, batch-only AND spanning groups —
+    // otherwise the coalesce-merge never actually merges
+    val sides = byGroup.view.mapValues(rows => (rows.exists(!_._4), rows.exists(_._4)))
+    assert(sides.values.exists { case (a, b) => a && !b }, "no base-only group")
+    assert(sides.values.exists { case (a, b) => !a && b }, "no batch-only group")
+    assert(sides.values.exists { case (a, b) => a && b }, "no split-spanning group")
+  }
+
   test("g3: degree census satisfies the handshake lemma and covers every node") {
     val out = SparkEntry.queries("g3_degree_census")(spark, dir).collect()
       .map(r => (r.getAs[Long]("deg"), r.getAs[Long]("n_nodes"),
