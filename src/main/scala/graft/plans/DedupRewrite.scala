@@ -97,7 +97,23 @@ object RowNumberDedupRewrite extends Rule[LogicalPlan] {
               so.direction == Ascending && so.nullOrdering == NullsFirst &&
                 so.child.deterministic &&
                 so.child.references.subsetOf(w.child.outputSet)) =>
-        val child = w.child
+        // Spark's InferWindowGroupLimit (main optimizer batch, runs
+        // before user rules) may have inserted a WindowGroupLimit below
+        // the Window. Left in place it defeats the rewrite: the
+        // aggregate would sit ON TOP of the group-limit's wide sort +
+        // full-input exchange, adding degenerate agg passes instead of
+        // replacing the shuffle (observed r07: opt1 planned Sort +
+        // WindowGroupLimit×2 + Exchange + SortAggregate×2). The limit
+        // keeps a superset of the aggregate's pick (rank ≤ limit ≥ 1
+        // under the same spec), so aggregating its CHILD is equivalent.
+        val child = w.child match {
+          case wgl: WindowGroupLimit
+              if wgl.partitionSpec == w.partitionSpec &&
+                wgl.orderSpec == w.orderSpec &&
+                wgl.rankLikeFunction.isInstanceOf[RowNumber] && wgl.limit >= 1 =>
+            wgl.child
+          case c => c
+        }
         val groupAttrs = w.partitionSpec.map(_.asInstanceOf[AttributeReference])
         val groupSet = AttributeSet(groupAttrs)
         val payload = child.output.filterNot(groupSet.contains)

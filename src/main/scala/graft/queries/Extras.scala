@@ -339,6 +339,85 @@ object Extras extends QueryModule {
       |LEFT JOIN orders o ON p.asof_o_orderkey = o.o_orderkey
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- aj3
+  /** Nearest-in-time as-of join — the sensor-alignment direction the
+    * backward/forward pair composes into: each click event gets its
+    * user's purchase event with MINIMAL |Δts|, ties preferring the
+    * backward match (and within a direction, aj1/aj2's own key
+    * tie-breaks: largest id backward, smallest forward). Built from the
+    * two existing single-direction scans joined on the unique left key
+    * with a per-row argmin projection — the global argmin IS
+    * min(nearest-backward, nearest-forward), so the composition is
+    * exact, and each direction keeps its one-shuffle no-pair-explosion
+    * plan. The oracle states the semantics directly as a correlated
+    * argmin ordered by (|Δt|, is-forward, direction-signed id) — the
+    * gate hash-proves the composition against the specification.
+    * `near_dir`/`near_dt_us` expose which side won and by how much (the
+    * drift audit a sensor-fusion pipeline reads). Click/purchase are two
+    * interleaved streams of the SAME month, so both directions win on
+    * real fixture rows (events-vs-orders would be one-sided: every
+    * order predates every 2024 event).
+    */
+  private def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val payload = Seq("event_id", "ts", "value")
+    def side(df: DataFrame, p: String) = df.select(
+      col("event_id") +: col("user_id") +: col("ts") +:
+        payload.map(c => col(s"asof_$c").as(s"$p$c")): _*)
+    val back = side(graft.operators.AsOfJoin.leftAsOf(
+      clicks, purchases, leftKey = "user_id", rightKey = "user_id",
+      leftTs = "ts", rightTs = "ts",
+      tieBreak = "event_id", payload = payload), "b_")
+    val fwd = side(graft.operators.AsOfJoin.leftAsOfForward(
+      clicks, purchases, leftKey = "user_id", rightKey = "user_id",
+      leftTs = "ts", rightTs = "ts",
+      tieBreak = "event_id", payload = payload), "f_")
+      .drop("user_id", "ts")
+    val bDt = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+    val fDt = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+    // backward wins when forward is absent, or both exist and it is at
+    // least as close (ties prefer backward — matches the oracle's
+    // is-forward sort key)
+    val pickBack = col("f_event_id").isNull ||
+      (col("b_event_id").isNotNull && bDt <= fDt)
+    back.join(fwd, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(pickBack, col("b_event_id")).otherwise(col("f_event_id"))
+          .as("near_event_id"),
+        when(pickBack, col("b_value")).otherwise(col("f_value"))
+          .as("near_value"),
+        when(col("b_event_id").isNull && col("f_event_id").isNull,
+          lit(null).cast("string"))
+          .when(pickBack, lit("b")).otherwise(lit("f")).as("near_dir"),
+        when(pickBack, bDt).otherwise(fDt).as("near_dt_us"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val asofNearestSql =
+    """WITH picked AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    (SELECT p.event_id FROM events p
+      |     WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+      |       AND e.ts IS NOT NULL AND p.ts IS NOT NULL
+      |     ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)) ASC,
+      |       (p.ts > e.ts) ASC,
+      |       CASE WHEN p.ts <= e.ts THEN -p.event_id
+      |            ELSE p.event_id END ASC
+      |     LIMIT 1) AS nk
+      |  FROM events e WHERE e.event_type = 'click')
+      |SELECT k.event_id, k.user_id, k.ts,
+      |  k.nk AS near_event_id,
+      |  p.value AS near_value,
+      |  CASE WHEN k.nk IS NULL THEN NULL
+      |       WHEN p.ts <= k.ts THEN 'b' ELSE 'f' END AS near_dir,
+      |  abs(epoch_us(p.ts) - epoch_us(k.ts)) AS near_dt_us
+      |FROM picked k LEFT JOIN events p ON k.nk = p.event_id
+      |ORDER BY k.event_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- aj2
   // Forward as-of join (graft.operators.AsOfJoin.leftAsOfForward): each
   // event gets the EARLIEST order of its customer with o_orderdate >=
@@ -1512,6 +1591,7 @@ object Extras extends QueryModule {
     "j6_full_outer" -> (fullOuter _),
     "e3_posexplode" -> (posExplodeWords _),
     "aj1_asof_join" -> (asofJoin _),
+    "aj3_asof_nearest" -> (asofNearest _),
     "aj2_asof_forward" -> (asofForward _),
     "rj1_range_join" -> (rangeJoin _),
     "rj2_interval_overlap" -> (intervalOverlapJoin _),
@@ -1559,6 +1639,7 @@ object Extras extends QueryModule {
     "j6_full_outer" -> fullOuterSql,
     "e3_posexplode" -> posExplodeWordsSql,
     "aj1_asof_join" -> asofJoinSql,
+    "aj3_asof_nearest" -> asofNearestSql,
     "aj2_asof_forward" -> asofForwardSql,
     "rj1_range_join" -> rangeJoinSql,
     "rj2_interval_overlap" -> intervalOverlapJoinSql,

@@ -57,6 +57,29 @@ class AsOfJoinSpec extends AnyFunSuite {
   test("forward: equal timestamps match (>=) and the SMALLEST tie-break wins") {
     assert(fwd("e2") == (Some(200L), Some("b")))
   }
+  test("aj3: nearest dominates both single directions and exercises both sides") {
+    val dir = "/root/testdata/sf0.001"
+    val near = SparkEntry.queries("aj3_asof_nearest")(spark, dir).collect()
+    assert(near.nonEmpty)
+    val dirs = near.flatMap(r => Option(r.getAs[String]("near_dir"))).toSet
+    assert(dirs == Set("b", "f"), s"one-sided fixture: only $dirs — composition untested")
+    // the chosen |dt| must BE the per-user argmin distance over purchases
+    val purchases = graft.Tables.events(spark, dir)
+      .filter("event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL")
+      .selectExpr("user_id", "unix_micros(ts) AS pus").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("pus")))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    near.foreach { r =>
+      Option(r.getAs[java.lang.Long]("near_dt_us")).foreach { dt =>
+        val uid = r.getAs[Long]("user_id")
+        val inst = r.getAs[java.sql.Timestamp]("ts").toInstant
+        val ts = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        val best = purchases.getOrElse(uid, Seq.empty).map(o => math.abs(o - ts)).min
+        assert(dt == best, s"event ${r.getAs[Long]("event_id")}: near_dt $dt != argmin $best")
+      }
+    }
+  }
+
   test("forward: left rows after the last right row, or alien keys, get nulls") {
     val late = AsOfJoin.leftAsOfForward(
       Seq((1L, 25L, "e5")).toDF("k", "lts", "eid"), right,

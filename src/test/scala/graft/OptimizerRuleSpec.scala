@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow, WindowGroupLimit}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -39,6 +39,12 @@ class OptimizerRuleSpec extends AnyFunSuite {
     val df = idiom(s)
     val opt = df.queryExecution.optimizedPlan
     assert(!opt.exists(_.isInstanceOf[LogicalWindow]), s"Window survived:\n$opt")
+    // InferWindowGroupLimit (main batch, runs first) plants a
+    // WindowGroupLimit below the Window; the rewrite must aggregate that
+    // node's CHILD, or the group-limit's wide sort + full-input exchange
+    // survives under a degenerate aggregate (r07 regression)
+    assert(!opt.exists(_.isInstanceOf[WindowGroupLimit]),
+      s"WindowGroupLimit survived:\n$opt")
     assert(opt.exists {
       case a: Aggregate => a.aggregateExpressions.exists(_.toString.contains("min_by"))
       case _ => false
