@@ -45,7 +45,10 @@ object Tables {
       case LongType =>
         // integer division: ns values (~1.7e18) exceed double's 2^53 mantissa
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
+      // timestamp[us] isAdjustedToUTC=false reads as TIMESTAMP_NTZ; fold it
+      // into the standard type like every other table so unix_micros et al.
+      // keep analyzing regardless of how the file was encoded.
+      case _ => normalizeNtz(raw)
     }
   }
 }
