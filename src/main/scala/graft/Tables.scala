@@ -20,8 +20,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+    spread(spark,
+      if (name == "events") events(spark, dir)
+      else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet")))
+
+  /** Guard against unsplittable scans. Parquet splits at row-group
+    * granularity, so a single-row-group file collapses the whole scan — and
+    * every narrow transform above it — to ONE task no matter how many cores
+    * the session has (the driver-generated testdata is written exactly this
+    * way). When the scan yields fewer than half the session's parallelism,
+    * round-robin to full width; at production scale a scan carries thousands
+    * of splits and this is an identity (no exchange added). Filters and
+    * column pruning push through Repartition, so pushdown is unaffected.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
 
   /** Parquet isAdjustedToUTC=false timestamps surface as TIMESTAMP_NTZ in
     * Spark 4; with a UTC session the wall-clock reading is the same instant,
