@@ -22,7 +22,8 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spread(spark,
       if (name == "events") events(spark, dir)
-      else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet")))
+      else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet")),
+      s"$dir/$name.parquet")
 
   /** Guard against unsplittable scans. Parquet splits at row-group
     * granularity, so a single-row-group file collapses the whole scan — and
@@ -32,11 +33,19 @@ object Tables {
     * round-robin to full width; at production scale a scan carries thousands
     * of splits and this is an identity (no exchange added). Filters and
     * column pruning push through Repartition, so pushdown is unaffected.
+    *
+    * The probe (`df.rdd.getNumPartitions`) forces physical planning of the
+    * scan, ~100 ms of driver time — memoized per (path, parallelism): the
+    * split count of a fixed file set is a property of the files, and a gate
+    * sweep reads the same ten tables hundreds of times.
     */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+  private val spreadMemo = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
+
+  private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df
-    else df.repartition(target)
+    val needed = spreadMemo.computeIfAbsent((path, target),
+      _ => df.rdd.getNumPartitions * 2 < target)
+    if (needed) df.repartition(target) else df
   }
 
   /** Parquet isAdjustedToUTC=false timestamps surface as TIMESTAMP_NTZ in

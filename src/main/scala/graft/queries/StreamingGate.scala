@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Oracle-checked Structured Streaming entries (VERDICT r7 gap #3: the
+  * streaming surface was spec-gated only — StreamingSpec proves
+  * streaming==batch per operator, but no gate entry actually EXECUTED a
+  * streaming query against the DuckDB oracle).
+  *
+  * Each entry here runs a real micro-batch stream — file source over the
+  * events parquet, Trigger.AvailableNow, memory sink — and returns the
+  * sink table. The oracle states the append-mode watermark contract
+  * portably: a window is emitted iff its end is at or below the final
+  * watermark (max event time minus the delay), so a hash match proves
+  * Spark's watermark/eviction semantics, not just the aggregation.
+  *
+  * Scale posture: the same plan on a real cluster is the canonical
+  * watermarked tumbling aggregate — state bounded by open windows,
+  * map-side partial aggregation before the (window, type) shuffle. The
+  * memory sink and AvailableNow trigger are gate harness choices, not
+  * part of the operator.
+  */
+object StreamingGate extends QueryModule {
+
+  /** Streaming twin of Tables.events: schema from the file footer (the
+    * driver has regenerated testdata with three ts encodings so far —
+    * TIMESTAMP(NANOS) as long, us-NTZ, us-UTC), then normalize ts to the
+    * session type exactly like the batch loader so both engines agree.
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val fileSchema = s.read.parquet(path).schema
+    // the file stream source requires a directory path; select the one
+    // table out of the shared testdata dir with a glob filter
+    val raw = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ts = fileSchema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts DIV 1000"))
+      case _        => col("ts").cast(TimestampType)
+    }
+    raw.select(col("event_id"), ts.as("ts"), col("user_id"),
+      col("event_type"), col("value"))
+  }
+
+  /** Drain a streaming frame through a memory sink and return the sink
+    * table. AvailableNow processes the backlog in micro-batches and stops;
+    * the trailing no-data batch (noDataMicroBatches, on by default) lets
+    * the final watermark close windows before the query ends.
+    */
+  private def drain(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // ---------------------------------------------------------------- sw2
+  // Watermarked hourly tumbling aggregate, append mode: only windows the
+  // 10-minute watermark has closed are emitted. Cents-integer sum per the
+  // ev1 lesson (decimal->double drifts an ulp across engines).
+  private def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast(LongType)).cast(DoubleType) / lit(100.0))
+          .as("sum_value"))
+      .select(col("w.start").as("bucket_hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    drain(s, agg, "sw2_mem")
+      .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
+  // The portable statement of append-mode emission: final watermark is
+  // max(ts) - 10 minutes; an hour bucket is emitted iff bucket + 1h <=
+  // watermark. (Spark closes a window when watermark >= window.end.)
+  private val streamHourlySql =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+      |SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+      |ORDER BY bucket_hour NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- sw3
+  // Streaming session windows (30-minute gap), append mode: a session is
+  // emitted once the watermark passes its end (last event + gap). Same
+  // shape as sw1's native batch session_window, but actually executed as
+  // a stateful streaming query; the oracle is sw1's manual lag/flag
+  // construction restricted to watermark-closed sessions.
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    drain(s, agg, "sw3_mem")
+      .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first)
+  }
+
+  private val streamSessionsSql =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER win IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER win > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sid
+      |  FROM g)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |HAVING session_end <= (SELECT w FROM wm)
+      |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sw2_stream_hourly" -> (streamHourly _),
+    "sw3_stream_sessions" -> (streamSessions _))
+
+  def oracle: Map[String, String] = Map(
+    "sw2_stream_hourly" -> streamHourlySql,
+    "sw3_stream_sessions" -> streamSessionsSql)
+}
