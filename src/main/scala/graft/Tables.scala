@@ -20,31 +20,47 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spread(spark,
-      if (name == "events") events(spark, dir)
-      else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet")),
-      s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** Guard against unsplittable scans. Parquet splits at row-group
-    * granularity, so a single-row-group file collapses the whole scan — and
-    * every narrow transform above it — to ONE task no matter how many cores
-    * the session has (the driver-generated testdata is written exactly this
-    * way). When the scan yields fewer than half the session's parallelism,
-    * round-robin to full width; at production scale a scan carries thousands
-    * of splits and this is an identity (no exchange added). Filters and
-    * column pruning push through Repartition, so pushdown is unaffected.
+  /** Load a table for a COMPUTE-BOUND consumer, spreading an unsplittable
+    * scan to full session width. Parquet splits at row-group granularity,
+    * so a single-row-group file collapses the whole scan — and every narrow
+    * transform above it — to ONE task no matter how many cores the session
+    * has (the driver-generated testdata is written exactly this way; the
+    * r7 round-end sweep measured ann9 at 21.5 s single-task vs 5 s spread).
+    * When the scan yields fewer than half the session's parallelism,
+    * round-robin to full width; at production scale a scan carries
+    * thousands of splits and this is an identity (no exchange added).
+    * Filters and column pruning push through Repartition, so pushdown is
+    * unaffected.
     *
-    * The probe (`df.rdd.getNumPartitions`) forces physical planning of the
+    * Opt-in rather than default because the exchange is a net LOSS for
+    * scan/agg-bound consumers: a light aggregation over a small unsplit
+    * scan finishes faster in one task than behind an extra 32-task stage
+    * (measured: blanket spread cost the q/ev/w families +0.3–1 s each
+    * while buying the ann/dd/cur/mart families 2–4×). The consumer knows
+    * whether per-row compute dominates its scan; the loader cannot.
+    */
+  def wide(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(spark, apply(spark, dir, name), s"$dir/$name.parquet")
+
+  /** The probe (`df.rdd.getNumPartitions`) forces physical planning of the
     * scan, ~100 ms of driver time — memoized per (path, parallelism): the
     * split count of a fixed file set is a property of the files, and a gate
     * sweep reads the same ten tables hundreds of times.
     */
   private val spreadMemo = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
 
+  /** exposed for TablesSpec: a scan at less than half the session's width
+    * wastes cores; at or above half, an exchange buys nothing */
+  private[graft] def shouldSpread(scanPartitions: Int, target: Int): Boolean =
+    scanPartitions * 2 < target
+
   private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     val needed = spreadMemo.computeIfAbsent((path, target),
-      _ => df.rdd.getNumPartitions * 2 < target)
+      _ => shouldSpread(df.rdd.getNumPartitions, target))
     if (needed) df.repartition(target) else df
   }
 

@@ -30,7 +30,7 @@ import graft.functions.VectorFunctions
   */
 object Dedup extends QueryModule {
 
-  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String) = Tables.wide(s, dir, n)
 
   private val K = 12 // minhash functions
   private val B = 4 // LSH bands

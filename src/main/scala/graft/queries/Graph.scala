@@ -14,7 +14,7 @@ import graft.Tables
   */
 object Graph extends QueryModule {
 
-  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String) = Tables.wide(s, dir, n)
 
   // ---------------------------------------------------------------- tri1
   /** Oriented (u < v) distinct co-purchase edges, persisted: each graph

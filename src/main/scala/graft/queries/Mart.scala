@@ -94,8 +94,11 @@ object Mart extends QueryModule {
   }
 
   private def preDedup(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables(s, dir, "orders")
-    val lineitem = Tables(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    // fact sides spread wide: the mart hashes every column of the join
+    // product per row (the digest dedup below) — compute-bound, so an
+    // unsplit single-row-group scan must not serialize it (Tables.wide)
+    val orders = Tables.wide(s, dir, "orders")
+    val lineitem = Tables.wide(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
     val cust = Tables(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
     val nat = Tables(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
     val reg = Tables(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")

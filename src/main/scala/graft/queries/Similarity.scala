@@ -27,7 +27,7 @@ import graft.functions.{TopKAgg, TopKPayloadAgg, VectorFunctions}
   */
 object Similarity extends QueryModule {
 
-  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String) = Tables.wide(s, dir, n)
 
   private val C = 8 // IVF centroids
   private val QueryIds = Seq(0L, 1L, 2L)

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary-loader hardening pins (round 8):
+  *
+  *   - the events loader must tolerate every ts encoding the driver has
+  *     shipped so far — us-UTC, us-NTZ (the r7 regression: 10 gate
+  *     entries failed analysis when the testdata flipped to
+  *     isAdjustedToUTC=false), and nanos-as-long — always surfacing a
+  *     standard TIMESTAMP column with the same wall-clock micros;
+  *   - the single-row-group spread guard fires only on scans too narrow
+  *     for the session, and adds no exchange otherwise.
+  */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("tables_spec").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("events loader: us-UTC encoding loads as TIMESTAMP with exact micros") {
+    val dir = tmpDir()
+    spark.range(3)
+      .select(col("id").as("event_id"),
+        timestamp_micros(col("id") * 1000000L + 1755000000000000L).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables(spark, dir, "events")
+    assert(ev.schema("ts").dataType == TimestampType)
+    val micros = ev.select(unix_micros(col("ts"))).orderBy("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(micros == Seq(1755000000000000L, 1755000001000000L, 1755000002000000L))
+  }
+
+  test("events loader: us-NTZ encoding (the r7 regression) loads as TIMESTAMP") {
+    val dir = tmpDir()
+    // a UTC session reads NTZ and LTZ micros as the same instant, so the
+    // cast in normalizeNtz is wall-clock-preserving
+    spark.range(3)
+      .select(col("id").as("event_id"),
+        timestamp_micros(col("id") * 1000000L + 1755000000000000L)
+          .cast(TimestampNTZType).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assume(raw.schema("ts").dataType == TimestampNTZType,
+      "fixture did not round-trip as NTZ — encoding pin would be vacuous")
+    val ev = Tables(spark, dir, "events")
+    assert(ev.schema("ts").dataType == TimestampType)
+    // the exact expression that failed analysis in r7 must work again
+    val micros = ev.select(unix_micros(col("ts"))).orderBy("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(micros == Seq(1755000000000000L, 1755000001000000L, 1755000002000000L))
+  }
+
+  test("events loader: legacy nanos-as-long encoding floors to micros") {
+    val dir = tmpDir()
+    // the nanosAsLong flag surfaces TIMESTAMP(NANOS) as a plain long; the
+    // loader branches on LongType, so a long fixture exercises that path
+    spark.range(3)
+      .select(col("id").as("event_id"),
+        (col("id") * 1000000000L + 1755000000000000123L).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables(spark, dir, "events")
+    assert(ev.schema("ts").dataType == TimestampType)
+    val micros = ev.select(unix_micros(col("ts"))).orderBy("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    // 123 trailing ns truncate, never round up
+    assert(micros == Seq(1755000000000000L, 1755000001000000L, 1755000002000000L))
+  }
+
+  test("spread predicate: fires below half-width, identity at adequate width") {
+    // the testdata regression shape: 1 row group on a 32-way session
+    assert(Tables.shouldSpread(scanPartitions = 1, target = 32))
+    assert(Tables.shouldSpread(scanPartitions = 15, target = 32))
+    // at half width or more the exchange buys nothing
+    assert(!Tables.shouldSpread(scanPartitions = 16, target = 32))
+    assert(!Tables.shouldSpread(scanPartitions = 1000, target = 32))
+    // a production-scale scan is never spread
+    assert(!Tables.shouldSpread(scanPartitions = 8192, target = 2000))
+  }
+
+  test("wide loader is an identity on an adequately-split scan: no added exchange") {
+    // local[2] session: a 1-partition scan satisfies 1*2 >= 2, so even the
+    // wide (compute-bound-consumer) loader must NOT insert a repartition
+    val dir = tmpDir()
+    spark.range(100).select(col("id").as("r_regionkey"),
+      lit("x").as("r_name"), lit("y").as("r_comment"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val plan = Tables.wide(spark, dir, "region").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+  }
+}
