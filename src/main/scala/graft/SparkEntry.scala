@@ -12,7 +12,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] =
     Seq(Parity, Mart, Extras, Stats, YouGileQueries, Dedup, Similarity, Text,
-      Sampling, MultimodalQueries, Linkage, Graph, StreamingGate)
+      Sampling, MultimodalQueries, Linkage, Graph, StreamingGate, Analytics)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

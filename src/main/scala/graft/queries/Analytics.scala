@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-8 analytics additions: distributed closed-form model fitting and
+  * exact quantiles without a global sort — both engineered for cross-engine
+  * hash stability (every intermediate is exact integer/decimal arithmetic;
+  * the only floating step would be a final division, and even that is
+  * avoided by fixed-point ppm scaling with sign-split truncation).
+  */
+object Analytics extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String) = graft.Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- ev15
+  /** Per-event-type OLS trend of value over time, computed from exact
+    * integer moments: x = epoch seconds, y = value cents, slope =
+    * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) reported in fixed-point ppm. All four
+    * moments are DECIMAL(38,0) sums of long products (Σx² ≈ 3e23 at
+    * sf0.1 — far inside both engines' 38-digit/int128 range), so the
+    * aggregation is a single map-side-combinable groupBy: the 100 TB plan
+    * is one partial-agg shuffle carrying five numbers per event type, the
+    * same shape as a COUNT/SUM rollup. The ppm result uses
+    * sign(num) · (|num|·10⁶ div den): integral division of NONNEGATIVE
+    * operands truncates identically in Spark and DuckDB, where a signed
+    * `div` would hit their floor-vs-truncate disagreement.
+    */
+  private def trendFit(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val m = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 1000000").as("x"),
+        round(col("value") * 100).cast(LongType).as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"))
+    m.withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("mag", expr("(abs(num) * 1000000) DIV den"))
+      .select(col("event_type"), col("n"),
+        when(col("den") === 0, lit(null).cast(LongType))
+          .when(col("num") < 0, -col("mag"))
+          .otherwise(col("mag")).as("slope_ppm"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  private val trendFitSql =
+    """WITH p AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 AS x,
+      |         CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM p GROUP BY event_type),
+      |d AS (
+      |  SELECT event_type, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      |  FROM m)
+      |SELECT event_type, n,
+      |  CASE WHEN den = 0 THEN NULL
+      |       WHEN num < 0 THEN CAST(-((-num * 1000000) // den) AS BIGINT)
+      |       ELSE CAST((num * 1000000) // den AS BIGINT) END AS slope_ppm
+      |FROM d
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- qt1
+  /** Exact per-group quantiles WITHOUT a global sort: histogram the value
+    * domain per group ((lang, n_chars) partial-agg shuffle — map-side
+    * combinable, cardinality bounded by distinct values, not rows), then a
+    * per-group running sum over the compact histogram and a conditional-min
+    * pick: p-th quantile = smallest v with 100·cum(v) ≥ p·n (the discrete
+    * lower-quantile definition, integer arithmetic only). At 100 TB the
+    * window runs over per-group DISTINCT VALUE counts — thousands of rows
+    * per group, not billions — which is the standard two-shuffle exact
+    * quantile plan where a sort-based percentile would be a cluster-wide
+    * range exchange of every row.
+    */
+  private def exactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents")
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("lang").orderBy("n_chars")))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    def pick(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("n_chars")))
+    cum.groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        pick(50).as("p50_chars"), pick(90).as("p90_chars"),
+        pick(99).as("p99_chars"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val exactQuantilesSql =
+    """WITH h AS (
+      |  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, n_chars,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+      |    SUM(c) OVER (PARTITION BY lang) AS n
+      |  FROM h)
+      |SELECT lang, MAX(n) AS n_docs,
+      |  MIN(CASE WHEN cum * 100 >= n * 50 THEN n_chars END) AS p50_chars,
+      |  MIN(CASE WHEN cum * 100 >= n * 90 THEN n_chars END) AS p90_chars,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN n_chars END) AS p99_chars
+      |FROM cum GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev15_trend_fit" -> (trendFit _),
+    "qt1_exact_quantiles" -> (exactQuantiles _))
+
+  def oracle: Map[String, String] = Map(
+    "ev15_trend_fit" -> trendFitSql,
+    "qt1_exact_quantiles" -> exactQuantilesSql)
+}
