@@ -510,8 +510,53 @@ object Linkage extends QueryModule {
       |FROM lineitem GROUP BY 1, 2
       |ORDER BY l_returnflag NULLS FIRST, ship_year NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- inc2
+  /** Incremental JOIN-view refresh — the join-side sibling of inc1: with
+    * both sides of V = orders ⋈ lineitem growing, the new contribution is
+    * the delta algebra ΔV = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL; the maintained view
+    * O₀⋈L₀ is never rejoined. Both tables split on their own time axis
+    * (order date / ship date), so old orders receive new lineitems and
+    * vice versa — all three delta terms carry rows, not just the
+    * append-aligned easy case. The oracle is the full-join rebuild, so
+    * the gate hash-proves refresh ≡ rebuild.
+    *
+    * Scale posture: each delta term joins a small batch against one base
+    * (broadcast or key-shuffle of the batch side only) and ΔO⋈ΔL is
+    * batch×batch; the base⋈base product — the whole point of incremental
+    * maintenance — is read from the maintained store, not recomputed.
+    * Results roll up to (order-year, returnflag) grain with exact
+    * integer-cents revenue, keeping the gate output engine-stable.
+    */
+  private def joinRefresh(s: SparkSession, dir: String): DataFrame = {
+    val split = to_timestamp(lit(Inc1SplitTs)).cast(DateType)
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag", "l_extendedprice")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val (oa, ob) = (o.filter(col("o_orderdate") < split), o.filter(col("o_orderdate") >= split))
+    val (la, lb) = (l.filter(col("l_shipdate") < split), l.filter(col("l_shipdate") >= split))
+    val view = oa.join(la, Seq("o_orderkey"))            // maintained V = O₀⋈L₀
+      .unionByName(ob.join(la, Seq("o_orderkey")))       // ΔO⋈L₀
+      .unionByName(oa.join(lb, Seq("o_orderkey")))       // O₀⋈ΔL
+      .unionByName(ob.join(lb, Seq("o_orderkey")))       // ΔO⋈ΔL
+    view.groupBy(year(col("o_orderdate")).cast(LongType).as("order_year"),
+        col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("l_extendedprice") * 100).cast(LongType)).as("rev_e2"))
+      .orderBy(col("order_year").asc_nulls_first, col("l_returnflag").asc_nulls_first)
+  }
+
+  // full-rebuild spelling: hash-proves the delta algebra loses/duplicates nothing
+  private val joinRefreshSql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY order_year NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "inc1_agg_refresh" -> (aggRefresh _),
+    "inc2_join_refresh" -> (joinRefresh _),
     "cdc5_scd2_tombstones" -> (scd2Tombstones _),
     "fz1_fuzzy_join" -> (fuzzyJoin _),
     "cdc3_scd2_history" -> (scd2History _),
@@ -524,6 +569,7 @@ object Linkage extends QueryModule {
     "fz1_fuzzy_join" -> fuzzyJoinSql,
     "cdc5_scd2_tombstones" -> scd2TombstonesSql,
     "inc1_agg_refresh" -> aggRefreshSql,
+    "inc2_join_refresh" -> joinRefreshSql,
     "cdc3_scd2_history" -> scd2HistorySql,
     // cdc4's oracle IS the full rebuild: hash-proves merge ≡ rebuild
     "cdc4_scd2_merge" -> scd2HistorySql,

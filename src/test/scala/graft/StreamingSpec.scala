@@ -318,4 +318,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(last(2L) == UserTotals(2L, 2L, 8.0))
     } finally q.stop()
   }
+
+  test("StreamingGate entries: streaming execution equals the batch spelling of the watermark contract") {
+    // The gate's DuckDB oracle proves this cross-engine at sf0.01; this
+    // spec pins the same batch-equivalence inside CI at fixture scale:
+    // append mode emits exactly the windows/sessions whose end is at or
+    // below the final watermark (max ts - 10 min).
+    import org.apache.spark.sql.functions._
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables(s, dir, "events")
+    val wm = ev.agg(max(col("ts"))).head.getTimestamp(0).toInstant
+      .minusSeconds(600)
+
+    val streamed = SparkEntry.queries("sw2_stream_hourly")(s, dir).collect()
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / lit(100.0))
+          .as("sum_value"))
+      .filter(col("w.end") <= lit(Timestamp.from(wm)))
+      .select(col("w.start").as("bucket_hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
+      .collect()
+    assert(streamed.nonEmpty, "vacuous: no closed windows at fixture scale")
+    assert(streamed.toSeq == batch.toSeq)
+
+    val streamedSess = SparkEntry.queries("sw3_stream_sessions")(s, dir).collect()
+    val batchSess = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("w.end") <= lit(Timestamp.from(wm)))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first)
+      .collect()
+    assert(streamedSess.nonEmpty, "vacuous: no closed sessions at fixture scale")
+    assert(streamedSess.toSeq == batchSess.toSeq)
+  }
 }
