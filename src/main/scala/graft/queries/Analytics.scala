@@ -115,11 +115,64 @@ object Analytics extends QueryModule {
       |FROM cum GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev16
+  /** Ordered conversion funnel view → click → purchase, each user counted
+    * at a stage iff the stage event happens AT OR AFTER the previous
+    * stage's earliest qualifying event and within one day of the first
+    * view. Each stage is one filtered aggregate joined to the previous
+    * stage's per-user frame — no window over the event stream and no
+    * self-join of events against events: stage frames are one row per
+    * user, so the joins are key-shuffles of user-grain frames (broadcast
+    * candidates at any realistic funnel selectivity).
+    */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("t2") &&
+        col("ts") <= col("t1") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(v, "1_view").unionByName(stage(c, "2_click")).unionByName(stage(p, "3_purchase"))
+      .orderBy(col("stage").asc_nulls_first)
+  }
+
+  private val funnelSql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(v.t1) AS t1
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts >= c.t2 AND e.ts <= c.t1 + INTERVAL 1 DAY
+      |  GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', COUNT(*) FROM c
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+      |ORDER BY stage NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev15_trend_fit" -> (trendFit _),
+    "ev16_funnel" -> (funnel _),
     "qt1_exact_quantiles" -> (exactQuantiles _))
 
   def oracle: Map[String, String] = Map(
     "ev15_trend_fit" -> trendFitSql,
+    "ev16_funnel" -> funnelSql,
     "qt1_exact_quantiles" -> exactQuantilesSql)
 }

@@ -1194,9 +1194,61 @@ object Similarity extends QueryModule {
       |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_ppm
       |FROM agg ORDER BY dim NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ann10
+  /** DIVERSIFIED top-k — retrieval with a per-group result cap (≤2 hits
+    * per label), the "don't return ten near-identical passages from one
+    * source" constraint every RAG/training-retrieval stack bolts on.
+    * Both stages are bounded aggregators, NOT windows: per-(query, label)
+    * top-2 runs as a map-side 2-element buffer (only 2 rows per
+    * query×label×partition cross the exchange), and the survivors —
+    * at most 2·|labels| per query — feed the same bounded top-10. A
+    * row_number spelling would shuffle every scored row to its query's
+    * partition; this plan never does. TopKAgg's (score desc, id asc)
+    * total order matches the oracle's two chained row_numbers exactly.
+    */
+  private def diversifiedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), quantExpr.as("q"))
+    val queries = emb.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val top2 = udaf(new TopKAgg(2))
+    val top10 = udaf(new TopKAgg(10))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("q")).as("score"))
+    val perLabel = scored.groupBy("query_id", "label")
+      .agg(top2(col("score"), col("neighbor_id")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit.score").as("score"), col("hit.id").as("neighbor_id"))
+    explodeHits(perLabel.groupBy("query_id")
+      .agg(top10(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  private val diversifiedTopKSql =
+    """WITH emb AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |queries AS (SELECT vec_id AS query_id, q AS qv FROM emb WHERE vec_id IN (0, 1, 2)),
+      |scored AS (
+      |  SELECT query_id, e.label, e.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.q[i])) AS BIGINT) AS score
+      |  FROM queries JOIN emb e ON e.vec_id <> query_id),
+      |lab AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id, label ORDER BY score DESC, neighbor_id) AS lr
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM lab WHERE lr <= 2)
+      |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb5_dim_profile" -> (dimProfile _),
     "dd13_semantic_dedup" -> (semanticDedup _),
+    "ann10_topk_diversified" -> (diversifiedTopK _),
     "ann8_topk_filtered" -> (filteredTopK _),
     "emb4_centroid_separation" -> (centroidSeparation _),
     "emb3_cluster_audit" -> (clusterAudit _),
@@ -1216,6 +1268,7 @@ object Similarity extends QueryModule {
     "emb5_dim_profile" -> dimProfileSql,
     "dd13_semantic_dedup" -> semanticDedupSql,
     "ann8_topk_filtered" -> filteredTopKSql,
+    "ann10_topk_diversified" -> diversifiedTopKSql,
     "emb4_centroid_separation" -> centroidSeparationSql,
     "emb3_cluster_audit" -> clusterAuditSql,
     "ann5_topk_pq" -> pqTopKSql,
