@@ -11,12 +11,15 @@ import graft.Tables
   * per partition and streams an iterator, so per-row setup cost is
   * amortised exactly like a batch UDF.
   *
-  * The actual codec work is STUBBED: this container has no imaging/audio
-  * libraries, so `NativeDecoder` is an explicit `???` seam and
-  * `FakeDecoder` produces deterministic features from the raw bytes. The
-  * Spark-side contract — schema, encoders, batch shape, partitioning — is
-  * real and tested; swapping a JNI/FFI decoder in changes nothing above
-  * the `MediaDecoder` trait.
+  * Decode splits by container class: UNCOMPRESSED formats (RIFF/PCM WAV,
+  * 24-bpp BMP) are parsed for real in pure JVM ([[RawCodec]] — actual
+  * sample rates, dimensions, pixel/sample statistics from the payload
+  * bytes); COMPRESSED codecs (JPEG/H.264/MP3) need native libraries this
+  * container lacks, so `NativeDecoder` stays an explicit `???` seam and
+  * `FakeDecoder` produces deterministic features from the raw bytes for
+  * fixture payloads. The Spark-side contract — schema, encoders, batch
+  * shape, partitioning — is identical across all three; swapping a
+  * JNI/FFI codec in changes nothing above the `MediaDecoder` trait.
   *
   * Scale posture: binary payloads dominate row size, so partition byte
   * targets (`spark.sql.files.maxPartitionBytes`) — not row counts —
@@ -77,9 +80,12 @@ object Multimodal {
     }
   }
 
-  /** Real-codec seam — deliberately unimplemented in this environment
-    * (no image/audio libraries in the container). A production build
-    * binds an FFI/JNI codec here; everything above this trait is final.
+  /** COMPRESSED-codec seam — deliberately unimplemented in this
+    * environment (JPEG/H.264/MP3 need native libraries the container
+    * lacks). A production build binds an FFI/JNI codec here; everything
+    * above this trait is final. Uncompressed containers do NOT go
+    * through this seam — [[RawCodec.RawCodecDecoder]] decodes WAV/BMP
+    * for real in pure JVM.
     */
   object NativeDecoder extends MediaDecoder {
     override def features(m: MediaFile): MediaFeatures =

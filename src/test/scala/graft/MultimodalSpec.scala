@@ -106,4 +106,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(swept == brute, s"banded sweep ${swept.size} pairs vs brute ${brute.size}")
     assert(brute.nonEmpty, "fixture produced no near-dup frames — vacuous pin")
   }
+
+  test("RawCodec: real WAV decode from payload bytes (rate, frames, duration, amplitude)") {
+    import graft.multimodal.RawCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-assemble a 44-byte-header RIFF/PCM WAV: 8000 Hz mono 16-bit,
+    // 8 samples alternating +1000/-1000
+    val samples = Array.tabulate[Short](8)(i => if (i % 2 == 0) 1000 else -1000)
+    val dataSize = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    val wav = bb.array()
+
+    val info = RawCodec.parseWav(wav).getOrElse(fail("WAV did not parse"))
+    assert(info.channels == 1 && info.sampleRate == 8000 && info.bitsPerSample == 16)
+    assert(info.nSamples == 8)
+    assert(info.durationMs == 1) // 8 / 8000 s
+    assert(info.meanAbsAmplitude == 1000.0)
+    // corrupt magic must be rejected, not crash
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    assert(RawCodec.parseWav(bad).isEmpty)
+  }
+
+  test("RawCodec: real BMP decode from payload bytes (dims, mean channel, padding skipped)") {
+    import graft.multimodal.RawCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 2x2 24-bpp BMP: rowBytes=6, stride=8 (2 padding bytes per row).
+    // Pixels chosen so the mean is exact: all channel bytes = 10 except
+    // one = 22 -> mean over 12 channel bytes = 11.
+    val stride = 8
+    val dataOffset = 54
+    val bb = ByteBuffer.allocate(dataOffset + stride * 2).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(dataOffset + stride * 2)
+      .putInt(0).putInt(dataOffset)
+    bb.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24).putInt(0)
+      .putInt(stride * 2).putInt(0).putInt(0).putInt(0).putInt(0)
+    val px = Array.fill[Byte](stride * 2)(10)
+    px(0) = 22           // first channel byte of bottom row
+    px(6) = 99; px(7) = 99 // PADDING bytes - must NOT affect the mean
+    bb.put(px)
+    val bmp = bb.array()
+
+    val info = RawCodec.parseBmp(bmp).getOrElse(fail("BMP did not parse"))
+    assert(info.width == 2 && info.height == 2 && info.bitsPerPixel == 24)
+    assert(info.meanChannel == 11.0)
+    assert(RawCodec.parseBmp(bmp.take(30)).isEmpty) // truncated header rejected
+  }
+
+  test("RawCodecDecoder: Spark batch extraction decodes real containers, falls back on others") {
+    import spark.implicits._
+    import graft.multimodal.RawCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.allocate(44 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(1000).putInt(2000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(4).putShort(512).putShort(-512)
+    val wav = bb.array()
+    val meta = MediaMeta("raw", 0, 0, 0L)
+    val files = Seq(
+      MediaFile(1L, "audio", wav, meta),
+      MediaFile(2L, "image", "not a container".getBytes("UTF-8"), meta))
+    val out = Multimodal.extractFeatures(spark.createDataset(files), RawCodec.RawCodecDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    // real decode: 2 PCM frames, mean |sample|/256 = 512/256 = 2.0
+    assert(out(1L).n_frames == 2)
+    assert(out(1L).mean_byte == 2.0)
+    // non-container payload: FakeDecoder raw-byte statistics (1 frame, byte mean)
+    val raw = "not a container".getBytes("UTF-8")
+    assert(out(2L).n_frames == 1)
+    assert(out(2L).mean_byte == raw.map(_ & 0xff).sum.toDouble / raw.length)
+  }
 }
