@@ -166,13 +166,58 @@ object Analytics extends QueryModule {
       |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
       |ORDER BY stage NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- qt2
+  /** WEIGHTED quantiles over the same histogram machinery as qt1 — each
+    * document weighted by its length, answering the token-budget question
+    * "what document size covers p% of the corpus VOLUME per language?"
+    * (p50 here is the size-biased median: half the characters live in
+    * documents at or below it). Identical scale shape to qt1 — the only
+    * change is the running sum accumulating Σ(v·count) instead of
+    * Σcount, still exact integer arithmetic end to end.
+    */
+  private def weightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents")
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w", col("n_chars") * col("c"))
+    val cum = hist
+      .withColumn("wcum", sum("w").over(
+        Window.partitionBy("lang").orderBy("n_chars")))
+      .withColumn("wn", sum("w").over(Window.partitionBy("lang")))
+    def pick(p: Int) =
+      min(when(col("wcum") * 100 >= col("wn") * p, col("n_chars")))
+    cum.groupBy("lang")
+      .agg(max(col("wn")).as("total_chars"),
+        pick(50).as("wp50_chars"), pick(90).as("wp90_chars"),
+        pick(99).as("wp99_chars"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val weightedQuantilesSql =
+    """WITH h AS (
+      |  SELECT lang, n_chars, COUNT(*) AS c, n_chars * COUNT(*) AS w
+      |  FROM documents GROUP BY lang, n_chars),
+      |cum AS (
+      |  SELECT lang, n_chars,
+      |    SUM(w) OVER (PARTITION BY lang ORDER BY n_chars) AS wcum,
+      |    SUM(w) OVER (PARTITION BY lang) AS wn
+      |  FROM h)
+      |SELECT lang, MAX(wn) AS total_chars,
+      |  MIN(CASE WHEN wcum * 100 >= wn * 50 THEN n_chars END) AS wp50_chars,
+      |  MIN(CASE WHEN wcum * 100 >= wn * 90 THEN n_chars END) AS wp90_chars,
+      |  MIN(CASE WHEN wcum * 100 >= wn * 99 THEN n_chars END) AS wp99_chars
+      |FROM cum GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev15_trend_fit" -> (trendFit _),
     "ev16_funnel" -> (funnel _),
-    "qt1_exact_quantiles" -> (exactQuantiles _))
+    "qt1_exact_quantiles" -> (exactQuantiles _),
+    "qt2_weighted_quantiles" -> (weightedQuantiles _))
 
   def oracle: Map[String, String] = Map(
     "ev15_trend_fit" -> trendFitSql,
     "ev16_funnel" -> funnelSql,
-    "qt1_exact_quantiles" -> exactQuantilesSql)
+    "qt1_exact_quantiles" -> exactQuantilesSql,
+    "qt2_weighted_quantiles" -> weightedQuantilesSql)
 }

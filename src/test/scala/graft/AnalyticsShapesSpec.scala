@@ -565,4 +565,44 @@ class AnalyticsShapesSpec extends AnyFunSuite {
       assert(merged.toSeq == spans.toSeq, s"user $u spans differ from serial merge")
     }
   }
+
+  test("r8 analytics plan shapes: bounded aggregators not windows (ann10), shared window exchange (qt1), one-shuffle moments (ev15)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    // AQE wraps the tree in an unexecuted AdaptiveSparkPlan, hiding the
+    // inner operators from collect - pin the static plan like the bkt1/
+    // dd10 posture tests do
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    def plan(name: String) = org.apache.spark.sql.GraftShims
+      .dropTopLevelSort(SparkEntry.queries(name)(s, dir)).queryExecution.executedPlan
+    try {
+
+    // ann10: the diversity cap must run as chained bounded aggregators -
+    // a row_number spelling would put a WindowExec over every scored row
+    val a10 = plan("ann10_topk_diversified")
+    assert(a10.collect { case w: WindowExec => w }.isEmpty,
+      s"ann10 uses a window over scored rows:\n$a10")
+    assert(a10.collect { case o: ObjectHashAggregateExec => o }.size >= 2,
+      s"ann10 missing the two bounded top-k aggregate stages:\n$a10")
+
+    // qt1: both windows share one (lang) exchange, and the final per-lang
+    // aggregate reuses that partitioning - histogram agg + window = 2
+    // shuffles total, nothing over raw rows
+    val q1 = plan("qt1_exact_quantiles")
+    val q1shuffles = q1.collect { case e: ShuffleExchangeLike => e }
+    assert(q1shuffles.size == 2,
+      s"qt1 expected 2 shuffles (histogram + lang window), got ${q1shuffles.size}:\n$q1")
+
+    // ev15: one partial-agg shuffle carries five numbers per group; the
+    // slope arithmetic must not add exchanges
+    val e15 = plan("ev15_trend_fit")
+    val e15shuffles = e15.collect { case e: ShuffleExchangeLike => e }
+    assert(e15shuffles.size == 1,
+      s"ev15 expected exactly 1 shuffle, got ${e15shuffles.size}:\n$e15")
+    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
