@@ -35,6 +35,11 @@ object VectorFunctions {
     GraftShims.column(org.apache.spark.sql.graft.SortedIntersectCount(
       GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** Long-array sibling of [[sortedIntersectCount]] (primitive merge). */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    GraftShims.column(org.apache.spark.sql.graft.SortedLongIntersectCount(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
   /** Probe a driver-built `util.sketch.BloomFilter` (serialized bytes).
     * Not in the SQL-name registry: the filter bytes aren't expressible
     * as a SQL literal users should type.
