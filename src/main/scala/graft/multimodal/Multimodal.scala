@@ -56,6 +56,36 @@ object Multimodal {
       .as[MediaFile]
   }
 
+  /** REAL-container media table for the mm6 decode gate: every payload
+    * is a structurally valid uncompressed container built byte-for-byte
+    * on the executors — RIFF/PCM WAV for even ids, 24-bpp BMP for odd —
+    * with deterministic per-id geometry and sample/pixel functions
+    * ([[RawCodec.synthWav]]/[[RawCodec.synthBmp]]). The decoded features
+    * therefore have closed forms an oracle can state over `doc_id`,
+    * which makes the real parse path hash-checkable: a wrong chunk
+    * offset, sample width, or stride-padding bug in [[RawCodec]] breaks
+    * the gate. One media row per 50 documents — the gate exercises the
+    * plumbing, not payload volume.
+    */
+  def rawMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 50 === 0)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        if (id % 2 == 0) {
+          val channels = (1 + (id / 2) % 2).toInt
+          val frames = (64 + id % 64).toInt
+          MediaFile(id, "audio", RawCodec.synthWav(id, channels, 8000, frames),
+            MediaMeta("wav", 0, 0, frames * 1000L / 8000))
+        } else {
+          val w = (5 + id % 12).toInt
+          val h = (4 + id % 8).toInt
+          MediaFile(id, "image", RawCodec.synthBmp(id, w, h), MediaMeta("bmp", w, h, 0L))
+        }
+      })
+  }
+
   /** The decode seam. Implementations must be deterministic per byte
     * content (idempotent re-runs, cross-run joins).
     */

@@ -119,6 +119,60 @@ object RawCodec {
     Some(BmpInfo(width, height, bpp, if (n == 0) 0.0 else sum.toDouble / n))
   }
 
+  /** Deterministic RIFF/PCM WAV payload — the writer inverse of
+    * [[parseWav]], used by the mm6 gate so the REAL decode path runs
+    * under an oracle: sample i = ((seed·31 + i·7) mod 65536) − 32768,
+    * a closed form DuckDB can restate, so the decoded mean |amplitude|
+    * hash-checks the parser's chunk walk and sample arithmetic.
+    */
+  def synthWav(seed: Long, channels: Int, rate: Int, frames: Int): Array[Byte] = {
+    val total = frames * channels
+    val dataSize = total * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)); buf.putInt(36 + dataSize)
+    buf.put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)); buf.putInt(16)
+    buf.putShort(1); buf.putShort(channels.toShort); buf.putInt(rate)
+    buf.putInt(rate * channels * 2); buf.putShort((channels * 2).toShort); buf.putShort(16)
+    buf.put("data".getBytes(ascii)); buf.putInt(dataSize)
+    var i = 0
+    while (i < total) {
+      buf.putShort((((seed * 31 + i * 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic 24-bpp BMP payload, writer inverse of [[parseBmp]]:
+    * pixel byte i of (bottom-up) row r = (seed + r·13 + i·7) mod 256,
+    * rows padded to 4-byte stride with zeros — widths are chosen by the
+    * mm6 entry to NOT be stride-aligned, so the oracle match proves the
+    * parser skips padding correctly.
+    */
+  def synthBmp(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val stride = (rowBytes + 3) & ~3
+    val size = 54 + stride * height
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte); buf.put('M'.toByte); buf.putInt(size)
+    buf.putInt(0); buf.putInt(54)
+    buf.putInt(40); buf.putInt(width); buf.putInt(height)
+    buf.putShort(1); buf.putShort(24)
+    buf.putInt(0); buf.putInt(stride * height)
+    buf.putInt(2835); buf.putInt(2835); buf.putInt(0); buf.putInt(0)
+    var r = 0
+    while (r < height) {
+      var i = 0
+      while (i < rowBytes) {
+        buf.put(54 + r * stride + i, ((seed + r * 13 + i * 7) % 256).toByte)
+        i += 1
+      }
+      r += 1
+    }
+    buf.array()
+  }
+
   /** [[MediaDecoder]] over real uncompressed containers: WAV payloads get
     * PCM statistics (mean_byte = mean |sample| / 256 — byte scale so the
     * column is comparable across kinds; n_frames = PCM frame count), BMP

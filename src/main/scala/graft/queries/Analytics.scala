@@ -21,7 +21,12 @@ object Analytics extends QueryModule {
     * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) reported in fixed-point ppm. All four
     * moments are DECIMAL(38,0) sums of long products (Σx² ≈ 3e23 at
     * sf0.1 — far inside both engines' 38-digit/int128 range), so the
-    * aggregation is a single map-side-combinable groupBy: the 100 TB plan
+    * aggregation is a single map-side-combinable groupBy. The squared/cross
+    * moments cast ONE OPERAND to decimal BEFORE the multiply (x·x ≈ 3e18
+    * would sit only 3× under Long.MaxValue as long·long, silently wrapping
+    * with ANSI off for timestamps past ~2065, while the oracle multiplies in
+    * HUGEINT) — decimal-first multiplication keeps both engines exact. The
+    * 100 TB plan
     * is one partial-agg shuffle carrying five numbers per event type, the
     * same shape as a COUNT/SUM rollup. The ppm result uses
     * sign(num) · (|num|·10⁶ div den): integral division of NONNEGATIVE
@@ -39,8 +44,8 @@ object Analytics extends QueryModule {
         count(lit(1)).as("n"),
         sum(col("x").cast(d38)).as("sx"),
         sum(col("y").cast(d38)).as("sy"),
-        sum((col("x") * col("x")).cast(d38)).as("sxx"),
-        sum((col("x") * col("y")).cast(d38)).as("sxy"))
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"))
     m.withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("mag", expr("(abs(num) * 1000000) DIV den"))
@@ -89,7 +94,7 @@ object Analytics extends QueryModule {
       .agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("cum", sum("c").over(
-        Window.partitionBy("lang").orderBy("n_chars")))
+        Window.partitionBy("lang").orderBy(col("n_chars").asc_nulls_first)))
       .withColumn("n", sum("c").over(Window.partitionBy("lang")))
     def pick(p: Int) =
       min(when(col("cum") * 100 >= col("n") * p, col("n_chars")))
@@ -105,10 +110,10 @@ object Analytics extends QueryModule {
       |  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
       |cum AS (
       |  SELECT lang, n_chars,
-      |    SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY n_chars NULLS FIRST) AS cum,
       |    SUM(c) OVER (PARTITION BY lang) AS n
       |  FROM h)
-      |SELECT lang, MAX(n) AS n_docs,
+      |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
       |  MIN(CASE WHEN cum * 100 >= n * 50 THEN n_chars END) AS p50_chars,
       |  MIN(CASE WHEN cum * 100 >= n * 90 THEN n_chars END) AS p90_chars,
       |  MIN(CASE WHEN cum * 100 >= n * 99 THEN n_chars END) AS p99_chars
@@ -182,7 +187,7 @@ object Analytics extends QueryModule {
       .withColumn("w", col("n_chars") * col("c"))
     val cum = hist
       .withColumn("wcum", sum("w").over(
-        Window.partitionBy("lang").orderBy("n_chars")))
+        Window.partitionBy("lang").orderBy(col("n_chars").asc_nulls_first)))
       .withColumn("wn", sum("w").over(Window.partitionBy("lang")))
     def pick(p: Int) =
       min(when(col("wcum") * 100 >= col("wn") * p, col("n_chars")))
@@ -199,10 +204,10 @@ object Analytics extends QueryModule {
       |  FROM documents GROUP BY lang, n_chars),
       |cum AS (
       |  SELECT lang, n_chars,
-      |    SUM(w) OVER (PARTITION BY lang ORDER BY n_chars) AS wcum,
+      |    SUM(w) OVER (PARTITION BY lang ORDER BY n_chars NULLS FIRST) AS wcum,
       |    SUM(w) OVER (PARTITION BY lang) AS wn
       |  FROM h)
-      |SELECT lang, MAX(wn) AS total_chars,
+      |SELECT lang, CAST(MAX(wn) AS BIGINT) AS total_chars,
       |  MIN(CASE WHEN wcum * 100 >= wn * 50 THEN n_chars END) AS wp50_chars,
       |  MIN(CASE WHEN wcum * 100 >= wn * 90 THEN n_chars END) AS wp90_chars,
       |  MIN(CASE WHEN wcum * 100 >= wn * 99 THEN n_chars END) AS wp99_chars

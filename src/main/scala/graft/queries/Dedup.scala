@@ -179,6 +179,16 @@ object Dedup extends QueryModule {
         col("kv.band_id").as("band_id") :+ col("kv.sig").as("sig"): _*)
   }
 
+  /** The verified near-dup pair table, memoized: dd7/ds6/cur3 all derive
+    * from EXACTLY this frame (pairs are tiny next to the corpus — only
+    * docs sharing an LSH band survive), and each rebuilt the full
+    * shingle→minhash→band→verify pipeline in r8 (VERDICT r08 #4). The
+    * dd2 gate entry itself stays un-memoized so its bench time measures
+    * the real pipeline.
+    */
+  private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.memoize(s, s"dedup.minhashPairs:$dir")(minhashPairs(s, dir))
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // The shingle sets feed three consumers (both self-join sides + the
     // verify stage) and the band signatures two — persist them instead of
@@ -427,7 +437,7 @@ object Dedup extends QueryModule {
     * all nodes that can reach it in a recursive CTE.
     */
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
+    val pairs = minhashPairsShared(s, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     graft.operators.ConnectedComponents.run(pairs)
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
@@ -475,7 +485,7 @@ object Dedup extends QueryModule {
     * the split itself is a map-side hash gate like ds1.
     */
   private def clusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
+    val pairs = minhashPairsShared(s, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val cc = graft.operators.ConnectedComponents.run(pairs)
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
@@ -876,7 +886,7 @@ object Dedup extends QueryModule {
     */
   private def canonicalPick(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashPairs(s, dir)
+    val pairs = minhashPairsShared(s, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val cc = graft.operators.ConnectedComponents.run(pairs)
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))

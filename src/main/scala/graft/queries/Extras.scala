@@ -1372,7 +1372,9 @@ object Extras extends QueryModule {
   private def medianImpute(s: SparkSession, dir: String): DataFrame = {
     val qn = when(col("l_quantity") < 5.0, lit(null).cast(LongType))
       .otherwise(round(col("l_quantity")).cast(LongType))
-    t(s, dir, "lineitem")
+    // wide: exact-percentile agg over the full fact table is compute-bound
+    // and the single-row-group scan would run it in ONE task (r8: 5.6×)
+    Tables.wide(s, dir, "lineitem")
       .select(col("l_returnflag"), qn.as("qn"))
       .groupBy("l_returnflag")
       .agg(

@@ -34,8 +34,14 @@ object Graph extends QueryModule {
     */
   private[graft] val MaxOrderSetSize = 2000
 
+  /** Memoized via [[graft.SharedFrames]]: tri1 and the directed variant's
+    * three consumers (pr1/g2/g3) each need the identical co-purchase edge
+    * frame, and the r8 sweep paid the build 4× (VERDICT r08 #4). The
+    * Sized variants stay un-memoized so LinkageSpec can force fallbacks.
+    */
   private def orientedEdges(s: SparkSession, dir: String): DataFrame =
-    orientedEdgesSized(s, dir, MaxOrderSetSize)
+    graft.SharedFrames.memoize(s, s"graph.orientedEdges:$dir")(
+      orientedEdgesSized(s, dir, MaxOrderSetSize))
 
   /** NOTE: like [[triangleCensusSized]], CONSTRUCTING this plan runs a
     * Spark job — the probe measures max per-order set size (one scan of
@@ -88,7 +94,8 @@ object Graph extends QueryModule {
   }
 
   private def directedEdges(s: SparkSession, dir: String): DataFrame =
-    directedEdgesSized(s, dir, MaxOrderSetSize)
+    graft.SharedFrames.memoize(s, s"graph.directedEdges:$dir")(
+      directedEdgesSized(s, dir, MaxOrderSetSize))
 
   /** Both-direction edge frame for the Pregel-style entries (pr1/g2),
     * built in ONE pass: the pair explosion emits (x,y) AND (y,x) per

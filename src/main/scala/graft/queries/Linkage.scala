@@ -491,9 +491,15 @@ object Linkage extends QueryModule {
     def aggSide(df: DataFrame, n: String, q: String) =
       df.groupBy(col("l_returnflag"), year(col("l_shipdate")).cast(LongType).as("ship_year"))
         .agg(count(lit(1)).as(n), sum(qtyE2).as(q))
-    val li = t(s, dir, "lineitem")
+    // wide: per-row round/cast over the full fact table; the unsplit
+    // single-row-group scan must not serialize it (r8 driver: inc1 10.3×)
+    val li = graft.Tables.wide(s, dir, "lineitem")
     val split = to_timestamp(lit(Inc1SplitTs))
-    val maintained = aggSide(li.filter(col("l_shipdate") < split), "n_a", "q_a")
+    // null ship dates go to the maintained side: the two filters must
+    // PARTITION every row (refresh ≡ rebuild), and `< split` alone drops
+    // NULLs from both sides
+    val maintained = aggSide(
+      li.filter(col("l_shipdate") < split || col("l_shipdate").isNull), "n_a", "q_a")
     val delta = aggSide(li.filter(col("l_shipdate") >= split), "n_b", "q_b")
     maintained.join(delta, Seq("l_returnflag", "ship_year"), "full_outer")
       .select(col("l_returnflag"), col("ship_year"),
@@ -529,11 +535,17 @@ object Linkage extends QueryModule {
     */
   private def joinRefresh(s: SparkSession, dir: String): DataFrame = {
     val split = to_timestamp(lit(Inc1SplitTs)).cast(DateType)
-    val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
-    val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag", "l_extendedprice")
+    // wide on both fact scans: four joins + union feed off them (r8: 2.3×)
+    val o = graft.Tables.wide(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    val l = graft.Tables.wide(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_returnflag", "l_extendedprice")
       .withColumnRenamed("l_orderkey", "o_orderkey")
-    val (oa, ob) = (o.filter(col("o_orderdate") < split), o.filter(col("o_orderdate") >= split))
-    val (la, lb) = (l.filter(col("l_shipdate") < split), l.filter(col("l_shipdate") >= split))
+    // each split must PARTITION its table incl. NULL dates (the rebuild
+    // oracle keeps them); base side takes the nulls
+    val (oa, ob) = (o.filter(col("o_orderdate") < split || col("o_orderdate").isNull),
+      o.filter(col("o_orderdate") >= split))
+    val (la, lb) = (l.filter(col("l_shipdate") < split || col("l_shipdate").isNull),
+      l.filter(col("l_shipdate") >= split))
     val view = oa.join(la, Seq("o_orderkey"))            // maintained V = O₀⋈L₀
       .unionByName(ob.join(la, Seq("o_orderkey")))       // ΔO⋈L₀
       .unionByName(oa.join(lb, Seq("o_orderkey")))       // O₀⋈ΔL

@@ -208,17 +208,60 @@ object MultimodalQueries extends QueryModule {
        |  media_b NULLS FIRST, idx_b NULLS FIRST""".stripMargin
   }
 
+  // mm6: the REAL decode path under the oracle. Payloads are structurally
+  // valid WAV/BMP containers built byte-for-byte on the executors
+  // (Multimodal.rawMediaTable); RawCodecDecoder parses them back — chunk
+  // walk, fmt fields, sample loop, stride padding — and the oracle states
+  // the decoded statistics in closed form over doc_id (sample i =
+  // (id·31+i·7) mod 2^16 − 2^15; pixel (r,i) = (id+13r+7i) mod 256). A
+  // parser bug (wrong offset, signedness, padding) diverges mean_byte /
+  // n_frames and fails the hash. content_hash stays out of the gate
+  // projection (DuckDB cannot md5 constructed BLOBs) — MultimodalSpec
+  // pins the full round-trip including it.
+  private def mm6(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.rawMediaTable(s, dir), graft.multimodal.RawCodec.RawCodecDecoder)
+      .toDF()
+      .select("media_id", "kind", "n_bytes", "mean_byte", "n_frames")
+      .orderBy(col("media_id").asc_nulls_first)
+
+  private val mm6Sql =
+    """WITH src AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+      |wav AS (
+      |  SELECT doc_id AS media_id, 'audio' AS kind,
+      |    CAST(44 + 2 * ((64 + doc_id % 64) * (1 + (doc_id // 2) % 2)) AS INT) AS n_bytes,
+      |    CAST(list_sum(list_transform(
+      |        range(0, (64 + doc_id % 64) * (1 + (doc_id // 2) % 2)),
+      |        i -> abs(((doc_id * 31 + i * 7) % 65536) - 32768))) AS DOUBLE)
+      |      / ((64 + doc_id % 64) * (1 + (doc_id // 2) % 2)) / 256 AS mean_byte,
+      |    CAST(64 + doc_id % 64 AS INT) AS n_frames
+      |  FROM src WHERE doc_id % 2 = 0),
+      |bmp AS (
+      |  SELECT doc_id AS media_id, 'image' AS kind,
+      |    CAST(54 + ((3 * (5 + doc_id % 12) + 3) // 4 * 4) * (4 + doc_id % 8) AS INT) AS n_bytes,
+      |    CAST(list_sum(list_transform(
+      |        range(0, (4 + doc_id % 8) * 3 * (5 + doc_id % 12)),
+      |        j -> (doc_id + (j // (3 * (5 + doc_id % 12))) * 13
+      |              + (j % (3 * (5 + doc_id % 12))) * 7) % 256)) AS DOUBLE)
+      |      / ((4 + doc_id % 8) * 3 * (5 + doc_id % 12)) AS mean_byte,
+      |    CAST(1 AS INT) AS n_frames
+      |  FROM src WHERE doc_id % 2 = 1)
+      |SELECT * FROM wav UNION ALL SELECT * FROM bmp
+      |ORDER BY media_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_summary" -> (mm1 _),
     "mm2_decode_features" -> (mm2 _),
     "mm3_frame_sample" -> (mm3 _),
     "mm4_frame_dedup" -> (mm4 _),
-    "mm5_frame_neardup" -> (mm5 _))
+    "mm5_frame_neardup" -> (mm5 _),
+    "mm6_raw_decode" -> (mm6 _))
 
   override val oracle: Map[String, String] = Map(
     "mm1_media_summary" -> mm1Sql,
     "mm2_decode_features" -> mm2Sql,
     "mm3_frame_sample" -> mm3Sql,
     "mm4_frame_dedup" -> mm4Sql,
-    "mm5_frame_neardup" -> mm5Sql)
+    "mm5_frame_neardup" -> mm5Sql,
+    "mm6_raw_decode" -> mm6Sql)
 }

@@ -290,7 +290,9 @@ object Parity extends QueryModule {
   // C3 (coalesce of alternative slots). DuckDB list index is 1-based vs
   // Spark getItem 0-based; getItem past the end is null in both.
   private def scalarStrings(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
+    // wide: four split/translate per row × full table; single-task on the
+    // unsplit testdata layout (r8 driver sweep: 3.4×)
+    graft.Tables.wide(s, dir, "orders")
       .withColumn("slot1", when(col("o_orderkey") % 2 === 0, col("o_orderstatus")))
       .withColumn("slot2", when(col("o_orderkey") % 2 =!= 0, col("o_orderstatus")))
       .select(

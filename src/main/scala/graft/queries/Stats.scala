@@ -575,7 +575,9 @@ object Stats extends QueryModule {
 
   private def histogram(s: SparkSession, dir: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast(LongType)
-    t(s, dir, "orders")
+    // wide: per-row bucket math over the whole table in one task otherwise
+    // (r8 driver sweep: 4.4× the spread recording)
+    graft.Tables.wide(s, dir, "orders")
       .select(least(
         lit(HistBuckets - 1),
         floor(cents.cast(DoubleType) / lit(HistWidthUnits * 100.0)).cast(LongType)
@@ -1122,13 +1124,15 @@ object Stats extends QueryModule {
   // engine-private — the explicit comparisons are the portable spelling.
   private def equiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast(LongType)
-    val edges = t(s, dir, "orders")
+    // wide on both passes: exact percentile + bucket map are compute-bound
+    // over a single-row-group scan (r8 driver sweep: 4.0×)
+    val edges = graft.Tables.wide(s, dir, "orders")
       .agg(percentile(cents, array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
       .select(
         floor(col("q")(0)).cast(LongType).as("q1"),
         floor(col("q")(1)).cast(LongType).as("q2"),
         floor(col("q")(2)).cast(LongType).as("q3"))
-    t(s, dir, "orders")
+    graft.Tables.wide(s, dir, "orders")
       .select(cents.as("c"))
       .join(broadcast(edges))
       .select(

@@ -17,7 +17,11 @@ import graft.Tables
   */
 object Text extends QueryModule {
 
-  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  // wide: every tx entry is per-row string compute (tokenize / regex /
+  // hash) where a single-row-group scan serializes the whole pipeline to
+  // one task — exactly the case Tables.wide's scaladoc names (the r8
+  // driver sweep measured tx1/tx2/tx15 at 9–13× the spread recording)
+  private def t(s: SparkSession, dir: String, n: String) = Tables.wide(s, dir, n)
 
   private def words: Column = split(col("text"), " ")
 

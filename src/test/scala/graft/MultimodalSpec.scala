@@ -157,6 +157,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(RawCodec.parseBmp(bmp.take(30)).isEmpty) // truncated header rejected
   }
 
+  test("synthWav/synthBmp round-trip: writer inverse of parser, closed forms hold") {
+    import graft.multimodal.RawCodec
+    // WAV: id=6 → channels 2, frames 70, sample i = (6·31+7i) mod 2^16 − 2^15
+    val id = 6L
+    val frames = (64 + id % 64).toInt
+    val channels = (1 + (id / 2) % 2).toInt
+    val wav = RawCodec.synthWav(id, channels, 8000, frames)
+    val w = RawCodec.parseWav(wav).getOrElse(fail("synthWav did not parse"))
+    assert(w.channels == channels && w.sampleRate == 8000 && w.nSamples == frames)
+    val total = frames * channels
+    val expMean = (0 until total)
+      .map(i => math.abs(((id * 31 + i * 7) % 65536) - 32768)).sum.toDouble / total
+    assert(w.meanAbsAmplitude == expMean)
+    assert(wav.length == 44 + 2 * total)
+
+    // BMP: id=7 → w 12, h 3... use an UNALIGNED width so padding is real
+    val bid = 5L
+    val bw = (5 + bid % 12).toInt // 10 → rowBytes 30, stride 32
+    val bh = (4 + bid % 8).toInt
+    val bmp = RawCodec.synthBmp(bid, bw, bh)
+    val b = RawCodec.parseBmp(bmp).getOrElse(fail("synthBmp did not parse"))
+    assert(b.width == bw && b.height == bh)
+    val n = bw * 3 * bh
+    val expPix = (for (r <- 0 until bh; i <- 0 until bw * 3)
+      yield (bid + r * 13 + i * 7) % 256).sum.toDouble / n
+    assert(b.meanChannel == expPix)
+    assert((bw * 3) % 4 != 0, "fixture width must exercise stride padding")
+  }
+
+  test("mm6 rawMediaTable: real containers decode through RawCodecDecoder in Spark") {
+    import graft.multimodal.RawCodec
+    val feats = Multimodal.extractFeatures(
+      Multimodal.rawMediaTable(spark, dir), RawCodec.RawCodecDecoder)
+      .collect()
+    assert(feats.nonEmpty, "no media rows at sf0.001 — vacuous gate")
+    feats.foreach { f =>
+      if (f.media_id % 2 == 0) {
+        val frames = (64 + f.media_id % 64).toInt
+        val channels = (1 + (f.media_id / 2) % 2).toInt
+        assert(f.kind == "audio" && f.n_frames == frames)
+        assert(f.n_bytes == 44 + 2 * frames * channels)
+      } else {
+        val w = (5 + f.media_id % 12).toInt
+        val h = (4 + f.media_id % 8).toInt
+        assert(f.kind == "image" && f.n_frames == 1)
+        assert(f.n_bytes == 54 + ((3 * w + 3) & ~3) * h)
+      }
+    }
+  }
+
   test("RawCodecDecoder: Spark batch extraction decodes real containers, falls back on others") {
     import spark.implicits._
     import graft.multimodal.RawCodec

@@ -52,6 +52,14 @@ def compare(got, exp):
         if str(g.dtype).startswith("datetime") or str(e.dtype).startswith("datetime"):
             g = pd.to_datetime(g).astype("datetime64[us]")
             e = pd.to_datetime(e).astype("datetime64[us]")
+        # dtype-strict: the driver's hash stringifies values, so int64 70 vs
+        # float64 70.0 diverge there even when == here. Fail on numeric-kind
+        # mismatch (int vs float vs object) to reproduce that locally.
+        gk = "i" if g.dtype.kind in "iu" else g.dtype.kind
+        ek = "i" if e.dtype.kind in "iu" else e.dtype.kind
+        if gk != ek:
+            return False, (f"col {c}: dtype kind mismatch {g.dtype} vs {e.dtype}"
+                           " (driver hash is dtype-sensitive)")
         gn, en = g.isna().values, e.isna().values
         if not (gn == en).all():
             i = int(np.argmax(gn != en))
