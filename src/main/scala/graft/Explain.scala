@@ -15,6 +15,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // plan-only: measured gates (graph probe/count jobs) take their
+    // primary path instead of executing at plan-construction time, so
+    // explain stays execution-free for the graph family (iterative
+    // fixpoints like ConnectedComponents still execute — their plan IS
+    // data-dependent)
+    spark.conf.set("spark.graft.planOnly", "true")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -16,6 +16,16 @@ object Graph extends QueryModule {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.wide(s, dir, n)
 
+  /** Plan-only mode (`spark.graft.planOnly=true`, set by [[graft.Explain]]):
+    * skip the measured probe/materialization jobs that normally run at
+    * PLAN CONSTRUCTION time (set-size probe, edge-count gates) and take
+    * each entry's primary path, so `explain` is execution-free. Never set
+    * by Verify/Bench — gate and bench plans stay measured (VERDICT r07/r08
+    * optional-polish item).
+    */
+  private def planOnly(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.planOnly").contains("true")
+
   // ---------------------------------------------------------------- tri1
   /** Oriented (u < v) distinct co-purchase edges, persisted: each graph
     * entry fans out over this frame several times (tri1: the edge
@@ -40,7 +50,8 @@ object Graph extends QueryModule {
     * Sized variants stay un-memoized so LinkageSpec can force fallbacks.
     */
   private def orientedEdges(s: SparkSession, dir: String): DataFrame =
-    graft.SharedFrames.memoize(s, s"graph.orientedEdges:$dir")(
+    if (planOnly(s)) orientedEdgesSized(s, dir, MaxOrderSetSize) // no checkpoint job
+    else graft.SharedFrames.memoize(s, s"graph.orientedEdges:$dir")(
       orientedEdgesSized(s, dir, MaxOrderSetSize))
 
   /** NOTE: like [[triangleCensusSized]], CONSTRUCTING this plan runs a
@@ -57,12 +68,17 @@ object Graph extends QueryModule {
     // tri1 6.7 → 5.4 s, g2 3.8 → 3.3 s at sf0.1). sort_array makes
     // u < v by construction. The sets frame is persisted so the size
     // probe and the pair build share one lineitem scan + shuffle.
-    val sets = t(s, dir, "lineitem")
+    val dry = planOnly(s)
+    val sets0 = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val probed = sets.agg(max(size(col("ps")))).head()
-    val maxSz = if (probed.isNullAt(0)) 0 else probed.getInt(0)
+    val sets = if (dry) sets0 else sets0.persist(StorageLevel.MEMORY_AND_DISK)
+    val maxSz =
+      if (dry) 0 // plan-only: primary (flatten) path, no probe job
+      else {
+        val probed = sets.agg(max(size(col("ps")))).head()
+        if (probed.isNullAt(0)) 0 else probed.getInt(0)
+      }
     val edges =
       if (maxSz <= maxSetSize)
         sets.select(explode(expr(
@@ -87,14 +103,17 @@ object Graph extends QueryModule {
     // MEMORY_AND_DISK frames for its whole lifetime (the cross-entry
     // storage squeeze this round's Bench fix diagnosed). tri1's edge
     // count reads this warm cache, so the job is not wasted work.
-    edges.persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-    sets.unpersist()
+    if (!dry) {
+      edges.persist(StorageLevel.MEMORY_AND_DISK)
+      edges.count()
+      sets.unpersist()
+    }
     edges
   }
 
   private def directedEdges(s: SparkSession, dir: String): DataFrame =
-    graft.SharedFrames.memoize(s, s"graph.directedEdges:$dir")(
+    if (planOnly(s)) directedEdgesSized(s, dir, MaxOrderSetSize) // no checkpoint job
+    else graft.SharedFrames.memoize(s, s"graph.directedEdges:$dir")(
       directedEdgesSized(s, dir, MaxOrderSetSize))
 
   /** Both-direction edge frame for the Pregel-style entries (pr1/g2),
@@ -111,12 +130,17 @@ object Graph extends QueryModule {
     */
   private[graft] def directedEdgesSized(
       s: SparkSession, dir: String, maxSetSize: Int): DataFrame = {
-    val sets = t(s, dir, "lineitem")
+    val dry = planOnly(s)
+    val sets0 = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val probed = sets.agg(max(size(col("ps")))).head()
-    val maxSz = if (probed.isNullAt(0)) 0 else probed.getInt(0)
+    val sets = if (dry) sets0 else sets0.persist(StorageLevel.MEMORY_AND_DISK)
+    val maxSz =
+      if (dry) 0 // plan-only: primary (flatten) path, no probe job
+      else {
+        val probed = sets.agg(max(size(col("ps")))).head()
+        if (probed.isNullAt(0)) 0 else probed.getInt(0)
+      }
     val edges =
       if (maxSz <= maxSetSize)
         sets.select(explode(expr(
@@ -132,9 +156,11 @@ object Graph extends QueryModule {
             col("a.l_orderkey") === col("b.l_orderkey") && col("a.p") =!= col("b.p"))
           .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
       }
-    edges.persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-    sets.unpersist()
+    if (!dry) {
+      edges.persist(StorageLevel.MEMORY_AND_DISK)
+      edges.count()
+      sets.unpersist()
+    }
     edges
   }
 
@@ -177,7 +203,8 @@ object Graph extends QueryModule {
     // Size gate (VERDICT r05 #1): one driver-side count over the
     // persisted edge frame picks the probe strategy — measured, not
     // assumed from SF — and doubles as the n_edges output column.
-    val edgeCount = edges.count()
+    // Plan-only mode takes the broadcast path with a placeholder count.
+    val edgeCount = if (planOnly(s)) 0L else edges.count()
 
     val wedges = edges.select(col("v").as("node"), lit(1L).as("ins"), lit(0L).as("outs"))
       .unionAll(edges.select(col("u").as("node"), lit(0L).as("ins"), lit(1L).as("outs")))
@@ -320,11 +347,11 @@ object Graph extends QueryModule {
     val edges = directedEdges(s, dir)
     // measured state-broadcast gate; the count reads the cache the
     // directedEdges build just materialized, so it is metadata-cheap
-    val broadcastState = edges.count() <= maxBroadcastEdges
+    val broadcastState = planOnly(s) || edges.count() <= maxBroadcastEdges
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val checkpointed = iters > PrIters
+    val checkpointed = iters > PrIters && !planOnly(s)
 
     var masses = deg.select(col("node"), lit(1000000L).as("mass"), col("deg"))
     var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
@@ -410,7 +437,7 @@ object Graph extends QueryModule {
     // (node, d) frame is node-bounded, so at catalog scale each sweep's
     // relaxation probes it map-side against the persisted edge cache
     // instead of re-exchanging the edge frame every sweep
-    val broadcastState = edges.count() <= maxBroadcastEdges
+    val broadcastState = planOnly(s) || edges.count() <= maxBroadcastEdges
     val sources = edges.select(col("src").as("node")).distinct()
       .orderBy(col("node").asc_nulls_first).limit(BfsSources)
     var dist = sources.select(col("node"), lit(0L).as("d"))
@@ -429,9 +456,13 @@ object Graph extends QueryModule {
       // the small-frame shuffle DAG, measured 30 s vs 3 s at sf0.1 for
       // N=4. localCheckpoint is eager: each sweep materializes the
       // (node, d) frame once and the next plans against the blocks.
-      dist = relaxed.localCheckpoint()
-      prevBlocks.foreach(_.unpersist(blocking = false))
-      prevBlocks = org.apache.spark.sql.GraftShims.checkpointedRdd(dist)
+      // (Plan-only mode keeps the nested lineage — display only, N=4.)
+      if (planOnly(s)) dist = relaxed
+      else {
+        dist = relaxed.localCheckpoint()
+        prevBlocks.foreach(_.unpersist(blocking = false))
+        prevBlocks = org.apache.spark.sql.GraftShims.checkpointedRdd(dist)
+      }
     }
     dist.groupBy("d")
       .agg(count(lit(1)).as("n_nodes"),
