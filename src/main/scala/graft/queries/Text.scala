@@ -963,7 +963,124 @@ object Text extends QueryModule {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- tok1
+  /** BPE merge INDUCTION — actual subword-tokenizer training, not just
+    * BPE-style token counting (tx1's regex): learn the first
+    * [[BpeMergeCount]] merge rules from corpus statistics, emitting one
+    * row per learned merge (rank, pair, weighted occurrence count).
+    * Algorithm = the standard word-frequency BPE trainer: compress the
+    * corpus to a (word, count) VOCABULARY once, space-separate each word
+    * into symbols, then per iteration (a) count adjacent symbol pairs
+    * weighted by word count, (b) pick the most frequent pair (count
+    * DESC, pair ASC — deterministic), (c) apply the merge to every
+    * vocabulary entry and iterate on the result.
+    *
+    * Cross-engine technique: symbol sequences live as STRINGS with
+    * DOUBLE-SPACE separators and single-space padding (" h  e  l  l  o ")
+    * and a merge is literal `replace(syms, ' a  b ', ' ab ')`. The
+    * separator doubling is load-bearing: the match consumes only the
+    * FIRST space of each flanking pair, so consecutive occurrences of
+    * the merge pair (" a  b  a  b ") each retain a leading space and
+    * left-to-right non-overlapping replacement — identical semantics in
+    * Spark and DuckDB — implements exactly greedy BPE application
+    * ("abab" → [ab][ab]; a single-space encoding would under-merge to
+    * [ab][a][b] because the first match eats the delimiter the second
+    * needs). The oracle restates all [[BpeMergeCount]] iterations
+    * CTE-for-CTE, so the gate hash-proves the whole training loop. Pair
+    * extraction zips the symbol array against its own tail (zip_with
+    * over slices — NOT sequence(1, n-1), which silently yields a
+    * DESCENDING sequence for 1-symbol words).
+    *
+    * Scale posture (the real tokenizer-trainer plan): all iterations run
+    * over the VOCABULARY, not the corpus — one corpus explode+groupBy
+    * compresses to (word, count), after which every pass shuffles
+    * vocabulary-grain pair rows (map-side combined) and broadcasts the
+    * single winning pair into the merge projection. Each iteration
+    * localCheckpoints its (syms, c) frame — the seq is referenced twice
+    * per pass (pair count + merge apply), so un-truncated lineage would
+    * double per iteration (the g2/dd7 lesson); frames are vocab-sized,
+    * so the materialization is trivial. Like the graph gates, plan
+    * CONSTRUCTION runs these small jobs.
+    */
+  /** Fixed merge horizon; assumes the corpus has ≥ this many learnable
+    * pairs (any real corpus does — 5 ≪ the symbol-pair inventory). A
+    * production trainer with a huge target vocabulary would add an
+    * empty-top early-exit; at a fixed small N the check would never
+    * fire, so it is omitted rather than dead-coded.
+    */
+  private val BpeMergeCount = 5
+
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesOver(t(s, dir, "documents"), BpeMergeCount)
+
+  /** The trainer over any frame with a `text` column — package-visible so
+    * the spec can replay it on a hand-computable micro-corpus.
+    */
+  private[graft] def bpeMergesOver(docs: DataFrame, iters: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(
+        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" "))
+          .as("syms"),
+        col("c"))
+    var seqs = vocab.localCheckpoint()
+    val steps = Seq.newBuilder[DataFrame]
+    for (i <- 1 to iters) {
+      val top = seqs
+        .withColumn("sy", split(trim(col("syms")), "  "))
+        .select(col("c"), explode(expr(
+          "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), " +
+            "(a, b) -> struct(a AS pa, b AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("pa").asc, col("pb").asc)
+        .limit(1)
+      steps += top.select(
+        lit(i.toLong).as("merge_rank"), col("pa"), col("pb"),
+        col("n").as("n_occurrences"))
+      seqs = seqs
+        .crossJoin(broadcast(top.select(col("pa").as("mpa"), col("pb").as("mpb"))))
+        .select(
+          expr("replace(syms, ' ' || mpa || '  ' || mpb || ' ', ' ' || mpa || mpb || ' ')")
+            .as("syms"),
+          col("c"))
+        .localCheckpoint()
+    }
+    steps.result().reduce(_ unionByName _)
+      .orderBy(col("merge_rank").asc_nulls_first)
+  }
+
+  private val bpeMergesSql = {
+    def iter(i: Int): String =
+      s"""p$i AS (
+         |  SELECT u.pa AS pa, u.pb AS pb, SUM(c) AS n FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(sy)),
+         |      j -> {'pa': sy[j], 'pb': sy[j + 1]})) AS u
+         |    FROM (SELECT string_split(trim(syms), '  ') AS sy, c FROM s${i - 1}))
+         |  GROUP BY u.pa, u.pb),
+         |t$i AS (SELECT pa, pb, n FROM p$i ORDER BY n DESC, pa, pb LIMIT 1),
+         |s$i AS (
+         |  SELECT replace(syms, ' ' || t.pa || '  ' || t.pb || ' ',
+         |                 ' ' || t.pa || t.pb || ' ') AS syms, c
+         |  FROM s${i - 1}, t$i t)""".stripMargin
+    val iters = (1 to BpeMergeCount).map(iter).mkString(",\n")
+    val out = (1 to BpeMergeCount).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, pa, pb, CAST(n AS BIGINT) AS n_occurrences FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |v AS (SELECT w, COUNT(*) AS c FROM w
+       |      WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+       |s0 AS (SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS syms, c
+       |       FROM v),
+       |$iters
+       |$out
+       |ORDER BY merge_rank NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok1_bpe_merges" -> (bpeMerges _),
     "tx15_mixed_lang" -> (mixedLang _),
     "tx14_bigram_familiarity" -> (bigramFamiliarity _),
     "tx13_rarity_score" -> (rarityScore _),
@@ -983,6 +1100,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tok1_bpe_merges" -> bpeMergesSql,
     "tx15_mixed_lang" -> mixedLangSql,
     "tx14_bigram_familiarity" -> bigramFamiliaritySql,
     "tx13_rarity_score" -> rarityScoreSql,

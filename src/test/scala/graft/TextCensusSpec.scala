@@ -14,6 +14,20 @@ class TextCensusSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.01"
 
+  test("tok1: BPE merges on a hand-computed micro-corpus, incl. adjacent-pair greed") {
+    import spark.implicits._
+    // vocab: abab×3, ab×2, ba×1. Merge 1 must be (a,b) with weighted
+    // count 3·2+2·1 = 8 — which REQUIRES both (a,b) occurrences inside
+    // "abab" to merge in one pass (" a  b  a  b " → " ab  ab "): merge 2
+    // is then (ab,ab)×3; a delimiter-eating single-space encoding would
+    // under-merge "abab" to [ab,a,b] and learn (ab,a) instead.
+    val docs = Seq("abab abab abab ab ab ba").toDF("text")
+    val out = graft.queries.Text.bpeMergesOver(docs, 3)
+      .collect().map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("pa"),
+        r.getAs[String]("pb"), r.getAs[Long]("n_occurrences")))
+    assert(out.toSeq == Seq((1L, "a", "b", 8L), (2L, "ab", "ab", 3L), (3L, "b", "a", 1L)))
+  }
+
   test("tx7: every in-gate sketch flag is true") {
     val out = SparkEntry.queries("tx7_census_hll")(spark, dir).collect()
     assert(out.nonEmpty)
