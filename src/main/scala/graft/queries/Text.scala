@@ -1052,7 +1052,11 @@ object Text extends QueryModule {
       .orderBy(col("merge_rank").asc_nulls_first)
   }
 
-  private val bpeMergesSql = {
+  /** The trainer's CTE chain (w, v, s0, p1..t1..s1, …) — shared verbatim
+    * by the tok1 (emit merges) and tok2 (apply merges) oracles so the
+    * two spellings cannot drift.
+    */
+  private val bpeTrainCtes = {
     def iter(i: Int): String =
       s"""p$i AS (
          |  SELECT u.pa AS pa, u.pb AS pb, SUM(c) AS n FROM (
@@ -1066,21 +1070,93 @@ object Text extends QueryModule {
          |                 ' ' || t.pa || t.pb || ' ') AS syms, c
          |  FROM s${i - 1}, t$i t)""".stripMargin
     val iters = (1 to BpeMergeCount).map(iter).mkString(",\n")
-    val out = (1 to BpeMergeCount).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, pa, pb, CAST(n AS BIGINT) AS n_occurrences FROM t$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |v AS (SELECT w, COUNT(*) AS c FROM w
        |      WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
        |s0 AS (SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS syms, c
        |       FROM v),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private val bpeMergesSql = {
+    val out = (1 to BpeMergeCount).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, pa, pb, CAST(n AS BIGINT) AS n_occurrences FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeTrainCtes
        |$out
        |ORDER BY merge_rank NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- tok2
+  /** APPLY the learned BPE merges — the tokenizer's inference half:
+    * re-train tok1's [[BpeMergeCount]] rules (self-contained entry, the
+    * ann2-training posture), then segment every document's words by
+    * replaying the merges IN LEARNED ORDER and report per-document
+    * subword statistics (words, characters, subwords after merging) —
+    * the token-budget table a pipeline prices corpora with.
+    *
+    * Scale posture: application is a corpus map-side pass — the five
+    * merge rules pivot into ONE broadcast row and each word's
+    * segmentation is a chain of five literal `replace`es (the same
+    * double-space encoding as training, so greed semantics match
+    * exactly); the only shuffle is the per-document count rollup
+    * (map-side combinable). The oracle reuses the trainer's CTE chain
+    * verbatim and replays the same nested replaces.
+    */
+  private def bpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeApplyOver(t(s, dir, "documents"), BpeMergeCount)
+
+  private[graft] def bpeApplyOver(docs: DataFrame, iters: Int): DataFrame = {
+    val merges = bpeMergesOver(docs, iters)
+    // pivot the 5 learned rules into ONE row so application is a single
+    // broadcast crossJoin, not five
+    val ruleCols = (1 to iters).flatMap(i => Seq(
+      min(when(col("merge_rank") === i, col("pa"))).as(s"pa$i"),
+      min(when(col("merge_rank") === i, col("pb"))).as(s"pb$i")))
+    val onerow = merges.agg(ruleCols.head, ruleCols.tail: _*)
+    val applied = (1 to iters).foldLeft("syms")((acc, i) =>
+      s"replace($acc, ' ' || pa$i || '  ' || pb$i || ' ', ' ' || pa$i || pb$i || ' ')")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .withColumn("syms",
+        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")))
+      .crossJoin(broadcast(onerow))
+      .select(col("doc_id"), col("w"),
+        size(split(trim(expr(applied)), "  ")).cast(LongType).as("n_subwords_w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast(LongType).as("n_chars_w"),
+        sum(col("n_subwords_w")).as("n_subwords"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val bpeApplySql = {
+    val merges = (1 to BpeMergeCount).flatMap(i => Seq(
+      s"(SELECT pa FROM t$i) AS pa$i", s"(SELECT pb FROM t$i) AS pb$i")).mkString(", ")
+    val applied = (1 to BpeMergeCount).foldLeft("syms")((acc, i) =>
+      s"replace($acc, ' ' || pa$i || '  ' || pb$i || ' ', ' ' || pa$i || pb$i || ' ')")
+    s"""WITH $bpeTrainCtes,
+       |m AS (SELECT $merges),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |ap AS (
+       |  SELECT doc_id, w,
+       |    len(string_split(trim($applied), '  ')) AS n_subwords_w
+       |  FROM (SELECT doc_id, w,
+       |          ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS syms
+       |        FROM dw WHERE regexp_matches(w, '^[a-z]+${"$"}')), m)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(w)) AS BIGINT) AS n_chars_w,
+       |  CAST(SUM(n_subwords_w) AS BIGINT) AS n_subwords
+       |FROM ap GROUP BY doc_id
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tok1_bpe_merges" -> (bpeMerges _),
+    "tok2_bpe_segment" -> (bpeApply _),
     "tx15_mixed_lang" -> (mixedLang _),
     "tx14_bigram_familiarity" -> (bigramFamiliarity _),
     "tx13_rarity_score" -> (rarityScore _),
@@ -1101,6 +1177,7 @@ object Text extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "tok1_bpe_merges" -> bpeMergesSql,
+    "tok2_bpe_segment" -> bpeApplySql,
     "tx15_mixed_lang" -> mixedLangSql,
     "tx14_bigram_familiarity" -> bigramFamiliaritySql,
     "tx13_rarity_score" -> rarityScoreSql,

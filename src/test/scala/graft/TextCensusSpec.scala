@@ -28,6 +28,21 @@ class TextCensusSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a", "b", 8L), (2L, "ab", "ab", 3L), (3L, "b", "a", 1L)))
   }
 
+  test("tok2: applying learned merges segments the micro-corpus to hand-computed counts") {
+    import spark.implicits._
+    // merges after 3 rounds: (a,b), (ab,ab), (b,a). Segmentations:
+    // abab→[abab], ab→[ab], ba→[ba] — every word ONE subword, which
+    // again requires in-word adjacent-pair greed ("abab" must reach
+    // [ab][ab] in round 1 for (ab,ab) to be learnable/applicable).
+    val docs = Seq((1L, "abab abab abab ab ab ba")).toDF("doc_id", "text")
+    val out = graft.queries.Text.bpeApplyOver(docs, 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_chars_w") == 18L)
+    assert(r.getAs[Long]("n_subwords") == 6L)
+  }
+
   test("tx7: every in-gate sketch flag is true") {
     val out = SparkEntry.queries("tx7_census_hll")(spark, dir).collect()
     assert(out.nonEmpty)
