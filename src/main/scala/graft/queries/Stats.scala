@@ -603,6 +603,48 @@ object Stats extends QueryModule {
        |  CAST(COUNT(*) AS BIGINT) AS n
        |FROM b GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- hh1
+  /** Heavy hitters via a Misra–Gries sketch + exact rescore — the
+    * frequent-items census (power users, hot keys, dominant n-grams)
+    * that a plain `GROUP BY id HAVING count > n/(k+1)` answers only by
+    * shuffling one row per DISTINCT id. Pass 1 runs the bounded-state
+    * sketch ([[graft.functions.MisraGriesAgg]]: ≤ k counters per map
+    * partition, mergeable) whose survivors are a guaranteed superset of
+    * every id with frequency > n/(k+1); pass 2 re-counts ONLY those ≤ k
+    * candidates (broadcast semi-join, so the second scan's aggregate
+    * state is k entries, not |distinct|) and filters by the exact
+    * integer threshold `count*(k+1) > n`. The final answer is exact and
+    * partition-order independent even though the sketch's candidate set
+    * is not — the guarantee makes determinism a property of the
+    * threshold filter, not of the sketch.
+    *
+    * The oracle is the naive full GROUP BY spelling — hash-proving the
+    * sketch path returns exactly the true heavy-hitter set.
+    */
+  private val HhK = 127
+
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAgg(HhK))
+    val ids = t(s, dir, "events").select(col("user_id"))
+    val cands = ids.agg(mg(col("user_id")).as("c"))
+      .select(explode(col("c")).as("user_id"))
+    val total = ids.agg(count(lit(1)).as("n_total"))
+    ids.join(broadcast(cands), Seq("user_id"), "left_semi")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .join(broadcast(total))
+      .filter(col("n_events") * (HhK + 1) > col("n_total"))
+      .select(col("user_id"), col("n_events"))
+      .orderBy(col("user_id").asc_nulls_first)
+  }
+
+  private val heavyHittersSql =
+    s"""WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM events, t
+       |GROUP BY user_id, n_total
+       |HAVING COUNT(*) * ${HhK + 1} > n_total
+       |ORDER BY user_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- q12
   // TPC-H Q18 shape: HAVING over a per-key aggregate, then the
   // qualifying keys (a tiny surviving set) drive joins back to the
@@ -1582,6 +1624,7 @@ object Stats extends QueryModule {
     "w3_rolling_range" -> (rollingRange _),
     "w6_rolling_median" -> (rollingMedian _),
     "h1_histogram" -> (histogram _),
+    "hh1_heavy_hitters" -> (heavyHitters _),
     "q11_exists_late" -> (latePriorityCount _),
     "w2_window_nav" -> (windowExtras _),
     "q09_cube" -> (cubeAgg _),
@@ -1620,6 +1663,7 @@ object Stats extends QueryModule {
     "w3_rolling_range" -> rollingRangeSql,
     "w6_rolling_median" -> rollingMedianSql,
     "h1_histogram" -> histogramSql,
+    "hh1_heavy_hitters" -> heavyHittersSql,
     "q11_exists_late" -> latePriorityCountSql,
     "w2_window_nav" -> windowExtrasSql,
     "q09_cube" -> cubeAggSql,
