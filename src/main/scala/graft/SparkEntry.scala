@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] =
     Seq(Parity, Mart, Extras, Stats, YouGileQueries, Dedup, Similarity, Text,
-      Sampling, MultimodalQueries, Linkage, Graph, StreamingGate, Analytics)
+      Sampling, MultimodalQueries, Linkage, Graph, StreamingGate, Analytics,
+      Retrieval)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TopKAgg
+
+/** Lexical-retrieval operators over `documents`: BM25 ranked top-k
+  * retrieval (ir1) and inverted-index construction with impact-ordered
+  * posting prefixes (ir2) — the sparse-retrieval half of a training-data
+  * curation stack (hard-negative mining, query-based corpus probes,
+  * contamination lookups) next to the dense ANN family in
+  * [[Similarity]].
+  *
+  * Cross-engine exactness: BM25's `ln`-idf is NOT bit-stable across
+  * libm implementations, so both scoring factors are integer-exact
+  * rational surrogates (monotone in the same variables, floor-divided):
+  *   idf_milli(t)  = (1000·(2N − 2df + 1)) DIV (2df + 1)     — the
+  *     argument of the BM25+ log, scaled; preserves the df ordering.
+  *   tf_milli(t,d) = (44000·A·tf) DIV (20·A·tf + 6·A + 18·dl) — exactly
+  *     tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with k1 = 1.2, b = 0.75
+  *     cleared to integers (×20·A), avgdl floored to A = S DIV N.
+  * Every intermediate fits BIGINT at any plausible scale (A and tf are
+  * bounded by document length, N ≤ 10^12 keeps the idf numerator under
+  * 2·10^18); no doubles anywhere.
+  *
+  * Scale posture: the token stream is filtered to the query vocabulary
+  * BEFORE the tf aggregate (broadcast semi-join, so the shuffle carries
+  * only matching-term rows); document frequency and corpus stats are
+  * tiny broadcast aggregates; per-query top-k is the bounded
+  * [[TopKAgg]] buffer (k rows per group per partition reach the
+  * exchange — no window over all scored rows). The ir2 index is one
+  * `GROUP BY term` with map-side partial aggregation; posting lists are
+  * impact-ordered PREFIXES via the same bounded top-k, never a
+  * collect_list of full postings.
+  */
+object Retrieval extends QueryModule {
+
+  // per-row tokenize over every document: the compute-bound case the
+  // spread loader exists for (single-row-group testdata otherwise runs
+  // the whole pipeline in one task)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.wide(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  /** Fixed benchmark query set — literal in both engines. */
+  private val QuerySet: Seq[(Int, String)] = Seq(
+    1 -> "join hash row",
+    2 -> "customer order query",
+    3 -> "scan filter table")
+
+  // ---------------------------------------------------------------- ir1
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val stats = d.agg(
+        expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
+        count(lit(1)).as("n"))
+    val qterms = s.createDataFrame(QuerySet).toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val terms = qterms.select("term").distinct()
+    val tf = d
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        (expr("(1000 * (2*n - 2*df + 1)) DIV (2*df + 1)") *
+          expr("(44000 * a * tf) DIV (20*a*tf + 6*a + 18*dl)")).as("c"))
+    val topk = udaf(new TopKAgg(10))
+    contrib
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("doc_id")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("hit.id").as("doc_id"), col("hit.score").as("score"))
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  private val bm25TopKSql = {
+    val values = QuerySet.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |stats AS (SELECT CAST(SUM(len(w)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS a,
+       |                 CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+       |qterms AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+       |terms AS (SELECT DISTINCT term FROM qterms),
+       |tf AS (
+       |  SELECT t.term, doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(w, x -> x = t.term)) AS BIGINT) AS tf
+       |  FROM docs CROSS JOIN terms t
+       |  WHERE list_contains(w, t.term)),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT f.term, f.doc_id,
+       |    ((1000 * (2*s.n - 2*d.df + 1)) // (2*d.df + 1)) *
+       |    ((44000 * s.a * f.tf) // (20*s.a*f.tf + 6*s.a + 18*f.dl)) AS c
+       |  FROM tf f JOIN dfreq d USING (term) CROSS JOIN stats s),
+       |scored AS (
+       |  SELECT qt.query_id, c.doc_id, CAST(SUM(c.c) AS BIGINT) AS score
+       |  FROM contrib c JOIN qterms qt USING (term)
+       |  GROUP BY qt.query_id, c.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- ir2
+  /** Inverted-index build: per term, document frequency, total term
+    * frequency, and the first 10 postings in IMPACT order (tf desc,
+    * doc_id asc — the order a WAND/top-k evaluator consumes) as a
+    * comma-joined string. The prefix is a bounded top-k aggregate, so
+    * the full posting list for a stop-word-frequency term never
+    * materializes in one place; a production sink would write posting
+    * SEGMENTS per (term, shard) the same way.
+    */
+  private def postings(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopKAgg(10))
+    docs(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        topk(col("tf"), col("doc_id")).as("hits"))
+      .select(col("term"), col("df"), col("tf_total"),
+        expr("concat_ws(',', transform(hits, h -> CAST(h.id AS STRING)))").as("postings10"))
+      .orderBy(col("term").asc_nulls_first)
+  }
+
+  private val postingsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks WHERE term != '' GROUP BY term, doc_id),
+      |ranked AS (
+      |  SELECT term, doc_id, tf,
+      |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+      |  FROM tf),
+      |prefix AS (
+      |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS postings10
+      |  FROM ranked WHERE rn <= 10 GROUP BY term),
+      |agg AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+      |  FROM tf GROUP BY term)
+      |SELECT a.term, a.df, a.tf_total, p.postings10
+      |FROM agg a JOIN prefix p USING (term)
+      |ORDER BY term NULLS FIRST""".stripMargin
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ir1_bm25_topk" -> (bm25TopK _),
+    "ir2_postings" -> (postings _))
+
+  override val oracle: Map[String, String] = Map(
+    "ir1_bm25_topk" -> bm25TopKSql,
+    "ir2_postings" -> postingsSql)
+}

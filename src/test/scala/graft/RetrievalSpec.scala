@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retrieval module (ir1/ir2): the gate hash-proves values against the
+  * DuckDB spellings; these pin what the hash can't see — plan shape
+  * (bounded top-k aggregate, not a window over scored rows; broadcast
+  * vocabulary filter before the tf shuffle) and the BM25 semantics
+  * (score ordering, rank contiguity, df monotonicity of idf).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("ir1: ranks are contiguous per query and ordered by (score desc, doc asc)") {
+    val rows = SparkEntry.queries("ir1_bm25_topk")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("query_id")).foreach { case (q, hits) =>
+      val sorted = hits.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length), s"query $q ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Long]("score"), b.getAs[Long]("score"))
+          assert(sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")),
+            s"query $q not impact-ordered")
+        case _ =>
+      }
+    }
+  }
+
+  test("ir1: top hit actually contains a query term; plan has no window, topk is aggregated") {
+    val df = SparkEntry.queries("ir1_bm25_topk")(spark, dir)
+    val top = df.filter(col("rank") === 1).collect()
+    assert(top.length == 3, "one top hit per query")
+    val texts = SparkEntry.configure(spark).read.parquet(s"$dir/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val qterms = Map(1 -> "join hash row", 2 -> "customer order query", 3 -> "scan filter table")
+    top.foreach { r =>
+      val words = texts(r.getAs[Long]("doc_id")).split(" ").toSet
+      assert(qterms(r.getAs[Int]("query_id")).split(" ").exists(words.contains))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "ir1 must not rank via a window over scored rows")
+    assert(plan.contains("ObjectHashAggregate"), "bounded TopKAgg missing from plan")
+  }
+
+  test("ir1: idf surrogate is strictly decreasing in df") {
+    def idfMilli(n: Long, df: Long): Long = (1000L * (2 * n - 2 * df + 1)) / (2 * df + 1)
+    val n = 500L
+    (1L until n).sliding(2).foreach {
+      case Seq(a, b) => assert(idfMilli(n, a) >= idfMilli(n, b))
+      case _ =>
+    }
+    assert(idfMilli(n, 1) > idfMilli(n, n))
+  }
+
+  test("ir2: df/tf_total consistent and postings prefix is impact-ordered") {
+    val s = SparkEntry.configure(spark)
+    val rows = SparkEntry.queries("ir2_postings")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // exact replay of the per-(term, doc) tf for one common term
+    val tf = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") === "join")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tf")).toMap
+    val joinRow = rows.find(_.getAs[String]("term") == "join").get
+    assert(joinRow.getAs[Long]("df") == tf.size)
+    assert(joinRow.getAs[Long]("tf_total") == tf.values.sum)
+    val prefix = joinRow.getAs[String]("postings10").split(",").map(_.toLong).toSeq
+    assert(prefix.length == math.min(10, tf.size))
+    val want = tf.toSeq.sortBy { case (d, f) => (-f, d) }.take(10).map(_._1)
+    assert(prefix == want, "prefix not (tf desc, doc asc)-ordered")
+  }
+}
