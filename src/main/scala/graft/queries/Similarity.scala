@@ -1194,6 +1194,85 @@ object Similarity extends QueryModule {
       |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_ppm
       |FROM agg ORDER BY dim NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- emb6
+  /** One-pass covariance block over the embedding space — the input a
+    * whitening / PCA-prep stage feeds from (emb5 gives the diagonal
+    * profile; this gives the off-diagonal structure): for every
+    * dimension pair (i ≤ j) in an 8-dim block, the exact population-
+    * covariance numerator n·Σxy − Σx·Σy in ppm of a squared
+    * quantization unit. The full D×D matrix is computed block-by-block
+    * the same way (D=64 → 36 runs of this plan, or one run with a
+    * larger pair generator — the per-pair state is 4 accumulators
+    * either way).
+    *
+    * Scale posture: each row expands to the 36 in-block pairs via one
+    * HOF (map-side, codegen), then a 36-group hash aggregate with
+    * partial aggregation — the shuffle carries tasks×36 rows no matter
+    * the corpus size, and all sums accumulate in DECIMAL(38,0) /
+    * HUGEINT (10^12 vectors × 10^6 per-row products stays under 38
+    * digits even after the ×10^6 ppm scale).
+    *
+    * Covariance is SIGNED, so the emb5 `DIV` spelling (truncation)
+    * would diverge from DuckDB's floor `//` on negative numerators;
+    * instead the positive remainder is subtracted first —
+    * (a − pmod(a, m)) is an exact multiple of m, where truncating and
+    * flooring division agree in both engines. `%` takes the dividend's
+    * sign in both Spark and DuckDB, so pmod(a, m) = ((a % m) + m) % m
+    * is engine-stable.
+    */
+  private val CovBlockDims = 8
+
+  private def covarianceBlock(s: SparkSession, dir: String): DataFrame = {
+    val d = CovBlockDims - 1
+    quantized(s, dir)
+      .select(explode(expr(
+        s"flatten(transform(sequence(0, $d), i -> transform(sequence(i, $d), j -> " +
+          "struct(i AS i, j AS j, q[i] AS x, q[j] AS y, q[i] * q[j] AS xy))))")).as("p"))
+      .groupBy(col("p.i").as("dim_i"), col("p.j").as("dim_j"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p.x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("p.y").cast(DecimalType(38, 0))).as("sy"),
+        sum(col("p.xy").cast(DecimalType(38, 0))).as("sxy"))
+      .select(
+        col("dim_i").cast(LongType).as("dim_i"),
+        col("dim_j").cast(LongType).as("dim_j"),
+        col("n"),
+        expr("CAST(sxy AS BIGINT)").as("sum_xy"),
+        expr("((CAST(n AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000)").as("a"),
+        expr("(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))").as("m"))
+      .select(col("dim_i"), col("dim_j"), col("n"), col("sum_xy"),
+        expr("CAST((a - ((a % m + m) % m)) DIV m AS BIGINT)").as("cov_ppm"))
+      .orderBy(col("dim_i").asc_nulls_first, col("dim_j").asc_nulls_first)
+  }
+
+  private val covarianceBlockSql = {
+    val d = CovBlockDims - 1
+    s"""WITH emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |vals AS (
+       |  SELECT unnest(flatten(list_transform(range(0, ${d + 1}), i ->
+       |    list_transform(range(i, ${d + 1}), j ->
+       |      {'i': i, 'j': j, 'x': q[i + 1], 'y': q[j + 1],
+       |       'xy': q[i + 1] * q[j + 1]})))) AS p
+       |  FROM emb),
+       |agg AS (
+       |  SELECT (p).i AS dim_i, (p).j AS dim_j, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM((p).x) AS sx, SUM((p).y) AS sy, SUM((p).xy) AS sxy
+       |  FROM vals GROUP BY 1, 2),
+       |num AS (
+       |  SELECT dim_i, dim_j, n, CAST(sxy AS BIGINT) AS sum_xy,
+       |    (CAST(n AS HUGEINT) * sxy - sx * sy) * 1000000 AS a,
+       |    CAST(n AS HUGEINT) * n AS m
+       |  FROM agg)
+       |SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j, n, sum_xy,
+       |  CAST((a - ((a % m + m) % m)) // m AS BIGINT) AS cov_ppm
+       |FROM num
+       |ORDER BY dim_i NULLS FIRST, dim_j NULLS FIRST""".stripMargin
+  }
+
   // ---------------------------------------------------------------- ann10
   /** DIVERSIFIED top-k — retrieval with a per-group result cap (≤2 hits
     * per label), the "don't return ten near-identical passages from one
@@ -1247,6 +1326,7 @@ object Similarity extends QueryModule {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb5_dim_profile" -> (dimProfile _),
+    "emb6_covariance" -> (covarianceBlock _),
     "dd13_semantic_dedup" -> (semanticDedup _),
     "ann10_topk_diversified" -> (diversifiedTopK _),
     "ann8_topk_filtered" -> (filteredTopK _),
@@ -1266,6 +1346,7 @@ object Similarity extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "emb5_dim_profile" -> dimProfileSql,
+    "emb6_covariance" -> covarianceBlockSql,
     "dd13_semantic_dedup" -> semanticDedupSql,
     "ann8_topk_filtered" -> filteredTopKSql,
     "ann10_topk_diversified" -> diversifiedTopKSql,
