@@ -1053,10 +1053,11 @@ object Text extends QueryModule {
   }
 
   /** The trainer's CTE chain (w, v, s0, p1..t1..s1, …) — shared verbatim
-    * by the tok1 (emit merges) and tok2 (apply merges) oracles so the
-    * two spellings cannot drift.
+    * by the tok1 (emit merges), tok2 (apply merges), and tok3 (holdout
+    * coverage, trains on a SPLIT via `src`) oracles so the spellings
+    * cannot drift.
     */
-  private val bpeTrainCtes = {
+  private def bpeTrainCtesOver(src: String): String = {
     def iter(i: Int): String =
       s"""p$i AS (
          |  SELECT u.pa AS pa, u.pb AS pb, SUM(c) AS n FROM (
@@ -1070,13 +1071,15 @@ object Text extends QueryModule {
          |                 ' ' || t.pa || t.pb || ' ') AS syms, c
          |  FROM s${i - 1}, t$i t)""".stripMargin
     val iters = (1 to BpeMergeCount).map(iter).mkString(",\n")
-    s"""w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS w FROM $src),
        |v AS (SELECT w, COUNT(*) AS c FROM w
        |      WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
        |s0 AS (SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS syms, c
        |       FROM v),
        |$iters""".stripMargin
   }
+
+  private val bpeTrainCtes = bpeTrainCtesOver("documents")
 
   private val bpeMergesSql = {
     val out = (1 to BpeMergeCount).map(i =>
@@ -1106,7 +1109,12 @@ object Text extends QueryModule {
   private def bpeApply(s: SparkSession, dir: String): DataFrame =
     bpeApplyOver(t(s, dir, "documents"), BpeMergeCount)
 
-  private[graft] def bpeApplyOver(docs: DataFrame, iters: Int): DataFrame = {
+  /** Train on `docs` and pivot the learned rules into ONE broadcast row
+    * plus the chained-replace SQL that applies them to a `syms` column —
+    * shared by tok2 (whole-corpus segmentation) and tok3 (holdout
+    * coverage, trained on a split).
+    */
+  private[graft] def bpeRules(docs: DataFrame, iters: Int): (DataFrame, String) = {
     val merges = bpeMergesOver(docs, iters)
     // pivot the 5 learned rules into ONE row so application is a single
     // broadcast crossJoin, not five
@@ -1116,6 +1124,11 @@ object Text extends QueryModule {
     val onerow = merges.agg(ruleCols.head, ruleCols.tail: _*)
     val applied = (1 to iters).foldLeft("syms")((acc, i) =>
       s"replace($acc, ' ' || pa$i || '  ' || pb$i || ' ', ' ' || pa$i || pb$i || ' ')")
+    (onerow, applied)
+  }
+
+  private[graft] def bpeApplyOver(docs: DataFrame, iters: Int): DataFrame = {
+    val (onerow, applied) = bpeRules(docs, iters)
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -1154,9 +1167,96 @@ object Text extends QueryModule {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- tok3
+  /** Held-out vocabulary coverage — the tokenizer-evaluation step
+    * between training (tok1) and pricing (tok2): train the merge rules
+    * on the EVEN-doc_id half only, then measure on the odd half, per
+    * language, how the learned vocabulary generalizes: holdout word /
+    * char / subword counts, how many subword tokens used a learned
+    * merge (`n_merged_subwords`), how many fell outside the train-side
+    * subword inventory (`oov_subwords` — unseen symbols an encoder maps
+    * to <unk>), and the compression rate in milli-chars per subword.
+    *
+    * Scale posture: training compresses to vocabulary grain (tok1);
+    * the train-side subword INVENTORY is at most |alphabet| + iters
+    * entries, so the OOV probe is a broadcast left join against a
+    * constant-size frame; application remains a map-side chained
+    * replace; the only corpus-grain shuffles are two per-lang rollups.
+    * The deterministic doc_id-parity split is the ds6 convention —
+    * partition-count independent, both engines state it identically.
+    */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (onerow, applied) = bpeRules(docs.filter(col("doc_id") % 2 === 0), BpeMergeCount)
+    def segmented(df: DataFrame, extra: Column*): DataFrame = df
+      .select(extra :+ explode(split(col("text"), " ")).as("w"): _*)
+      .filter(col("w").rlike("^[a-z]+$"))
+      .withColumn("syms",
+        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")))
+      .crossJoin(broadcast(onerow))
+      .withColumn("subs", split(trim(expr(applied)), "  "))
+    val inv = segmented(docs.filter(col("doc_id") % 2 === 0))
+      .select(explode(col("subs")).as("sub")).distinct()
+      .withColumn("known", lit(1L))
+    val hold = segmented(docs.filter(col("doc_id") % 2 === 1), col("lang"))
+    val words = hold.groupBy("lang").agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("w"))).cast(LongType).as("n_chars_w"))
+    val subs = hold.select(col("lang"), explode(col("subs")).as("sub"))
+      .join(broadcast(inv), Seq("sub"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_subwords"),
+        sum(when(length(col("sub")) > 1, 1L).otherwise(0L)).as("n_merged_subwords"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("oov_subwords"))
+    words.join(subs, Seq("lang"))
+      .select(col("lang"), col("n_words"), col("n_chars_w"), col("n_subwords"),
+        col("n_merged_subwords"), col("oov_subwords"),
+        expr("(1000 * n_chars_w) DIV n_subwords").as("chars_per_subword_milli"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val vocabCoverageSql = {
+    val merges = (1 to BpeMergeCount).flatMap(i => Seq(
+      s"(SELECT pa FROM t$i) AS pa$i", s"(SELECT pb FROM t$i) AS pb$i")).mkString(", ")
+    val applied = (1 to BpeMergeCount).foldLeft("syms")((acc, i) =>
+      s"replace($acc, ' ' || pa$i || '  ' || pb$i || ' ', ' ' || pa$i || pb$i || ' ')")
+    val ctes = bpeTrainCtesOver("(SELECT * FROM documents WHERE doc_id % 2 = 0)")
+    s"""WITH $ctes,
+       |m AS (SELECT $merges),
+       |tsy AS (
+       |  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |        WHERE doc_id % 2 = 0)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+       |inv AS (
+       |  SELECT DISTINCT unnest(string_split(trim($applied), '  ')) AS sub FROM tsy, m),
+       |hw AS (
+       |  SELECT lang, w, ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS syms
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |        WHERE doc_id % 2 = 1)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+       |hwords AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(length(w)) AS BIGINT) AS n_chars_w
+       |  FROM hw GROUP BY lang),
+       |hsub0 AS (
+       |  SELECT lang, unnest(string_split(trim($applied), '  ')) AS sub FROM hw, m),
+       |hsubs AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_subwords,
+       |    CAST(COUNT(*) FILTER (length(h.sub) > 1) AS BIGINT) AS n_merged_subwords,
+       |    CAST(COUNT(*) FILTER (i.sub IS NULL) AS BIGINT) AS oov_subwords
+       |  FROM hsub0 h LEFT JOIN inv i ON h.sub = i.sub
+       |  GROUP BY lang)
+       |SELECT w.lang, n_words, n_chars_w, n_subwords, n_merged_subwords, oov_subwords,
+       |  (1000 * n_chars_w) // n_subwords AS chars_per_subword_milli
+       |FROM hwords w JOIN hsubs s ON w.lang = s.lang
+       |ORDER BY w.lang NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tok1_bpe_merges" -> (bpeMerges _),
     "tok2_bpe_segment" -> (bpeApply _),
+    "tok3_vocab_coverage" -> (vocabCoverage _),
     "tx15_mixed_lang" -> (mixedLang _),
     "tx14_bigram_familiarity" -> (bigramFamiliarity _),
     "tx13_rarity_score" -> (rarityScore _),
@@ -1178,6 +1278,7 @@ object Text extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "tok1_bpe_merges" -> bpeMergesSql,
     "tok2_bpe_segment" -> bpeApplySql,
+    "tok3_vocab_coverage" -> vocabCoverageSql,
     "tx15_mixed_lang" -> mixedLangSql,
     "tx14_bigram_familiarity" -> bigramFamiliaritySql,
     "tx13_rarity_score" -> rarityScoreSql,

@@ -43,6 +43,43 @@ class TextCensusSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_subwords") == 6L)
   }
 
+  test("tok3: holdout coverage is internally consistent and merges generalize") {
+    val rows = SparkEntry.queries("tok3_vocab_coverage")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, ns) = (r.getAs[Long]("n_chars_w"), r.getAs[Long]("n_subwords"))
+      // subwords can't outnumber chars, and merges must compress: ratio > 1
+      assert(ns <= nc && ns >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("chars_per_subword_milli") == 1000 * nc / ns)
+      assert(r.getAs[Long]("chars_per_subword_milli") > 1000,
+        s"${r.getAs[String]("lang")}: learned merges never applied on holdout")
+      assert(r.getAs[Long]("n_merged_subwords") > 0)
+      // shared alphabet ⇒ the train inventory covers the holdout here;
+      // a nonzero OOV on this corpus means the inventory join broke
+      assert(r.getAs[Long]("oov_subwords") == 0L)
+    }
+  }
+
+  test("tok3: inventory OOV fires for symbols absent from the train split") {
+    import spark.implicits._
+    // train (even ids) has alphabet {a,b}; holdout (odd) introduces 'z':
+    // replaying the entry's inventory probe on a micro-corpus must
+    // count z-subwords as OOV (the gate corpus can't exercise this).
+    val docs = Seq((0L, "ab ab ab"), (1L, "az zb")).toDF("doc_id", "text")
+    val (onerow, applied) = graft.queries.Text.bpeRules(
+      docs.filter(col("doc_id") % 2 === 0), 1)
+    def subs(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .withColumn("syms",
+        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")))
+      .crossJoin(broadcast(onerow))
+      .select(explode(split(trim(expr(applied)), "  ")).as("sub"))
+    val inv = subs(docs.filter(col("doc_id") % 2 === 0)).distinct()
+    val oov = subs(docs.filter(col("doc_id") % 2 === 1))
+      .join(inv, Seq("sub"), "left_anti").collect().map(_.getString(0))
+    assert(oov.count(_ == "z") == 2, s"expected two OOV 'z' symbols, got ${oov.toSeq}")
+  }
+
   test("tx7: every in-gate sketch flag is true") {
     val out = SparkEntry.queries("tx7_census_hll")(spark, dir).collect()
     assert(out.nonEmpty)
