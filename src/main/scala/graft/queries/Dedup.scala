@@ -156,6 +156,18 @@ object Dedup extends QueryModule {
        |      CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) >= $minJ
        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
+  /** Just the verified pair list (no score column, no ORDER BY) against
+    * a named candidate CTE — for oracles that COMPOSE verified channels
+    * (dd15) rather than emit them.
+    */
+  private def jaccardPairsSql(minJ: Double, cand: String): String =
+    s"""SELECT doc_a, doc_b FROM $cand
+       |  JOIN sh sa ON $cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON $cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+       |        >= $minJ""".stripMargin
+
   /** MinHash-LSH near-dup pairs, verified: signature → banded bucket
     * self-join (candidates) → true shingle-Jaccard filter ≥ 0.5.
     */
@@ -206,7 +218,11 @@ object Dedup extends QueryModule {
     jaccardVerified(cand, sh, minJ = 0.5)
   }
 
-  private val minhashPairsSql = {
+  /** The minhash→band→bucket-join candidate CTE chain (mh, sigs,
+    * bandrows, cand) — shared by the dd2 oracle and the dd15 quality
+    * audit so the banding spelling cannot drift between them.
+    */
+  private lazy val lshCandCtes: String = {
     val minhs = (0 until K).map(k =>
       s"list_min(list_transform(shingles, x -> md5('$k:' || x))) AS mh$k").mkString(",\n    ")
     val bands = (0 until B).map(b =>
@@ -214,9 +230,7 @@ object Dedup extends QueryModule {
       .mkString(",\n    ")
     val bandRows = (0 until B).map(b =>
       s"SELECT doc_id, $b AS band_id, band$b AS sig FROM sigs").mkString(" UNION ALL ")
-    s"""WITH $corpusSql,
-       |$shingledSql,
-       |mh AS (
+    s"""mh AS (
        |  SELECT doc_id,
        |    $minhs
        |  FROM sh),
@@ -228,9 +242,14 @@ object Dedup extends QueryModule {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bandrows a
-       |  JOIN bandrows b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id)
-       |${jaccardVerifySqlTail(0.5)}""".stripMargin
+       |  JOIN bandrows b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private lazy val minhashPairsSql =
+    s"""WITH $corpusSql,
+       |$shingledSql,
+       |$lshCandCtes
+       |${jaccardVerifySqlTail(0.5)}""".stripMargin
 
   // ---------------------------------------------------------------- dd3
   // 16-bit SimHash fingerprint: bit i is the sign of the word-multiset sum
@@ -1030,7 +1049,82 @@ object Dedup extends QueryModule {
        |    // len(sa.shingles) >= $ContainmentMinPpm
        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dd15
+  /** LSH blocking-quality audit — the "measure, don't guess" gate on the
+    * near-dup channel itself: run BOTH candidate generators the family
+    * already ships (dd2's minhash band buckets, dd6's opening-trigram
+    * anchors) through the SAME exact-Jaccard ≥ 0.5 verification, then
+    * count agreement. `anchor_only` pairs are band-collision MISSES
+    * (true near-dups whose signatures landed in no common band — the
+    * (1−J^R)^B false-negative tail every LSH deployment must budget),
+    * `lsh_only` pairs are anchor misses (near-dups whose opening
+    * trigram drifted — anchor blocking's blind spot). A curation run
+    * watches `lsh_recall_ppm` (LSH hits over the anchor channel's
+    * pairs) drift before trusting a banding config at the next scale-up.
+    *
+    * Scale posture: both channels are the family's bucketed/blocked
+    * pipelines (no all-pairs anywhere); the audit join runs over the
+    * two verified PAIR tables, which are tiny next to the corpus, and
+    * the LSH side reuses the memoized SharedFrames pair table the
+    * cluster entries already build.
+    */
+  private def lshQuality(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
+    val lshp = minhashPairsShared(s, dir).select(col("doc_a"), col("doc_b"), lit(1L).as("in_l"))
+    val words = split(col("text"), " ")
+    val anchored = c
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), md5(array_join(slice(words, 1, 3), " ")).as("anchor"))
+    val acand = anchored.as("a")
+      .join(anchored.as("b"),
+        col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val ap = jaccardVerified(acand, sh, minJ = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_a"))
+    ap.join(lshp, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("in_a"), lit(0L)).as("in_a"),
+        coalesce(col("in_l"), lit(0L)).as("in_l"))
+      .agg(
+        sum(col("in_a")).as("n_anchor_pairs"),
+        sum(col("in_l")).as("n_lsh_pairs"),
+        sum(col("in_a") * col("in_l")).as("n_both"),
+        sum(col("in_l") * (lit(1L) - col("in_a"))).as("lsh_only"),
+        sum(col("in_a") * (lit(1L) - col("in_l"))).as("anchor_only"))
+      .select(col("n_anchor_pairs"), col("n_lsh_pairs"), col("n_both"),
+        col("lsh_only"), col("anchor_only"),
+        expr("(1000000 * n_both) DIV n_anchor_pairs").as("lsh_recall_ppm"))
+  }
+
+  private lazy val lshQualitySql =
+    s"""WITH $corpusSql,
+       |$shingledSql,
+       |$lshCandCtes,
+       |lshp AS (${jaccardPairsSql(0.5, "cand")}),
+       |anchored AS (
+       |  SELECT doc_id, md5(array_to_string(w[1:3], ' ')) AS anchor
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+       |  WHERE len(w) >= 3),
+       |acand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM anchored a JOIN anchored b
+       |    ON a.anchor = b.anchor AND a.doc_id < b.doc_id),
+       |ap AS (${jaccardPairsSql(0.5, "acand")}),
+       |j AS (
+       |  SELECT CASE WHEN a.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+       |         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+       |  FROM ap a FULL OUTER JOIN lshp l
+       |    ON a.doc_a = l.doc_a AND a.doc_b = l.doc_b)
+       |SELECT CAST(SUM(in_a) AS BIGINT) AS n_anchor_pairs,
+       |  CAST(SUM(in_l) AS BIGINT) AS n_lsh_pairs,
+       |  CAST(SUM(in_a * in_l) AS BIGINT) AS n_both,
+       |  CAST(SUM(in_l * (1 - in_a)) AS BIGINT) AS lsh_only,
+       |  CAST(SUM(in_a * (1 - in_l)) AS BIGINT) AS anchor_only,
+       |  CAST((1000000 * SUM(in_a * in_l)) // SUM(in_a) AS BIGINT) AS lsh_recall_ppm
+       |FROM j""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd15_lsh_quality" -> (lshQuality _),
     "dd12_containment" -> (containmentPairs _),
     "cur3_canonical_pick" -> (canonicalPick _),
     "dd11_segment_dedup" -> (cdcSegmentDedup _),
@@ -1057,6 +1151,7 @@ object Dedup extends QueryModule {
     "dd2_minhash_lsh_pairs" -> minhashPairsSql,
     "dd3_simhash" -> simhashSql,
     "dd5_simhash_neardup" -> simhashNearDupSql,
+    "dd15_lsh_quality" -> lshQualitySql,
     "dd12_containment" -> containmentPairsSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,
     "dd7_dup_clusters" -> dupClustersSql,
