@@ -125,11 +125,44 @@ object StreamingGate extends QueryModule {
       |HAVING session_end <= (SELECT w FROM wm)
       |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw4
+  // Streaming deduplication with watermark-bounded state
+  // (dropDuplicatesWithinWatermark): every odd event_id is planted
+  // TWICE (identical rows, the exactly-once-ingest failure mode a
+  // streaming dedup exists for), and the stateful operator must emit
+  // each event exactly once. The oracle is simply the distinct source
+  // table — a hash match proves the dedup state caught every planted
+  // copy and passed every singleton through untouched (a failed dedup
+  // doubles the odd ids; an over-eager one drops rows). State is keyed
+  // by event_id and EVICTED once the watermark passes the row's event
+  // time + delay — at 100 TB/day the state store holds one key per
+  // event inside the 10-minute horizon, not per event ever seen (the
+  // plain dropDuplicates footgun this entry deliberately avoids).
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val dedup = eventStream(s, dir)
+      .withColumn("copy",
+        explode(when(col("event_id") % 2 === 1, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))))
+      .drop("copy")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    drain(s, dedup, "sw4_mem")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val streamDedupSql =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sw2_stream_hourly" -> (streamHourly _),
-    "sw3_stream_sessions" -> (streamSessions _))
+    "sw3_stream_sessions" -> (streamSessions _),
+    "sw4_stream_dedup" -> (streamDedup _))
 
   def oracle: Map[String, String] = Map(
     "sw2_stream_hourly" -> streamHourlySql,
-    "sw3_stream_sessions" -> streamSessionsSql)
+    "sw3_stream_sessions" -> streamSessionsSql,
+    "sw4_stream_dedup" -> streamDedupSql)
 }

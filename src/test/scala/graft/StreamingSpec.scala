@@ -357,4 +357,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedSess.nonEmpty, "vacuous: no closed sessions at fixture scale")
     assert(streamedSess.toSeq == batchSess.toSeq)
   }
+
+  test("sw4: streaming dedup removes exactly the planted duplicates") {
+    import org.apache.spark.sql.functions._
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("sw4_stream_dedup")(s, dir).collect()
+    val src = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy(col("event_id").asc_nulls_first).collect()
+    // non-vacuous: the planted stream really carried duplicates
+    assert(src.count(_.getAs[Long]("event_id") % 2 == 1) > 0)
+    // exactly once per event, full-row equality with the source
+    assert(out.toSeq == src.toSeq)
+  }
 }
