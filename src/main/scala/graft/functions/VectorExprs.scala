@@ -99,6 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RowNumberDedupRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongDot].getName, "long_dot"),

@@ -339,6 +339,27 @@ object Extras extends QueryModule {
       |LEFT JOIN orders o ON p.asof_o_orderkey = o.o_orderkey
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- aj4
+  // The SAME as-of query as aj1, executed by the custom PHYSICAL
+  // operator (plans/AsOfMergeJoin: logical node → injected strategy →
+  // co-partitioned sorted-merge exec with O(1) per-partition state).
+  // Shares aj1's oracle SQL verbatim, so the gate hash-proves the
+  // custom exec against both DuckDB and (transitively) the union+window
+  // spelling. PhysicalAsOfSpec pins the plan actually contains
+  // AsOfMergeJoinExec — without that pin this entry could silently
+  // regress to any other join.
+  private def asofExecJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val ord = t(s, dir, "orders")
+    graft.plans.AsOfMerge.leftAsOf(
+      ev, ord,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate",
+      tieBreak = "o_orderkey",
+      payload = Seq("o_orderkey", "o_totalprice"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   // ---------------------------------------------------------------- aj3
   /** Nearest-in-time as-of join — the sensor-alignment direction the
     * backward/forward pair composes into: each click event gets its
@@ -1593,6 +1614,7 @@ object Extras extends QueryModule {
     "j6_full_outer" -> (fullOuter _),
     "e3_posexplode" -> (posExplodeWords _),
     "aj1_asof_join" -> (asofJoin _),
+    "aj4_asof_exec" -> (asofExecJoin _),
     "aj3_asof_nearest" -> (asofNearest _),
     "aj2_asof_forward" -> (asofForward _),
     "rj1_range_join" -> (rangeJoin _),
@@ -1641,6 +1663,7 @@ object Extras extends QueryModule {
     "j6_full_outer" -> fullOuterSql,
     "e3_posexplode" -> posExplodeWordsSql,
     "aj1_asof_join" -> asofJoinSql,
+    "aj4_asof_exec" -> asofJoinSql,
     "aj3_asof_nearest" -> asofNearestSql,
     "aj2_asof_forward" -> asofForwardSql,
     "rj1_range_join" -> rangeJoinSql,

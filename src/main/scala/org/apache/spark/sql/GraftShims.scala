@@ -23,6 +23,13 @@ object GraftShims {
       case _ => df
     }
 
+  /** A DataFrame over an arbitrary logical plan (custom logical nodes —
+    * the tier-(c) operator route needs this to hand AsOfMergeJoin to
+    * the planner).
+    */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Lift a catalyst Expression into the public Column API (the hook
     * custom codegen expressions need; Spark 4 keeps it private[sql]).
     */
