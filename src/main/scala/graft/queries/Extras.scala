@@ -1390,6 +1390,46 @@ object Extras extends QueryModule {
     * second pass over the data, no join back. Nulls are the C7-style
     * planted ones (quantity < 5 → null).
     */
+  // ---------------------------------------------------------------- imp2
+  /** Forward-fill imputation (LOCF — last observation carried forward):
+    * the sensor/time-series gap filler beside imp1's statistical
+    * imputation. Nulls are PLANTED deterministically (every third
+    * event_id) so the fill is non-vacuous and both engines state the
+    * same input; each user's timeline then carries the last non-null
+    * value forward under a pinned (ts, event_id) total order. Leading
+    * nulls (no prior observation) stay null by LOCF definition — the
+    * oracle states the same contract, so the hash proves both the fill
+    * and the leading-null behavior. The filled value is carried RAW (no
+    * arithmetic), so doubles are bit-identical cross-engine.
+    *
+    * Scale posture: one window partitioned by the unbounded user key —
+    * the same shape as ev3/w4; running `last(_, ignoreNulls)` is O(1)
+    * state per row, and the shuffle is the single per-user exchange.
+    */
+  private def forwardFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("v").isNull.as("was_gap"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val forwardFillSql =
+    """SELECT event_id, user_id, ts, v IS NULL AS was_gap,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      |FROM (SELECT event_id, user_id, ts,
+      |        CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      |      FROM events)
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
   private def medianImpute(s: SparkSession, dir: String): DataFrame = {
     val qn = when(col("l_quantity") < 5.0, lit(null).cast(LongType))
       .otherwise(round(col("l_quantity")).cast(LongType))
@@ -1594,6 +1634,7 @@ object Extras extends QueryModule {
     "w4_running_distinct" -> (runningDistinct _),
     "w5_running_distinct_chunked" -> (runningDistinctChunked _),
     "imp1_median_impute" -> (medianImpute _),
+    "imp2_forward_fill" -> (forwardFill _),
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
     "ev8_anomaly_days" -> (anomalyDays _),
@@ -1643,6 +1684,7 @@ object Extras extends QueryModule {
     // the hierarchical prefix-sum spelling ≡ the serial running window
     "w5_running_distinct_chunked" -> runningDistinctSql,
     "imp1_median_impute" -> medianImputeSql,
+    "imp2_forward_fill" -> forwardFillSql,
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,
     "ev8_anomaly_days" -> anomalyDaysSql,

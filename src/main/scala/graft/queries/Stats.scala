@@ -645,6 +645,76 @@ object Stats extends QueryModule {
        |HAVING COUNT(*) * ${HhK + 1} > n_total
        |ORDER BY user_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dq7
+  /** Join-key skew audit — the pre-join diagnostic that decides whether
+    * a fact-fact join needs salting (operators/SaltedJoin) or AQE skew
+    * splitting: per candidate join key (lineitem.l_orderkey), the
+    * multiplicity profile in one rollup — row/key counts, floor-milli
+    * mean multiplicity, the maximum, how many keys exceed 2× the mean
+    * (the "hot key" census), the max/mean skew factor, and the 5
+    * heaviest keys (count desc, key asc — the TopKAgg bounded buffer,
+    * deterministic ties) as a `key:count` string.
+    *
+    * Scale posture: one `GROUP BY key` with map-side partials (the same
+    * shuffle the join itself would do — running the audit first costs
+    * one aggregate over the fact table, not a second join), then a
+    * second aggregate over KEY-grain rows whose exchange carries one
+    * row per key per task; all thresholds integer-exact.
+    */
+  private def joinSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(5))
+    // key-grain frame feeds two aggregates (profile + hot census):
+    // persist instead of re-running the fact-table groupBy per branch
+    val mult = graft.Tables.wide(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = mult
+      .agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_mult"),
+        topk(col("c"), col("l_orderkey")).as("hot"))
+      .select(col("n_rows"), col("n_keys"), col("max_mult"),
+        expr("(1000 * n_rows) DIV n_keys").as("avg_mult_milli"),
+        expr("(1000 * max_mult * n_keys) DIV n_rows").as("skew_x1000"),
+        expr("concat_ws(',', transform(hot, h -> CAST(h.id AS STRING) || ':' || CAST(h.score AS STRING)))")
+          .as("hot5"))
+    val hotCount = mult
+      .join(broadcast(stats.select(col("avg_mult_milli").as("avg_m"))))
+      .filter(col("c") * 1000 > lit(2) * col("avg_m"))
+      .agg(count(lit(1)).as("n_hot_keys"))
+    stats.join(broadcast(hotCount))
+      .select(col("n_rows"), col("n_keys"), col("avg_mult_milli"), col("max_mult"),
+        col("n_hot_keys"), col("skew_x1000"), col("hot5"))
+  }
+
+  private val joinSkewAuditSql =
+    """WITH mult AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY l_orderkey),
+      |ranked AS (
+      |  SELECT l_orderkey, c,
+      |    row_number() OVER (ORDER BY c DESC, l_orderkey) AS rn
+      |  FROM mult),
+      |hot AS (
+      |  SELECT string_agg(CAST(l_orderkey AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+      |                    ',' ORDER BY rn) AS hot5
+      |  FROM ranked WHERE rn <= 5),
+      |agg AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(MAX(c) AS BIGINT) AS max_mult
+      |  FROM mult),
+      |hotn AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_keys
+      |  FROM mult, agg
+      |  WHERE c * 1000 > 2 * ((1000 * n_rows) // n_keys))
+      |SELECT n_rows, n_keys,
+      |  CAST((1000 * n_rows) // n_keys AS BIGINT) AS avg_mult_milli, max_mult,
+      |  n_hot_keys,
+      |  CAST((1000 * max_mult * n_keys) // n_rows AS BIGINT) AS skew_x1000,
+      |  hot5
+      |FROM agg, hot, hotn""".stripMargin
+
   // ---------------------------------------------------------------- q12
   // TPC-H Q18 shape: HAVING over a per-key aggregate, then the
   // qualifying keys (a tiny surviving set) drive joins back to the
@@ -1625,6 +1695,7 @@ object Stats extends QueryModule {
     "w6_rolling_median" -> (rollingMedian _),
     "h1_histogram" -> (histogram _),
     "hh1_heavy_hitters" -> (heavyHitters _),
+    "dq7_join_skew" -> (joinSkewAudit _),
     "q11_exists_late" -> (latePriorityCount _),
     "w2_window_nav" -> (windowExtras _),
     "q09_cube" -> (cubeAgg _),
@@ -1664,6 +1735,7 @@ object Stats extends QueryModule {
     "w6_rolling_median" -> rollingMedianSql,
     "h1_histogram" -> histogramSql,
     "hh1_heavy_hitters" -> heavyHittersSql,
+    "dq7_join_skew" -> joinSkewAuditSql,
     "q11_exists_late" -> latePriorityCountSql,
     "w2_window_nav" -> windowExtrasSql,
     "q09_cube" -> cubeAggSql,

@@ -14,6 +14,45 @@ class StatsSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.01"
 
+  test("imp2: forward-fill replays driver-side; leading nulls stay null") {
+    val out = SparkEntry.queries("imp2_forward_fill")(spark, dir).collect()
+    assert(out.exists(_.getAs[Boolean]("was_gap")), "no planted gaps — vacuous")
+    // replay LOCF per user in plain Scala over the same planted stream
+    val filled = out
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Boolean]("was_gap"),
+        Option(r.getAs[java.lang.Double]("value_filled"))))
+    val src = SparkEntry.configure(spark).read.parquet(s"$dir/events.parquet")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (if (r.getAs[Long]("event_id") % 3 == 0) None else Some(r.getAs[Double]("value")))).toMap
+    filled.groupBy(_._1).foreach { case (_, rows) =>
+      var carry: Option[Double] = None
+      rows.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, _, id, gap, got) =>
+        assert(gap == src(id).isEmpty)
+        carry = src(id).orElse(carry)
+        assert(got == carry, s"event $id: got $got want $carry")
+      }
+    }
+  }
+
+  test("dq7: skew audit ties out to a driver-side multiplicity recount") {
+    val r = SparkEntry.queries("dq7_join_skew")(spark, dir).head
+    val mult = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_orderkey").count().collect()
+      .map(x => x.getAs[Long]("l_orderkey") -> x.getAs[Long]("count")).toMap
+    val nRows = mult.values.sum
+    assert(r.getAs[Long]("n_rows") == nRows)
+    assert(r.getAs[Long]("n_keys") == mult.size)
+    assert(r.getAs[Long]("max_mult") == mult.values.max)
+    val avgMilli = 1000L * nRows / mult.size
+    assert(r.getAs[Long]("avg_mult_milli") == avgMilli)
+    assert(r.getAs[Long]("n_hot_keys") == mult.values.count(_ * 1000 > 2 * avgMilli))
+    val want5 = mult.toSeq.sortBy { case (k, c) => (-c, k) }.take(5)
+      .map { case (k, c) => s"$k:$c" }.mkString(",")
+    assert(r.getAs[String]("hot5") == want5)
+    assert(r.getAs[Long]("skew_x1000") > 1000, "no skew signal at all — vacuous audit")
+  }
+
   test("q06: every in-gate bracket flag is true") {
     val out = SparkEntry.queries("q06_quantile_sketch")(spark, dir).collect()
     assert(out.nonEmpty)
