@@ -216,6 +216,89 @@ object Similarity extends QueryModule {
       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- ann11
+  /** ANN recall audit — dd15's "measure, don't guess" discipline applied
+    * to the dense channel: run the EXACT top-5 (ann1's brute-force
+    * scoring) and the single-probe IVF top-5 (ann2's bucketed scoring)
+    * for the same queries, and report per query how many exact
+    * neighbors the IVF channel recovered (`recall_ppm`). This is the
+    * number an index deployment watches before trusting nprobe/C at the
+    * next scale-up — and the reason ann6 exists (multi-probe buys back
+    * exactly the boundary neighbors this audit shows single-probe
+    * losing).
+    *
+    * Scale posture: the exact channel is the audit's COST — it scores
+    * every vector per query, which is affordable for an audit's handful
+    * of probe queries (Q×N, not N²) and is exactly what a production
+    * recall job does on a sampled query set; the IVF channel touches
+    * one bucket per query. Both top-5s are bounded aggregates; the
+    * audit join runs over two ≤5·Q-row frames.
+    */
+  private def recallAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val assigned = assignedBuckets(s, dir)
+    val topk = udaf(new TopKAgg(5))
+    def hits(scored: DataFrame): DataFrame =
+      scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits"))
+        .select(col("query_id"), explode(col("hits")).as("h"))
+        .select(col("query_id"), col("h.id").as("neighbor_id"))
+    val queriesI = assigned.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("qc"), col("q").as("qv"))
+    val ivf = hits(assigned
+      .join(broadcast(queriesI),
+        col("centroid_id") === col("qc") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("q")).as("score")))
+      .withColumn("hit", lit(1L))
+    val queriesE = emb.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val exact = hits(emb
+      .join(broadcast(queriesE), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("q")).as("score")))
+    exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("(1000000 * n_hit) DIV n_exact").as("recall_ppm"))
+      .orderBy(col("query_id").asc_nulls_first)
+  }
+
+  private val recallAuditSql = {
+    val ids = QueryIds.mkString(", ")
+    s"""WITH $lloydCtes,
+       |iq AS (
+       |  SELECT vec_id AS query_id, centroid_id AS qc, q AS qv
+       |  FROM assigned WHERE vec_id IN ($ids)),
+       |iscored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * a.q[i])) AS BIGINT) AS score
+       |  FROM iq JOIN assigned a ON a.centroid_id = iq.qc AND a.vec_id <> query_id),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM iscored) WHERE rank <= 5),
+       |eq AS (SELECT vec_id AS query_id, q AS qv FROM emb WHERE vec_id IN ($ids)),
+       |escored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.q[i])) AS BIGINT) AS score
+       |  FROM eq CROSS JOIN emb e WHERE e.vec_id <> query_id),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM escored) WHERE rank <= 5)
+       |SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST((1000000 * COUNT(i.neighbor_id)) // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM exact x LEFT JOIN ivf i
+       |  ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+       |GROUP BY x.query_id
+       |ORDER BY x.query_id NULLS FIRST""".stripMargin
+  }
+
   // ---------------------------------------------------------------- ann6
   /** Two-stage retrieval — the production ANN pattern ann2 stops short
     * of: a MULTI-PROBE shortlist (each query probes its [[NProbe]]
@@ -1337,6 +1420,7 @@ object Similarity extends QueryModule {
     "emb2_quantize" -> (quantizeInt8 _),
     "ann1_topk_exact" -> (bruteTopK _),
     "ann2_topk_ivf" -> (ivfTopK _),
+    "ann11_recall_audit" -> (recallAudit _),
     "ann6_topk_ivf_rerank" -> (ivfRerankTopK _),
     "ann7_topk_matryoshka" -> (matryoshkaTopK _),
     "ann3_topk_cosine" -> (cosineTopK _),
@@ -1357,6 +1441,7 @@ object Similarity extends QueryModule {
     "emb2_quantize" -> quantizeInt8Sql,
     "ann1_topk_exact" -> bruteTopKSql,
     "ann2_topk_ivf" -> ivfTopKSql,
+    "ann11_recall_audit" -> recallAuditSql,
     "ann6_topk_ivf_rerank" -> ivfRerankTopKSql,
     "ann7_topk_matryoshka" -> matryoshkaTopKSql,
     "ann3_topk_cosine" -> cosineTopKSql,
