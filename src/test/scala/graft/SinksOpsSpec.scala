@@ -68,6 +68,29 @@ class SinksOpsSpec extends AnyFunSuite {
     assert(pruned.count() == docs.filter(org.apache.spark.sql.functions.col("lang") === "de").count())
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("graft-dyn").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.partitionBy("lang").parquet(dir)
+    val before = spark.read.parquet(dir).filter(col("lang") =!= "de").count()
+    // overwrite ONLY lang=de with a single marker row; static mode would
+    // truncate the whole table, dynamic must leave the other langs alone
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      docs.filter(col("lang") === "de").limit(1)
+        .withColumn("text", lit("overwritten"))
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("lang") =!= "de").count() == before, "untouched partitions changed")
+    assert(after.filter(col("lang") === "de").count() == 1, "target partition not replaced")
+    assert(after.filter(col("lang") === "de").head.getAs[String]("text") == "overwritten")
+  }
+
   test("ParquetSink round-trips the mart") {
     val dir = Files.createTempDirectory("graft-sink").toString + "/mart"
     val sink = new graft.sinks.ParquetSink(dir)
