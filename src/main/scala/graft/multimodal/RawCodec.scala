@@ -43,7 +43,26 @@ object RawCodec {
     * bits != 16) rather than throwing: a decoder inside `mapPartitions`
     * must treat undecodable payloads as data, not as job failures.
     */
-  def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+  def parseWav(bytes: Array[Byte]): Option[WavInfo] = pcmLayout(bytes).map {
+    case (channels, rate, off, nFrames) =>
+      val b = le(bytes)
+      var sum = 0L
+      var i = 0
+      val totalSamples = nFrames * channels
+      while (i < totalSamples) {
+        sum += math.abs(b.getShort(off + i * 2).toLong)
+        i += 1
+      }
+      val mean = if (totalSamples == 0) 0.0 else sum.toDouble / totalSamples
+      WavInfo(channels, rate, 16, nFrames, nFrames * 1000L / rate, mean)
+  }
+
+  /** The shared RIFF chunk walk: locate a PCM "fmt " + "data" pair and
+    * return (channels, sampleRate, dataOffset, nFrames). None on any
+    * structural mismatch (wrong magic, truncated chunk, non-PCM,
+    * bits != 16).
+    */
+  private def pcmLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes.length < 44) return None
     val b = le(bytes)
     if (fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "WAVE") return None
@@ -73,20 +92,27 @@ object RawCodec {
       (channels, rate, block, bits) <- fmt
       (off, size) <- data
       if bits == 16 && channels > 0 && rate > 0 && block == channels * 2
-    } yield {
-      val nFrames = size / block
-      var sum = 0L
+    } yield (channels, rate, off, size / block)
+  }
+
+  /** Windowed loudness: per consecutive window of `win` samples (flat
+    * interleaved sample order — exactly how they sit in the data chunk),
+    * the sum of |amplitude|, plus the total sample count. The windowed
+    * form a VAD / silence-trim / loudness-normalization stage consumes;
+    * parseWav's meanAbsAmplitude is this with one corpus-sized window.
+    */
+  def wavWindowAbsSums(bytes: Array[Byte], win: Int): Option[(Long, Array[Long])] =
+    pcmLayout(bytes).map { case (channels, _, off, nFrames) =>
+      val b = le(bytes)
+      val total = nFrames * channels
+      val sums = Array.ofDim[Long]((total + win - 1) / win)
       var i = 0
-      val totalSamples = nFrames * channels
-      while (i < totalSamples) {
-        sum += math.abs(b.getShort(off + i * 2).toLong)
+      while (i < total) {
+        sums(i / win) += math.abs(b.getShort(off + i * 2).toLong)
         i += 1
       }
-      val mean = if (totalSamples == 0) 0.0 else sum.toDouble / totalSamples
-      WavInfo(channels, rate, bits, nFrames,
-        nFrames * 1000L / rate, mean)
+      (total.toLong, sums)
     }
-  }
 
   /** Parse an uncompressed 24-bpp BMP (BITMAPINFOHEADER). Rows are
     * bottom-up and padded to 4-byte boundaries; the mean skips padding.

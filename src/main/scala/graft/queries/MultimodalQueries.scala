@@ -249,7 +249,62 @@ object MultimodalQueries extends QueryModule {
       |SELECT * FROM wav UNION ALL SELECT * FROM bmp
       |ORDER BY media_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- mm7
+  /** Windowed audio loudness from the REAL decode — one level deeper
+    * than mm6's whole-file summary: every audio payload's PCM samples,
+    * decoded by [[graft.multimodal.RawCodec]]'s chunk walk, rolled into
+    * consecutive 32-sample |amplitude| sums — the feature a VAD /
+    * silence-trimming / loudness-normalization stage consumes. The
+    * oracle restates each window arithmetically from the synthesized
+    * containers' closed-form sample function, so a parser bug in the
+    * chunk offsets, interleave order, or 16-bit signedness shifts a
+    * window sum and fails the hash.
+    *
+    * Scale posture: typed Dataset flatMap (the multimodal plumbing
+    * tier — byte parsing is JVM code by nature), O(1) decode state per
+    * window, output rows ≤ samples/32 per media; the only shuffle is
+    * the gate's presentation sort.
+    */
+  private val Mm7Window = 32
+
+  private def mm7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.rawMediaTable(s, dir)
+      .filter(_.kind == "audio")
+      .flatMap { m =>
+        graft.multimodal.RawCodec.wavWindowAbsSums(m.content, Mm7Window).toSeq
+          .flatMap { case (total, sums) =>
+            sums.iterator.zipWithIndex.map { case (sum, w) =>
+              (m.media_id, w.toLong,
+                math.min(Mm7Window.toLong, total - w.toLong * Mm7Window), sum)
+            }
+          }
+      }
+      .toDF("media_id", "window_id", "n_in_window", "sum_abs")
+      .orderBy(col("media_id").asc_nulls_first, col("window_id").asc_nulls_first)
+  }
+
+  private val mm7Sql =
+    s"""WITH src AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 50 = 0 AND doc_id % 2 = 0),
+       |p AS (
+       |  SELECT doc_id AS media_id,
+       |    (64 + doc_id % 64) * (1 + (doc_id // 2) % 2) AS total
+       |  FROM src),
+       |w AS (
+       |  SELECT media_id, total,
+       |    unnest(range(0, (total + ${Mm7Window - 1}) // $Mm7Window)) AS window_id
+       |  FROM p)
+       |SELECT media_id, CAST(window_id AS BIGINT) AS window_id,
+       |  CAST(LEAST($Mm7Window, total - window_id * $Mm7Window) AS BIGINT) AS n_in_window,
+       |  CAST(list_sum(list_transform(
+       |      range(window_id * $Mm7Window, LEAST(total, (window_id + 1) * $Mm7Window)),
+       |      i -> abs(((media_id * 31 + i * 7) % 65536) - 32768))) AS BIGINT) AS sum_abs
+       |FROM w
+       |ORDER BY media_id NULLS FIRST, window_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm7_audio_windows" -> (mm7 _),
     "mm1_media_summary" -> (mm1 _),
     "mm2_decode_features" -> (mm2 _),
     "mm3_frame_sample" -> (mm3 _),
@@ -258,6 +313,7 @@ object MultimodalQueries extends QueryModule {
     "mm6_raw_decode" -> (mm6 _))
 
   override val oracle: Map[String, String] = Map(
+    "mm7_audio_windows" -> mm7Sql,
     "mm1_media_summary" -> mm1Sql,
     "mm2_decode_features" -> mm2Sql,
     "mm3_frame_sample" -> mm3Sql,

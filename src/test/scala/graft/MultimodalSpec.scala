@@ -186,6 +186,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert((bw * 3) % 4 != 0, "fixture width must exercise stride padding")
   }
 
+  test("mm7: window sums partition parseWav's total amplitude; parser is byte-sensitive") {
+    import graft.multimodal.RawCodec
+    val wav = RawCodec.synthWav(seed = 42L, channels = 2, rate = 8000, frames = 70)
+    val (total, sums) = RawCodec.wavWindowAbsSums(wav, 32).get
+    assert(total == 140)
+    assert(sums.length == 5) // ceil(140/32)
+    // the windows partition the exact same samples parseWav averages
+    val info = RawCodec.parseWav(wav).get
+    assert(sums.sum.toDouble / total == info.meanAbsAmplitude)
+    // flipping ONE payload byte must move exactly one window's sum
+    val corrupt = wav.clone()
+    corrupt(60) = (corrupt(60) ^ 0x7f).toByte // inside the data chunk
+    val (_, sums2) = RawCodec.wavWindowAbsSums(corrupt, 32).get
+    assert(sums2.zip(sums).count { case (a, b) => a != b } == 1,
+      "byte flip did not localize to one window — offset arithmetic broken")
+    // structural damage → None, not garbage
+    val trunc = wav.take(40)
+    assert(RawCodec.wavWindowAbsSums(trunc, 32).isEmpty)
+  }
+
   test("mm6 rawMediaTable: real containers decode through RawCodecDecoder in Spark") {
     import graft.multimodal.RawCodec
     val feats = Multimodal.extractFeatures(
