@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins for the round-9 additions the gate hash can't see:
+  * hh1 must run the sketch as a map-side-combinable ObjectHashAggregate
+  * and rescore through a broadcast semi-join (never a shuffle of one
+  * row per distinct id to a window), and emb6 must stay a single-scan
+  * single-aggregate-exchange plan whatever the block size.
+  */
+class NewShapePinsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def aqeOff[A](f: org.apache.spark.sql.SparkSession => A): A = {
+    val s = SparkEntry.configure(spark)
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    try { s.conf.set("spark.sql.adaptive.enabled", "false"); f(s) }
+    finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("hh1: sketch is an ObjectHashAggregate, rescore a broadcast semi-join, no window") {
+    aqeOff { s =>
+      val plan = SparkEntry.queries("hh1_heavy_hitters")(s, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"), "MG sketch not aggregated map-side")
+      assert(plan.contains("BroadcastHashJoin LeftSemi") || plan.contains("LeftSemi, BuildRight"),
+        s"rescore not a broadcast semi-join:\n$plan")
+      assert(!plan.contains("Window"), "hh1 must not rank via a window")
+    }
+  }
+
+  test("emb6: one embeddings scan, one aggregate exchange (plus the presentation sort)") {
+    aqeOff { s =>
+      val df = SparkEntry.queries("emb6_covariance")(s, dir)
+      val scans = df.queryExecution.executedPlan.collect {
+        case p if p.nodeName.contains("Scan") && p.toString.contains("embeddings") => p
+      }
+      assert(scans.size == 1, s"expected 1 embeddings scan, got ${scans.size}")
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }
+      // groupBy(dim_i, dim_j) + the gate's orderBy range exchange
+      assert(shuffles.size <= 2, s"unexpected exchanges: ${shuffles.size}")
+    }
+  }
+
+  test("dq7: the key-grain frame is persisted, not rebuilt per consumer") {
+    val s = SparkEntry.configure(spark)
+    val df = SparkEntry.queries("dq7_join_skew")(s, dir)
+    df.collect()
+    // after the action the persisted mult frame backs the hot-census
+    // branch as an InMemoryTableScan instead of re-running the fact scan
+    assert(df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "mult frame not cached — lineitem would scan twice")
+  }
+}
