@@ -1430,6 +1430,149 @@ object Extras extends QueryModule {
       |      FROM events)
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev17
+  /** RFM segmentation census — the classic user-value stratification
+    * (recency / frequency / monetary quartile codes). Quartile CODES are
+    * assigned by comparing each user's metric against three interpolated
+    * quartile boundaries computed once and BROADCAST — never an `ntile`
+    * window over the user frame (w7's caveat: a global ntile serializes
+    * into one sorted task; threshold-compare assignment is map-side and
+    * scale-free). Boundaries are bit-stable cross-engine on integer
+    * inputs (the q10 argument); money is integer cents per row. Code 4 =
+    * best quartile on every axis (recency inverted: smaller is better).
+    */
+  private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary_cents"))
+    val corpus = users.agg(max(col("last_day")).as("corpus_day"))
+    val r = users.join(broadcast(corpus))
+      .withColumn("recency_days",
+        datediff(col("corpus_day"), col("last_day")).cast(LongType))
+    val fr = array(lit(0.25), lit(0.5), lit(0.75))
+    val th = r.agg(
+      percentile(col("recency_days"), fr).as("rq"),
+      percentile(col("freq"), fr).as("fq"),
+      percentile(col("monetary_cents"), fr).as("mq"))
+    def code(better: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(1) + Seq(0, 1, 2).map(i => when(better(lit(i)), 1L).otherwise(0L)).reduce(_ + _)
+    r.join(broadcast(th))
+      .select(
+        code(i => col("recency_days") < col("rq")(i)).as("r_code"),
+        code(i => col("freq") > col("fq")(i)).as("f_code"),
+        code(i => col("monetary_cents") > col("mq")(i)).as("m_code"),
+        col("freq"), col("monetary_cents"))
+      .groupBy("r_code", "f_code", "m_code")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("freq")).as("sum_events"),
+        sum(col("monetary_cents")).as("sum_monetary_cents"))
+      .orderBy(col("r_code").asc_nulls_first, col("f_code").asc_nulls_first,
+        col("m_code").asc_nulls_first)
+  }
+
+  private val rfmSegmentsSql =
+    """WITH users AS (
+      |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT *, CAST(date_diff('day', last_day,
+      |    (SELECT MAX(last_day) FROM users)) AS BIGINT) AS recency_days
+      |  FROM users),
+      |th AS (
+      |  SELECT quantile_cont(recency_days, 0.25) AS rq1,
+      |         quantile_cont(recency_days, 0.5) AS rq2,
+      |         quantile_cont(recency_days, 0.75) AS rq3,
+      |         quantile_cont(freq, 0.25) AS fq1,
+      |         quantile_cont(freq, 0.5) AS fq2,
+      |         quantile_cont(freq, 0.75) AS fq3,
+      |         quantile_cont(monetary_cents, 0.25) AS mq1,
+      |         quantile_cont(monetary_cents, 0.5) AS mq2,
+      |         quantile_cont(monetary_cents, 0.75) AS mq3
+      |  FROM r),
+      |coded AS (
+      |  SELECT
+      |    1 + (CASE WHEN recency_days < rq1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN recency_days < rq2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN recency_days < rq3 THEN 1 ELSE 0 END) AS r_code,
+      |    1 + (CASE WHEN freq > fq1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > fq2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > fq3 THEN 1 ELSE 0 END) AS f_code,
+      |    1 + (CASE WHEN monetary_cents > mq1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_cents > mq2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_cents > mq3 THEN 1 ELSE 0 END) AS m_code,
+      |    freq, monetary_cents
+      |  FROM r CROSS JOIN th)
+      |SELECT CAST(r_code AS BIGINT) AS r_code, CAST(f_code AS BIGINT) AS f_code,
+      |  CAST(m_code AS BIGINT) AS m_code,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(freq) AS BIGINT) AS sum_events,
+      |  CAST(SUM(monetary_cents) AS BIGINT) AS sum_monetary_cents
+      |FROM coded GROUP BY r_code, f_code, m_code
+      |ORDER BY r_code NULLS FIRST, f_code NULLS FIRST, m_code NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- imp3
+  /** Winsorization (percentile clamping) — the outlier treatment beside
+    * imp1's fill and imp2's carry-forward: per language, clamp document
+    * length to the exact interpolated [p05, p95] band and report the
+    * clip census + clamped moments. Cross-engine exactness: the
+    * interpolated thresholds are bit-stable on integer inputs (the q10
+    * argument), then everything downstream is INTEGER milli-units —
+    * floor(q·1000) on bit-identical doubles is bit-identical, and the
+    * clamped sum/mean never touch float accumulation.
+    *
+    * Scale posture: thresholds come from one per-group percentile
+    * aggregate over (lang, n_chars) — group-count rows — and join back
+    * BROADCAST; the clamp is map-side; the census is one hash aggregate
+    * with map-side partials. The exact per-group percentile sorts per
+    * group (q10's caveat) — a 100 TB run swaps in q06's GK sketch for
+    * the thresholds and keeps the rest of the plan unchanged.
+    */
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("lang"), col("n_chars"))
+    val th = d.groupBy("lang")
+      .agg(percentile(col("n_chars"), array(lit(0.05), lit(0.95))).as("q"))
+      .select(col("lang"),
+        floor(col("q")(0) * 1000).cast(LongType).as("lo_milli"),
+        floor(col("q")(1) * 1000).cast(LongType).as("hi_milli"))
+    d.join(broadcast(th), Seq("lang"))
+      .select(col("lang"), col("lo_milli"), col("hi_milli"),
+        (col("n_chars") * 1000).as("m"))
+      .groupBy("lang", "lo_milli", "hi_milli")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("m") < col("lo_milli"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("m") > col("hi_milli"), 1L).otherwise(0L)).as("n_clip_high"),
+        sum(greatest(col("lo_milli"), least(col("hi_milli"), col("m"))))
+          .as("sum_clamped_milli"))
+      .select(col("lang"), col("n_docs"), col("n_clip_low"), col("n_clip_high"),
+        col("lo_milli"), col("hi_milli"), col("sum_clamped_milli"),
+        expr("sum_clamped_milli DIV n_docs").as("mean_clamped_milli"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val winsorizeSql =
+    """WITH th AS (
+      |  SELECT lang,
+      |    CAST(floor(quantile_cont(n_chars, 0.05) * 1000) AS BIGINT) AS lo_milli,
+      |    CAST(floor(quantile_cont(n_chars, 0.95) * 1000) AS BIGINT) AS hi_milli
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.n_chars * 1000 < lo_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+      |  CAST(SUM(CASE WHEN d.n_chars * 1000 > hi_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+      |  lo_milli, hi_milli,
+      |  CAST(SUM(GREATEST(lo_milli, LEAST(hi_milli, d.n_chars * 1000))) AS BIGINT) AS sum_clamped_milli,
+      |  CAST(SUM(GREATEST(lo_milli, LEAST(hi_milli, d.n_chars * 1000))) AS BIGINT)
+      |    // CAST(COUNT(*) AS BIGINT) AS mean_clamped_milli
+      |FROM documents d JOIN th USING (lang)
+      |GROUP BY d.lang, lo_milli, hi_milli
+      |ORDER BY d.lang NULLS FIRST""".stripMargin
+
   private def medianImpute(s: SparkSession, dir: String): DataFrame = {
     val qn = when(col("l_quantity") < 5.0, lit(null).cast(LongType))
       .otherwise(round(col("l_quantity")).cast(LongType))
@@ -1635,6 +1778,8 @@ object Extras extends QueryModule {
     "w5_running_distinct_chunked" -> (runningDistinctChunked _),
     "imp1_median_impute" -> (medianImpute _),
     "imp2_forward_fill" -> (forwardFill _),
+    "imp3_winsorize" -> (winsorize _),
+    "ev17_rfm_segments" -> (rfmSegments _),
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
     "ev8_anomaly_days" -> (anomalyDays _),
@@ -1685,6 +1830,8 @@ object Extras extends QueryModule {
     "w5_running_distinct_chunked" -> runningDistinctSql,
     "imp1_median_impute" -> medianImputeSql,
     "imp2_forward_fill" -> forwardFillSql,
+    "imp3_winsorize" -> winsorizeSql,
+    "ev17_rfm_segments" -> rfmSegmentsSql,
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,
     "ev8_anomaly_days" -> anomalyDaysSql,

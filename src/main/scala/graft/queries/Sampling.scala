@@ -393,8 +393,59 @@ object Sampling extends QueryModule {
       |FROM ranked, quota WHERE bal_rank <= n_min
       |ORDER BY lang NULLS FIRST, bal_rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ds9
+  /** Histogram-matching resampler — reshape the corpus length
+    * distribution toward a TARGET histogram (uniform over 10 fixed-width
+    * buckets here; any target column works) by per-bucket Bernoulli
+    * acceptance: accept(b) = min(1, target_b / n_b), the importance-
+    * sampling move behind "flatten the length distribution before
+    * packing" and domain-mix reshaping. Acceptance rates are computed
+    * from ONE tiny bucket census (≤10 rows, broadcast back), rendered
+    * into ds3's 32-bit hex-threshold space, and applied with the
+    * tagged-md5 draw — deterministic, partitioning-independent,
+    * membership a pure function of doc_id. The threshold product runs
+    * in DECIMAL(38,0)/HUGEINT so a 10^12-row bucket census cannot
+    * overflow. Map-side gate; the only exchanges carry bucket-count
+    * rows.
+    */
+  private def distMatch(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("least(9, n_chars DIV 60)").as("bucket"))
+    val counts = d.groupBy("bucket").agg(count(lit(1)).as("n_b"))
+    val target = counts.agg(expr("CAST(sum(n_b) AS BIGINT) DIV 10").as("t"))
+    val thr = counts.join(broadcast(target))
+      .select(col("bucket"), col("n_b"),
+        expr("CAST(least((CAST(t AS DECIMAL(38,0)) * 4294967296) DIV n_b," +
+          " 4294967295) AS BIGINT)").as("thr"))
+    d.join(broadcast(thr), Seq("bucket"))
+      .groupBy("bucket", "n_b", "thr")
+      .agg(sum(when(substring(md5(concat(lit("dmatch:"), col("doc_id"))), 1, 8) <
+          lower(lpad(hex(col("thr")), 8, "0")), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("bucket"), col("n_b").as("n_docs"),
+        expr("(thr * 1000000) DIV 4294967296").as("accept_ppm"), col("n_kept"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
+  private val distMatchSql =
+    """WITH d AS (
+      |  SELECT doc_id, least(9, n_chars // 60) AS bucket FROM documents),
+      |counts AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b FROM d GROUP BY bucket),
+      |tgt AS (SELECT CAST(SUM(n_b) AS BIGINT) // 10 AS t FROM counts),
+      |thr AS (
+      |  SELECT bucket, n_b,
+      |    CAST(least((CAST(t AS HUGEINT) * 4294967296) // n_b, 4294967295) AS BIGINT) AS thr
+      |  FROM counts CROSS JOIN tgt)
+      |SELECT d.bucket, n_b AS n_docs,
+      |  CAST(thr * 1000000 // 4294967296 AS BIGINT) AS accept_ppm,
+      |  CAST(SUM(CASE WHEN substr(md5('dmatch:' || doc_id), 1, 8) <
+      |    lower(lpad(hex(thr), 8, '0')) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM d JOIN thr USING (bucket)
+      |GROUP BY d.bucket, n_b, thr
+      |ORDER BY bucket NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "ds9_dist_match" -> (distMatch _),
       "ds8_balance_downsample" -> (balanceDownsample _),
       "ds7_interleave_shards" -> (interleaveShards _),
       "ds5_token_budget_mix" -> (tokenBudgetMix _),
@@ -406,6 +457,7 @@ object Sampling extends QueryModule {
   override val oracle: Map[String, String] =
     Map(
       // serial total-order spelling — hash-proves hierarchical ≡ serial
+      "ds9_dist_match" -> distMatchSql,
       "ds8_balance_downsample" -> balanceDownsampleSql,
       "ds7_interleave_shards" -> interleaveShardsSql,
       "ds5_token_budget_mix" -> tokenBudgetMixSql,

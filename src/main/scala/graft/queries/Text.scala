@@ -1253,7 +1253,80 @@ object Text extends QueryModule {
        |ORDER BY w.lang NULLS FIRST""".stripMargin
   }
 
+  // --------------------------------------------------------------- tx16
+  /** PMI collocation mining — the phrase-discovery operator of a corpus
+    * curation stack (multi-word expressions for tokenizer vocab seeding,
+    * boilerplate phrase detection). Pointwise mutual information
+    * log(p(ab)/(p(a)p(b))) ranks pairs, but log is not bit-stable
+    * cross-engine, so the score is the exact RATIONAL under the log in
+    * ppm: pmi_ppm = (10^6 · c_ab · N_u²) DIV (N_b · c_a · c_b) — the
+    * same ordering (log is monotone), integer-exact in DECIMAL(38,0) /
+    * HUGEINT. At sf0.1 the numerator peaks ~10^25; a 10^13-token corpus
+    * overflows 38 digits, so the documented scale spelling divides both
+    * unigram counts by 10^6 first (pre-normalized probabilities) —
+    * ordering unchanged, range restored.
+    *
+    * Scale posture: bigram/unigram counting is the tx6 explode→groupBy
+    * (exchange carries only (gram, count) partial-aggregated rows); the
+    * unigram vocabulary joins back BROADCAST (vocab ≪ corpus); min-count
+    * support (≥5) prunes the candidate frame before scoring; the global
+    * top-20 is a TakeOrderedAndProject (per-partition heap + driver
+    * merge of 20·P rows), never a full sort.
+    */
+  private def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").withColumn("w", words)
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(
+        transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => array_join(slice(col("w"), i, lit(2)), " "))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    // both totals ride one tiny broadcast row; uni is vocab-sized
+    val totals = uni.agg(sum(col("c")).cast("long").as("nu"))
+      .crossJoin(bi.agg(sum(col("c_ab")).cast("long").as("nb")))
+    bi
+      .select(split(col("bigram"), " ")(0).as("w1"),
+        split(col("bigram"), " ")(1).as("w2"), col("c_ab"))
+      .join(broadcast(uni.select(col("word").as("w1"), col("c").as("c_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c_b"))), Seq("w2"))
+      .join(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * c_ab * nu * nu)" +
+          " DIV (CAST(nb AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1").asc_nulls_first, col("w2").asc_nulls_first)
+      .limit(20)
+  }
+
+  private val pmiCollocationsSql =
+    """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |uni AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word),
+      |bi AS (
+      |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)),
+      |      i -> array_to_string(w[i:i+1], ' '))) AS bigram
+      |    FROM toks WHERE len(w) >= 2)
+      |  GROUP BY bigram HAVING COUNT(*) >= 5),
+      |totals AS (
+      |  SELECT (SELECT CAST(SUM(c) AS HUGEINT) FROM uni) AS nu,
+      |         (SELECT CAST(SUM(c_ab) AS HUGEINT) FROM bi) AS nb)
+      |SELECT w1, w2, c_ab,
+      |  CAST((1000000 * CAST(c_ab AS HUGEINT) * nu * nu)
+      |    // (nb * ua.c * ub.c) AS BIGINT) AS pmi_ppm
+      |FROM (SELECT string_split(bigram, ' ')[1] AS w1,
+      |             string_split(bigram, ' ')[2] AS w2, c_ab FROM bi) b
+      |JOIN uni ua ON ua.word = b.w1
+      |JOIN uni ub ON ub.word = b.w2
+      |CROSS JOIN totals
+      |ORDER BY pmi_ppm DESC, w1 NULLS FIRST, w2 NULLS FIRST
+      |LIMIT 20""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx16_pmi_collocations" -> (pmiCollocations _),
     "tok1_bpe_merges" -> (bpeMerges _),
     "tok2_bpe_segment" -> (bpeApply _),
     "tok3_vocab_coverage" -> (vocabCoverage _),
@@ -1276,6 +1349,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx16_pmi_collocations" -> pmiCollocationsSql,
     "tok1_bpe_merges" -> bpeMergesSql,
     "tok2_bpe_segment" -> bpeApplySql,
     "tok3_vocab_coverage" -> vocabCoverageSql,

@@ -162,6 +162,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(perUnit.max - perUnit.min <= 1, s"budgets not weight-proportional: $budgetOf")
   }
 
+  test("ds9 histogram matching: membership replays driver-side, rates track targets") {
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("ds9_dist_match")(s, dir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("accept_ppm"), r.getAs[Long]("n_kept"))).toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(s, dir, "documents").select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), math.min(9L, r.getLong(1) / 60)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val target = counts.values.sum / 10
+    // exact membership replay: same tagged draw, same threshold
+    val expect = counts.map { case (b, nB) =>
+      val thr = math.min(target * 4294967296L / nB, 4294967295L)
+      val kept = docs.count { case (id, bb) =>
+        bb == b && md5hex(s"dmatch:$id").substring(0, 8) < f"$thr%08x" }
+      b -> (nB, thr * 1000000L / 4294967296L, kept.toLong)
+    }
+    assert(got == expect, s"census diverged:\n got=$got\n want=$expect")
+    // rates must point the right way: under-represented buckets keep all
+    val under = counts.filter(_._2 <= target).keySet
+    under.foreach(b => assert(got(b)._2 == 999999L, s"bucket $b should saturate"))
+    val over = counts.filter(_._2 * 5 > 6 * target).keySet // >1.2× target
+    assert(over.nonEmpty, "no over-represented bucket — vacuous reshaping")
+    over.foreach(b => assert(got(b)._2 < 900000L, s"bucket $b barely downsampled"))
+  }
+
   test("ds3 weighted sampling equals an exact driver-side recomputation") {
     val s = SparkEntry.configure(spark)
     val dir = "/root/testdata/sf0.01"

@@ -35,6 +35,65 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("imp3: winsorize census replays driver-side with exact interpolated bands") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("imp3_winsorize")(s, dir).collect()
+    val byLang = SparkEntry.configure(spark).read.parquet(s"$dir/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // Spark's Percentile weights BOTH sides (lo·(h−rank) + hi·(rank−l));
+    // the algebraically-equal lo + frac·(hi−lo) rounds differently in fp
+    // and can land the ×1000 floor one milli off
+    def interp(v: Array[Long], p: Double): Double = {
+      val sorted = v.sorted
+      val rank = p * (sorted.length - 1)
+      val l = math.floor(rank).toInt; val h = math.ceil(rank).toInt
+      if (l == h) sorted(l).toDouble
+      else sorted(l) * (h - rank) + sorted(h) * (rank - l)
+    }
+    assert(out.map(_.getAs[String]("lang")).toSet == byLang.keySet)
+    out.foreach { r =>
+      val v = byLang(r.getAs[String]("lang"))
+      val lo = math.floor(interp(v, 0.05) * 1000).toLong
+      val hi = math.floor(interp(v, 0.95) * 1000).toLong
+      assert(r.getAs[Long]("lo_milli") == lo && r.getAs[Long]("hi_milli") == hi)
+      val m = v.map(_ * 1000)
+      assert(r.getAs[Long]("n_docs") == v.length)
+      assert(r.getAs[Long]("n_clip_low") == m.count(_ < lo))
+      assert(r.getAs[Long]("n_clip_high") == m.count(_ > hi))
+      assert(r.getAs[Long]("n_clip_low") > 0 && r.getAs[Long]("n_clip_high") > 0,
+        "no clipping at all — vacuous winsorization")
+      val sum = m.map(x => math.max(lo, math.min(hi, x))).sum
+      assert(r.getAs[Long]("sum_clamped_milli") == sum)
+      assert(r.getAs[Long]("mean_clamped_milli") == sum / v.length)
+    }
+  }
+
+  test("ev17: RFM codes cover all quartiles and census conserves users/events") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("ev17_rfm_segments")(s, dir).collect()
+    val ev = SparkEntry.configure(spark).read.parquet(s"$dir/events.parquet")
+    val nUsers = ev.select("user_id").distinct().count()
+    val nEvents = ev.count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == nUsers, "census loses users")
+    assert(out.map(_.getAs[Long]("sum_events")).sum == nEvents, "census loses events")
+    // recency is degenerate in this stream (most users active on the
+    // final day → all three quartile boundaries 0), so only range-check
+    // it; frequency and monetary must genuinely stratify
+    val rCodes = out.map(_.getAs[Long]("r_code"))
+    assert(rCodes.forall(x => x >= 1 && x <= 4), "r_code out of range")
+    Seq("f_code", "m_code").foreach { c =>
+      val codes = out.flatMap(r => List.fill(r.getAs[Long]("n_users").toInt)(r.getAs[Long](c)))
+      assert(codes.forall(x => x >= 1 && x <= 4), s"$c out of range")
+      assert(codes.distinct.sorted.sameElements(Array(1L, 2L, 3L, 4L)),
+        s"$c does not span all four quartiles")
+      // quartile coding: each code holds between 5% and 45% of users
+      val share = codes.groupBy(identity).view.mapValues(_.length.toDouble / nUsers)
+      share.foreach { case (k, p) =>
+        assert(p > 0.05 && p < 0.45, s"$c=$k holds ${p * 100}%% of users") }
+    }
+  }
+
   test("dq7: skew audit ties out to a driver-side multiplicity recount") {
     val r = SparkEntry.queries("dq7_join_skew")(spark, dir).head
     val mult = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")

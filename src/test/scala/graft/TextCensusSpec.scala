@@ -14,6 +14,38 @@ class TextCensusSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.01"
 
+  test("tx16: PMI scores replay from raw counts; ordering and support hold") {
+    val s = SparkEntry.configure(spark)
+    val got = SparkEntry.queries("tx16_pmi_collocations")(s, dir).collect()
+    assert(got.length == 20)
+    // raw counts straight off the corpus
+    val texts = Tables(s, dir, "documents").select("text").collect().map(_.getString(0))
+    val uni = texts.flatMap(_.split(" ", -1)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bi = texts.map(_.split(" ", -1)).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nu = BigInt(uni.values.sum)
+    val nb = BigInt(bi.filter(_._2 >= 5).values.sum)
+    var prev = Long.MaxValue
+    got.foreach { r =>
+      val (w1, w2, cab, ppm) = (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("pmi_ppm"))
+      assert(cab == bi((w1, w2)) && cab >= 5)
+      val want = (BigInt(1000000) * cab * nu * nu) / (nb * uni(w1) * uni(w2))
+      assert(BigInt(ppm) == want, s"($w1,$w2): got $ppm want $want")
+      assert(ppm <= prev, "not sorted by pmi desc"); prev = ppm
+    }
+    // top-20 really is the global top: no excluded candidate beats the floor
+    val floor = got.map(_.getAs[Long]("pmi_ppm")).min
+    val inTop = got.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    bi.filter(_._2 >= 5).foreach { case (p, cab) =>
+      if (!inTop(p)) {
+        val ppm = (BigInt(1000000) * cab * nu * nu) / (nb * uni(p._1) * uni(p._2))
+        assert(ppm <= BigInt(floor), s"excluded $p scores $ppm above floor $floor")
+      }
+    }
+  }
+
   test("tok1: BPE merges on a hand-computed micro-corpus, incl. adjacent-pair greed") {
     import spark.implicits._
     // vocab: abab×3, ab×2, ba×1. Merge 1 must be (a,b) with weighted
