@@ -70,7 +70,7 @@ object Multimodal {
   def rawMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 0)
       .as[Long]
       .mapPartitions(_.map { id =>
         if (id % 2 == 0) {

@@ -117,7 +117,28 @@ object RawCodec {
   /** Parse an uncompressed 24-bpp BMP (BITMAPINFOHEADER). Rows are
     * bottom-up and padded to 4-byte boundaries; the mean skips padding.
     */
-  def parseBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+  def parseBmp(bytes: Array[Byte]): Option[BmpInfo] = bmpLayout(bytes).map {
+    case (width, rows, _, dataOffset, stride) =>
+      val b = le(bytes)
+      val rowBytes = width * 3
+      var sum = 0L
+      var r = 0
+      while (r < rows) {
+        val base = dataOffset + r * stride
+        var i = 0
+        while (i < rowBytes) { sum += b.get(base + i) & 0xff; i += 1 }
+        r += 1
+      }
+      val n = rowBytes.toLong * rows
+      // original signed height preserved in the info row
+      BmpInfo(width, le(bytes).getInt(22), 24, if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** Header walk shared by [[parseBmp]] / [[bmpPatchSums]]:
+    * (width, rows, topDown, dataOffset, stride). Negative height means
+    * top-down row order per the BMP spec.
+    */
+  private def bmpLayout(bytes: Array[Byte]): Option[(Int, Int, Boolean, Int, Int)] = {
     if (bytes.length < 54) return None
     val b = le(bytes)
     if (b.get(0) != 'B'.toByte || b.get(1) != 'M'.toByte) return None
@@ -130,20 +151,47 @@ object RawCodec {
     val compression = b.getInt(30)
     if (bpp != 24 || compression != 0 || width <= 0 || height == 0) return None
     val rows = math.abs(height)
-    val rowBytes = width * 3
-    val stride = (rowBytes + 3) & ~3
+    val stride = (width * 3 + 3) & ~3
     if (dataOffset < 54 || dataOffset.toLong + stride.toLong * rows > bytes.length) return None
-    var sum = 0L
-    var r = 0
-    while (r < rows) {
-      val base = dataOffset + r * stride
-      var i = 0
-      while (i < rowBytes) { sum += b.get(base + i) & 0xff; i += 1 }
-      r += 1
-    }
-    val n = rowBytes.toLong * rows
-    Some(BmpInfo(width, height, bpp, if (n == 0) 0.0 else sum.toDouble / n))
+    Some((width, rows, height < 0, dataOffset, stride))
   }
+
+  /** ViT-style p×p-pixel patch sums over a 24-bpp BMP, in IMAGE space
+    * (patch row 0 = TOP of the image): exercises the bottom-up row
+    * flip, the 4-byte stride skip, and per-pixel 3-byte addressing —
+    * spatial structure the whole-file mean cannot see. Edge patches
+    * carry their true (smaller) pixel count. Returns
+    * (patch_row, patch_col, n_px, sum of the patch's channel bytes).
+    */
+  def bmpPatchSums(bytes: Array[Byte], p: Int): Option[Seq[(Long, Long, Long, Long)]] =
+    bmpLayout(bytes).map { case (width, rows, topDown, off, stride) =>
+      val b = le(bytes)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var pr = 0
+      while (pr * p < rows) {
+        var pc = 0
+        while (pc * p < width) {
+          var sum = 0L
+          var n = 0L
+          var ir = pr * p
+          while (ir < math.min(rows, pr * p + p)) {
+            val r = if (topDown) ir else rows - 1 - ir
+            var x = pc * p
+            while (x < math.min(width, pc * p + p)) {
+              val base = off + r * stride + x * 3
+              sum += (b.get(base) & 0xff) + (b.get(base + 1) & 0xff) + (b.get(base + 2) & 0xff)
+              n += 1
+              x += 1
+            }
+            ir += 1
+          }
+          out += ((pr.toLong, pc.toLong, n, sum))
+          pc += 1
+        }
+        pr += 1
+      }
+      out.toSeq
+    }
 
   /** Deterministic RIFF/PCM WAV payload — the writer inverse of
     * [[parseWav]], used by the mm6 gate so the REAL decode path runs

@@ -214,13 +214,62 @@ object Analytics extends QueryModule {
       |FROM cum GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev18
+  /** CUSUM change-point detection over daily event volume — the
+    * level-shift monitor beside ev8's spike detector (MAD flags single
+    * outlier days; CUSUM finds the day the MEAN moved). All integer: the
+    * per-day deviation from the mean is pre-scaled by n_days
+    * (nd·c_d − total, summing to zero over the window), the running sum
+    * is exact, and the change-point is the day of peak |cusum| — ties
+    * all flagged, no float anywhere.
+    *
+    * Scale posture: the corpus collapses to day grain in one map-side-
+    * combinable aggregate; the running sum and peak run over the tiny
+    * day-grain frame (the rr1/dq4 "window over a post-agg frame"
+    * posture — an unpartitioned window is fine when the frame is
+    * #days-sized; a multi-year unbounded variant chunks by month like
+    * w5). Oracle CASTs its windowed SUM — the r8 HUGEINT lesson.
+    */
+  private def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val st = daily.agg(count(lit(1)).as("nd"), sum(col("c")).as("tot"))
+    val cu = daily.join(broadcast(st))
+      .withColumn("cusum_scaled",
+        sum(col("nd") * col("c") - col("tot"))
+          .over(Window.orderBy(col("day").asc_nulls_first)))
+    val peak = cu.agg(max(abs(col("cusum_scaled"))).as("peak"))
+    cu.join(broadcast(peak))
+      .select(col("day"), col("c").as("n_events"), col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("peak")).as("is_changepoint"))
+      .orderBy(col("day").asc_nulls_first)
+  }
+
+  private val cusumChangepointSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS tot
+      |       FROM daily),
+      |cu AS (
+      |  SELECT day, c,
+      |    CAST(SUM(nd * c - tot) OVER (ORDER BY day NULLS FIRST) AS BIGINT)
+      |      AS cusum_scaled
+      |  FROM daily CROSS JOIN st)
+      |SELECT day, c AS n_events, cusum_scaled,
+      |  abs(cusum_scaled) = (SELECT MAX(abs(cusum_scaled)) FROM cu) AS is_changepoint
+      |FROM cu ORDER BY day NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev18_cusum_changepoint" -> (cusumChangepoint _),
     "ev15_trend_fit" -> (trendFit _),
     "ev16_funnel" -> (funnel _),
     "qt1_exact_quantiles" -> (exactQuantiles _),
     "qt2_weighted_quantiles" -> (weightedQuantiles _))
 
   def oracle: Map[String, String] = Map(
+    "ev18_cusum_changepoint" -> cusumChangepointSql,
     "ev15_trend_fit" -> trendFitSql,
     "ev16_funnel" -> funnelSql,
     "qt1_exact_quantiles" -> exactQuantilesSql,

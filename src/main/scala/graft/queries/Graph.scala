@@ -534,13 +534,88 @@ object Graph extends QueryModule {
       |FROM deg GROUP BY deg
       |ORDER BY deg NULLS FIRST""".stripMargin
 
+  // ----------------------------------------------------------------- g4
+  /** Per-node clustering coefficient — the LOCAL closure table behind
+    * tri1's global census (community-structure / spam-subgraph audit:
+    * a co-purchase hub with near-zero closure is a bot basket, a dense
+    * clique a bundle). C(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) in floor
+    * ppm.
+    *
+    * Per-node triangle counts WITHOUT materializing the triangle (or
+    * wedge) stream: for every directed edge (a,b) the codegen merge
+    * kernel counts |N(a) ∩ N(b)| against the full undirected adjacency
+    * — each triangle at v is counted twice across v's incident edges
+    * (once per other vertex ordering), so Σ_incident counts = 2·tri(v)
+    * and the ppm needs no halving. The exchange carries one LONG per
+    * directed edge; nodes are the bounded parts catalog, so the
+    * adjacency table broadcasts under the same measured gate as tri1
+    * (directed rows = 2m → half tri1's edge ceiling), with a shuffled
+    * hash-join fallback beyond it. deg ≥ 2 rows only (C is undefined
+    * below that).
+    */
+  private[graft] val CcBroadcastMaxDirected = 4L * 1000 * 1000
+
+  private def clusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    clusteringCoeffSized(s, dir, CcBroadcastMaxDirected)
+
+  /** NOTE: like tri1, CONSTRUCTING this plan runs a Spark job (the
+    * broadcast gate counts the persisted directed edge frame);
+    * plan-only mode skips it. Package-visible so LinkageSpec can force
+    * the shuffled path and prove both paths identical.
+    */
+  private[graft] def clusteringCoeffSized(
+      s: SparkSession, dir: String, maxBroadcastDirected: Long): DataFrame = {
+    val f = directedEdges(s, dir)
+    val dirCount = if (planOnly(s)) 0L else f.count()
+    val adj = f.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    def gate(df: DataFrame): DataFrame =
+      if (dirCount <= maxBroadcastDirected) broadcast(df) else df
+    f.select(col("src").as("a"), col("dst").as("b"))
+      .join(gate(adj.select(col("src").as("a"), col("nbrs").as("na"))), Seq("a"))
+      .join(gate(adj.select(col("src").as("b"), col("nbrs").as("nb"))), Seq("b"))
+      .groupBy(col("a"))
+      .agg(
+        count(lit(1)).as("deg"),
+        sum(graft.functions.VectorFunctions.sortedLongIntersectCount(
+          col("na"), col("nb"))).as("closed2"))
+      .filter(col("deg") >= 2)
+      .select(col("a").as("node"), col("deg"),
+        expr("closed2 DIV 2").as("n_tri"),
+        expr("(closed2 * 1000000) DIV (deg * (deg - 1))").as("coeff_ppm"))
+      .orderBy(col("node").asc_nulls_first)
+  }
+
+  private val clusteringCoeffSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |                     AND a.l_partkey < b.l_partkey),
+      |fedges AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+      |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM fedges GROUP BY a),
+      |closed AS (
+      |  SELECT e1.a AS node, CAST(COUNT(*) AS BIGINT) AS closed2
+      |  FROM fedges e1 JOIN fedges e2 ON e1.b = e2.a
+      |       JOIN fedges e3 ON e3.a = e1.a AND e3.b = e2.b
+      |  GROUP BY e1.a)
+      |SELECT d.node, d.deg,
+      |  COALESCE(c.closed2, 0) // 2 AS n_tri,
+      |  (COALESCE(c.closed2, 0) * 1000000) // (d.deg * (d.deg - 1)) AS coeff_ppm
+      |FROM deg d LEFT JOIN closed c ON c.node = d.node
+      |WHERE d.deg >= 2
+      |ORDER BY d.node NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g4_clustering_coeff" -> (clusteringCoeff _),
     "tri1_triangle_census" -> (triangleCensus _),
     "pr1_pagerank" -> (pageRank _),
     "g2_bfs_layers" -> (bfsLayers _),
     "g3_degree_census" -> (degreeCensus _))
 
   override val oracle: Map[String, String] = Map(
+    "g4_clustering_coeff" -> clusteringCoeffSql,
     "tri1_triangle_census" -> triangleCensusSql,
     "pr1_pagerank" -> pageRankSql,
     "g2_bfs_layers" -> bfsLayersSql,

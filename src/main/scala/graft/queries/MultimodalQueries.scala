@@ -226,7 +226,7 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("media_id").asc_nulls_first)
 
   private val mm6Sql =
-    """WITH src AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+    """WITH src AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
       |wav AS (
       |  SELECT doc_id AS media_id, 'audio' AS kind,
       |    CAST(44 + 2 * ((64 + doc_id % 64) * (1 + (doc_id // 2) % 2)) AS INT) AS n_bytes,
@@ -286,7 +286,7 @@ object MultimodalQueries extends QueryModule {
 
   private val mm7Sql =
     s"""WITH src AS (
-       |  SELECT doc_id FROM documents WHERE doc_id % 50 = 0 AND doc_id % 2 = 0),
+       |  SELECT doc_id FROM documents WHERE doc_id % 25 = 0 AND doc_id % 2 = 0),
        |p AS (
        |  SELECT doc_id AS media_id,
        |    (64 + doc_id % 64) * (1 + (doc_id // 2) % 2) AS total
@@ -303,7 +303,71 @@ object MultimodalQueries extends QueryModule {
        |FROM w
        |ORDER BY media_id NULLS FIRST, window_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- mm8
+  /** ViT-style patch grid from the REAL image decode — the image twin
+    * of mm7's audio windows: every BMP payload's pixels, decoded by
+    * [[graft.multimodal.RawCodec]]'s layout walk, aggregated into 4×4
+    * PIXEL patches in image space (patch row 0 = top) — the (patch
+    * position, patch statistic) table a vision-tokenizer ingest stage
+    * consumes. Decoding to IMAGE space forces the bottom-up row flip,
+    * stride skip, and 3-byte pixel addressing; the oracle restates each
+    * patch arithmetically from the synthesized containers' closed-form
+    * pixel bytes ((id + 13·storage_row + 7·byte_in_row) mod 256 with
+    * storage_row = h−1−image_row), so an orientation or stride bug
+    * shifts a patch sum and fails the hash.
+    *
+    * Scale posture: typed Dataset flatMap (multimodal plumbing tier),
+    * O(p²) state per patch, rows ≤ pixels/p² per media; the only
+    * shuffle is the presentation sort.
+    */
+  private val Mm8Patch = 4
+
+  private def mm8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.rawMediaTable(s, dir)
+      .filter(_.kind == "image")
+      .flatMap { m =>
+        graft.multimodal.RawCodec.bmpPatchSums(m.content, Mm8Patch).toSeq.flatten
+          .map { case (pr, pc, n, sum) =>
+            // non-negative integer division: truncation == DuckDB //
+            (m.media_id, pr, pc, n, sum, sum * 1000 / (n * 3))
+          }
+      }
+      .toDF("media_id", "patch_row", "patch_col", "n_px", "sum_bytes", "mean_milli")
+      .orderBy(col("media_id").asc_nulls_first, col("patch_row").asc_nulls_first,
+        col("patch_col").asc_nulls_first)
+  }
+
+  private val mm8Sql =
+    s"""WITH src AS (
+       |  SELECT doc_id AS media_id, CAST(5 + doc_id % 12 AS BIGINT) AS w,
+       |    CAST(4 + doc_id % 8 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 25 = 0 AND doc_id % 2 = 1),
+       |pr AS (
+       |  SELECT media_id, w, h,
+       |    unnest(range(0, (h + ${Mm8Patch - 1}) // $Mm8Patch)) AS patch_row
+       |  FROM src),
+       |pc AS (
+       |  SELECT media_id, w, h, patch_row,
+       |    unnest(range(0, (w + ${Mm8Patch - 1}) // $Mm8Patch)) AS patch_col
+       |  FROM pr),
+       |sums AS (
+       |  SELECT media_id, patch_row, patch_col,
+       |    LEAST($Mm8Patch, h - patch_row * $Mm8Patch)
+       |      * LEAST($Mm8Patch, w - patch_col * $Mm8Patch) AS n_px,
+       |    CAST(list_sum(flatten(list_transform(
+       |      range(patch_row * $Mm8Patch, LEAST(h, (patch_row + 1) * $Mm8Patch)),
+       |      ir -> list_transform(
+       |        range(3 * patch_col * $Mm8Patch, 3 * LEAST(w, (patch_col + 1) * $Mm8Patch)),
+       |        i -> (media_id + 13 * (h - 1 - ir) + 7 * i) % 256)))) AS BIGINT) AS sum_bytes
+       |  FROM pc)
+       |SELECT media_id, patch_row, patch_col, n_px, sum_bytes,
+       |  (sum_bytes * 1000) // (n_px * 3) AS mean_milli
+       |FROM sums
+       |ORDER BY media_id NULLS FIRST, patch_row NULLS FIRST, patch_col NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm8_patch_grid" -> (mm8 _),
     "mm7_audio_windows" -> (mm7 _),
     "mm1_media_summary" -> (mm1 _),
     "mm2_decode_features" -> (mm2 _),
@@ -313,6 +377,7 @@ object MultimodalQueries extends QueryModule {
     "mm6_raw_decode" -> (mm6 _))
 
   override val oracle: Map[String, String] = Map(
+    "mm8_patch_grid" -> mm8Sql,
     "mm7_audio_windows" -> mm7Sql,
     "mm1_media_summary" -> mm1Sql,
     "mm2_decode_features" -> mm2Sql,

@@ -142,6 +142,47 @@ class LinkageSpec extends AnyFunSuite {
     assert(t == tri, s"triangle count $t != brute force $tri")
   }
 
+  test("g4: per-node clustering coefficients match a brute-force recount") {
+    val out = SparkEntry.queries("g4_clustering_coeff")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val edges = bruteForceEdges()
+    val nbrs = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = out.map(r => r.getAs[Long]("node") ->
+      (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"), r.getAs[Long]("coeff_ppm"))).toMap
+    assert(got.keySet == nbrs.filter(_._2.size >= 2).keySet)
+    got.foreach { case (v, (deg, nTri, ppm)) =>
+      val n = nbrs(v)
+      assert(deg == n.size)
+      val tri = n.toSeq.flatMap(a => n.toSeq.map(b => (a, b)))
+        .count { case (a, b) => a < b && nbrs(a).contains(b) }.toLong
+      assert(nTri == tri, s"node $v: $nTri != brute $tri")
+      assert(ppm == 2L * tri * 1000000L / (deg * (deg - 1)))
+    }
+    assert(out.exists(_.getAs[Long]("n_tri") > 0), "no closed node — vacuous")
+  }
+
+  test("g4: forced shuffled adjacency path matches the broadcast path") {
+    val s = SparkEntry.configure(spark)
+    val reference = SparkEntry.queries("g4_clustering_coeff")(spark, dir).collect().toSeq
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      keys.foreach(s.conf.set(_, "-1"))
+      s.sharedState.cacheManager.clearCache()
+      val fb = graft.queries.Graph.clusteringCoeffSized(s, dir, maxBroadcastDirected = 0L)
+      val rows = fb.collect().toSeq
+      assert(rows == reference, "shuffled path diverged from the broadcast path")
+      val plan = fb.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"fallback path still broadcasts:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("tri1: forced degree-oriented fallback matches the broadcast path, no broadcast") {
     val s = SparkEntry.configure(spark)
     val reference = SparkEntry.queries("tri1_triangle_census")(spark, dir).collect().toSeq

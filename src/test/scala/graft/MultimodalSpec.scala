@@ -251,4 +251,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).n_frames == 1)
     assert(out(2L).mean_byte == raw.map(_ & 0xff).sum.toDouble / raw.length)
   }
+
+  test("mm8 bmpPatchSums: image-space patches replay the closed form, flips localize") {
+    import graft.multimodal.RawCodec
+    val (seed, w, h) = (7L, 5, 6)
+    val bmp = RawCodec.synthBmp(seed, w, h)
+    // closed form: byte i of STORAGE row r is (seed + 13r + 7i) mod 256;
+    // image row ir maps to storage row h-1-ir (bottom-up file)
+    def pix(ir: Int, x: Int): Long =
+      (0 until 3).map(k => (seed + 13 * (h - 1 - ir) + 7 * (3 * x + k)) % 256).sum
+    val got = RawCodec.bmpPatchSums(bmp, 4).get
+      .map { case (pr, pc, n, sum) => (pr, pc) -> (n, sum) }.toMap
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    for (pr <- 0 to 1; pc <- 0 to 1) {
+      val irs = (pr * 4) until math.min(h, pr * 4 + 4)
+      val xs = (pc * 4) until math.min(w, pc * 4 + 4)
+      val want = (irs.size.toLong * xs.size,
+        irs.flatMap(ir => xs.map(x => pix(ir, x))).sum)
+      assert(got((pr.toLong, pc.toLong)) == want, s"patch ($pr,$pc)")
+    }
+    // a flipped payload byte moves exactly ONE patch sum
+    val corrupt = bmp.clone()
+    corrupt(54) = (corrupt(54) ^ 0x3f).toByte // first byte of storage row 0 = image row h-1
+    val got2 = RawCodec.bmpPatchSums(corrupt, 4).get
+      .map { case (pr, pc, n, sum) => (pr, pc) -> (n, sum) }.toMap
+    val diffs = got.keySet.filter(k => got(k) != got2(k))
+    assert(diffs == Set((1L, 0L)), s"flip did not localize to the bottom-left patch: $diffs")
+    // negative height = top-down row order: patch grid reads rows unflipped
+    val topDown = bmp.clone()
+    val bb = java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -h)
+    def pixTD(ir: Int, x: Int): Long =
+      (0 until 3).map(k => (seed + 13 * ir + 7 * (3 * x + k)) % 256).sum
+    val gotTD = RawCodec.bmpPatchSums(topDown, 4).get
+      .map { case (pr, pc, n, sum) => (pr, pc) -> (n, sum) }.toMap
+    for (pr <- 0 to 1; pc <- 0 to 1) {
+      val irs = (pr * 4) until math.min(h, pr * 4 + 4)
+      val xs = (pc * 4) until math.min(w, pc * 4 + 4)
+      val want = (irs.size.toLong * xs.size,
+        irs.flatMap(ir => xs.map(x => pixTD(ir, x))).sum)
+      assert(gotTD((pr.toLong, pc.toLong)) == want, s"top-down patch ($pr,$pc)")
+    }
+  }
 }

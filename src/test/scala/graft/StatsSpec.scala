@@ -35,6 +35,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev18: cusum replays driver-side; deviations sum to zero; peak flagged") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("ev18_cusum_changepoint")(s, dir).collect()
+    val daily = SparkEntry.configure(spark).read.parquet(s"$dir/events.parquet")
+      .groupBy(to_date(col("ts")).as("day")).count().collect()
+      .map(r => (r.getAs[java.sql.Date]("day"), r.getAs[Long]("count")))
+      .sortBy(_._1.getTime)
+    val nd = daily.length.toLong
+    val tot = daily.map(_._2).sum
+    var run = 0L
+    val want = daily.map { case (d, c) => run += nd * c - tot; (d, c, run) }
+    assert(run == 0L, "scaled deviations must telescope to zero")
+    val peak = want.map(w => math.abs(w._3)).max
+    assert(out.length == daily.length)
+    out.zip(want).foreach { case (r, (d, c, cu)) =>
+      assert(r.getAs[java.sql.Date]("day") == d)
+      assert(r.getAs[Long]("n_events") == c)
+      assert(r.getAs[Long]("cusum_scaled") == cu)
+      assert(r.getAs[Boolean]("is_changepoint") == (math.abs(cu) == peak))
+    }
+    assert(out.count(_.getAs[Boolean]("is_changepoint")) >= 1)
+  }
+
   test("imp3: winsorize census replays driver-side with exact interpolated bands") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("imp3_winsorize")(s, dir).collect()
