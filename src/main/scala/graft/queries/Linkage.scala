@@ -77,6 +77,63 @@ object Linkage extends QueryModule {
        |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
        |ORDER BY name_a NULLS FIRST, name_b NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- cdc6
+  /** Keyed snapshot diff — the table-comparison operator behind data
+    * reconciliation / regression gating (did yesterday's rebuild change
+    * anything it shouldn't have?): two snapshots of the orders dimension
+    * derived deterministically (A drops keys ≡0 mod 11; B drops keys ≡0
+    * mod 13 and perturbs the price of keys ≡0 mod 5), diffed into
+    * added / removed / changed rows with both sides' values. ONE
+    * full-outer join on the unique key; the change predicate is
+    * null-safe per column (`<=>`-negation), so NULL→value and
+    * value→NULL transitions count as changes rather than vanishing —
+    * the F3 lesson applied to diffing. Unchanged rows are dropped
+    * pre-exchange-output (the diff of two 10^12-row snapshots is
+    * change-sized, not corpus-sized).
+    */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(LongType)
+    val a = t(s, dir, "orders").filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("key_a"), col("o_orderstatus").as("status_a"),
+        cents.as("price_a"))
+    val b = t(s, dir, "orders").filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("key_b"), col("o_orderstatus").as("status_b"),
+        when(col("o_orderkey") % 5 === 0, cents + 100).otherwise(cents).as("price_b"))
+    a.join(b, col("key_a") === col("key_b"), "full_outer")
+      .withColumn("kind",
+        when(col("key_a").isNull, lit("added"))
+          .when(col("key_b").isNull, lit("removed"))
+          .when(!(col("status_a") <=> col("status_b")) ||
+            !(col("price_a") <=> col("price_b")), lit("changed")))
+      .filter(col("kind").isNotNull)
+      .select(coalesce(col("key_a"), col("key_b")).as("o_orderkey"), col("kind"),
+        col("status_a"), col("status_b"), col("price_a"), col("price_b"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
+  private val snapshotDiffSql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS key_a, o_orderstatus AS status_a,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_a
+      |  FROM orders WHERE o_orderkey % 11 != 0),
+      |b AS (
+      |  SELECT o_orderkey AS key_b, o_orderstatus AS status_b,
+      |    CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS price_b
+      |  FROM orders WHERE o_orderkey % 13 != 0)
+      |SELECT COALESCE(key_a, key_b) AS o_orderkey,
+      |  CASE WHEN key_a IS NULL THEN 'added'
+      |       WHEN key_b IS NULL THEN 'removed'
+      |       WHEN status_a IS DISTINCT FROM status_b
+      |         OR price_a IS DISTINCT FROM price_b THEN 'changed' END AS kind,
+      |  status_a, status_b, price_a, price_b
+      |FROM a FULL OUTER JOIN b ON key_a = key_b
+      |WHERE (CASE WHEN key_a IS NULL THEN 'added'
+      |            WHEN key_b IS NULL THEN 'removed'
+      |            WHEN status_a IS DISTINCT FROM status_b
+      |              OR price_a IS DISTINCT FROM price_b THEN 'changed' END) IS NOT NULL
+      |ORDER BY o_orderkey NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- cdc1
   /** CDC merge (SQL MERGE semantics): apply a keyed change set — upserts
     * and tombstone deletes — to a snapshot in one pass. The change set is
@@ -573,6 +630,7 @@ object Linkage extends QueryModule {
     "fz1_fuzzy_join" -> (fuzzyJoin _),
     "cdc3_scd2_history" -> (scd2History _),
     "cdc4_scd2_merge" -> (scd2MergeIncremental _),
+    "cdc6_snapshot_diff" -> (snapshotDiff _),
     "cdc1_merge_upsert" -> (mergeUpsert _),
     "cdc2_latest_per_key" -> (latestPerKey _),
     "opt1_window_dedup" -> (firstPerKeyWindow _))
@@ -585,6 +643,7 @@ object Linkage extends QueryModule {
     "cdc3_scd2_history" -> scd2HistorySql,
     // cdc4's oracle IS the full rebuild: hash-proves merge ≡ rebuild
     "cdc4_scd2_merge" -> scd2HistorySql,
+    "cdc6_snapshot_diff" -> snapshotDiffSql,
     "cdc1_merge_upsert" -> mergeUpsertSql,
     "cdc2_latest_per_key" -> latestPerKeySql,
     "opt1_window_dedup" -> firstPerKeyWindowSql)

@@ -156,12 +156,54 @@ object StreamingGate extends QueryModule {
       |FROM events
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw5
+  // Stream-STREAM interval join, the attribution workhorse (view →
+  // purchase within 30 minutes, per user): two independently watermarked
+  // streams of the same source, inner-joined on the key plus an event-time
+  // range. The oracle is the plain batch interval join — for an INNER
+  // stream-stream join the watermark bounds STATE (a buffered view is
+  // dropped once the purchase-side watermark passes vts + 30min; late
+  // rows beyond it would be lost), not the result, so the hash match
+  // proves the streaming join emits exactly the batch join's pairs.
+  // Both time conditions are REQUIRED for state cleanup: without the
+  // upper bound Spark must buffer every view forever. The delay is
+  // spelled (Δus) DIV 1e6 identically on both sides (flooring each
+  // operand first can differ by one across the subtraction).
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(s, dir).filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "10 minutes")
+    val purchases = eventStream(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000").as("delay_s"))
+    drain(s, joined, "sw5_mem")
+      .orderBy(col("view_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+      |  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS delay_s
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sw5_stream_join" -> (streamStreamJoin _),
     "sw2_stream_hourly" -> (streamHourly _),
     "sw3_stream_sessions" -> (streamSessions _),
     "sw4_stream_dedup" -> (streamDedup _))
 
   def oracle: Map[String, String] = Map(
+    "sw5_stream_join" -> streamStreamJoinSql,
     "sw2_stream_hourly" -> streamHourlySql,
     "sw3_stream_sessions" -> streamSessionsSql,
     "sw4_stream_dedup" -> streamDedupSql)

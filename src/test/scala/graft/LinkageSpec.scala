@@ -34,6 +34,24 @@ class LinkageSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc6: snapshot diff recovers exactly the constructed discrepancies") {
+    val out = SparkEntry.queries("cdc6_snapshot_diff")(spark, dir).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("kind")).toMap
+    val keys = SparkEntry.configure(spark).read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val want = keys.flatMap { k =>
+      val inA = k % 11 != 0
+      val inB = k % 13 != 0
+      if (inA && !inB) Some(k -> "removed")
+      else if (!inA && inB) Some(k -> "added")
+      else if (inA && inB && k % 5 == 0) Some(k -> "changed")
+      else None
+    }.toMap
+    assert(out == want, s"diff diverged (got ${out.size}, want ${want.size})")
+    // all three kinds genuinely occur
+    assert(Set("added", "removed", "changed").subsetOf(out.values.toSet))
+  }
+
   test("cdc1: merge applies exactly the MERGE outcome per key class") {
     val out = SparkEntry.queries("cdc1_merge_upsert")(spark, dir).collect()
     val kinds = out.groupBy(_.getAs[String]("change_kind")).view.mapValues(_.length).toMap

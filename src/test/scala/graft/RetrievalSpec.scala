@@ -73,4 +73,23 @@ class RetrievalSpec extends AnyFunSuite {
     val want = tf.toSeq.sortBy { case (d, f) => (-f, d) }.take(10).map(_._1)
     assert(prefix == want, "prefix not (tf desc, doc asc)-ordered")
   }
+
+  test("ir3: positional-join phrase counts replay against a sliding-window scan") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("ir3_phrase_match")(s, dir).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("n_matches"))
+      .toMap
+    val texts = Tables(s, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val phrases = Seq(1 -> "hash join", 2 -> "value table", 3 -> "key agg row")
+    val want = (for {
+      (qid, ph) <- phrases
+      terms = ph.split(" ").toSeq
+      (doc, w) <- texts
+      n = w.sliding(terms.length).count(_ == terms) if n > 0
+    } yield (qid, doc) -> n.toLong).toMap
+    assert(out == want, s"phrase counts diverged (got ${out.size}, want ${want.size})")
+    // the 3-term phrase (two chained positional joins) is non-vacuous
+    assert(want.keys.exists(_._1 == 3), "no 3-term match — chained join untested")
+  }
 }

@@ -358,6 +358,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedSess.toSeq == batchSess.toSeq)
   }
 
+  test("sw5: stream-stream interval join emits exactly the batch join's pairs") {
+    import org.apache.spark.sql.functions._
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("sw5_stream_join")(s, dir).collect()
+    assert(out.nonEmpty, "vacuous: no view→purchase pair at fixture scale")
+    val ev = Tables(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = v.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("vts") && col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000").as("delay_s"))
+      .orderBy(col("view_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+      .collect()
+    assert(out.toSeq == batch.toSeq)
+    out.foreach(r => assert(r.getAs[Long]("delay_s") >= 0 && r.getAs[Long]("delay_s") <= 1800))
+  }
+
   test("sw4: streaming dedup removes exactly the planted duplicates") {
     import org.apache.spark.sql.functions._
     val s = SparkEntry.configure(spark)
