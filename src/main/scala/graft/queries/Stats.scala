@@ -1606,6 +1606,101 @@ object Stats extends QueryModule {
   // integers, no float accumulation. The double literals 0.05/0.07
   // parse to identical IEEE doubles in both engines, so the band is the
   // same row set cross-engine.
+  // ---------------------------------------------------------------- q29
+  /** TPC-H Q9 shape (product-line profit rollup): the many-way star join
+    * — fact ⋈ part ⋈ supplier ⋈ nation — with a substring part filter,
+    * rolled up per (nation, ship year). This testdata has no partsupp
+    * table, so supply cost is a stated 30%-of-retail surrogate; profit
+    * stays integer e4 units per row (cents × pct for revenue,
+    * retail_cents · qty · 30 for cost), so the rollup is exact in both
+    * engines. All three dimension sides broadcast (parts/suppliers/
+    * nations are catalogs); the fact table is scanned once, the filter
+    * prunes via the broadcast part join, and the aggregate partials
+    * collapse map-side — no fact-side shuffle before the (nation, year)
+    * exchange.
+    */
+  private def profitRollup(s: SparkSession, dir: String): DataFrame = {
+    val prt = t(s, dir, "part").filter(col("p_name").like("%ar%"))
+      .select("p_partkey", "p_retailprice")
+    val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("nation"), year(col("l_shipdate")).as("o_year"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))") -
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)" +
+            " * CAST(round(l_quantity) AS BIGINT) * 30")).as("profit_e4"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("profit_e4")).as("sum_profit_e4"), count(lit(1)).as("n_lines"))
+      .orderBy(col("nation").asc_nulls_first, col("o_year").desc_nulls_last)
+  }
+
+  private val profitRollupSql =
+    """SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+      |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+      |    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+      |      * CAST(round(l.l_quantity) AS BIGINT) * 30) AS BIGINT) AS sum_profit_e4,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%ar%'
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY nation, o_year
+      |ORDER BY nation NULLS FIRST, o_year DESC NULLS LAST""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** TPC-H Q20 shape (dominant-supplier detection): suppliers shipping
+    * more than 20% of a filtered part's 1995 volume, with how many such
+    * parts each dominates. The oracle keeps the DOUBLY CORRELATED
+    * spelling — a per-supplier COUNT whose predicate holds a correlated
+    * scalar SUM per part — while the engine decorrelates to two hash
+    * aggregates over the same (part, supplier) frame joined back on the
+    * part key, the threshold as the exact integer cross-multiply
+    * (5·q_sp > q_p, no float share). The (part, supplier) aggregate is
+    * the only fact-sized exchange; everything after runs at catalog
+    * grain.
+    */
+  private def dominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "part").filter(col("p_name").like("%ar%")).select("p_partkey")
+    val qty = t(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1995)
+      .join(broadcast(fp), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(round(col("l_quantity")).cast(LongType)).as("q_sp"))
+    val tot = qty.groupBy("l_partkey").agg(sum(col("q_sp")).as("q_p"))
+    qty.join(tot, Seq("l_partkey"))
+      .filter(col("q_sp") * 5 > col("q_p"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts")) // (part, supplier) grain is unique
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+      .orderBy(col("s_suppkey").asc_nulls_first)
+  }
+
+  private val dominantSupplierSql =
+    """WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%ar%'),
+      |q AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q_sp
+      |  FROM lineitem JOIN fp ON l_partkey = p_partkey
+      |  WHERE year(l_shipdate) = 1995
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT s_suppkey, s_name, n_parts FROM (
+      |  SELECT s_suppkey, s_name,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM q x
+      |     WHERE x.l_suppkey = s_suppkey
+      |       AND x.q_sp * 5 > (SELECT SUM(y.q_sp) FROM q y
+      |                         WHERE y.l_partkey = x.l_partkey)) AS n_parts
+      |  FROM supplier)
+      |WHERE n_parts > 0
+      |ORDER BY s_suppkey NULLS FIRST""".stripMargin
+
   private def forecastRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
@@ -1673,6 +1768,8 @@ object Stats extends QueryModule {
     "w7_ntile_deciles" -> (ntileDeciles _),
     "q27_market_share" -> (marketShare _),
     "q28_forecast_revenue" -> (forecastRevenue _),
+    "q29_profit_rollup" -> (profitRollup _),
+    "q31_dominant_supplier" -> (dominantSupplier _),
     "rr1_ratio_to_report" -> (ratioToReport _),
     "h2_equidepth_histogram" -> (equiDepthHistogram _),
     "dq2_integrity_audit" -> (integrityAudit _),
@@ -1713,6 +1810,8 @@ object Stats extends QueryModule {
     "w7_ntile_deciles" -> ntileDecilesSql,
     "q27_market_share" -> marketShareSql,
     "q28_forecast_revenue" -> forecastRevenueSql,
+    "q29_profit_rollup" -> profitRollupSql,
+    "q31_dominant_supplier" -> dominantSupplierSql,
     "rr1_ratio_to_report" -> ratioToReportSql,
     "h2_equidepth_histogram" -> equiDepthHistogramSql,
     "dq2_integrity_audit" -> integrityAuditSql,

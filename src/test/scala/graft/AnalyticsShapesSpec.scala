@@ -13,6 +13,58 @@ class AnalyticsShapesSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("q29: profit rollup replays driver-side from the raw tables") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("q29_profit_rollup")(s, dir).collect()
+    assert(out.nonEmpty)
+    val retail = s.read.parquet(s"$dir/part.parquet").collect()
+      .filter(_.getAs[String]("p_name").contains("ar"))
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Double]("p_retailprice")).toMap
+    val nat = s.read.parquet(s"$dir/nation.parquet").collect()
+      .map(r => r.getAs[Long]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val snat = s.read.parquet(s"$dir/supplier.parquet").collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> nat(r.getAs[Long]("s_nationkey"))).toMap
+    val agg = scala.collection.mutable.Map.empty[(String, Int), (Long, Long)]
+    Tables(s, dir, "lineitem").collect().foreach { r =>
+      retail.get(r.getAs[Long]("l_partkey")).foreach { rp =>
+        val key = (snat(r.getAs[Long]("l_suppkey")),
+          r.getAs[java.sql.Timestamp]("l_shipdate").toLocalDateTime.getYear)
+        val rev = math.round(r.getAs[Double]("l_extendedprice") * 100) *
+          (100 - math.round(r.getAs[Double]("l_discount") * 100))
+        val cost = math.round(rp * 100) * math.round(r.getAs[Double]("l_quantity")) * 30
+        val (p, n) = agg.getOrElse(key, (0L, 0L))
+        agg(key) = (p + rev - cost, n + 1)
+      }
+    }
+    val got = out.map(r => (r.getAs[String]("nation"), r.getAs[Int]("o_year")) ->
+      (r.getAs[Long]("sum_profit_e4"), r.getAs[Long]("n_lines"))).toMap
+    assert(got == agg.toMap, s"profit rollup diverged (${got.size} vs ${agg.size} groups)")
+  }
+
+  test("q31: dominant-supplier set replays driver-side; no nested loop in the plan") {
+    val s = SparkEntry.configure(spark)
+    val df = SparkEntry.queries("q31_dominant_supplier")(s, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"decorrelation failed:\n$plan")
+    val out = df.collect().map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("n_parts")).toMap
+    assert(out.nonEmpty)
+    val fp = s.read.parquet(s"$dir/part.parquet").collect()
+      .filter(_.getAs[String]("p_name").contains("ar")).map(_.getAs[Long]("p_partkey")).toSet
+    val qty = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    Tables(s, dir, "lineitem").collect().foreach { r =>
+      val pk = r.getAs[Long]("l_partkey")
+      if (fp(pk) && r.getAs[java.sql.Timestamp]("l_shipdate").toLocalDateTime.getYear == 1995) {
+        val key = (pk, r.getAs[Long]("l_suppkey"))
+        qty(key) = qty.getOrElse(key, 0L) + math.round(r.getAs[Double]("l_quantity"))
+      }
+    }
+    val totals = qty.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val want = qty.toSeq.filter { case ((pk, _), q) => q * 5 > totals(pk) }
+      .groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    assert(out == want, s"dominant suppliers diverged (${out.size} vs ${want.size})")
+  }
+
   test("q19: the factored disjunction reaches BOTH parquet scans") {
     val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
