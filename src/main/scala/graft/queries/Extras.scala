@@ -1430,6 +1430,106 @@ object Extras extends QueryModule {
       |      FROM events)
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dq8
+  /** Ingest-gap audit — the "did a feed go dark?" monitor: generate the
+    * full hour calendar between the stream's first and last hour from
+    * ONE tiny aggregate (`sequence()` over a broadcast 2-value row),
+    * anti-join the hours that actually carry 'error' events, and
+    * coalesce consecutive missing hours into gap INTERVALS (start, end,
+    * length) with the ev14 flag-and-running-sum trick. Output is
+    * gap-sized; the only corpus-sized step is the hour-grain distinct,
+    * which partial-aggregates map-side. At 100 TB the calendar explode
+    * is hours-sized (10 years ≈ 90k rows) — trivially broadcast.
+    */
+  private def gapAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val present = t(s, dir, "events")
+      // the user_id slice keeps the feed sparse enough to actually go
+      // dark at every test SF (a denser slice covers all hours at sf0.1
+      // and the audit goes vacuous)
+      .filter(col("event_type") === "error" && col("user_id") % 5 === 0)
+      .select(date_trunc("hour", col("ts")).as("hr")).distinct()
+    val bounds = present.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val calendar = bounds
+      .select(explode(expr("sequence(lo, hi, INTERVAL 1 HOUR)")).as("hr"))
+    val missing = calendar.join(present, Seq("hr"), "left_anti")
+    // consecutive missing hours → one interval: new-gap flag when the
+    // previous missing hour is not exactly 1h back, running flag sum as
+    // the gap id (the missing frame is gap-sized — window is fine)
+    val w = Window.orderBy(col("hr").asc_nulls_first)
+    missing
+      .withColumn("prev", lag(col("hr"), 1).over(w))
+      .withColumn("new_gap",
+        when(expr("unix_micros(hr) - unix_micros(prev)") === 3600000000L, lit(0L))
+          .otherwise(lit(1L))) // null prev (first row) starts a gap
+      .withColumn("gap_id", sum(col("new_gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("gap_id")
+      .agg(min(col("hr")).as("gap_start"), max(col("hr")).as("gap_end"),
+        count(lit(1)).as("n_hours"))
+      .select(col("gap_start"), col("gap_end"), col("n_hours"))
+      .orderBy(col("gap_start").asc_nulls_first)
+  }
+
+  private val gapAuditSql =
+    """WITH present AS (
+      |  SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events
+      |  WHERE event_type = 'error' AND user_id % 5 = 0),
+      |bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM present),
+      |calendar AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds),
+      |missing AS (
+      |  SELECT hr FROM calendar WHERE hr NOT IN (SELECT hr FROM present)),
+      |flagged AS (
+      |  SELECT hr,
+      |    CASE WHEN epoch_us(hr) - lag(epoch_us(hr)) OVER (ORDER BY hr NULLS FIRST)
+      |           = 3600000000 THEN 0 ELSE 1 END AS new_gap
+      |  FROM missing),
+      |gid AS (
+      |  SELECT hr, CAST(SUM(new_gap) OVER (ORDER BY hr NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gap_id
+      |  FROM flagged)
+      |SELECT MIN(hr) AS gap_start, MAX(hr) AS gap_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hours
+      |FROM gid GROUP BY gap_id
+      |ORDER BY gap_start NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- ev19
+  /** Weekday seasonality profile — the periodicity census behind
+    * anomaly baselines (ev8/ev18 flag deviations; this states what
+    * "normal for a Tuesday" is): events per ISO weekday with each day's
+    * share of the week in floor ppm and its deviation from the uniform
+    * 1/7 expectation in SIGNED ppm (the pmod sign-safe floor division,
+    * emb6's rule). One day-grain aggregate; everything after runs on 7
+    * rows.
+    */
+  private def weekdayProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events")
+      .groupBy(expr("weekday(ts) + 1").as("iso_dow"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = d.agg(sum(col("n_events")).as("total"))
+    d.join(broadcast(tot))
+      .withColumn("a0", expr("(7 * n_events - total) * 1000000"))
+      .withColumn("m0", expr("7 * total"))
+      .select(col("iso_dow"), col("n_events"),
+        expr("(n_events * 1000000) DIV total").as("share_ppm"),
+        expr("CAST((a0 - ((a0 % m0 + m0) % m0)) DIV m0 AS BIGINT)").as("dev_ppm"))
+      .orderBy(col("iso_dow").asc_nulls_first)
+  }
+
+  private val weekdayProfileSql =
+    """WITH d AS (
+      |  SELECT isodow(ts) AS iso_dow, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM d)
+      |SELECT iso_dow, n_events,
+      |  (n_events * 1000000) // total AS share_ppm,
+      |  CAST((((7 * n_events - total) * 1000000)
+      |    - ((((7 * n_events - total) * 1000000) % (7 * total) + (7 * total))
+      |       % (7 * total))) // (7 * total) AS BIGINT) AS dev_ppm
+      |FROM d CROSS JOIN tot
+      |ORDER BY iso_dow NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ev17
   /** RFM segmentation census — the classic user-value stratification
     * (recency / frequency / monetary quartile codes). Quartile CODES are
@@ -1780,6 +1880,8 @@ object Extras extends QueryModule {
     "imp2_forward_fill" -> (forwardFill _),
     "imp3_winsorize" -> (winsorize _),
     "ev17_rfm_segments" -> (rfmSegments _),
+    "dq8_gap_audit" -> (gapAudit _),
+    "ev19_weekday_profile" -> (weekdayProfile _),
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
     "ev8_anomaly_days" -> (anomalyDays _),
@@ -1832,6 +1934,8 @@ object Extras extends QueryModule {
     "imp2_forward_fill" -> forwardFillSql,
     "imp3_winsorize" -> winsorizeSql,
     "ev17_rfm_segments" -> rfmSegmentsSql,
+    "dq8_gap_audit" -> gapAuditSql,
+    "ev19_weekday_profile" -> weekdayProfileSql,
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,
     "ev8_anomaly_days" -> anomalyDaysSql,

@@ -443,8 +443,64 @@ object Sampling extends QueryModule {
       |GROUP BY d.bucket, n_b, thr
       |ORDER BY bucket NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- ds10
+  /** Deterministic A/B experiment assignment + sample-ratio-mismatch
+    * audit — the experimentation-platform primitive: each USER hashes
+    * into control/treatment by the first md5 hex nibble (tagged draw,
+    * ds1's determinism contract — membership is a pure function of
+    * (tag, user_id), independent of partitioning and rerun-stable), and
+    * the census reports per-arm user/event/value totals plus the SRM
+    * deviation of the user split from 50/50 in SIGNED floor ppm (the
+    * pmod spelling, since dev is signed) with a >1% mismatch flag —
+    * the guardrail every experiment readout checks first. Assignment is
+    * map-side; the only exchanges carry user-grain then arm-grain rows.
+    */
+  private def abAssignment(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 1) < "8",
+          lit("control")).otherwise(lit("treatment")))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"),
+        sum(col("cents")).as("sum_value_cents"))
+    val tot = arms.agg(sum(col("n_users")).as("n_total"))
+    arms.join(broadcast(tot))
+      .withColumn("a0", expr("(2 * n_users - n_total) * 1000000"))
+      .select(col("arm"), col("n_users"), col("n_events"), col("sum_value_cents"),
+        expr("CAST((a0 - ((a0 % n_total + n_total) % n_total)) DIV n_total" +
+          " AS BIGINT)").as("dev_ppm"),
+        (abs(expr("(2 * n_users - n_total) * 1000000")) >= col("n_total") * 10000)
+          .as("srm_flag"))
+      .orderBy(col("arm").asc_nulls_first)
+  }
+
+  private val abAssignmentSql =
+    """WITH users AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |    CASE WHEN substr(md5('ab:' || user_id), 1, 1) < '8'
+      |         THEN 'control' ELSE 'treatment' END AS arm
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+      |  FROM users GROUP BY arm),
+      |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM arms)
+      |SELECT arm, n_users, n_events, sum_value_cents,
+      |  CAST((((2 * n_users - n_total) * 1000000)
+      |    - ((((2 * n_users - n_total) * 1000000) % n_total + n_total) % n_total))
+      |    // n_total AS BIGINT) AS dev_ppm,
+      |  abs((2 * n_users - n_total) * 1000000) >= n_total * 10000 AS srm_flag
+      |FROM arms CROSS JOIN tot
+      |ORDER BY arm NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "ds10_ab_assignment" -> (abAssignment _),
       "ds9_dist_match" -> (distMatch _),
       "ds8_balance_downsample" -> (balanceDownsample _),
       "ds7_interleave_shards" -> (interleaveShards _),
@@ -457,6 +513,7 @@ object Sampling extends QueryModule {
   override val oracle: Map[String, String] =
     Map(
       // serial total-order spelling — hash-proves hierarchical ≡ serial
+      "ds10_ab_assignment" -> abAssignmentSql,
       "ds9_dist_match" -> distMatchSql,
       "ds8_balance_downsample" -> balanceDownsampleSql,
       "ds7_interleave_shards" -> interleaveShardsSql,

@@ -162,6 +162,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(perUnit.max - perUnit.min <= 1, s"budgets not weight-proportional: $budgetOf")
   }
 
+  test("ds10: arm membership replays via md5; users conserved; SRM math exact") {
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("ds10_ab_assignment")(s, dir).collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    assert(out.keySet == Set("control", "treatment"))
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = Tables(s, dir, "events").select("user_id").distinct().collect()
+      .map(_.getLong(0))
+    val wantControl = users.count(u => md5hex(s"ab:$u").charAt(0) < '8').toLong
+    assert(out("control").getAs[Long]("n_users") == wantControl)
+    assert(out.values.map(_.getAs[Long]("n_users")).sum == users.length.toLong)
+    val total = users.length.toLong
+    out.values.foreach { r =>
+      val n = r.getAs[Long]("n_users")
+      val a = BigInt(2 * n - total) * 1000000
+      val m = BigInt(total)
+      val want = (a - (((a % m) + m) % m)) / m
+      assert(BigInt(r.getAs[Long]("dev_ppm")) == want)
+      assert(r.getAs[Boolean]("srm_flag") ==
+        ((2 * n - total).abs * 1000000 >= total * 10000))
+    }
+  }
+
   test("ds9 histogram matching: membership replays driver-side, rates track targets") {
     val s = SparkEntry.configure(spark)
     val dir = "/root/testdata/sf0.01"

@@ -35,6 +35,52 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("dq8: gap intervals cover exactly the missing hours, disjoint and separated") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("dq8_gap_audit")(s, dir).collect()
+    assert(out.nonEmpty, "no gaps at sf0.01 — vacuous audit")
+    val present = SparkEntry.configure(spark).read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "error" && col("user_id") % 5 === 0)
+      .select(date_trunc("hour", col("ts")).as("hr")).distinct().collect()
+      .map(_.getAs[java.sql.Timestamp]("hr").getTime).toSet
+    val (lo, hi) = (present.min, present.max)
+    val missing = (lo to hi by 3600000L).filterNot(present).toSet
+    val covered = out.flatMap { r =>
+      val a = r.getAs[java.sql.Timestamp]("gap_start").getTime
+      val b = r.getAs[java.sql.Timestamp]("gap_end").getTime
+      val hours = (a to b by 3600000L)
+      assert(hours.size.toLong == r.getAs[Long]("n_hours"), "interval length mismatch")
+      hours
+    }
+    assert(covered.toSet == missing, "gap intervals != missing hour set")
+    assert(covered.length == covered.distinct.length, "overlapping gap intervals")
+    // maximality: the hour before each start and after each end is present
+    out.foreach { r =>
+      val a = r.getAs[java.sql.Timestamp]("gap_start").getTime
+      val b = r.getAs[java.sql.Timestamp]("gap_end").getTime
+      assert(present(a - 3600000L), "gap start not maximal")
+      assert(present(b + 3600000L), "gap end not maximal")
+    }
+  }
+
+  test("ev19: weekday shares and signed deviations replay; deviations balance") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("ev19_weekday_profile")(s, dir).collect()
+    assert(out.length == 7)
+    val total = out.map(_.getAs[Long]("n_events")).sum
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      assert(r.getAs[Long]("share_ppm") == n * 1000000L / total)
+      val want = BigInt(7 * n - total) * 1000000 match {
+        case a => (a - (((a % (7 * total)) + 7 * total) % (7 * total))) / (7 * total)
+      }
+      assert(BigInt(r.getAs[Long]("dev_ppm")) == want)
+    }
+    // signed deviations must roughly telescope (each floored ⇒ within 7 ppm)
+    val devSum = out.map(_.getAs[Long]("dev_ppm")).sum
+    assert(devSum <= 0 && devSum >= -7, s"deviations do not balance: $devSum")
+  }
+
   test("ev18: cusum replays driver-side; deviations sum to zero; peak flagged") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("ev18_cusum_changepoint")(s, dir).collect()
