@@ -32,6 +32,14 @@ object SparkEntry {
     // naive point-in-interval joins plan as binned equi-joins when a
     // session opts in via spark.graft.rangeJoin.binUs (see RangeBinJoin)
     graft.plans.RangeBinJoinRewrite.install(spark)
+    // large literal IN-lists plan as broadcast semi joins (opt-in conf;
+    // the gate sessions opt in so opt3 exercises the rewrite — no other
+    // entry carries a 256+-element literal list)
+    graft.plans.InListToJoinRewrite.install(spark)
+    // set-if-missing: a session (or spec) that pinned its own threshold
+    // — including 0 = off — keeps it across re-configure
+    if (spark.conf.getOption(graft.plans.InListToJoinRewrite.ThresholdConfKey).isEmpty)
+      spark.conf.set(graft.plans.InListToJoinRewrite.ThresholdConfKey, "256")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet carries TIMESTAMP(NANOS); Spark only exposes it as a

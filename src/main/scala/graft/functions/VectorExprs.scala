@@ -99,6 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RowNumberDedupRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.InListToJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("long_dot"),

@@ -566,6 +566,34 @@ object Extras extends QueryModule {
     * only ever fires on keyless containment joins, and this entry owns
     * the only one in the gate.
     */
+  // ---------------------------------------------------------------- opt3
+  /** Large literal IN-list REWRITTEN by the engine
+    * (plans.InListToJoinRewrite): the query is spelled the way users
+    * spell it — `.isin(<400 ids>)` — and the optimizer turns the
+    * filter into a broadcast LEFT SEMI join against a values relation,
+    * so the list ships once instead of riding inside every task's
+    * serialized plan. The oracle executes the literal IN-list SQL, so
+    * the gate hash-proves the rewrite preserves semantics;
+    * OptimizerInRuleSpec pins the plan shape and the guards.
+    */
+  private val InListKeys: Seq[Long] = 1L to 2000L by 5L
+
+  private def inlistSemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_partkey").isin(InListKeys: _*))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev_c"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+
+  private val inlistSemiJoinSql =
+    s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+       |FROM lineitem
+       |WHERE l_partkey IN (${InListKeys.mkString(", ")})
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
   private def rangeBinAuto(s: SparkSession, dir: String): DataFrame = {
     s.conf.set(graft.plans.RangeBinJoinRewrite.BinConfKey, (2L * 3600 * 1000000).toString)
     val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
@@ -1908,6 +1936,7 @@ object Extras extends QueryModule {
     "rj1_range_join" -> (rangeJoin _),
     "rj2_interval_overlap" -> (intervalOverlapJoin _),
     "opt2_range_bin_auto" -> (rangeBinAuto _),
+    "opt3_inlist_semijoin" -> (inlistSemiJoin _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -1962,6 +1991,7 @@ object Extras extends QueryModule {
     "rj1_range_join" -> rangeJoinSql,
     "rj2_interval_overlap" -> intervalOverlapJoinSql,
     "opt2_range_bin_auto" -> rangeBinAutoSql,
+    "opt3_inlist_semijoin" -> inlistSemiJoinSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

@@ -1606,6 +1606,44 @@ object Stats extends QueryModule {
   // integers, no float accumulation. The double literals 0.05/0.07
   // parse to identical IEEE doubles in both engines, so the band is the
   // same row set cross-engine.
+  // ----------------------------------------------------------------- w8
+  /** Period-over-period growth — the reporting staple (month-over-month
+    * revenue with signed ppm growth): one month-grain aggregate, then
+    * `lag` + the sign-safe pmod-floor division over the months-sized
+    * frame (rr1's window-over-post-agg posture; an unpartitioned window
+    * is fine when the frame is #months rows). First month's growth is
+    * NULL by definition — both engines state it identically.
+    */
+  private def periodGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_c"))
+    val w = Window.orderBy(col("month").asc_nulls_first)
+    m.withColumn("prev_rev_c", lag(col("rev_c"), 1).over(w))
+      .withColumn("a0", (col("rev_c") - col("prev_rev_c")) * 1000000)
+      .select(col("month"), col("rev_c"), col("prev_rev_c"),
+        expr("CAST((a0 - ((a0 % prev_rev_c + prev_rev_c) % prev_rev_c))" +
+          " DIV prev_rev_c AS BIGINT)").as("growth_ppm"))
+      .orderBy(col("month").asc_nulls_first)
+  }
+
+  private val periodGrowthSql =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT month, rev_c,
+      |    lag(rev_c) OVER (ORDER BY month NULLS FIRST) AS prev_rev_c
+      |  FROM m)
+      |SELECT month, rev_c, prev_rev_c,
+      |  CAST((((rev_c - prev_rev_c) * 1000000)
+      |    - ((((rev_c - prev_rev_c) * 1000000) % prev_rev_c + prev_rev_c)
+      |       % prev_rev_c)) // prev_rev_c AS BIGINT) AS growth_ppm
+      |FROM lagged
+      |ORDER BY month NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** TPC-H Q9 shape (product-line profit rollup): the many-way star join
     * — fact ⋈ part ⋈ supplier ⋈ nation — with a substring part filter,
@@ -1769,6 +1807,7 @@ object Stats extends QueryModule {
     "q27_market_share" -> (marketShare _),
     "q28_forecast_revenue" -> (forecastRevenue _),
     "q29_profit_rollup" -> (profitRollup _),
+    "w8_period_growth" -> (periodGrowth _),
     "q31_dominant_supplier" -> (dominantSupplier _),
     "rr1_ratio_to_report" -> (ratioToReport _),
     "h2_equidepth_histogram" -> (equiDepthHistogram _),
@@ -1811,6 +1850,7 @@ object Stats extends QueryModule {
     "q27_market_share" -> marketShareSql,
     "q28_forecast_revenue" -> forecastRevenueSql,
     "q29_profit_rollup" -> profitRollupSql,
+    "w8_period_growth" -> periodGrowthSql,
     "q31_dominant_supplier" -> dominantSupplierSql,
     "rr1_ratio_to_report" -> ratioToReportSql,
     "h2_equidepth_histogram" -> equiDepthHistogramSql,

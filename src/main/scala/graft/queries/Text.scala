@@ -1325,7 +1325,55 @@ object Text extends QueryModule {
       |ORDER BY pmi_ppm DESC, w1 NULLS FIRST, w2 NULLS FIRST
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- cur4
+  /** Dataset card / datasheet row per SOURCE — the summary table a
+    * published corpus ships with (and the per-feed triage view a
+    * curation run ends on): volume, exact-dup rate, quality pass rate,
+    * token mass, language spread. Reuses the EXACT shared expressions
+    * of dd1 (normalized text hash) and tx2 (quality ≥ 0.5 keep rule) so
+    * the card can never drift from the operators it summarizes — the
+    * cur2 composition discipline. One scan, one hash aggregate; the
+    * distinct-hash count shuffles (source, hash) pairs, which IS the
+    * dd1 exchange, and the card frame is sources-sized.
+    */
+  private def datasetCard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .select(col("source"), col("lang"), size(col("w")).as("ntok"),
+        Dedup.normalizedTextHash(col("text")).as("h"),
+        (qualityScore(col("w")) >= 0.5).as("q"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(col("ntok")).as("sum_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("dup_ppm",
+        expr("((n_docs - n_unique_texts) * 1000000) DIV n_docs"))
+      .orderBy(col("source").asc_nulls_first)
+
+  private val datasetCardSql =
+    s"""WITH d AS (
+       |  SELECT source, lang, string_split(text, ' ') AS w,
+       |    ${Dedup.normalizedTextHashSql("text")} AS h
+       |  FROM documents),
+       |card AS (
+       |  SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+       |    CAST(SUM(CASE WHEN ($qualityScoreSql) >= 0.5
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |    CAST(SUM(len(w)) AS BIGINT) AS sum_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM d GROUP BY source)
+       |SELECT source, n_docs, n_unique_texts, n_quality, sum_tokens, n_langs,
+       |  ((n_docs - n_unique_texts) * 1000000) // n_docs AS dup_ppm
+       |FROM card
+       |ORDER BY source NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur4_dataset_card" -> (datasetCard _),
     "tx16_pmi_collocations" -> (pmiCollocations _),
     "tok1_bpe_merges" -> (bpeMerges _),
     "tok2_bpe_segment" -> (bpeApply _),
@@ -1349,6 +1397,7 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "cur4_dataset_card" -> datasetCardSql,
     "tx16_pmi_collocations" -> pmiCollocationsSql,
     "tok1_bpe_merges" -> bpeMergesSql,
     "tok2_bpe_segment" -> bpeApplySql,

@@ -20,6 +20,46 @@ class TextQualitySpec extends AnyFunSuite {
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
+  test("cur4: dataset card ties out to the operators it summarizes") {
+    val s = SparkEntry.configure(spark)
+    val card = SparkEntry.queries("cur4_dataset_card")(s, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val bySource = docs.groupBy(_._3)
+    assert(card.keySet == bySource.keySet)
+    // quality column == tx2's own gate decisions, grouped per source
+    val keepOf = SparkEntry.queries("tx2_quality_score")(s, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val srcOf = docs.map(d => d._1 -> d._3).toMap
+    val wantQuality = keepOf.toSeq.filter(_._2).groupBy(kv => srcOf(kv._1))
+      .view.mapValues(_.size.toLong).toMap
+    bySource.foreach { case (src, rows) =>
+      val r = card(src)
+      assert(r.getAs[Long]("n_docs") == rows.size.toLong)
+      val uniq = rows.map(_._2.toLowerCase.trim.replaceAll("\\s+", " ")).distinct.size.toLong
+      assert(r.getAs[Long]("n_unique_texts") == uniq, s"$src unique")
+      assert(r.getAs[Long]("n_quality") == wantQuality.getOrElse(src, 0L), s"$src quality")
+      assert(r.getAs[Long]("sum_tokens") ==
+        rows.map(_._2.split(" ", -1).length.toLong).sum, s"$src tokens")
+      assert(r.getAs[Long]("dup_ppm") ==
+        (rows.size - uniq) * 1000000L / rows.size, s"$src dup rate")
+    }
+  }
+
+  test("w8: month-over-month growth replays with exact floor semantics") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("w8_period_growth")(s, dir).collect()
+    assert(out.length > 12, "too few months to exercise the lag")
+    assert(out.head.isNullAt(out.head.fieldIndex("growth_ppm")), "first month must be NULL")
+    out.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getAs[Long]("prev_rev_c") == prev.getAs[Long]("rev_c"))
+      val a = BigInt(cur.getAs[Long]("rev_c") - prev.getAs[Long]("rev_c")) * 1000000
+      val m = BigInt(prev.getAs[Long]("rev_c"))
+      assert(BigInt(cur.getAs[Long]("growth_ppm")) == (a - (((a % m) + m) % m)) / m)
+    }
+    assert(out.exists(r => !r.isNullAt(r.fieldIndex("growth_ppm")) &&
+      r.getAs[Long]("growth_ppm") < 0), "no negative month — sign path untested")
+  }
+
   test("tx14: familiarity and hapax match a plain-Scala recomputation for every document") {
     val got = SparkEntry.queries("tx14_bigram_familiarity")(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
