@@ -202,7 +202,43 @@ object YouGileQueries extends QueryModule {
        |ORDER BY ${martColumns.map(_ + " NULLS FIRST").mkString(", ")}""".stripMargin
   }
 
+  // --------------------------------------------------------- yg_dsv2
+  /** The DataSource V2 route into the same API surface
+    * ([[graft.sources.YouGileTableProvider]]): `spark.read.format
+    * ("yougile")` plans one InputPartition per board column (the S3
+    * per-column workaround as genuine source parallelism) and parses
+    * the pages on the EXECUTORS through Catalyst's JacksonParser with
+    * column-pruning pushdown. Tracked-board filtering stays a left-semi
+    * join against brd_clmn — the allow-list is deploy config, not a
+    * source property. The oracle reads the committed parquet mirror of
+    * the per-column contract fetch, so the hash proves the connector's
+    * pagination, partitioning, and JSON decode end-to-end.
+    */
+  private def ygDsv2Tasks(s: SparkSession, dir: String): DataFrame = {
+    val tasks = s.read.format("yougile")
+      .option("entity", "tasks")
+      .option("fixtureDir", Fixtures.jsonDir)
+      .option("limit", YouGileConfig.fixture.contractPageLimit.toString)
+      .load()
+    val bc = withPipeline(s)((_, b) => b).select(col("column_id"))
+    tasks.join(bc, tasks("columnId") === bc("column_id"), "left_semi")
+      .select(col("id"), col("title"), col("timestamp"), col("columnId"),
+        // coalesce: a NULL count reaches pandas as float64 and breaks
+        // the driver's dtype-sensitive hash (-1 = "array absent")
+        coalesce(size(col("subtasks")), lit(-1)).as("n_subtasks"),
+        col("stickers")(Model.Stickers.ShipName).as("ship"))
+      .orderBy(col("id").asc_nulls_first)
+  }
+
+  private val ygDsv2TasksSql =
+    s"""SELECT id, title, "timestamp", columnId,
+       |  coalesce(len(subtasks), -1) AS n_subtasks,
+       |  map_extract(stickers, '${Model.Stickers.ShipName}')[1] AS ship
+       |FROM read_parquet('${pq("contracts")}')
+       |ORDER BY id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "yg_dsv2_tasks" -> (ygDsv2Tasks _),
     "yg_brd_clmn" -> (ygBrdClmn _),
     "yg_hub_states" -> (ygHubStates _),
     "yg_assembly" -> (ygAssembly _),
@@ -210,6 +246,7 @@ object YouGileQueries extends QueryModule {
     "yg_mart" -> (ygMart _))
 
   override val oracle: Map[String, String] = Map(
+    "yg_dsv2_tasks" -> ygDsv2TasksSql,
     "yg_brd_clmn" -> ygBrdClmnSql,
     "yg_hub_states" -> ygHubStatesSql,
     "yg_assembly" -> ygAssemblySql,

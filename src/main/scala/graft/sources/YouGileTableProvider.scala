@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.yougile.{JsonFixtureClient, Model, Paginator, YouGileClient}
+
+/** DataSource V2 connector for the YouGile REST API — the reference's S1–S3
+  * extract (ref `dags/yougile_etl_dag.py:48-76,200-217`) re-expressed as a
+  * first-class Spark SOURCE instead of a driver-side fetch:
+  * `spark.read.format("yougile").option("entity", "tasks").load()`.
+  *
+  * Design (tier-"custom source" of the build plan):
+  *  - **Partitioning**: the reference fetches tasks column-by-column to dodge
+  *    a pagination bug (S3). Here that per-column loop becomes genuine source
+  *    parallelism — `planInputPartitions` lists the board columns once on the
+  *    driver (one tiny request) and emits ONE InputPartition PER COLUMN, so
+  *    executors fetch columns concurrently. Other entities are single-page
+  *    catalogs → one partition.
+  *  - **Column pruning pushdown** (`SupportsPushDownRequiredColumns`): the
+  *    pruned schema reaches the per-partition [[JacksonParser]], which
+  *    materializes ONLY the required fields from the JSON — the same partial
+  *    parse Spark's own json source does. A `select(id)` over a source with
+  *    heavy sticker maps never builds the maps.
+  *  - **Parsing**: each page's `content` elements go through Catalyst's
+  *    JacksonParser against the explicit entity schema (Model §1.4 —
+  *    add-missing-as-null, no inference), producing InternalRows directly;
+  *    no driver round-trip, no Dataset[String] staging.
+  *  - **Rate limiting at scale**: the 50 req/min budget is per-API-token,
+  *    so a real deployment divides it across partitions (each reader
+  *    gets budget/numPartitions — the client seam takes any
+  *    [[YouGileClient]]); the fixture client used by gates/specs needs
+  *    none. Options: `entity` (boards|columns|string-stickers|tasks),
+  *    `fixtureDir` (JSON fixture root; absent → HTTP client from env).
+  *
+  * Registered as `yougile` via DataSourceRegister (META-INF/services).
+  */
+class YouGileTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "yougile"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    YouGileTableProvider.schemaFor(options.getOrDefault("entity", "tasks"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new YouGileTable(schema, properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object YouGileTableProvider {
+  def schemaFor(entity: String): StructType = entity match {
+    case "boards"          => Model.boardSchema
+    case "columns"         => Model.columnSchema
+    case "string-stickers" => Model.stickerSchema
+    case "tasks"           => Model.contractSchema
+    case other => throw new IllegalArgumentException(
+      s"unknown entity '$other' (boards|columns|string-stickers|tasks)")
+  }
+
+  private[sources] def clientFor(opts: Map[String, String]): YouGileClient =
+    opts.get("fixturedir") match {
+      case Some(dir) => new JsonFixtureClient(dir)
+      case None =>
+        val cfg = graft.yougile.YouGileConfig.fromEnv(sys.env)
+        new graft.yougile.HttpYouGileClient(cfg,
+          new graft.yougile.RateLimiter(cfg.minRequestIntervalMs))
+    }
+}
+
+private[sources] class YouGileTable(schema: StructType, opts: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"yougile:${opts.getOrElse("entity", "tasks")}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new YouGileScanBuilder(schema, opts ++ options.asScala)
+}
+
+private[sources] class YouGileScanBuilder(full: StructType, opts: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the source's field order; requiredSchema names decide membership
+    required = StructType(full.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new YouGileScan(required, opts)
+}
+
+private[sources] class YouGileScan(schema: StructType, opts: Map[String, String])
+    extends Scan with Batch {
+  private val entity = opts.getOrElse("entity", "tasks")
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = entity match {
+    case "tasks" =>
+      // one tiny driver-side catalog request lists the columns; each
+      // column becomes an InputPartition (the S3 workaround as source
+      // parallelism)
+      val client = YouGileTableProvider.clientFor(opts)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      Paginator.fetchAll(client, "columns", 1000, includeDeleted = false, None)
+        .map(j => om.readTree(j).path("id").asText())
+        .filter(_.nonEmpty).distinct
+        .map(cid => YouGilePartition(entity, Some(cid)): InputPartition)
+        .toArray
+    case _ => Array(YouGilePartition(entity, None))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new YouGileReaderFactory(schema, opts)
+}
+
+private[sources] case class YouGilePartition(entity: String, columnId: Option[String])
+    extends InputPartition
+
+private[sources] class YouGileReaderFactory(schema: StructType, opts: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[YouGilePartition]
+    new YouGilePartitionReader(schema, opts, p)
+  }
+}
+
+private[sources] class YouGilePartitionReader(
+    schema: StructType, opts: Map[String, String], p: YouGilePartition)
+    extends PartitionReader[InternalRow] {
+
+  // per-entity fetch parameters mirror YouGileSource (limit 1000;
+  // subtask fetches elsewhere use includeDeleted=true, but this source's
+  // task view is the per-column contract fetch: includeDeleted=false)
+  private val limit = opts.getOrElse("limit", "1000").toInt
+  private val includeDeleted = opts.getOrElse("includedeleted", "false").toBoolean
+
+  private val rows: Iterator[InternalRow] = {
+    val client = YouGileTableProvider.clientFor(opts)
+    val method = if (p.entity == "tasks") "tasks" else p.entity
+    val jsons = Paginator.fetchAll(client, method, limit, includeDeleted, p.columnId)
+    val parser = new JacksonParser(
+      schema, new JSONOptions(Map.empty, "UTC"), allowArrayAsStructs = false, Nil)
+    jsons.iterator.flatMap { j =>
+      parser.parse(j, CreateJacksonParser.string, UTF8String.fromString)
+        .map(_.copy())
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

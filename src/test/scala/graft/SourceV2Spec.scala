@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.yougile.{Fixtures, JsonFixtureClient, YouGileConfig, YouGileSource}
+
+/** Pins for the DataSource V2 connector (graft.sources.YouGileTableProvider;
+  * yg_dsv2_tasks gate entry): per-column partition planning, column-pruning
+  * pushdown into the JSON parse, short-name registration, and equality with
+  * the driver-side reader path for every entity.
+  */
+class SourceV2Spec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def read(entity: String, limit: Int = 1000): DataFrame =
+    SparkEntry.configure(spark).read.format("yougile")
+      .option("entity", entity)
+      .option("fixtureDir", Fixtures.jsonDir)
+      .option("limit", limit.toString)
+      .load()
+
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    val s = SparkEntry.configure(spark)
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(scans.size == 1, "expected exactly one v2 scan")
+      scans.head
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("tasks scan plans one InputPartition per board column") {
+    val df = read("tasks", YouGileConfig.fixture.contractPageLimit)
+    // 8 columns in the fixture universe → 8 source partitions
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() > 0)
+  }
+
+  test("column pruning reaches the source: select(id) scans a 1-field schema") {
+    val pruned = scanOf(read("tasks", YouGileConfig.fixture.contractPageLimit).select("id"))
+    assert(pruned.scan.readSchema().fieldNames.toSeq == Seq("id"),
+      s"pushdown missed: ${pruned.scan.readSchema()}")
+    val full = scanOf(read("tasks", YouGileConfig.fixture.contractPageLimit))
+    assert(full.scan.readSchema().fieldNames.length == 6)
+  }
+
+  test("every entity matches the driver-side reader path row for row") {
+    val s = SparkEntry.configure(spark)
+    val src = new YouGileSource(s, new JsonFixtureClient(Fixtures.jsonDir), YouGileConfig.fixture)
+    def sorted(df: DataFrame) = df.orderBy(col("id").asc_nulls_first).collect().toSeq
+    assert(sorted(read("boards")) == sorted(src.boards()))
+    assert(sorted(read("columns")) == sorted(src.columns()))
+    assert(sorted(read("string-stickers")) == sorted(src.stickers()))
+    // tasks: the v2 union over ALL columns equals the per-column driver
+    // fetch over the same column list
+    val allCols = src.columns().select("id").collect().map(_.getString(0)).toSeq
+    val v2 = sorted(read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .select("id", "title", "timestamp", "columnId"))
+    val drv = sorted(src.contracts(allCols).select("id", "title", "timestamp", "columnId"))
+    assert(v2 == drv)
+  }
+
+  test("unknown entity fails fast with the supported list") {
+    val e = intercept[Exception](read("nope").collect())
+    assert(e.getMessage.contains("boards|columns|string-stickers|tasks"))
+  }
+}
