@@ -756,13 +756,13 @@ object Similarity extends QueryModule {
         first(col("sq")).as("sq"))
   }
 
-  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
-    val sub = subspaced(quantized(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** One-Lloyd-pass per-subspace codebook (the ann2 update keyed by m);
+    * shared by ann5's retrieval and emb7's distortion audit.
+    */
+  private def pqCodebook(sub: DataFrame): DataFrame = {
     val init = sub.filter(col("vec_id") < PqKs)
       .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
-    // one Lloyd pass per subspace codebook (the ann2 update, keyed by m)
-    val cents = pqAssign(sub, init)
+    pqAssign(sub, init)
       .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("pos", "v")))
       .groupBy("m", "code", "pos")
       .agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -771,6 +771,12 @@ object Similarity extends QueryModule {
       .groupBy("m", "code")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("c")))), x => x("c")).as("cv"))
+  }
+
+  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val sub = subspaced(quantized(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = pqCodebook(sub)
     val codes = pqAssign(sub, cents).select("vec_id", "m", "code")
     // per-query ADC lookup table: partial dot of the full-precision query
     // subvector against every codeword — queries × M × Ks rows, broadcast
@@ -1305,6 +1311,67 @@ object Similarity extends QueryModule {
     */
   private val CovBlockDims = 8
 
+  // ---------------------------------------------------------------- emb7
+  /** PQ distortion audit — dd15/ann11's "measure, don't guess" applied
+    * to ann5's compression: per subspace, the exact integer sum of
+    * squared reconstruction errors (‖subvector − its codeword‖²), the
+    * floored per-element MSE in milli units, and the worst single
+    * vector. This is the table that decides Ks/M retraining for a PQ
+    * index — rising distortion in one subspace means its codebook no
+    * longer covers the data. Trains the IDENTICAL codebook as ann5
+    * ([[pqCodebook]] — shared code, zero drift) and the oracle restates
+    * training + assignment + the error arithmetic CTE-for-CTE. One
+    * corpus pass after assignment; the census exchange carries M rows.
+    */
+  private def pqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val sub = subspaced(quantized(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = pqCodebook(sub)
+    pqAssign(sub, cents)
+      .join(broadcast(cents), Seq("m", "code"))
+      .select(col("m"), size(col("sq")).cast(LongType).as("nd"),
+        VectorFunctions.longSquaredL2(col("sq"), col("cv")).as("dd"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("nd")).as("n_elems"),
+        sum(col("dd")).as("sse"), max(col("dd")).as("max_dist"))
+      .select(col("m"), col("n_vectors"), col("n_elems"), col("sse"),
+        expr("(sse * 1000) DIV n_elems").as("mse_milli"), col("max_dist"))
+      .orderBy(col("m").asc_nulls_first)
+  }
+
+  private val pqDistortionSql =
+    s"""WITH emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(q, m * (len(q) // $PqM) + 1, (m + 1) * (len(q) // $PqM)) AS sq
+       |  FROM emb, (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |pc0 AS (SELECT m, vec_id AS code, sq AS cv FROM sub WHERE vec_id < $PqKs),
+       |pasg AS (${pqAssignCte("pc0")}),
+       |pc1 AS (
+       |  SELECT m, code, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT m, code, pos,
+       |      CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+       |    FROM (SELECT m, code, generate_subscripts(sq, 1) AS pos, unnest(sq) AS v
+       |          FROM pasg)
+       |    GROUP BY m, code, pos)
+       |  GROUP BY m, code),
+       |asg AS (${pqAssignCte("pc1")}),
+       |dist AS (
+       |  SELECT a.m, CAST(len(a.sq) AS BIGINT) AS nd,
+       |    CAST(list_sum(list_transform(range(1, len(a.sq) + 1),
+       |      i -> (a.sq[i] - cv[i]) * (a.sq[i] - cv[i]))) AS BIGINT) AS dd
+       |  FROM asg a JOIN pc1 c ON a.m = c.m AND a.code = c.code)
+       |SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(nd) AS BIGINT) AS n_elems,
+       |  CAST(SUM(dd) AS BIGINT) AS sse,
+       |  (CAST(SUM(dd) AS BIGINT) * 1000) // CAST(SUM(nd) AS BIGINT) AS mse_milli,
+       |  CAST(MAX(dd) AS BIGINT) AS max_dist
+       |FROM dist GROUP BY m
+       |ORDER BY m NULLS FIRST""".stripMargin
+
   private def covarianceBlock(s: SparkSession, dir: String): DataFrame = {
     val d = CovBlockDims - 1
     quantized(s, dir)
@@ -1410,6 +1477,7 @@ object Similarity extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb5_dim_profile" -> (dimProfile _),
     "emb6_covariance" -> (covarianceBlock _),
+    "emb7_pq_distortion" -> (pqDistortion _),
     "dd13_semantic_dedup" -> (semanticDedup _),
     "ann10_topk_diversified" -> (diversifiedTopK _),
     "ann8_topk_filtered" -> (filteredTopK _),
@@ -1431,6 +1499,7 @@ object Similarity extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "emb5_dim_profile" -> dimProfileSql,
     "emb6_covariance" -> covarianceBlockSql,
+    "emb7_pq_distortion" -> pqDistortionSql,
     "dd13_semantic_dedup" -> semanticDedupSql,
     "ann8_topk_filtered" -> filteredTopKSql,
     "ann10_topk_diversified" -> diversifiedTopKSql,

@@ -53,4 +53,21 @@ class CovarianceSpec extends AnyFunSuite {
     assert(cov.forall(r => r.getAs[Long]("dim_i") <= r.getAs[Long]("dim_j")))
     assert(cov.map(_.getAs[Long]("n")).distinct.length == 1)
   }
+
+  test("emb7: PQ distortion census is complete, exact, and non-vacuous") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("emb7_pq_distortion")(s, dir).collect()
+    assert(out.map(_.getAs[Int]("m")).sorted.toSeq == Seq(0, 1, 2, 3))
+    val embSrc = s.read.parquet(s"$dir/embeddings.parquet")
+    val nVecs = embSrc.count()
+    val dim = embSrc.select(size(col("embedding"))).head().getInt(0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == nVecs, "a subspace lost vectors")
+      assert(r.getAs[Long]("n_elems") == nVecs * dim / 4)
+      val sse = r.getAs[Long]("sse")
+      assert(sse > 0, "lossless quantization at Ks=8 — vacuous audit")
+      assert(r.getAs[Long]("mse_milli") == sse * 1000 / r.getAs[Long]("n_elems"))
+      assert(r.getAs[Long]("max_dist") <= sse && r.getAs[Long]("max_dist") > 0)
+    }
+  }
 }
