@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, Jac
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -85,7 +86,7 @@ private[sources] class YouGileTable(schema: StructType, opts: Map[String, String
   override def name(): String = s"yougile:${opts.getOrElse("entity", "tasks")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new YouGileScanBuilder(schema, opts ++ options.asScala)
 }
@@ -126,10 +127,92 @@ private[sources] class YouGileScan(schema: StructType, opts: Map[String, String]
 
   override def createReaderFactory(): PartitionReaderFactory =
     new YouGileReaderFactory(schema, opts)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new YouGileMicroBatchStream(schema, opts)
 }
 
 private[sources] case class YouGilePartition(entity: String, columnId: Option[String])
     extends InputPartition
+
+/** Streaming leg of the connector: an incremental BACKFILL stream over
+  * the per-column task partitions — each micro-batch ingests the next
+  * `columnsPerBatch` board columns (offset = columns completed), the
+  * shape of a rate-limited API drain. Admission control paces batches,
+  * so `Trigger.AvailableNow` processes the whole catalog in several
+  * bounded batches and stops; a checkpoint restart resumes at the
+  * committed column offset without re-fetching finished columns. The
+  * column list is pinned at stream construction (a fixed universe per
+  * run — the same contract as the batch scan; new columns land in the
+  * next run's stream).
+  */
+private[sources] class YouGileMicroBatchStream(schema: StructType, opts: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // SupportsTriggerAvailableNow: implemented DIRECTLY so AvailableNow
+  // honors the per-batch budget — the engine's wrapper for plain
+  // sources replaces any admission-control limit with allAvailable()
+  // (one giant batch), which is exactly wrong for a rate-limited API
+  // drain. The universe is pinned per run, so preparing = forcing the
+  // column listing.
+  override def prepareForTriggerAvailableNow(): Unit = { columns; () }
+
+  private val entity = opts.getOrElse("entity", "tasks")
+  private val perBatch = opts.getOrElse("columnsperbatch", "2").toInt
+
+  private lazy val columns: Seq[Option[String]] = entity match {
+    case "tasks" =>
+      val client = YouGileTableProvider.clientFor(opts)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      Paginator.fetchAll(client, "columns", 1000, includeDeleted = false, None)
+        .map(j => om.readTree(j).path("id").asText())
+        .filter(_.nonEmpty).distinct.map(Some(_))
+    case _ => Seq(None)
+  }
+
+  private def off(n: Int): Offset = YouGileOffset(n)
+
+  override def initialOffset(): Offset = off(0)
+
+  override def latestOffset(): Offset = off(columns.length)
+
+  // pacing rides the admission-control contract: the source declares a
+  // default per-batch budget (maxRows, read as COLUMNS here) and honors
+  // whatever limit the engine passes — AvailableNow captures its end
+  // with ReadLimit.allAvailable(), then paces each batch with the
+  // default limit, so the drain is several bounded batches
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch.toLong)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val done = start.asInstanceOf[YouGileOffset].done
+    limit match {
+      case rows: ReadMaxRows =>
+        off(math.min(done + rows.maxRows().toInt, columns.length))
+      case _ => off(columns.length)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = off(columns.length)
+
+  override def deserializeOffset(json: String): Offset =
+    off(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json).path("done").asInt())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[YouGileOffset].done
+    val b = end.asInstanceOf[YouGileOffset].done
+    columns.slice(a, b).map(c => YouGilePartition(entity, c): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new YouGileReaderFactory(schema, opts)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class YouGileOffset(done: Int) extends Offset {
+  override def json: String = s"{\"done\":$done}"
+}
 
 private[sources] class YouGileReaderFactory(schema: StructType, opts: Map[String, String])
     extends PartitionReaderFactory {

@@ -67,4 +67,27 @@ class SourceV2Spec extends AnyFunSuite {
     val e = intercept[Exception](read("nope").collect())
     assert(e.getMessage.contains("boards|columns|string-stickers|tasks"))
   }
+
+  test("micro-batch stream: paced column backfill equals the batch read") {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = SparkEntry.configure(spark)
+    val stream = s.readStream.format("yougile")
+      .option("entity", "tasks")
+      .option("fixtureDir", Fixtures.jsonDir)
+      .option("limit", YouGileConfig.fixture.contractPageLimit.toString)
+      .option("columnsPerBatch", "2")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("yg_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s.table("yg_stream_mem")
+      .orderBy(col("id").asc_nulls_first).collect().toSeq
+    val want = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .orderBy(col("id").asc_nulls_first).collect().toSeq
+    assert(got == want, s"stream drained ${got.size} rows, batch has ${want.size}")
+    // admission control really paced: 8 columns at 2/batch => >= 4
+    // batches (trailing columns may be empty — count batches, not rows)
+    assert(q.recentProgress.length >= 4,
+      s"expected paced batches, saw ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+  }
 }
