@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -92,18 +92,48 @@ private[sources] class YouGileTable(schema: StructType, opts: Map[String, String
 }
 
 private[sources] class YouGileScanBuilder(full: StructType, opts: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the source's field order; requiredSchema names decide membership
     required = StructType(full.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new YouGileScan(required, opts)
+  /** columnId predicates become PARTITION PRUNING: the tasks scan plans
+    * one InputPartition per board column, so an equality/IN filter on
+    * columnId drops whole partitions — whole API fetches — before any
+    * request is made. Fully applied at the source (a per-column fetch
+    * returns only that column's rows), so no residual re-evaluation is
+    * needed; every other predicate stays with Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val isTasks = opts.getOrElse("entity", "tasks") == "tasks"
+    val (ours, rest) = filters.partition {
+      case EqualTo("columnId", _: String) => isTasks
+      case In("columnId", vs) => isTasks && vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    pushed = ours
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    // AND semantics: a row must satisfy every pushed filter, so the
+    // allowed set is the intersection of the per-filter sets
+    val allowed = pushed.map {
+      case EqualTo(_, v: String) => Set(v)
+      case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
+    }.reduceOption(_ intersect _)
+    new YouGileScan(required, opts, allowed)
+  }
 }
 
-private[sources] class YouGileScan(schema: StructType, opts: Map[String, String])
+private[sources] class YouGileScan(schema: StructType, opts: Map[String, String],
+    allowedColumns: Option[Set[String]] = None)
     extends Scan with Batch {
   private val entity = opts.getOrElse("entity", "tasks")
 
@@ -120,6 +150,7 @@ private[sources] class YouGileScan(schema: StructType, opts: Map[String, String]
       Paginator.fetchAll(client, "columns", 1000, includeDeleted = false, None)
         .map(j => om.readTree(j).path("id").asText())
         .filter(_.nonEmpty).distinct
+        .filter(cid => allowedColumns.forall(_.contains(cid)))
         .map(cid => YouGilePartition(entity, Some(cid)): InputPartition)
         .toArray
     case _ => Array(YouGilePartition(entity, None))

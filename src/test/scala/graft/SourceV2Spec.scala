@@ -90,4 +90,23 @@ class SourceV2Spec extends AnyFunSuite {
     assert(q.recentProgress.length >= 4,
       s"expected paced batches, saw ${q.recentProgress.map(_.numInputRows).mkString(",")}")
   }
+
+  test("columnId filters prune PARTITIONS: one fetch for an equality, zero for a miss") {
+    val cols = read("columns").select("id").collect().map(_.getString(0)).sorted
+    val one = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .filter(col("columnId") === cols.head)
+    assert(one.rdd.getNumPartitions == 1, "equality filter did not prune to one partition")
+    assert(one.collect().forall(_.getAs[String]("columnId") == cols.head))
+    val two = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .filter(col("columnId").isin(cols.head, cols.last))
+    assert(two.rdd.getNumPartitions == 2, "IN filter did not prune to two partitions")
+    val none = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .filter(col("columnId") === "no-such-column")
+    assert(none.rdd.getNumPartitions <= 1 && none.count() == 0)
+    // conjunction: only the columnId leg is consumed; the rest stays
+    val conj = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .filter(col("columnId") === cols.head && col("title").isNotNull)
+    assert(conj.rdd.getNumPartitions == 1)
+    assert(conj.count() == one.filter(col("title").isNotNull).count())
+  }
 }
