@@ -1458,6 +1458,43 @@ object Extras extends QueryModule {
       |      FROM events)
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev20
+  /** Inter-arrival time histogram — the traffic-shape census behind
+    * session-gap and rate-limit tuning (sw1/ev3 ASSUME a 30-minute gap;
+    * this table is how that number gets chosen): per-user consecutive
+    * event gaps in seconds, bucketed by binary magnitude. The bucket is
+    * `length(bin(gap_s))` = ⌊log2⌋+1 — an INTEGER log2 both engines
+    * compute identically via the binary string, where float log2 would
+    * be libm-dependent. One per-user window (the ev3 shape) + one hash
+    * aggregate on the ≤64-value bucket key.
+    */
+  private def interarrivalHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("(unix_micros(ts) - unix_micros(prev)) DIV 1000000").as("gap_s"))
+      .groupBy(length(bin(col("gap_s"))).as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
+  private val interarrivalHistogramSql =
+    """WITH g AS (
+      |  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))
+      |    // 1000000 AS gap_s
+      |  FROM events)
+      |SELECT length(bin(gap_s)) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY bucket
+      |ORDER BY bucket NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- dq8
   /** Ingest-gap audit — the "did a feed go dark?" monitor: generate the
     * full hour calendar between the stream's first and last hour from
@@ -1909,6 +1946,7 @@ object Extras extends QueryModule {
     "imp3_winsorize" -> (winsorize _),
     "ev17_rfm_segments" -> (rfmSegments _),
     "dq8_gap_audit" -> (gapAudit _),
+    "ev20_interarrival_hist" -> (interarrivalHistogram _),
     "ev19_weekday_profile" -> (weekdayProfile _),
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
@@ -1964,6 +2002,7 @@ object Extras extends QueryModule {
     "imp3_winsorize" -> winsorizeSql,
     "ev17_rfm_segments" -> rfmSegmentsSql,
     "dq8_gap_audit" -> gapAuditSql,
+    "ev20_interarrival_hist" -> interarrivalHistogramSql,
     "ev19_weekday_profile" -> weekdayProfileSql,
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,

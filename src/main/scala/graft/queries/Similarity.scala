@@ -1222,6 +1222,65 @@ object Similarity extends QueryModule {
        |FROM nrm n LEFT JOIN drops d ON n.vec_id = d.vec_id
        |ORDER BY n.vec_id NULLS FIRST, centroid_id NULLS FIRST, is_kept NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dd14
+  /** Cross-LANGUAGE semantic near-dup pairs — the parallel-corpus /
+    * translated-duplicate detector: a document and its translation share
+    * no shingles in any language-aware pass and no tokens at all across
+    * scripts, but embed nearby; restricting dd13's within-cluster pair
+    * sweep to pairs whose documents carry DIFFERENT language tags lists
+    * exactly the translation-duplicate candidates (dedup policy for
+    * multilingual corpora usually keeps one per language — so these
+    * pairs feed a per-language cur3-style election, not a blanket
+    * drop). Language joins onto the vector frame CO-PARTITIONED on the
+    * id (documents ≈ corpus — never broadcast); the pair sweep reuses
+    * the SAME trained IVF assignment as ann2/dd4/dd13 (one codebook,
+    * four consumers) and the quantized-cosine chain is the dd13
+    * bit-stable spelling, so the oracle restates everything
+    * CTE-for-CTE.
+    */
+  private[graft] val CrossLangPpm = 300000L
+
+  private def crossLangNearDup(s: SparkSession, dir: String): DataFrame = {
+    val lang = graft.Tables(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val nrm = assignedBuckets(s, dir).withColumn("nn", dot(col("q"), col("q")))
+      .join(lang, Seq("vec_id"))
+    val cos = floor(
+      dot(col("a.q"), col("b.q")).cast(DoubleType) * lit(1000000.0) /
+        sqrt(col("a.nn").cast(DoubleType) * col("b.nn").cast(DoubleType)))
+      .cast(LongType)
+    nrm.as("a")
+      .join(nrm.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.lang") =!= col("b.lang"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.lang").as("lang_a"), col("b.lang").as("lang_b"), cos.as("cos_ppm"))
+      .filter(col("cos_ppm") >= CrossLangPpm)
+      .orderBy(col("vec_a").asc_nulls_first, col("vec_b").asc_nulls_first)
+  }
+
+  private val crossLangNearDupSql =
+    s"""WITH $lloydCtes,
+       |lng AS (SELECT doc_id AS vec_id, lang FROM documents),
+       |nrm AS (
+       |  SELECT a.vec_id, centroid_id, q, lang,
+       |    CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS BIGINT) AS nn
+       |  FROM assigned a JOIN lng USING (vec_id))
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  a.lang AS lang_a, b.lang AS lang_b,
+       |  CAST(floor(
+       |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |      * 1000000.0
+       |      / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE))) AS BIGINT) AS cos_ppm
+       |FROM nrm a JOIN nrm b
+       |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |WHERE a.lang <> b.lang
+       |  AND CAST(floor(
+       |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |      * 1000000.0
+       |      / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE))) AS BIGINT) >= $CrossLangPpm
+       |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- emb5
   /** Per-dimension corpus profile of the embedding space — the
     * whitening-prep / drift audit a vector pipeline keeps beside its
@@ -1479,6 +1538,7 @@ object Similarity extends QueryModule {
     "emb6_covariance" -> (covarianceBlock _),
     "emb7_pq_distortion" -> (pqDistortion _),
     "dd13_semantic_dedup" -> (semanticDedup _),
+    "dd14_crosslang_neardup" -> (crossLangNearDup _),
     "ann10_topk_diversified" -> (diversifiedTopK _),
     "ann8_topk_filtered" -> (filteredTopK _),
     "emb4_centroid_separation" -> (centroidSeparation _),
@@ -1501,6 +1561,7 @@ object Similarity extends QueryModule {
     "emb6_covariance" -> covarianceBlockSql,
     "emb7_pq_distortion" -> pqDistortionSql,
     "dd13_semantic_dedup" -> semanticDedupSql,
+    "dd14_crosslang_neardup" -> crossLangNearDupSql,
     "ann8_topk_filtered" -> filteredTopKSql,
     "ann10_topk_diversified" -> diversifiedTopKSql,
     "emb4_centroid_separation" -> centroidSeparationSql,

@@ -283,4 +283,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"dropped $v has no earlier ε-neighbor in its cluster")
     }
   }
+
+  test("dd14: pairs are canonical, cross-language, above threshold, and consistent with dd13") {
+    val pairs = run("dd14_crosslang_neardup")
+    assert(pairs.nonEmpty, "no cross-language near-dup at fixture scale — vacuous")
+    val langOf = SparkEntry.configure(spark).read.parquet(s"$dir/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(a < b, "pair not canonical")
+      assert(r.getAs[String]("lang_a") == langOf(a) && r.getAs[String]("lang_b") == langOf(b))
+      assert(r.getAs[String]("lang_a") != r.getAs[String]("lang_b"))
+      assert(r.getAs[Long]("cos_ppm") >= 300000L)
+    }
+    // consistency with dd13: a cross-lang pair at or above dd13's epsilon
+    // means the HIGHER id cannot be kept (it has a lower-id epsilon-mate)
+    val kept = run("dd13_semantic_dedup")
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_kept")).toMap
+    val strong = pairs.filter(_.getAs[Long]("cos_ppm") >= 350000L)
+    strong.foreach { r =>
+      assert(!kept(r.getAs[Long]("vec_b")),
+        s"${r.getAs[Long]("vec_b")} kept despite epsilon-mate ${r.getAs[Long]("vec_a")}")
+    }
+  }
 }

@@ -35,6 +35,28 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev20: gap histogram replays driver-side and conserves gap count") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("ev20_interarrival_hist")(s, dir).collect()
+    val ev = Tables(s, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).sliding(2).collect {
+        case Array(p, c) => (c._2 - p._2) / 1000000L
+      }
+    }.toSeq
+    val want = gaps.groupBy(g => java.lang.Long.toBinaryString(g).length)
+      .map { case (b, gs) => b -> (gs.size.toLong, gs.min, gs.max) }
+    assert(out.map(_.getAs[Long]("n_gaps")).sum == gaps.size.toLong)
+    out.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(want(b) == ((r.getAs[Long]("n_gaps"), r.getAs[Long]("min_gap_s"),
+        r.getAs[Long]("max_gap_s"))), s"bucket $b diverged")
+    }
+    assert(out.map(_.getAs[Int]("bucket")).toSet == want.keySet)
+  }
+
   test("dq8: gap intervals cover exactly the missing hours, disjoint and separated") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("dq8_gap_audit")(s, dir).collect()
