@@ -364,6 +364,56 @@ object Linkage extends QueryModule {
       |             ORDER BY es NULLS FIRST, event_id NULLS FIRST)
       |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, version NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- cdc7
+  /** Point-in-time (as-of) snapshot of the versioned dimension — "what
+    * did every key look like at T?", the read side cdc3's history
+    * exists for. The naive lookup builds the FULL history and selects
+    * the interval containing T (the oracle's spelling); the engine
+    * instead pushes `ts <= T` to the SCAN and takes each key's latest
+    * surviving row with ONE `max_by` aggregate (cdc2's plan) — version
+    * = the count of events at or before T. No window, no post-T data
+    * read at all; the gate hash proves prefilter+argmax ≡ the interval
+    * lookup. At 100 TB this is the difference between scanning the
+    * whole log and scanning the partition-pruned prefix.
+    */
+  private val AsOfUs = 1705276800000000L // 2024-01-15T00:00:00Z
+
+  private def asofSnapshot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("es"),
+        coalesce(round(col("value") * 100).cast(LongType), lit(-1L)).as("value_c"))
+      .filter(col("es") <= AsOfUs)
+      .groupBy("user_id", "event_type")
+      .agg(
+        count(lit(1)).as("version"),
+        max_by(struct(col("value_c"), col("es")),
+          struct(col("es"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("last.value_c").as("value_c"), col("last.es").as("valid_from_us"))
+      .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first)
+
+  private val asofSnapshotSql =
+    s"""WITH base AS (
+       |  SELECT user_id, event_type, event_id, epoch_us(ts) AS es,
+       |    COALESCE(CAST(round(value * 100) AS BIGINT), -1) AS value_c
+       |  FROM events WHERE user_id % 10 = 0),
+       |hist AS (
+       |  SELECT user_id, event_type, value_c,
+       |    CAST(row_number() OVER w AS BIGINT) AS version,
+       |    es AS valid_from_us,
+       |    lead(es) OVER w AS valid_to_us
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id, event_type
+       |               ORDER BY es NULLS FIRST, event_id NULLS FIRST))
+       |SELECT user_id, event_type, version, value_c, valid_from_us
+       |FROM hist
+       |WHERE valid_from_us <= $AsOfUs
+       |  AND (valid_to_us IS NULL OR valid_to_us > $AsOfUs)
+       |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- cdc4
   /** Incremental SCD Type-2 MERGE — cdc3's history REBUILD restated as
     * the maintenance operation a warehouse actually runs: a maintained
@@ -631,6 +681,7 @@ object Linkage extends QueryModule {
     "cdc3_scd2_history" -> (scd2History _),
     "cdc4_scd2_merge" -> (scd2MergeIncremental _),
     "cdc6_snapshot_diff" -> (snapshotDiff _),
+    "cdc7_asof_snapshot" -> (asofSnapshot _),
     "cdc1_merge_upsert" -> (mergeUpsert _),
     "cdc2_latest_per_key" -> (latestPerKey _),
     "opt1_window_dedup" -> (firstPerKeyWindow _))
@@ -644,6 +695,7 @@ object Linkage extends QueryModule {
     // cdc4's oracle IS the full rebuild: hash-proves merge ≡ rebuild
     "cdc4_scd2_merge" -> scd2HistorySql,
     "cdc6_snapshot_diff" -> snapshotDiffSql,
+    "cdc7_asof_snapshot" -> asofSnapshotSql,
     "cdc1_merge_upsert" -> mergeUpsertSql,
     "cdc2_latest_per_key" -> latestPerKeySql,
     "opt1_window_dedup" -> firstPerKeyWindowSql)

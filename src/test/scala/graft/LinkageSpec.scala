@@ -34,6 +34,30 @@ class LinkageSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc7: the as-of argmax snapshot equals cdc3's history filtered at T") {
+    val t = 1705276800000000L
+    val hist = SparkEntry.queries("cdc3_scd2_history")(spark, dir).collect()
+    val wantRows = hist.filter { r =>
+      r.getAs[Long]("valid_from_us") <= t &&
+        (r.isNullAt(r.fieldIndex("valid_to_us")) || r.getAs[Long]("valid_to_us") > t)
+    }
+    val want = wantRows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+      (r.getAs[Long]("version"), r.getAs[Long]("value_c"), r.getAs[Long]("valid_from_us"))).toMap
+    val got = SparkEntry.queries("cdc7_asof_snapshot")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("version"), r.getAs[Long]("value_c"), r.getAs[Long]("valid_from_us"))).toMap
+    assert(got == want, s"as-of snapshot != interval lookup (${got.size} vs ${want.size})")
+    assert(got.nonEmpty)
+    // T is mid-history: some keys must already have multiple versions,
+    // and some of the snapshot rows must NOT be the key's current row
+    assert(got.values.exists(_._1 > 1), "no key versioned before T")
+    val current = hist.filter(_.getAs[Boolean]("is_current"))
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("version")).toMap
+    assert(got.exists { case (k, v) => current.get(k).exists(_ != v._1) },
+      "snapshot degenerated to the current view — T not mid-history")
+  }
+
   test("cdc6: snapshot diff recovers exactly the constructed discrepancies") {
     val out = SparkEntry.queries("cdc6_snapshot_diff")(spark, dir).collect()
       .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("kind")).toMap
