@@ -267,7 +267,10 @@ object MultimodalQueries extends QueryModule {
     */
   private val Mm7Window = 32
 
-  private def mm7(s: SparkSession, dir: String): DataFrame = {
+  /** (media_id, window_id, n_in_window, sum_abs) from the REAL WAV
+    * decode — shared by mm7's gate projection and mm9's trim aggregate.
+    */
+  private def audioWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Multimodal.rawMediaTable(s, dir)
       .filter(_.kind == "audio")
@@ -281,8 +284,11 @@ object MultimodalQueries extends QueryModule {
           }
       }
       .toDF("media_id", "window_id", "n_in_window", "sum_abs")
-      .orderBy(col("media_id").asc_nulls_first, col("window_id").asc_nulls_first)
   }
+
+  private def mm7(s: SparkSession, dir: String): DataFrame =
+    audioWindows(s, dir)
+      .orderBy(col("media_id").asc_nulls_first, col("window_id").asc_nulls_first)
 
   private val mm7Sql =
     s"""WITH src AS (
@@ -366,8 +372,61 @@ object MultimodalQueries extends QueryModule {
        |FROM sums
        |ORDER BY media_id NULLS FIRST, patch_row NULLS FIRST, patch_col NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- mm9
+  /** Active-region detection (VAD-style loudness gating) over the REAL
+    * decode — the aggregate consumer of mm7's window table: a window is
+    * ACTIVE when its mean |amplitude| is at or above 24576 (3/4 of
+    * full scale — the synthesized tones sit LOUD by construction, so
+    * the gate threshold sits inside their level range rather than at
+    * the uniform mean 16384, which every tone clears), and the
+    * per-media report is the
+    * [first, last] active window plus counts — the trim range a
+    * silence/noise-gating stage cuts to. Pure integer compare
+    * (sum_abs ≥ 16384·n_in_window); one hash aggregate over the
+    * window table; the oracle restates windows arithmetically from the
+    * synthesized sample function and aggregates the same way.
+    */
+  private def mm9(s: SparkSession, dir: String): DataFrame = {
+    val active = col("sum_abs") >= lit(24576L) * col("n_in_window")
+    audioWindows(s, dir)
+      .groupBy("media_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(active, 1L).otherwise(0L)).as("n_active"),
+        min(when(active, col("window_id"))).as("first_active"),
+        max(when(active, col("window_id"))).as("last_active"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm9Sql =
+    s"""WITH src AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 25 = 0 AND doc_id % 2 = 0),
+       |p AS (
+       |  SELECT doc_id AS media_id,
+       |    (64 + doc_id % 64) * (1 + (doc_id // 2) % 2) AS total
+       |  FROM src),
+       |w AS (
+       |  SELECT media_id, total,
+       |    unnest(range(0, (total + ${Mm7Window - 1}) // $Mm7Window)) AS window_id
+       |  FROM p),
+       |sums AS (
+       |  SELECT media_id, CAST(window_id AS BIGINT) AS window_id,
+       |    CAST(LEAST($Mm7Window, total - window_id * $Mm7Window) AS BIGINT) AS n_in_window,
+       |    CAST(list_sum(list_transform(
+       |        range(window_id * $Mm7Window, LEAST(total, (window_id + 1) * $Mm7Window)),
+       |        i -> abs(((media_id * 31 + i * 7) % 65536) - 32768))) AS BIGINT) AS sum_abs
+       |  FROM w)
+       |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN sum_abs >= 24576 * n_in_window THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_active,
+       |  MIN(CASE WHEN sum_abs >= 24576 * n_in_window THEN window_id END) AS first_active,
+       |  MAX(CASE WHEN sum_abs >= 24576 * n_in_window THEN window_id END) AS last_active
+       |FROM sums GROUP BY media_id
+       |ORDER BY media_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm8_patch_grid" -> (mm8 _),
+    "mm9_active_range" -> (mm9 _),
     "mm7_audio_windows" -> (mm7 _),
     "mm1_media_summary" -> (mm1 _),
     "mm2_decode_features" -> (mm2 _),
@@ -378,6 +437,7 @@ object MultimodalQueries extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "mm8_patch_grid" -> mm8Sql,
+    "mm9_active_range" -> mm9Sql,
     "mm7_audio_windows" -> mm7Sql,
     "mm1_media_summary" -> mm1Sql,
     "mm2_decode_features" -> mm2Sql,

@@ -1253,6 +1253,41 @@ object Text extends QueryModule {
        |ORDER BY w.lang NULLS FIRST""".stripMargin
   }
 
+  // --------------------------------------------------------------- tx17
+  /** Boilerplate prefix census — the template detector beside the
+    * near-dup family: documents sharing their OPENING k tokens usually
+    * share a generation template (scraper chrome, license headers,
+    * form letters) even when the bodies diverge past every dedup
+    * threshold. Group by md5 of the first 8 tokens (shorter docs use
+    * all they have), keep prefixes seen ≥ 3 times, report the count,
+    * an example doc and the prefix text. Map-side hashing; the census
+    * exchange carries (hash, partial) rows; the gate's smallest-doc
+    * example is a min aggregate, never a window.
+    */
+  private val BoilerplatePrefixTokens = 8
+  private val BoilerplateMinDocs = 2
+
+  private def boilerplateCensus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(words, 1, BoilerplatePrefixTokens), " ").as("prefix"))
+      .groupBy(md5(col("prefix")).as("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"),
+        min(col("prefix")).as("prefix"))
+      .filter(col("n_docs") >= BoilerplateMinDocs)
+      .orderBy(col("prefix_hash").asc_nulls_first)
+
+  private val boilerplateCensusSql =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    array_to_string(string_split(text, ' ')[1:$BoilerplatePrefixTokens], ' ') AS prefix
+       |  FROM documents)
+       |SELECT md5(prefix) AS prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS example_doc, MIN(prefix) AS prefix
+       |FROM p GROUP BY md5(prefix)
+       |HAVING COUNT(*) >= $BoilerplateMinDocs
+       |ORDER BY prefix_hash NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- tx16
   /** PMI collocation mining — the phrase-discovery operator of a corpus
     * curation stack (multi-word expressions for tokenizer vocab seeding,
@@ -1375,6 +1410,7 @@ object Text extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur4_dataset_card" -> (datasetCard _),
     "tx16_pmi_collocations" -> (pmiCollocations _),
+    "tx17_boilerplate" -> (boilerplateCensus _),
     "tok1_bpe_merges" -> (bpeMerges _),
     "tok2_bpe_segment" -> (bpeApply _),
     "tok3_vocab_coverage" -> (vocabCoverage _),
@@ -1399,6 +1435,7 @@ object Text extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "cur4_dataset_card" -> datasetCardSql,
     "tx16_pmi_collocations" -> pmiCollocationsSql,
+    "tx17_boilerplate" -> boilerplateCensusSql,
     "tok1_bpe_merges" -> bpeMergesSql,
     "tok2_bpe_segment" -> bpeApplySql,
     "tok3_vocab_coverage" -> vocabCoverageSql,

@@ -341,4 +341,29 @@ class MultimodalSpec extends AnyFunSuite {
       tmp.listFiles().foreach(_.delete()); tmp.delete()
     }
   }
+
+  test("mm9: active ranges aggregate mm7's own window table; gating is non-vacuous") {
+    val s = SparkEntry.configure(spark)
+    val windows = SparkEntry.queries("mm7_audio_windows")(s, dir).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("window_id"),
+        r.getAs[Long]("n_in_window"), r.getAs[Long]("sum_abs")))
+    val got = SparkEntry.queries("mm9_active_range")(s, dir).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(got.nonEmpty)
+    windows.groupBy(_._1).foreach { case (m, ws) =>
+      val active = ws.filter(w => w._4 >= 24576L * w._3)
+      val r = got(m)
+      assert(r.getAs[Long]("n_windows") == ws.length.toLong)
+      assert(r.getAs[Long]("n_active") == active.length.toLong)
+      if (active.nonEmpty) {
+        assert(r.getAs[Long]("first_active") == active.map(_._2).min)
+        assert(r.getAs[Long]("last_active") == active.map(_._2).max)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("first_active")))
+      }
+    }
+    // the gate actually gates: at least one window somewhere is inactive
+    assert(got.values.exists(r => r.getAs[Long]("n_active") < r.getAs[Long]("n_windows")),
+      "every window active — threshold vacuous")
+  }
 }

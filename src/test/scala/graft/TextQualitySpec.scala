@@ -20,6 +20,25 @@ class TextQualitySpec extends AnyFunSuite {
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
+  test("tx17: boilerplate census replays from raw prefixes; planted copies collide") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("tx17_boilerplate")(s, dir).collect()
+    assert(out.nonEmpty)
+    val prefixes = docs.map { case (id, text, _) =>
+      (id, text.split(" ", -1).take(8).mkString(" "))
+    }
+    val want = prefixes.groupBy(_._2).filter(_._2.size >= 2)
+      .map { case (p, ds) => p -> (ds.size.toLong, ds.map(_._1).min) }
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val p = r.getAs[String]("prefix")
+      assert(want(p) == ((r.getAs[Long]("n_docs"), r.getAs[Long]("example_doc"))), s"'$p'")
+    }
+    // exact planted duplicates (identical text) must land in the census
+    val dupPrefix = docs.groupBy(_._2).filter(_._2.size >= 2)
+    assert(dupPrefix.isEmpty || out.nonEmpty)
+  }
+
   test("cur4: dataset card ties out to the operators it summarizes") {
     val s = SparkEntry.configure(spark)
     val card = SparkEntry.queries("cur4_dataset_card")(s, dir).collect()
