@@ -1691,6 +1691,77 @@ object Stats extends QueryModule {
       |GROUP BY nation, o_year
       |ORDER BY nation NULLS FIRST, o_year DESC NULLS LAST""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  /** TPC-H Q12 shape (shipping-mode/priority two-way conditional count):
+    * orders ⋈ lineitem with the date predicate pushed to the fact scan,
+    * then per-priority CASE-counts split into urgent (1-URGENT/2-HIGH)
+    * vs other — the join + conditional-aggregation pattern (vs q11's
+    * EXISTS): every line shipped in 1996 contributes to exactly one
+    * bucket of its order's priority row. Orders side carries only
+    * (key, priority) into the join; the aggregate partials collapse
+    * map-side to #priorities rows.
+    */
+  private def priorityShipping(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .select("l_orderkey")
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("urgent_lines"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("other_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val priorityShippingSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS urgent_lines,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS other_lines,
+      |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE year(l_shipdate) = 1996
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- dq9
+  /** Cardinality-estimate accuracy audit — "measure, don't guess"
+    * applied to the sketches the OPTIMIZER itself leans on: per column
+    * of the fact table, the exact distinct count next to the
+    * HyperLogLog++ estimate, with an in-gate bounded-compare flag
+    * (within 5% — stated as literal TRUE in the oracle, the tx7/q06
+    * technique, since the raw estimate is not cross-engine). The table
+    * a stats-collection job emits to decide which columns need exact
+    * NDV and which can live on sketches.
+    */
+  private def cardinalityAudit(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+    val d = t(s, dir, "lineitem")
+    cols.map { c =>
+      d.agg(
+        countDistinct(col(c)).as("exact_ndv"),
+        approx_count_distinct(col(c)).as("approx_ndv"))
+        .select(lit(c).as("column_name"), col("exact_ndv"),
+          (abs(col("approx_ndv") - col("exact_ndv")) * 100 <= col("exact_ndv") * 5)
+            .as("within_5pct"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("column_name").asc_nulls_first)
+  }
+
+  private val cardinalityAuditSql =
+    """SELECT column_name, exact_ndv, TRUE AS within_5pct FROM (
+      |  SELECT 'l_orderkey' AS column_name,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_ndv FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'l_returnflag', CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem)
+      |ORDER BY column_name NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- q31
   /** TPC-H Q20 shape (dominant-supplier detection): suppliers shipping
     * more than 20% of a filtered part's 1995 volume, with how many such
@@ -1807,6 +1878,8 @@ object Stats extends QueryModule {
     "q27_market_share" -> (marketShare _),
     "q28_forecast_revenue" -> (forecastRevenue _),
     "q29_profit_rollup" -> (profitRollup _),
+    "q30_priority_shipping" -> (priorityShipping _),
+    "dq9_cardinality_audit" -> (cardinalityAudit _),
     "w8_period_growth" -> (periodGrowth _),
     "q31_dominant_supplier" -> (dominantSupplier _),
     "rr1_ratio_to_report" -> (ratioToReport _),
@@ -1850,6 +1923,8 @@ object Stats extends QueryModule {
     "q27_market_share" -> marketShareSql,
     "q28_forecast_revenue" -> forecastRevenueSql,
     "q29_profit_rollup" -> profitRollupSql,
+    "q30_priority_shipping" -> priorityShippingSql,
+    "dq9_cardinality_audit" -> cardinalityAuditSql,
     "w8_period_growth" -> periodGrowthSql,
     "q31_dominant_supplier" -> dominantSupplierSql,
     "rr1_ratio_to_report" -> ratioToReportSql,

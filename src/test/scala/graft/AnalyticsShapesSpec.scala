@@ -13,6 +13,27 @@ class AnalyticsShapesSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("q30: priority shipping counts replay driver-side") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("q30_priority_shipping")(s, dir).collect()
+    assert(out.nonEmpty)
+    val prio = s.read.parquet(s"$dir/orders.parquet").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("o_orderpriority")).toMap
+    val lines = Tables(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996).select("l_orderkey").collect()
+      .map(_.getLong(0)).filter(prio.contains)
+    val byPrio = lines.groupBy(prio)
+    out.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      val ls = byPrio(p)
+      val urgent = Set("1-URGENT", "2-HIGH").contains(p)
+      assert(r.getAs[Long]("urgent_lines") == (if (urgent) ls.length.toLong else 0L))
+      assert(r.getAs[Long]("other_lines") == (if (urgent) 0L else ls.length.toLong))
+      assert(r.getAs[Long]("n_orders") == ls.distinct.length.toLong)
+    }
+    assert(out.map(_.getAs[String]("o_orderpriority")).toSet == byPrio.keySet)
+  }
+
   test("q29: profit rollup replays driver-side from the raw tables") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("q29_profit_rollup")(s, dir).collect()

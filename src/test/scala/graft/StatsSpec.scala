@@ -57,6 +57,21 @@ class StatsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("bucket")).toSet == want.keySet)
   }
 
+  test("dq9: exact NDVs replay; the raw HLL estimate sits within the stated 5%") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("dq9_cardinality_audit")(s, dir).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("exact_ndv"), r.getAs[Boolean]("within_5pct"))).toMap
+    val li = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")
+    out.foreach { case (c, (ndv, ok)) =>
+      assert(ndv == li.select(c).distinct().count(), s"$c exact ndv")
+      assert(ok, s"$c estimate outside 5% — the gate would hash-fail")
+      val approx = li.agg(approx_count_distinct(col(c))).head().getLong(0)
+      assert(math.abs(approx - ndv) * 100 <= ndv * 5, s"$c raw estimate drifted")
+    }
+    assert(out.size == 4)
+  }
+
   test("dq8: gap intervals cover exactly the missing hours, disjoint and separated") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("dq8_gap_audit")(s, dir).collect()
