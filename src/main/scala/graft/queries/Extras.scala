@@ -1458,6 +1458,45 @@ object Extras extends QueryModule {
       |      FROM events)
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev22
+  /** DAU / WAU / stickiness — the product-health census: per day,
+    * distinct active users, trailing-7-day distinct active users, and
+    * DAU·10⁶ DIV WAU. The rolling DISTINCT is the classic windowed-
+    * COUNT(DISTINCT) trap (w4's lesson: no per-row distinct state);
+    * here it's spelled as COVERAGE REPLICATION — each (user, day) of
+    * the user-day-grain frame covers report days d..d+6 via one
+    * 7-element explode, and WAU is a plain distinct count per report
+    * day. The corpus collapses to user-day grain FIRST (the only
+    * corpus-sized exchange); the 7× replication happens on that
+    * already-reduced frame, the standard scale spelling.
+    */
+  private def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("i")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000) DIV wau").as("stickiness_ppm"))
+      .orderBy(col("day").asc_nulls_first)
+  }
+
+  private val stickinessSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      |cov AS (
+      |  SELECT DISTINCT day + CAST(i AS INTEGER) AS day, user_id
+      |  FROM ud, (SELECT unnest(range(0, 7)) AS i) off),
+      |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM cov GROUP BY day)
+      |SELECT d.day, dau, wau, (dau * 1000000) // wau AS stickiness_ppm
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY d.day NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ev20
   /** Inter-arrival time histogram — the traffic-shape census behind
     * session-gap and rate-limit tuning (sw1/ev3 ASSUME a 30-minute gap;
@@ -1947,6 +1986,7 @@ object Extras extends QueryModule {
     "ev17_rfm_segments" -> (rfmSegments _),
     "dq8_gap_audit" -> (gapAudit _),
     "ev20_interarrival_hist" -> (interarrivalHistogram _),
+    "ev22_stickiness" -> (stickiness _),
     "ev19_weekday_profile" -> (weekdayProfile _),
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
@@ -2003,6 +2043,7 @@ object Extras extends QueryModule {
     "ev17_rfm_segments" -> rfmSegmentsSql,
     "dq8_gap_audit" -> gapAuditSql,
     "ev20_interarrival_hist" -> interarrivalHistogramSql,
+    "ev22_stickiness" -> stickinessSql,
     "ev19_weekday_profile" -> weekdayProfileSql,
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,

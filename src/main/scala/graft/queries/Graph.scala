@@ -607,7 +607,80 @@ object Graph extends QueryModule {
       |WHERE d.deg >= 2
       |ORDER BY d.node NULLS FIRST""".stripMargin
 
+  // ----------------------------------------------------------------- g5
+  /** k-core peeling (k = 2, three unrolled sweeps) over the REPEAT
+    * co-purchase graph — the subgraph TRIMMING operator beside g4's
+    * closure audit: repeatedly drop nodes with degree < k and the edges
+    * they carry; what survives is the densely-engaged core. The raw
+    * co-purchase graph is too dense for any fixed k (min degree 42 at
+    * sf0.01 — peeling would be vacuous), so the edge set is first
+    * SPARSIFIED to pairs co-purchased in ≥ 2 distinct orders (repeat
+    * co-occurrence — the signal edge weight every co-purchase miner
+    * thresholds on), where k = 2 both removes nodes AND leaves
+    * survivors at every test scale (k = 3 empties the sparser sf0.1
+    * repeat graph entirely).
+    * Three sweeps are unrolled like pr1's power iterations — each is
+    * one degree aggregate + two LEFT SEMI joins restricting the edge
+    * frame to surviving endpoints — and the oracle restates every
+    * sweep CTE-for-CTE, so the hash proves the peeling order. Beyond a
+    * fixed unroll the loop is ConnectedComponents' checkpoint-per-sweep
+    * posture (lineage truncation + superseded-block release).
+    */
+  private val KCoreK = 2
+  private val KCoreSweeps = 3
+
+  private def kCore(s: SparkSession, dir: String): DataFrame = {
+    // repeat-pair sparsification: the same (order, part)-distinct base
+    // as the shared edge builds, but pairs KEEP their multiplicity and
+    // only w >= 2 survive — a fresh build by design (different edge set
+    // than the SharedFrames graphs)
+    val op = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val und = op.as("x")
+      .join(op.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val e0 = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val peeled = (1 to KCoreSweeps).foldLeft(e0) { (e, _) =>
+      val keep = e.groupBy("a").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= KCoreK).select("a")
+      e.join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+    }
+    peeled.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("node").asc_nulls_first)
+  }
+
+  private val kCoreSql = {
+    val sweeps = (1 to KCoreSweeps).map { i =>
+      s"""k$i AS (SELECT a FROM (SELECT a, COUNT(*) AS c FROM e${i - 1} GROUP BY a)
+         |        WHERE c >= $KCoreK),
+         |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i ka ON e.a = ka.a JOIN k$i kb ON e.b = kb.a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+       |    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |                       AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2)
+       |  WHERE w >= 2),
+       |e0 AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+       |$sweeps
+       |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM e$KCoreSweeps GROUP BY a
+       |ORDER BY node NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g5_kcore" -> (kCore _),
     "g4_clustering_coeff" -> (clusteringCoeff _),
     "tri1_triangle_census" -> (triangleCensus _),
     "pr1_pagerank" -> (pageRank _),
@@ -615,6 +688,7 @@ object Graph extends QueryModule {
     "g3_degree_census" -> (degreeCensus _))
 
   override val oracle: Map[String, String] = Map(
+    "g5_kcore" -> kCoreSql,
     "g4_clustering_coeff" -> clusteringCoeffSql,
     "tri1_triangle_census" -> triangleCensusSql,
     "pr1_pagerank" -> pageRankSql,

@@ -34,6 +34,31 @@ class LinkageSpec extends AnyFunSuite {
     }
   }
 
+  test("g5: three peeling sweeps replay driver-side on the repeat graph; peeling bites") {
+    val out = SparkEntry.queries("g5_kcore")(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    // repeat co-purchase edges (w >= 2), both directions
+    val op = SparkEntry.configure(spark).read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    op.groupBy(_._1).values.foreach { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        w((parts(i), parts(j))) = w.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    var edges = w.filter(_._2 >= 2).keySet.flatMap(e => Seq(e, e.swap)).toSet
+    val before = edges.map(_._1)
+    (1 to 3).foreach { _ =>
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val want = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(out == want, s"k-core diverged (${out.size} vs ${want.size} nodes)")
+    assert(out.size < before.size, "no node peeled — vacuous k-core")
+  }
+
   test("cdc7: the as-of argmax snapshot equals cdc3's history filtered at T") {
     val t = 1705276800000000L
     val hist = SparkEntry.queries("cdc3_scd2_history")(spark, dir).collect()

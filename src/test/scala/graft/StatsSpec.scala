@@ -57,6 +57,27 @@ class StatsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("bucket")).toSet == want.keySet)
   }
 
+  test("ev22: DAU/WAU/stickiness replay driver-side; WAU bounds DAU") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("ev22_stickiness")(s, dir).collect()
+    val ud = Tables(s, dir, "events")
+      .selectExpr("CAST(to_date(ts) AS STRING) AS day", "user_id").distinct().collect()
+      .map(r => (java.time.LocalDate.parse(r.getString(0)), r.getAs[Long]("user_id")))
+    val dau = ud.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val wau = ud.flatMap { case (d, u) => (0 to 6).map(i => (d.plusDays(i), u)) }
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(out.length == dau.size, "one row per observed day")
+    out.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      assert(r.getAs[Long]("dau") == dau(d))
+      assert(r.getAs[Long]("wau") == wau(d))
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+      assert(r.getAs[Long]("stickiness_ppm") == dau(d) * 1000000L / wau(d))
+    }
+    assert(out.exists(r => r.getAs[Long]("wau") > r.getAs[Long]("dau")),
+      "WAU never exceeds DAU — trailing window vacuous")
+  }
+
   test("dq9: exact NDVs replay; the raw HLL estimate sits within the stated 5%") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("dq9_cardinality_audit")(s, dir).collect()
