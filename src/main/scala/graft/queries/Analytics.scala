@@ -261,7 +261,68 @@ object Analytics extends QueryModule {
       |  abs(cusum_scaled) = (SELECT MAX(abs(cusum_scaled)) FROM cu) AS is_changepoint
       |FROM cu ORDER BY day NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- imp4
+  /** Regression imputation — the model-based fill beside imp1's median
+    * and imp2's carry-forward: nulls (planted at event_id ≡ 0 mod 7)
+    * are predicted from each type's OLS line fit on the NON-null rows,
+    * ŷ = a + b·x evaluated as ONE exact rational — ŷ·1000 =
+    * ((nΣxy−ΣxΣy)·x + (ΣyΣxx−ΣxΣxy))·1000 DIV (nΣxx−(Σx)²) — so no
+    * float slope/intercept ever materializes (ev15's moment discipline;
+    * numerator ≈ 10³⁵ at sf0.1, inside DECIMAL(38,0)/int128; signed ⇒
+    * the pmod-floor spelling). The moments frame is per-type (tiny,
+    * broadcast back); the imputation is map-side over the null rows
+    * only.
+    */
+  private def regressionImpute(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) DIV 1000000").as("x"),
+        when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(round(col("value") * 100).cast(LongType)).as("y"))
+    val m = base.filter(col("y").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"))
+    base.filter(col("y").isNull)
+      .join(broadcast(m), Seq("event_type"))
+      .withColumn("a0",
+        expr("((n * sxy - sx * sy) * CAST(x AS DECIMAL(38,0))" +
+          " + (sy * sxx - sx * sxy)) * 1000"))
+      .withColumn("m0", expr("n * sxx - sx * sx"))
+      .select(col("event_type"), col("event_id"), col("x"),
+        expr("CAST((a0 - ((a0 % m0 + m0) % m0)) DIV m0 AS BIGINT)").as("y_hat_milli"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val regressionImputeSql =
+    """WITH base AS (
+      |  SELECT event_type, event_id, epoch_us(ts) // 1000000 AS x,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL
+      |         ELSE CAST(round(value * 100) AS BIGINT) END AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM base WHERE y IS NOT NULL GROUP BY event_type),
+      |nulls AS (
+      |  SELECT b.event_type, b.event_id, b.x,
+      |    ((n * sxy - sx * sy) * CAST(b.x AS HUGEINT)
+      |      + (sy * sxx - sx * sxy)) * 1000 AS a0,
+      |    (n * sxx - sx * sx) AS m0
+      |  FROM base b JOIN m USING (event_type) WHERE b.y IS NULL)
+      |SELECT event_type, event_id, x,
+      |  CAST((a0 - ((a0 % m0 + m0) % m0)) // m0 AS BIGINT) AS y_hat_milli
+      |FROM nulls
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "imp4_regression_impute" -> (regressionImpute _),
     "ev18_cusum_changepoint" -> (cusumChangepoint _),
     "ev15_trend_fit" -> (trendFit _),
     "ev16_funnel" -> (funnel _),
@@ -269,6 +330,7 @@ object Analytics extends QueryModule {
     "qt2_weighted_quantiles" -> (weightedQuantiles _))
 
   def oracle: Map[String, String] = Map(
+    "imp4_regression_impute" -> regressionImputeSql,
     "ev18_cusum_changepoint" -> cusumChangepointSql,
     "ev15_trend_fit" -> trendFitSql,
     "ev16_funnel" -> funnelSql,

@@ -1729,6 +1729,41 @@ object Stats extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dq10
+  /** Feed-freshness audit — the staleness monitor beside dq8's gap
+    * intervals (dq8 finds holes inside history; this asks "is each feed
+    * still CURRENT right now?"): per event type, the last event time,
+    * minutes behind the corpus frontier (integer µs DIV — nonnegative
+    * by construction), and a >20-minute staleness flag. One hash
+    * aggregate to type grain + one broadcast frontier row; at sf0.01
+    * three feeds genuinely trip the flag, at denser scales the all-
+    * clear path runs.
+    */
+  private def freshnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val byType = t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+    val frontier = byType.agg(max(col("last_ts")).as("frontier"))
+    byType.join(broadcast(frontier))
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+        expr("(unix_micros(frontier) - unix_micros(last_ts)) DIV 60000000")
+          .as("minutes_behind"))
+      .withColumn("is_stale", col("minutes_behind") > 20)
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  private val freshnessAuditSql =
+    """WITH m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    MAX(ts) AS last_ts
+      |  FROM events GROUP BY event_type),
+      |f AS (SELECT MAX(last_ts) AS frontier FROM m)
+      |SELECT event_type, n_events, last_ts,
+      |  (epoch_us(frontier) - epoch_us(last_ts)) // 60000000 AS minutes_behind,
+      |  (epoch_us(frontier) - epoch_us(last_ts)) // 60000000 > 20 AS is_stale
+      |FROM m CROSS JOIN f
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- dq9
   /** Cardinality-estimate accuracy audit — "measure, don't guess"
     * applied to the sketches the OPTIMIZER itself leans on: per column
@@ -1880,6 +1915,7 @@ object Stats extends QueryModule {
     "q29_profit_rollup" -> (profitRollup _),
     "q30_priority_shipping" -> (priorityShipping _),
     "dq9_cardinality_audit" -> (cardinalityAudit _),
+    "dq10_freshness" -> (freshnessAudit _),
     "w8_period_growth" -> (periodGrowth _),
     "q31_dominant_supplier" -> (dominantSupplier _),
     "rr1_ratio_to_report" -> (ratioToReport _),
@@ -1925,6 +1961,7 @@ object Stats extends QueryModule {
     "q29_profit_rollup" -> profitRollupSql,
     "q30_priority_shipping" -> priorityShippingSql,
     "dq9_cardinality_audit" -> cardinalityAuditSql,
+    "dq10_freshness" -> freshnessAuditSql,
     "w8_period_growth" -> periodGrowthSql,
     "q31_dominant_supplier" -> dominantSupplierSql,
     "rr1_ratio_to_report" -> ratioToReportSql,

@@ -57,6 +57,60 @@ class StatsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("bucket")).toSet == want.keySet)
   }
 
+  test("imp4: regression-imputed values replay as exact rationals; plant covered") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("imp4_regression_impute")(s, dir).collect()
+    assert(out.nonEmpty)
+    val ev = Tables(s, dir, "events")
+      .selectExpr("event_type", "event_id", "unix_micros(ts) DIV 1000000 AS x",
+        "CAST(round(value * 100) AS BIGINT) AS y").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("x"), r.getAs[Long]("y")))
+    assert(out.map(_.getAs[Long]("event_id")).toSet ==
+      ev.filter(_._2 % 7 == 0).map(_._2).toSet, "imputed set != planted nulls")
+    val moments = ev.filter(_._2 % 7 != 0).groupBy(_._1).view.mapValues { rs =>
+      val n = BigInt(rs.length)
+      val sx = rs.map(r => BigInt(r._3)).sum; val sy = rs.map(r => BigInt(r._4)).sum
+      val sxx = rs.map(r => BigInt(r._3) * r._3).sum
+      val sxy = rs.map(r => BigInt(r._3) * r._4).sum
+      (n, sx, sy, sxx, sxy)
+    }.toMap
+    out.foreach { r =>
+      val (n, sx, sy, sxx, sxy) = moments(r.getAs[String]("event_type"))
+      val x = BigInt(r.getAs[Long]("x"))
+      val a = ((n * sxy - sx * sy) * x + (sy * sxx - sx * sxy)) * 1000
+      val m = n * sxx - sx * sx
+      val want = (a - (((a % m) + m) % m)) / m
+      assert(BigInt(r.getAs[Long]("y_hat_milli")) == want, s"event ${r.getAs[Long]("event_id")}")
+    }
+    // imputations should land inside the observed value range (sane fit)
+    val (lo, hi) = (ev.map(_._4).min * 1000 - 500000, ev.map(_._4).max * 1000 + 500000)
+    out.foreach(r => assert(r.getAs[Long]("y_hat_milli") >= lo &&
+      r.getAs[Long]("y_hat_milli") <= hi, "imputed value far outside data range"))
+  }
+
+  test("dq10: freshness lags replay; staleness fires at gate scale") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("dq10_freshness")(s, dir).collect()
+    val byType = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.expr("unix_micros(max(ts))").as("us"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("us"), r.getAs[Long]("n"))).toMap
+    val frontier = byType.values.map(_._1).max
+    assert(out.length == byType.size)
+    out.foreach { r =>
+      val (us, n) = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      val lag = (frontier - us) / 60000000L
+      assert(r.getAs[Long]("minutes_behind") == lag)
+      assert(r.getAs[Boolean]("is_stale") == (lag > 20))
+    }
+    assert(out.exists(_.getAs[Boolean]("is_stale")), "no stale feed at sf0.01 — vacuous flag")
+    assert(out.exists(!_.getAs[Boolean]("is_stale")), "every feed stale — vacuous flag")
+  }
+
   test("ev22: DAU/WAU/stickiness replay driver-side; WAU bounds DAU") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("ev22_stickiness")(s, dir).collect()
