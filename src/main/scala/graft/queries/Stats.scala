@@ -200,6 +200,51 @@ object Stats extends QueryModule {
   // in both halves of the date range (INTERSECT) and only in the first
   // (EXCEPT). Spark plans both as aggregate+join (no sort needed);
   // DuckDB states them with the same operators.
+  // ----------------------------------------------------------------- u4
+  /** MULTISET set operations — `intersectAll` / `exceptAll` (u2 covers
+    * the DISTINCT variants): per-copy bag semantics matter whenever
+    * multiplicity is the signal (how many of the early period's
+    * nation-orders survive into the late period AS COPIES, not as
+    * distinct keys). Spark plans both as a count-aggregate + generate
+    * (no row-by-row matching); the oracle keeps literal
+    * INTERSECT ALL / EXCEPT ALL. Presented collapsed to (key, set_op,
+    * n_copies) — order-insensitive and hash-stable while still proving
+    * the per-copy counts.
+    */
+  private def multisetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def priosWhere(cond: org.apache.spark.sql.Column) =
+      orders.filter(cond).select(col("o_orderpriority"), col("o_orderstatus"))
+    val mid = to_timestamp(lit("1998-01-01"))
+    val early = priosWhere(col("o_orderdate") < mid)
+    val late = priosWhere(col("o_orderdate") >= mid)
+    early.intersectAll(late).withColumn("set_op", lit("both_copies"))
+      .unionByName(early.exceptAll(late).withColumn("set_op", lit("early_excess")))
+      .groupBy("set_op", "o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("set_op").asc_nulls_first, col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
+  private val multisetOpsSql =
+    """WITH early AS (
+      |  SELECT o_orderpriority, o_orderstatus FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+      |late AS (
+      |  SELECT o_orderpriority, o_orderstatus FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+      |tagged AS (
+      |  SELECT *, 'both_copies' AS set_op FROM
+      |    (SELECT * FROM early INTERSECT ALL SELECT * FROM late)
+      |  UNION ALL
+      |  SELECT *, 'early_excess' AS set_op FROM
+      |    (SELECT * FROM early EXCEPT ALL SELECT * FROM late))
+      |SELECT set_op, o_orderpriority, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM tagged GROUP BY set_op, o_orderpriority, o_orderstatus
+      |ORDER BY set_op NULLS FIRST, o_orderpriority NULLS FIRST,
+      |  o_orderstatus NULLS FIRST""".stripMargin
+
   private def intersectExcept(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val cust = t(s, dir, "customer")
@@ -1948,6 +1993,7 @@ object Stats extends QueryModule {
     "q07_shipping_priority" -> (shippingPriority _),
     "q08_local_supplier" -> (localSupplierVolume _),
     "u2_intersect_except" -> (intersectExcept _),
+    "u4_multiset_setops" -> (multisetOps _),
     "w1_window_frames" -> (windowFrames _),
     "q03_grouping_sets" -> (groupingSetsAgg _),
     "q04_pivot" -> (pivotCounts _),
@@ -1994,6 +2040,7 @@ object Stats extends QueryModule {
     "q07_shipping_priority" -> shippingPrioritySql,
     "q08_local_supplier" -> localSupplierVolumeSql,
     "u2_intersect_except" -> intersectExceptSql,
+    "u4_multiset_setops" -> multisetOpsSql,
     "w1_window_frames" -> windowFramesSql,
     "q03_grouping_sets" -> groupingSetsSql,
     "q04_pivot" -> pivotCountsSql,

@@ -57,6 +57,27 @@ class StatsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("bucket")).toSet == want.keySet)
   }
 
+  test("u4: multiset counts obey bag algebra against raw multiplicities") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("u4_multiset_setops")(s, dir).collect()
+      .map(r => (r.getAs[String]("set_op"), r.getAs[String]("o_orderpriority"),
+        r.getAs[String]("o_orderstatus")) -> r.getAs[Long]("n_copies")).toMap
+    val orders = SparkEntry.configure(spark).read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_orderpriority", "o_orderstatus",
+        "o_orderdate < TIMESTAMP '1998-01-01' AS early").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Boolean]("early")))
+    val em = orders.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val lm = orders.filterNot(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    (em.keySet ++ lm.keySet).foreach { case k @ (p, st) =>
+      val both = math.min(em.getOrElse(k, 0L), lm.getOrElse(k, 0L))
+      val excess = math.max(0L, em.getOrElse(k, 0L) - lm.getOrElse(k, 0L))
+      assert(out.getOrElse(("both_copies", p, st), 0L) == both, s"$k both")
+      assert(out.getOrElse(("early_excess", p, st), 0L) == excess, s"$k excess")
+    }
+    // bag semantics genuinely differ from distinct: some key carries > 1 copy
+    assert(out.exists { case ((op, _, _), n) => op == "both_copies" && n > 1 })
+  }
+
   test("imp4: regression-imputed values replay as exact rationals; plant covered") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("imp4_regression_impute")(s, dir).collect()
