@@ -1458,6 +1458,57 @@ object Extras extends QueryModule {
       |      FROM events)
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev23
+  /** Last-touch attribution — the marketing-analytics consumer of the
+    * as-of operator ([[graft.operators.AsOfJoin]], aj1's union+window
+    * plan reused in a product context): each purchase is attributed to
+    * its user's LATEST view/click at or before the purchase (ties to
+    * the largest touch id — the operator's contract), then rolled into
+    * a per-channel census with total attribution delay. Purchases with
+    * no prior touch surface as 'none', not dropped — unattributed spend
+    * is the number the report exists for. One as-of shuffle + one tiny
+    * census aggregate; the oracle states the attribution as aj1's
+    * correlated argmax.
+    */
+  private def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"))
+    graft.operators.AsOfJoin.leftAsOf(
+      purchases, touches,
+      leftKey = "user_id", rightKey = "t_user",
+      leftTs = "ts", rightTs = "t_ts",
+      tieBreak = "touch_id",
+      payload = Seq("touch_id", "touch_type", "t_ts"))
+      .groupBy(coalesce(col("asof_touch_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        coalesce(sum(expr("(unix_micros(ts) - unix_micros(asof_t_ts)) DIV 1000000")),
+          lit(0L)).as("sum_delay_s"))
+      .orderBy(col("touch_type").asc_nulls_first)
+  }
+
+  private val lastTouchAttributionSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |picked AS (
+      |  SELECT p.purchase_id, p.ts,
+      |    (SELECT t.event_id FROM events t
+      |     WHERE t.user_id = p.user_id AND t.event_type IN ('view', 'click')
+      |       AND t.ts <= p.ts
+      |     ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS touch_id
+      |  FROM p)
+      |SELECT COALESCE(t.event_type, 'none') AS touch_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  COALESCE(CAST(SUM((epoch_us(pk.ts) - epoch_us(t.ts)) // 1000000) AS BIGINT), 0)
+      |    AS sum_delay_s
+      |FROM picked pk LEFT JOIN events t ON pk.touch_id = t.event_id
+      |GROUP BY touch_type
+      |ORDER BY touch_type NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ev22
   /** DAU / WAU / stickiness — the product-health census: per day,
     * distinct active users, trailing-7-day distinct active users, and
@@ -1987,6 +2038,7 @@ object Extras extends QueryModule {
     "dq8_gap_audit" -> (gapAudit _),
     "ev20_interarrival_hist" -> (interarrivalHistogram _),
     "ev22_stickiness" -> (stickiness _),
+    "ev23_last_touch" -> (lastTouchAttribution _),
     "ev19_weekday_profile" -> (weekdayProfile _),
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
@@ -2044,6 +2096,7 @@ object Extras extends QueryModule {
     "dq8_gap_audit" -> gapAuditSql,
     "ev20_interarrival_hist" -> interarrivalHistogramSql,
     "ev22_stickiness" -> stickinessSql,
+    "ev23_last_touch" -> lastTouchAttributionSql,
     "ev19_weekday_profile" -> weekdayProfileSql,
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,

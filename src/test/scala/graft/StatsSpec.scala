@@ -132,6 +132,33 @@ class StatsSpec extends AnyFunSuite {
     assert(out.exists(!_.getAs[Boolean]("is_stale")), "every feed stale — vacuous flag")
   }
 
+  test("ev23: last-touch census replays against a driver-side argmax") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("ev23_last_touch")(s, dir).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("sum_delay_s"))).toMap
+    val ev = Tables(s, dir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("us")))
+    val touchesByUser = ev.filter(e => e._3 == "view" || e._3 == "click").groupBy(_._2)
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    ev.filter(_._3 == "purchase").foreach { case (_, u, _, us) =>
+      val cand = touchesByUser.getOrElse(u, Array.empty).filter(_._4 <= us)
+      val (tpe, delay) =
+        if (cand.isEmpty) ("none", 0L)
+        else {
+          val best = cand.maxBy(t => (t._4, t._1))
+          (best._3, (us - best._4) / 1000000L)
+        }
+      val (n, d) = agg.getOrElse(tpe, (0L, 0L))
+      agg(tpe) = (n + 1, d + delay)
+    }
+    assert(out == agg.toMap, s"attribution diverged: $out vs $agg")
+    assert(out.contains("view") && out.contains("click"), "a channel never wins")
+    assert(out.contains("none"), "no unattributed purchase — vacuous none path")
+  }
+
   test("ev22: DAU/WAU/stickiness replay driver-side; WAU bounds DAU") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("ev22_stickiness")(s, dir).collect()
