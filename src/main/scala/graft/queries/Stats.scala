@@ -1825,7 +1825,10 @@ object Stats extends QueryModule {
     cols.map { c =>
       d.agg(
         countDistinct(col(c)).as("exact_ndv"),
-        approx_count_distinct(col(c)).as("approx_ndv"))
+        // rsd 0.01: the default 0.05 makes the 5%% gate bound a mere
+        // 1-sigma margin — a regenerated dataset could hash-fail; at 1%%
+        // rsd the bound is ~5 sigma
+        approx_count_distinct(col(c), 0.01).as("approx_ndv"))
         .select(lit(c).as("column_name"), col("exact_ndv"),
           (abs(col("approx_ndv") - col("exact_ndv")) * 100 <= col("exact_ndv") * 5)
             .as("within_5pct"))

@@ -189,7 +189,7 @@ class StatsSpec extends AnyFunSuite {
     out.foreach { case (c, (ndv, ok)) =>
       assert(ndv == li.select(c).distinct().count(), s"$c exact ndv")
       assert(ok, s"$c estimate outside 5% — the gate would hash-fail")
-      val approx = li.agg(approx_count_distinct(col(c))).head().getLong(0)
+      val approx = li.agg(approx_count_distinct(col(c), 0.01)).head().getLong(0)
       assert(math.abs(approx - ndv) * 100 <= ndv * 5, s"$c raw estimate drifted")
     }
     assert(out.size == 4)
