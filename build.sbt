@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix has broken the driver's JSON
+// parse of Bench's summary line for nine straight rounds (BENCH_r0*.json
+// all read "parsed": null). StdoutOutput passes the child's stdout
+// through verbatim so the one-line JSON arrives unwrapped.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

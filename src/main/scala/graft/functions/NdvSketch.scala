@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{udaf, when, xxhash64}
+
+/** KMV (bottom-k / theta) distinct-count sketch.
+  *
+  * Keeps the k smallest distinct 64-bit hashes seen; the k-th minimum
+  * estimates the NDV as (k-1)/R with R the k-th minimum mapped to (0,1]
+  * (Bar-Yossef et al., RANDOM'02; the mergeable-summaries shape). Below
+  * k distinct hashes the kept set IS the distinct set, so the answer is
+  * exact — low-cardinality columns pay nothing for the estimator.
+  *
+  * Why not `approx_count_distinct(c, 0.01)`: Spark's HLL++ buffer is one
+  * LongType attribute per register word — at rsd 0.01 that is ~2.7k
+  * buffer fields PER SKETCH, which blows up the aggregate's buffer
+  * schema (4 sketches ≈ 11k fields) and, sharing a node with any
+  * DISTINCT aggregate, gets allocated once per distinct value of the
+  * Expand partial (the r9 dq9 13.8× regression). This sketch is ONE
+  * buffer object per group under ObjectHashAggregate: a flat primitive
+  * pool with lazy compaction, serialized only at the partial boundary.
+  *
+  * Determinism: the set of k smallest distinct hashes — and therefore
+  * the estimate — is independent of partition count and row order, and
+  * xxhash64 is seed-fixed, so the estimate is a pure function of the
+  * data. Accuracy: relative sigma ≈ 1/sqrt(k-2) (1.1% at the default
+  * k=8192, a 4.5-sigma margin under a 5% bound). 64-bit hash collisions
+  * undercount one distinct per colliding pair — birthday odds at 10^9
+  * distinct are ~3%, of losing ONE count in 10^9, far inside the sigma.
+  *
+  * Scale shape: per-partition state is ≤ 2k longs no matter how many
+  * rows stream through; the shuffle carries ≤ 2k longs per (group ×
+  * partition). A 100 TB scan ships kilobytes, not distinct values.
+  *
+  * Pool convention: hashes are stored SIGN-FLIPPED (h ^ Long.MinValue)
+  * so plain signed sorts/compares realize unsigned order; `theta` is the
+  * flipped exclusive admission bound (starts at Long.MaxValue = accept
+  * everything). The pool may hold duplicates between compactions;
+  * `compact` sorts, dedups, trims to k, and tightens theta to the k-th
+  * minimum. Appends mutate `arr` in place (the buffer object lives
+  * across rows under ObjectHashAggregate); `n`/`theta` ride in the
+  * cheap immutable wrapper.
+  */
+case class KmvBuf(n: Int, theta: Long, arr: Array[Long])
+
+class KmvNdvAgg(k: Int) extends Aggregator[Option[Long], KmvBuf, Long] {
+  private val cap = 2 * k
+
+  override def zero: KmvBuf = KmvBuf(0, Long.MaxValue, Array.emptyLongArray)
+
+  private def compact(b: KmvBuf): KmvBuf = {
+    java.util.Arrays.sort(b.arr, 0, b.n)
+    var w = 0
+    var r = 0
+    while (r < b.n) { // in-place dedup of the sorted prefix
+      if (w == 0 || b.arr(r) != b.arr(w - 1)) { b.arr(w) = b.arr(r); w += 1 }
+      r += 1
+    }
+    if (w > k) KmvBuf(k, b.arr(k - 1), b.arr)
+    else KmvBuf(w, b.theta, b.arr)
+  }
+
+  private def append(b: KmvBuf, f: Long): KmvBuf = {
+    val buf = if (b.arr.length == 0) b.copy(arr = new Array[Long](cap)) else b
+    buf.arr(buf.n) = f
+    val grown = buf.copy(n = buf.n + 1)
+    if (grown.n == cap) compact(grown) else grown
+  }
+
+  override def reduce(b: KmvBuf, in: Option[Long]): KmvBuf = in match {
+    case None => b
+    case Some(h) =>
+      val f = h ^ Long.MinValue
+      if (f >= b.theta) b else append(b, f)
+  }
+
+  override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+    // k smallest distinct of (X ∪ Y) ⊆ x.kept ∪ y.kept, so pooling the
+    // two kept sets and re-compacting is the exact union sketch
+    val cx = compact(x)
+    val cy = compact(y)
+    if (cy.n == 0) cx
+    else if (cx.n == 0) cy
+    else {
+      val pool = new Array[Long](cap.max(cx.n + cy.n))
+      System.arraycopy(cx.arr, 0, pool, 0, cx.n)
+      System.arraycopy(cy.arr, 0, pool, cx.n, cy.n)
+      compact(KmvBuf(cx.n + cy.n, math.min(cx.theta, cy.theta), pool))
+    }
+  }
+
+  override def finish(b: KmvBuf): Long = {
+    val c = compact(b)
+    if (c.n < k) c.n.toLong // kept set is the whole distinct set: exact
+    else {
+      // R = k-th minimum as a fraction of the unsigned 64-bit space
+      val raw = c.arr(k - 1) ^ Long.MinValue // unflip to the real hash
+      val r = ((raw >>> 1).toDouble * 2.0 + (raw & 1L)) / math.pow(2.0, 64)
+      math.round((k - 1).toDouble / r)
+    }
+  }
+
+  override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Long] = ExpressionEncoder()
+}
+
+object NdvSketch {
+  val DefaultK = 8192
+
+  /** NDV estimate of `c` (null-ignoring, like COUNT(DISTINCT c)): exact
+    * below k distinct, ±1.1% (1 sigma) above it at the default k.
+    * Hashing happens in codegen (xxhash64); only the 8-byte hash enters
+    * the aggregator. xxhash64 maps a NULL input to the unchanged seed —
+    * a real value — so nulls are masked to NULL *before* hashing.
+    */
+  def ndvSketch(c: Column, k: Int = DefaultK): Column =
+    udaf(new KmvNdvAgg(k)).apply(when(c.isNotNull, xxhash64(c)))
+}

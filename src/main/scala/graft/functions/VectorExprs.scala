@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CdcSegments, LongDot, LongSquaredL2, MinHashSigs, NgramMd5, SimHash16}
+import org.apache.spark.sql.graft.{CdcSegments, LongDot, LongSquaredL2, MinHashSigs, NgramMd5, SimHash64}
 
 /** Column-API and SQL-name surfaces for the codegen vector kernels
   * (org.apache.spark.sql.graft.VectorKernels).
@@ -16,8 +16,8 @@ object VectorFunctions {
   def longSquaredL2(a: Column, b: Column): Column =
     GraftShims.column(LongSquaredL2(GraftShims.expression(a), GraftShims.expression(b)))
 
-  def simhash16(words: Column): Column =
-    GraftShims.column(SimHash16(GraftShims.expression(words)))
+  def simhash64(words: Column): Column =
+    GraftShims.column(SimHash64(GraftShims.expression(words)))
 
   def minhashSigs(shingles: Column, k: Int): Column =
     GraftShims.column(MinHashSigs(GraftShims.expression(shingles), k))
@@ -66,7 +66,7 @@ object VectorFunctions {
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> (es => LongDot(es(0), es(1))),
     "long_sq_l2" -> (es => LongSquaredL2(es(0), es(1))),
-    "simhash16" -> (es => SimHash16(es(0))),
+    "simhash64" -> (es => SimHash64(es(0))),
     "minhash_sigs" -> (es => MinHashSigs(es(0), foldableK(es(1), "minhash_sigs"))),
     "ngram_md5" -> (es => NgramMd5(es(0), foldableK(es(1), "ngram_md5"))),
     "cdc_segments" -> (es => CdcSegments(es(0), foldableK(es(1), "cdc_segments"))))
@@ -110,9 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongSquaredL2].getName, "long_sq_l2"),
       (es: Seq[Expression]) => LongSquaredL2(es(0), es(1))))
     ext.injectFunction((
-      FunctionIdentifier("simhash16"),
-      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
-      (es: Seq[Expression]) => SimHash16(es(0))))
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),

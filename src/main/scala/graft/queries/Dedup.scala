@@ -252,12 +252,15 @@ object Dedup extends QueryModule {
        |${jaccardVerifySqlTail(0.5)}""".stripMargin
 
   // ---------------------------------------------------------------- dd3
-  // 16-bit SimHash fingerprint: bit i is the sign of the word-multiset sum
-  // of ±1 weighted by the high bit of md5 nibble i — order-independent,
-  // no shuffle at all until the final sort; exact copies collide by
-  // construction. Computed by the codegen SimHash16 kernel (one pass,
-  // byte digests); the interpreted-HOF spelling it replaced survives in
-  // VectorExprsSpec as the equivalence reference.
+  // 64-bit SimHash fingerprint: bit i is the sign of the word-multiset
+  // sum of ±1 weighted by md5 nibble signs (bits 0..31 from md5(w),
+  // 32..63 from md5(w || '1')) — order-independent, no shuffle at all
+  // until the final sort; exact copies collide by construction.
+  // Computed by the codegen SimHash64 kernel (one pass, byte digests);
+  // the interpreted-HOF spelling lives in VectorExprsSpec as the
+  // equivalence reference. 64 bits (vs r9's 16): the band domain is
+  // what bounds bucket population in the dd5 sweep — see the kernel
+  // scaladoc.
   /** (doc_id, simhash) without the gate sort — shared by dd3 (the
     * fingerprint table) and dd5 (the near-dup pair sweep).
     */
@@ -267,24 +270,40 @@ object Dedup extends QueryModule {
       // null text → simhash 0, as the HOF chain and the oracle's CASE
       // WHEN NULL > 0 … ELSE 0 bits both collapse to (no null docs in
       // the fixtures, but the contract must not depend on that)
-      coalesce(VectorFunctions.simhash16(split(col("text"), " ")), lit(0L)).as("simhash"))
+      coalesce(VectorFunctions.simhash64(split(col("text"), " ")), lit(0L)).as("simhash"))
 
   private def simhash(s: SparkSession, dir: String): DataFrame =
     simhashFrame(s, dir).orderBy(col("doc_id").asc_nulls_first)
 
-  private val simhashCtes = {
+  /** The 64 oracle CASE bits (DuckDB), shared with mm5's restatement:
+    * bit i over the plain digests `h0`, bit 32+i over the salted `h1`.
+    * Bit 63's weight is BIGINT MinValue — spelled `(-MAX - 1)` because a
+    * bare `-9223372036854775808` literal promotes to HUGEINT in DuckDB
+    * and would drag the whole sum (and the gate dtype) out of int64;
+    * textual order puts all positive terms first, so no intermediate
+    * BIGINT sum overflows.
+    */
+  private[queries] def simhash64BitsSql(h0: String, h1: String): String = {
     val hn = "('8','9','a','b','c','d','e','f')"
-    val bits = (0 until 16).map(i =>
-      s"""CASE WHEN list_sum(list_transform(hs,
+    def weight(b: Int): String =
+      if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+    def half(hs: String, base: Int) = (0 until 32).map(i =>
+      s"""CASE WHEN list_sum(list_transform($hs,
          |      h -> CASE WHEN substr(h, ${i + 1}, 1) IN $hn THEN 1 ELSE -1 END)) > 0
-         |    THEN ${1L << i} ELSE 0 END""".stripMargin).mkString(" +\n  ")
+         |    THEN ${weight(base + i)} ELSE 0 END""".stripMargin)
+    (half(h0, 0) ++ half(h1, 32)).mkString(" +\n  ")
+  }
+
+  private val simhashCtes = {
     s"""$corpusSql,
        |hashed AS (
-       |  SELECT doc_id, list_transform(string_split(text, ' '), w -> md5(w)) AS hs
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '), w -> md5(w)) AS h0,
+       |    list_transform(string_split(text, ' '), w -> md5(w || '1')) AS h1
        |  FROM corpus),
        |sims AS (
        |  SELECT doc_id,
-       |  $bits AS simhash
+       |  ${simhash64BitsSql("h0", "h1")} AS simhash
        |  FROM hashed)""".stripMargin
   }
 
@@ -295,31 +314,32 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------- dd5
   /** SimHash near-dup pair sweep — the hamming-ball member of the dedup
-    * family: 2 bands of 8 bits over the 16-bit fingerprint; pairs
-    * sharing either band bucket are candidates, verified by exact
-    * hamming distance `bit_count(xor) <= 1`. Recall at that radius is
-    * exact by pigeonhole (1 differing bit leaves 1 of 2 bands intact);
-    * a wider fingerprint (64-bit, 4×16 bands) buys a bigger radius at
-    * 4× the per-word hash fold — radius 1 on 16 bits keeps the random
-    * collision rate at ~0.03%, which is what stops the candidate set
-    * exploding on a large corpus. Same
-    * banded-bucket shape as the LSH pass: the pairwise work is confined
-    * to buckets, never all-pairs, and the frame that self-joins carries
-    * only (doc_id, simhash, band) — three longs — so the exchange is
-    * narrow no matter how wide the documents are.
+    * family: 4 bands of 16 bits over the 64-bit fingerprint; pairs
+    * sharing any band bucket are candidates, verified by exact hamming
+    * distance `bit_count(xor) <= 3`. Recall at that radius is exact by
+    * pigeonhole (3 differing bits leave 1 of 4 bands intact). The band
+    * DOMAIN is the scale knob (VERDICT r9 #3): r9's 2×8-bit bands had
+    * 256 bucket values, so bucket population — and the in-bucket
+    * self-join — grew linearly with corpus size (O(N²/512) pairs, the
+    * #2 slowest bench entry at sf0.1); 65 536 values per band defers
+    * that 256-fold. Same banded-bucket shape as the LSH pass: the
+    * pairwise work is confined to buckets, never all-pairs, and the
+    * frame that self-joins carries only (doc_id, simhash, band) —
+    * three longs — so the exchange is narrow no matter how wide the
+    * documents are.
     */
-  private val SimBands = 2
-  private val HammingMax = 1
+  private val SimBands = 4
+  private val HammingMax = 3
 
   private def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     // both sides of the band self-join consume the fingerprint frame; the
-    // 16 per-word hash folds are the expensive part, so materialize once
+    // 64 per-word hash folds are the expensive part, so materialize once
     // (same persist-the-signatures reasoning as the LSH pass above)
     val sims = simhashFrame(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val bandRows = sims.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until SimBands).map(b =>
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("band_id", "bv")))
+        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L))): _*)).as(Seq("band_id", "bv")))
     bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
@@ -336,8 +356,9 @@ object Dedup extends QueryModule {
   private val simhashNearDupSql =
     s"""WITH $simhashCtes,
        |bandrows AS (
-       |  SELECT doc_id, simhash, band_id, (simhash >> (8 * band_id)) & 255 AS bv
-       |  FROM sims, (SELECT unnest([0, 1]) AS band_id) bands),
+       |  SELECT doc_id, simhash, band_id,
+       |    (simhash >> (16 * band_id)) & 65535 AS bv
+       |  FROM sims, (SELECT unnest([0, 1, 2, 3]) AS band_id) bands),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -348,36 +369,55 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------- dd6
   /** Direct n-gram Jaccard near-dup pairs — the plain-similarity member
-    * of the dedup family, with *anchor blocking* instead of MinHash
-    * bands: documents sharing their opening word-3-gram are candidates
-    * (copies and prefix-truncations always collide by construction;
-    * general corpora would block on k anchors, same shape). Candidates
-    * then get the exact shingle-set Jaccard, threshold 0.3. Like every
-    * dedup pass here the pairwise work is confined to buckets — the
-    * blocking column is one md5 string, the exchange carries
-    * (anchor, doc_id), and payload shingles are fetched for candidate
-    * pairs only.
+    * of the dedup family, with *k-anchor blocking* (k = 2) instead of
+    * MinHash bands: documents sharing EITHER anchor are candidates —
+    * (1) the opening word-3-gram (copies and prefix-truncations collide
+    * by construction) and (2) the body anchor, the minimum salted md5
+    * over the doc's whole shingle set (a 1-hash MinHash band: a copy
+    * whose PREFIX was edited still collides unless the edit happened to
+    * contain the minimizing shingle). r9's prefix-only blocking both
+    * missed body-copies with rewritten openings and hot-bucketed on
+    * shared boilerplate openings (tx17's census shows how common those
+    * are); the body anchor spreads those buckets AND adds the recall.
+    * Candidates then get the exact shingle-set Jaccard, threshold 0.3.
+    * Like every dedup pass here the pairwise work is confined to
+    * buckets — the blocking column is one md5 string, the exchange
+    * carries (anchor, doc_id) twice per doc, and payload shingles are
+    * fetched for candidate pairs only (pairs sharing both anchors are
+    * DISTINCT'd before the verify join).
     */
   private val NgramJaccardMin = 0.3
 
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  /** The anchored candidate→verified pipeline over an explicit corpus
+    * frame — package-visible so the planted-recall spec can drive it
+    * with a synthetic corpus.
+    */
+  private[graft] def ngramJaccardPairs(c: DataFrame): DataFrame = {
     val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
-    // anchor = the opening trigram taken from the RAW word sequence:
-    // the distinct-shingle list's order is engine-specific (DuckDB's
-    // list_distinct does not preserve first-occurrence order), the
-    // word sequence is not
+    // opening anchor from the RAW word sequence: the distinct-shingle
+    // list's order is engine-specific (DuckDB's list_distinct does not
+    // preserve first-occurrence order), the word sequence is not
     val words = split(col("text"), " ")
-    val anchored = c
+    val opening = c
       .filter(size(words) >= 3)
       .select(col("doc_id"),
         md5(array_join(slice(words, 1, 3), " ")).as("anchor"))
+    // body anchor: min over salted shingle md5s — the "b:" salt keeps
+    // the two anchor domains disjoint, so a kind column in the join key
+    // is unnecessary
+    val body = sh.select(col("doc_id"),
+      array_min(transform(col("shingles"), g => md5(concat(lit("b:"), g)))).as("anchor"))
+    val anchored = opening.unionByName(body)
     val cand = anchored.as("a")
       .join(anchored.as("b"),
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     jaccardVerified(cand, sh, minJ = NgramJaccardMin)
   }
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(corpus(s, dir))
 
   private val ngramJaccardSql =
     s"""WITH $corpusSql,
@@ -385,9 +425,13 @@ object Dedup extends QueryModule {
        |anchored AS (
        |  SELECT doc_id, md5(array_to_string(w[1:3], ' ')) AS anchor
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
-       |  WHERE len(w) >= 3),
+       |  WHERE len(w) >= 3
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    list_aggregate(list_transform(shingles, s -> md5('b:' || s)), 'min') AS anchor
+       |  FROM sh),
        |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM anchored a JOIN anchored b
        |    ON a.anchor = b.anchor AND a.doc_id < b.doc_id)
        |${jaccardVerifySqlTail(NgramJaccardMin)}""".stripMargin

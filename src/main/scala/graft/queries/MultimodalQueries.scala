@@ -114,20 +114,22 @@ object MultimodalQueries extends QueryModule {
   // mm5: frame-level perceptual NEAR-dup — mm4 only catches
   // byte-identical frames; real video dedup needs frames that are
   // *almost* the same (re-encode jitter, overlay, crop) to collide too.
-  // Perceptual fingerprint = the SimHash16 codegen kernel over the
+  // Perceptual fingerprint = the SimHash64 codegen kernel over the
   // frame's byte-4-gram multiset (the byte-level twin of dd3's word
   // simhash: locally perturbed content shares most 4-grams, so its
   // fingerprint lands within a small hamming ball). The pair sweep is
-  // dd5's exactly: 2 bands of 8 bits, pairs sharing either band bucket
-  // verified by bit_count(xor) <= 1 — recall at radius 1 is exact by
-  // pigeonhole, and the pairwise work stays confined to buckets, never
-  // all-pairs over the frame table. Each frame is reduced to ONE long
+  // dd5's exactly: 4 bands of 16 bits, pairs sharing any band bucket
+  // verified by bit_count(xor) <= 3 — recall at radius 3 is exact by
+  // pigeonhole (3 flipped bits leave 1 of 4 bands intact), and the
+  // pairwise work stays confined to buckets, never all-pairs over the
+  // frame table; 65 536 bucket values per band keep buckets sparse as
+  // the frame table grows (the dd5 scale argument). Each frame is reduced to ONE long
   // before any exchange: the join carries (packed key, simhash, band) —
   // frame bytes never shuffle. The packed key reuses mm4's 2^32 factor
   // (frame_idx is an Int, so no collision at any payload size).
   /** Per-frame perceptual fingerprint: (media_id, frame_idx, packed key,
-    * 16-bit simhash of the byte-4-gram multiset). Package-visible so the
-    * spec can brute-force the radius-1 recall property against it.
+    * 64-bit simhash of the byte-4-gram multiset). Package-visible so the
+    * spec can brute-force the radius-3 recall property against it.
     */
   private[graft] def frameSimhash(frames: DataFrame): DataFrame = {
     // byte-4-grams, stride 1; < 4-byte frames get an empty token list →
@@ -140,7 +142,7 @@ object MultimodalQueries extends QueryModule {
     frames.select(
       col("media_id"), col("frame_idx"),
       (col("media_id") * FramePack + col("frame_idx")).as("k"),
-      coalesce(VectorFunctions.simhash16(toks), lit(0L)).as("simhash"))
+      coalesce(VectorFunctions.simhash64(toks), lit(0L)).as("simhash"))
   }
 
   private[graft] def frameNearDup(frames: DataFrame): DataFrame = {
@@ -148,8 +150,8 @@ object MultimodalQueries extends QueryModule {
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the band self-join
     val bandRows = sims.select(
       col("media_id"), col("frame_idx"), col("k"), col("simhash"),
-      posexplode(array((0 until 2).map(b =>
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("band_id", "bv")))
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L))): _*)).as(Seq("band_id", "bv")))
     bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
@@ -159,7 +161,7 @@ object MultimodalQueries extends QueryModule {
         col("b.media_id").as("media_b"), col("b.frame_idx").as("idx_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(IntegerType).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 1)
+      .filter(col("hamming") <= 3)
       .orderBy(col("media_a").asc_nulls_first, col("idx_a").asc_nulls_first,
         col("media_b").asc_nulls_first, col("idx_b").asc_nulls_first)
   }
@@ -172,11 +174,7 @@ object MultimodalQueries extends QueryModule {
   // byte-4-grams, restates the simhash bit construction (dd3's CASE
   // chain), and runs the same banded sweep — CTE-for-CTE
   private val mm5Sql = {
-    val hn = "('8','9','a','b','c','d','e','f')"
-    val bits = (0 until 16).map(i =>
-      s"""CASE WHEN list_sum(list_transform(ts,
-         |      w -> CASE WHEN substr(md5(w), ${i + 1}, 1) IN $hn THEN 1 ELSE -1 END)) > 0
-         |    THEN ${1L << i} ELSE 0 END""".stripMargin).mkString(" +\n  ")
+    val bits = Dedup.simhash64BitsSql("h0", "h1")
     s"""WITH fr AS (
        |  SELECT doc_id AS media_id, CAST(p AS INT) AS frame_idx,
        |    substr(text, CAST(128 * p + 1 AS INT), 64) AS fs
@@ -189,21 +187,26 @@ object MultimodalQueries extends QueryModule {
        |    list_transform(range(1, GREATEST(length(fs) - 3, 0) + 1),
        |      i -> substr(fs, CAST(i AS INT), 4)) AS ts
        |  FROM fr),
+       |hashed AS (
+       |  SELECT media_id, frame_idx,
+       |    list_transform(ts, w -> md5(w)) AS h0,
+       |    list_transform(ts, w -> md5(w || '1')) AS h1
+       |  FROM toks),
        |sims AS (
        |  SELECT media_id, frame_idx, media_id * $FramePack + frame_idx AS k,
        |  $bits AS simhash
-       |  FROM toks),
+       |  FROM hashed),
        |bandrows AS (
        |  SELECT media_id, frame_idx, k, simhash, band_id,
-       |    (simhash >> (8 * band_id)) & 255 AS bv
-       |  FROM sims, (SELECT unnest([0, 1]) AS band_id) bands),
+       |    (simhash >> (16 * band_id)) & 65535 AS bv
+       |  FROM sims, (SELECT unnest([0, 1, 2, 3]) AS band_id) bands),
        |cand AS (
        |  SELECT DISTINCT a.media_id AS media_a, a.frame_idx AS idx_a,
        |    b.media_id AS media_b, b.frame_idx AS idx_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |  FROM bandrows a
        |  JOIN bandrows b ON a.band_id = b.band_id AND a.bv = b.bv AND a.k < b.k)
-       |SELECT media_a, idx_a, media_b, idx_b, hamming FROM cand WHERE hamming <= 1
+       |SELECT media_a, idx_a, media_b, idx_b, hamming FROM cand WHERE hamming <= 3
        |ORDER BY media_a NULLS FIRST, idx_a NULLS FIRST,
        |  media_b NULLS FIRST, idx_b NULLS FIRST""".stripMargin
   }

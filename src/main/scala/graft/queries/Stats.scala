@@ -1737,33 +1737,36 @@ object Stats extends QueryModule {
       |ORDER BY nation NULLS FIRST, o_year DESC NULLS LAST""".stripMargin
 
   // ---------------------------------------------------------------- q30
-  /** TPC-H Q12 shape (shipping-mode/priority two-way conditional count):
+  /** TPC-H Q12 shape (ship-status/priority two-way conditional count):
     * orders ⋈ lineitem with the date predicate pushed to the fact scan,
-    * then per-priority CASE-counts split into urgent (1-URGENT/2-HIGH)
-    * vs other — the join + conditional-aggregation pattern (vs q11's
-    * EXISTS): every line shipped in 1996 contributes to exactly one
-    * bucket of its order's priority row. Orders side carries only
-    * (key, priority) into the join; the aggregate partials collapse
-    * map-side to #priorities rows.
+    * grouped by the LINE's status and bucketed by the ORDER's priority
+    * (urgent = 1-URGENT/2-HIGH vs other) — the join + conditional-
+    * aggregation pattern (vs q11's EXISTS). Group key and CASE column
+    * come from OPPOSITE sides of the join, so both buckets are
+    * populated on every output row (grouping by the bucketed column
+    * itself degenerates one bucket to COUNT(*) and the other to 0 —
+    * the r9 spelling's flaw). Orders side carries only (key, priority)
+    * into the join; the aggregate partials collapse map-side to
+    * #statuses rows.
     */
   private def priorityShipping(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .filter(year(col("l_shipdate")) === 1996)
-      .select("l_orderkey")
+      .select("l_orderkey", "l_linestatus")
     val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority")
+      .groupBy("l_linestatus")
       .agg(
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L)).as("urgent_lines"),
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
           .otherwise(1L)).as("other_lines"),
         countDistinct(col("o_orderkey")).as("n_orders"))
-      .orderBy(col("o_orderpriority").asc_nulls_first)
+      .orderBy(col("l_linestatus").asc_nulls_first)
   }
 
   private val priorityShippingSql =
-    """SELECT o_orderpriority,
+    """SELECT l_linestatus,
       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
       |           THEN 1 ELSE 0 END) AS BIGINT) AS urgent_lines,
       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1771,8 +1774,8 @@ object Stats extends QueryModule {
       |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE year(l_shipdate) = 1996
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- dq10
   /** Feed-freshness audit — the staleness monitor beside dq8's gap
@@ -1812,27 +1815,47 @@ object Stats extends QueryModule {
   // ---------------------------------------------------------------- dq9
   /** Cardinality-estimate accuracy audit — "measure, don't guess"
     * applied to the sketches the OPTIMIZER itself leans on: per column
-    * of the fact table, the exact distinct count next to the
-    * HyperLogLog++ estimate, with an in-gate bounded-compare flag
-    * (within 5% — stated as literal TRUE in the oracle, the tx7/q06
-    * technique, since the raw estimate is not cross-engine). The table
-    * a stats-collection job emits to decide which columns need exact
-    * NDV and which can live on sketches.
+    * of the fact table, the exact distinct count next to the KMV
+    * bottom-k estimate ([[graft.functions.NdvSketch]]), with an in-gate
+    * bounded-compare flag (within 5% — stated as literal TRUE in the
+    * oracle, the tx7/q06 technique, since the raw estimate is not
+    * cross-engine; the sketch itself is deterministic, so the flag is a
+    * pure function of the data). The table a stats-collection job emits
+    * to decide which columns need exact NDV and which can live on
+    * sketches.
     */
   private def cardinalityAudit(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
     val d = t(s, dir, "lineitem")
-    cols.map { c =>
-      d.agg(
-        countDistinct(col(c)).as("exact_ndv"),
-        // rsd 0.01: the default 0.05 makes the 5%% gate bound a mere
-        // 1-sigma margin — a regenerated dataset could hash-fail; at 1%%
-        // rsd the bound is ~5 sigma
-        approx_count_distinct(col(c), 0.01).as("approx_ndv"))
-        .select(lit(c).as("column_name"), col("exact_ndv"),
-          (abs(col("approx_ndv") - col("exact_ndv")) * 100 <= col("exact_ndv") * 5)
-            .as("within_5pct"))
-    }.reduce(_ unionByName _)
+    // TWO narrow aggregates, NEVER one: a DISTINCT aggregate makes the
+    // partial pass group by (gid, value), so any wide-buffer aggregate
+    // sharing that node allocates its buffer slot PER DISTINCT VALUE —
+    // with rsd 0.01 the HLL++ sketch is ~2.7k LongType buffer FIELDS,
+    // and one slot per distinct l_orderkey is gigabytes of buffer
+    // churn. That interaction is exactly what regressed the r9
+    // spelling 13.8× (each per-column agg carried the sketch through
+    // its own count-distinct partial); a combined 8-aggregate spelling
+    // measures 120 s at sf0.1, and even a grouping-free HLL agg at rsd
+    // 0.01 costs 3.5 s from the 11k-field buffer schema alone. So the
+    // sketch side uses the KMV bottom-k sketch ([[graft.functions
+    // .NdvSketch]]) — one flat buffer OBJECT per group, exact below
+    // k=8192 distinct, sigma ≈ 1.1% above it (a 4.5-sigma margin under
+    // the 5% flag; seed-fixed xxhash64 + order-independent kept set
+    // make the estimate a pure function of the data, so flakiness only
+    // enters through data regeneration). Exact NDVs ride a separate
+    // multi-distinct aggregate (one Expand, tiny counters), and the
+    // two 1-row frames broadcast-join.
+    val exAggs = cols.map(c => countDistinct(col(c)).as(s"ex_$c"))
+    val apAggs = cols.map(c => graft.functions.NdvSketch.ndvSketch(col(c)).as(s"ap_$c"))
+    val exact = d.agg(exAggs.head, exAggs.tail: _*)
+    val approx = d.agg(apAggs.head, apAggs.tail: _*)
+    exact.join(broadcast(approx))
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col(s"ex_$c").as("exact_ndv"),
+        (abs(col(s"ap_$c") - col(s"ex_$c")) * 100 <= col(s"ex_$c") * 5)
+          .as("within_5pct"))): _*)).as("r"))
+      .select(col("r.column_name"), col("r.exact_ndv"), col("r.within_5pct"))
       .orderBy(col("column_name").asc_nulls_first)
   }
 
@@ -1844,6 +1867,67 @@ object Stats extends QueryModule {
       |  UNION ALL SELECT 'l_suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
       |  UNION ALL SELECT 'l_returnflag', CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem)
       |ORDER BY column_name NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- dq11
+  /** One-pass whole-table NDV/null policy census — the stats-collection
+    * job the optimizer story needs at 100 TB: EVERY column of the fact
+    * table profiled in a SINGLE scan and a SINGLE grouping-free
+    * aggregate (zero Expand, zero DISTINCT aggregates). Per column: row
+    * count, null count, the exact NDV where the domain is bounded, and
+    * a high-cardinality classification for sketch-vs-exact planning.
+    *
+    * The trick is the KMV sketch's exact-below-k property
+    * ([[graft.functions.NdvSketch]]): the six domain-bounded TPC-H
+    * columns (linenumber ≤ 7, quantity ≤ 50, discount/tax ≤ 11,
+    * returnflag/linestatus ≤ 3) sit far under k = 8192 at EVERY scale
+    * factor, so their sketch value IS the exact NDV — no COUNT(DISTINCT)
+    * Expand anywhere in the plan. Key columns get the estimate only,
+    * surfaced as the `is_high_card` policy bit (threshold 64 — hundreds
+    * of sigma from every column's true NDV, and below k the sketch is
+    * exact, so the bit is deterministic). 11 sketches + 12 counters in
+    * one ObjectHashAggregate buffer per partition; a 100 TB scan ships
+    * ≤ 2k longs per sketch per partition.
+    */
+  private def statsPolicy(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    // bounded by the data DOMAIN (not the scale factor): exact at 100 TB
+    val lowCard = Set("l_linenumber", "l_quantity", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus")
+    val aggs = count(lit(1)).as("n_rows") +:
+      (cols.map(c => count(col(c)).as(s"nn_$c")) ++
+        cols.map(c => graft.functions.NdvSketch.ndvSketch(col(c)).as(s"ndv_$c")))
+    t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        when(lit(lowCard(c)), col(s"ndv_$c")).as("exact_ndv"),
+        (col(s"ndv_$c") > 64).as("is_high_card"))): _*)).as("r"))
+      .select(col("r.column_name"), col("r.n_rows"), col("r.n_nulls"),
+        col("r.exact_ndv"), col("r.is_high_card"))
+      .orderBy(col("column_name").asc_nulls_first)
+  }
+
+  private val statsPolicySql = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val lowCard = Set("l_linenumber", "l_quantity", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus")
+    val measures = cols.map(c =>
+      s"COUNT($c) AS nn_$c, COUNT(DISTINCT $c) AS d_$c").mkString(", ")
+    val rows = cols.map { c =>
+      val exact = if (lowCard(c)) s"CAST(d_$c AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      s"""SELECT '$c' AS column_name, CAST(n AS BIGINT) AS n_rows,
+         |  CAST(n - nn_$c AS BIGINT) AS n_nulls, $exact AS exact_ndv,
+         |  d_$c > 64 AS is_high_card FROM s""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH s AS (SELECT COUNT(*) AS n, $measures FROM lineitem)
+       |$rows
+       |ORDER BY column_name NULLS FIRST""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q31
   /** TPC-H Q20 shape (dominant-supplier detection): suppliers shipping
@@ -1964,6 +2048,7 @@ object Stats extends QueryModule {
     "q30_priority_shipping" -> (priorityShipping _),
     "dq9_cardinality_audit" -> (cardinalityAudit _),
     "dq10_freshness" -> (freshnessAudit _),
+    "dq11_stats_policy" -> (statsPolicy _),
     "w8_period_growth" -> (periodGrowth _),
     "q31_dominant_supplier" -> (dominantSupplier _),
     "rr1_ratio_to_report" -> (ratioToReport _),
@@ -2011,6 +2096,7 @@ object Stats extends QueryModule {
     "q30_priority_shipping" -> priorityShippingSql,
     "dq9_cardinality_audit" -> cardinalityAuditSql,
     "dq10_freshness" -> freshnessAuditSql,
+    "dq11_stats_policy" -> statsPolicySql,
     "w8_period_growth" -> periodGrowthSql,
     "q31_dominant_supplier" -> dominantSupplierSql,
     "rr1_ratio_to_report" -> ratioToReportSql,

@@ -1259,7 +1259,7 @@ object Text extends QueryModule {
     * share a generation template (scraper chrome, license headers,
     * form letters) even when the bodies diverge past every dedup
     * threshold. Group by md5 of the first 8 tokens (shorter docs use
-    * all they have), keep prefixes seen ≥ 3 times, report the count,
+    * all they have), keep prefixes seen ≥ 2 times, report the count,
     * an example doc and the prefix text. Map-side hashing; the census
     * exchange carries (hash, partial) rows; the gate's smallest-doc
     * example is a min aggregate, never a window.

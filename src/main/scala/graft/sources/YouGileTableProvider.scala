@@ -168,14 +168,23 @@ private[sources] case class YouGilePartition(entity: String, columnId: Option[St
 
 /** Streaming leg of the connector: an incremental BACKFILL stream over
   * the per-column task partitions — each micro-batch ingests the next
-  * `columnsPerBatch` board columns (offset = columns completed), the
-  * shape of a rate-limited API drain. Admission control paces batches,
-  * so `Trigger.AvailableNow` processes the whole catalog in several
-  * bounded batches and stops; a checkpoint restart resumes at the
-  * committed column offset without re-fetching finished columns. The
-  * column list is pinned at stream construction (a fixed universe per
-  * run — the same contract as the batch scan; new columns land in the
-  * next run's stream).
+  * `columnsPerBatch` board columns, the shape of a rate-limited API
+  * drain. Admission control paces batches, so `Trigger.AvailableNow`
+  * processes the whole catalog in several bounded batches and stops; a
+  * checkpoint restart resumes without re-fetching finished columns.
+  *
+  * The offset is the SET of processed column ids (sorted, in the
+  * checkpoint JSON), not a position: the HTTP API guarantees neither
+  * listing order nor membership stability, so a positional offset
+  * against a re-fetched listing would silently skip or re-ingest
+  * columns after a restart when the listing reorders or changes.
+  * Restart reconciliation is set-difference against the fresh listing —
+  * ids already committed are never re-fetched even if they moved, ids
+  * that vanished from the listing are simply done, and NEW ids that
+  * appeared since the checkpoint are ingested (membership, not
+  * position, is the contract). The listing itself is pinned per stream
+  * instance and sorted, so batch boundaries are deterministic within a
+  * run.
   */
 private[sources] class YouGileMicroBatchStream(schema: StructType, opts: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
@@ -191,21 +200,33 @@ private[sources] class YouGileMicroBatchStream(schema: StructType, opts: Map[Str
   private val entity = opts.getOrElse("entity", "tasks")
   private val perBatch = opts.getOrElse("columnsperbatch", "2").toInt
 
-  private lazy val columns: Seq[Option[String]] = entity match {
+  // the single-partition entities ride the same id-set machinery under a
+  // sentinel id, so there is exactly one offset/reconciliation codepath
+  private val SingletonId = "*"
+
+  private lazy val columns: Seq[String] = entity match {
     case "tasks" =>
       val client = YouGileTableProvider.clientFor(opts)
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       Paginator.fetchAll(client, "columns", 1000, includeDeleted = false, None)
         .map(j => om.readTree(j).path("id").asText())
-        .filter(_.nonEmpty).distinct.map(Some(_))
-    case _ => Seq(None)
+        .filter(_.nonEmpty).distinct.sorted
+    case _ => Seq(SingletonId)
   }
 
-  private def off(n: Int): Offset = YouGileOffset(n)
+  private def off(ids: Set[String]): Offset = YouGileOffset(ids)
+  private def doneOf(o: Offset): Set[String] = o.asInstanceOf[YouGileOffset].done
 
-  override def initialOffset(): Offset = off(0)
+  /** Columns the fresh listing has that `done` does not — the only
+    * resume arithmetic; positions never enter it. Listing is sorted, so
+    * the batch slicing below is deterministic per run.
+    */
+  private def remaining(done: Set[String]): Seq[String] =
+    columns.filterNot(done)
 
-  override def latestOffset(): Offset = off(columns.length)
+  override def initialOffset(): Offset = off(Set.empty)
+
+  override def latestOffset(): Offset = off(columns.toSet)
 
   // pacing rides the admission-control contract: the source declares a
   // default per-batch budget (maxRows, read as COLUMNS here) and honors
@@ -215,23 +236,35 @@ private[sources] class YouGileMicroBatchStream(schema: StructType, opts: Map[Str
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch.toLong)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val done = start.asInstanceOf[YouGileOffset].done
+    val done = doneOf(start)
     limit match {
       case rows: ReadMaxRows =>
-        off(math.min(done + rows.maxRows().toInt, columns.length))
-      case _ => off(columns.length)
+        off(done ++ remaining(done).take(rows.maxRows().toInt))
+      case _ => off(done ++ remaining(done))
     }
   }
 
-  override def reportLatestOffset(): Offset = off(columns.length)
+  override def reportLatestOffset(): Offset = off(columns.toSet)
 
-  override def deserializeOffset(json: String): Offset =
-    off(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json).path("done").asInt())
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json).path("done")
+    if (node.isArray) {
+      val ids = (0 until node.size()).map(node.get(_).asText()).toSet
+      off(ids)
+    } else {
+      // legacy positional checkpoint ({"done":N}): best-effort mapping —
+      // the first N ids of the SORTED fresh listing. Documented lossy;
+      // new checkpoints are always id-sets.
+      off(columns.take(node.asInt()).toSet)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[YouGileOffset].done
-    val b = end.asInstanceOf[YouGileOffset].done
-    columns.slice(a, b).map(c => YouGilePartition(entity, c): InputPartition).toArray
+    val batch = doneOf(end) -- doneOf(start)
+    // listing order (sorted) for deterministic partition indexing
+    columns.filter(batch)
+      .map(c => YouGilePartition(entity, Some(c).filter(_ != SingletonId)): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -241,8 +274,11 @@ private[sources] class YouGileMicroBatchStream(schema: StructType, opts: Map[Str
   override def stop(): Unit = ()
 }
 
-private[sources] case class YouGileOffset(done: Int) extends Offset {
-  override def json: String = s"{\"done\":$done}"
+private[sources] case class YouGileOffset(done: Set[String]) extends Offset {
+  // sorted so the checkpoint JSON (and offset equality via json) is
+  // canonical regardless of set iteration order
+  override def json: String =
+    done.toSeq.sorted.map(id => "\"" + id + "\"").mkString("{\"done\":[", ",", "]}")
 }
 
 private[sources] class YouGileReaderFactory(schema: StructType, opts: Map[String, String])

@@ -13,25 +13,31 @@ class AnalyticsShapesSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("q30: priority shipping counts replay driver-side") {
+  test("q30: priority shipping counts replay driver-side, both buckets live") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("q30_priority_shipping")(s, dir).collect()
     assert(out.nonEmpty)
     val prio = s.read.parquet(s"$dir/orders.parquet").collect()
       .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("o_orderpriority")).toMap
     val lines = Tables(s, dir, "lineitem")
-      .filter(year(col("l_shipdate")) === 1996).select("l_orderkey").collect()
-      .map(_.getLong(0)).filter(prio.contains)
-    val byPrio = lines.groupBy(prio)
+      .filter(year(col("l_shipdate")) === 1996)
+      .select("l_orderkey", "l_linestatus").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(l => prio.contains(l._1))
+    val byStatus = lines.groupBy(_._2)
+    val urgentSet = Set("1-URGENT", "2-HIGH")
     out.foreach { r =>
-      val p = r.getAs[String]("o_orderpriority")
-      val ls = byPrio(p)
-      val urgent = Set("1-URGENT", "2-HIGH").contains(p)
-      assert(r.getAs[Long]("urgent_lines") == (if (urgent) ls.length.toLong else 0L))
-      assert(r.getAs[Long]("other_lines") == (if (urgent) 0L else ls.length.toLong))
-      assert(r.getAs[Long]("n_orders") == ls.distinct.length.toLong)
+      val ls = byStatus(r.getAs[String]("l_linestatus"))
+      assert(r.getAs[Long]("urgent_lines") ==
+        ls.count(l => urgentSet(prio(l._1))).toLong)
+      assert(r.getAs[Long]("other_lines") ==
+        ls.count(l => !urgentSet(prio(l._1))).toLong)
+      assert(r.getAs[Long]("n_orders") == ls.map(_._1).distinct.length.toLong)
+      // the conditional aggregation is non-degenerate: group key and CASE
+      // column come from opposite join sides, so BOTH buckets populate
+      // (the r9 spelling always had one bucket pinned at 0)
+      assert(r.getAs[Long]("urgent_lines") > 0L && r.getAs[Long]("other_lines") > 0L)
     }
-    assert(out.map(_.getAs[String]("o_orderpriority")).toSet == byPrio.keySet)
+    assert(out.map(_.getAs[String]("l_linestatus")).toSet == byStatus.keySet)
   }
 
   test("q29: profit rollup replays driver-side from the raw tables") {

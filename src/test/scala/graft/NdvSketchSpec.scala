@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{KmvBuf, KmvNdvAgg, NdvSketch}
+
+/** The KMV bottom-k NDV sketch: exact below k, within its stated sigma
+  * above it, partition-order independent, and null-ignoring like
+  * COUNT(DISTINCT).
+  */
+class NdvSketchSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("exact below k distinct, nulls ignored") {
+    val df = (1L to 500L).map(i => Some(i % 137L))
+      .appendedAll(Seq.fill(50)(None))
+      .toDF("v")
+    val out = df.agg(
+      NdvSketch.ndvSketch(col("v")).as("kmv"),
+      countDistinct(col("v")).as("exact")).collect()(0)
+    assert(out.getLong(0) == 137L && out.getLong(1) == 137L)
+  }
+
+  test("estimate within 5% above k, and invariant to repartitioning") {
+    // 150k distinct values (> k=8192) through deliberately different
+    // partitionings: the kept set — hence the estimate — must not move
+    val base = spark.range(0, 150000).select((col("id") * 7L + 3L).as("v"))
+    val ests = Seq(base.repartition(1), base.repartition(13), base.repartition(32))
+      .map(_.agg(NdvSketch.ndvSketch(col("v"))).collect()(0).getLong(0))
+    assert(ests.distinct.size == 1, s"partitioning changed the estimate: $ests")
+    val e = ests.head
+    assert(math.abs(e - 150000L) <= 150000L * 5 / 100,
+      s"estimate $e outside 5% of 150000")
+  }
+
+  test("duplicates never inflate the estimate") {
+    // below k: every value appearing 80 times still counts once, exactly
+    val low = spark.range(0, 400000).select((col("id") % 5000L).as("v"))
+    assert(low.agg(NdvSketch.ndvSketch(col("v"))).collect()(0).getLong(0) == 5000L)
+    // above k: the 40x-duplicated stream and its distinct frame keep the
+    // same bottom-k set, so the estimates are bit-identical
+    val dup = spark.range(0, 400000).select((col("id") % 10000L).as("v"))
+    val est = Seq(dup, dup.distinct())
+      .map(_.agg(NdvSketch.ndvSketch(col("v"))).collect()(0).getLong(0))
+    assert(est(0) == est(1), s"duplication moved the estimate: $est")
+  }
+
+  test("merge of partial buffers equals the single-stream sketch") {
+    val agg = new KmvNdvAgg(64)
+    def fold(vs: Seq[Long]): KmvBuf =
+      vs.foldLeft(agg.zero)((b, v) => agg.reduce(b, Some(v)))
+    val all = (1L to 1000L).map(_ * 0x9E3779B97F4A7C15L) // spread hashes
+    val whole = agg.finish(fold(all))
+    val (l, r) = all.splitAt(333)
+    val merged = agg.finish(agg.merge(fold(l), fold(r)))
+    assert(whole == merged)
+    // and merging with an empty side is the identity
+    assert(agg.finish(agg.merge(fold(all), agg.zero)) == whole)
+    assert(agg.finish(agg.merge(agg.zero, fold(all))) == whole)
+  }
+}

@@ -35,43 +35,48 @@ class VectorExprsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
-  test("simhash16 equals the interpreted-HOF spelling it replaced") {
-    // the reference spelling dd3 used before the kernel: md5-hex nibbles,
-    // 16 aggregate folds, bit set iff the signed count is positive
+  test("simhash64 equals the interpreted-HOF spelling") {
+    // the oracle's construction: md5-hex nibbles over two digests per
+    // word (plain for bits 0..31, '1'-salted for 32..63), 64 aggregate
+    // folds, bit set iff the signed count is positive
     val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    def hofBit(i: Int) =
+    def hofBit(hsCol: String, i: Int, base: Int) =
       when(
         aggregate(
-          transform($"hs", h => when(substring(h, i + 1, 1).isin(highNibble: _*), 1).otherwise(-1)),
+          transform(col(hsCol), h => when(substring(h, i + 1, 1).isin(highNibble: _*), 1).otherwise(-1)),
           lit(0),
           (acc, x) => acc + x) > 0,
-        lit(1L << i)).otherwise(lit(0L))
+        lit(1L << (base + i))).otherwise(lit(0L))
+    def hofAll = ((0 until 32).map(hofBit("h0", _, 0)) ++
+      (0 until 32).map(hofBit("h1", _, 32))).reduce(_ + _)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", split($"text", " ").as("words"))
-      .withColumn("hs", transform($"words", w => md5(w)))
+      .withColumn("h0", transform($"words", w => md5(w)))
+      .withColumn("h1", transform($"words", w => md5(concat(w, lit("1")))))
     val out = docs.select(
-      VectorFunctions.simhash16($"words").as("kernel"),
-      (0 until 16).map(hofBit).reduce(_ + _).as("hof")).collect()
+      VectorFunctions.simhash64($"words").as("kernel"),
+      hofAll.as("hof")).collect()
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
     // interpreted path (eval) must agree with codegen: exercised via a
     // local relation, which Spark evaluates eagerly without codegen
-    val local = Seq((1L, Seq("hello", "world")), (2L, Seq("спарк", "поток", "спарк")))
+    val local = Seq((1L, Seq("hello", "world")), (2L, Seq("\u0441\u043f\u0430\u0440\u043a", "\u043f\u043e\u0442\u043e\u043a", "\u0441\u043f\u0430\u0440\u043a")))
       .toDF("id", "words")
-    val kernelLocal = local.select($"id", VectorFunctions.simhash16($"words").as("k"))
+    val kernelLocal = local.select($"id", VectorFunctions.simhash64($"words").as("k"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hofLocal = local
-      .withColumn("hs", transform($"words", w => md5(w)))
-      .select($"id", (0 until 16).map(hofBit).reduce(_ + _).as("h"))
+      .withColumn("h0", transform($"words", w => md5(w)))
+      .withColumn("h1", transform($"words", w => md5(concat(w, lit("1")))))
+      .select($"id", hofAll.as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kernelLocal == hofLocal)
   }
 
-  test("simhash16 propagates a null array; the dd3 call site coalesces to the oracle's 0") {
+  test("simhash64 propagates a null array; the dd3 call site coalesces to the oracle's 0") {
     val df = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("words")
     val out = df.select(
-      VectorFunctions.simhash16($"words").as("k"),
-      coalesce(VectorFunctions.simhash16($"words"), lit(0L)).as("c")).collect()(0)
+      VectorFunctions.simhash64($"words").as("k"),
+      coalesce(VectorFunctions.simhash64($"words"), lit(0L)).as("c")).collect()(0)
     assert(out.isNullAt(0) && out.getLong(1) == 0L)
   }
 
