@@ -12,9 +12,10 @@ import graft.Tables
   * amortised exactly like a batch UDF.
   *
   * Decode splits by container class: UNCOMPRESSED formats (RIFF/PCM WAV,
-  * 24-bpp BMP) are parsed for real in pure JVM ([[RawCodec]] — actual
-  * sample rates, dimensions, pixel/sample statistics from the payload
-  * bytes); COMPRESSED codecs (JPEG/H.264/MP3) need native libraries this
+  * 24-bpp BMP) and the spec-native RUN-LENGTH compressed one (BI_RLE8
+  * BMP) are parsed for real in pure JVM ([[RawCodec]] — actual sample
+  * rates, dimensions, pixel/sample statistics from the payload bytes);
+  * TRANSFORM/entropy codecs (JPEG/H.264/MP3) need native libraries this
   * container lacks, so `NativeDecoder` stays an explicit `???` seam and
   * `FakeDecoder` produces deterministic features from the raw bytes for
   * fixture payloads. The Spark-side contract — schema, encoders, batch
@@ -86,6 +87,28 @@ object Multimodal {
       })
   }
 
+  /** COMPRESSED-container media table for the mm10 decode gate: every
+    * payload is a structurally valid BI_RLE8 BMP — run-length encoded
+    * pixel stream, 256-entry palette, absolute-mode rows mixed in —
+    * built byte-for-byte on the executors ([[RawCodec.synthRle8Bmp]])
+    * with closed-form geometry and pixel functions over `doc_id`, so
+    * the oracle can state the decoded channel sums exactly. Heights are
+    * ≥ 3 so every image contains at least one absolute-mode row
+    * (r % 4 == 2) — both wire forms decode in every gate row.
+    */
+  def rle8MediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 13)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (6 + id % 11).toInt
+        val h = (3 + id % 9).toInt
+        MediaFile(id, "image", RawCodec.synthRle8Bmp(id, w, h),
+          MediaMeta("bmp_rle8", w, h, 0L))
+      })
+  }
+
   /** The decode seam. Implementations must be deterministic per byte
     * content (idempotent re-runs, cross-run joins).
     */
@@ -110,12 +133,14 @@ object Multimodal {
     }
   }
 
-  /** COMPRESSED-codec seam — deliberately unimplemented in this
+  /** TRANSFORM/ENTROPY-codec seam — deliberately unimplemented in this
     * environment (JPEG/H.264/MP3 need native libraries the container
     * lacks). A production build binds an FFI/JNI codec here; everything
-    * above this trait is final. Uncompressed containers do NOT go
-    * through this seam — [[RawCodec.RawCodecDecoder]] decodes WAV/BMP
-    * for real in pure JVM.
+    * above this trait is final. Uncompressed containers and run-length
+    * compression do NOT go through this seam —
+    * [[RawCodec.RawCodecDecoder]] decodes WAV/BMP and
+    * [[RawCodec.parseRle8Bmp]] decodes BI_RLE8 BMP for real in pure JVM
+    * (mm10 gates the latter against a closed-form oracle).
     */
   object NativeDecoder extends MediaDecoder {
     override def features(m: MediaFile): MediaFeatures =

@@ -252,6 +252,51 @@ object MultimodalQueries extends QueryModule {
       |SELECT * FROM wav UNION ALL SELECT * FROM bmp
       |ORDER BY media_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- mm10
+  /** COMPRESSED-container decode under the oracle — the codec seam's
+    * last `???` narrowed to DCT/entropy codecs only: payloads are real
+    * BI_RLE8 BMPs (run-length pixel stream + 256-entry palette +
+    * absolute-mode rows, [[graft.multimodal.Multimodal.rle8MediaTable]])
+    * and [[graft.multimodal.RawCodec.parseRle8Bmp]] walks the RLE wire
+    * format for real — runs, absolute segments with word padding, EOL/
+    * EOB escapes, palette lookup. The oracle restates the decoded
+    * channel sums in closed form over doc_id; integer-exact (sums, not
+    * means), so any decode bug — run length off-by-one, padding skip,
+    * palette misindex — breaks the hash. A failed parse emits a −1
+    * sentinel row rather than throwing: undecodable media is data.
+    */
+  private def mm10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.rle8MediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.RawCodec.parseRle8Bmp(m.content) match {
+          case Some(i) => (m.media_id, i.width.toLong, i.height.toLong, i.nPx, i.sumChannels)
+          case None => (m.media_id, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_px", "sum_channels")
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm10Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(6 + doc_id % 11 AS BIGINT) AS width,
+      |    CAST(3 + doc_id % 9 AS BIGINT) AS height
+      |  FROM documents WHERE doc_id % 25 = 13),
+      |rows_ AS (SELECT media_id, width, height, unnest(range(0, height)) AS r FROM m),
+      |cells AS (SELECT media_id, width, height, r, unnest(range(0, width)) AS x FROM rows_),
+      |idxed AS (
+      |  SELECT media_id, width, height,
+      |    (media_id + r * 7 + (x // 8) * 11) % 256 AS i
+      |  FROM cells)
+      |SELECT media_id, width, height,
+      |  CAST(COUNT(*) AS BIGINT) AS n_px,
+      |  CAST(SUM((i * 3) % 256 + (i * 5 + 1) % 256 + (i * 7 + 2) % 256) AS BIGINT)
+      |    AS sum_channels
+      |FROM idxed GROUP BY media_id, width, height
+      |ORDER BY media_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- mm7
   /** Windowed audio loudness from the REAL decode — one level deeper
     * than mm6's whole-file summary: every audio payload's PCM samples,
@@ -436,7 +481,8 @@ object MultimodalQueries extends QueryModule {
     "mm3_frame_sample" -> (mm3 _),
     "mm4_frame_dedup" -> (mm4 _),
     "mm5_frame_neardup" -> (mm5 _),
-    "mm6_raw_decode" -> (mm6 _))
+    "mm6_raw_decode" -> (mm6 _),
+    "mm10_rle8_decode" -> (mm10 _))
 
   override val oracle: Map[String, String] = Map(
     "mm8_patch_grid" -> mm8Sql,
@@ -447,5 +493,6 @@ object MultimodalQueries extends QueryModule {
     "mm3_frame_sample" -> mm3Sql,
     "mm4_frame_dedup" -> mm4Sql,
     "mm5_frame_neardup" -> mm5Sql,
-    "mm6_raw_decode" -> mm6Sql)
+    "mm6_raw_decode" -> mm6Sql,
+    "mm10_rle8_decode" -> mm10Sql)
 }

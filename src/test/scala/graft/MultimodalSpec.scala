@@ -134,6 +134,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(RawCodec.parseWav(bad).isEmpty)
   }
 
+  test("RawCodec: RLE8 round-trip equals the closed form (runs AND absolute rows)") {
+    import graft.multimodal.RawCodec
+    def f(i: Long): Long = (i * 3) % 256 + (i * 5 + 1) % 256 + (i * 7 + 2) % 256
+    // heights ≥ 3 include an absolute-mode row (r % 4 == 2); widths hit
+    // run tails (< 8) and absolute tails (< 3 → unit-run fallback)
+    for ((seed, w, h) <- Seq((13L, 6, 3), (38L, 16, 11), (63L, 7, 4), (88L, 1, 5))) {
+      val info = RawCodec.parseRle8Bmp(RawCodec.synthRle8Bmp(seed, w, h)).get
+      val want = (for { r <- 0 until h; x <- 0 until w }
+        yield f((seed + r * 7 + (x / 8) * 11) % 256)).sum
+      assert(info.width == w && info.height == h && info.nPx == w.toLong * h)
+      assert(info.sumChannels == want, s"seed=$seed w=$w h=$h")
+    }
+  }
+
+  test("RawCodec: RLE8 delta/early-EOL gaps default to palette 0; malformed payloads → None") {
+    import graft.multimodal.RawCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-build a 4x2 RLE8 BMP: row 0 = run(2, idx 5) then EOL (2-pixel
+    // gap), row 1 = delta skip (dx=1) then run(3, idx 5), EOB — gaps and
+    // the skipped pixel read as palette index 0
+    def container(stream: Array[Byte]): Array[Byte] = {
+      val off = 54 + 4 * 256
+      val buf = ByteBuffer.allocate(off + stream.length).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(off + stream.length)
+      buf.putInt(0).putInt(off)
+      buf.putInt(40).putInt(4).putInt(2).putShort(1).putShort(8)
+      buf.putInt(1).putInt(stream.length)
+      buf.putInt(2835).putInt(2835).putInt(256).putInt(0)
+      (0 until 256).foreach { i => // grayscale palette: B=G=R=i
+        buf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+      }
+      buf.put(stream)
+      buf.array()
+    }
+    val stream = Array[Byte](
+      2, 5, 0, 0, // run of 2 × idx5, end of line
+      0, 2, 1, 0, // delta: dx=1, dy=0
+      3, 5, // run of 3 × idx5
+      0, 1) // end of bitmap
+    val info = RawCodec.parseRle8Bmp(container(stream)).get
+    // 5 pixels of palette 5 (3·5 channels each) + 3 gap pixels of palette 0
+    assert(info.nPx == 8 && info.sumChannels == 5L * 15 + 3L * 0)
+    // malformed: truncated stream (no EOB) and a wrong-compression
+    // container (plain 24-bpp BMP) both refuse, not throw
+    assert(RawCodec.parseRle8Bmp(container(Array[Byte](9, 1))).isEmpty)
+    assert(RawCodec.parseRle8Bmp(RawCodec.synthBmp(7L, 5, 4)).isEmpty)
+    assert(RawCodec.parseRle8Bmp(Array.fill[Byte](10)(0)).isEmpty)
+  }
+
   test("RawCodec: real BMP decode from payload bytes (dims, mean channel, padding skipped)") {
     import graft.multimodal.RawCodec
     import java.nio.{ByteBuffer, ByteOrder}
