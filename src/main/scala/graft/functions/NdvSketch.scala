@@ -45,7 +45,15 @@ import org.apache.spark.sql.functions.{udaf, when, xxhash64}
   */
 case class KmvBuf(n: Int, theta: Long, arr: Array[Long])
 
-class KmvNdvAgg(k: Int) extends Aggregator[Option[Long], KmvBuf, Long] {
+/** The sketch's full state at finish time, for SET-OPERATION consumers
+  * (θ-sketch algebra): the kept hashes (flipped, ascending), the flipped
+  * exclusive admission bound θ, and whether the kept set is the COMPLETE
+  * distinct hash set (never trimmed — every derived set operation is then
+  * exact, not an estimate).
+  */
+case class KmvSet(n: Long, theta: Long, hashes: Array[Long], exact: Boolean)
+
+abstract class KmvAggBase[OUT](k: Int) extends Aggregator[Option[Long], KmvBuf, OUT] {
   private val cap = 2 * k
 
   override def zero: KmvBuf = KmvBuf(0, Long.MaxValue, Array.emptyLongArray)
@@ -91,19 +99,40 @@ class KmvNdvAgg(k: Int) extends Aggregator[Option[Long], KmvBuf, Long] {
     }
   }
 
+  override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder()
+
+  /** Compacted final state, shared by the concrete finishers. */
+  protected final def finalState(b: KmvBuf): KmvBuf = compact(b)
+  protected final def kk: Int = k
+}
+
+class KmvNdvAgg(k: Int) extends KmvAggBase[Long](k) {
   override def finish(b: KmvBuf): Long = {
-    val c = compact(b)
-    if (c.n < k) c.n.toLong // kept set is the whole distinct set: exact
+    val c = finalState(b)
+    if (c.n < kk) c.n.toLong // kept set is the whole distinct set: exact
     else {
       // R = k-th minimum as a fraction of the unsigned 64-bit space
-      val raw = c.arr(k - 1) ^ Long.MinValue // unflip to the real hash
+      val raw = c.arr(kk - 1) ^ Long.MinValue // unflip to the real hash
       val r = ((raw >>> 1).toDouble * 2.0 + (raw & 1L)) / math.pow(2.0, 64)
-      math.round((k - 1).toDouble / r)
+      math.round((kk - 1).toDouble / r)
     }
   }
-
-  override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Long] = ExpressionEncoder()
+}
+
+/** Set-returning variant: the kept hash set itself, for θ-sketch set
+  * operations downstream (intersection/union cardinalities across
+  * groups). `exact` is true iff the sketch never trimmed — the kept set
+  * is then the complete distinct hash set and every derived count is
+  * exact. The array is ascending in the flipped (unsigned) order and
+  * duplicate-free.
+  */
+class KmvSetAgg(k: Int) extends KmvAggBase[KmvSet](k) {
+  override def finish(b: KmvBuf): KmvSet = {
+    val c = finalState(b)
+    KmvSet(c.n.toLong, c.theta, c.arr.take(c.n), c.theta == Long.MaxValue)
+  }
+  override def outputEncoder: Encoder[KmvSet] = ExpressionEncoder()
 }
 
 object NdvSketch {
@@ -117,4 +146,12 @@ object NdvSketch {
     */
   def ndvSketch(c: Column, k: Int = DefaultK): Column =
     udaf(new KmvNdvAgg(k)).apply(when(c.isNotNull, xxhash64(c)))
+
+  /** The kept hash SET of `c` (null-ignoring) as a [[KmvSet]] struct —
+    * feed to θ-sketch set operations (intersection/union cardinality
+    * across groups). Same hashing and admission as [[ndvSketch]], so a
+    * value kept by one group's sketch hashes identically in another's.
+    */
+  def ndvSketchSet(c: Column, k: Int = DefaultK): Column =
+    udaf(new KmvSetAgg(k)).apply(when(c.isNotNull, xxhash64(c)))
 }

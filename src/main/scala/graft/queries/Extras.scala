@@ -1521,6 +1521,117 @@ object Extras extends QueryModule {
     * corpus-sized exchange); the 7× replication happens on that
     * already-reduced frame, the standard scale spelling.
     */
+  // --------------------------------------------------------------- ev24
+  /** Per-group distinct-user census via the KMV sketch — the sketch's
+    * REAL scale shape (dq9/dq11 use it grouping-free): distinct users
+    * per (event_type, day). The exact spelling `GROUP BY type, day,
+    * COUNT(DISTINCT user)` ships one row per (group, user) through the
+    * exchange — at 100 TB that is the whole user×group cross section;
+    * the sketch ships ≤ 2k longs per (group × partition) no matter how
+    * many events stream through, merged associatively map-side. The
+    * gate is hash-EXACT, not bounded: per-group user cardinality sits
+    * far below k = 8192 at every test scale (150 at sf0.01, 1 500 at
+    * sf0.1, domain-capped by the generator), and below k the kept set
+    * IS the distinct hash set, so the sketch value equals
+    * COUNT(DISTINCT) exactly and the oracle states that. Past k the
+    * same plan degrades to a 1.1%-sigma estimate instead of an
+    * exchange explosion — that trade is the point.
+    */
+  private def dauSketch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        graft.functions.NdvSketch.ndvSketch(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  private val dauSketchSql =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events
+      |GROUP BY event_type, day
+      |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- ev25
+  /** Audience overlap between event types via θ-sketch SET ALGEBRA —
+    * the classic sketch win that per-group NDV (ev24) can't deliver:
+    * |users(A) ∩ users(B)| and |users(A) ∪ users(B)| for every type
+    * pair. The exact spelling self-joins the (type, user) frame — a
+    * user-grain × user-grain exchange that explodes at 100 TB; the
+    * sketch spelling reduces the corpus to FIVE bounded kept-hash sets
+    * (one ObjectHashAggregate, ≤ 2k longs each), broadcast-joins the
+    * 5-row frame to itself, and answers every pair with array
+    * intersections on the driver-free plan. Below k the kept sets are
+    * the COMPLETE distinct hash sets (`exact` flag in [[graft.functions
+    * .KmvSet]]), so the gate is hash-EXACT; past k the same plan
+    * degrades to the standard θ-sketch estimate (intersect below
+    * min(θ), scale by the θ fraction) instead of an exchange explosion.
+    * Inclusion-exclusion gives the union from the same arrays.
+    */
+  private def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // ENGAGED audience: ≥ 14 events of the type — every user touches
+    // every type in the synthetic corpus (mean ~13.4 events per
+    // (type, user) at every sf), so raw audiences are all-users and the
+    // overlap table degenerates; the engagement gate makes each
+    // audience a proper subset with real pairwise structure. The gate
+    // rides the (type, user) rollup the census needs anyway — one hash
+    // aggregate before the sketch sees a row.
+    val engaged = t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 14)
+    val sets = engaged
+      .groupBy("event_type")
+      .agg(graft.functions.NdvSketch.ndvSketchSet(col("user_id")).as("sk"))
+    sets.as("a").join(broadcast(sets.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.sk").as("sa"), col("b.sk").as("sb"))
+      .select(col("type_a"), col("type_b"),
+        // exact regime (kept sets complete): plain set intersection;
+        // estimator regime: intersect below min(theta), scale by the
+        // theta fraction of the unsigned hash space
+        when(col("sa.exact") && col("sb.exact"),
+          size(array_intersect(col("sa.hashes"), col("sb.hashes"))).cast(LongType))
+          .otherwise(expr(
+            """CAST(round(
+              |  size(filter(array_intersect(sa.hashes, sb.hashes),
+              |              x -> x < least(sa.theta, sb.theta)))
+              |  / ((CAST(shiftright(least(sa.theta, sb.theta) ^ -9223372036854775808, 1) AS DOUBLE) * 2.0
+              |      + ((least(sa.theta, sb.theta) ^ -9223372036854775808) & 1)) / pow(2.0, 64))
+              |) AS BIGINT)""".stripMargin))
+          .as("overlap_users"),
+        (col("sa.n") + col("sb.n")).as("n_sum"))
+      .withColumn("union_users", col("n_sum") - col("overlap_users"))
+      .drop("n_sum")
+      .orderBy(col("type_a").asc_nulls_first, col("type_b").asc_nulls_first)
+  }
+
+  private val audienceOverlapSql =
+    """WITH u AS (
+      |  SELECT event_type, user_id FROM events
+      |  GROUP BY event_type, user_id HAVING COUNT(*) >= 14),
+      |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM c a JOIN c b ON a.event_type < b.event_type),
+      |ov AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS overlap_users
+      |  FROM u x JOIN u y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY type_a, type_b)
+      |SELECT p.type_a, p.type_b,
+      |  COALESCE(o.overlap_users, 0) AS overlap_users,
+      |  ca.n + cb.n - COALESCE(o.overlap_users, 0) AS union_users
+      |FROM pairs p
+      |LEFT JOIN ov o ON o.type_a = p.type_a AND o.type_b = p.type_b
+      |JOIN c ca ON ca.event_type = p.type_a
+      |JOIN c cb ON cb.event_type = p.type_b
+      |ORDER BY p.type_a NULLS FIRST, p.type_b NULLS FIRST""".stripMargin
+
   private def stickiness(s: SparkSession, dir: String): DataFrame = {
     val ud = t(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
@@ -2039,6 +2150,8 @@ object Extras extends QueryModule {
     "ev20_interarrival_hist" -> (interarrivalHistogram _),
     "ev22_stickiness" -> (stickiness _),
     "ev23_last_touch" -> (lastTouchAttribution _),
+    "ev24_dau_sketch" -> (dauSketch _),
+    "ev25_audience_overlap" -> (audienceOverlap _),
     "ev19_weekday_profile" -> (weekdayProfile _),
     "ev6_funnel" -> (funnel _),
     "ev7_cohort_retention" -> (cohortRetention _),
@@ -2097,6 +2210,8 @@ object Extras extends QueryModule {
     "ev20_interarrival_hist" -> interarrivalHistogramSql,
     "ev22_stickiness" -> stickinessSql,
     "ev23_last_touch" -> lastTouchAttributionSql,
+    "ev24_dau_sketch" -> dauSketchSql,
+    "ev25_audience_overlap" -> audienceOverlapSql,
     "ev19_weekday_profile" -> weekdayProfileSql,
     "ev6_funnel" -> funnelSql,
     "ev7_cohort_retention" -> cohortRetentionSql,

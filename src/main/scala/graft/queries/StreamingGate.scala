@@ -196,15 +196,53 @@ object StreamingGate extends QueryModule {
       |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
       |ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw6
+  // Watermarked streaming DISTINCT-user census via the KMV sketch — the
+  // mergeable-sketch-in-streaming-state composition: per (hour, type)
+  // window the state store holds ONE serialized bounded sketch buffer
+  // (≤ 2k longs), updated per micro-batch and merged across them,
+  // instead of one state row per distinct user (the exact streaming
+  // COUNT(DISTINCT) shape, which Spark refuses in append mode for
+  // precisely that state-size reason). The gate is hash-EXACT, not
+  // bounded: per-window user cardinality sits far below k = 8192 at
+  // every test scale, and below k the sketch IS the distinct count —
+  // past k the same plan degrades to a 1.1%-sigma estimate instead of
+  // unbounded state. Emission contract restated like sw2: a window is
+  // emitted iff its end is at or below the final watermark.
+  private def streamDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        graft.functions.NdvSketch.ndvSketch(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bucket_hour"), col("event_type"),
+        col("distinct_users"), col("n_events"))
+    drain(s, agg, "sw6_mem")
+      .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
+  private val streamDistinctUsersSql =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+      |SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+      |ORDER BY bucket_hour NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sw5_stream_join" -> (streamStreamJoin _),
     "sw2_stream_hourly" -> (streamHourly _),
     "sw3_stream_sessions" -> (streamSessions _),
-    "sw4_stream_dedup" -> (streamDedup _))
+    "sw4_stream_dedup" -> (streamDedup _),
+    "sw6_stream_distinct" -> (streamDistinctUsers _))
 
   def oracle: Map[String, String] = Map(
     "sw5_stream_join" -> streamStreamJoinSql,
     "sw2_stream_hourly" -> streamHourlySql,
     "sw3_stream_sessions" -> streamSessionsSql,
-    "sw4_stream_dedup" -> streamDedupSql)
+    "sw4_stream_dedup" -> streamDedupSql,
+    "sw6_stream_distinct" -> streamDistinctUsersSql)
 }

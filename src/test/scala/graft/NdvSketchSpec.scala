@@ -46,6 +46,34 @@ class NdvSketchSpec extends AnyFunSuite {
     assert(est(0) == est(1), s"duplication moved the estimate: $est")
   }
 
+  test("set variant: complete kept set below k, and theta-intersection estimates above it") {
+    import graft.functions.{KmvSetAgg, NdvSketch}
+    // below k: kept set IS the distinct hash set, flagged exact
+    val df = spark.range(0, 2000).select((col("id") % 300L).as("v"))
+    val st = df.agg(NdvSketch.ndvSketchSet(col("v")).as("s"))
+      .select(col("s.n"), col("s.exact"), size(col("s.hashes")).as("sz")).collect()(0)
+    assert(st.getLong(0) == 300L && st.getBoolean(1) && st.getInt(2) == 300)
+
+    // above k with k=256: two overlapping streams (0..1999 and
+    // 1000..2999, true overlap 1000 of union 3000) — the theta
+    // intersection estimate must land within ~5 sigma of truth
+    // (sigma ≈ |A∩B|/sqrt(k) here)
+    val agg = new KmvSetAgg(256)
+    def fold(vs: Seq[Long]) = agg.finish(
+      vs.foldLeft(agg.zero)((b, v) => agg.reduce(b, Some(spread(v)))))
+    val a = fold(0L until 2000L)
+    val b = fold(1000L until 3000L)
+    assert(!a.exact && !b.exact)
+    val t = math.min(a.theta, b.theta)
+    val common = a.hashes.toSet.intersect(b.hashes.toSet).count(_ < t)
+    val raw = t ^ Long.MinValue
+    val frac = ((raw >>> 1).toDouble * 2.0 + (raw & 1L)) / math.pow(2.0, 64)
+    val est = math.round(common / frac)
+    assert(math.abs(est - 1000L) <= 1000L * 5 / 16, s"intersection estimate $est vs 1000")
+  }
+
+  private def spread(v: Long): Long = v * 0x9E3779B97F4A7C15L
+
   test("merge of partial buffers equals the single-stream sketch") {
     val agg = new KmvNdvAgg(64)
     def fold(vs: Seq[Long]): KmvBuf =

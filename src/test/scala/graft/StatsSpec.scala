@@ -180,7 +180,7 @@ class StatsSpec extends AnyFunSuite {
       "WAU never exceeds DAU — trailing window vacuous")
   }
 
-  test("dq9: exact NDVs replay; the raw HLL estimate sits within the stated 5%") {
+  test("dq9: exact NDVs replay; the raw KMV estimate sits within the stated 5%") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("dq9_cardinality_audit")(s, dir).collect()
       .map(r => r.getAs[String]("column_name") ->
@@ -189,10 +189,59 @@ class StatsSpec extends AnyFunSuite {
     out.foreach { case (c, (ndv, ok)) =>
       assert(ndv == li.select(c).distinct().count(), s"$c exact ndv")
       assert(ok, s"$c estimate outside 5% — the gate would hash-fail")
-      val approx = li.agg(approx_count_distinct(col(c), 0.01)).head().getLong(0)
+      val approx = li.agg(graft.functions.NdvSketch.ndvSketch(col(c))).head().getLong(0)
       assert(math.abs(approx - ndv) * 100 <= ndv * 5, s"$c raw estimate drifted")
     }
     assert(out.size == 4)
+  }
+
+  test("dq9/dq11 plan shape: the sketch NEVER rides a distinct partial; dq11 is one scan") {
+    // the r9 regression was exactly this plan smell — a wide-buffer
+    // sketch aggregate sharing a node with a DISTINCT aggregate gets its
+    // buffer allocated per distinct value. Pin the separation: dq9 = two
+    // scans (multi-distinct HashAggregate chain + grouping-free sketch
+    // ObjectHashAggregate) joined on 1-row frames; dq11 = ONE scan, ONE
+    // ObjectHashAggregate pair, no Expand anywhere.
+    val s = SparkEntry.configure(spark)
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+      import org.apache.spark.sql.execution.ExpandExec
+      val dq9 = SparkEntry.queries("dq9_cardinality_audit")(s, dir).queryExecution.executedPlan
+      val objAggs9 = dq9.collect { case a: ObjectHashAggregateExec => a }
+      assert(objAggs9.nonEmpty, "dq9 sketch side must be an ObjectHashAggregate")
+      assert(objAggs9.forall(_.groupingExpressions.isEmpty),
+        "dq9 sketch aggregate must be grouping-free — buffer-per-distinct-value is the r9 bug")
+      assert(dq9.collect { case sc: FileSourceScanExec => sc }.size == 2)
+      val dq11 = SparkEntry.queries("dq11_stats_policy")(s, dir).queryExecution.executedPlan
+      assert(dq11.collect { case sc: FileSourceScanExec => sc }.size == 1, "dq11 must scan once")
+      assert(dq11.collect { case e: ExpandExec => e }.isEmpty, "dq11 must not Expand")
+      assert(dq11.collect { case a: HashAggregateExec => a }.isEmpty &&
+        dq11.collect { case a: ObjectHashAggregateExec => a }.size == 2,
+        "dq11 = one partial + one final ObjectHashAggregate")
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("dq11: policy census replays driver-side") {
+    val s = SparkEntry.configure(spark)
+    val out = SparkEntry.queries("dq11_stats_policy")(s, dir).collect()
+    assert(out.length == 11)
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val n = li.count()
+    out.foreach { r =>
+      val c = r.getAs[String]("column_name")
+      val ndv = li.select(c).na.drop().distinct().count()
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nulls") == n - li.select(c).na.drop().count())
+      assert(r.getAs[Boolean]("is_high_card") == (ndv > 64), s"$c policy bit")
+      if (!r.isNullAt(r.fieldIndex("exact_ndv")))
+        assert(r.getAs[Long]("exact_ndv") == ndv, s"$c exact ndv (sketch below k must be exact)")
+    }
+    // the policy split is non-vacuous: both classes occur
+    assert(out.count(_.getAs[Boolean]("is_high_card")) > 0)
+    assert(out.count(!_.getAs[Boolean]("is_high_card")) > 0)
   }
 
   test("dq8: gap intervals cover exactly the missing hours, disjoint and separated") {

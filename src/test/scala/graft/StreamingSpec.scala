@@ -392,4 +392,52 @@ class StreamingSpec extends AnyFunSuite {
     // exactly once per event, full-row equality with the source
     assert(out.toSeq == src.toSeq)
   }
+
+  test("sw6: sketch-in-state distinct census matches batch AND keeps per-GROUP state") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables(s, dir, "events")
+    val wmInstant = ev.agg(max(col("ts"))).head.getTimestamp(0).toInstant.minusSeconds(600)
+
+    // the gate entry equals the batch COUNT(DISTINCT) under the
+    // watermark contract (sketch exact below k)
+    val streamed = SparkEntry.queries("sw6_stream_distinct")(s, dir).collect()
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("n_events"))
+      .filter(col("w.end") <= lit(Timestamp.from(wmInstant)))
+      .select(col("w.start").as("bucket_hour"), col("event_type"),
+        col("distinct_users"), col("n_events"))
+      .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
+      .collect()
+    assert(streamed.nonEmpty, "vacuous: no closed windows at fixture scale")
+    assert(streamed.toSeq == batch.toSeq)
+
+    // the SCALE claim: state rows are (window × type) GROUPS, never
+    // (window × type × user) — rebuild the same query keeping the handle
+    // so the state-operator metrics are visible
+    val fileSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val tsCol = fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts DIV 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    val agg = raw.select(tsCol.as("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.NdvSketch.ndvSketch(col("user_id")).as("du"))
+    val q = agg.writeStream.format("memory").queryName("sw6_state_pin")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val maxStateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    val groups = ev.select(window(col("ts"), "1 hour"), col("event_type")).distinct().count()
+    val userGroups = ev.select(window(col("ts"), "1 hour"), col("event_type"), col("user_id"))
+      .distinct().count()
+    assert(maxStateRows <= groups, s"state rows $maxStateRows exceed window-groups $groups")
+    assert(userGroups > groups, "fixture degenerate: one user per group — pin proves nothing")
+  }
 }
