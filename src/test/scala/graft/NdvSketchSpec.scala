@@ -74,6 +74,37 @@ class NdvSketchSpec extends AnyFunSuite {
 
   private def spread(v: Long): Long = v * 0x9E3779B97F4A7C15L
 
+  test("property: any split/permutation of any stream merges to the single-stream sketch") {
+    import org.scalacheck.{Gen, rng}
+    // generated streams with duplicates, adversarial sizes around k, and
+    // arbitrary 3-way splits; fixed seeds (no scalatestplus bridge in
+    // the offline set). The kept set must be a pure function of the
+    // VALUE SET — independent of order, duplication, and partitioning.
+    val k = 32
+    val agg = new graft.functions.KmvNdvAgg(k)
+    val genStream = for {
+      n <- Gen.choose(0, 200)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 60L)) // dense → many duplicates
+    } yield vs.map(spread)
+    (1L to 40L).foreach { seed =>
+      val vs = genStream.pureApply(Gen.Parameters.default, rng.Seed(seed))
+      def fold(xs: Seq[Long]) = xs.foldLeft(agg.zero)((b, v) => agg.reduce(b, Some(v)))
+      val whole = agg.finish(fold(vs))
+      // exactness contract below k, estimator determinism above
+      val distinct = vs.distinct.size
+      if (distinct < k) assert(whole == distinct.toLong, s"seed=$seed")
+      // permutation invariance (deterministic shuffle via sortBy hash)
+      assert(agg.finish(fold(vs.sortBy(v => v * 0x45d9f3bL))) == whole, s"seed=$seed perm")
+      // arbitrary 3-way split + merge in both association orders
+      val (a, rest) = vs.splitAt(vs.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      val m1 = agg.merge(agg.merge(fold(a), fold(b)), fold(c))
+      val m2 = agg.merge(fold(a), agg.merge(fold(b), fold(c)))
+      assert(agg.finish(m1) == whole, s"seed=$seed assoc-left")
+      assert(agg.finish(m2) == whole, s"seed=$seed assoc-right")
+    }
+  }
+
   test("merge of partial buffers equals the single-stream sketch") {
     val agg = new KmvNdvAgg(64)
     def fold(vs: Seq[Long]): KmvBuf =
