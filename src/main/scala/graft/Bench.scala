@@ -35,6 +35,17 @@ object Bench {
     */
   private def sweepState(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
+    // Streaming entries (sw*) leave two kinds of state clearCache never
+    // sees, and every later alphabetical entry (tok*, tx*, …) would
+    // otherwise measure under it (the r10 driver sweep's >2x cluster sat
+    // right after the sw* block): loaded state-store providers — each
+    // holds its partition's full last-version key map until the LAZY
+    // maintenance thread unloads it — and the memory-sink buffers pinned
+    // by the sw*_mem temp views. Stop any straggler query, drop the sink
+    // views, unload the providers eagerly.
+    spark.streams.active.foreach(_.stop())
+    org.apache.spark.sql.GraftShims.dropTempViewsBySuffix(spark, "_mem")
+    org.apache.spark.sql.GraftShims.unloadStreamingState()
     // SharedFrames blocks are cross-entry materialized views (the graph
     // edge frames, the MinHash pair table) — built once per sweep by
     // design; dropping them here would force every consumer entry to
@@ -92,24 +103,34 @@ object Bench {
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
-    println(line)
     // Persist the complete per-query map as a file artifact: the driver
-    // captures a truncated log *tail*, so with 128 entries the printed
+    // captures a truncated log *tail*, so with 233 entries the printed
     // line can lose the first half of the alphabet (BENCH_r06.json kept
     // only 63 entries, "parsed": null). The file always has all of them.
     // bench_full.json is the COMMITTED recorded baseline (BASELINE.md,
     // sf0.1): a run at any other scale factor defaults to a suffixed
     // name so a quick smoke at sf0.001 can't silently clobber the
-    // baseline the 2× gate reads
+    // baseline the 2× gate reads. bench_summary.json is the SAME line at
+    // a fixed sidecar path regardless of sf, for any consumer that wants
+    // the summary without stdout framing.
     val sfName = new java.io.File(sfDir).getName
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (sfName == "sf0.1") "bench_full.json" else s"bench_full_$sfName.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(artifact),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    Seq(artifact, "bench_summary.json").foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] artifact write failed ($p): $e") }
+    }
+    // The summary must be the LAST stdout line (ten rounds of the driver
+    // reading "parsed": null because shutdown-path WARN logs and the
+    // session-stop chatter landed after it): silence logging entirely,
+    // stop Spark FIRST, and only then print.
+    spark.sparkContext.setLogLevel("OFF")
     SharedFrames.releaseAll(spark)
     spark.stop()
+    println(line)
+    System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

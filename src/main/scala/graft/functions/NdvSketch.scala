@@ -109,7 +109,11 @@ abstract class KmvAggBase[OUT](k: Int) extends Aggregator[Option[Long], KmvBuf, 
 class KmvNdvAgg(k: Int) extends KmvAggBase[Long](k) {
   override def finish(b: KmvBuf): Long = {
     val c = finalState(b)
-    if (c.n < kk) c.n.toLong // kept set is the whole distinct set: exact
+    // never-trimmed (theta still open) means the kept set is the WHOLE
+    // distinct set — exact. Gating on n < k instead would push the
+    // exactly-k-distinct case through the estimator (~k ± 1.1%) even
+    // though the sketch never dropped a hash.
+    if (c.theta == Long.MaxValue) c.n.toLong
     else {
       // R = k-th minimum as a fraction of the unsigned 64-bit space
       val raw = c.arr(kk - 1) ^ Long.MinValue // unflip to the real hash

@@ -271,7 +271,8 @@ object RawCodec {
     val b = le(bytes)
     if (b.get(0) != 'B'.toByte || b.get(1) != 'M'.toByte) return None
     val dataOffset = b.getInt(10)
-    if (b.getInt(14) < 40) return None // DIB size
+    val dibSize = b.getInt(14)
+    if (dibSize < 40) return None // BITMAPINFOHEADER or a later superset
     val width = b.getInt(18)
     val height = b.getInt(22)
     val bpp = b.getShort(28) & 0xffff
@@ -279,7 +280,10 @@ object RawCodec {
     if (bpp != 8 || compression != 1 || width <= 0 || height <= 0) return None
     val clrUsed = b.getInt(46)
     val colors = if (clrUsed == 0) 256 else clrUsed
-    val palOff = 54
+    // palette sits immediately after the DIB header, whose size VARIES
+    // (40 = INFOHEADER, 108/124 = V4/V5): hardcoding 54 would silently
+    // read V4/V5 header bytes as palette entries
+    val palOff = 14 + dibSize
     if (palOff + 4 * colors > dataOffset || dataOffset > bytes.length) return None
     // palette channel sum per index: entry i is 4 bytes B,G,R,reserved
     val palSum = Array.tabulate(colors) { i =>

@@ -1565,9 +1565,9 @@ object Extras extends QueryModule {
     * intersections on the driver-free plan. Below k the kept sets are
     * the COMPLETE distinct hash sets (`exact` flag in [[graft.functions
     * .KmvSet]]), so the gate is hash-EXACT; past k the same plan
-    * degrades to the standard θ-sketch estimate (intersect below
-    * min(θ), scale by the θ fraction) instead of an exchange explosion.
-    * Inclusion-exclusion gives the union from the same arrays.
+    * degrades to the standard θ-sketch estimate (intersect/union below
+    * min(θ), scale by the θ fraction — see [[sketchPairAlgebra]])
+    * instead of an exchange explosion.
     */
   private def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
     // ENGAGED audience: ≥ 14 events of the type — every user touches
@@ -1584,29 +1584,52 @@ object Extras extends QueryModule {
     val sets = engaged
       .groupBy("event_type")
       .agg(graft.functions.NdvSketch.ndvSketchSet(col("user_id")).as("sk"))
+    sketchPairAlgebra(sets)
+      .orderBy(col("type_a").asc_nulls_first, col("type_b").asc_nulls_first)
+  }
+
+  /** θ-sketch pair algebra over a (event_type, sk: [[graft.functions
+    * .KmvSet]]) frame: |A ∩ B| and |A ∪ B| for every type pair. Exact
+    * regime (both kept sets complete): plain array set ops. Estimator
+    * regime: BOTH counts come from the same θ-sketch — distinct kept
+    * hashes of the intersection/union below min(θ), scaled by the θ
+    * fraction of the unsigned hash space. The union must NOT be derived
+    * by inclusion–exclusion on `KmvSet.n` past k: `n` is the KEPT count
+    * (capped at k once a sketch trims) while the overlap is a θ-scaled
+    * estimate of the TRUE intersection — mixed scales that bound the
+    * "union" by ~2k and can push it negative (the r10 latent defect).
+    * θ is stored SIGN-FLIPPED, so `least`/`x < thmin` realize unsigned
+    * order under signed comparison; the fraction unflips and must use
+    * shiftrightUNSIGNED — for NDV between k and ~2k the k-th minimum
+    * hash has its top bit set and an arithmetic shift sign-extends into
+    * a negative fraction. Package-visible so the spec pins the above-k
+    * regime the gate corpora never reach.
+    */
+  private[graft] def sketchPairAlgebra(sets: DataFrame): DataFrame = {
+    val unflip = "(thmin ^ -9223372036854775808)"
     sets.as("a").join(broadcast(sets.as("b")),
         col("a.event_type") < col("b.event_type"))
       .select(
         col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
         col("a.sk").as("sa"), col("b.sk").as("sb"))
-      .select(col("type_a"), col("type_b"),
-        // exact regime (kept sets complete): plain set intersection;
-        // estimator regime: intersect below min(theta), scale by the
-        // theta fraction of the unsigned hash space
+      .withColumn("thmin", least(col("sa.theta"), col("sb.theta")))
+      .withColumn("frac", expr(
+        s"(CAST(shiftrightunsigned($unflip, 1) AS DOUBLE) * 2.0 + ($unflip & 1)) / pow(2.0, 64)"))
+      .withColumn("overlap_users",
         when(col("sa.exact") && col("sb.exact"),
           size(array_intersect(col("sa.hashes"), col("sb.hashes"))).cast(LongType))
           .otherwise(expr(
             """CAST(round(
-              |  size(filter(array_intersect(sa.hashes, sb.hashes),
-              |              x -> x < least(sa.theta, sb.theta)))
-              |  / ((CAST(shiftright(least(sa.theta, sb.theta) ^ -9223372036854775808, 1) AS DOUBLE) * 2.0
-              |      + ((least(sa.theta, sb.theta) ^ -9223372036854775808) & 1)) / pow(2.0, 64))
-              |) AS BIGINT)""".stripMargin))
-          .as("overlap_users"),
-        (col("sa.n") + col("sb.n")).as("n_sum"))
-      .withColumn("union_users", col("n_sum") - col("overlap_users"))
-      .drop("n_sum")
-      .orderBy(col("type_a").asc_nulls_first, col("type_b").asc_nulls_first)
+              |  size(filter(array_intersect(sa.hashes, sb.hashes), x -> x < thmin)) / frac
+              |) AS BIGINT)""".stripMargin)))
+      .withColumn("union_users",
+        when(col("sa.exact") && col("sb.exact"),
+          col("sa.n") + col("sb.n") - col("overlap_users"))
+          .otherwise(expr(
+            """CAST(round(
+              |  size(filter(array_union(sa.hashes, sb.hashes), x -> x < thmin)) / frac
+              |) AS BIGINT)""".stripMargin)))
+      .select(col("type_a"), col("type_b"), col("overlap_users"), col("union_users"))
   }
 
   private val audienceOverlapSql =

@@ -1035,7 +1035,25 @@ object Text extends QueryModule {
   private val BpeMergeCount = 5
 
   private def bpeMerges(s: SparkSession, dir: String): DataFrame =
-    bpeMergesOver(t(s, dir, "documents"), BpeMergeCount)
+    trainedMerges(s, dir, evenOnly = false)
+      .orderBy(col("merge_rank").asc_nulls_first)
+
+  /** The trained merge-rules frame, memoized per (dir, split) via
+    * [[graft.SharedFrames]]: tok1 emits it, tok2 prices the corpus with
+    * it, tok3 evaluates the even-split variant — and each retraining is
+    * 5 chained vocabulary jobs (~1/3 of the tok trio's sweep cost,
+    * VERDICT r10 perf). The trained rules are a 5-row frame — exactly
+    * the materialized-view shape: train once per sweep, read everywhere.
+    * Entries stay self-contained in MEANING (any consumer triggers the
+    * training if it hasn't happened); only the redundant re-execution is
+    * shared away.
+    */
+  private def trainedMerges(s: SparkSession, dir: String, evenOnly: Boolean): DataFrame =
+    graft.SharedFrames.memoize(s, s"bpe-merges:$dir:${if (evenOnly) "even" else "full"}") {
+      val docs = t(s, dir, "documents")
+      bpeMergesOver(
+        if (evenOnly) docs.filter(col("doc_id") % 2 === 0) else docs, BpeMergeCount)
+    }
 
   /** The trainer over any frame with a `text` column — package-visible so
     * the spec can replay it on a hand-computable micro-corpus.
@@ -1131,15 +1149,18 @@ object Text extends QueryModule {
     * verbatim and replays the same nested replaces.
     */
   private def bpeApply(s: SparkSession, dir: String): DataFrame =
-    bpeApplyOver(t(s, dir, "documents"), BpeMergeCount)
+    bpeApplyBody(t(s, dir, "documents"),
+      bpeRulesFrom(trainedMerges(s, dir, evenOnly = false), BpeMergeCount))
 
   /** Train on `docs` and pivot the learned rules into ONE broadcast row
     * plus the chained-replace SQL that applies them to a `syms` column —
     * shared by tok2 (whole-corpus segmentation) and tok3 (holdout
     * coverage, trained on a split).
     */
-  private[graft] def bpeRules(docs: DataFrame, iters: Int): (DataFrame, String) = {
-    val merges = bpeMergesOver(docs, iters)
+  private[graft] def bpeRules(docs: DataFrame, iters: Int): (DataFrame, String) =
+    bpeRulesFrom(bpeMergesOver(docs, iters), iters)
+
+  private[graft] def bpeRulesFrom(merges: DataFrame, iters: Int): (DataFrame, String) = {
     // pivot the 5 learned rules into ONE row so application is a single
     // broadcast crossJoin, not five
     val ruleCols = (1 to iters).flatMap(i => Seq(
@@ -1151,8 +1172,11 @@ object Text extends QueryModule {
     (onerow, applied)
   }
 
-  private[graft] def bpeApplyOver(docs: DataFrame, iters: Int): DataFrame = {
-    val (onerow, applied) = bpeRules(docs, iters)
+  private[graft] def bpeApplyOver(docs: DataFrame, iters: Int): DataFrame =
+    bpeApplyBody(docs, bpeRules(docs, iters))
+
+  private def bpeApplyBody(docs: DataFrame, rules: (DataFrame, String)): DataFrame = {
+    val (onerow, applied) = rules
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -1211,7 +1235,8 @@ object Text extends QueryModule {
     */
   private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val (onerow, applied) = bpeRules(docs.filter(col("doc_id") % 2 === 0), BpeMergeCount)
+    val (onerow, applied) =
+      bpeRulesFrom(trainedMerges(s, dir, evenOnly = true), BpeMergeCount)
     def segmented(df: DataFrame, extra: Column*): DataFrame = df
       .select(extra :+ explode(split(col("text"), " ")).as("w"): _*)
       .filter(col("w").rlike("^[a-z]+$"))

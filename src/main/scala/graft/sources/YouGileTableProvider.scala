@@ -276,9 +276,18 @@ private[sources] class YouGileMicroBatchStream(schema: StructType, opts: Map[Str
 
 private[sources] case class YouGileOffset(done: Set[String]) extends Offset {
   // sorted so the checkpoint JSON (and offset equality via json) is
-  // canonical regardless of set iteration order
-  override def json: String =
-    done.toSeq.sorted.map(id => "\"" + id + "\"").mkString("{\"done\":[", ",", "]}")
+  // canonical regardless of set iteration order. Serialized via Jackson
+  // (the same mapper deserializeOffset reads with): column ids come from
+  // the untrusted HTTP API, and hand-concatenated string literals would
+  // emit a malformed checkpoint for an id containing a quote or
+  // backslash — wedging every stream restart.
+  override def json: String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val arr = root.putArray("done")
+    done.toSeq.sorted.foreach(arr.add)
+    m.writeValueAsString(root)
+  }
 }
 
 private[sources] class YouGileReaderFactory(schema: StructType, opts: Map[String, String])

@@ -51,6 +51,30 @@ object GraftShims {
       case l: execution.LogicalRDD => l.rdd
     }
 
+  /** Unload every loaded state-store provider and stop the maintenance
+    * task. After a streaming query finishes, each partition's provider
+    * stays LOADED in the StateStore singleton — holding the last
+    * committed version's full key→value map in memory — until the lazy
+    * maintenance thread gets around to unloading it. Bench sweeps call
+    * this so entries measured after a streaming entry don't run under
+    * the stream's residual state (the r10 tok1/tok2 inflation cluster
+    * sat right after the sw* block in the alphabetical sweep). The next
+    * streaming query transparently restarts the maintenance task.
+    */
+  def unloadStreamingState(): Unit =
+    execution.streaming.state.StateStore.stop()
+
+  /** Drop every local temp view whose name ends with `suffix` — the
+    * memory-sink tables streaming gate entries register (`sw*_mem`) pin
+    * their full result buffers via the catalog until dropped. Catalog-
+    * only operation (no Spark job), cheap enough for between-run sweeps.
+    */
+  def dropTempViewsBySuffix(spark: SparkSession, suffix: String): Unit = {
+    val cat = spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+    cat.listLocalTempViews("*").map(_.table).filter(_.endsWith(suffix))
+      .foreach(cat.dropTempView)
+  }
+
   /** Register a catalyst function builder on an already-built session —
     * the runtime counterpart of SparkSessionExtensions.injectFunction.
     */

@@ -74,6 +74,36 @@ class NdvSketchSpec extends AnyFunSuite {
 
   private def spread(v: Long): Long = v * 0x9E3779B97F4A7C15L
 
+  test("exactly k distinct values stay exact (never-trimmed boundary)") {
+    // with EXACTLY k distinct the sketch never trims (theta stays open),
+    // so the kept set is complete and the answer must be k itself, not
+    // the ~k±1.1% estimator (the r10 off-by-one: gating on n < k)
+    val agg = new KmvNdvAgg(64)
+    val buf = (0L until 64L).map(spread)
+      .foldLeft(agg.zero)((b, v) => agg.reduce(b, Some(v)))
+    assert(agg.finish(buf) == 64L)
+  }
+
+  test("pair algebra SQL path: above-k overlap AND union are theta-scaled, not kept-count math") {
+    // two overlapping value streams, k=256 (both sketches trim):
+    // A = 0..1999, B = 1000..2999 -> true overlap 1000, true union 3000.
+    // Pins BOTH r10 defects at once: (1) the union must come from the
+    // theta-sketch (kept-count inclusion-exclusion bounds it by ~2k=512
+    // and here would go NEGATIVE), and (2) with NDV ~2000 vs k=256 the
+    // k-th minimum hash has its top bit set, so an ARITHMETIC shiftright
+    // in the SQL fraction sign-extends into garbage — shiftrightunsigned
+    // is load-bearing.
+    val rows = (0L until 2000L).map(("a", _)) ++ (1000L until 3000L).map(("b", _))
+    val sets = rows.toDF("event_type", "v")
+      .groupBy("event_type")
+      .agg(NdvSketch.ndvSketchSet(col("v"), 256).as("sk"))
+    val out = graft.queries.Extras.sketchPairAlgebra(sets).collect()(0)
+    val (ov, un) = (out.getAs[Long]("overlap_users"), out.getAs[Long]("union_users"))
+    assert(math.abs(ov - 1000L) <= 1000L * 5 / 16, s"overlap estimate $ov vs 1000")
+    assert(math.abs(un - 3000L) <= 3000L * 5 / 16, s"union estimate $un vs 3000")
+    assert(un > 512L, s"union $un is inside the kept-count bound 2k — not theta-scaled")
+  }
+
   test("property: any split/permutation of any stream merges to the single-stream sketch") {
     import org.scalacheck.{Gen, rng}
     // generated streams with duplicates, adversarial sizes around k, and
@@ -90,9 +120,10 @@ class NdvSketchSpec extends AnyFunSuite {
       val vs = genStream.pureApply(Gen.Parameters.default, rng.Seed(seed))
       def fold(xs: Seq[Long]) = xs.foldLeft(agg.zero)((b, v) => agg.reduce(b, Some(v)))
       val whole = agg.finish(fold(vs))
-      // exactness contract below k, estimator determinism above
+      // exactness contract AT OR below k (never trimmed), estimator
+      // determinism above
       val distinct = vs.distinct.size
-      if (distinct < k) assert(whole == distinct.toLong, s"seed=$seed")
+      if (distinct <= k) assert(whole == distinct.toLong, s"seed=$seed")
       // permutation invariance (deterministic shuffle via sortBy hash)
       assert(agg.finish(fold(vs.sortBy(v => v * 0x45d9f3bL))) == whole, s"seed=$seed perm")
       // arbitrary 3-way split + merge in both association orders

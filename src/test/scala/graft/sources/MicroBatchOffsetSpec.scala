@@ -74,4 +74,17 @@ class MicroBatchOffsetSpec extends AnyFunSuite {
     val all = ids(st.latestOffset()).toSeq.sorted
     assert(ids(st.deserializeOffset("""{"done":2}""")) == all.take(2).toSet)
   }
+
+  test("offset JSON escapes hostile ids (untrusted API membership) and still round-trips") {
+    // the HTTP API owns id formats; a quote/backslash/control char in an
+    // id must yield VALID checkpoint JSON, or stream restarts wedge on
+    // an unparseable offset
+    val hostile = Set("""has"quote""", """back\slash""", "tab\there", "plain")
+    val o = YouGileOffset(hostile)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(o.json).path("done")
+    assert(node.isArray)
+    val back = (0 until node.size()).map(node.get(_).asText()).toSet
+    assert(back == hostile)
+    assert(ids(stream().deserializeOffset(o.json)) == hostile)
+  }
 }
