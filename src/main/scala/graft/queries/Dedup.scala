@@ -1167,7 +1167,85 @@ object Dedup extends QueryModule {
        |  CAST((1000000 * SUM(in_a * in_l)) // SUM(in_a) AS BIGINT) AS lsh_recall_ppm
        |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- dd16
+  /** EXACT substring-grain dedup census — the repeated-passage modality
+    * the other dd legs can't guarantee: dd1 needs whole-document
+    * equality, and dd11's content-defined segments catch a shared
+    * passage only where its words contain boundary hashes (a passage
+    * with no boundary word fuses with its — differing — surroundings,
+    * so the shared text never yields a shared segment). Here every
+    * W-token window at stride 1 is fingerprinted (md5, cross-engine),
+    * so a repeated run of ≥ W tokens ANYWHERE in two documents emits
+    * identical fingerprints regardless of offset — the fingerprinting
+    * family of Manber '94 (mod-p sampling) / Schleimer's winnowing.
+    * Sampling keeps 1/16 of fingerprints (first md5 hex char '0')
+    * DETERMINISTICALLY BY CONTENT: the same passage samples identically
+    * in every document that contains it, so shared passages survive
+    * sampling with their overlap intact (a per-doc random sample would
+    * destroy the intersection). Output per corpus doc: sampled
+    * fingerprint count and how many of those are shared with ≥ 1 other
+    * document.
+    *
+    * Scale posture: window fingerprints are per-doc map-side HOF work
+    * (one `transform` over an index sequence — the token array is
+    * never exploded per window); sampling cuts the shuffled stream to
+    * ~1/16 of token volume BEFORE the first exchange; then one
+    * fp-grain aggregate and an fp-grain join that reuses the same hash
+    * partitioning, and a doc-grain rollup. The spec plants an
+    * offset-shifted repeated passage (boundary-free words) that dd11
+    * provably misses and this census provably catches.
+    */
+  private val FpW = 12 // fingerprint window length (tokens)
+
+  /** The census over any (doc_id, text) frame; `sampled = false` keeps
+    * every fingerprint (the spec's recall-guarantee mode — sampling
+    * thins a short passage's 4 windows with 1/16 odds each).
+    */
+  private[graft] def repeatedPassageCensusOver(
+      docs: DataFrame, sampled: Boolean): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(tk) >= $FpW
+           |  THEN transform(sequence(1, size(tk) - ${FpW - 1}),
+           |                 i -> md5(array_join(slice(tk, i, $FpW), ' ')))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("fp"))
+    val kept = if (sampled) fps.filter(substring(col("fp"), 1, 1) === "0") else fps
+    val docFp = kept.select("doc_id", "fp").distinct()
+    val fpDocs = docFp.groupBy("fp").agg(count(lit(1)).as("nd"))
+    val per = docFp.join(fpDocs, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sampled_fp"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sampled_fp"), lit(0L)).as("n_sampled_fp"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private def repeatedPassages(s: SparkSession, dir: String): DataFrame =
+    repeatedPassageCensusOver(corpus(s, dir), sampled = true)
+
+  private val repeatedPassagesSql =
+    s"""WITH $corpusSql,
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+       |w0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) - $FpW + 2)) AS i FROM tk),
+       |wins AS (SELECT doc_id, md5(array_to_string(tk[i:i+${FpW - 1}], ' ')) AS fp
+       |         FROM w0),
+       |samp AS (SELECT DISTINCT doc_id, fp FROM wins WHERE substr(fp, 1, 1) = '0'),
+       |fpd AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS nd FROM samp GROUP BY fp),
+       |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |          CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |        FROM samp JOIN fpd USING (fp) GROUP BY doc_id)
+       |SELECT c.doc_id, COALESCE(n_sampled, 0) AS n_sampled_fp,
+       |  COALESCE(n_shared, 0) AS n_shared_fp
+       |FROM corpus c LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd16_repeated_passages" -> (repeatedPassages _),
     "dd15_lsh_quality" -> (lshQuality _),
     "dd12_containment" -> (containmentPairs _),
     "cur3_canonical_pick" -> (canonicalPick _),
@@ -1185,6 +1263,7 @@ object Dedup extends QueryModule {
     "cur1_curation_pipeline" -> (curation _))
 
   override val oracle: Map[String, String] = Map(
+    "dd16_repeated_passages" -> repeatedPassagesSql,
     "cur3_canonical_pick" -> canonicalPickSql,
     // same result as dd8 by construction (bloom FPs die in the verify
     // join) — the gate proves the equivalence
