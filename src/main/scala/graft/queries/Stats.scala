@@ -2040,7 +2040,88 @@ object Stats extends QueryModule {
       |FROM ranked GROUP BY lang, decile
       |ORDER BY lang NULLS FIRST, decile NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dq12
+  /** Join-cardinality estimation audit — the KMV sketch feeding the
+    * optimizer decision it exists for: per candidate join-key pair, the
+    * System-R containment estimate |L ⋈ R| ≈ n_L·n_R / max(ndv_L,
+    * ndv_R) next to the EXACT join cardinality, so a stats job can see
+    * where the uniform-containment assumption holds (FK joins: ratio
+    * exactly 10⁶ ppm) and where data skews it (the date-keyed pair).
+    * The gate hashes the exact-NDV quantities (cross-engine); the
+    * sketch path rides dq9's bounded-flag technique — the same formula
+    * over [[graft.functions.NdvSketch]] NDVs must land within 5% of
+    * the exact-NDV estimate (sketch σ ≈ 1.1%, so 5% ≈ 4.5σ; literal
+    * TRUE in the oracle). At 100 TB only the sketch path runs (one
+    * bounded-buffer pass per side, no COUNT DISTINCT exchange) and the
+    * `actual_rows` column is dropped — exact twins exist here because
+    * an estimator audit that never faces ground truth proves nothing.
+    *
+    * Spelling notes: exact stats (count + COUNT DISTINCT) and the
+    * sketch ride SEPARATE aggregates — a DISTINCT aggregate makes the
+    * partial pass group by (gid, value), and any wide-buffer aggregate
+    * sharing that node allocates per distinct value (the r9 dq9 13.8×
+    * regression). All 1-row side frames broadcast into the final
+    * assembly; the only real work is the count-only probe joins.
+    */
+  private def joinCardinality(s: SparkSession, dir: String): DataFrame = {
+    def pair(name: String, lt: String, lk: String, rt: String, rk: String): DataFrame = {
+      val l = t(s, dir, lt)
+      val r = t(s, dir, rt)
+      val lEx = l.agg(count(lit(1)).as("n_left"), countDistinct(col(lk)).as("ndv_left"))
+      val rEx = r.agg(count(lit(1)).as("n_right"), countDistinct(col(rk)).as("ndv_right"))
+      val lSk = l.agg(graft.functions.NdvSketch.ndvSketch(col(lk)).as("sk_left"))
+      val rSk = r.agg(graft.functions.NdvSketch.ndvSketch(col(rk)).as("sk_right"))
+      val actual = l.select(col(lk).as("k")).join(r.select(col(rk).as("k")), Seq("k"))
+        .agg(count(lit(1)).as("actual_rows"))
+      lEx.crossJoin(broadcast(rEx)).crossJoin(broadcast(lSk))
+        .crossJoin(broadcast(rSk)).crossJoin(broadcast(actual))
+        .select(
+          lit(name).as("join_name"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"),
+          expr("(n_left * n_right) DIV greatest(ndv_left, ndv_right)").as("est_rows"),
+          col("actual_rows"),
+          expr("(1000000 * ((n_left * n_right) DIV greatest(ndv_left, ndv_right)))" +
+            " DIV actual_rows").as("est_ratio_ppm"),
+          (abs(expr("(n_left * n_right) DIV greatest(sk_left, sk_right)") -
+            expr("(n_left * n_right) DIV greatest(ndv_left, ndv_right)")) * 100 <=
+            expr("(n_left * n_right) DIV greatest(ndv_left, ndv_right)") * 5)
+            .as("sketch_within_5pct"))
+    }
+    Seq(
+      pair("events_customer", "events", "user_id", "customer", "c_custkey"),
+      pair("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      pair("lineitem_ship_orderdate", "lineitem", "l_shipdate", "orders", "o_orderdate"),
+      pair("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      pair("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("join_name").asc_nulls_first)
+  }
+
+  private val joinCardinalitySql = {
+    def pair(name: String, lt: String, lk: String, rt: String, rk: String): String =
+      s"""SELECT '$name' AS join_name, l.n AS n_left, r.n AS n_right,
+         |  l.ndv AS ndv_left, r.ndv AS ndv_right,
+         |  (l.n * r.n) // GREATEST(l.ndv, r.ndv) AS est_rows,
+         |  a.n AS actual_rows,
+         |  (1000000 * ((l.n * r.n) // GREATEST(l.ndv, r.ndv))) // a.n AS est_ratio_ppm,
+         |  TRUE AS sketch_within_5pct
+         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(COUNT(DISTINCT $lk) AS BIGINT) AS ndv FROM $lt) l,
+         |     (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(COUNT(DISTINCT $rk) AS BIGINT) AS ndv FROM $rt) r,
+         |     (SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM $lt JOIN $rt ON $lt.$lk = $rt.$rk) a""".stripMargin
+    Seq(
+      pair("events_customer", "events", "user_id", "customer", "c_custkey"),
+      pair("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      pair("lineitem_ship_orderdate", "lineitem", "l_shipdate", "orders", "o_orderdate"),
+      pair("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      pair("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_name NULLS FIRST")
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq12_join_cardinality" -> (joinCardinality _),
     "w7_ntile_deciles" -> (ntileDeciles _),
     "q27_market_share" -> (marketShare _),
     "q28_forecast_revenue" -> (forecastRevenue _),
@@ -2095,6 +2176,7 @@ object Stats extends QueryModule {
     "q29_profit_rollup" -> profitRollupSql,
     "q30_priority_shipping" -> priorityShippingSql,
     "dq9_cardinality_audit" -> cardinalityAuditSql,
+    "dq12_join_cardinality" -> joinCardinalitySql,
     "dq10_freshness" -> freshnessAuditSql,
     "dq11_stats_policy" -> statsPolicySql,
     "w8_period_growth" -> periodGrowthSql,
