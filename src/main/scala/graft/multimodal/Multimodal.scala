@@ -109,6 +109,26 @@ object Multimodal {
       })
   }
 
+  /** IMA ADPCM WAVE payloads on a doc slice disjoint from mm6's raw
+    * media (%25==0) and mm10's RLE8 (%25==13): alternating mono/stereo,
+    * 2–4 nibble groups per block, 1–2 blocks — every gate row set
+    * exercises both channel layouts and the multi-block path.
+    */
+  def adpcmMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 7)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val ch = (1 + id % 2).toInt
+        val groups = (2 + id % 3).toInt
+        val blocks = (1 + (id / 2) % 2).toInt
+        val spb = 8 * groups + 1
+        MediaFile(id, "audio", RawCodec.synthAdpcmWav(id, ch, groups, blocks, 8000),
+          MediaMeta("wav_adpcm", 0, 0, blocks.toLong * spb * 1000L / 8000L))
+      })
+  }
+
   /** The decode seam. Implementations must be deterministic per byte
     * content (idempotent re-runs, cross-run joins).
     */
@@ -138,9 +158,11 @@ object Multimodal {
     * lacks). A production build binds an FFI/JNI codec here; everything
     * above this trait is final. Uncompressed containers and run-length
     * compression do NOT go through this seam —
-    * [[RawCodec.RawCodecDecoder]] decodes WAV/BMP and
-    * [[RawCodec.parseRle8Bmp]] decodes BI_RLE8 BMP for real in pure JVM
-    * (mm10 gates the latter against a closed-form oracle).
+    * [[RawCodec.RawCodecDecoder]] decodes WAV/BMP,
+    * [[RawCodec.parseRle8Bmp]] decodes BI_RLE8 BMP, and
+    * [[RawCodec.parseAdpcmWav]] decodes IMA ADPCM WAV for real in pure
+    * JVM (mm10/mm11 gate the compressed pair against closed-form
+    * oracles), so the seam now covers only transform/entropy codecs.
     */
   object NativeDecoder extends MediaDecoder {
     override def features(m: MediaFile): MediaFeatures =

@@ -338,6 +338,191 @@ object RawCodec {
     Some(Rle8Info(width, height, px.length.toLong, sum))
   }
 
+  /** Decoded IMA (DVI) ADPCM audio: channels/rate from the fmt chunk,
+    * decoded samples per channel (fact-chunk truncated), and the exact
+    * integer sum of |decoded sample| over all channels — integer-exact
+    * so a gate can restate it by replaying the predictor/step-index
+    * walk in closed form.
+    */
+  case class AdpcmInfo(channels: Int, sampleRate: Int,
+      nSamplesPerChannel: Long, sumAbs: Long)
+
+  /** The IMA ADPCM quantizer step table (89 entries) and per-nibble
+    * index adjustment — the tables every IMA codec shares (IMA ADPCM
+    * reference algorithm; also RFC 3551 §4.5.1's DVI4 description).
+    */
+  private[graft] val ImaSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 158, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[graft] val ImaIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Parse an IMA ADPCM WAVE (format tag 0x11, 4 bits/sample) — the
+    * second genuinely COMPRESSED codec decodable library-free (the
+    * predictor + step-table scheme is fully specified; no DCT/entropy
+    * machinery). Wire format: per block, a 4-byte header per channel
+    * (int16 initial predictor — which IS the block's first sample —
+    * uint8 step index, reserved), then channel-interleaved 4-byte
+    * groups of 8 nibbles each, LOW nibble first. The fact chunk bounds
+    * the per-channel sample count (a final partial block's trailing
+    * nibbles are decoded but not counted). Returns None on structural
+    * mismatch — undecodable payloads are data, not job failures.
+    */
+  def parseAdpcmWav(bytes: Array[Byte]): Option[AdpcmInfo] = {
+    if (bytes.length < 12) return None
+    val b = le(bytes)
+    if (fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, samplesPerBlock
+    var fact = -1L
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= bytes.length) {
+      val id = fourCC(b, pos)
+      val size = b.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          // 16 base fields + cbSize(2) + samplesPerBlock(2)
+          if (size < 20) return None
+          if ((b.getShort(pos + 8) & 0xffff) != 0x11) return None // IMA/DVI only
+          if ((b.getShort(pos + 22) & 0xffff) != 4) return None // 4 bits/sample
+          fmt = Some((
+            b.getShort(pos + 10) & 0xffff,  // channels
+            b.getInt(pos + 12),             // sample rate
+            b.getShort(pos + 20) & 0xffff,  // block align
+            b.getShort(pos + 26) & 0xffff)) // samples per block
+        case "fact" =>
+          if (size < 4) return None
+          fact = b.getInt(pos + 8).toLong & 0xffffffffL
+        case "data" => data = Some((pos + 8, size))
+        case _      => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    for {
+      (channels, rate, blockAlign, spb) <- fmt
+      (off, size) <- data
+      if channels > 0 && rate > 0 &&
+        blockAlign > 4 * channels && blockAlign % (4 * channels) == 0 &&
+        spb == (blockAlign - 4 * channels) * 2 / channels + 1 &&
+        size % blockAlign == 0
+      info <- decodeAdpcmData(bytes, channels, rate, blockAlign, spb, fact, off, size)
+    } yield info
+  }
+
+  private def decodeAdpcmData(bytes: Array[Byte], channels: Int, rate: Int,
+      blockAlign: Int, spb: Int, fact: Long, off: Int, size: Int): Option[AdpcmInfo] = {
+    val b = le(bytes)
+    val groups = (blockAlign - 4 * channels) / (4 * channels)
+    val blocks = size / blockAlign
+    val totalPerCh = blocks.toLong * spb
+    val wanted = if (fact >= 0) math.min(fact, totalPerCh) else totalPerCh
+    val preds = new Array[Int](channels)
+    val idxs = new Array[Int](channels)
+    val cnt = new Array[Long](channels)
+    var sum = 0L
+    var blk = 0
+    while (blk < blocks) {
+      val base = off + blk * blockAlign
+      var c = 0
+      while (c < channels) {
+        preds(c) = b.getShort(base + 4 * c).toInt
+        idxs(c) = b.get(base + 4 * c + 2) & 0xff
+        if (idxs(c) > 88) return None // corrupt step index
+        if (cnt(c) < wanted) { sum += math.abs(preds(c).toLong); cnt(c) += 1 }
+        c += 1
+      }
+      var g = 0
+      while (g < groups) {
+        c = 0
+        while (c < channels) {
+          val gBase = base + 4 * channels + (g * channels + c) * 4
+          var k = 0
+          while (k < 8) {
+            val byte = b.get(gBase + (k >> 1)) & 0xff
+            val nib = if ((k & 1) == 0) byte & 0xf else byte >>> 4
+            val step = ImaSteps(idxs(c))
+            var diff = step >> 3
+            if ((nib & 4) != 0) diff += step
+            if ((nib & 2) != 0) diff += step >> 1
+            if ((nib & 1) != 0) diff += step >> 2
+            val p2 = if ((nib & 8) != 0) preds(c) - diff else preds(c) + diff
+            preds(c) = math.max(-32768, math.min(32767, p2))
+            idxs(c) = math.max(0, math.min(88, idxs(c) + ImaIndexAdj(nib)))
+            if (cnt(c) < wanted) { sum += math.abs(preds(c).toLong); cnt(c) += 1 }
+            k += 1
+          }
+          c += 1
+        }
+        g += 1
+      }
+      blk += 1
+    }
+    Some(AdpcmInfo(channels, rate, wanted, sum))
+  }
+
+  /** Deterministic IMA ADPCM WAVE payload, writer inverse of
+    * [[parseAdpcmWav]]: block `bl`, channel `ch` starts at predictor
+    * ((seed·131 + ch·37 + bl·53) mod 65536) − 32768 with step index
+    * (seed·17 + ch·5 + bl·11) mod 89, and nibble j of the block is
+    * (seed·7 + ch·3 + bl·19 + j·5) mod 16 — closed forms DuckDB
+    * replays through the SAME predictor/step walk (a recursive CTE), so
+    * the decoded |sample| sum hash-checks the whole table machinery:
+    * nibble order within bytes, channel interleave, clamps, index
+    * adjustments. `groups` 4-byte nibble groups per channel per block →
+    * 8·groups + 1 samples per block per channel (header included).
+    */
+  def synthAdpcmWav(seed: Long, channels: Int, groups: Int, blocks: Int,
+      rate: Int): Array[Byte] = {
+    val blockAlign = 4 * channels * (1 + groups)
+    val spb = 8 * groups + 1
+    val dataSize = blocks * blockAlign
+    val total = 12 + 28 + 12 + 8 + dataSize // RIFF hdr, fmt, fact, data hdr
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)); buf.putInt(total - 8)
+    buf.put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)); buf.putInt(20)
+    buf.putShort(0x11); buf.putShort(channels.toShort); buf.putInt(rate)
+    buf.putInt(rate * blockAlign / spb) // nominal byte rate
+    buf.putShort(blockAlign.toShort); buf.putShort(4)
+    buf.putShort(2); buf.putShort(spb.toShort) // cbSize, samplesPerBlock
+    buf.put("fact".getBytes(ascii)); buf.putInt(4); buf.putInt(blocks * spb)
+    buf.put("data".getBytes(ascii)); buf.putInt(dataSize)
+    var bl = 0
+    while (bl < blocks) {
+      var c = 0
+      while (c < channels) {
+        buf.putShort((((seed * 131 + c * 37 + bl * 53) % 65536) - 32768).toShort)
+        buf.put(((seed * 17 + c * 5 + bl * 11) % 89).toByte); buf.put(0.toByte)
+        c += 1
+      }
+      var g = 0
+      while (g < groups) {
+        c = 0
+        while (c < channels) {
+          var k = 0
+          while (k < 4) {
+            val j = 8 * g + 2 * k
+            val lo = ((seed * 7 + c * 3 + bl * 19 + j * 5) % 16).toInt
+            val hi = ((seed * 7 + c * 3 + bl * 19 + (j + 1) * 5) % 16).toInt
+            buf.put((lo | (hi << 4)).toByte)
+            k += 1
+          }
+          c += 1
+        }
+        g += 1
+      }
+      bl += 1
+    }
+    buf.array()
+  }
+
   /** Deterministic BI_RLE8 BMP payload, writer inverse of
     * [[parseRle8Bmp]]: pixel (row r bottom-up, column x) has palette
     * index `(seed + r·7 + (x/8)·11) mod 256` (horizontal runs of 8),

@@ -297,6 +297,81 @@ object MultimodalQueries extends QueryModule {
       |FROM idxed GROUP BY media_id, width, height
       |ORDER BY media_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- mm11
+  /** IMA ADPCM WAV decode under the oracle — the second compressed
+    * codec after mm10's RLE8, and the first whose decode is a STATEFUL
+    * walk rather than a layout copy: each 4-bit nibble updates a
+    * (predictor, step-index) pair through the 89-entry IMA step table,
+    * so every decoded sample depends on the entire nibble history.
+    * Payloads are real format-0x11 WAVE containers
+    * ([[graft.multimodal.Multimodal.adpcmMediaTable]]: mono AND stereo,
+    * 1–2 blocks, per-block headers, channel-interleaved 4-byte nibble
+    * groups, fact chunk) and [[graft.multimodal.RawCodec.parseAdpcmWav]]
+    * decodes them for real. The oracle REPLAYS the predictor/step walk
+    * itself — a recursive CTE stepping one nibble at a time from the
+    * same closed-form header/nibble functions, with the step table
+    * inlined from the SAME Scala array — so any decoder bug (nibble
+    * order, channel interleave, clamp, index adjustment, block reset)
+    * diverges the |sample| sum and fails the hash. A failed parse emits
+    * a −1 sentinel row: undecodable media is data.
+    */
+  private def mm11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.adpcmMediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.RawCodec.parseAdpcmWav(m.content) match {
+          case Some(i) => (m.media_id, i.channels.toLong, i.nSamplesPerChannel, i.sumAbs)
+          case None => (m.media_id, -1L, -1L, -1L)
+        }
+      })
+      .toDF("media_id", "n_channels", "n_samples", "sum_abs")
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm11Sql = {
+    val steps = graft.multimodal.RawCodec.ImaSteps.mkString("[", ",", "]")
+    val itab = graft.multimodal.RawCodec.ImaIndexAdj.mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |cfg AS (
+       |  SELECT doc_id AS media_id, 1 + doc_id % 2 AS ch_n, 2 + doc_id % 3 AS g,
+       |    1 + (doc_id // 2) % 2 AS b_n
+       |  FROM documents WHERE doc_id % 25 = 7),
+       |lanes0 AS (SELECT media_id, g, b_n, unnest(range(0, ch_n)) AS ch FROM cfg),
+       |lanes AS (SELECT media_id, g, ch, unnest(range(0, b_n)) AS b FROM lanes0),
+       |dec AS (
+       |  SELECT media_id, ch, b, g, 0 AS j,
+       |    ((media_id * 131 + ch * 37 + b * 53) % 65536) - 32768 AS p,
+       |    (media_id * 17 + ch * 5 + b * 11) % 89 AS idx,
+       |    CAST(abs(((media_id * 131 + ch * 37 + b * 53) % 65536) - 32768) AS BIGINT) AS acc
+       |  FROM lanes
+       |  UNION ALL
+       |  SELECT media_id, ch, b, g, j,
+       |    LEAST(32767, GREATEST(-32768,
+       |      CASE WHEN nib >= 8 THEN p0 - diff ELSE p0 + diff END)) AS p,
+       |    LEAST(88, GREATEST(0, idx0 + $itab[nib + 1])) AS idx,
+       |    acc + abs(LEAST(32767, GREATEST(-32768,
+       |      CASE WHEN nib >= 8 THEN p0 - diff ELSE p0 + diff END)))
+       |  FROM (
+       |    SELECT media_id, ch, b, g, j, nib, p0, idx0, acc,
+       |      (step // 8)
+       |      + CASE WHEN (nib % 8) >= 4 THEN step ELSE 0 END
+       |      + CASE WHEN (nib % 4) >= 2 THEN step // 2 ELSE 0 END
+       |      + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END AS diff
+       |    FROM (
+       |      SELECT d.media_id, d.ch, d.b, d.g, d.j + 1 AS j,
+       |        (d.media_id * 7 + d.ch * 3 + d.b * 19 + d.j * 5) % 16 AS nib,
+       |        d.p AS p0, d.idx AS idx0, d.acc AS acc,
+       |        $steps[d.idx + 1] AS step
+       |      FROM dec d WHERE d.j < 8 * d.g)))
+       |SELECT c.media_id, CAST(ch_n AS BIGINT) AS n_channels,
+       |  CAST(b_n * (1 + 8 * g) AS BIGINT) AS n_samples,
+       |  f.sum_abs
+       |FROM cfg c JOIN (
+       |  SELECT media_id, CAST(SUM(acc) AS BIGINT) AS sum_abs
+       |  FROM dec WHERE j = 8 * g GROUP BY media_id) f USING (media_id)
+       |ORDER BY media_id NULLS FIRST""".stripMargin
+  }
+
   // ---------------------------------------------------------------- mm7
   /** Windowed audio loudness from the REAL decode — one level deeper
     * than mm6's whole-file summary: every audio payload's PCM samples,
@@ -482,7 +557,8 @@ object MultimodalQueries extends QueryModule {
     "mm4_frame_dedup" -> (mm4 _),
     "mm5_frame_neardup" -> (mm5 _),
     "mm6_raw_decode" -> (mm6 _),
-    "mm10_rle8_decode" -> (mm10 _))
+    "mm10_rle8_decode" -> (mm10 _),
+    "mm11_adpcm_decode" -> (mm11 _))
 
   override val oracle: Map[String, String] = Map(
     "mm8_patch_grid" -> mm8Sql,
@@ -494,5 +570,6 @@ object MultimodalQueries extends QueryModule {
     "mm4_frame_dedup" -> mm4Sql,
     "mm5_frame_neardup" -> mm5Sql,
     "mm6_raw_decode" -> mm6Sql,
-    "mm10_rle8_decode" -> mm10Sql)
+    "mm10_rle8_decode" -> mm10Sql,
+    "mm11_adpcm_decode" -> mm11Sql)
 }

@@ -417,4 +417,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.values.exists(r => r.getAs[Long]("n_active") < r.getAs[Long]("n_windows")),
       "every window active — threshold vacuous")
   }
+
+  test("mm11 ADPCM: independent nibble-walk reference matches parseAdpcmWav exactly") {
+    import graft.multimodal.RawCodec
+    // reference decode straight from the closed forms (no byte layout):
+    // proves the parser's wire walk (header offsets, channel interleave,
+    // low-nibble-first order, block reset) reconstructs the same stream
+    def refSum(seed: Long, channels: Int, groups: Int, blocks: Int): Long = {
+      var sum = 0L
+      for (c <- 0 until channels; bl <- 0 until blocks) {
+        var p = (((seed * 131 + c * 37 + bl * 53) % 65536) - 32768).toInt
+        var idx = ((seed * 17 + c * 5 + bl * 11) % 89).toInt
+        sum += math.abs(p.toLong)
+        for (j <- 0 until 8 * groups) {
+          val nib = ((seed * 7 + c * 3 + bl * 19 + j * 5) % 16).toInt
+          val step = RawCodec.ImaSteps(idx)
+          var diff = step >> 3
+          if ((nib & 4) != 0) diff += step
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 1) != 0) diff += step >> 2
+          p = math.max(-32768, math.min(32767, if ((nib & 8) != 0) p - diff else p + diff))
+          idx = math.max(0, math.min(88, idx + RawCodec.ImaIndexAdj(nib)))
+          sum += math.abs(p.toLong)
+        }
+      }
+      sum
+    }
+    for ((seed, ch, g, bl) <- Seq((7L, 2, 2, 2), (32L, 1, 3, 1), (57L, 2, 4, 2), (9L, 1, 2, 2))) {
+      val info = RawCodec.parseAdpcmWav(RawCodec.synthAdpcmWav(seed, ch, g, bl, 8000)).get
+      assert(info.channels == ch && info.sampleRate == 8000)
+      assert(info.nSamplesPerChannel == bl.toLong * (8 * g + 1))
+      assert(info.sumAbs == refSum(seed, ch, g, bl),
+        s"seed=$seed ch=$ch g=$g bl=$bl")
+    }
+  }
+
+  test("mm11 ADPCM: fact chunk truncates the counted samples; corrupt payloads parse to None") {
+    import graft.multimodal.RawCodec
+    val wav = RawCodec.synthAdpcmWav(11L, 2, 2, 2, 8000)
+    // shrink the fact count below the decoded total: counted samples
+    // (and the sum) must shrink with it
+    val full = RawCodec.parseAdpcmWav(wav).get
+    val truncated = wav.clone()
+    val factPos = 12 + 28 + 8 // RIFF hdr + fmt chunk + fact id/size
+    java.nio.ByteBuffer.wrap(truncated).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(factPos, 5)
+    val t = RawCodec.parseAdpcmWav(truncated).get
+    assert(t.nSamplesPerChannel == 5L && t.sumAbs < full.sumAbs)
+    // corrupt step index (> 88) in the first block header
+    val badIdx = wav.clone()
+    badIdx(12 + 28 + 12 + 8 + 2) = 120.toByte
+    assert(RawCodec.parseAdpcmWav(badIdx).isEmpty)
+    // PCM format tag is not ADPCM
+    assert(RawCodec.parseAdpcmWav(RawCodec.synthWav(11L, 1, 8000, 32)).isEmpty)
+    // truncated container
+    assert(RawCodec.parseAdpcmWav(wav.take(40)).isEmpty)
+  }
 }
