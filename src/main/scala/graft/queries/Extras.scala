@@ -1106,6 +1106,53 @@ object Extras extends QueryModule {
       |  l_linenumber NULLS FIRST, l_qty NULLS FIRST,
       |  s_name NULLS FIRST, s_acctbal_cents NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sj2
+  /** Sketch-PLANNED join ([[graft.operators.SketchJoin]]) — the
+    * decision layer over sj1's explicit salting: bounded probes (build
+    * count; Misra–Gries + exact rescore for probe-side skew) pick
+    * broadcast / salted / shuffle, and the gate hashes BOTH the join
+    * result and the decision. Constructed skew: every 3rd order
+    * collapses onto key 1 (≈ 1/3 of probe rows — far past the 10%
+    * gate), the rest spread over ~1000 keys; the dim side is the
+    * distinct key inventory (~1000 rows at every test sf — over the
+    * 500-row broadcast limit). So the planner must choose `salted` at
+    * EVERY scale factor, and the oracle states that literally (the dq9
+    * bounded-flag technique): a stats bug that flips the decision
+    * changes the constant column and fails the hash, while a salting
+    * bug changes the join rows themselves.
+    */
+  private def sketchPlannedJoinGate(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 3 === 0, 1L)
+        .otherwise(col("l_orderkey") % 1000L).as("k"),
+      round(col("l_quantity")).cast(LongType).as("l_qty"))
+    val dim = li.select(col("k")).distinct()
+      .select(col("k"), (col("k") % 7L).as("k_class"))
+    val (strategy, joined) = graft.operators.SketchJoin.planLeftJoin(
+      li, dim, key = "k", dispersion = "l_orderkey",
+      broadcastRowLimit = 500L, skewShareMilli = 100L, buckets = 8)
+    joined
+      .select(col("l_orderkey"), col("l_linenumber"), col("k"), col("l_qty"),
+        col("k_class"), lit(strategy).as("strategy"))
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+        col("k").asc_nulls_first, col("l_qty").asc_nulls_first,
+        col("k_class").asc_nulls_first)
+  }
+
+  private val sketchPlannedJoinGateSql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey % 1000 END AS k,
+      |    CAST(round(l_quantity) AS BIGINT) AS l_qty
+      |  FROM lineitem),
+      |dim AS (SELECT k, k % 7 AS k_class FROM (SELECT DISTINCT k FROM li))
+      |SELECT li.l_orderkey, li.l_linenumber, li.k, li.l_qty, d.k_class,
+      |  'salted' AS strategy
+      |FROM li LEFT JOIN dim d ON li.k = d.k
+      |ORDER BY li.l_orderkey NULLS FIRST, li.l_linenumber NULLS FIRST,
+      |  li.k NULLS FIRST, li.l_qty NULLS FIRST, k_class NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- bf1
   /** Bloom-prefiltered semi join — the manual spelling of the runtime
     * bloom filter (semi-join pushdown): build a bloom over the filtered
@@ -2187,6 +2234,7 @@ object Extras extends QueryModule {
     "j7_right_join" -> (rightJoin _),
     "j8_cross_small" -> (crossSmall _),
     "sj1_salted_join" -> (saltedJoinGate _),
+    "sj2_sketch_planned_join" -> (sketchPlannedJoinGate _),
     "bf1_bloom_semi_join" -> (bloomSemiJoin _),
     "bkt1_bucketed_join" -> (bucketedJoinGate _),
     "zo1_zorder_audit" -> (zorderAudit _),
@@ -2247,6 +2295,7 @@ object Extras extends QueryModule {
     "j7_right_join" -> rightJoinSql,
     "j8_cross_small" -> crossSmallSql,
     "sj1_salted_join" -> saltedJoinGateSql,
+    "sj2_sketch_planned_join" -> sketchPlannedJoinGateSql,
     "bf1_bloom_semi_join" -> bloomSemiJoinSql,
     "bkt1_bucketed_join" -> bucketedJoinGateSql,
     "zo1_zorder_audit" -> zorderAuditSql,
