@@ -1,0 +1,459 @@
+package graft.multimodal
+
+/** Pure-JVM BASELINE SEQUENTIAL JPEG codec (grayscale) — the
+  * transform/entropy codec the seam doc claimed needed a native
+  * library: it does not. Baseline JPEG is Huffman entropy coding +
+  * dequantization + an 8×8 inverse DCT, all integer-expressible.
+  *
+  * Decoder ([[parseJpeg]]): full marker walk (APPn/COM skip, DQT with
+  * 8- or 16-bit tables, SOF0, DHT with canonical Annex-C code
+  * construction, DRI/RSTn restart handling, SOS), entropy decode with
+  * 0xFF00 byte-stuffing removal and standard EXTEND sign decoding,
+  * differential DC prediction, dequantize + de-zigzag, and a
+  * fixed-point inverse DCT: pixel = clamp(128 + (Σ coeff·B + 2¹⁹) ≫ 20)
+  * with B the 64×64 integer basis round(2²⁰·c(u)c(v)/4·cosᵤₓ·cosᵥᵧ).
+  * The JPEG standard specifies IDCT ACCURACY, not bit-exactness
+  * (ISO/IEC 10918-1 Annex A; conformance in 10918-2), so any decoder's
+  * rounding differs slightly from any other's — JpegCodecSpec pins this
+  * one within ±2 of the JDK's ImageIO (libjpeg-derived) decode in both
+  * interop directions. GRAYSCALE ONLY by design: one component, no
+  * chroma subsampling/upsampling or color transform; color and
+  * progressive scans return None (undecodable payloads are data).
+  *
+  * Encoder ([[synthJpeg]]): writes real baseline files — DQT, SOF0,
+  * DHT (custom but fully canonical tables the decoder must build from
+  * the file, like any real decoder), SOS, entropy-coded data with byte
+  * stuffing — from CLOSED-FORM quantized coefficients, so the mm12
+  * oracle replays dequantize→IDCT→clamp→sum arithmetically in SQL from
+  * the same literal basis/zigzag/quant tables. ImageIO decodes these
+  * files (spec-pinned), proving they are standard JPEG, not a private
+  * format.
+  */
+object JpegCodec {
+
+  case class JpegInfo(width: Int, height: Int, nPx: Long, sumPx: Long)
+
+  /** Natural-order index of each zigzag position (the standard JPEG
+    * zigzag sequence).
+    */
+  private[graft] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Fixed-point 2-D IDCT basis: B((v·8+u)·64 + (y·8+x)) =
+    * round(2²⁰ · c(u)c(v)/4 · cos((2x+1)uπ/16) · cos((2y+1)vπ/16)),
+    * c(0)=1/√2, c(k)=1. One rounding step per pixel keeps the decoder
+    * SQL-restatable with pure integer arithmetic.
+    */
+  private[graft] val IdctBasis: Array[Long] = {
+    val b = new Array[Long](4096)
+    for (v <- 0 until 8; u <- 0 until 8; y <- 0 until 8; x <- 0 until 8) {
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+      val w = cu * cv / 4.0 *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+        math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      b((v * 8 + u) * 64 + y * 8 + x) = math.round(w * (1L << 20)).toLong
+    }
+    b
+  }
+
+  /** The synth quant table, ZIGZAG order: q(k) = 8 + (7k mod 17). */
+  private[graft] def synthQuant(k: Int): Int = 8 + (7 * k) % 17
+
+  /** Closed-form QUANTIZED coefficient of block `b` at zigzag slot `k`
+    * for seed `id`: DC swings blocks 0/1 to the clamp rails (the gate
+    * must exercise saturation), ACs live at slots 1, 2 and 5 (zero
+    * sometimes — run-length paths execute).
+    */
+  private[graft] def synthCoeff(id: Long, b: Int, k: Int): Int = k match {
+    case 0 => if (b == 0) 120 else if (b == 1) -120 else (((id * 7 + b * 3) % 61) - 30).toInt
+    case 1 => (((id * 5 + b) % 7) - 3).toInt
+    case 2 => (((id * 3 + 2 * b) % 5) - 2).toInt
+    case 5 => (((id + b) % 3) - 1).toInt
+    case _ => 0
+  }
+
+  // ------------------------------------------------------------ decoder
+
+  /** Canonical Huffman table: decode one symbol by accumulating bits
+    * against per-length first-code/first-index (Annex C/F construction).
+    */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    // mincode(l), maxcode(l) (exclusive), valptr(l) for code length l+1
+    val minc = new Array[Int](16)
+    val maxc = new Array[Int](16)
+    val vptr = new Array[Int](16)
+    locally {
+      var code = 0
+      var p = 0
+      var l = 0
+      while (l < 16) {
+        minc(l) = code; vptr(l) = p
+        code += bits(l); p += bits(l)
+        maxc(l) = code
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(i: Int): Int = vals(i)
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+    * unstuffing; RSTn markers are consumed only via [[restart]].
+    */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var broken = false // structural error (marker mid-stream, overrun)
+
+    private def fill(): Unit = {
+      if (pos >= bytes.length) { broken = true; return }
+      val b = bytes(pos) & 0xff
+      if (b == 0xff) {
+        if (pos + 1 >= bytes.length) { broken = true; return }
+        val m = bytes(pos + 1) & 0xff
+        if (m == 0x00) { pos += 2; acc = (acc << 8) | 0xff; nbits += 8 }
+        else { broken = true } // marker: scan data ended unexpectedly
+      } else { pos += 1; acc = (acc << 8) | b; nbits += 8 }
+    }
+
+    def bit(): Int = {
+      if (nbits == 0) fill()
+      if (broken) return 0
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    def decode(h: Huff): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        code = (code << 1) | bit()
+        if (broken) return -1
+        if (code < h.maxc(l)) return h.value(h.vptr(l) + code - h.minc(l))
+        l += 1
+      }
+      broken = true; -1
+    }
+
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(): Boolean = {
+      acc = 0; nbits = 0
+      if (pos + 2 > bytes.length) return false
+      if ((bytes(pos) & 0xff) != 0xff) return false
+      val m = bytes(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      true
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Decode a baseline sequential GRAYSCALE JPEG. None on anything the
+    * decoder does not cover (color, progressive, 12-bit, arithmetic
+    * coding) or any structural mismatch. The gate path streams a sum
+    * (O(1) state beyond one 8×8 block); [[decodeImage]] shares the same
+    * walk with a materializing sink for conformance tests.
+    */
+  def parseJpeg(bytes: Array[Byte]): Option[JpegInfo] = {
+    var sum = 0L
+    walk(bytes)((_, _) => (_, _, v) => sum += v)
+      .map { case (w, h) => JpegInfo(w, h, w.toLong * h, sum) }
+  }
+
+  /** Full pixel decode (row-major w×h, values 0–255) — the spec's
+    * conformance surface against ImageIO.
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    var px: Array[Int] = null
+    var ww = 0
+    walk(bytes) { (w, h) =>
+      px = new Array[Int](w * h); ww = w
+      (x, y, v) => px(y * ww + x) = v
+    }.map { case (w, h) => (w, h, px) }
+  }
+
+  /** One full marker+entropy walk; `mkSink(w, h)` is invoked once after
+    * SOF0 and receives every in-image pixel as (x, y, value).
+    */
+  private def walk(bytes: Array[Byte])(
+      mkSink: (Int, Int) => (Int, Int, Int) => Unit): Option[(Int, Int)] = {
+    if (bytes.length < 4) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (u16(0) != 0xffd8) return None
+    var pos = 2
+    val quant = Array.fill(4)(null: Array[Int]) // natural order
+    val dcTab = Array.fill(4)(null: Huff)
+    val acTab = Array.fill(4)(null: Huff)
+    var w = 0
+    var h = 0
+    var qSel = -1
+    var restartInterval = 0
+    var dcSel = -1
+    var acSel = -1
+    var scanAt = -1
+
+    while (scanAt < 0) {
+      if (pos + 4 > bytes.length) return None
+      if (u8(pos) != 0xff) return None
+      val marker = u8(pos + 1)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { pos += 2 }
+      else {
+        val len = u16(pos + 2)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        val seg = pos + 4
+        val end = pos + 2 + len
+        marker match {
+          case 0xdb => // DQT: possibly several tables per segment
+            var p = seg
+            while (p < end) {
+              val pq = u8(p) >> 4
+              val tq = u8(p) & 15
+              if (tq > 3 || pq > 1) return None
+              val n = if (pq == 0) 64 else 128
+              if (p + 1 + n > end) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                t(Zigzag(k)) = if (pq == 0) u8(p + 1 + k) else u16(p + 1 + 2 * k)
+                k += 1
+              }
+              quant(tq) = t
+              p += 1 + n
+            }
+          case 0xc4 => // DHT: possibly several tables per segment
+            var p = seg
+            while (p < end) {
+              val tc = u8(p) >> 4
+              val th = u8(p) & 15
+              if (tc > 1 || th > 3 || p + 17 > end) return None
+              val bits17 = Array.tabulate(16)(i => u8(p + 1 + i))
+              val n = bits17.sum
+              if (n == 0 || n > 256 || p + 17 + n > end) return None
+              val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+              val huff = new Huff(bits17, vals)
+              if (tc == 0) dcTab(th) = huff else acTab(th) = huff
+              p += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if (u8(seg) != 8) return None // 8-bit precision only
+            h = u16(seg + 1); w = u16(seg + 3)
+            if (u8(seg + 5) != 1) return None // GRAYSCALE only
+            if (u8(seg + 7) != 0x11) return None // 1x1 sampling
+            qSel = u8(seg + 8)
+            if (w <= 0 || h <= 0) return None
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // non-baseline / arithmetic frames
+          case 0xdd =>
+            if (len != 4) return None
+            restartInterval = u16(seg)
+          case 0xda => // SOS
+            if (u8(seg) != 1) return None
+            dcSel = u8(seg + 2) >> 4
+            acSel = u8(seg + 2) & 15
+            scanAt = end
+          case 0xd9 => return None // EOI before any scan
+          case _ => () // APPn, COM, others: skip
+        }
+        pos = end
+      }
+    }
+
+    if (w == 0 || qSel < 0 || quant(qSel) == null ||
+      dcTab(dcSel) == null || acTab(acSel) == null) return None
+    val q = quant(qSel)
+    val dc = dcTab(dcSel)
+    val ac = acTab(acSel)
+    val sink = mkSink(w, h)
+    val wb = (w + 7) / 8
+    val hb = (h + 7) / 8
+    val r = new BitReader(bytes, scanAt)
+    val deq = new Array[Long](64)
+    var pred = 0
+    var blk = 0
+    val nBlocks = wb * hb
+    while (blk < nBlocks) {
+      if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+        if (!r.restart()) return None
+        pred = 0
+      }
+      java.util.Arrays.fill(deq, 0L)
+      val t = r.decode(dc)
+      if (r.broken || t < 0 || t > 15) return None
+      pred += extend(r.bits(t), t)
+      deq(0) = pred.toLong * q(0)
+      var k = 1
+      var open = true
+      while (open && k < 64) {
+        val rs = r.decode(ac)
+        if (r.broken || rs < 0) return None
+        val run = rs >> 4
+        val size = rs & 15
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else open = false // EOB
+        } else {
+          k += run
+          if (k > 63) return None
+          val n = Zigzag(k)
+          deq(n) = extend(r.bits(size), size).toLong * q(n)
+          k += 1
+        }
+      }
+      if (r.broken) return None
+      // fixed-point IDCT + level shift + clamp, clipped to the image
+      val bx = (blk % wb) * 8
+      val by = (blk / wb) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (bx + x < w && by + y < h) {
+            var acc = 0L
+            var n = 0
+            while (n < 64) {
+              val c = deq(n)
+              if (c != 0L) acc += c * IdctBasis((n << 6) | (y * 8 + x))
+              n += 1
+            }
+            val px = 128L + ((acc + (1L << 19)) >> 20)
+            sink(bx + x, by + y, math.max(0L, math.min(255L, px)).toInt)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      blk += 1
+    }
+    Some((w, h))
+  }
+
+  // ------------------------------------------------------------ encoder
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushOnes(): Unit = if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+  }
+
+  // encoder Huffman tables (canonical; the decoder reads them from DHT
+  // like any real decoder): DC = categories 0..11, all 4-bit codes;
+  // AC = EOB, ZRL and (run 0..15, size 1..4), all 7-bit codes
+  private val DcBits = { val b = new Array[Int](16); b(3) = 12; b }
+  private val DcVals = (0 to 11).toArray
+  private val AcVals: Array[Int] =
+    Array(0x00, 0xf0) ++ (for (run <- 0 to 15; size <- 1 to 4) yield (run << 4) | size)
+  private val AcBits = { val b = new Array[Int](16); b(6) = AcVals.length; b }
+
+  private def canonicalCodes(bits: Array[Int]): Array[(Int, Int)] = {
+    // (code, length) per value index, Annex C
+    val out = Array.newBuilder[(Int, Int)]
+    var code = 0
+    for (l <- 0 until 16) {
+      for (_ <- 0 until bits(l)) { out += ((code, l + 1)); code += 1 }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private def category(v: Int): Int = {
+    var t = 0
+    var a = math.abs(v)
+    while (a != 0) { t += 1; a >>= 1 }
+    t
+  }
+
+  /** Synthesize a baseline grayscale JPEG of `wb`×`hb` blocks whose
+    * quantized coefficients follow [[synthCoeff]] and quant table
+    * [[synthQuant]] — the writer inverse the mm12 oracle replays.
+    * `restartInterval > 0` adds a DRI segment and RSTn markers every
+    * that many blocks (with DC-prediction resets), exercising the
+    * decoder's restart path; decoded PIXELS are identical either way,
+    * so the oracle is restart-agnostic by construction.
+    */
+  def synthJpeg(id: Long, wb: Int, hb: Int, restartInterval: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); u16(2 + 1 + 64); out.write(0x00) // DQT, 8-bit, id 0
+    for (k <- 0 until 64) out.write(synthQuant(k))
+    m(0xc0); u16(11); out.write(8); u16(hb * 8); u16(wb * 8) // SOF0
+    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    m(0xc4); u16(2 + 1 + 16 + DcVals.length); out.write(0x00) // DHT DC
+    DcBits.foreach(out.write); DcVals.foreach(out.write)
+    m(0xc4); u16(2 + 1 + 16 + AcVals.length); out.write(0x10) // DHT AC, id 0
+    AcBits.foreach(out.write); AcVals.foreach(out.write)
+    if (restartInterval > 0) { m(0xdd); u16(4); u16(restartInterval) } // DRI
+    m(0xda); u16(8); out.write(1); out.write(1); out.write(0x00) // SOS
+    out.write(0); out.write(63); out.write(0)
+    val dcCode = canonicalCodes(DcBits)
+    val acCode = canonicalCodes(AcBits)
+    val acIndex = AcVals.zipWithIndex.toMap
+    var bw = new BitWriter(out)
+    def putCoded(codes: Array[(Int, Int)], i: Int): Unit = {
+      val (c, l) = codes(i); bw.put(c, l)
+    }
+    var pred = 0
+    var rst = 0
+    for (b <- 0 until wb * hb) {
+      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+        bw.flushOnes()
+        m(0xd0 + rst); rst = (rst + 1) % 8
+        bw = new BitWriter(out)
+        pred = 0
+      }
+      val dc = synthCoeff(id, b, 0)
+      val diff = dc - pred
+      pred = dc
+      val t = category(diff)
+      putCoded(dcCode, t)
+      if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      var run = 0
+      var lastNonzero = 0
+      for (k <- 1 to 63) if (synthCoeff(id, b, k) != 0) lastNonzero = k
+      for (k <- 1 to lastNonzero) {
+        val v = synthCoeff(id, b, k)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { putCoded(acCode, acIndex(0xf0)); run -= 16 }
+          val s = category(v)
+          putCoded(acCode, acIndex((run << 4) | s))
+          bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+          run = 0
+        }
+      }
+      if (lastNonzero < 63) putCoded(acCode, acIndex(0x00)) // EOB
+    }
+    bw.flushOnes()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+}

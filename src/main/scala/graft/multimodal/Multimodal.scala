@@ -12,14 +12,17 @@ import graft.Tables
   * amortised exactly like a batch UDF.
   *
   * Decode splits by container class: UNCOMPRESSED formats (RIFF/PCM WAV,
-  * 24-bpp BMP) and the spec-native RUN-LENGTH compressed one (BI_RLE8
-  * BMP) are parsed for real in pure JVM ([[RawCodec]] — actual sample
+  * 24-bpp BMP), the spec-native RUN-LENGTH and ADPCM compressed ones
+  * (BI_RLE8 BMP, IMA ADPCM WAV), and baseline sequential GRAYSCALE JPEG
+  * (Huffman entropy decode + dequantize + fixed-point IDCT) are parsed
+  * for real in pure JVM ([[RawCodec]], [[JpegCodec]] — actual sample
   * rates, dimensions, pixel/sample statistics from the payload bytes);
-  * TRANSFORM/entropy codecs (JPEG/H.264/MP3) need native libraries this
-  * container lacks, so `NativeDecoder` stays an explicit `???` seam and
+  * only color/progressive JPEG and the patent-laden video/audio codecs
+  * (H.264, AAC, MP3) need native libraries this container lacks, so
+  * `NativeDecoder` stays an explicit `???` seam for those and
   * `FakeDecoder` produces deterministic features from the raw bytes for
   * fixture payloads. The Spark-side contract — schema, encoders, batch
-  * shape, partitioning — is identical across all three; swapping a
+  * shape, partitioning — is identical across all of them; swapping a
   * JNI/FFI codec in changes nothing above the `MediaDecoder` trait.
   *
   * Scale posture: binary payloads dominate row size, so partition byte
@@ -129,6 +132,26 @@ object Multimodal {
       })
   }
 
+  /** Baseline grayscale JPEG payloads on a doc slice disjoint from the
+    * other media slices (%25==19): 1–3 × 1–2 blocks, half the ids with
+    * DRI/RSTn restart markers — every gate row set exercises the
+    * Huffman entropy decode, dequantize, fixed-point IDCT, clamp rails
+    * (blocks 0/1 pin DC to ±120) and the restart path.
+    */
+  def jpegMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 19)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val wb = (1 + id % 3).toInt
+        val hb = (1 + (id / 3) % 2).toInt
+        val ri = if (id % 2 == 0) wb else 0
+        MediaFile(id, "image", JpegCodec.synthJpeg(id, wb, hb, ri),
+          MediaMeta("jpeg_baseline", wb * 8, hb * 8, 0L))
+      })
+  }
+
   /** The decode seam. Implementations must be deterministic per byte
     * content (idempotent re-runs, cross-run joins).
     */
@@ -153,16 +176,19 @@ object Multimodal {
     }
   }
 
-  /** TRANSFORM/ENTROPY-codec seam — deliberately unimplemented in this
-    * environment (JPEG/H.264/MP3 need native libraries the container
-    * lacks). A production build binds an FFI/JNI codec here; everything
-    * above this trait is final. Uncompressed containers and run-length
-    * compression do NOT go through this seam —
-    * [[RawCodec.RawCodecDecoder]] decodes WAV/BMP,
-    * [[RawCodec.parseRle8Bmp]] decodes BI_RLE8 BMP, and
-    * [[RawCodec.parseAdpcmWav]] decodes IMA ADPCM WAV for real in pure
-    * JVM (mm10/mm11 gate the compressed pair against closed-form
-    * oracles), so the seam now covers only transform/entropy codecs.
+  /** Remaining-codec seam — deliberately unimplemented in this
+    * environment. A production build binds an FFI/JNI codec here;
+    * everything above this trait is final. The seam has been narrowed
+    * three times and no longer covers "transform/entropy codecs" as a
+    * class: [[RawCodec.RawCodecDecoder]] decodes WAV/BMP,
+    * [[RawCodec.parseRle8Bmp]] BI_RLE8 BMP, [[RawCodec.parseAdpcmWav]]
+    * IMA ADPCM WAV, and [[JpegCodec.parseJpeg]] BASELINE SEQUENTIAL
+    * GRAYSCALE JPEG — a real Huffman + dequantize + fixed-point-IDCT
+    * decode, ImageIO-conformance-pinned (mm10/mm11/mm12 gate the
+    * compressed trio against closed-form oracles). What genuinely
+    * still needs an external library: color/progressive JPEG (chroma
+    * upsampling + successive approximation), and the patent-laden
+    * video/audio families (H.264, AAC, MP3).
     */
   object NativeDecoder extends MediaDecoder {
     override def features(m: MediaFile): MediaFeatures =

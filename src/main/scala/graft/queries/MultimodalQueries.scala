@@ -372,6 +372,74 @@ object MultimodalQueries extends QueryModule {
        |ORDER BY media_id NULLS FIRST""".stripMargin
   }
 
+  // --------------------------------------------------------------- mm12
+  /** Baseline grayscale JPEG decode under the oracle — the third
+    * compressed codec and the first TRANSFORM codec: pixels come out of
+    * a Huffman entropy decode, dequantization, and an 8×8 inverse DCT,
+    * the machinery the codec seam claimed needed a native library.
+    * Payloads are real baseline JPEG files
+    * ([[graft.multimodal.Multimodal.jpegMediaTable]]: DQT/SOF0/DHT/SOS
+    * with canonical Huffman tables the decoder must build from the
+    * file, half with DRI/RSTn restart markers) and
+    * [[graft.multimodal.JpegCodec.parseJpeg]] decodes them for real —
+    * JpegCodecSpec pins the decoder against the JDK's independent
+    * ImageIO decoder in both interop directions. The oracle REPLAYS
+    * dequantize → IDCT → clamp arithmetically: the four live zigzag
+    * slots' quantized coefficients are closed-form, the 2²⁰-scaled
+    * integer IDCT basis rows are inlined from the SAME Scala array, and
+    * each pixel is 128 + ⌊(Σ coeff·B + 2¹⁹)/2²⁰⌋ clamped to [0,255] —
+    * so any decoder bug (zigzag order, dequant table, EXTEND sign, DC
+    * prediction, restart reset, clamp) shifts the pixel sum and fails
+    * the hash. A failed parse emits a −1 sentinel row: undecodable
+    * media is data.
+    */
+  private def mm12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.jpegMediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.JpegCodec.parseJpeg(m.content) match {
+          case Some(i) => (m.media_id, i.width.toLong, i.height.toLong, i.nPx, i.sumPx)
+          case None => (m.media_id, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_px", "sum_px")
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm12Sql = {
+    import graft.multimodal.JpegCodec
+    // IDCT basis rows for the four live natural positions: zigzag slot
+    // 0→natural 0, 1→1, 2→8, 5→2 (quant 8/15/22/9 via 8+(7k mod 17))
+    def row(n: Int) =
+      (0 until 64).map(p => JpegCodec.IdctBasis((n << 6) | p)).mkString("[", ",", "]")
+    s"""WITH cfg AS (
+       |  SELECT doc_id AS media_id, 1 + doc_id % 3 AS wb, 1 + (doc_id // 3) % 2 AS hb
+       |  FROM documents WHERE doc_id % 25 = 19),
+       |coef AS (
+       |  SELECT media_id, wb, hb, unnest(range(0, wb * hb)) AS b FROM cfg),
+       |deq AS (
+       |  SELECT media_id, wb, hb, b,
+       |    (CASE WHEN b = 0 THEN 120 WHEN b = 1 THEN -120
+       |          ELSE ((media_id * 7 + b * 3) % 61) - 30 END) * 8 AS c0,
+       |    (((media_id * 5 + b) % 7) - 3) * 15 AS c1,
+       |    (((media_id * 3 + 2 * b) % 5) - 2) * 22 AS c8,
+       |    (((media_id + b) % 3) - 1) * 9 AS c2
+       |  FROM coef),
+       |px AS (
+       |  SELECT media_id, wb, hb,
+       |    LEAST(255, GREATEST(0, 128 + CAST(FLOOR(
+       |      (c0 * (${row(0)})[p + 1] + c1 * (${row(1)})[p + 1]
+       |       + c8 * (${row(8)})[p + 1] + c2 * (${row(2)})[p + 1]
+       |       + 524288) / 1048576.0) AS BIGINT))) AS v
+       |  FROM (SELECT *, unnest(range(0, 64)) AS p FROM deq))
+       |SELECT media_id, CAST(wb * 8 AS BIGINT) AS width,
+       |  CAST(hb * 8 AS BIGINT) AS height,
+       |  CAST(wb * hb * 64 AS BIGINT) AS n_px,
+       |  CAST(SUM(v) AS BIGINT) AS sum_px
+       |FROM px GROUP BY media_id, wb, hb
+       |ORDER BY media_id NULLS FIRST""".stripMargin
+  }
+
   // ---------------------------------------------------------------- mm7
   /** Windowed audio loudness from the REAL decode — one level deeper
     * than mm6's whole-file summary: every audio payload's PCM samples,
@@ -558,7 +626,8 @@ object MultimodalQueries extends QueryModule {
     "mm5_frame_neardup" -> (mm5 _),
     "mm6_raw_decode" -> (mm6 _),
     "mm10_rle8_decode" -> (mm10 _),
-    "mm11_adpcm_decode" -> (mm11 _))
+    "mm11_adpcm_decode" -> (mm11 _),
+    "mm12_jpeg_decode" -> (mm12 _))
 
   override val oracle: Map[String, String] = Map(
     "mm8_patch_grid" -> mm8Sql,
@@ -571,5 +640,6 @@ object MultimodalQueries extends QueryModule {
     "mm5_frame_neardup" -> mm5Sql,
     "mm6_raw_decode" -> mm6Sql,
     "mm10_rle8_decode" -> mm10Sql,
-    "mm11_adpcm_decode" -> mm11Sql)
+    "mm11_adpcm_decode" -> mm11Sql,
+    "mm12_jpeg_decode" -> mm12Sql)
 }
