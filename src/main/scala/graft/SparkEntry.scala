@@ -36,6 +36,10 @@ object SparkEntry {
     // the gate sessions opt in so opt3 exercises the rewrite — no other
     // entry carries a 256+-element literal list)
     graft.plans.InListToJoinRewrite.install(spark)
+    // COUNT(DISTINCT) plans as the KMV sketch aggregate when a session
+    // opts in via spark.graft.approxDistinct (see ApproxDistinctRewrite;
+    // exact below k, so the opt4 gate entry hash-matches the exact oracle)
+    graft.plans.ApproxDistinctRewrite.install(spark)
     // set-if-missing: a session (or spec) that pinned its own threshold
     // — including 0 = off — keeps it across re-configure
     if (spark.conf.getOption(graft.plans.InListToJoinRewrite.ThresholdConfKey).isEmpty)

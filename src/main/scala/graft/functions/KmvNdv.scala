@@ -1,0 +1,81 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** The KMV bottom-k NDV sketch as a NATIVE Catalyst aggregate function —
+  * the form an optimizer rule can substitute for `Count(..., distinct)`
+  * inside an `Aggregate` node ([[graft.plans.ApproxDistinctRewrite]]).
+  * Same pool algorithm as the typed [[KmvNdvAgg]] Aggregator
+  * ([[KmvCore]] is the single implementation), but as a
+  * `TypedImperativeAggregate`: one buffer OBJECT per group under
+  * ObjectHashAggregate, no encoder machinery to resolve — which matters
+  * because optimizer rules run after the analyzer, where a
+  * `ScalaAggregator`'s deferred encoder resolution would never happen.
+  *
+  * The child must already be the masked 64-bit hash (NULL when the
+  * counted tuple contains a null — `Count(distinct)` skips those rows;
+  * the rewrite composes `If(IsNull..., NULL, XxHash64(cols))` so
+  * hashing stays in codegen and only 8 bytes reach the buffer).
+  *
+  * Contract mirrors [[KmvCore.estimate]]: EXACT below k distinct
+  * hashes (theta never trimmed), (k-1)/R bottom-k estimate (sigma ≈
+  * 1/sqrt(k-2)) above. Empty/all-null group → 0, like COUNT(DISTINCT).
+  * Serialization at the partial boundary is the compacted pool:
+  * 4 + 8 + 8·n bytes, ≤ ~64 KiB per (group × partition) at k = 8192.
+  */
+case class KmvNdv(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuf] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): KmvBuf = KmvCore.zero
+
+  override def update(b: KmvBuf, input: InternalRow): KmvBuf = {
+    val v = child.eval(input)
+    if (v == null) b else KmvCore.add(b, v.asInstanceOf[Long], k)
+  }
+
+  override def merge(b: KmvBuf, other: KmvBuf): KmvBuf = KmvCore.merge(b, other, k)
+
+  override def eval(b: KmvBuf): Any = KmvCore.estimate(KmvCore.compact(b, k), k)
+
+  override def serialize(b: KmvBuf): Array[Byte] = {
+    val c = KmvCore.compact(b, k)
+    val bb = ByteBuffer.allocate(12 + 8 * c.n)
+    bb.putInt(c.n).putLong(c.theta)
+    var i = 0
+    while (i < c.n) { bb.putLong(c.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val theta = bb.getLong()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = bb.getLong(); i += 1 }
+    KmvBuf(n, theta, arr)
+  }
+
+  // the rule always constructs the child as a masked XxHash64 (LongType),
+  // so no ExpectsInputTypes contract is needed
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_ndv"
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvNdv =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvNdv =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KmvNdv =
+    copy(child = newChild)
+}

@@ -53,12 +53,15 @@ case class KmvBuf(n: Int, theta: Long, arr: Array[Long])
   */
 case class KmvSet(n: Long, theta: Long, hashes: Array[Long], exact: Boolean)
 
-abstract class KmvAggBase[OUT](k: Int) extends Aggregator[Option[Long], KmvBuf, OUT] {
-  private val cap = 2 * k
+/** The pool operations, shared by the typed [[Aggregator]] family below
+  * and the native Catalyst [[KmvNdv]] aggregate (the optimizer-rewrite
+  * consumer): one algorithm, two aggregation surfaces.
+  */
+private[graft] object KmvCore {
 
-  override def zero: KmvBuf = KmvBuf(0, Long.MaxValue, Array.emptyLongArray)
+  def zero: KmvBuf = KmvBuf(0, Long.MaxValue, Array.emptyLongArray)
 
-  private def compact(b: KmvBuf): KmvBuf = {
+  def compact(b: KmvBuf, k: Int): KmvBuf = {
     java.util.Arrays.sort(b.arr, 0, b.n)
     var w = 0
     var r = 0
@@ -70,57 +73,71 @@ abstract class KmvAggBase[OUT](k: Int) extends Aggregator[Option[Long], KmvBuf, 
     else KmvBuf(w, b.theta, b.arr)
   }
 
-  private def append(b: KmvBuf, f: Long): KmvBuf = {
+  private def append(b: KmvBuf, f: Long, k: Int): KmvBuf = {
+    val cap = 2 * k
     val buf = if (b.arr.length == 0) b.copy(arr = new Array[Long](cap)) else b
     buf.arr(buf.n) = f
     val grown = buf.copy(n = buf.n + 1)
-    if (grown.n == cap) compact(grown) else grown
+    if (grown.n == cap) compact(grown, k) else grown
   }
 
-  override def reduce(b: KmvBuf, in: Option[Long]): KmvBuf = in match {
-    case None => b
-    case Some(h) =>
-      val f = h ^ Long.MinValue
-      if (f >= b.theta) b else append(b, f)
+  /** Admit one RAW (unflipped) 64-bit hash. */
+  def add(b: KmvBuf, h: Long, k: Int): KmvBuf = {
+    val f = h ^ Long.MinValue
+    if (f >= b.theta) b else append(b, f, k)
   }
 
-  override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+  def merge(x: KmvBuf, y: KmvBuf, k: Int): KmvBuf = {
     // k smallest distinct of (X ∪ Y) ⊆ x.kept ∪ y.kept, so pooling the
     // two kept sets and re-compacting is the exact union sketch
-    val cx = compact(x)
-    val cy = compact(y)
+    val cx = compact(x, k)
+    val cy = compact(y, k)
     if (cy.n == 0) cx
     else if (cx.n == 0) cy
     else {
-      val pool = new Array[Long](cap.max(cx.n + cy.n))
+      val pool = new Array[Long]((2 * k).max(cx.n + cy.n))
       System.arraycopy(cx.arr, 0, pool, 0, cx.n)
       System.arraycopy(cy.arr, 0, pool, cx.n, cy.n)
-      compact(KmvBuf(cx.n + cy.n, math.min(cx.theta, cy.theta), pool))
+      compact(KmvBuf(cx.n + cy.n, math.min(cx.theta, cy.theta), pool), k)
     }
   }
+
+  /** NDV from a COMPACTED buffer: exact while theta is still open
+    * (never trimmed — the kept set is the WHOLE distinct set; gating on
+    * n < k instead would push the exactly-k-distinct case through the
+    * estimator even though the sketch never dropped a hash), else the
+    * (k-1)/R bottom-k estimate.
+    */
+  def estimate(c: KmvBuf, k: Int): Long =
+    if (c.theta == Long.MaxValue) c.n.toLong
+    else {
+      // R = k-th minimum as a fraction of the unsigned 64-bit space
+      val raw = c.arr(k - 1) ^ Long.MinValue // unflip to the real hash
+      val r = ((raw >>> 1).toDouble * 2.0 + (raw & 1L)) / math.pow(2.0, 64)
+      math.round((k - 1).toDouble / r)
+    }
+}
+
+abstract class KmvAggBase[OUT](k: Int) extends Aggregator[Option[Long], KmvBuf, OUT] {
+
+  override def zero: KmvBuf = KmvCore.zero
+
+  override def reduce(b: KmvBuf, in: Option[Long]): KmvBuf = in match {
+    case None => b
+    case Some(h) => KmvCore.add(b, h, k)
+  }
+
+  override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = KmvCore.merge(x, y, k)
 
   override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder()
 
   /** Compacted final state, shared by the concrete finishers. */
-  protected final def finalState(b: KmvBuf): KmvBuf = compact(b)
+  protected final def finalState(b: KmvBuf): KmvBuf = KmvCore.compact(b, k)
   protected final def kk: Int = k
 }
 
 class KmvNdvAgg(k: Int) extends KmvAggBase[Long](k) {
-  override def finish(b: KmvBuf): Long = {
-    val c = finalState(b)
-    // never-trimmed (theta still open) means the kept set is the WHOLE
-    // distinct set — exact. Gating on n < k instead would push the
-    // exactly-k-distinct case through the estimator (~k ± 1.1%) even
-    // though the sketch never dropped a hash.
-    if (c.theta == Long.MaxValue) c.n.toLong
-    else {
-      // R = k-th minimum as a fraction of the unsigned 64-bit space
-      val raw = c.arr(kk - 1) ^ Long.MinValue // unflip to the real hash
-      val r = ((raw >>> 1).toDouble * 2.0 + (raw & 1L)) / math.pow(2.0, 64)
-      math.round((kk - 1).toDouble / r)
-    }
-  }
+  override def finish(b: KmvBuf): Long = KmvCore.estimate(finalState(b), kk)
   override def outputEncoder: Encoder[Long] = ExpressionEncoder()
 }
 

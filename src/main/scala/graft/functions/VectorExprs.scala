@@ -100,6 +100,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RowNumberDedupRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.InListToJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("long_dot"),

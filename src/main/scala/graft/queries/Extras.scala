@@ -594,6 +594,52 @@ object Extras extends QueryModule {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- opt4
+  /** `COUNT(DISTINCT user_id)` REWRITTEN by the engine
+    * ([[graft.plans.ApproxDistinctRewrite]]): the query is spelled the
+    * way users spell it — `countDistinct` — and the opt-in optimizer
+    * rule substitutes the KMV sketch aggregate
+    * ([[graft.functions.KmvNdv]]), turning the per-(group, value)
+    * exchange into map-side-combining bounded buffers (≤ 2k longs per
+    * group × partition). The sketch is EXACT below k = 8192 distinct
+    * values per group — event types carry ~150 distinct users at
+    * sf0.01 — so the oracle runs the literal exact COUNT(DISTINCT) and
+    * the gate hash-proves the rewrite end-to-end; past k the same plan
+    * degrades to a 1.1%-sigma estimate instead of an exchange
+    * explosion (ApproxDistinctRewriteSpec pins that regime plus the
+    * plan shape).
+    *
+    * Unlike opt2/opt3's sticky flags (safe there: those rules only
+    * fire on shapes their entries own), approx-distinct would rewrite
+    * OTHER entries' count-distincts, so this entry scopes the flag: it
+    * optimizes its plan under the flag, pins the REWRITTEN plan into
+    * the returned frame, and restores the flag before returning —
+    * re-optimization at execution time is a no-op on the already-
+    * rewritten aggregate.
+    */
+  private def approxDistinctAuto(s: SparkSession, dir: String): DataFrame = {
+    val key = graft.plans.ApproxDistinctRewrite.ConfKey
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val df = t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type").asc_nulls_first)
+      org.apache.spark.sql.GraftShims.ofRows(s, df.queryExecution.optimizedPlan)
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.set(key, "false")
+    }
+  }
+
+  private val approxDistinctAutoSql =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   private def rangeBinAuto(s: SparkSession, dir: String): DataFrame = {
     s.conf.set(graft.plans.RangeBinJoinRewrite.BinConfKey, (2L * 3600 * 1000000).toString)
     val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
@@ -2251,6 +2297,7 @@ object Extras extends QueryModule {
     "rj2_interval_overlap" -> (intervalOverlapJoin _),
     "opt2_range_bin_auto" -> (rangeBinAuto _),
     "opt3_inlist_semijoin" -> (inlistSemiJoin _),
+    "opt4_approx_distinct" -> (approxDistinctAuto _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -2312,6 +2359,7 @@ object Extras extends QueryModule {
     "rj2_interval_overlap" -> intervalOverlapJoinSql,
     "opt2_range_bin_auto" -> rangeBinAutoSql,
     "opt3_inlist_semijoin" -> inlistSemiJoinSql,
+    "opt4_approx_distinct" -> approxDistinctAutoSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,
