@@ -13,9 +13,11 @@ import graft.Tables
   *
   * Decode splits by container class: UNCOMPRESSED formats (RIFF/PCM WAV,
   * 24-bpp BMP), the spec-native RUN-LENGTH and ADPCM compressed ones
-  * (BI_RLE8 BMP, IMA ADPCM WAV), and baseline sequential GRAYSCALE JPEG
-  * (Huffman entropy decode + dequantize + fixed-point IDCT) are parsed
-  * for real in pure JVM ([[RawCodec]], [[JpegCodec]] — actual sample
+  * (BI_RLE8 BMP, IMA ADPCM WAV), baseline sequential GRAYSCALE JPEG
+  * (Huffman entropy decode + dequantize + fixed-point IDCT), and 8-bit
+  * grayscale PNG (zlib DEFLATE + filter reconstruction) are parsed
+  * for real in pure JVM ([[RawCodec]], [[JpegCodec]], [[PngCodec]] —
+  * actual sample
   * rates, dimensions, pixel/sample statistics from the payload bytes);
   * only color/progressive JPEG and the patent-laden video/audio codecs
   * (H.264, AAC, MP3) need native libraries this container lacks, so
@@ -152,6 +154,26 @@ object Multimodal {
       })
   }
 
+  /** 8-bit grayscale PNG payloads on a doc slice disjoint from the
+    * other media slices (%25==3): real zlib-DEFLATE streams under the
+    * per-row filter layer, h ≥ 5 so every payload cycles through all
+    * five filter types (y mod 5), even ids split the compressed stream
+    * across two IDAT chunks — every gate row set exercises inflate,
+    * all five filter reconstructions, and multi-IDAT concatenation.
+    */
+  def pngMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 3)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (6 + id % 13).toInt
+        val h = (5 + id % 10).toInt
+        MediaFile(id, "image", PngCodec.synthPng(id, w, h, splitIdat = id % 2 == 0),
+          MediaMeta("png_gray8", w, h, 0L))
+      })
+  }
+
   /** The decode seam. Implementations must be deterministic per byte
     * content (idempotent re-runs, cross-run joins).
     */
@@ -182,13 +204,15 @@ object Multimodal {
     * three times and no longer covers "transform/entropy codecs" as a
     * class: [[RawCodec.RawCodecDecoder]] decodes WAV/BMP,
     * [[RawCodec.parseRle8Bmp]] BI_RLE8 BMP, [[RawCodec.parseAdpcmWav]]
-    * IMA ADPCM WAV, and [[JpegCodec.parseJpeg]] BASELINE SEQUENTIAL
+    * IMA ADPCM WAV, [[JpegCodec.parseJpeg]] BASELINE SEQUENTIAL
     * GRAYSCALE JPEG — a real Huffman + dequantize + fixed-point-IDCT
-    * decode, ImageIO-conformance-pinned (mm10/mm11/mm12 gate the
-    * compressed trio against closed-form oracles). What genuinely
-    * still needs an external library: color/progressive JPEG (chroma
-    * upsampling + successive approximation), and the patent-laden
-    * video/audio families (H.264, AAC, MP3).
+    * decode, ImageIO-conformance-pinned — and [[PngCodec.parsePng]]
+    * 8-bit grayscale PNG (real zlib DEFLATE inflation + all five
+    * filter reconstructions; mm10/mm11/mm12/mm13 gate the compressed
+    * quartet against closed-form oracles). What genuinely still needs
+    * an external library: color/progressive JPEG (chroma upsampling +
+    * successive approximation), and the patent-laden video/audio
+    * families (H.264, AAC, MP3).
     */
   object NativeDecoder extends MediaDecoder {
     override def features(m: MediaFile): MediaFeatures =

@@ -440,6 +440,50 @@ object MultimodalQueries extends QueryModule {
        |ORDER BY media_id NULLS FIRST""".stripMargin
   }
 
+  // --------------------------------------------------------------- mm13
+  /** 8-bit grayscale PNG decode under the oracle — the fourth
+    * compressed codec and the DICTIONARY/LZ class: pixels come out of a
+    * real zlib DEFLATE inflation (`java.util.zip.Inflater`, RFC
+    * 1950/1951) and a per-scanline filter reconstruction. Payloads are
+    * real PNG files ([[graft.multimodal.Multimodal.pngMediaTable]]:
+    * CRC-checked chunks, every row filtered under type y mod 5 so all
+    * five reconstructions — None/Sub/Up/Average/Paeth — run in every
+    * payload, even ids split across two IDAT chunks) and
+    * [[graft.multimodal.PngCodec.parsePng]] decodes them for real;
+    * PngCodecSpec pins BIT-EXACT pixel identity against the JDK's
+    * independent ImageIO codec in both interop directions (PNG is
+    * lossless, so unlike mm12 there is no ± tolerance). Filtering is
+    * lossless, so decoded pixels equal the closed-form synth function
+    * and the oracle restates the decode arithmetically over (id, x, y);
+    * any inflate or defilter bug shifts the pixel sum and fails the
+    * hash. A failed parse emits a −1 sentinel row: undecodable media
+    * is data.
+    */
+  private def mm13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.pngMediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.PngCodec.parsePng(m.content) match {
+          case Some(i) => (m.media_id, i.width.toLong, i.height.toLong, i.nPx, i.sumPx)
+          case None => (m.media_id, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_px", "sum_px")
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm13Sql =
+    """WITH cfg AS (
+      |  SELECT doc_id AS media_id, 6 + doc_id % 13 AS w, 5 + doc_id % 10 AS h
+      |  FROM documents WHERE doc_id % 25 = 3),
+      |rows_ AS (SELECT media_id, w, h, unnest(range(0, h)) AS y FROM cfg),
+      |px AS (SELECT media_id, w, h, y, unnest(range(0, w)) AS x FROM rows_)
+      |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w * h AS BIGINT) AS n_px,
+      |  CAST(SUM((media_id * 31 + y * 17 + x * 7) % 256) AS BIGINT) AS sum_px
+      |FROM px GROUP BY media_id, w, h
+      |ORDER BY media_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- mm7
   /** Windowed audio loudness from the REAL decode — one level deeper
     * than mm6's whole-file summary: every audio payload's PCM samples,
@@ -627,7 +671,8 @@ object MultimodalQueries extends QueryModule {
     "mm6_raw_decode" -> (mm6 _),
     "mm10_rle8_decode" -> (mm10 _),
     "mm11_adpcm_decode" -> (mm11 _),
-    "mm12_jpeg_decode" -> (mm12 _))
+    "mm12_jpeg_decode" -> (mm12 _),
+    "mm13_png_decode" -> (mm13 _))
 
   override val oracle: Map[String, String] = Map(
     "mm8_patch_grid" -> mm8Sql,
@@ -641,5 +686,6 @@ object MultimodalQueries extends QueryModule {
     "mm6_raw_decode" -> mm6Sql,
     "mm10_rle8_decode" -> mm10Sql,
     "mm11_adpcm_decode" -> mm11Sql,
-    "mm12_jpeg_decode" -> mm12Sql)
+    "mm12_jpeg_decode" -> mm12Sql,
+    "mm13_png_decode" -> mm13Sql)
 }

@@ -232,7 +232,94 @@ object StreamingGate extends QueryModule {
       |HAVING bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
       |ORDER BY bucket_hour NULLS FIRST, event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw7
+  // Stream-STATIC enrichment join — the remaining streaming-join
+  // modality after sw5's stream-stream: every event enriched with its
+  // user's nation from a broadcast batch dimension, then rolled into a
+  // watermarked hourly census per nation. The join is STATELESS (no
+  // watermark bookkeeping, no join state store — the dim is a plain
+  // broadcast against each micro-batch), which is exactly why it is the
+  // canonical streaming enrichment shape at 100 TB/day: per-row map-side
+  // work, state only in the downstream windowed aggregate. LEFT join,
+  // and the dimension deliberately EXCLUDES a third of the users
+  // (c_custkey % 3 == 0), so unmatched events flow through with a NULL
+  // nation and surface as their own census group — a hash match proves
+  // outer-join pass-through, not just the happy path. Emission contract
+  // restated like sw2: a window is emitted iff its end is at or below
+  // the final watermark.
+  private def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables(s, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 0)
+      .join(graft.Tables(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("nation"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bucket_hour"), col("nation"), col("n_events"))
+    drain(s, agg, "sw7_mem")
+      .orderBy(col("bucket_hour").asc_nulls_first, col("nation").asc_nulls_first)
+  }
+
+  private val streamStaticEnrichSql =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+      |dim AS (
+      |  SELECT c_custkey AS user_id, n_name AS nation
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE c_custkey % 3 <> 0)
+      |SELECT date_trunc('hour', ts) AS bucket_hour, d.nation, COUNT(*) AS n_events
+      |FROM events e LEFT JOIN dim d USING (user_id)
+      |GROUP BY 1, 2
+      |HAVING bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+      |ORDER BY bucket_hour NULLS FIRST, nation NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- sw8
+  // Watermarked streaming TOP-K in state — the second bounded-state
+  // sketch composition after sw6's KMV: per (hour, type) window the
+  // state store holds ONE sorted ≤3-element buffer (the BoundedTopKAgg
+  // list), updated per micro-batch and merged across them, instead of
+  // every (value, event_id) pair ever seen — the "trending items"
+  // streaming shape, whose naive spelling (windowed rank) Spark refuses
+  // in append mode outright (no windowed row_number over a stream) and
+  // whose collect-then-sort spelling holds the whole window in state.
+  // The top-3 largest value_cents per window with event_id tie-break is
+  // DETERMINISTIC, so the gate is hash-exact against the oracle's
+  // row_number restatement; the post-aggregation posexplode is
+  // stateless and runs on emitted (closed) windows only. Emission
+  // contract restated like sw2.
+  private def streamTopK(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(topk(round(col("value") * 100).cast(LongType), col("event_id")).as("hits"))
+      .select(col("w.start").as("bucket_hour"), col("event_type"),
+        posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("bucket_hour"), col("event_type"), (col("pos") + 1).as("rank"),
+        col("hit.score").as("value_cents"), col("hit.id").as("event_id"))
+    drain(s, agg, "sw8_mem")
+      .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first,
+        col("rank").asc_nulls_first)
+  }
+
+  private val streamTopKSql =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+      |r AS (
+      |  SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS value_cents, event_id,
+      |    row_number() OVER (
+      |      PARTITION BY date_trunc('hour', ts), event_type
+      |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC) AS rnk
+      |  FROM events)
+      |SELECT bucket_hour, event_type, CAST(rnk AS INT) AS rank, value_cents, event_id
+      |FROM r
+      |WHERE rnk <= 3 AND bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+      |ORDER BY bucket_hour NULLS FIRST, event_type NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sw8_stream_topk" -> (streamTopK _),
+    "sw7_static_enrich" -> (streamStaticEnrich _),
     "sw5_stream_join" -> (streamStreamJoin _),
     "sw2_stream_hourly" -> (streamHourly _),
     "sw3_stream_sessions" -> (streamSessions _),
@@ -240,6 +327,8 @@ object StreamingGate extends QueryModule {
     "sw6_stream_distinct" -> (streamDistinctUsers _))
 
   def oracle: Map[String, String] = Map(
+    "sw8_stream_topk" -> streamTopKSql,
+    "sw7_static_enrich" -> streamStaticEnrichSql,
     "sw5_stream_join" -> streamStreamJoinSql,
     "sw2_stream_hourly" -> streamHourlySql,
     "sw3_stream_sessions" -> streamSessionsSql,

@@ -237,7 +237,36 @@ object YouGileQueries extends QueryModule {
        |FROM read_parquet('${pq("contracts")}')
        |ORDER BY id NULLS FIRST""".stripMargin
 
+  /** Per-column task census through the connector's AGGREGATE PUSHDOWN
+    * (`SupportsPushDownAggregates`): COUNT(*) and null-skipping
+    * COUNT(subtasks) per board column are folded INSIDE each per-column
+    * partition reader — one census row per column crosses the source
+    * boundary instead of every task row (SourceV2Spec pins the pushed
+    * scan description and schema; a silent fallback to row-grain scans
+    * would still hash-match, so the spec's plan pin is the
+    * non-vacuity). The oracle restates the census over the committed
+    * parquet mirror of the same fixture universe.
+    */
+  private def ygDsv2Census(s: SparkSession, dir: String): DataFrame = {
+    s.read.format("yougile")
+      .option("entity", "tasks")
+      .option("fixtureDir", Fixtures.jsonDir)
+      .option("limit", YouGileConfig.fixture.contractPageLimit.toString)
+      .load()
+      .groupBy("columnId")
+      .agg(count(lit(1)).as("n_tasks"), count(col("subtasks")).as("n_with_subtasks"))
+      .orderBy(col("columnId").asc_nulls_first)
+  }
+
+  private val ygDsv2CensusSql =
+    s"""SELECT columnId, COUNT(*) AS n_tasks,
+       |  CAST(COUNT(subtasks) AS BIGINT) AS n_with_subtasks
+       |FROM read_parquet('${pq("contracts")}')
+       |GROUP BY columnId
+       |ORDER BY columnId NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "yg_dsv2_census" -> (ygDsv2Census _),
     "yg_dsv2_tasks" -> (ygDsv2Tasks _),
     "yg_brd_clmn" -> (ygBrdClmn _),
     "yg_hub_states" -> (ygHubStates _),
@@ -246,6 +275,7 @@ object YouGileQueries extends QueryModule {
     "yg_mart" -> (ygMart _))
 
   override val oracle: Map[String, String] = Map(
+    "yg_dsv2_census" -> ygDsv2CensusSql,
     "yg_dsv2_tasks" -> ygDsv2TasksSql,
     "yg_brd_clmn" -> ygBrdClmnSql,
     "yg_hub_states" -> ygHubStatesSql,

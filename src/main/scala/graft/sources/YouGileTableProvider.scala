@@ -91,10 +91,59 @@ private[sources] class YouGileTable(schema: StructType, opts: Map[String, String
     new YouGileScanBuilder(schema, opts ++ options.asScala)
 }
 
+/** Pushed-aggregate shape: per-partition COUNT census. `counts(i)` is
+  * `None` for COUNT(*) and `Some(col)` for null-skipping COUNT(col).
+  */
+private[sources] case class YouGileAggSpec(groupCols: Seq[String], counts: Seq[Option[String]]) {
+  def schema(full: StructType): StructType = StructType(
+    groupCols.map(c => full(c)) ++
+      counts.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.types.StructField(
+          c.fold(s"count_star_$i")(n => s"count_${n}_$i"),
+          org.apache.spark.sql.types.LongType, nullable = false)
+      })
+}
+
 private[sources] class YouGileScanBuilder(full: StructType, opts: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[YouGileAggSpec] = None
+
+  /** COUNT pushdown (`SupportsPushDownAggregates`): COUNT(*) /
+    * null-skipping COUNT(col) grouped by top-level source fields is
+    * answered INSIDE the partition reader — the HTTP fetch still
+    * happens (the API has no count endpoint), but each per-column
+    * partition ships ONE census row per group across the source
+    * boundary instead of every task row. PARTIAL pushdown
+    * (supportCompletePushDown stays false): Spark plans the final
+    * merge, summing per-partition counts — always correct, including
+    * a group split across partitions or an empty scan. Distinct
+    * counts, non-count functions, and nested/struct group keys stay
+    * with Spark untouched.
+    */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
+    def topLevel(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          full.fieldNames.contains(r.fieldNames.head) => Some(r.fieldNames.head)
+        case _ => None
+      }
+    val groups = aggregation.groupByExpressions.toSeq.map(topLevel)
+    val counts = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(None)
+      case c: Count if !c.isDistinct => topLevel(c.column).map(Some(_))
+      case _ => None
+    }
+    if (groups.forall(_.isDefined) && counts.forall(_.isDefined) && counts.nonEmpty) {
+      agg = Some(YouGileAggSpec(groups.flatten, counts.flatten))
+      true
+    } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the source's field order; requiredSchema names decide membership
@@ -128,17 +177,25 @@ private[sources] class YouGileScanBuilder(full: StructType, opts: Map[String, St
       case EqualTo(_, v: String) => Set(v)
       case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
     }.reduceOption(_ intersect _)
-    new YouGileScan(required, opts, allowed)
+    new YouGileScan(agg.map(_.schema(full)).getOrElse(required), opts, allowed, agg)
   }
 }
 
 private[sources] class YouGileScan(schema: StructType, opts: Map[String, String],
-    allowedColumns: Option[Set[String]] = None)
+    allowedColumns: Option[Set[String]] = None,
+    agg: Option[YouGileAggSpec] = None)
     extends Scan with Batch {
   private val entity = opts.getOrElse("entity", "tasks")
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  override def description(): String = {
+    val aggDesc = agg.fold("")(a =>
+      s", PushedAggregates: [${a.counts.map(_.fold("COUNT(*)")(c => s"COUNT($c)")).mkString(", ")}]" +
+        s", PushedGroupBy: [${a.groupCols.mkString(", ")}]")
+    s"YouGileScan(entity=$entity$aggDesc)"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = entity match {
     case "tasks" =>
@@ -157,7 +214,7 @@ private[sources] class YouGileScan(schema: StructType, opts: Map[String, String]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new YouGileReaderFactory(schema, opts)
+    new YouGileReaderFactory(schema, opts, agg)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new YouGileMicroBatchStream(schema, opts)
@@ -290,12 +347,66 @@ private[sources] case class YouGileOffset(done: Set[String]) extends Offset {
   }
 }
 
-private[sources] class YouGileReaderFactory(schema: StructType, opts: Map[String, String])
+private[sources] class YouGileReaderFactory(schema: StructType, opts: Map[String, String],
+    agg: Option[YouGileAggSpec] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[YouGilePartition]
-    new YouGilePartitionReader(schema, opts, p)
+    agg match {
+      case Some(spec) => new YouGileAggPartitionReader(schema, opts, p, spec)
+      case None => new YouGilePartitionReader(schema, opts, p)
+    }
   }
+}
+
+/** Aggregate-pushdown reader: runs the SAME per-partition row fetch
+  * as [[YouGilePartitionReader]] but against a schema narrowed to the
+  * referenced fields, folds the rows into per-group counters, and emits
+  * one census row per group — group values followed by partial counts,
+  * the positional contract `SupportsPushDownAggregates` specifies.
+  * COUNT(col) skips null fields exactly like the SQL semantics. State
+  * is O(groups) per partition; the task-row stream is never
+  * materialized.
+  */
+private[sources] class YouGileAggPartitionReader(
+    outSchema: StructType, opts: Map[String, String], p: YouGilePartition,
+    spec: YouGileAggSpec)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val fetchFields = (spec.groupCols ++ spec.counts.flatten).distinct
+    val fetchSchema = StructType(
+      YouGileTableProvider.schemaFor(p.entity).fields.filter(f =>
+        fetchFields.contains(f.name)))
+    val base = new YouGilePartitionReader(fetchSchema, opts, p)
+    val groupOrd = spec.groupCols.map(fetchSchema.fieldIndex)
+    val groupTypes = spec.groupCols.map(c => fetchSchema(c).dataType)
+    val countOrd = spec.counts.map(_.map(fetchSchema.fieldIndex))
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
+    try {
+      while (base.next()) {
+        val r = base.get()
+        val key = groupOrd.zip(groupTypes).map { case (i, dt) =>
+          val v = r.get(i, dt)
+          v match { case u: UTF8String => u.copy(); case other => other }
+        }
+        val cs = acc.getOrElseUpdate(key, new Array[Long](spec.counts.size))
+        var i = 0
+        while (i < countOrd.size) {
+          if (countOrd(i).forall(ord => !r.isNullAt(ord))) cs(i) += 1
+          i += 1
+        }
+      }
+    } finally base.close()
+    acc.iterator.map { case (key, cs) =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(key ++ cs.toSeq)
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 private[sources] class YouGilePartitionReader(

@@ -63,6 +63,54 @@ class SourceV2Spec extends AnyFunSuite {
     assert(v2 == drv)
   }
 
+  test("aggregate pushdown: COUNT(*) per columnId is answered by the source") {
+    val df = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .groupBy("columnId").agg(count(lit(1)).as("n"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("PushedAggregates: [COUNT(*)]"),
+      s"aggregate not pushed: ${scan.scan.description()}")
+    assert(scan.scan.description().contains("PushedGroupBy: [columnId]"))
+    // the scan's output is the census, not task rows
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("columnId", "count_star_0"))
+    // and the merged result equals the un-pushed census (computed over a
+    // different shape the rule cannot push: count over a distinct grain)
+    val expected = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .select("columnId", "id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("aggregate pushdown: COUNT(col) skips nulls; global count has no group columns") {
+    // subtasks is null on some fixture tasks — COUNT(subtasks) < COUNT(*)
+    val df = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .agg(count(lit(1)).as("n_all"), count(col("subtasks")).as("n_subtasks"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains(
+      "PushedAggregates: [COUNT(*), COUNT(subtasks)]"), scan.scan.description())
+    assert(scan.scan.description().contains("PushedGroupBy: []"))
+    val row = df.collect().head
+    val raw = read("tasks", YouGileConfig.fixture.contractPageLimit).select("subtasks").collect()
+    assert(row.getLong(0) == raw.length.toLong)
+    assert(row.getLong(1) == raw.count(!_.isNullAt(0)).toLong)
+    assert(row.getLong(1) < row.getLong(0),
+      "no null subtasks in the fixtures — the null-skip path is vacuous")
+  }
+
+  test("aggregate pushdown falls back cleanly on shapes the source refuses") {
+    // distinct counts and non-count aggregates stay with Spark
+    val df = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .groupBy("columnId").agg(countDistinct(col("id")).as("n"))
+    val scan = scanOf(df)
+    assert(!scan.scan.description().contains("PushedAggregates"),
+      s"distinct count must not push: ${scan.scan.description()}")
+    assert(df.collect().forall(_.getLong(1) > 0))
+    val mx = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .agg(max(col("timestamp")).as("m"))
+    assert(!scanOf(mx).scan.description().contains("PushedAggregates"))
+    assert(!mx.collect().head.isNullAt(0))
+  }
+
   test("unknown entity fails fast with the supported list") {
     val e = intercept[Exception](read("nope").collect())
     assert(e.getMessage.contains("boards|columns|string-stickers|tasks"))

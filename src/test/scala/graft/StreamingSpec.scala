@@ -181,6 +181,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sw7 stream-static enrichment: null pass-through non-vacuous, census matches batch") {
+    import org.apache.spark.sql.functions._
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("sw7_static_enrich")(s, dir)
+    val rows = got.collect()
+    // the dim excludes c_custkey % 3 == 0 users, so the LEFT join must
+    // surface a NULL-nation census group (data-sensitive: re-tune if the
+    // driver regenerates user ids away from the customer key space)
+    assert(rows.exists(_.isNullAt(1)), "no NULL-nation group — outer pass-through vacuous")
+    assert(rows.exists(!_.isNullAt(1)), "no matched group — the dim join never matched")
+    val wm = Tables(s, dir, "events").agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = Tables(s, dir, "events")
+      .join(org.apache.spark.sql.functions.broadcast(
+        Tables(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+          .join(Tables(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))),
+        Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour")("start").as("bucket_hour"), col("nation"))
+      .count()
+      .filter(col("bucket_hour") + expr("INTERVAL 1 HOUR") <=
+        lit(wm) - expr("INTERVAL 10 MINUTES"))
+      .collect().map(r => (r.get(0), r.get(1), r.getLong(2))).toSet
+    assert(rows.map(r => (r.get(0), r.get(1), r.getLong(2))).toSet == batch)
+  }
+
   test("streaming incremental near-dup matches the dd10 batch pass across micro-batches") {
     implicit val sq = spark.sqlContext
     val s = SparkEntry.configure(spark)
