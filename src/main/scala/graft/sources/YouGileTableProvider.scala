@@ -106,10 +106,26 @@ private[sources] case class YouGileAggSpec(groupCols: Seq[String], counts: Seq[O
 
 private[sources] class YouGileScanBuilder(full: StructType, opts: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[YouGileAggSpec] = None
+  private var rowLimit: Option[Int] = None
+
+  /** LIMIT pushdown (`SupportsPushDownLimit`): on a PAGINATED
+    * rate-limited API this is the pushdown that saves wall-clock, not
+    * just bytes — each partition reader stops the HTTP page loop after
+    * ⌈limit/pageSize⌉ pages ([[graft.yougile.Paginator.fetchLazy]])
+    * instead of draining its column's full listing. PARTIAL semantics
+    * (`isPartiallyPushed` stays true): each of the N per-column
+    * partitions may emit up to `limit` rows and Spark's own
+    * GlobalLimit trims the union — always correct, including limits
+    * spanning partitions. Refused under aggregate pushdown (a limit
+    * above a grouped census must not truncate the census's input).
+    */
+  override def pushLimit(limit: Int): Boolean =
+    if (agg.isDefined || limit < 0) false
+    else { rowLimit = Some(limit); true }
 
   /** COUNT pushdown (`SupportsPushDownAggregates`): COUNT(*) /
     * null-skipping COUNT(col) grouped by top-level source fields is
@@ -177,13 +193,14 @@ private[sources] class YouGileScanBuilder(full: StructType, opts: Map[String, St
       case EqualTo(_, v: String) => Set(v)
       case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
     }.reduceOption(_ intersect _)
-    new YouGileScan(agg.map(_.schema(full)).getOrElse(required), opts, allowed, agg)
+    new YouGileScan(agg.map(_.schema(full)).getOrElse(required), opts, allowed, agg, rowLimit)
   }
 }
 
 private[sources] class YouGileScan(schema: StructType, opts: Map[String, String],
     allowedColumns: Option[Set[String]] = None,
-    agg: Option[YouGileAggSpec] = None)
+    agg: Option[YouGileAggSpec] = None,
+    rowLimit: Option[Int] = None)
     extends Scan with Batch {
   private val entity = opts.getOrElse("entity", "tasks")
 
@@ -194,7 +211,8 @@ private[sources] class YouGileScan(schema: StructType, opts: Map[String, String]
     val aggDesc = agg.fold("")(a =>
       s", PushedAggregates: [${a.counts.map(_.fold("COUNT(*)")(c => s"COUNT($c)")).mkString(", ")}]" +
         s", PushedGroupBy: [${a.groupCols.mkString(", ")}]")
-    s"YouGileScan(entity=$entity$aggDesc)"
+    val limitDesc = rowLimit.fold("")(n => s", PushedLimit: $n")
+    s"YouGileScan(entity=$entity$aggDesc$limitDesc)"
   }
 
   override def planInputPartitions(): Array[InputPartition] = entity match {
@@ -214,7 +232,7 @@ private[sources] class YouGileScan(schema: StructType, opts: Map[String, String]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new YouGileReaderFactory(schema, opts, agg)
+    new YouGileReaderFactory(schema, opts, agg, rowLimit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new YouGileMicroBatchStream(schema, opts)
@@ -348,13 +366,13 @@ private[sources] case class YouGileOffset(done: Set[String]) extends Offset {
 }
 
 private[sources] class YouGileReaderFactory(schema: StructType, opts: Map[String, String],
-    agg: Option[YouGileAggSpec] = None)
+    agg: Option[YouGileAggSpec] = None, rowLimit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[YouGilePartition]
     agg match {
       case Some(spec) => new YouGileAggPartitionReader(schema, opts, p, spec)
-      case None => new YouGilePartitionReader(schema, opts, p)
+      case None => new YouGilePartitionReader(schema, opts, p, rowLimit)
     }
   }
 }
@@ -410,7 +428,8 @@ private[sources] class YouGileAggPartitionReader(
 }
 
 private[sources] class YouGilePartitionReader(
-    schema: StructType, opts: Map[String, String], p: YouGilePartition)
+    schema: StructType, opts: Map[String, String], p: YouGilePartition,
+    rowLimit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   // per-entity fetch parameters mirror YouGileSource (limit 1000;
@@ -422,13 +441,17 @@ private[sources] class YouGilePartitionReader(
   private val rows: Iterator[InternalRow] = {
     val client = YouGileTableProvider.clientFor(opts)
     val method = if (p.entity == "tasks") "tasks" else p.entity
-    val jsons = Paginator.fetchAll(client, method, limit, includeDeleted, p.columnId)
+    // lazy page walk: under a pushed LIMIT the take(n) below stops the
+    // HTTP loop after the page that satisfies it — later pages of this
+    // column are never requested
+    val jsons = Paginator.fetchLazy(client, method, limit, includeDeleted, p.columnId)
     val parser = new JacksonParser(
       schema, new JSONOptions(Map.empty, "UTC"), allowArrayAsStructs = false, Nil)
-    jsons.iterator.flatMap { j =>
+    val all = jsons.flatMap { j =>
       parser.parse(j, CreateJacksonParser.string, UTF8String.fromString)
         .map(_.copy())
     }
+    rowLimit.fold(all)(all.take)
   }
 
   private var current: InternalRow = _

@@ -97,6 +97,33 @@ class SourceV2Spec extends AnyFunSuite {
       "no null subtasks in the fixtures — the null-skip path is vacuous")
   }
 
+  test("limit pushdown stops the HTTP page loop: pages past the limit are never fetched") {
+    val dir = java.nio.file.Files.createTempDirectory("yg_limit").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try w.write(body) finally w.close()
+    }
+    write("columns__all__0.json",
+      """{"paging":{"next":false},"content":[{"id":"colA","title":"A","boardId":"b1"}]}""")
+    // page 0 claims a next page that DOES NOT EXIST on disk: a reader
+    // that walks past the pushed limit throws on the missing file, so a
+    // green limited read proves the page loop stopped early (and the
+    // unbounded read below proves the fixture really demands page 2 —
+    // the pin is non-vacuous)
+    write("tasks__colA__0.json",
+      """{"paging":{"next":true},"content":[
+        |{"id":"t1","title":"x","timestamp":1,"columnId":"colA"},
+        |{"id":"t2","title":"y","timestamp":2,"columnId":"colA"}]}""".stripMargin)
+    val s = SparkEntry.configure(spark)
+    def frame = s.read.format("yougile").option("entity", "tasks")
+      .option("fixtureDir", dir.getAbsolutePath).option("limit", "2").load()
+    intercept[Exception](frame.collect())
+    val limited = frame.limit(2)
+    assert(scanOf(limited).scan.description().contains("PushedLimit: 2"),
+      s"limit not pushed: ${scanOf(limited).scan.description()}")
+    assert(limited.collect().map(_.getAs[String]("id")).toSet == Set("t1", "t2"))
+  }
+
   test("aggregate pushdown falls back cleanly on shapes the source refuses") {
     // distinct counts and non-count aggregates stay with Spark
     val df = read("tasks", YouGileConfig.fixture.contractPageLimit)

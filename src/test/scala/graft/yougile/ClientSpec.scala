@@ -28,6 +28,19 @@ class ClientSpec extends AnyFunSuite {
     assert(c.calls.reverse.map(_._2) == List(0, 2, 4)) // offsets advance by limit
   }
 
+  test("Paginator.fetchLazy requests a page only when the previous one is drained") {
+    val c = new FakeClient(Map(
+      ("tasks", None, 0) -> """{"paging":{"next":true},"content":[{"id":"a"},{"id":"b"}]}""",
+      ("tasks", None, 2) -> """{"paging":{"next":true},"content":[{"id":"c"}]}""",
+      ("tasks", None, 4) -> """{"paging":{"next":false},"content":[{"id":"d"}]}"""))
+    val it = Paginator.fetchLazy(c, "tasks", limit = 2, includeDeleted = true, columnId = None)
+    assert(c.calls.isEmpty) // construction fetches nothing
+    assert(it.take(2).toList.size == 2)
+    assert(c.calls.map(_._2) == List(0), "a bounded consumer must cost exactly one page")
+    // the unbounded walk still sees everything (fetchAll delegates here)
+    assert(Paginator.fetchAll(c, "tasks", 2, includeDeleted = true, None).size == 4)
+  }
+
   test("Paginator handles an empty content page (empty-portion guard F5)") {
     val c = new FakeClient(Map(
       ("tasks", Some("col1"), 0) -> """{"paging":{"next":false},"content":[]}"""))
