@@ -87,4 +87,56 @@ object SketchJoin {
       else ("shuffle", left.join(right, Seq(key), "left"))
     }
   }
+
+  /** One dimension of a star join: `fact(factKey) = dim(dimKey)`. */
+  case class JoinDim(name: String, dim: DataFrame, factKey: String, dimKey: String)
+
+  /** Sketch-estimated JOIN ORDER — the System-R half of the decision
+    * layer ([[planLeftJoin]] picks the physical strategy of ONE join;
+    * this picks the ORDER of several): each dimension's estimated
+    * intermediate size is the containment bound
+    * |fact ⋈ dimᵢ| ≈ n_fact · n_dimᵢ / max(ndv_fact(kᵢ), ndv_dimᵢ(kᵢ))
+    * — dq12's audited formula — with every NDV from the KMV sketch
+    * ([[graft.functions.NdvSketch]]: ONE bounded-buffer pass per frame,
+    * never a COUNT DISTINCT exchange; all fact-side key sketches ride a
+    * single aggregate, so the fact scans once per probe round, not per
+    * dim). Dimensions join ascending by estimate (name tie-break, so
+    * the order is deterministic even on equal estimates): the most
+    * selective dimension shrinks the intermediate first, every later
+    * join probes fewer rows. INNER equi-joins commute, so every order
+    * yields the identical row set — the sj3 gate hash-compares the
+    * planned chain against the oracle's fixed-order restatement, and
+    * SketchJoinSpec forces the reversed order and asserts frame
+    * equality.
+    *
+    * Decision stability: the sketch is exact below k = 8192 and σ ≈
+    * 1.1% above, so any pair of dims whose estimates differ by more
+    * than a few σ orders identically under sketch and exact NDVs;
+    * equal-estimate ties fall to the name. At production the same
+    * numbers come from table stats; the formula and the ordering rule
+    * are what this operator pins.
+    */
+  def planJoinChain(fact: DataFrame, dims: Seq[JoinDim]): (Seq[String], DataFrame) = {
+    import graft.functions.NdvSketch
+    require(dims.nonEmpty, "planJoinChain needs at least one dimension")
+    // one fact pass: count + one KMV sketch per distinct fact key
+    val factKeys = dims.map(_.factKey).distinct
+    val factRow = fact.agg(count(lit(1)).as("n"),
+        factKeys.map(k => NdvSketch.ndvSketch(col(k)).as(s"ndv_$k")): _*)
+      .collect()(0)
+    val nFact = factRow.getLong(0)
+    val ndvFact = factKeys.zipWithIndex.map { case (k, i) => k -> factRow.getLong(i + 1) }.toMap
+    val estimated = dims.map { d =>
+      val r = d.dim.agg(count(lit(1)).as("n"),
+        NdvSketch.ndvSketch(col(d.dimKey)).as("ndv")).collect()(0)
+      val nDim = r.getLong(0)
+      val est = nFact * nDim / math.max(1L, math.max(ndvFact(d.factKey), r.getLong(1)))
+      (d, est)
+    }
+    val ordered = estimated.sortBy { case (d, est) => (est, d.name) }
+    val joined = ordered.foldLeft(fact) { case (acc, (d, _)) =>
+      acc.join(d.dim, acc(d.factKey) === d.dim(d.dimKey))
+    }
+    (ordered.map(_._1.name), joined)
+  }
 }

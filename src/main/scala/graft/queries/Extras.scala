@@ -1199,6 +1199,76 @@ object Extras extends QueryModule {
       |ORDER BY li.l_orderkey NULLS FIRST, li.l_linenumber NULLS FIRST,
       |  li.k NULLS FIRST, li.l_qty NULLS FIRST, k_class NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sj3
+  /** Sketch-estimated JOIN ORDER — the System-R half of the decision
+    * layer (sj2 picks one join's physical strategy; this orders a
+    * CHAIN): lineitem star-joins two filtered dimensions, and
+    * [[graft.operators.SketchJoin.planJoinChain]] joins the one with
+    * the smaller containment-bound estimate n_f·n_d / max(ndv_f, ndv_d)
+    * first, every NDV from one bounded KMV-sketch pass per frame (no
+    * COUNT DISTINCT exchange). Inner equi-joins commute, so the census
+    * is order-independent — the decision is gated through the
+    * `join_order` column, which the oracle restates with EXACT NDVs:
+    * the two estimates differ by ~40% while the only above-k sketch
+    * (ndv(l_orderkey)) carries σ ≈ 1.1%, dq9's many-σ bounded-flag
+    * posture, so sketch and exact NDVs provably order the dims the
+    * same way. At every test scale the supplier dim (~12% of a
+    * 100-supplier key space ⇒ est ≈ 0.12·n_f) beats urgent-orders (~⅕
+    * of orders ⇒ est ≈ 0.2·n_f), so the gate pins the supplier-first
+    * arm; SketchJoinSpec drives BOTH decision directions on
+    * constructed frames and pins the reversed-order frame equal.
+    */
+  private def sketchJoinOrderGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SketchJoin
+    val fact = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_suppkey"),
+      round(col("l_quantity")).cast(LongType).as("l_qty"))
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val lowNation = t(s, dir, "supplier")
+      .filter(col("s_nationkey") < 3)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val (order, joined) = SketchJoin.planJoinChain(fact, Seq(
+      SketchJoin.JoinDim("orders", urgent, "l_orderkey", "o_orderkey"),
+      SketchJoin.JoinDim("supplier", lowNation, "l_suppkey", "s_suppkey")))
+    joined.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_qty")).as("sum_qty"))
+      .select(col("s_nationkey"), col("n_rows"), col("sum_qty"),
+        lit(order.mkString(">")).as("join_order"))
+      .orderBy(col("s_nationkey").asc_nulls_first)
+  }
+
+  private val sketchJoinOrderGateSql =
+    """WITH f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok,
+      |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ndv_sk
+      |  FROM lineitem),
+      |dord AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |dsup AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS ndv
+      |  FROM supplier WHERE s_nationkey < 3),
+      |decide AS (
+      |  SELECT CASE
+      |    WHEN (f.n * dsup.n) // GREATEST(f.ndv_sk, dsup.ndv)
+      |       < (f.n * dord.n) // GREATEST(f.ndv_ok, dord.ndv)
+      |      THEN 'supplier>orders'
+      |    ELSE 'orders>supplier' END AS join_order
+      |  FROM f, dord, dsup)
+      |SELECT s_nationkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  (SELECT join_order FROM decide) AS join_order
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey < 3
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- bf1
   /** Bloom-prefiltered semi join — the manual spelling of the runtime
     * bloom filter (semi-join pushdown): build a bloom over the filtered
@@ -2281,6 +2351,7 @@ object Extras extends QueryModule {
     "j8_cross_small" -> (crossSmall _),
     "sj1_salted_join" -> (saltedJoinGate _),
     "sj2_sketch_planned_join" -> (sketchPlannedJoinGate _),
+    "sj3_sketch_join_order" -> (sketchJoinOrderGate _),
     "bf1_bloom_semi_join" -> (bloomSemiJoin _),
     "bkt1_bucketed_join" -> (bucketedJoinGate _),
     "zo1_zorder_audit" -> (zorderAudit _),
@@ -2343,6 +2414,7 @@ object Extras extends QueryModule {
     "j8_cross_small" -> crossSmallSql,
     "sj1_salted_join" -> saltedJoinGateSql,
     "sj2_sketch_planned_join" -> sketchPlannedJoinGateSql,
+    "sj3_sketch_join_order" -> sketchJoinOrderGateSql,
     "bf1_bloom_semi_join" -> bloomSemiJoinSql,
     "bkt1_bucketed_join" -> bucketedJoinGateSql,
     "zo1_zorder_audit" -> zorderAuditSql,

@@ -60,6 +60,51 @@ class SketchJoinSpec extends AnyFunSuite {
     assert(s3 == "shuffle" && rows(shuffled) == reference)
   }
 
+  // ------------------------------------------------------ planJoinChain
+
+  // fact: 2000 rows, key a spread over 100 values, key b over 20
+  private def chainFact: DataFrame =
+    spark.range(0, 2000).select(
+      (col("id") % 100L).as("a"), (col("id") % 20L).as("b"), col("id").as("row_id"))
+
+  // est(dimA over a) = 2000·nA/max(100, nA); est(dimB over b) = 2000·nB/max(20, nB)
+  private def dimA(n: Int): DataFrame =
+    spark.range(0, n).select(col("id").as("ak"), (col("id") % 3L).as("a_attr"))
+  private def dimB(n: Int): DataFrame =
+    spark.range(0, n).select(col("id").as("bk"), (col("id") % 3L).as("b_attr"))
+
+  private def chain(da: DataFrame, db: DataFrame) =
+    SketchJoin.planJoinChain(chainFact, Seq(
+      SketchJoin.JoinDim("dimA", da, "a", "ak"),
+      SketchJoin.JoinDim("dimB", db, "b", "bk")))
+
+  test("join-order decision follows the containment estimates, both directions") {
+    // dimA 5/100 keys -> est 100; dimB 20/20 keys -> est 2000: A first
+    assert(chain(dimA(5), dimB(20))._1 == Seq("dimA", "dimB"))
+    // dimA 100/100 keys -> est 2000; dimB 1/20 keys -> est 100: B first
+    assert(chain(dimA(100), dimB(1))._1 == Seq("dimB", "dimA"))
+  }
+
+  test("equal estimates fall to the name tie-break deterministically") {
+    // est A = 2000·100/100 = 2000; est B = 2000·20/20 = 2000 -> name order
+    val (order, _) = chain(dimA(100), dimB(20))
+    assert(order == Seq("dimA", "dimB"))
+  }
+
+  test("every join order computes the identical inner chain") {
+    def rows(df: DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+      df.select(col("a"), col("b"), col("row_id"), col("a_attr"), col("b_attr"))
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val (order, planned) = chain(dimA(5), dimB(20))
+    assert(order == Seq("dimA", "dimB"))
+    // force the reversed order by feeding the dims swapped: the planner
+    // re-decides A-first on estimates, so build the reversed chain by hand
+    val reversed = chainFact
+      .join(dimB(20), col("b") === col("bk"))
+      .join(dimA(5), col("a") === col("ak"))
+    assert(rows(planned) == rows(reversed))
+  }
+
   test("broadcast branch actually broadcasts (plan pin, AQE off)") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
