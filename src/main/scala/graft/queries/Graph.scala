@@ -470,6 +470,98 @@ object Graph extends QueryModule {
       .orderBy(col("d").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- g6
+  /** WEIGHTED single-source(-set) shortest paths — the missing edge
+    * beside g2's unweighted BFS: Bellman–Ford frontier relaxation where
+    * a sweep adds the EDGE WEIGHT instead of 1, so a cheap two-hop path
+    * can beat an expensive direct edge (the property the spec plants).
+    * Weights are the closed form 1 + (src·7 + dst·3) mod 5 over the
+    * co-purchase edge frame — deterministic, integer, restatable in
+    * the oracle verbatim. After N sweeps every node whose optimal path
+    * uses ≤ N edges carries its exact shortest-path cost (the standard
+    * Bellman–Ford invariant); both engines run the SAME N sweeps, so
+    * the census agrees row-for-row without needing the global
+    * fixpoint. Same Pregel plan shape, state-broadcast gate, and
+    * per-sweep localCheckpoint + superseded-block release as g2 (the
+    * relaxation references `dist` twice, so un-truncated lineage
+    * doubles per sweep).
+    */
+  private val SsspSweeps = 4
+  private val SsspSources = 5
+
+  private def ssspLayers(s: SparkSession, dir: String): DataFrame =
+    ssspSized(s, dir, SsspSweeps, StateBroadcastMaxEdges)
+
+  private[graft] def ssspSized(
+      s: SparkSession, dir: String, iters: Int, maxBroadcastEdges: Long): DataFrame = {
+    val base = directedEdges(s, dir)
+    val edges = base.select(col("src"), col("dst"),
+      (lit(1L) + (col("src") * 7L + col("dst") * 3L) % 5L).as("w"))
+    val broadcastState = planOnly(s) || base.count() <= maxBroadcastEdges
+    val sources = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node").asc_nulls_first).limit(SsspSources)
+    ssspDistances(s, edges, sources, iters, broadcastState)
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("d").asc_nulls_first)
+  }
+
+  /** The N-sweep Bellman–Ford fold over an arbitrary weighted edge
+    * frame (src, dst, w) — package-visible so the spec can plant a
+    * cheap-two-hop-beats-expensive-direct-edge graph and pin that the
+    * weights (not the hop count) drive the result.
+    */
+  private[graft] def ssspDistances(s: SparkSession, edges: DataFrame,
+      sources: DataFrame, iters: Int, broadcastState: Boolean): DataFrame = {
+    var dist = sources.select(col("node"), lit(0L).as("d"))
+    var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (_ <- 1 to iters) {
+      val relaxed = edges
+        .join(if (broadcastState) broadcast(dist) else dist,
+          dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        .unionAll(dist)
+        .groupBy("node")
+        .agg(min(col("d")).as("d"))
+      if (planOnly(s)) dist = relaxed
+      else {
+        dist = relaxed.localCheckpoint()
+        prevBlocks.foreach(_.unpersist(blocking = false))
+        prevBlocks = org.apache.spark.sql.GraftShims.checkpointedRdd(dist)
+      }
+    }
+    dist
+  }
+
+  private def ssspSweepSql(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+       |    SELECT e.dst AS node, m.d + e.w AS d
+       |    FROM $prev m JOIN edges e ON e.src = m.node
+       |    UNION ALL SELECT node, d FROM $prev) GROUP BY node)""".stripMargin
+
+  private val ssspLayersSql = {
+    val sweeps = (1 to SsspSweeps).map(i => ssspSweepSql(s"s${i - 1}", s"s$i")).mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |                     AND a.l_partkey < b.l_partkey),
+       |edges AS (
+       |  SELECT src, dst, 1 + (src * 7 + dst * 3) % 5 AS w FROM (
+       |    SELECT u AS src, v AS dst FROM und
+       |    UNION ALL SELECT v, u FROM und)),
+       |s0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM (
+       |         SELECT DISTINCT src AS node FROM edges
+       |         ORDER BY node LIMIT $SsspSources)),
+       |$sweeps
+       |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  MIN(node) AS min_node, MAX(node) AS max_node
+       |FROM s$SsspSweeps GROUP BY d
+       |ORDER BY d NULLS FIRST""".stripMargin
+  }
+
   private def bfsSweepSql(prev: String, next: String): String =
     s"""$next AS (
        |  SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
@@ -699,6 +791,7 @@ object Graph extends QueryModule {
     "tri1_triangle_census" -> (triangleCensus _),
     "pr1_pagerank" -> (pageRank _),
     "g2_bfs_layers" -> (bfsLayers _),
+    "g6_sssp_weighted" -> (ssspLayers _),
     "g3_degree_census" -> (degreeCensus _))
 
   override val oracle: Map[String, String] = Map(
@@ -707,5 +800,6 @@ object Graph extends QueryModule {
     "tri1_triangle_census" -> triangleCensusSql,
     "pr1_pagerank" -> pageRankSql,
     "g2_bfs_layers" -> bfsLayersSql,
+    "g6_sssp_weighted" -> ssspLayersSql,
     "g3_degree_census" -> degreeCensusSql)
 }
