@@ -274,6 +274,69 @@ object StreamingGate extends QueryModule {
       |HAVING bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
       |ORDER BY bucket_hour NULLS FIRST, nation NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw9
+  // Stream-STREAM LEFT OUTER interval join — sw5's inner join answers
+  // "which views converted"; the outer variant answers the harder
+  // production question "which views did NOT" (abandonment), and its
+  // semantics are genuinely different: a matched pair emits as soon as
+  // both rows arrive, but a NULL-extended view emits only when the
+  // purchase-side watermark proves no future match can exist — i.e.
+  // when the view's join state EXPIRES at vts + 30min. Views whose
+  // match window is still open at the final watermark are withheld
+  // entirely (not emitted as unmatched — they might yet convert), and
+  // the oracle restates exactly that three-way contract: matched pairs
+  // unconditionally, NOT-EXISTS views only below the watermark
+  // horizon, open-window views absent. The horizon uses the GLOBAL
+  // watermark, which Spark computes as the MIN over both streams'
+  // watermarks (multipleWatermarkPolicy = min, the default) — here
+  // LEAST(max view ts, max purchase ts) − 10min, NOT max(ts) overall:
+  // the view stream ends an hour before the purchase stream in the
+  // test data, and the min policy is precisely what keeps a slow
+  // stream's rows from being declared dead by a fast one.
+  // purchase_id/delay carry a −1 sentinel instead of NULL on both
+  // sides (a nullable BIGINT reaches pandas as float64 and breaks the
+  // dtype-strict compare).
+  private def streamStreamOuter(s: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(s, dir).filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "10 minutes")
+    val purchases = eventStream(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("view_id"), col("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000"), lit(-1L))
+          .as("delay_s"))
+    drain(s, joined, "sw9_mem")
+      .orderBy(col("view_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+  }
+
+  private val streamStreamOuterSql =
+    """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts
+      |      FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+      |      FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT LEAST((SELECT max(vts) FROM v), (SELECT max(pts) FROM p))
+      |         - INTERVAL 10 MINUTE AS w)
+      |SELECT v.view_id, v.user_id, p.purchase_id,
+      |  (epoch_us(p.pts) - epoch_us(v.vts)) // 1000000 AS delay_s
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 30 MINUTE
+      |UNION ALL
+      |SELECT v.view_id, v.user_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      |FROM v
+      |WHERE NOT EXISTS (
+      |    SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |      AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 30 MINUTE)
+      |  AND v.vts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+      |ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- sw8
   // Watermarked streaming TOP-K in state — the second bounded-state
   // sketch composition after sw6's KMV: per (hour, type) window the
@@ -318,6 +381,7 @@ object StreamingGate extends QueryModule {
       |ORDER BY bucket_hour NULLS FIRST, event_type NULLS FIRST, rank NULLS FIRST""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sw9_stream_outer_join" -> (streamStreamOuter _),
     "sw8_stream_topk" -> (streamTopK _),
     "sw7_static_enrich" -> (streamStaticEnrich _),
     "sw5_stream_join" -> (streamStreamJoin _),
@@ -327,6 +391,7 @@ object StreamingGate extends QueryModule {
     "sw6_stream_distinct" -> (streamDistinctUsers _))
 
   def oracle: Map[String, String] = Map(
+    "sw9_stream_outer_join" -> streamStreamOuterSql,
     "sw8_stream_topk" -> streamTopKSql,
     "sw7_static_enrich" -> streamStaticEnrichSql,
     "sw5_stream_join" -> streamStreamJoinSql,

@@ -208,6 +208,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r.get(0), r.get(1), r.getLong(2))).toSet == batch)
   }
 
+  test("sw9 left-outer stream join: matched, horizon-expired, and withheld arms all live") {
+    import org.apache.spark.sql.functions._
+    val s = SparkEntry.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("sw9_stream_outer_join")(s, dir).collect()
+    assert(got.exists(_.getLong(2) != -1L), "no matched pairs — inner arm vacuous")
+    assert(got.exists(_.getLong(2) == -1L), "no expired unmatched views — outer arm vacuous")
+    // batch restatement: matched pairs + unmatched views past the
+    // horizon; the global watermark is the MIN over both streams
+    // (multipleWatermarkPolicy default)
+    val v = Tables(s, dir, "events").filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    val p = Tables(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+    val wm = Seq(v.agg(max(col("vts"))).head().getTimestamp(0),
+      p.agg(max(col("pts"))).head().getTimestamp(0)).min(Ordering.by((t: java.sql.Timestamp) => t.getTime))
+    val cond = col("user_id") === col("p_user") &&
+      col("pts") >= col("vts") && col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES")
+    val matched = v.join(p, cond).select(col("view_id"), col("purchase_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val horizon = lit(wm) - expr("INTERVAL 10 MINUTES") - expr("INTERVAL 30 MINUTES")
+    val unmatchedAll = v.join(p, cond, "left_anti")
+    val expired = unmatchedAll.filter(col("vts") < horizon)
+      .select(col("view_id")).collect().map(_.getLong(0)).toSet
+    val gotMatched = got.filter(_.getLong(2) != -1L).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotExpired = got.filter(_.getLong(2) == -1L).map(_.getLong(0)).toSet
+    assert(gotMatched == matched)
+    assert(gotExpired == expired)
+  }
+
+  test("sw9 withheld arm: an unmatched view inside the horizon is NOT emitted (planted)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val v = views.toDF().select(col("user_id").as("uid_v"), col("ts").as("vts"))
+      .withWatermark("vts", "10 minutes")
+    val p = purchases.toDF().select(col("user_id").as("uid_p"), col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val joined = v.join(p,
+      col("uid_v") === col("uid_p") && col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"), "leftOuter")
+      .select(col("uid_v"), coalesce(col("uid_p"), lit(-1L)).as("matched"))
+    val q = joined.writeStream.format("memory").queryName("sw9_planted")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: matched; user 2: unmatched, window long expired by the
+      // final watermark; user 3: unmatched, window still open — the
+      // watermark (min over both streams ≈ 11:10) sits between user 2's
+      // expiry (10:30) and user 3's (11:50)
+      views.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "view", 0),
+        Ev(ts("2024-01-01 10:00:00"), 2, "view", 0),
+        Ev(ts("2024-01-01 11:20:00"), 3, "view", 0))
+      purchases.addData(Ev(ts("2024-01-01 10:10:00"), 1, "purchase", 0))
+      q.processAllAvailable()
+      purchases.addData(Ev(ts("2024-01-01 11:55:00"), 99, "purchase", 0))
+      q.processAllAvailable()
+      purchases.addData(Ev(ts("2024-01-01 11:56:00"), 99, "purchase", 0))
+      q.processAllAvailable()
+      val rows = spark.table("sw9_planted").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 1L), (2L, -1L)),
+        s"want matched user 1 + expired user 2, withheld user 3 absent; got $rows")
+    } finally q.stop()
+  }
+
   test("streaming incremental near-dup matches the dd10 batch pass across micro-batches") {
     implicit val sq = spark.sqlContext
     val s = SparkEntry.configure(spark)
