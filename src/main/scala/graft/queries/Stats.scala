@@ -1999,6 +1999,105 @@ object Stats extends QueryModule {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** TPC-H Q2 shape (min-cost supplier): for every size-15 part, the
+    * EUROPE suppliers offering it at the minimum price — ties
+    * included, which is Q2's distinguishing semantics (equality
+    * against a correlated scalar MIN, not a top-1 pick). The testdata
+    * has no partsupp table, so lineitem plays the offer fact
+    * (per-(part, supplier) prices), faithful to the shape: a
+    * correlated MIN whose scope is the region-restricted offer set.
+    *
+    * The oracle keeps Q2's literal correlated subquery; the engine
+    * decorrelates to one per-part MIN aggregate joined back — the same
+    * split as q11/q17. Plan posture: region→nation→supplier chain all
+    * broadcast (15 rows), the size-15 part slice broadcast to prune
+    * the offer scan before the MIN, one shuffle on l_partkey for the
+    * aggregate, DISTINCT collapses per-lineitem duplicates of the same
+    * (part, supplier) offer.
+    */
+  private def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val eur = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val p15 = t(s, dir, "part").filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_brand"))
+    val offers = t(s, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p15), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("price_cents"))
+    val minPer = offers.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("price_cents")).as("min_cents"))
+    offers.join(minPer, col("p_partkey") === col("mk") &&
+        col("price_cents") === col("min_cents"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("price_cents"))
+      .distinct()
+      .orderBy(col("price_cents").asc_nulls_first, col("p_partkey").asc_nulls_first,
+        col("s_name").asc_nulls_first)
+  }
+
+  private val minCostSupplierSql =
+    """WITH eur_supp AS (
+      |  SELECT s_suppkey, s_name, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |offers AS (
+      |  SELECT l_partkey, s_name, n_name,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      |  FROM lineitem JOIN eur_supp ON l_suppkey = s_suppkey)
+      |SELECT DISTINCT p.p_partkey, p.p_brand, o.s_name, o.n_name, o.price_cents
+      |FROM part p JOIN offers o ON o.l_partkey = p.p_partkey
+      |WHERE p.p_size = 15
+      |  AND o.price_cents = (SELECT min(o2.price_cents) FROM offers o2
+      |                       WHERE o2.l_partkey = p.p_partkey)
+      |ORDER BY price_cents NULLS FIRST, p_partkey NULLS FIRST, s_name NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** TPC-H Q11 shape (important stock): the parts whose revenue share
+    * exceeds a fraction of the WHOLE corpus — a group aggregate
+    * filtered against a scalar subquery of global aggregates. Q11's
+    * literal fraction is scale-dependent (0.0001/SF); here the
+    * threshold is 1.5× the mean part share (rev·n_parts·2 > 3·total),
+    * which keeps both oracle arms meaningful at every test scale. All
+    * arithmetic integer-exact in cents; the comparison stays inside a
+    * 64-bit envelope through ~sf100 (rev ~1e12 × parts 2e7 × 2 <
+    * 2^63) — past that, production spells the threshold in
+    * DECIMAL(38,0). Engine plan: ONE map-side-combined aggregate over
+    * the fact, the two global scalars broadcast via crossJoin — Q11's
+    * decorrelated form; no second fact scan (the totals derive from
+    * the part-grain frame, not lineitem).
+    */
+  private def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast(LongType)).as("part_rev_cents"))
+    val totals = rev.agg(sum(col("part_rev_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    rev.crossJoin(broadcast(totals))
+      .filter(col("part_rev_cents") * col("n_parts") * 2 > col("total_cents") * 3)
+      .select(col("l_partkey"), col("part_rev_cents"))
+      .orderBy(col("part_rev_cents").desc_nulls_last, col("l_partkey").asc_nulls_first)
+  }
+
+  private val importantPartsSql =
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS part_rev_cents
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, part_rev_cents
+      |FROM pr
+      |WHERE part_rev_cents * (SELECT COUNT(*) FROM pr) * 2
+      |    > (SELECT SUM(part_rev_cents) FROM pr) * 3
+      |ORDER BY part_rev_cents DESC, l_partkey NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- w7
   /** Equal-count decile bucketing via `ntile` — the window op the
     * w-family still lacked and the shape every quality-filter pipeline
@@ -2132,6 +2231,8 @@ object Stats extends QueryModule {
     "dq11_stats_policy" -> (statsPolicy _),
     "w8_period_growth" -> (periodGrowth _),
     "q31_dominant_supplier" -> (dominantSupplier _),
+    "q32_min_cost_supplier" -> (minCostSupplier _),
+    "q33_important_parts" -> (importantParts _),
     "rr1_ratio_to_report" -> (ratioToReport _),
     "h2_equidepth_histogram" -> (equiDepthHistogram _),
     "dq2_integrity_audit" -> (integrityAudit _),
@@ -2181,6 +2282,8 @@ object Stats extends QueryModule {
     "dq11_stats_policy" -> statsPolicySql,
     "w8_period_growth" -> periodGrowthSql,
     "q31_dominant_supplier" -> dominantSupplierSql,
+    "q32_min_cost_supplier" -> minCostSupplierSql,
+    "q33_important_parts" -> importantPartsSql,
     "rr1_ratio_to_report" -> ratioToReportSql,
     "h2_equidepth_histogram" -> equiDepthHistogramSql,
     "dq2_integrity_audit" -> integrityAuditSql,
