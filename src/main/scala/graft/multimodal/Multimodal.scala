@@ -174,6 +174,23 @@ object Multimodal {
       })
   }
 
+  /** GIF87a payloads on a doc slice disjoint from the other media
+    * slices (%25==11): real variable-code-width LZW streams under a
+    * 256-entry grayscale palette, geometry large enough (≥ 18×13)
+    * that every payload crosses at least the first code-width growth.
+    */
+  def gifMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 11)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (18 + id % 14).toInt
+        val h = (13 + id % 11).toInt
+        MediaFile(id, "image", GifCodec.synthGif(id, w, h), MediaMeta("gif87a", w, h, 0L))
+      })
+  }
+
   /** The decode seam. Implementations must be deterministic per byte
     * content (idempotent re-runs, cross-run joins).
     */
@@ -206,11 +223,14 @@ object Multimodal {
     * [[RawCodec.parseRle8Bmp]] BI_RLE8 BMP, [[RawCodec.parseAdpcmWav]]
     * IMA ADPCM WAV, [[JpegCodec.parseJpeg]] BASELINE SEQUENTIAL
     * GRAYSCALE JPEG — a real Huffman + dequantize + fixed-point-IDCT
-    * decode, ImageIO-conformance-pinned — and [[PngCodec.parsePng]]
+    * decode, ImageIO-conformance-pinned — [[PngCodec.parsePng]]
     * 8-bit grayscale PNG (real zlib DEFLATE inflation + all five
-    * filter reconstructions; mm10/mm11/mm12/mm13 gate the compressed
-    * quartet against closed-form oracles). What genuinely still needs
-    * an external library: color/progressive JPEG (chroma upsampling +
+    * filter reconstructions), and [[GifCodec.parseGif]] GIF
+    * (variable-code-width LZW dictionary decompression, interlace
+    * row permutation; mm10–mm14 gate the compressed quintet against
+    * closed-form oracles — transform, LZ77+Huffman, and LZW
+    * families all decoded for real). What genuinely still needs an
+    * external library: color/progressive JPEG (chroma upsampling +
     * successive approximation), and the patent-laden video/audio
     * families (H.264, AAC, MP3).
     */

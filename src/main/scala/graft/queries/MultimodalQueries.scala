@@ -484,6 +484,49 @@ object MultimodalQueries extends QueryModule {
       |FROM px GROUP BY media_id, w, h
       |ORDER BY media_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- mm14
+  /** GIF/LZW decode under the oracle — the fifth compressed codec and
+    * the third compression FAMILY: where mm12 is transform coding and
+    * mm13 is zlib (LZ77 + Huffman), GIF's LZW builds its dictionary on
+    * the fly in both encoder and decoder, widens codes 9→12 bits as it
+    * grows, and packs them LSB-first in length-prefixed sub-blocks.
+    * Payloads are real GIF87a files
+    * ([[graft.multimodal.Multimodal.gifMediaTable]]) written by a REAL
+    * LZW compressor, and [[graft.multimodal.GifCodec.parseGif]] runs
+    * genuine dictionary decompression — GifCodecSpec pins bit-exact
+    * pixel identity against ImageIO in both directions (including
+    * ImageIO's interlaced output — the decoder implements the
+    * interlace row permutation) plus the KwKwK and table-reset
+    * corners. Dictionary coding is lossless, so decoded pixels equal
+    * the closed-form synth function and the oracle restates the decode
+    * arithmetically over (id, x, y). A failed parse emits a −1
+    * sentinel row: undecodable media is data.
+    */
+  private def mm14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.gifMediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.GifCodec.parseGif(m.content) match {
+          case Some(i) => (m.media_id, i.width.toLong, i.height.toLong, i.nPx, i.sumPx)
+          case None => (m.media_id, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_px", "sum_px")
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm14Sql =
+    """WITH cfg AS (
+      |  SELECT doc_id AS media_id, 18 + doc_id % 14 AS w, 13 + doc_id % 11 AS h
+      |  FROM documents WHERE doc_id % 25 = 11),
+      |rows_ AS (SELECT media_id, w, h, unnest(range(0, h)) AS y FROM cfg),
+      |px AS (SELECT media_id, w, h, y, unnest(range(0, w)) AS x FROM rows_)
+      |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w * h AS BIGINT) AS n_px,
+      |  CAST(SUM((media_id * 29 + y * 13 + x * 11) % 256) AS BIGINT) AS sum_px
+      |FROM px GROUP BY media_id, w, h
+      |ORDER BY media_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- mm7
   /** Windowed audio loudness from the REAL decode — one level deeper
     * than mm6's whole-file summary: every audio payload's PCM samples,
@@ -672,7 +715,8 @@ object MultimodalQueries extends QueryModule {
     "mm10_rle8_decode" -> (mm10 _),
     "mm11_adpcm_decode" -> (mm11 _),
     "mm12_jpeg_decode" -> (mm12 _),
-    "mm13_png_decode" -> (mm13 _))
+    "mm13_png_decode" -> (mm13 _),
+    "mm14_gif_decode" -> (mm14 _))
 
   override val oracle: Map[String, String] = Map(
     "mm8_patch_grid" -> mm8Sql,
@@ -687,5 +731,6 @@ object MultimodalQueries extends QueryModule {
     "mm10_rle8_decode" -> mm10Sql,
     "mm11_adpcm_decode" -> mm11Sql,
     "mm12_jpeg_decode" -> mm12Sql,
-    "mm13_png_decode" -> mm13Sql)
+    "mm13_png_decode" -> mm13Sql,
+    "mm14_gif_decode" -> mm14Sql)
 }
