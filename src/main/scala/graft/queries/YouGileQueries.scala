@@ -265,8 +265,35 @@ object YouGileQueries extends QueryModule {
        |GROUP BY columnId
        |ORDER BY columnId NULLS FIRST""".stripMargin
 
+  /** Per-column timestamp statistics through the connector's widened
+    * aggregate pushdown: MIN/MAX/SUM(timestamp) and COUNT(*) fold
+    * inside the per-column partition readers (SourceV2Spec pins the
+    * pushed description — [MIN(timestamp), MAX(timestamp),
+    * SUM(timestamp), COUNT(*)] — and the partial schema). The oracle
+    * restates the stats over the committed parquet mirror.
+    */
+  private def ygDsv2Stats(s: SparkSession, dir: String): DataFrame = {
+    s.read.format("yougile")
+      .option("entity", "tasks")
+      .option("fixtureDir", Fixtures.jsonDir)
+      .option("limit", YouGileConfig.fixture.contractPageLimit.toString)
+      .load()
+      .groupBy("columnId")
+      .agg(min(col("timestamp")).as("min_ts"), max(col("timestamp")).as("max_ts"),
+        sum(col("timestamp")).as("sum_ts"), count(lit(1)).as("n_tasks"))
+      .orderBy(col("columnId").asc_nulls_first)
+  }
+
+  private val ygDsv2StatsSql =
+    s"""SELECT columnId, MIN(timestamp) AS min_ts, MAX(timestamp) AS max_ts,
+       |  CAST(SUM(timestamp) AS BIGINT) AS sum_ts, COUNT(*) AS n_tasks
+       |FROM read_parquet('${pq("contracts")}')
+       |GROUP BY columnId
+       |ORDER BY columnId NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "yg_dsv2_census" -> (ygDsv2Census _),
+    "yg_dsv2_stats" -> (ygDsv2Stats _),
     "yg_dsv2_tasks" -> (ygDsv2Tasks _),
     "yg_brd_clmn" -> (ygBrdClmn _),
     "yg_hub_states" -> (ygHubStates _),
@@ -276,6 +303,7 @@ object YouGileQueries extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "yg_dsv2_census" -> ygDsv2CensusSql,
+    "yg_dsv2_stats" -> ygDsv2StatsSql,
     "yg_dsv2_tasks" -> ygDsv2TasksSql,
     "yg_brd_clmn" -> ygBrdClmnSql,
     "yg_hub_states" -> ygHubStatesSql,

@@ -91,16 +91,31 @@ private[sources] class YouGileTable(schema: StructType, opts: Map[String, String
     new YouGileScanBuilder(schema, opts ++ options.asScala)
 }
 
-/** Pushed-aggregate shape: per-partition COUNT census. `counts(i)` is
-  * `None` for COUNT(*) and `Some(col)` for null-skipping COUNT(col).
+/** One pushed aggregate function. COUNTs emit non-null LongType
+  * partials; MIN/MAX preserve the column type (null when the
+  * partition never saw a non-null value); SUM is restricted to
+  * Long/Double columns so the partial type equals Spark's final sum
+  * type (a pushed SUM(int) would need a Long partial — refused
+  * instead of special-cased).
   */
-private[sources] case class YouGileAggSpec(groupCols: Seq[String], counts: Seq[Option[String]]) {
+private[sources] sealed trait YouGileAgg { def col: Option[String] }
+private[sources] case object YgCountStar extends YouGileAgg { val col = None }
+private[sources] case class YgCount(c: String) extends YouGileAgg { def col = Some(c) }
+private[sources] case class YgMin(c: String) extends YouGileAgg { def col = Some(c) }
+private[sources] case class YgMax(c: String) extends YouGileAgg { def col = Some(c) }
+private[sources] case class YgSum(c: String) extends YouGileAgg { def col = Some(c) }
+
+/** Pushed-aggregate shape: per-partition census over `groupCols`. */
+private[sources] case class YouGileAggSpec(groupCols: Seq[String], aggs: Seq[YouGileAgg]) {
+  import org.apache.spark.sql.types.{LongType, StructField}
   def schema(full: StructType): StructType = StructType(
     groupCols.map(c => full(c)) ++
-      counts.zipWithIndex.map { case (c, i) =>
-        org.apache.spark.sql.types.StructField(
-          c.fold(s"count_star_$i")(n => s"count_${n}_$i"),
-          org.apache.spark.sql.types.LongType, nullable = false)
+      aggs.zipWithIndex.map {
+        case (YgCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+        case (YgCount(c), i) => StructField(s"count_${c}_$i", LongType, nullable = false)
+        case (YgMin(c), i) => StructField(s"min_${c}_$i", full(c).dataType, nullable = true)
+        case (YgMax(c), i) => StructField(s"max_${c}_$i", full(c).dataType, nullable = true)
+        case (YgSum(c), i) => StructField(s"sum_${c}_$i", full(c).dataType, nullable = true)
       })
 }
 
@@ -127,36 +142,51 @@ private[sources] class YouGileScanBuilder(full: StructType, opts: Map[String, St
     if (agg.isDefined || limit < 0) false
     else { rowLimit = Some(limit); true }
 
-  /** COUNT pushdown (`SupportsPushDownAggregates`): COUNT(*) /
-    * null-skipping COUNT(col) grouped by top-level source fields is
-    * answered INSIDE the partition reader — the HTTP fetch still
-    * happens (the API has no count endpoint), but each per-column
-    * partition ships ONE census row per group across the source
-    * boundary instead of every task row. PARTIAL pushdown
-    * (supportCompletePushDown stays false): Spark plans the final
-    * merge, summing per-partition counts — always correct, including
-    * a group split across partitions or an empty scan. Distinct
-    * counts, non-count functions, and nested/struct group keys stay
-    * with Spark untouched.
+  /** Aggregate pushdown (`SupportsPushDownAggregates`): COUNT(*) /
+    * null-skipping COUNT(col) / MIN / MAX / SUM over top-level source
+    * fields, grouped by top-level fields, is answered INSIDE the
+    * partition reader — the HTTP fetch still happens (the API has no
+    * aggregate endpoints), but each per-column partition ships ONE
+    * census row per group across the source boundary instead of every
+    * task row. PARTIAL pushdown (supportCompletePushDown stays
+    * false): Spark plans the final merge (SUM of count partials,
+    * MIN/MAX/SUM of the others) — always correct, including a group
+    * split across partitions or an empty scan. MIN/MAX/SUM are
+    * restricted to numeric fields (and SUM further to Long/Double so
+    * the partial type equals the final type); distinct aggregates,
+    * other functions, and nested/struct keys stay with Spark
+    * untouched.
     */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
     def topLevel(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case r: NamedReference if r.fieldNames.length == 1 &&
           full.fieldNames.contains(r.fieldNames.head) => Some(r.fieldNames.head)
         case _ => None
       }
+    def numeric(c: String) = full(c).dataType match {
+      case LongType | IntegerType | DoubleType => true
+      case _ => false
+    }
+    def summable(c: String) = full(c).dataType match {
+      case LongType | DoubleType => true
+      case _ => false
+    }
     val groups = aggregation.groupByExpressions.toSeq.map(topLevel)
-    val counts = aggregation.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some(None)
-      case c: Count if !c.isDistinct => topLevel(c.column).map(Some(_))
+    val aggs: Seq[Option[YouGileAgg]] = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(YgCountStar)
+      case c: Count if !c.isDistinct => topLevel(c.column).map(YgCount)
+      case m: Min => topLevel(m.column).filter(numeric).map(YgMin)
+      case m: Max => topLevel(m.column).filter(numeric).map(YgMax)
+      case s: Sum if !s.isDistinct => topLevel(s.column).filter(summable).map(YgSum)
       case _ => None
     }
-    if (groups.forall(_.isDefined) && counts.forall(_.isDefined) && counts.nonEmpty) {
-      agg = Some(YouGileAggSpec(groups.flatten, counts.flatten))
+    if (groups.forall(_.isDefined) && aggs.forall(_.isDefined) && aggs.nonEmpty) {
+      agg = Some(YouGileAggSpec(groups.flatten, aggs.flatten))
       true
     } else false
   }
@@ -209,7 +239,13 @@ private[sources] class YouGileScan(schema: StructType, opts: Map[String, String]
 
   override def description(): String = {
     val aggDesc = agg.fold("")(a =>
-      s", PushedAggregates: [${a.counts.map(_.fold("COUNT(*)")(c => s"COUNT($c)")).mkString(", ")}]" +
+      s", PushedAggregates: [${a.aggs.map {
+        case YgCountStar => "COUNT(*)"
+        case YgCount(c) => s"COUNT($c)"
+        case YgMin(c) => s"MIN($c)"
+        case YgMax(c) => s"MAX($c)"
+        case YgSum(c) => s"SUM($c)"
+      }.mkString(", ")}]" +
         s", PushedGroupBy: [${a.groupCols.mkString(", ")}]")
     val limitDesc = rowLimit.fold("")(n => s", PushedLimit: $n")
     s"YouGileScan(entity=$entity$aggDesc$limitDesc)"
@@ -379,11 +415,12 @@ private[sources] class YouGileReaderFactory(schema: StructType, opts: Map[String
 
 /** Aggregate-pushdown reader: runs the SAME per-partition row fetch
   * as [[YouGilePartitionReader]] but against a schema narrowed to the
-  * referenced fields, folds the rows into per-group counters, and emits
-  * one census row per group — group values followed by partial counts,
-  * the positional contract `SupportsPushDownAggregates` specifies.
-  * COUNT(col) skips null fields exactly like the SQL semantics. State
-  * is O(groups) per partition; the task-row stream is never
+  * referenced fields, folds the rows into per-group accumulators, and
+  * emits one census row per group — group values followed by partials
+  * in the positional order `SupportsPushDownAggregates` specifies.
+  * COUNT(col)/MIN/MAX/SUM skip nulls exactly like the SQL semantics
+  * (an all-null group yields a null MIN/MAX/SUM partial). State is
+  * O(groups) per partition; the task-row stream is never
   * materialized.
   */
 private[sources] class YouGileAggPartitionReader(
@@ -391,16 +428,32 @@ private[sources] class YouGileAggPartitionReader(
     spec: YouGileAggSpec)
     extends PartitionReader[InternalRow] {
 
+  // one mutable cell per (group, agg): count, or seen-flagged extremum/sum
+  private final class Cell {
+    var cnt = 0L
+    var seen = false
+    var l = 0L
+    var d = 0.0
+  }
+
   private val rows: Iterator[InternalRow] = {
-    val fetchFields = (spec.groupCols ++ spec.counts.flatten).distinct
+    val fetchFields = (spec.groupCols ++ spec.aggs.flatMap(_.col)).distinct
     val fetchSchema = StructType(
       YouGileTableProvider.schemaFor(p.entity).fields.filter(f =>
         fetchFields.contains(f.name)))
     val base = new YouGilePartitionReader(fetchSchema, opts, p)
     val groupOrd = spec.groupCols.map(fetchSchema.fieldIndex)
     val groupTypes = spec.groupCols.map(c => fetchSchema(c).dataType)
-    val countOrd = spec.counts.map(_.map(fetchSchema.fieldIndex))
-    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val aggOrd = spec.aggs.map(_.col.map(fetchSchema.fieldIndex))
+    val aggType = spec.aggs.map(_.col.map(c => fetchSchema(c).dataType))
+    // numeric read as Long unless the column is Double
+    def numOf(r: InternalRow, i: Int): (Boolean, Long, Double) = aggType(i).get match {
+      case DoubleType => val v = r.getDouble(aggOrd(i).get); (true, 0L, v)
+      case IntegerType => (false, r.getInt(aggOrd(i).get).toLong, 0.0)
+      case _ => (false, r.getLong(aggOrd(i).get), 0.0)
+    }
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Cell]]
     try {
       while (base.next()) {
         val r = base.get()
@@ -408,16 +461,52 @@ private[sources] class YouGileAggPartitionReader(
           val v = r.get(i, dt)
           v match { case u: UTF8String => u.copy(); case other => other }
         }
-        val cs = acc.getOrElseUpdate(key, new Array[Long](spec.counts.size))
+        val cs = acc.getOrElseUpdate(key, Array.fill(spec.aggs.size)(new Cell))
         var i = 0
-        while (i < countOrd.size) {
-          if (countOrd(i).forall(ord => !r.isNullAt(ord))) cs(i) += 1
+        while (i < spec.aggs.size) {
+          val cell = cs(i)
+          spec.aggs(i) match {
+            case YgCountStar => cell.cnt += 1
+            case YgCount(_) => if (!r.isNullAt(aggOrd(i).get)) cell.cnt += 1
+            case YgMin(_) => if (!r.isNullAt(aggOrd(i).get)) {
+              val (isD, l, d) = numOf(r, i)
+              if (!cell.seen || (if (isD) d < cell.d else l < cell.l)) {
+                cell.l = l; cell.d = d
+              }
+              cell.seen = true
+            }
+            case YgMax(_) => if (!r.isNullAt(aggOrd(i).get)) {
+              val (isD, l, d) = numOf(r, i)
+              if (!cell.seen || (if (isD) d > cell.d else l > cell.l)) {
+                cell.l = l; cell.d = d
+              }
+              cell.seen = true
+            }
+            case YgSum(_) => if (!r.isNullAt(aggOrd(i).get)) {
+              val (isD, l, d) = numOf(r, i)
+              if (isD) cell.d += d else cell.l += l
+              cell.seen = true
+            }
+          }
           i += 1
         }
       }
     } finally base.close()
     acc.iterator.map { case (key, cs) =>
-      org.apache.spark.sql.catalyst.InternalRow.fromSeq(key ++ cs.toSeq)
+      // explicit boxing: bare Double/Int/Long match branches would
+      // unify to Double via Scala's numeric weak conformance, silently
+      // widening the Long partials into the wrong runtime type
+      val vals: Seq[Any] = spec.aggs.zipWithIndex.map {
+        case (YgCountStar | YgCount(_), i) => java.lang.Long.valueOf(cs(i).cnt)
+        case (_, i) =>
+          if (!cs(i).seen) null
+          else aggType(i).get match {
+            case DoubleType => java.lang.Double.valueOf(cs(i).d)
+            case IntegerType => java.lang.Integer.valueOf(cs(i).l.toInt)
+            case _ => java.lang.Long.valueOf(cs(i).l)
+          }
+      }
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(key ++ vals)
     }
   }
 

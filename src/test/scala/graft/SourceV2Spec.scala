@@ -124,8 +124,29 @@ class SourceV2Spec extends AnyFunSuite {
     assert(limited.collect().map(_.getAs[String]("id")).toSet == Set("t1", "t2"))
   }
 
+  test("aggregate pushdown: MIN/MAX/SUM(timestamp) fold inside the readers") {
+    val df = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .groupBy("columnId")
+      .agg(min(col("timestamp")).as("mn"), max(col("timestamp")).as("mx"),
+        sum(col("timestamp")).as("sm"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains(
+      "PushedAggregates: [MIN(timestamp), MAX(timestamp), SUM(timestamp)]"),
+      scan.scan.description())
+    // merged result equals the un-pushed computation over raw rows
+    val raw = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .select("columnId", "timestamp").collect()
+      .groupBy(_.getString(0)).view.mapValues { rs =>
+        val ts = rs.map(_.getLong(1))
+        (ts.min, ts.max, ts.sum)
+      }.toMap
+    val got = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == raw && got.nonEmpty)
+  }
+
   test("aggregate pushdown falls back cleanly on shapes the source refuses") {
-    // distinct counts and non-count aggregates stay with Spark
+    // distinct counts, non-numeric extrema, and avg stay with Spark
     val df = read("tasks", YouGileConfig.fixture.contractPageLimit)
       .groupBy("columnId").agg(countDistinct(col("id")).as("n"))
     val scan = scanOf(df)
@@ -133,9 +154,19 @@ class SourceV2Spec extends AnyFunSuite {
       s"distinct count must not push: ${scan.scan.description()}")
     assert(df.collect().forall(_.getLong(1) > 0))
     val mx = read("tasks", YouGileConfig.fixture.contractPageLimit)
-      .agg(max(col("timestamp")).as("m"))
+      .agg(max(col("title")).as("m")) // string extremum: refused
     assert(!scanOf(mx).scan.description().contains("PushedAggregates"))
     assert(!mx.collect().head.isNullAt(0))
+    // AVG is not pushed as itself — Spark decomposes it into
+    // SUM + COUNT partials, both of which the source answers
+    val av = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .agg(avg(col("timestamp")).as("a"))
+    assert(scanOf(av).scan.description().contains(
+      "PushedAggregates: [SUM(timestamp), COUNT(timestamp)]"),
+      scanOf(av).scan.description())
+    val ts = read("tasks", YouGileConfig.fixture.contractPageLimit)
+      .select("timestamp").collect().map(_.getLong(0))
+    assert(av.collect().head.getDouble(0) == ts.sum.toDouble / ts.length)
   }
 
   test("unknown entity fails fast with the supported list") {
