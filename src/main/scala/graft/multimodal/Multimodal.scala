@@ -191,6 +191,24 @@ object Multimodal {
       })
   }
 
+  /** MJPEG AVI payloads on a doc slice disjoint from the other media
+    * slices (%25==17): 3–6 DISTINCT baseline-JPEG frames per
+    * container (seed id·7+f), 1–2 × 1 blocks — real video bytes for
+    * the demux + frame-sampling + per-frame-decode path.
+    */
+  def aviMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 17)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val wb = (1 + id % 2).toInt
+        val frames = (3 + id % 4).toInt
+        MediaFile(id, "video", AviCodec.synthAvi(id, wb, 1, frames),
+          MediaMeta("avi_mjpg", wb * 8, 8, frames * 40L))
+      })
+  }
+
   /** The decode seam. Implementations must be deterministic per byte
     * content (idempotent re-runs, cross-run joins).
     */

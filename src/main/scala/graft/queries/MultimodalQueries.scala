@@ -527,6 +527,72 @@ object MultimodalQueries extends QueryModule {
       |FROM px GROUP BY media_id, w, h
       |ORDER BY media_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- mm15
+  /** MJPEG VIDEO demux + sampled-frame decode under the oracle — the
+    * video modality on real bytes: each payload is a structurally
+    * valid AVI ([[graft.multimodal.Multimodal.aviMediaTable]]) whose
+    * `movi` chunks are DISTINCT baseline JPEGs (seed id·7+f), and
+    * [[graft.multimodal.AviCodec.parseAvi]] walks the RIFF container,
+    * counts every frame, entropy-decodes only every SECOND one, and
+    * sums the sampled frames' pixels. Distinct frames make the oracle
+    * — the mm12 dequantize→IDCT→clamp arithmetic replayed per sampled
+    * frame and summed — sensitive to frame SELECTION: sampling the
+    * wrong frames (or all of them) shifts the sum and fails the hash.
+    * Unsampled frames are never entropy-decoded, the cost model frame
+    * sampling exists for. A failed parse emits a −1 sentinel row.
+    */
+  private def mm15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.aviMediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.AviCodec.parseAvi(m.content, everyNth = 2) match {
+          case Some(i) =>
+            (m.media_id, i.width.toLong, i.height.toLong,
+              i.nFrames.toLong, i.nSampled.toLong, i.sumPx)
+          case None => (m.media_id, -1L, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_frames", "n_sampled", "sum_px")
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm15Sql = {
+    import graft.multimodal.JpegCodec
+    def row(n: Int) =
+      (0 until 64).map(p => JpegCodec.IdctBasis((n << 6) | p)).mkString("[", ",", "]")
+    s"""WITH cfg AS (
+       |  SELECT doc_id AS media_id, 1 + doc_id % 2 AS wb, 3 + doc_id % 4 AS frames
+       |  FROM documents WHERE doc_id % 25 = 17),
+       |fr AS (
+       |  SELECT media_id, wb, frames, unnest(range(0, frames)) AS f FROM cfg),
+       |sampled AS (
+       |  SELECT media_id, wb, frames, f, media_id * 7 + f AS seed
+       |  FROM fr WHERE f % 2 = 0),
+       |coef AS (
+       |  SELECT media_id, wb, frames, seed, unnest(range(0, wb)) AS b FROM sampled),
+       |deq AS (
+       |  SELECT media_id, wb, frames, seed, b,
+       |    (CASE WHEN b = 0 THEN 120 WHEN b = 1 THEN -120
+       |          ELSE ((seed * 7 + b * 3) % 61) - 30 END) * 8 AS c0,
+       |    (((seed * 5 + b) % 7) - 3) * 15 AS c1,
+       |    (((seed * 3 + 2 * b) % 5) - 2) * 22 AS c8,
+       |    (((seed + b) % 3) - 1) * 9 AS c2
+       |  FROM coef),
+       |px AS (
+       |  SELECT media_id, wb, frames,
+       |    LEAST(255, GREATEST(0, 128 + CAST(FLOOR(
+       |      (c0 * (${row(0)})[p + 1] + c1 * (${row(1)})[p + 1]
+       |       + c8 * (${row(8)})[p + 1] + c2 * (${row(2)})[p + 1]
+       |       + 524288) / 1048576.0) AS BIGINT))) AS v
+       |  FROM (SELECT *, unnest(range(0, 64)) AS p FROM deq))
+       |SELECT media_id, CAST(wb * 8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       |  CAST(frames AS BIGINT) AS n_frames,
+       |  CAST((frames + 1) // 2 AS BIGINT) AS n_sampled,
+       |  CAST(SUM(v) AS BIGINT) AS sum_px
+       |FROM px GROUP BY media_id, wb, frames
+       |ORDER BY media_id NULLS FIRST""".stripMargin
+  }
+
   // ---------------------------------------------------------------- mm7
   /** Windowed audio loudness from the REAL decode — one level deeper
     * than mm6's whole-file summary: every audio payload's PCM samples,
@@ -716,7 +782,8 @@ object MultimodalQueries extends QueryModule {
     "mm11_adpcm_decode" -> (mm11 _),
     "mm12_jpeg_decode" -> (mm12 _),
     "mm13_png_decode" -> (mm13 _),
-    "mm14_gif_decode" -> (mm14 _))
+    "mm14_gif_decode" -> (mm14 _),
+    "mm15_mjpeg_demux" -> (mm15 _))
 
   override val oracle: Map[String, String] = Map(
     "mm8_patch_grid" -> mm8Sql,
@@ -732,5 +799,6 @@ object MultimodalQueries extends QueryModule {
     "mm11_adpcm_decode" -> mm11Sql,
     "mm12_jpeg_decode" -> mm12Sql,
     "mm13_png_decode" -> mm13Sql,
-    "mm14_gif_decode" -> mm14Sql)
+    "mm14_gif_decode" -> mm14Sql,
+    "mm15_mjpeg_demux" -> mm15Sql)
 }
