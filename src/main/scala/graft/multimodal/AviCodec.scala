@@ -69,7 +69,9 @@ object AviCodec {
           // find avih: first chunk of hdrl by spec
           if (body + 4 + 8 > riffEnd || b.getInt(body.toInt + 4) != fourCC("avih")) return None
           val avihSize = u32(body.toInt + 8)
-          if (avihSize < 40) return None
+          // the 40 bytes read below must sit inside BOTH the list and the file
+          if (avihSize < 40 || body + 12 + 40 > body + size || body + 12 + 40 > riffEnd)
+            return None
           val a = body.toInt + 12
           declaredFrames = u32(a + 16)
           width = b.getInt(a + 32)

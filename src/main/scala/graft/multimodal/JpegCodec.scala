@@ -254,6 +254,7 @@ object JpegCodec {
             if (u8(seg + 5) != 1) return None // GRAYSCALE only
             if (u8(seg + 7) != 0x11) return None // 1x1 sampling
             qSel = u8(seg + 8)
+            if (qSel > 3) return None // table ids are 0..3
             if (w <= 0 || h <= 0) return None
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
@@ -265,6 +266,7 @@ object JpegCodec {
             if (u8(seg) != 1) return None
             dcSel = u8(seg + 2) >> 4
             acSel = u8(seg + 2) & 15
+            if (dcSel > 3 || acSel > 3) return None // table ids are 0..3
             scanAt = end
           case 0xd9 => return None // EOI before any scan
           case _ => () // APPn, COM, others: skip
