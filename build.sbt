@@ -17,6 +17,14 @@ run / fork := true
 // all read "parsed": null). StdoutOutput passes the child's stdout
 // through verbatim so the one-line JSON arrives unwrapped.
 run / outputStrategy := Some(StdoutOutput)
+// …and sbt appends "[success] Total time: …" AFTER the forked child's
+// stdout, so the JSON line was still not last (BENCH_r11 "parsed": null,
+// 11th round). Suppressing the success banner makes the child's final
+// println the last stdout line of the whole sbt invocation.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exempt it
+// from the unused-key lint (whose warning text would itself pollute logs)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

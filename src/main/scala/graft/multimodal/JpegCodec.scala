@@ -249,6 +249,10 @@ object JpegCodec {
               p += 17 + n
             }
           case 0xc0 => // SOF0 baseline
+            // single-component SOF0 is exactly 11 bytes of payload; a
+            // smaller len would let the fixed-offset reads below run past
+            // `end` (and, at EOF, past the array) instead of returning None
+            if (len < 11) return None
             if (u8(seg) != 8) return None // 8-bit precision only
             h = u16(seg + 1); w = u16(seg + 3)
             if (u8(seg + 5) != 1) return None // GRAYSCALE only
@@ -263,6 +267,7 @@ object JpegCodec {
             if (len != 4) return None
             restartInterval = u16(seg)
           case 0xda => // SOS
+            if (len < 8) return None // 1-component SOS payload is 6 bytes
             if (u8(seg) != 1) return None
             dcSel = u8(seg + 2) >> 4
             acSel = u8(seg + 2) & 15

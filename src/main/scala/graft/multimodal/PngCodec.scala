@@ -92,6 +92,11 @@ object PngCodec {
           val ww = u32(seg)
           val hh = u32(seg + 4)
           if (ww <= 0 || hh <= 0 || ww > (1 << 24) || hh > (1 << 24)) return None
+          // Raw-buffer cap computed in Long BEFORE the Int allocation at
+          // the inflate step: a corrupt-but-CRC-valid IHDR (e.g.
+          // 65535×40000) would overflow h*(1+w) to a negative Int size and
+          // throw instead of returning None (mirrors GifCodec's pixel cap).
+          if (hh * (1L + ww) > (1L << 26)) return None
           // 8-bit grayscale, deflate, filter method 0, non-interlaced only
           if ((bytes(seg + 8) & 0xff) != 8 || (bytes(seg + 9) & 0xff) != 0 ||
             (bytes(seg + 10) & 0xff) != 0 || (bytes(seg + 11) & 0xff) != 0 ||

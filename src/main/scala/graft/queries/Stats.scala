@@ -2179,8 +2179,11 @@ object Stats extends QueryModule {
           col("ndv_left"), col("ndv_right"),
           expr("(n_left * n_right) DIV greatest(ndv_left, ndv_right)").as("est_rows"),
           col("actual_rows"),
+          // NULLIF guard: Spark's DIV yields NULL on a zero divisor while
+          // DuckDB's // raises, so an empty probe join (possible at other
+          // scales/corpora) must be spelled NULL on BOTH sides to compare
           expr("(1000000 * ((n_left * n_right) DIV greatest(ndv_left, ndv_right)))" +
-            " DIV actual_rows").as("est_ratio_ppm"),
+            " DIV nullif(actual_rows, 0)").as("est_ratio_ppm"),
           (abs(expr("(n_left * n_right) DIV greatest(sk_left, sk_right)") -
             expr("(n_left * n_right) DIV greatest(ndv_left, ndv_right)")) * 100 <=
             expr("(n_left * n_right) DIV greatest(ndv_left, ndv_right)") * 5)
@@ -2202,7 +2205,7 @@ object Stats extends QueryModule {
          |  l.ndv AS ndv_left, r.ndv AS ndv_right,
          |  (l.n * r.n) // GREATEST(l.ndv, r.ndv) AS est_rows,
          |  a.n AS actual_rows,
-         |  (1000000 * ((l.n * r.n) // GREATEST(l.ndv, r.ndv))) // a.n AS est_ratio_ppm,
+         |  (1000000 * ((l.n * r.n) // GREATEST(l.ndv, r.ndv))) // NULLIF(a.n, 0) AS est_ratio_ppm,
          |  TRUE AS sketch_within_5pct
          |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
          |        CAST(COUNT(DISTINCT $lk) AS BIGINT) AS ndv FROM $lt) l,
@@ -2219,8 +2222,105 @@ object Stats extends QueryModule {
       .mkString("", "\nUNION ALL\n", "\nORDER BY join_name NULLS FIRST")
   }
 
+  // ---------------------------------------------------------------- dq13
+  /** Sketch ESTIMATOR-regime audit — the gate-visible proof that the θ
+    * branch of [[graft.functions.NdvSketch]] runs and stays inside its
+    * error bound. dq9/dq11/ev24/ev25/opt4 are hash-exact precisely
+    * because gate cardinalities sit below the default k = 8192 (the
+    * exact-below-k property) — an at-scale contract those entries never
+    * oracle-check. Here k is forced DOWN to [[Dq13K]] = 256 over columns
+    * whose NDV is ≫ k at every scale factor (l_orderkey ≥ 1473,
+    * event_id ≥ 1000 at sf0.001), so the sketch provably trims:
+    * `estimator_engaged` is computed from the sketch's OWN state
+    * (`NOT KmvSet.exact`, i.e. θ < unflipped MaxValue — the non-exact
+    * branch of `NdvSketch.finish`), never inferred from cardinality.
+    * The estimate rides dq9's bounded-flag technique: σ ≈ 1/√(k−2) ≈
+    * 6.3%, so the 30% bound is ≈ 4.7σ and the oracle states the flag as
+    * literal TRUE (the sketch is a pure function of the data — no
+    * run-to-run flake, only data-regeneration risk, covered by margin).
+    *
+    * The set rows force the θ-SET-ALGEBRA estimator regime of
+    * [[Extras.sketchPairAlgebra]] (ev25's engine) the same way: both
+    * orderkey sets trim at k = 256, so intersection and union counts
+    * come from the kept-below-min(θ) / θ-fraction path — the branch the
+    * r10 ADVICE defects lived in — next to exact ground truth.
+    *
+    * Scale posture: two narrow grouping-free aggregates per column
+    * (dq9's rule: sketches NEVER share a node with a DISTINCT
+    * aggregate), 1-row frames broadcast; the exact twins are the audit's
+    * cost, present for the same reason dq12 keeps them.
+    */
+  private val Dq13K = 256
+
+  private def estimatorRegime(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NdvSketch
+    val bound = 30 // percent; ≈ 4.7 sigma at k = 256
+    def ndvRow(df: DataFrame, c: String, label: String): DataFrame = {
+      val ex = df.agg(countDistinct(col(c)).as("exact_value"))
+      val ap = df.agg(
+        NdvSketch.ndvSketch(col(c), Dq13K).as("est"),
+        NdvSketch.ndvSketchSet(col(c), Dq13K).as("sk"))
+      ex.crossJoin(broadcast(ap)).select(
+        lit(label).as("metric_name"),
+        col("exact_value"),
+        (!col("sk.exact")).as("estimator_engaged"),
+        (abs(col("est") - col("exact_value")) * 100 <= col("exact_value") * bound)
+          .as("within_30pct"))
+    }
+    val li = t(s, dir, "lineitem")
+    val or = t(s, dir, "orders")
+    val ev = t(s, dir, "events")
+    // θ-set algebra over the two orderkey sets (lineitem ⊂≈ orders)
+    val sets = li.select(col("l_orderkey").as("key"), lit("lineitem").as("event_type"))
+      .unionByName(or.select(col("o_orderkey").as("key"), lit("orders").as("event_type")))
+      .groupBy("event_type")
+      .agg(NdvSketch.ndvSketchSet(col("key"), Dq13K).as("sk"))
+    val pair = Extras.sketchPairAlgebra(sets)
+    // engaged iff at least one side's sketch trimmed (min(bool) = AND)
+    val eng = sets.agg((!min(col("sk.exact"))).as("estimator_engaged"))
+    val lk = li.select(col("l_orderkey").as("key")).distinct()
+    val ok = or.select(col("o_orderkey").as("key")).distinct()
+    val exInter = lk.join(ok, Seq("key")).agg(count(lit(1)).as("exact_value"))
+    val exUnion = lk.unionByName(ok).distinct().agg(count(lit(1)).as("exact_value"))
+    def setRow(exact: DataFrame, estCol: String, label: String): DataFrame =
+      exact.crossJoin(broadcast(pair)).crossJoin(broadcast(eng)).select(
+        lit(label).as("metric_name"),
+        col("exact_value"),
+        col("estimator_engaged"),
+        (abs(col(estCol) - col("exact_value")) * 100 <= col("exact_value") * bound)
+          .as("within_30pct"))
+    Seq(
+      ndvRow(ev, "event_id", "ndv:events.event_id"),
+      ndvRow(li, "l_orderkey", "ndv:lineitem.l_orderkey"),
+      setRow(exInter, "overlap_users", "set_intersect:orderkeys"),
+      setRow(exUnion, "union_users", "set_union:orderkeys"))
+      .reduce(_ unionByName _)
+      .orderBy(col("metric_name").asc_nulls_first)
+  }
+
+  private val estimatorRegimeSql =
+    """SELECT 'ndv:events.event_id' AS metric_name,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_value,
+      |  TRUE AS estimator_engaged, TRUE AS within_30pct FROM events
+      |UNION ALL
+      |SELECT 'ndv:lineitem.l_orderkey',
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT), TRUE, TRUE FROM lineitem
+      |UNION ALL
+      |SELECT 'set_intersect:orderkeys',
+      |  (SELECT CAST(COUNT(*) AS BIGINT)
+      |   FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+      |   JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |     ON l.l_orderkey = o.o_orderkey), TRUE, TRUE
+      |UNION ALL
+      |SELECT 'set_union:orderkeys',
+      |  (SELECT CAST(COUNT(DISTINCT key) AS BIGINT) FROM (
+      |     SELECT l_orderkey AS key FROM lineitem
+      |     UNION ALL SELECT o_orderkey FROM orders)), TRUE, TRUE
+      |ORDER BY metric_name NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq12_join_cardinality" -> (joinCardinality _),
+    "dq13_estimator_regime" -> (estimatorRegime _),
     "w7_ntile_deciles" -> (ntileDeciles _),
     "q27_market_share" -> (marketShare _),
     "q28_forecast_revenue" -> (forecastRevenue _),
@@ -2278,6 +2378,7 @@ object Stats extends QueryModule {
     "q30_priority_shipping" -> priorityShippingSql,
     "dq9_cardinality_audit" -> cardinalityAuditSql,
     "dq12_join_cardinality" -> joinCardinalitySql,
+    "dq13_estimator_regime" -> estimatorRegimeSql,
     "dq10_freshness" -> freshnessAuditSql,
     "dq11_stats_policy" -> statsPolicySql,
     "w8_period_growth" -> periodGrowthSql,
