@@ -1152,6 +1152,60 @@ object Extras extends QueryModule {
       |  l_linenumber NULLS FIRST, l_qty NULLS FIRST,
       |  s_name NULLS FIRST, s_acctbal_cents NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sj4
+  /** AQE skew-split join as a GATE entry — the third leg of the skew
+    * story (sj1 = explicit salting, sj2 = sketch-planned choice, sj4 =
+    * Spark's own runtime split): a constructed 90%-hot key (9 of 10
+    * orders collapse onto supplier key 1) rides a plain shuffle join
+    * and `OptimizeSkewedJoin` splits the hot partition at runtime. The
+    * oracle states the PLAIN join+agg — the split must be invisible in
+    * the result (sj1's invisibility contract); OperatorsSpec pins
+    * `skew=true` on THIS entry's executed adaptive plan, so the gate
+    * row isn't vacuous.
+    *
+    * Conf scoping: the skew thresholds are lowered so gate-scale data
+    * crosses them (defaults trigger at 256 MB per partition — the
+    * production setting; the mechanism, not the threshold, is under
+    * test) and broadcast is disabled (the split applies to shuffle
+    * joins). Both would poison every later entry's plans, so the frame
+    * is built on a CHILD session (`newSession`: shared SparkContext and
+    * catalog, isolated conf) — the tuned values die with this entry.
+    */
+  private def skewJoinGate(s: SparkSession, dir: String): DataFrame = {
+    val s2 = graft.SparkEntry.configure(s.newSession())
+    Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true", // split even if it adds a shuffle later
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB"
+    ).foreach { case (k, v) => s2.conf.set(k, v) }
+    val li = t(s2, dir, "lineitem").select(
+      when(col("l_orderkey") % 10 > 0, lit(1L))
+        .otherwise(col("l_suppkey")).as("k"),
+      round(col("l_quantity")).cast(LongType).as("qty"))
+    val supp = t(s2, dir, "supplier").select(
+      col("s_suppkey").as("k"), col("s_name"))
+    li.join(supp, Seq("k"))
+      .groupBy(col("k"), col("s_name"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+      .orderBy(col("k").asc_nulls_first, col("s_name").asc_nulls_first)
+  }
+
+  private val skewJoinGateSql =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_orderkey % 10 > 0 THEN 1 ELSE l_suppkey END AS k,
+      |    CAST(round(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem)
+      |SELECT k, s_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM li JOIN supplier ON li.k = supplier.s_suppkey
+      |GROUP BY k, s_name
+      |ORDER BY k NULLS FIRST, s_name NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- sj2
   /** Sketch-PLANNED join ([[graft.operators.SketchJoin]]) — the
     * decision layer over sj1's explicit salting: bounded probes (build
@@ -1368,6 +1422,52 @@ object Extras extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
       |  n_lines NULLS FIRST, revenue_e4 NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- cmp1
+  /** Compaction-invisibility gate — the [[graft.sinks.Compactor]] was
+    * the one r11 operator with no CORRECTNESS row (spec-only; VERDICT
+    * r11 #8). bkt1's pattern: the first call per (JVM, corpus dir)
+    * builds a deliberately FRAGMENTED copy of `documents` (32-way
+    * repartition — one small file per task, the per-ingest storm
+    * compaction exists to fix) as a [[graft.sinks.VersionedTable]],
+    * then compacts it through [[graft.sinks.Compactor.compactVersioned]]
+    * — the two-phase atomic publish. The query reads the table through
+    * the marker-resolution path and aggregates; the oracle states the
+    * same aggregation over the RAW parquet, so the fragmentation, the
+    * rewrite, and the commit protocol must all be invisible in the
+    * result — the property worth hash-proving (bkt1/sj1's invisibility
+    * contract). Non-vacuity (files genuinely merged, crash-between-
+    * phases reader isolation) is pinned by SinksOpsSpec.
+    */
+  private val cmpBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def compactedTableGate(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_cmp1_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    cmpBuilt.synchronized {
+      if (!cmpBuilt.contains(root)) {
+        // fresh bootstrap per JVM: a leftover root from another process
+        // would otherwise accumulate versions across runs
+        graft.sinks.VersionedTable.drop(s, root)
+        graft.sinks.VersionedTable.publish(s, root,
+          t(s, dir, "documents").repartition(32))
+        graft.sinks.Compactor.compactVersioned(s, root, 256L * 1024 * 1024)
+        cmpBuilt += root
+        ()
+      }
+    }
+    graft.sinks.VersionedTable.read(s, root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("sum_len"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val compactedTableGateSql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+      |FROM documents GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- zo1
   /** Z-order layout audit — the data-layout leg beside bkt1's
@@ -2350,10 +2450,12 @@ object Extras extends QueryModule {
     "j7_right_join" -> (rightJoin _),
     "j8_cross_small" -> (crossSmall _),
     "sj1_salted_join" -> (saltedJoinGate _),
+    "sj4_skew_join" -> (skewJoinGate _),
     "sj2_sketch_planned_join" -> (sketchPlannedJoinGate _),
     "sj3_sketch_join_order" -> (sketchJoinOrderGate _),
     "bf1_bloom_semi_join" -> (bloomSemiJoin _),
     "bkt1_bucketed_join" -> (bucketedJoinGate _),
+    "cmp1_compacted_table" -> (compactedTableGate _),
     "zo1_zorder_audit" -> (zorderAudit _),
     "un1_unpivot" -> (unpivotMetrics _),
     "c10_int_math" -> (intMath _),
@@ -2413,10 +2515,12 @@ object Extras extends QueryModule {
     "j7_right_join" -> rightJoinSql,
     "j8_cross_small" -> crossSmallSql,
     "sj1_salted_join" -> saltedJoinGateSql,
+    "sj4_skew_join" -> skewJoinGateSql,
     "sj2_sketch_planned_join" -> sketchPlannedJoinGateSql,
     "sj3_sketch_join_order" -> sketchJoinOrderGateSql,
     "bf1_bloom_semi_join" -> bloomSemiJoinSql,
     "bkt1_bucketed_join" -> bucketedJoinGateSql,
+    "cmp1_compacted_table" -> compactedTableGateSql,
     "zo1_zorder_audit" -> zorderAuditSql,
     "un1_unpivot" -> unpivotMetricsSql,
     "c10_int_math" -> intMathSql,

@@ -112,11 +112,15 @@ class PartitionedParquetSink(path: String, partitionCols: Seq[String]) extends M
   * one task before `partitionBy` splits directories) — planning-time
   * pruning over the compacted table is untouched.
   *
-  * The dir swap is delete-then-rename, not atomic — a production
-  * table format (Delta/Iceberg) brings the commit protocol; what this
-  * operator owns is the sizing math and the layout-preserving rewrite,
-  * and SinksOpsSpec pins file counts, byte-derived sizing, content
-  * equality, and post-compaction pruning.
+  * The in-place dir swap ([[Compactor.compact]]/[[compactPartitioned]])
+  * is delete-then-rename — kept for path-stable dirs whose readers
+  * hard-code the location, with the non-atomic window documented. The
+  * closed seam is [[Compactor.compactVersioned]]: the same sizing math
+  * published through [[VersionedTable]]'s two-phase commit, where a
+  * reader at any instant resolves either the old or the new version,
+  * never a partial table. SinksOpsSpec pins file counts, byte-derived
+  * sizing, content equality, post-compaction pruning, and the
+  * crash-between-phases invisibility.
   */
 object Compactor {
   import org.apache.hadoop.fs.Path
@@ -170,5 +174,140 @@ object Compactor {
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(tmp)
     swap(spark, tmp, path)
     (before, layout(spark, path)._1)
+  }
+
+  /** Compact the CURRENT committed version of a [[VersionedTable]]
+    * toward `targetBytes` files, publishing the rewrite through the
+    * two-phase commit: a reader at any instant — including mid-crash —
+    * resolves either the old version or the new one, never a partial
+    * table (the delete+rename window of [[compact]], closed). Returns
+    * (files before, files after).
+    */
+  def compactVersioned(spark: SparkSession, root: String, targetBytes: Long): (Int, Int) = {
+    val cur = VersionedTable.committedVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val curPath = VersionedTable.dataPath(root, cur)
+    val (before, bytes) = layout(spark, curPath)
+    val n = math.max(1L, math.min(before.toLong, (bytes + targetBytes - 1) / targetBytes)).toInt
+    val v = VersionedTable.publish(spark, root, spark.read.parquet(curPath).repartition(n))
+    (before, layout(spark, VersionedTable.dataPath(root, v))._1)
+  }
+}
+
+/** Two-phase atomic table publish over a plain filesystem — the commit
+  * protocol the Compactor's documented delete+rename seam lacked
+  * (VERDICT r11 #7), in the shape every table format (Iceberg/Delta)
+  * reduces to: data files are INVISIBLE until a tiny marker lands via
+  * the filesystem's one atomic primitive, rename-into-place.
+  *
+  * Layout under `<root>/`: versioned data dirs `v<N>/` plus commit
+  * markers `_commit_v<N>`. A version is visible iff its marker exists;
+  * readers resolve the HIGHEST marked version. Publishing:
+  *
+  *  - phase 1 ([[stage]]): write the data under `v<N+1>/` — no marker,
+  *    so readers cannot resolve it; a crash here strands bytes but
+  *    never changes what any reader sees;
+  *  - phase 2 ([[commit]]): write the marker content to
+  *    `_staging_commit_v<N+1>`, fsync, then RENAME onto
+  *    `_commit_v<N+1>`. HDFS rename is a single NameNode op and POSIX
+  *    rename(2) is atomic, so the marker appears completely or not at
+  *    all — there is no instant at which a reader can observe a
+  *    half-published version.
+  *
+  * Old versions are vacuumed only AFTER the new marker lands
+  * (best-effort: a crash leaves stale files, never a partial table).
+  * Phases are package-visible so SinksOpsSpec can stop between them and
+  * prove reader invisibility at every crash point.
+  *
+  * Concurrency scope: single writer (the maintenance job). Concurrent
+  * writers would race the version number — a production deployment
+  * serializes committers (lock service / table-format CAS), which is
+  * orthogonal to the crash-atomicity this protocol owns.
+  */
+object VersionedTable {
+  import org.apache.hadoop.fs.Path
+
+  private val Marker = "_commit_v"
+  private val Staging = "_staging_commit_v"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def dataPath(root: String, v: Long): String = s"$root/v$v"
+
+  /** Highest committed version — resolved from the atomic markers ONLY;
+    * data dirs without a marker are in-flight or abandoned writes.
+    */
+  def committedVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) None
+    else {
+      val vs = f.listStatus(p).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith(Marker))
+        .flatMap(n => scala.util.Try(n.stripPrefix(Marker).toLong).toOption)
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** The current committed version's data. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = committedVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    spark.read.parquet(dataPath(root, v))
+  }
+
+  /** Phase 1: stage version `v`'s data (unmarked — invisible). */
+  private[graft] def stage(spark: SparkSession, root: String, v: Long, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(dataPath(root, v))
+
+  /** Phase 2: atomically publish version `v`. */
+  private[graft] def commit(spark: SparkSession, root: String, v: Long): Unit = {
+    val f = fs(spark, root)
+    val staging = new Path(s"$root/$Staging$v")
+    val out = f.create(staging, true)
+    try {
+      out.writeBytes(s"v$v\n")
+      // durable before visible: the rename must never expose a marker
+      // whose bytes could still be lost (local ChecksumFileSystem lacks
+      // hsync — flush is its strongest barrier)
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.flush() }
+    } finally out.close()
+    if (!f.rename(staging, new Path(s"$root/$Marker$v")))
+      throw new java.io.IOException(s"commit rename failed for v$v under $root")
+  }
+
+  /** Best-effort GC of versions below `keep` and any stranded staging
+    * markers — called only after `keep`'s marker landed.
+    */
+  private[graft] def vacuum(spark: SparkSession, root: String, keep: Long): Unit = {
+    val f = fs(spark, root)
+    f.listStatus(new Path(root)).foreach { st =>
+      val n = st.getPath.getName
+      val v =
+        if (n.startsWith(Marker)) scala.util.Try(n.stripPrefix(Marker).toLong).toOption
+        else if (n.startsWith(Staging)) scala.util.Try(n.stripPrefix(Staging).toLong).toOption
+        else if (n.startsWith("v")) scala.util.Try(n.stripPrefix("v").toLong).toOption
+        else None
+      if (v.exists(_ < keep)) { f.delete(st.getPath, true); () }
+    }
+  }
+
+  /** Two-phase publish of `df` as the next version; returns it. */
+  def publish(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val next = committedVersion(spark, root).getOrElse(0L) + 1
+    stage(spark, root, next, df) // phase 1 — invisible
+    commit(spark, root, next) //    phase 2 — atomic rename
+    vacuum(spark, root, next) //    only after the marker landed
+    next
+  }
+
+  /** Drop the whole table root (test/bootstrap hygiene). */
+  def drop(spark: SparkSession, root: String): Unit = {
+    fs(spark, root).delete(new Path(root), true)
+    ()
   }
 }

@@ -239,14 +239,45 @@ class OperatorsSpec extends AnyFunSuite {
       // an action on the SAME Dataset finalizes its adaptive plan (a
       // write would execute a cloned QueryExecution and leave this one
       // isFinalPlan=false)
-      joined.collect()
+      val got = joined.collect()
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"AQE did not split the hot partition:\n$plan")
+      // the split must be invisible in the result: same rows as the
+      // plain (AQE-off) spelling of the identical join
+      val plainConf = Seq("spark.sql.adaptive.enabled" -> "false")
+      val prevPlain = plainConf.map { case (k, _) => k -> spark.conf.getOption(k) }
+      val want =
+        try {
+          plainConf.foreach { case (k, v) => spark.conf.set(k, v) }
+          left.join(right, "k").collect()
+        } finally prevPlain.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      def key(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(key(got) == key(want), "skew-split changed the join result")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  test("sj4 gate entry executes under a real OptimizeSkewedJoin split") {
+    // non-vacuity for the sj4_skew_join CORRECTNESS row: the gate query's
+    // own adaptive plan must contain the skew-split, at the gate's
+    // smallest scale (the hot partition is ~50 KB at sf0.001 — over the
+    // entry's 16 KB conf-scoped threshold). The entry builds on a CHILD
+    // session, so the lowered thresholds must not leak into this one.
+    val before = spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val df = SparkEntry.queries("sj4_skew_join")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"sj4's adaptive plan did not skew-split:\n$plan")
+    assert(spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      == before, "sj4's tuned confs leaked into the parent session")
   }
 
   test("streaming dedup drops duplicate event ids within the watermark") {

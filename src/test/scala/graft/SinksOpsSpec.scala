@@ -130,6 +130,55 @@ class SinksOpsSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("lang"))
   }
 
+  test("VersionedTable: two-phase commit — readers never see a partial table") {
+    import org.apache.spark.sql.functions.col
+    import graft.sinks.{Compactor, VersionedTable}
+    val root = Files.createTempDirectory("graft-vtable").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = docs.orderBy(col("doc_id")).collect().toSeq
+
+    // bootstrap: v1 = fragmented ingest, atomically published
+    assert(VersionedTable.committedVersion(spark, root).isEmpty)
+    assert(VersionedTable.publish(spark, root, docs.repartition(64)) == 1L)
+    assert(VersionedTable.committedVersion(spark, root).contains(1L))
+    assert(Compactor.layout(spark, VersionedTable.dataPath(root, 1L))._1 == 64)
+    assert(VersionedTable.read(spark, root).orderBy(col("doc_id")).collect().toSeq == want)
+
+    // CRASH WINDOW 1 — process dies after phase 1 (data staged, no
+    // marker): readers must still resolve v1 in full
+    VersionedTable.stage(spark, root, 2L, docs.repartition(2))
+    assert(VersionedTable.committedVersion(spark, root).contains(1L),
+      "unmarked staged data must be invisible")
+    assert(VersionedTable.read(spark, root).orderBy(col("doc_id")).collect().toSeq == want)
+
+    // CRASH WINDOW 2 — process dies mid-phase-2 (staging marker written
+    // and fsync'd, rename not yet executed): still invisible
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$root/_staging_commit_v2")
+    val out = fs.create(staging, true)
+    out.writeBytes("v2\n"); out.close()
+    assert(VersionedTable.committedVersion(spark, root).contains(1L),
+      "a staging marker must not be resolvable")
+    assert(VersionedTable.read(spark, root).orderBy(col("doc_id")).collect().toSeq == want)
+
+    // recovery: the restarted job re-runs phase 2 — the atomic rename
+    // flips readers from v1-complete to v2-complete with no interleaving
+    VersionedTable.commit(spark, root, 2L)
+    assert(VersionedTable.committedVersion(spark, root).contains(2L))
+    assert(VersionedTable.read(spark, root).orderBy(col("doc_id")).collect().toSeq == want)
+
+    // versioned compaction merges and stays invisible in content
+    val (b, a) = Compactor.compactVersioned(spark, root, Long.MaxValue)
+    assert(b == 2 && a == 1, s"before=$b after=$a")
+    assert(VersionedTable.committedVersion(spark, root).contains(3L))
+    assert(VersionedTable.read(spark, root).orderBy(col("doc_id")).collect().toSeq == want)
+    // vacuum ran post-commit: superseded versions and markers are gone
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath.getName).toSet
+    assert(!names.contains("v1") && !names.contains("_commit_v1") && !names.contains("v2"),
+      s"stale versions not vacuumed: $names")
+  }
+
   test("ParquetSink round-trips the mart") {
     val dir = Files.createTempDirectory("graft-sink").toString + "/mart"
     val sink = new graft.sinks.ParquetSink(dir)
