@@ -1170,6 +1170,16 @@ object Extras extends QueryModule {
     * joins). Both would poison every later entry's plans, so the frame
     * is built on a CHILD session (`newSession`: shared SparkContext and
     * catalog, isolated conf) — the tuned values die with this entry.
+    *
+    * Splittability: AQE's skew split works at MAP-OUTPUT granularity
+    * (`PartialReducerPartitionSpec` carves the hot reducer partition
+    * into map-index ranges), so a hot partition fed by a single mapper
+    * can never be split — and the sf0.001 fact table is one small
+    * parquet file = one scan task. `repartition(8, l_orderkey)` gives
+    * the splitter its units at gate scale; on a production cluster the
+    * fact scan has thousands of map tasks and this step is free to
+    * drop. The extra exchange hashes on the UNIQUE orderkey, so the
+    * 90%-hot join key spreads evenly across all 8 mappers.
     */
   private def skewJoinGate(s: SparkSession, dir: String): DataFrame = {
     val s2 = graft.SparkEntry.configure(s.newSession())
@@ -1179,14 +1189,25 @@ object Extras extends QueryModule {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true", // split even if it adds a shuffle later
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // skew detection compares each partition against the MEDIAN size;
+      // under a 2-partition (test) session the median IS the hot
+      // partition, so the split can mathematically never fire — pin 16
+      // partitions here so the cold keys spread and the median is honest
+      // (the exact trap OperatorsSpec's sibling skew test documents).
+      // Child-session conf: nothing leaks to the caller.
+      "spark.sql.shuffle.partitions" -> "16",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB"
+      // thresholds are COMPRESSED shuffle bytes: the hot partition is a
+      // constant key + small qty longs, so lz4 shrinks it ~10x — 2KB
+      // keeps the gate firing even at sf0.001 (~5.4k hot rows)
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB"
     ).foreach { case (k, v) => s2.conf.set(k, v) }
     val li = t(s2, dir, "lineitem").select(
       when(col("l_orderkey") % 10 > 0, lit(1L))
         .otherwise(col("l_suppkey")).as("k"),
       round(col("l_quantity")).cast(LongType).as("qty"))
+      .repartition(8, col("l_orderkey")) // ≥2 map tasks: see scaladoc
     val supp = t(s2, dir, "supplier").select(
       col("s_suppkey").as("k"), col("s_name"))
     li.join(supp, Seq("k"))
@@ -1442,13 +1463,23 @@ object Extras extends QueryModule {
   private val cmpBuilt = scala.collection.mutable.Set.empty[String]
 
   private def compactedTableGate(s: SparkSession, dir: String): DataFrame = {
+    // root salted with the applicationId: the per-JVM memo (cmpBuilt)
+    // cannot see ANOTHER process's lifecycle, so a fixed path would let
+    // two concurrent runs (bench + correctness) race drop/publish
+    // against read, and a long-lived JVM would serve stale contents
+    // after the corpus under `dir` is regenerated (ADVICE r12). The
+    // applicationId is unique per SparkContext, so each process gets a
+    // private root — same isolation a production job gets from a
+    // run-scoped staging prefix.
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_cmp1_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      "graft_cmp1_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
     cmpBuilt.synchronized {
       if (!cmpBuilt.contains(root)) {
-        // fresh bootstrap per JVM: a leftover root from another process
-        // would otherwise accumulate versions across runs
+        // fresh bootstrap per (app, corpus dir): a leftover root from a
+        // crashed run of the SAME app id (impossible in practice, cheap
+        // to guard) would otherwise accumulate versions
         graft.sinks.VersionedTable.drop(s, root)
         graft.sinks.VersionedTable.publish(s, root,
           t(s, dir, "documents").repartition(32))

@@ -267,9 +267,15 @@ class OperatorsSpec extends AnyFunSuite {
   test("sj4 gate entry executes under a real OptimizeSkewedJoin split") {
     // non-vacuity for the sj4_skew_join CORRECTNESS row: the gate query's
     // own adaptive plan must contain the skew-split, at the gate's
-    // smallest scale (the hot partition is ~50 KB at sf0.001 — over the
-    // entry's 16 KB conf-scoped threshold). The entry builds on a CHILD
-    // session, so the lowered thresholds must not leak into this one.
+    // smallest scale. Three traps the gate must dodge at sf0.001 (all
+    // documented in skewJoinGate's scaladoc): a 2-partition session's
+    // median IS the hot partition (gate pins 16), compressed shuffle
+    // bytes (the constant-key hot partition lz4-compresses ~10x, so the
+    // conf-scoped threshold is 2 KB, not 16 KB), and map-output
+    // granularity (one parquet file = one mapper = unsplittable hot
+    // partition — the gate repartitions the fact side to 8 mappers).
+    // The entry builds on a CHILD session, so the lowered thresholds
+    // must not leak into this one.
     val before = spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
     val df = SparkEntry.queries("sj4_skew_join")(spark, "/root/testdata/sf0.001")
     df.collect()
