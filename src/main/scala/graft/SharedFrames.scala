@@ -46,6 +46,14 @@ object SharedFrames {
     * persisted frame (the builders materialize-and-count so size gates
     * can measure); its cache copy is released once the checkpoint copy
     * exists, so only ONE materialization of the frame is ever held.
+    *
+    * Locking: one global lock held across the build's Spark job —
+    * independent keys cannot build concurrently. Deliberate: every
+    * caller today (Verify, Bench, the gate sweeps) runs entries
+    * SEQUENTIALLY, so per-key locking would buy nothing while adding a
+    * failure mode (two concurrent Lloyd trainings competing for the
+    * same executor memory). If entries ever run in parallel, switch to
+    * computeIfAbsent over a per-key lazy holder.
     */
   def memoize(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = (spark.sparkContext.applicationId, key)

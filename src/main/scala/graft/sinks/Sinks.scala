@@ -214,43 +214,55 @@ object Compactor {
   *    all — there is no instant at which a reader can observe a
   *    half-published version.
   *
-  * Old versions are vacuumed only AFTER the new marker lands
-  * (best-effort: a crash leaves stale files, never a partial table).
-  * Phases are package-visible so SinksOpsSpec can stop between them and
-  * prove reader invisibility at every crash point.
+  * Retention: [[publish]] vacuums only versions OLDER than the
+  * previous committed one — the newest two always survive a publish,
+  * so a reader that resolved version N just before N+1 landed keeps
+  * its (lazy, possibly mid-scan) parquet read intact through the next
+  * publish, Delta/Iceberg-style (ADVICE r12). Deeper history is a
+  * MAINTENANCE decision, not a publish side effect: [[vacuumRetain]]
+  * GCs to an explicit window. A crash leaves stale files, never a
+  * partial table. Phases are package-visible so SinksOpsSpec can stop
+  * between them and prove reader invisibility at every crash point.
   *
-  * Concurrency scope: single writer (the maintenance job). Concurrent
-  * writers would race the version number — a production deployment
-  * serializes committers (lock service / table-format CAS), which is
-  * orthogonal to the crash-atomicity this protocol owns.
+  * Concurrent writers: version numbers are CLAIMED before staging via
+  * the filesystem's OTHER atomic primitive, create-exclusive
+  * (`_claim_v<N>`; HDFS create(overwrite=false) is a single NameNode
+  * op, O_CREAT|O_EXCL on POSIX). Exactly one writer can own a number,
+  * so two publishers can never stage into the same data dir — the
+  * loser bumps to the next free number and lands as a later version
+  * (optimistic concurrency, last-writer-wins for whole-table
+  * publishes). A claim whose writer crashed strands a number, never a
+  * partial table; stale claims fall to vacuum.
   */
 object VersionedTable {
   import org.apache.hadoop.fs.Path
 
   private val Marker = "_commit_v"
   private val Staging = "_staging_commit_v"
+  private val Claim = "_claim_v"
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def dataPath(root: String, v: Long): String = s"$root/v$v"
 
-  /** Highest committed version — resolved from the atomic markers ONLY;
-    * data dirs without a marker are in-flight or abandoned writes.
+  /** All committed versions, newest first — from the atomic markers
+    * ONLY; data dirs without a marker are in-flight or abandoned writes.
     */
-  def committedVersion(spark: SparkSession, root: String): Option[Long] = {
+  private def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
     val p = new Path(root)
-    if (!f.exists(p)) None
-    else {
-      val vs = f.listStatus(p).iterator
-        .map(_.getPath.getName)
-        .filter(_.startsWith(Marker))
-        .flatMap(n => scala.util.Try(n.stripPrefix(Marker).toLong).toOption)
-        .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(Marker))
+      .flatMap(n => scala.util.Try(n.stripPrefix(Marker).toLong).toOption)
+      .toSeq.sorted(Ordering[Long].reverse)
   }
+
+  /** Highest committed version. */
+  def committedVersion(spark: SparkSession, root: String): Option[Long] =
+    committedVersions(spark, root).headOption
 
   /** The current committed version's data. */
   def read(spark: SparkSession, root: String): DataFrame = {
@@ -280,8 +292,9 @@ object VersionedTable {
       throw new java.io.IOException(s"commit rename failed for v$v under $root")
   }
 
-  /** Best-effort GC of versions below `keep` and any stranded staging
-    * markers — called only after `keep`'s marker landed.
+  /** Best-effort GC of everything versioned below `keep`: data dirs,
+    * markers, stranded staging files and stale claims — called only
+    * after a marker ≥ `keep` landed.
     */
   private[graft] def vacuum(spark: SparkSession, root: String, keep: Long): Unit = {
     val f = fs(spark, root)
@@ -290,18 +303,71 @@ object VersionedTable {
       val v =
         if (n.startsWith(Marker)) scala.util.Try(n.stripPrefix(Marker).toLong).toOption
         else if (n.startsWith(Staging)) scala.util.Try(n.stripPrefix(Staging).toLong).toOption
+        else if (n.startsWith(Claim)) scala.util.Try(n.stripPrefix(Claim).toLong).toOption
         else if (n.startsWith("v")) scala.util.Try(n.stripPrefix("v").toLong).toOption
         else None
       if (v.exists(_ < keep)) { f.delete(st.getPath, true); () }
     }
   }
 
-  /** Two-phase publish of `df` as the next version; returns it. */
+  /** Maintenance GC: keep the newest `retainLast` COMMITTED versions,
+    * delete everything older (superseded data dirs, their markers, and
+    * stale staging/claim files). The retention window is the reader
+    * contract: a reader holding version N survives every publish until
+    * N falls out of the window — size it to the longest concurrent
+    * scan, the way Delta's `VACUUM RETAIN` does.
+    */
+  def vacuumRetain(spark: SparkSession, root: String, retainLast: Int): Unit = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val vs = committedVersions(spark, root)
+    if (vs.size > retainLast) vacuum(spark, root, vs(retainLast - 1))
+  }
+
+  /** CAS claim of version number `v`: create-exclusive — exactly one
+    * writer ever owns a number; the losing publisher sees `false` and
+    * moves to the next free number. On HDFS, `create(overwrite=false)`
+    * is a single NameNode op and genuinely atomic. On the LOCAL fs it
+    * is NOT: Hadoop's RawLocalFileSystem spells it exists()-then-open —
+    * a check-then-act window two threads can both slip through (this
+    * spec's racing-publishers test caught exactly that), so the `file:`
+    * scheme goes through NIO `Files.createFile` = O_CREAT|O_EXCL at the
+    * kernel. Package-visible so the spec can interleave two publishers
+    * deterministically.
+    */
+  private[graft] def tryClaim(spark: SparkSession, root: String, v: Long): Boolean = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/$Claim$v")
+    if (f.getScheme == "file") {
+      val local = new java.io.File(p.toUri.getPath)
+      local.getParentFile.mkdirs()
+      try { java.nio.file.Files.createFile(local.toPath); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Two-phase publish of `df` as the next version; returns it.
+    * Claim → stage → commit → vacuum-behind-one: the newest two
+    * committed versions always survive (see class doc, Retention).
+    */
   def publish(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val next = committedVersion(spark, root).getOrElse(0L) + 1
+    var next = committedVersion(spark, root).getOrElse(0L) + 1
+    var probes = 0
+    while (!tryClaim(spark, root, next)) { // competing writer owns it
+      next += 1
+      probes += 1
+      if (probes > 10000)
+        throw new IllegalStateException(
+          s"could not claim a version under $root after $probes probes")
+    }
     stage(spark, root, next, df) // phase 1 — invisible
     commit(spark, root, next) //    phase 2 — atomic rename
-    vacuum(spark, root, next) //    only after the marker landed
+    vacuumRetain(spark, root, 2) // only after the marker landed
     next
   }
 

@@ -173,10 +173,57 @@ class SinksOpsSpec extends AnyFunSuite {
     assert(b == 2 && a == 1, s"before=$b after=$a")
     assert(VersionedTable.committedVersion(spark, root).contains(3L))
     assert(VersionedTable.read(spark, root).orderBy(col("doc_id")).collect().toSeq == want)
-    // vacuum ran post-commit: superseded versions and markers are gone
+    // publish-time vacuum keeps the newest TWO committed versions (a
+    // reader that resolved v2 just before v3 landed must keep its data
+    // files through the publish — ADVICE r12) and GCs older ones
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath.getName).toSet
-    assert(!names.contains("v1") && !names.contains("_commit_v1") && !names.contains("v2"),
-      s"stale versions not vacuumed: $names")
+    assert(!names.contains("v1") && !names.contains("_commit_v1"),
+      s"superseded v1 not vacuumed: $names")
+    assert(names.contains("v2") && names.contains("_commit_v2"),
+      s"previous version v2 must survive the publish (reader retention): $names")
+    // deeper GC is an explicit MAINTENANCE call, not a publish side effect
+    VersionedTable.vacuumRetain(spark, root, 1)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath.getName).toSet
+    assert(!after.contains("v2") && !after.contains("_commit_v2"),
+      s"vacuumRetain(1) must GC v2: $after")
+    assert(VersionedTable.read(spark, root).orderBy(col("doc_id")).collect().toSeq == want)
+  }
+
+  test("VersionedTable: concurrent publishers — claims make version numbers CAS") {
+    import org.apache.spark.sql.functions.col
+    import graft.sinks.VersionedTable
+    val root = Files.createTempDirectory("graft-vtable-cas").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    VersionedTable.publish(spark, root, docs.limit(10))
+
+    // the CAS primitive itself: exactly one claim per version number
+    assert(VersionedTable.tryClaim(spark, root, 2L), "first claim must win")
+    assert(!VersionedTable.tryClaim(spark, root, 2L), "second claim must lose")
+
+    // an interleaved publisher cannot land on the claimed number: it
+    // bumps past the (crashed/slow) claimant and commits v3 — the two
+    // writers never share a data dir
+    val vB = VersionedTable.publish(spark, root, docs.limit(20))
+    assert(vB == 3L, s"publisher must skip the claimed v2, got v$vB")
+    assert(VersionedTable.committedVersion(spark, root).contains(3L))
+    assert(VersionedTable.read(spark, root).count() == 20)
+
+    // two racing publishers: both land, on DISTINCT versions; the final
+    // table is exactly one writer's rows, never a mix
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(VersionedTable.publish(spark, root, docs.limit(30)))
+    val fb = Future(VersionedTable.publish(spark, root, docs.limit(40)))
+    val (va2, vb2) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(va2 != vb2, s"racing publishers shared version v$va2")
+    val finalRows = VersionedTable.read(spark, root).count()
+    val winner = if (va2 > vb2) 30L else 40L
+    assert(finalRows == winner,
+      s"reader must see exactly the max-version writer's table: $finalRows != $winner")
+    // the loser's version is fully committed too (consistent history)
+    val loser = math.min(va2, vb2)
+    assert(spark.read.parquet(VersionedTable.dataPath(root, loser)).count() == (if (va2 > vb2) 40L else 30L))
   }
 
   test("ParquetSink round-trips the mart") {
