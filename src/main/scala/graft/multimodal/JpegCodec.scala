@@ -16,9 +16,13 @@ package graft.multimodal
   * (ISO/IEC 10918-1 Annex A; conformance in 10918-2), so any decoder's
   * rounding differs slightly from any other's — JpegCodecSpec pins this
   * one within ±2 of the JDK's ImageIO (libjpeg-derived) decode in both
-  * interop directions. GRAYSCALE ONLY by design: one component, no
-  * chroma subsampling/upsampling or color transform; color and
-  * progressive scans return None (undecodable payloads are data).
+  * interop directions. [[parseJpeg]] is the single-component
+  * (grayscale) path; [[parseJpegColor]]/[[walkColor]] decode
+  * 3-component baseline YCbCr (4:2:0 and 4:4:4) with MCU-interleaved
+  * scans, per-component DC prediction, box chroma upsampling and
+  * libjpeg's exact fixed-point color convert. Progressive scans,
+  * 12-bit precision, arithmetic coding and other samplings return
+  * None (undecodable payloads are data).
   *
   * Encoder ([[synthJpeg]]): writes real baseline files — DQT, SOF0,
   * DHT (custom but fully canonical tables the decoder must build from
@@ -249,7 +253,8 @@ object JpegCodec {
               p += 17 + n
             }
           case 0xc0 => // SOF0 baseline
-            // single-component SOF0 is exactly 11 bytes of payload; a
+            // single-component SOF0: len is exactly 11 (9 payload bytes +
+            // the 2-byte length field, the SOS comment's convention); a
             // smaller len would let the fixed-offset reads below run past
             // `end` (and, at EOF, past the array) instead of returning None
             if (len < 11) return None
@@ -345,6 +350,276 @@ object JpegCodec {
         y += 1
       }
       blk += 1
+    }
+    Some((w, h))
+  }
+
+  // ------------------------------------------------------- color decoder
+
+  case class JpegColorInfo(
+      width: Int, height: Int, nPx: Long, sumR: Long, sumG: Long, sumB: Long)
+
+  /** Decode a baseline sequential 3-component YCbCr JPEG (interleaved
+    * single scan; 4:2:0 — Y 2×2, chroma 1×1 — or 4:4:4). The gate path
+    * streams channel sums with O(MCU) state: a 4:2:0 MCU is a
+    * SELF-CONTAINED 16×16 region (4 Y blocks + 1 Cb + 1 Cr), so chroma
+    * upsample + color convert happen per MCU — no frame buffer, the
+    * same O(1)-beyond-a-block posture as the grayscale path.
+    */
+  def parseJpegColor(bytes: Array[Byte]): Option[JpegColorInfo] = {
+    var sr = 0L
+    var sg = 0L
+    var sb = 0L
+    walkColor(bytes)((_, _) => (_, _, r, g, b) => { sr += r; sg += g; sb += b })
+      .map { case (w, h) => JpegColorInfo(w, h, w.toLong * h, sr, sg, sb) }
+  }
+
+  /** Full RGB decode (row-major w×h, 0xRRGGBB) — the conformance
+    * surface against ImageIO.
+    */
+  private[graft] def decodeColorImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    var px: Array[Int] = null
+    var ww = 0
+    walkColor(bytes) { (w, h) =>
+      px = new Array[Int](w * h); ww = w
+      (x, y, r, g, b) => px(y * ww + x) = (r << 16) | (g << 8) | b
+    }.map { case (w, h) => (w, h, px) }
+  }
+
+  private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Entropy-decode one 8×8 block (DC diff + AC runs), dequantize by
+    * `q` (natural order), fixed-point IDCT, level-shift and clamp into
+    * `out` (row-major 0–255, NO image clipping — callers clip).
+    * Returns the new DC predictor, or Int.MinValue on a broken stream.
+    * `deq` is caller-owned scratch (one allocation per scan, not per
+    * block).
+    */
+  private def entropyBlock(r: BitReader, dc: Huff, ac: Huff, q: Array[Int],
+      pred0: Int, deq: Array[Long], out: Array[Int]): Int = {
+    java.util.Arrays.fill(deq, 0L)
+    val t = r.decode(dc)
+    if (r.broken || t < 0 || t > 15) return Int.MinValue
+    val pred = pred0 + extend(r.bits(t), t)
+    deq(0) = pred.toLong * q(0)
+    var k = 1
+    var open = true
+    while (open && k < 64) {
+      val rs = r.decode(ac)
+      if (r.broken || rs < 0) return Int.MinValue
+      val run = rs >> 4
+      val size = rs & 15
+      if (size == 0) {
+        if (run == 15) k += 16 // ZRL
+        else open = false // EOB
+      } else {
+        k += run
+        if (k > 63) return Int.MinValue
+        val n = Zigzag(k)
+        deq(n) = extend(r.bits(size), size).toLong * q(n)
+        k += 1
+      }
+    }
+    if (r.broken) return Int.MinValue
+    var pi = 0
+    while (pi < 64) {
+      var acc = 0L
+      var n = 0
+      while (n < 64) {
+        val c = deq(n)
+        if (c != 0L) acc += c * IdctBasis((n << 6) | pi)
+        n += 1
+      }
+      out(pi) = clamp8((128L + ((acc + (1L << 19)) >> 20)).toInt)
+      pi += 1
+    }
+    pred
+  }
+
+  /** Marker walk + MCU-interleaved scan for 3-component baseline YCbCr;
+    * `mkSink(w, h)` receives every in-image pixel as (x, y, r, g, b).
+    * Chroma upsample is box replication (each chroma sample covers its
+    * hs×vs luma cell); the fixed-point YCbCr→RGB is libjpeg's integer
+    * arithmetic EXACTLY (FIX(1.40200)=91881, FIX(0.34414)=22554,
+    * FIX(0.71414)=46802, FIX(1.77200)=116130, one +2¹⁵ rounding bias,
+    * arithmetic ≫16 = floor) — so the SQL oracle restates it verbatim
+    * and ImageIO conformance holds to the same tolerance class as the
+    * grayscale pin. None on anything uncovered: progressive, 12-bit,
+    * arithmetic coding, sampling other than 4:2:0/4:4:4, non-interleaved
+    * color scans.
+    */
+  private def walkColor(bytes: Array[Byte])(
+      mkSink: (Int, Int) => (Int, Int, Int, Int, Int) => Unit): Option[(Int, Int)] = {
+    if (bytes.length < 4) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (u16(0) != 0xffd8) return None
+    var pos = 2
+    val quant = Array.fill(4)(null: Array[Int]) // natural order
+    val dcTab = Array.fill(4)(null: Huff)
+    val acTab = Array.fill(4)(null: Huff)
+    var w = 0
+    var h = 0
+    var hs = 0 // luma sampling (chroma fixed 1×1)
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    val compId = new Array[Int](3)
+    var restartInterval = 0
+    var scanAt = -1
+
+    while (scanAt < 0) {
+      if (pos + 4 > bytes.length) return None
+      if (u8(pos) != 0xff) return None
+      val marker = u8(pos + 1)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { pos += 2 }
+      else {
+        val len = u16(pos + 2)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        val seg = pos + 4
+        val end = pos + 2 + len
+        marker match {
+          case 0xdb => // DQT (several tables per segment possible)
+            var p = seg
+            while (p < end) {
+              val pq = u8(p) >> 4
+              val tq = u8(p) & 15
+              if (tq > 3 || pq > 1) return None
+              val n = if (pq == 0) 64 else 128
+              if (p + 1 + n > end) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                t(Zigzag(k)) = if (pq == 0) u8(p + 1 + k) else u16(p + 1 + 2 * k)
+                k += 1
+              }
+              quant(tq) = t
+              p += 1 + n
+            }
+          case 0xc4 => // DHT (several tables per segment possible)
+            var p = seg
+            while (p < end) {
+              val tc = u8(p) >> 4
+              val th = u8(p) & 15
+              if (tc > 1 || th > 3 || p + 17 > end) return None
+              val bits17 = Array.tabulate(16)(i => u8(p + 1 + i))
+              val n = bits17.sum
+              if (n == 0 || n > 256 || p + 17 + n > end) return None
+              val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+              val huff = new Huff(bits17, vals)
+              if (tc == 0) dcTab(th) = huff else acTab(th) = huff
+              p += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline: 3 components (len = 2 + 15)
+            if (len < 17) return None
+            if (u8(seg) != 8) return None // 8-bit precision only
+            h = u16(seg + 1); w = u16(seg + 3)
+            if (u8(seg + 5) != 3) return None // COLOR path: 3 components
+            var ci = 0
+            while (ci < 3) {
+              val o = seg + 6 + 3 * ci
+              compId(ci) = u8(o)
+              val samp = u8(o + 1)
+              if (ci == 0) {
+                if (samp != 0x11 && samp != 0x22) return None // 4:4:4 / 4:2:0
+                hs = samp >> 4
+              } else if (samp != 0x11) return None // chroma must be 1×1
+              compQ(ci) = u8(o + 2)
+              if (compQ(ci) > 3) return None
+              ci += 1
+            }
+            if (w <= 0 || h <= 0) return None
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // non-baseline / arithmetic frames
+          case 0xdd =>
+            if (len != 4) return None
+            restartInterval = u16(seg)
+          case 0xda => // SOS: interleaved, all 3 components
+            if (len < 12) return None // 3-component SOS payload is 10 bytes
+            if (u8(seg) != 3) return None
+            var ci = 0
+            while (ci < 3) {
+              val id = u8(seg + 1 + 2 * ci)
+              // scan order must match frame order (baseline interleave)
+              if (id != compId(ci)) return None
+              val sel = u8(seg + 2 + 2 * ci)
+              compDc(ci) = sel >> 4
+              compAc(ci) = sel & 15
+              if (compDc(ci) > 3 || compAc(ci) > 3) return None
+              ci += 1
+            }
+            scanAt = end
+          case 0xd9 => return None // EOI before any scan
+          case _ => () // APPn, COM, others: skip
+        }
+        pos = end
+      }
+    }
+
+    if (w == 0 || hs == 0) return None
+    var ci = 0
+    while (ci < 3) {
+      if (quant(compQ(ci)) == null || dcTab(compDc(ci)) == null ||
+        acTab(compAc(ci)) == null) return None
+      ci += 1
+    }
+    val sink = mkSink(w, h)
+    val mcuW = 8 * hs
+    val mcuH = 8 * hs
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    val r = new BitReader(bytes, scanAt)
+    val deq = new Array[Long](64)
+    val yBlocks = Array.fill(hs * hs)(new Array[Int](64))
+    val cbPix = new Array[Int](64)
+    val crPix = new Array[Int](64)
+    val preds = new Array[Int](3)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!r.restart()) return None
+        preds(0) = 0; preds(1) = 0; preds(2) = 0
+      }
+      var i = 0
+      while (i < hs * hs) { // Y blocks, raster order within the MCU
+        val p = entropyBlock(r, dcTab(compDc(0)), acTab(compAc(0)),
+          quant(compQ(0)), preds(0), deq, yBlocks(i))
+        if (p == Int.MinValue) return None
+        preds(0) = p
+        i += 1
+      }
+      val p1 = entropyBlock(r, dcTab(compDc(1)), acTab(compAc(1)),
+        quant(compQ(1)), preds(1), deq, cbPix)
+      if (p1 == Int.MinValue) return None
+      preds(1) = p1
+      val p2 = entropyBlock(r, dcTab(compDc(2)), acTab(compAc(2)),
+        quant(compQ(2)), preds(2), deq, crPix)
+      if (p2 == Int.MinValue) return None
+      preds(2) = p2
+      // emit the MCU's pixels (clipped to the image)
+      val x0 = (mcu % mcusX) * mcuW
+      val y0 = (mcu / mcusX) * mcuH
+      var yy = 0
+      while (yy < mcuH) {
+        var xx = 0
+        while (xx < mcuW) {
+          if (x0 + xx < w && y0 + yy < h) {
+            val yv = yBlocks((yy / 8) * hs + (xx / 8))((yy % 8) * 8 + (xx % 8))
+            val cidx = (yy / hs) * 8 + (xx / hs) // box upsample
+            val cb = cbPix(cidx) - 128
+            val cr = crPix(cidx) - 128
+            val rr = clamp8(yv + ((91881 * cr + 32768) >> 16))
+            val gg = clamp8(yv + ((-22554 * cb - 46802 * cr + 32768) >> 16))
+            val bb = clamp8(yv + ((116130 * cb + 32768) >> 16))
+            sink(x0 + xx, y0 + yy, rr, gg, bb)
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+      mcu += 1
     }
     Some((w, h))
   }
@@ -458,6 +733,130 @@ object JpegCodec {
         }
       }
       if (lastNonzero < 63) putCoded(acCode, acIndex(0x00)) // EOB
+    }
+    bw.flushOnes()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------ color encoder
+
+  /** The synth CHROMA quant table, ZIGZAG order: qc(k) = 10 + (5k mod 13). */
+  private[graft] def synthQuantC(k: Int): Int = 10 + (5 * k) % 13
+
+  /** Closed-form QUANTIZED chroma coefficient for comp (1=Cb, 2=Cr),
+    * chroma block `b`, zigzag slot `k`: DC spans ±20 (×10 quant — real
+    * chroma swing) and one live AC slot exercises the run path.
+    */
+  private[graft] def synthChroma(id: Long, comp: Int, b: Int, k: Int): Int = k match {
+    case 0 => (((id * 11 + comp * 5 + b * 7) % 41) - 20).toInt
+    case 1 => (((id * 3 + comp + b) % 5) - 2).toInt
+    case _ => 0
+  }
+
+  /** Per-FILE constant chroma (flat planes): any correct upsampler
+    * reproduces a constant exactly, so flat-chroma payloads make the
+    * ImageIO conformance pin upsampling-AGNOSTIC (libjpeg's fancy
+    * triangle filter vs this decoder's box replication differ wherever
+    * chroma has gradients — a rounding-convention difference, not a
+    * defect; ISO 10918 does not specify the upsampling filter).
+    */
+  private[graft] def synthChromaFlat(id: Long, comp: Int, k: Int): Int =
+    if (k == 0) {
+      if (comp == 1) (((id * 13) % 31) - 15).toInt else (((id * 17) % 29) - 14).toInt
+    } else 0
+
+  /** Synthesize a baseline YCbCr COLOR JPEG: 4:2:0 (Y 2×2, chroma 1×1)
+    * when `subsample`, else 4:4:4; `wm`×`hm` MCUs (image = 16wm×16hm px
+    * at 4:2:0, 8wm×8hm at 4:4:4). Quant table 0 = [[synthQuant]] (luma),
+    * table 1 = [[synthQuantC]] (chroma); the same canonical Huffman
+    * pair serves all three components (legal — selectors are
+    * per-component). Y coefficients follow [[synthCoeff]] over the
+    * GLOBAL Y-block raster index (the mm12 closed form, reused), chroma
+    * follow [[synthChroma]] — or [[synthChromaFlat]] when `flatChroma`.
+    * `restartInterval` adds DRI + RSTn every that many MCUs with all
+    * three DC predictions reset.
+    */
+  def synthJpegColor(id: Long, wm: Int, hm: Int, subsample: Boolean,
+      restartInterval: Int = 0, flatChroma: Boolean = false): Array[Byte] = {
+    val hs = if (subsample) 2 else 1
+    val w = wm * 8 * hs
+    val h = hm * 8 * hs
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); u16(2 + 1 + 64); out.write(0x00) // DQT luma, 8-bit, id 0
+    for (k <- 0 until 64) out.write(synthQuant(k))
+    m(0xdb); u16(2 + 1 + 64); out.write(0x01) // DQT chroma, 8-bit, id 1
+    for (k <- 0 until 64) out.write(synthQuantC(k))
+    m(0xc0); u16(8 + 3 * 3); out.write(8); u16(h); u16(w) // SOF0, 3 comps
+    out.write(3)
+    out.write(1); out.write((hs << 4) | hs); out.write(0) // Y
+    out.write(2); out.write(0x11); out.write(1) //          Cb
+    out.write(3); out.write(0x11); out.write(1) //          Cr
+    m(0xc4); u16(2 + 1 + 16 + DcVals.length); out.write(0x00) // DHT DC
+    DcBits.foreach(out.write); DcVals.foreach(out.write)
+    m(0xc4); u16(2 + 1 + 16 + AcVals.length); out.write(0x10) // DHT AC
+    AcBits.foreach(out.write); AcVals.foreach(out.write)
+    if (restartInterval > 0) { m(0xdd); u16(4); u16(restartInterval) } // DRI
+    m(0xda); u16(6 + 2 * 3); out.write(3) // SOS, interleaved
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x00)
+    out.write(3); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val dcCode = canonicalCodes(DcBits)
+    val acCode = canonicalCodes(AcBits)
+    val acIndex = AcVals.zipWithIndex.toMap
+    var bw = new BitWriter(out)
+    val preds = new Array[Int](3)
+    var rst = 0
+    def encodeBlock(comp: Int, coeff: Int => Int): Unit = {
+      val dc = coeff(0)
+      val diff = dc - preds(comp)
+      preds(comp) = dc
+      val t = category(diff)
+      val (c0, l0) = dcCode(t); bw.put(c0, l0)
+      if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      var run = 0
+      var lastNonzero = 0
+      for (k <- 1 to 63) if (coeff(k) != 0) lastNonzero = k
+      for (k <- 1 to lastNonzero) {
+        val v = coeff(k)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) {
+            val (c, l) = acCode(acIndex(0xf0)); bw.put(c, l); run -= 16
+          }
+          val s = category(v)
+          val (c, l) = acCode(acIndex((run << 4) | s)); bw.put(c, l)
+          bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+          run = 0
+        }
+      }
+      if (lastNonzero < 63) { val (c, l) = acCode(acIndex(0x00)); bw.put(c, l) } // EOB
+    }
+    var mcu = 0
+    for (my <- 0 until hm; mx <- 0 until wm) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flushOnes()
+        m(0xd0 + rst); rst = (rst + 1) % 8
+        bw = new BitWriter(out)
+        preds(0) = 0; preds(1) = 0; preds(2) = 0
+      }
+      for (v <- 0 until hs; u <- 0 until hs) { // Y raster within the MCU
+        val b = (my * hs + v) * (wm * hs) + (mx * hs + u) // global Y-block index
+        encodeBlock(0, k => synthCoeff(id, b, k))
+      }
+      val cb = my * wm + mx // chroma block index
+      if (flatChroma) {
+        encodeBlock(1, k => synthChromaFlat(id, 1, k))
+        encodeBlock(2, k => synthChromaFlat(id, 2, k))
+      } else {
+        encodeBlock(1, k => synthChroma(id, 1, cb, k))
+        encodeBlock(2, k => synthChroma(id, 2, cb, k))
+      }
+      mcu += 1
     }
     bw.flushOnes()
     m(0xd9) // EOI

@@ -14,12 +14,14 @@ import graft.Tables
   * Decode splits by container class: UNCOMPRESSED formats (RIFF/PCM WAV,
   * 24-bpp BMP), the spec-native RUN-LENGTH and ADPCM compressed ones
   * (BI_RLE8 BMP, IMA ADPCM WAV), baseline sequential GRAYSCALE JPEG
-  * (Huffman entropy decode + dequantize + fixed-point IDCT), and 8-bit
+  * (Huffman entropy decode + dequantize + fixed-point IDCT), baseline
+  * 4:2:0/4:4:4 COLOR JPEG (MCU-interleaved scans, chroma upsample,
+  * fixed-point YCbCr→RGB), and 8-bit
   * grayscale PNG (zlib DEFLATE + filter reconstruction) are parsed
   * for real in pure JVM ([[RawCodec]], [[JpegCodec]], [[PngCodec]] —
   * actual sample
   * rates, dimensions, pixel/sample statistics from the payload bytes);
-  * only color/progressive JPEG and the patent-laden video/audio codecs
+  * only progressive JPEG and the patent-laden video/audio codecs
   * (H.264, AAC, MP3) need native libraries this container lacks, so
   * `NativeDecoder` stays an explicit `???` seam for those and
   * `FakeDecoder` produces deterministic features from the raw bytes for
@@ -154,6 +156,30 @@ object Multimodal {
       })
   }
 
+  /** Baseline 4:2:0 YCbCr COLOR JPEG payloads on a doc slice disjoint
+    * from the other media slices (%25==5): 1–2 × 1–2 MCUs (16–32 px a
+    * side), Y coefficients on the mm12 closed form over the global
+    * Y-block raster, chroma DC/AC on [[JpegCodec.synthChroma]], even
+    * ids with DRI/RSTn every 2 MCUs (all three DC predictions reset).
+    * Exercises the full color path: two quant tables, MCU-interleaved
+    * entropy decode, per-component prediction, box chroma upsample and
+    * the fixed-point YCbCr→RGB convert.
+    */
+  def jpegColorMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 5)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val wm = (1 + id % 2).toInt
+        val hm = (1 + (id / 2) % 2).toInt
+        val ri = if (id % 2 == 0) 2 else 0
+        MediaFile(id, "image",
+          JpegCodec.synthJpegColor(id, wm, hm, subsample = true, restartInterval = ri),
+          MediaMeta("jpeg_420", wm * 16, hm * 16, 0L))
+      })
+  }
+
   /** 8-bit grayscale PNG payloads on a doc slice disjoint from the
     * other media slices (%25==3): real zlib-DEFLATE streams under the
     * per-row filter layer, h ≥ 5 so every payload cycles through all
@@ -247,9 +273,11 @@ object Multimodal {
     * (variable-code-width LZW dictionary decompression, interlace
     * row permutation; mm10–mm14 gate the compressed quintet against
     * closed-form oracles — transform, LZ77+Huffman, and LZW
-    * families all decoded for real). What genuinely still needs an
-    * external library: color/progressive JPEG (chroma upsampling +
-    * successive approximation), and the patent-laden video/audio
+    * families all decoded for real; [[JpegCodec.parseJpegColor]] adds
+    * baseline 4:2:0/4:4:4 YCbCr COLOR — interleaved MCUs, chroma
+    * upsample, fixed-point color convert — gated by mm16). What
+    * genuinely still needs an external library: progressive JPEG
+    * (successive approximation), and the patent-laden video/audio
     * families (H.264, AAC, MP3).
     */
   object NativeDecoder extends MediaDecoder {

@@ -768,7 +768,105 @@ object MultimodalQueries extends QueryModule {
        |FROM sums GROUP BY media_id
        |ORDER BY media_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- mm16
+  /** Baseline 4:2:0 YCbCr COLOR JPEG decode under the oracle — the
+    * color leg over mm12's grayscale transform codec: pixels come out
+    * of an MCU-INTERLEAVED entropy decode (4 Y + Cb + Cr blocks per
+    * MCU, per-component DC prediction, two quant tables), chroma box
+    * upsampling, and libjpeg's exact fixed-point YCbCr→RGB. Payloads
+    * are real baseline color JPEGs
+    * ([[graft.multimodal.Multimodal.jpegColorMediaTable]], half with
+    * restart markers) and [[graft.multimodal.JpegCodec.parseJpegColor]]
+    * decodes them for real — JpegCodecSpec pins the color path against
+    * ImageIO (4:4:4 varying chroma; 4:2:0 flat chroma, where the
+    * upsampling filter choice is provably irrelevant) plus a bit-exact
+    * closed-form replica for 4:2:0 varying chroma. The oracle replays
+    * the whole pipeline arithmetically per pixel: Y from the mm12 IDCT
+    * closed form over the global Y-block raster, Cb/Cr from the chroma
+    * closed form at the box-upsampled position, then
+    * r = clamp(y + ⌊(91881·cr′ + 2¹⁵)/2¹⁶⌋) (and g/b twins) — so any
+    * bug in MCU interleave order, per-component prediction, chroma
+    * quant selection, upsample indexing, or the color transform shifts
+    * a channel sum and fails the hash.
+    */
+  private def mm16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.jpegColorMediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.JpegCodec.parseJpegColor(m.content) match {
+          case Some(i) =>
+            (m.media_id, i.width.toLong, i.height.toLong, i.nPx, i.sumR, i.sumG, i.sumB)
+          case None => (m.media_id, -1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm16Sql = {
+    import graft.multimodal.JpegCodec
+    def row(n: Int) =
+      (0 until 64).map(p => JpegCodec.IdctBasis((n << 6) | p)).mkString("[", ",", "]")
+    // luma quant (natural): n0=8, n1=15, n8=22, n2=9 (mm12's); chroma
+    // quant (natural): n0=qc(0)=10, n1=qc(1)=15 via 10+(5k mod 13)
+    s"""WITH cfg AS (
+       |  SELECT doc_id AS media_id, 1 + doc_id % 2 AS wm, 1 + (doc_id // 2) % 2 AS hm
+       |  FROM documents WHERE doc_id % 25 = 5),
+       |rows_ AS (SELECT media_id, wm, hm, unnest(range(0, hm * 16)) AS y FROM cfg),
+       |pix AS (SELECT media_id, wm, hm, y, unnest(range(0, wm * 16)) AS x FROM rows_),
+       |plane AS (
+       |  SELECT media_id, wm, hm, x, y,
+       |    (y // 8) * (wm * 2) + (x // 8) AS yb,
+       |    (y % 8) * 8 + (x % 8) AS p,
+       |    (y // 16) * wm + (x // 16) AS cb_b,
+       |    ((y // 2) % 8) * 8 + ((x // 2) % 8) AS cp
+       |  FROM pix),
+       |deq AS (
+       |  SELECT media_id, wm, hm, x, y, p, cp,
+       |    (CASE WHEN yb = 0 THEN 120 WHEN yb = 1 THEN -120
+       |          ELSE ((media_id * 7 + yb * 3) % 61) - 30 END) * 8 AS yc0,
+       |    (((media_id * 5 + yb) % 7) - 3) * 15 AS yc1,
+       |    (((media_id * 3 + 2 * yb) % 5) - 2) * 22 AS yc8,
+       |    (((media_id + yb) % 3) - 1) * 9 AS yc2,
+       |    (((media_id * 11 + 5 + cb_b * 7) % 41) - 20) * 10 AS cb0,
+       |    (((media_id * 3 + 1 + cb_b) % 5) - 2) * 15 AS cb1,
+       |    (((media_id * 11 + 10 + cb_b * 7) % 41) - 20) * 10 AS cr0,
+       |    (((media_id * 3 + 2 + cb_b) % 5) - 2) * 15 AS cr1
+       |  FROM plane),
+       |ycc AS (
+       |  SELECT media_id, wm, hm,
+       |    LEAST(255, GREATEST(0, 128 + CAST(FLOOR(
+       |      (yc0 * (${row(0)})[p + 1] + yc1 * (${row(1)})[p + 1]
+       |       + yc8 * (${row(8)})[p + 1] + yc2 * (${row(2)})[p + 1]
+       |       + 524288) / 1048576.0) AS BIGINT))) AS yv,
+       |    LEAST(255, GREATEST(0, 128 + CAST(FLOOR(
+       |      (cb0 * (${row(0)})[cp + 1] + cb1 * (${row(1)})[cp + 1]
+       |       + 524288) / 1048576.0) AS BIGINT))) - 128 AS cbd,
+       |    LEAST(255, GREATEST(0, 128 + CAST(FLOOR(
+       |      (cr0 * (${row(0)})[cp + 1] + cr1 * (${row(1)})[cp + 1]
+       |       + 524288) / 1048576.0) AS BIGINT))) - 128 AS crd
+       |  FROM deq),
+       |rgb AS (
+       |  SELECT media_id, wm, hm,
+       |    LEAST(255, GREATEST(0, yv + CAST(FLOOR(
+       |      (91881 * crd + 32768) / 65536.0) AS BIGINT))) AS r,
+       |    LEAST(255, GREATEST(0, yv + CAST(FLOOR(
+       |      (-22554 * cbd - 46802 * crd + 32768) / 65536.0) AS BIGINT))) AS g,
+       |    LEAST(255, GREATEST(0, yv + CAST(FLOOR(
+       |      (116130 * cbd + 32768) / 65536.0) AS BIGINT))) AS b
+       |  FROM ycc)
+       |SELECT media_id, CAST(wm * 16 AS BIGINT) AS width,
+       |  CAST(hm * 16 AS BIGINT) AS height,
+       |  CAST(wm * hm * 256 AS BIGINT) AS n_px,
+       |  CAST(SUM(r) AS BIGINT) AS sum_r,
+       |  CAST(SUM(g) AS BIGINT) AS sum_g,
+       |  CAST(SUM(b) AS BIGINT) AS sum_b
+       |FROM rgb GROUP BY media_id, wm, hm
+       |ORDER BY media_id NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm16_color_jpeg" -> (mm16 _),
     "mm8_patch_grid" -> (mm8 _),
     "mm9_active_range" -> (mm9 _),
     "mm7_audio_windows" -> (mm7 _),
@@ -786,6 +884,7 @@ object MultimodalQueries extends QueryModule {
     "mm15_mjpeg_demux" -> (mm15 _))
 
   override val oracle: Map[String, String] = Map(
+    "mm16_color_jpeg" -> mm16Sql,
     "mm8_patch_grid" -> mm8Sql,
     "mm9_active_range" -> mm9Sql,
     "mm7_audio_windows" -> mm7Sql,

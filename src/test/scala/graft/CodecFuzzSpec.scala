@@ -51,6 +51,15 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("jpeg", JpegCodec.synthJpeg(17L, 3, 2, restartInterval = 2), JpegCodec.parseJpeg)
   }
 
+  test("color JPEG decoder never throws on corrupt bytes") {
+    fuzz("jpeg_color",
+      JpegCodec.synthJpegColor(17L, 2, 2, subsample = true, restartInterval = 2),
+      JpegCodec.parseJpegColor)
+    fuzz("jpeg_444",
+      JpegCodec.synthJpegColor(17L, 2, 2, subsample = false),
+      JpegCodec.parseJpegColor)
+  }
+
   test("PNG decoder never throws on corrupt bytes") {
     fuzz("png", PngCodec.synthPng(17L, 12, 9, splitIdat = true), PngCodec.parsePng)
   }

@@ -103,6 +103,155 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- color
+
+  private def clampL(v: Long): Long = math.max(0L, math.min(255L, v))
+
+  /** The mm16 oracle arithmetic, restated independently in Scala:
+    * Y from the mm12 closed form over the global Y-block raster, chroma
+    * from [[JpegCodec.synthChroma]] at the box-upsampled position, then
+    * libjpeg's fixed-point YCbCr→RGB (arithmetic ≫ = floor).
+    */
+  private def colorClosedForm(id: Long, wm: Int, hm: Int): (Long, Long, Long) = {
+    val ySlots = Array(0, 1, 2, 5)
+    var sr = 0L
+    var sg = 0L
+    var sb = 0L
+    for (y <- 0 until hm * 16; x <- 0 until wm * 16) {
+      val ybIdx = (y / 8) * (wm * 2) + (x / 8)
+      val p = (y % 8) * 8 + (x % 8)
+      var acc = 0L
+      for (k <- ySlots) {
+        val n = JpegCodec.Zigzag(k)
+        acc += JpegCodec.synthCoeff(id, ybIdx, k).toLong * JpegCodec.synthQuant(k) *
+          JpegCodec.IdctBasis((n << 6) | p)
+      }
+      val yv = clampL(128L + ((acc + (1L << 19)) >> 20))
+      val cbB = (y / 16) * wm + (x / 16)
+      val cp = ((y / 2) % 8) * 8 + ((x / 2) % 8)
+      def chroma(comp: Int): Long = {
+        var a = 0L
+        for (k <- Array(0, 1)) {
+          val n = JpegCodec.Zigzag(k)
+          a += JpegCodec.synthChroma(id, comp, cbB, k).toLong * JpegCodec.synthQuantC(k) *
+            JpegCodec.IdctBasis((n << 6) | cp)
+        }
+        clampL(128L + ((a + (1L << 19)) >> 20))
+      }
+      val cbd = chroma(1) - 128L
+      val crd = chroma(2) - 128L
+      sr += clampL(yv + ((91881L * crd + 32768L) >> 16))
+      sg += clampL(yv + ((-22554L * cbd - 46802L * crd + 32768L) >> 16))
+      sb += clampL(yv + ((116130L * cbd + 32768L) >> 16))
+    }
+    (sr, sg, sb)
+  }
+
+  test("color 4:2:0 synth → parse equals the closed form exactly (the mm16 oracle contract)") {
+    for (id <- Seq(0L, 5L, 30L, 55L, 105L); (wm, hm) <- Seq((1, 1), (2, 1), (2, 2))) {
+      val info = JpegCodec.parseJpegColor(
+        JpegCodec.synthJpegColor(id, wm, hm, subsample = true))
+        .getOrElse(fail(s"synthJpegColor($id,$wm,$hm) did not parse"))
+      assert(info.width == wm * 16 && info.height == hm * 16)
+      assert(info.nPx == wm.toLong * hm * 256)
+      val (sr, sg, sb) = colorClosedForm(id, wm, hm)
+      assert((info.sumR, info.sumG, info.sumB) == ((sr, sg, sb)), s"id=$id wm=$wm hm=$hm")
+    }
+  }
+
+  test("color restart markers (MCU-level, 3 DC resets) decode to identical pixels") {
+    for (id <- Seq(5L, 30L, 80L); ri <- Seq(1, 2, 3)) {
+      val plain = JpegCodec.parseJpegColor(
+        JpegCodec.synthJpegColor(id, 2, 2, subsample = true)).get
+      val rst = JpegCodec.parseJpegColor(
+        JpegCodec.synthJpegColor(id, 2, 2, subsample = true, restartInterval = ri))
+        .getOrElse(fail(s"color restart variant ri=$ri did not parse"))
+      assert(rst == plain, s"id=$id ri=$ri")
+    }
+  }
+
+  test("our 4:4:4 color files decode identically under ImageIO within the accuracy band") {
+    // 4:4:4 has NO upsampling step, so the only decoder freedoms are
+    // IDCT rounding (±2 per component) and the color-convert tables we
+    // share with libjpeg — the band is the grayscale one amplified by
+    // the convert's chroma gains (≈ |Δy| + 1.772·|Δc|).
+    for (id <- Seq(5L, 30L, 105L)) {
+      val bytes = JpegCodec.synthJpegColor(id, 2, 2, subsample = false)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO rejected our 4:4:4 baseline color file")
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      val (w, h, ours) = JpegCodec.decodeColorImage(bytes).get
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val theirs = (img.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+        val mine = (ours(y * w + x) >> ((2 - c) * 8)) & 0xff
+        maxDiff = math.max(maxDiff, math.abs(theirs - mine))
+      }
+      assert(maxDiff <= 6, s"id=$id max per-channel gap vs ImageIO = $maxDiff")
+    }
+  }
+
+  test("our 4:2:0 flat-chroma files decode identically under ImageIO (upsampling-agnostic)") {
+    // constant chroma planes: libjpeg's fancy (triangle) upsampler and
+    // our box replication provably agree on a constant, so the pin
+    // isolates the subsampled MCU walk + convert from filter choice
+    for (id <- Seq(5L, 30L, 105L)) {
+      val bytes = JpegCodec.synthJpegColor(id, 2, 2, subsample = true, flatChroma = true)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO rejected our 4:2:0 baseline color file")
+      assert(img.getWidth == 32 && img.getHeight == 32)
+      val (w, h, ours) = JpegCodec.decodeColorImage(bytes).get
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val theirs = (img.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+        val mine = (ours(y * w + x) >> ((2 - c) * 8)) & 0xff
+        maxDiff = math.max(maxDiff, math.abs(theirs - mine))
+      }
+      assert(maxDiff <= 6, s"id=$id max per-channel gap vs ImageIO = $maxDiff")
+    }
+  }
+
+  test("ImageIO-written color files (foreign tables, JFIF, 4:2:0) decode within the band") {
+    // piecewise-constant 16×16 color cells aligned to the MCU grid:
+    // chroma is constant within every upsampling neighborhood except
+    // the cell seams, so fancy-vs-box differences are confined there —
+    // compare away from the seams, where any correct decoder agrees
+    for (seed <- Seq(1L, 9L)) {
+      val w = 48
+      val h = 32
+      val src = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      val cells = Array.fill((h / 16) * (w / 16))(rnd.nextInt(0xffffff))
+      for (y <- 0 until h; x <- 0 until w)
+        src.setRGB(x, y, cells((y / 16) * (w / 16) + x / 16))
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(src, "jpg", out), "ImageIO could not write color JPEG")
+      val bytes = out.toByteArray
+      val (dw, dh, ours) = JpegCodec.decodeColorImage(bytes)
+        .getOrElse(fail("foreign ImageIO color file did not parse"))
+      assert(dw == w && dh == h)
+      val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w
+           if (x % 16) >= 2 && (x % 16) < 14 && (y % 16) >= 2 && (y % 16) < 14;
+           c <- 0 until 3) {
+        val theirs = (ref.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+        val mine = (ours(y * dw + x) >> ((2 - c) * 8)) & 0xff
+        maxDiff = math.max(maxDiff, math.abs(theirs - mine))
+      }
+      assert(maxDiff <= 6, s"seed=$seed max interior gap vs ImageIO = $maxDiff")
+    }
+  }
+
+  test("color path refuses grayscale, truncated, and junk payloads (None)") {
+    assert(JpegCodec.parseJpegColor(JpegCodec.synthJpeg(7L, 2, 2)).isEmpty,
+      "1-component file must be refused by the color path")
+    val good = JpegCodec.synthJpegColor(7L, 2, 2, subsample = true)
+    assert(JpegCodec.parseJpegColor(good.take(good.length / 2)).isEmpty)
+    assert(JpegCodec.parseJpegColor(Array[Byte](1, 2, 3)).isEmpty)
+    assert(JpegCodec.parseJpegColor(Array.empty[Byte]).isEmpty)
+  }
+
   test("color, truncated, and non-JPEG payloads are data, not exceptions (None)") {
     val color = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 16; x <- 0 until 16) color.setRGB(x, y, (x * 16 + y) * 1025)
