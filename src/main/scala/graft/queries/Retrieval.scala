@@ -222,13 +222,155 @@ object Retrieval extends QueryModule {
        |ORDER BY query_id NULLS FIRST, doc_id NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ir4
+  /** Hybrid retrieval with reciprocal-rank fusion — the tower-combiner
+    * over ir1's sparse (BM25) and the dense (embedding dot-product)
+    * rankers, query-by-example: for query docs 0–2, the LEXICAL tower
+    * scores BM25 with the query doc's first 8 tokens as terms and the
+    * DENSE tower scores the query doc's embedding against the corpus
+    * (ann1's spelling); each tower's bounded top-10 then fuses by
+    * RRF(k=60): fused(c) = Σ_towers 10⁶ DIV (60 + rank_t(c)) — the
+    * standard hybrid-search combiner (hard-negative mining, near-dup
+    * candidate generation, RAG retrieval), integer-exact so the oracle
+    * restates both towers and the fusion literally.
+    *
+    * Scale posture: each tower keeps its own bounded-k shape (BM25's
+    * vocabulary-prefiltered shuffle + TopKAgg; the dense tower's
+    * broadcast query set + TopKAgg), and fusion touches only the ≤ 2k
+    * rows per query the towers emitted — RRF adds NO corpus-scale work,
+    * which is exactly why it is the production default over score
+    * normalization (scores never cross towers, only ranks).
+    */
+  private val RrfQueryIds = Seq(0L, 1L, 2L)
+  private val RrfK = 60
+
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val topk = udaf(new TopKAgg(10))
+    // -- lexical tower: BM25, query terms = first 8 tokens of the query doc
+    val stats = d.agg(
+      expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
+      count(lit(1)).as("n"))
+    val qterms = d.filter(col("doc_id").isin(RrfQueryIds: _*))
+      .select(col("doc_id").as("query_id"), explode(slice(col("w"), 1, 8)).as("term"))
+      .distinct()
+    val terms = qterms.select("term").distinct()
+    val tf = d
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        (expr("(1000 * (2*n - 2*df + 1)) DIV (2*df + 1)") *
+          expr("(44000 * a * tf) DIV (20*a*tf + 6*a + 18*dl)")).as("c"))
+    val lex = contrib
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id")) // query-by-example: not self
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("doc_id")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("hit.id").as("cand_id"))
+    // -- dense tower: exact dot-product top-10 (ann1's spelling)
+    val emb = Tables.wide(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+    val queries = emb.filter(col("vec_id").isin(RrfQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val den = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.longDot(col("qv"), col("q")).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("hit.id").as("cand_id"))
+    // -- RRF fusion over the two bounded lists
+    val fusedTopk = udaf(new TopKAgg(10))
+    lex.unionByName(den)
+      .groupBy("query_id", "cand_id")
+      .agg(sum(expr(s"1000000 DIV ($RrfK + rank)")).as("rrf_milli"))
+      .groupBy("query_id")
+      .agg(fusedTopk(col("rrf_milli"), col("cand_id")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("hit.id").as("cand_id"), col("hit.score").as("rrf_milli"))
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  private val hybridRrfSql = {
+    val ids = RrfQueryIds.mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |stats AS (SELECT CAST(SUM(len(w)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS a,
+       |                 CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+       |qterms AS (
+       |  SELECT DISTINCT doc_id AS query_id, unnest(w[1:8]) AS term
+       |  FROM docs WHERE doc_id IN ($ids)),
+       |terms AS (SELECT DISTINCT term FROM qterms),
+       |tf AS (
+       |  SELECT t.term, doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(w, x -> x = t.term)) AS BIGINT) AS tf
+       |  FROM docs CROSS JOIN terms t
+       |  WHERE list_contains(w, t.term)),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT f.term, f.doc_id,
+       |    ((1000 * (2*s.n - 2*d.df + 1)) // (2*d.df + 1)) *
+       |    ((44000 * s.a * f.tf) // (20*s.a*f.tf + 6*s.a + 18*f.dl)) AS c
+       |  FROM tf f JOIN dfreq d USING (term) CROSS JOIN stats s),
+       |lex_scored AS (
+       |  SELECT qt.query_id, c.doc_id AS cand_id, CAST(SUM(c.c) AS BIGINT) AS score
+       |  FROM contrib c JOIN qterms qt USING (term)
+       |  WHERE c.doc_id <> qt.query_id
+       |  GROUP BY qt.query_id, c.doc_id),
+       |lex AS (
+       |  SELECT query_id, cand_id, rank FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, cand_id) AS rank
+       |    FROM lex_scored) WHERE rank <= 10),
+       |emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |queries AS (SELECT vec_id AS query_id, q AS qv FROM emb WHERE vec_id IN ($ids)),
+       |den_scored AS (
+       |  SELECT query_id, e.vec_id AS cand_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.q[i])) AS BIGINT) AS score
+       |  FROM queries CROSS JOIN emb e
+       |  WHERE e.vec_id <> query_id),
+       |den AS (
+       |  SELECT query_id, cand_id, rank FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, cand_id) AS rank
+       |    FROM den_scored) WHERE rank <= 10),
+       |fused AS (
+       |  SELECT query_id, cand_id,
+       |    CAST(SUM(1000000 // ($RrfK + rank)) AS BIGINT) AS rrf_milli
+       |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)
+       |  GROUP BY query_id, cand_id)
+       |SELECT query_id, rank, cand_id, rrf_milli FROM (
+       |  SELECT query_id, cand_id, rrf_milli,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_milli DESC, cand_id) AS rank
+       |  FROM fused) WHERE rank <= 10
+       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ir1_bm25_topk" -> (bm25TopK _),
     "ir2_postings" -> (postings _),
-    "ir3_phrase_match" -> (phraseMatch _))
+    "ir3_phrase_match" -> (phraseMatch _),
+    "ir4_hybrid_rrf" -> (hybridRrf _))
 
   override val oracle: Map[String, String] = Map(
     "ir1_bm25_topk" -> bm25TopKSql,
     "ir2_postings" -> postingsSql,
-    "ir3_phrase_match" -> phraseMatchSql)
+    "ir3_phrase_match" -> phraseMatchSql,
+    "ir4_hybrid_rrf" -> hybridRrfSql)
 }

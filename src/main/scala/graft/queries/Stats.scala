@@ -690,6 +690,84 @@ object Stats extends QueryModule {
        |HAVING COUNT(*) * ${HhK + 1} > n_total
        |ORDER BY user_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- hh2
+  /** Count-Min sketch audit — the POINT-QUERY counting sketch beside
+    * hh1's Misra–Gries top-k: MG answers "which keys are heavy" with ≤k
+    * counters but cannot estimate an arbitrary key's count; CM answers
+    * `count(key)` for ANY key from a fixed d×w counter table
+    * (est = min over d rows of the key's bucket counter — an
+    * OVERESTIMATE by construction, since collisions only add). The
+    * table is one narrow aggregate with map-side combine (≤ d·w groups
+    * cross the exchange regardless of corpus size — the 100 TB shape:
+    * a fixed-size mergeable sketch per partition, never one row per
+    * distinct key), built in a single corpus pass (posexplode over the
+    * d hash rows, not d scans).
+    *
+    * Hashing is 2-universal ((a·key + b) mod p mod w, p = 2³¹−1 prime,
+    * literal per-row a/b), pure integer arithmetic — so the oracle
+    * rebuilds the ENTIRE sketch table in SQL and the estimates
+    * hash-match exactly: this audits the real estimate values beside
+    * exact ground truth (dq12's measure-don't-guess posture), not just
+    * a tolerance flag. `overestimate` restates the structural
+    * guarantee est ≥ exact per probed key; the probe set is a bounded
+    * slice (user_id ≡ 0 mod 7).
+    */
+  private val CmD = 4
+  private val CmW = 64
+  private val CmP = 2147483647L // 2^31 − 1, prime
+  private val CmA = Seq(1103515245L, 2246822519L, 3266489917L, 668265263L)
+  private val CmB = Seq(12345L, 374761393L, 2654435761L, 1013904223L)
+
+  private def cmBucket(key: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
+    ((key * CmA(r) + CmB(r)) % CmP) % CmW
+
+  private def countMinAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"))
+    // the d×w counter table: ONE corpus pass, d rows per event via
+    // posexplode, partial-agg combines to ≤ d·w groups per partition
+    val table = ev
+      .select(posexplode(array((0 until CmD).map(r => cmBucket(col("user_id"), r)): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val probes = ev.filter(col("user_id") % 7 === 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_exact"))
+    val est = probes
+      .select(col("user_id"), col("n_exact"),
+        posexplode(array((0 until CmD).map(r => cmBucket(col("user_id"), r)): _*))
+          .as(Seq("r", "bucket")))
+      .join(broadcast(table), Seq("r", "bucket"))
+      .groupBy("user_id", "n_exact")
+      .agg(min(col("c")).as("n_est")) // min over the d rows
+    est.select(col("user_id"), col("n_exact"), col("n_est"),
+        (col("n_est") >= col("n_exact")).as("overestimate"))
+      .orderBy(col("user_id").asc_nulls_first)
+  }
+
+  private val countMinAuditSql = {
+    val params = (0 until CmD)
+      .map(r => s"(${r}, ${CmA(r)}, ${CmB(r)})").mkString(", ")
+    s"""WITH p(r, a, b) AS (VALUES $params),
+       |cm AS (
+       |  SELECT p.r, ((e.user_id * p.a + p.b) % $CmP) % $CmW AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events e CROSS JOIN p
+       |  GROUP BY p.r, bucket),
+       |probes AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM events WHERE user_id % 7 = 0 GROUP BY user_id),
+       |est AS (
+       |  SELECT q.user_id, q.n_exact, CAST(MIN(cm.c) AS BIGINT) AS n_est
+       |  FROM probes q
+       |  CROSS JOIN p
+       |  JOIN cm ON cm.r = p.r
+       |    AND cm.bucket = ((q.user_id * p.a + p.b) % $CmP) % $CmW
+       |  GROUP BY q.user_id, q.n_exact)
+       |SELECT user_id, n_exact, n_est, n_est >= n_exact AS overestimate
+       |FROM est ORDER BY user_id NULLS FIRST""".stripMargin
+  }
+
   // ---------------------------------------------------------------- dq7
   /** Join-key skew audit — the pre-join diagnostic that decides whether
     * a fact-fact join needs salting (operators/SaltedJoin) or AQE skew
@@ -2276,8 +2354,13 @@ object Stats extends QueryModule {
       .groupBy("event_type")
       .agg(NdvSketch.ndvSketchSet(col("key"), Dq13K).as("sk"))
     val pair = Extras.sketchPairAlgebra(sets)
-    // engaged iff at least one side's sketch trimmed (min(bool) = AND)
-    val eng = sets.agg((!min(col("sk.exact"))).as("estimator_engaged"))
+    // engaged iff BOTH sides' sketches trimmed (max(bool) = OR, so
+    // !max(exact) = every sketch non-exact). Both orderkey NDVs are
+    // ≫ k = 256 at every scale factor, so this is the true claim and
+    // the stricter pin: a regression that let ONE side stay exact
+    // (e.g. a per-side k mixup) now flips the flag and fails the hash,
+    // where at-least-one would have masked it (VERDICT r12 #6).
+    val eng = sets.agg((!max(col("sk.exact"))).as("estimator_engaged"))
     val lk = li.select(col("l_orderkey").as("key")).distinct()
     val ok = or.select(col("o_orderkey").as("key")).distinct()
     val exInter = lk.join(ok, Seq("key")).agg(count(lit(1)).as("exact_value"))
@@ -2355,6 +2438,7 @@ object Stats extends QueryModule {
     "w6_rolling_median" -> (rollingMedian _),
     "h1_histogram" -> (histogram _),
     "hh1_heavy_hitters" -> (heavyHitters _),
+    "hh2_countmin_audit" -> (countMinAudit _),
     "dq7_join_skew" -> (joinSkewAudit _),
     "q11_exists_late" -> (latePriorityCount _),
     "w2_window_nav" -> (windowExtras _),
@@ -2407,6 +2491,7 @@ object Stats extends QueryModule {
     "w6_rolling_median" -> rollingMedianSql,
     "h1_histogram" -> histogramSql,
     "hh1_heavy_hitters" -> heavyHittersSql,
+    "hh2_countmin_audit" -> countMinAuditSql,
     "dq7_join_skew" -> joinSkewAuditSql,
     "q11_exists_late" -> latePriorityCountSql,
     "w2_window_nav" -> windowExtrasSql,
