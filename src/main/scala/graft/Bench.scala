@@ -103,6 +103,29 @@ object Bench {
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+    // The driver keeps only the last ~2000 stdout chars, and the full
+    // per-query map is ~12 KB at 254 entries — it can NEVER fit, which
+    // is why BENCH_r*.json carried "parsed": null for twelve rounds.
+    // Print a SHORT summary as the true last line: the meta fields plus
+    // a fixed headline subset of queries (the flagship mart, the TPC-H
+    // opener, and one representative per major family), 3-decimal
+    // seconds. The complete map lives in bench_full.json/
+    // bench_summary.json (written below) for any consumer that wants
+    // all entries.
+    val headline = Seq(
+      "mart_flagship", "mart_flagship_narrow", "q01_pricing_summary",
+      "q07_shipping_priority", "dd2_minhash_lsh_pairs", "ann1_topk_exact",
+      "ann9_topk_ivfpq", "tx10_tfidf", "tok1_bpe_merges", "sw5_stream_join",
+      "pr1_pagerank", "g5_kcore", "mm12_jpeg_decode", "cdc4_scd2_merge",
+      "dq12_join_cardinality")
+    val byName = results.toMap
+    def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val headQs = headline.flatMap(k => byName.get(k).map {
+      case Right(sec) => s""""$k":${f3(sec)}"""
+      case Left(err)  => s""""$k":"err:$err""""
+    }).mkString("{", ",", "}")
+    val shortLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir","queries":$headQs,"full":"bench_full.json"}"""
     // Persist the complete per-query map as a file artifact: the driver
     // captures a truncated log *tail*, so with 233 entries the printed
     // line can lose the first half of the alphabet (BENCH_r06.json kept
@@ -125,11 +148,13 @@ object Bench {
     // The summary must be the LAST stdout line (ten rounds of the driver
     // reading "parsed": null because shutdown-path WARN logs and the
     // session-stop chatter landed after it): silence logging entirely,
-    // stop Spark FIRST, and only then print.
+    // stop Spark FIRST, and only then print. The full line goes first
+    // (useful in saved logs), the short driver-parsable line goes LAST.
     spark.sparkContext.setLogLevel("OFF")
     SharedFrames.releaseAll(spark)
     spark.stop()
     println(line)
+    println(shortLine)
     System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
