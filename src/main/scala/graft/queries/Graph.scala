@@ -400,6 +400,185 @@ object Graph extends QueryModule {
        |ORDER BY mass DESC NULLS FIRST, node NULLS FIRST LIMIT $PrTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g7
+  /** Label-propagation communities (synchronous LPA) — the community
+    * detector beside dd7's connected components: CC answers "which
+    * nodes are reachable", LPA answers "which nodes CLUSTER" (a bridge
+    * edge connects components into one CC but LPA communities resist
+    * crossing it). Each of [[LpaSweeps]] synchronous sweeps every node
+    * adopts the MOST FREQUENT label among its neighbors, ties broken by
+    * the smallest label — the deterministic variant of Raghavan et
+    * al.'s algorithm (random tie-breaking would be un-oracle-able;
+    * min-tie-break is the standard reproducible spelling). Output is
+    * the community census: per surviving label, member count and id
+    * range.
+    *
+    * Scale posture: the same Pregel plan shape as pr1 — per sweep, one
+    * shuffle-join of the edge frame against the (node, label) state and
+    * one two-level aggregate whose exchanges carry (node, label) grain,
+    * never neighbor-list grain; the majority vote is a map-side-partial
+    * count + min_by, not a window. Sweeps are bounded ([[LpaSweeps]]),
+    * lineage stays [[LpaSweeps]] joins deep — under the checkpoint
+    * threshold pr1 documents.
+    */
+  private val LpaSweeps = 3
+
+  /** Final (node, label) frame after [[LpaSweeps]] synchronous sweeps —
+    * shared by g7's census and g8's modularity audit. */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val edges = directedEdges(s, dir) // (src, dst), both directions
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaSweeps) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "nl"), Seq("dst"))
+        .groupBy(col("src"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        // minimize (-count, label): majority label, smallest on ties
+        .agg(min_by(col("nl"), struct((-col("c")).as("nc"), col("nl"))).as("label"))
+        .select(col("src").as("node"), col("label"))
+    }
+    labels
+  }
+
+  private def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    lpaLabels(s, dir).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("label").asc_nulls_first)
+  }
+
+  private def lpaSweepSql(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT src AS node, nl AS label FROM (
+       |    SELECT e.src, l.label AS nl,
+       |      row_number() OVER (PARTITION BY e.src
+       |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+       |    FROM edges e JOIN $prev l ON e.dst = l.node
+       |    GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle CTE prefix: co-purchase edges (oriented `und`, both-
+    * direction `edges`) and the [[LpaSweeps]] unrolled label sweeps —
+    * g7 reads the census off `l$LpaSweeps`, g8 scores it. */
+  private val lpaCtes = {
+    val sweeps = (1 to LpaSweeps)
+      .map(i => lpaSweepSql(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |                     AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT u AS src, v AS dst FROM und
+       |          UNION ALL SELECT v, u FROM und),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$sweeps""".stripMargin
+  }
+
+  private val labelPropagationSql =
+    s"""$lpaCtes
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  MIN(node) AS min_node, MAX(node) AS max_node
+       |FROM l$LpaSweeps GROUP BY label
+       |ORDER BY label NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- g8
+  /** Newman MODULARITY of the g7 partition — the quality score that
+    * makes community detection auditable instead of taken on faith:
+    * Q = Σ_c [e_c/m − (d_c/2m)²] over communities c, with e_c the
+    * intra-community undirected edge count, d_c the community degree
+    * sum, m the total undirected edge count. Emitted per community
+    * (membership, intra edges, degree mass, floored ppm contribution)
+    * plus the global Q in ppm — integer-exact end to end: the single
+    * shared denominator is 4m², numerators ride DECIMAL(38,0) (4m·e_c
+    * and d_c² reach ~4m² ≈ 10¹³ at sf0.1 and overflow Long beyond
+    * sf~3), and floor-of-signed-division uses the pmod subtraction on
+    * both engines (a community can score NEGATIVE — fewer intra edges
+    * than its degree mass predicts — so truncation vs floor diverges).
+    * The global Q floors the summed numerator once, not the sum of
+    * per-community floors.
+    *
+    * Scale posture: reuses the memoized oriented + directed edge
+    * frames (zero extra corpus passes); the heavy ops are two
+    * edge-grain hash joins against the (node, label) frame — the same
+    * shuffle shape as one LPA sweep — and everything after is
+    * label-grain (≤ nodes). The 1-row m / ΣQ frames attach via
+    * broadcast cross join, the established scalar pattern.
+    */
+  private def modularityScore(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val und = orientedEdges(s, dir)                  // (u, v), u < v
+    val labels = lpaLabels(s, dir)                   // (node, label)
+    // degree = both-direction incidence count; every labeled node has
+    // at least one edge by construction, so the join is inner and lossless
+    val deg = directedEdges(s, dir)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val m1 = und.agg(count(lit(1)).cast(dec).as("m"))
+    val dsum = labels.join(deg, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val intra = und
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val num = dsum
+      .join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+      .crossJoin(broadcast(m1))
+      .select(col("label"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"),
+        ((lit(4).cast(dec) * col("m") * col("intra_edges").cast(dec)
+          - col("degree_sum").cast(dec) * col("degree_sum").cast(dec))
+          * lit(1000000).cast(dec)).as("a"),
+        (lit(4).cast(dec) * col("m") * col("m")).as("den"))
+    val tot = num.agg(sum(col("a")).as("ta"), max(col("den")).as("tden"))
+      .select(expr(
+        "CAST((ta - ((ta % tden + tden) % tden)) DIV tden AS BIGINT)").as("q_ppm"))
+    num.crossJoin(broadcast(tot))
+      .select(col("label"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"),
+        expr("CAST((a - ((a % den + den) % den)) DIV den AS BIGINT)")
+          .as("contribution_ppm"),
+        col("q_ppm"))
+      .orderBy(col("label").asc_nulls_first)
+  }
+
+  private val modularityScoreSql =
+    s"""$lpaCtes,
+       |deg AS (
+       |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY src),
+       |mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM und),
+       |lab AS (SELECT node, label FROM l$LpaSweeps),
+       |dsum AS (
+       |  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+       |  FROM lab l JOIN deg d ON l.node = d.node GROUP BY l.label),
+       |intra AS (
+       |  SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS intra_edges
+       |  FROM und e
+       |    JOIN lab lu ON e.u = lu.node
+       |    JOIN lab lv ON e.v = lv.node
+       |  WHERE lu.label = lv.label GROUP BY lu.label),
+       |num AS (
+       |  SELECT ds.label, ds.n_nodes,
+       |    COALESCE(i.intra_edges, 0) AS intra_edges, ds.degree_sum,
+       |    (4 * m * CAST(COALESCE(i.intra_edges, 0) AS HUGEINT)
+       |      - CAST(ds.degree_sum AS HUGEINT) * ds.degree_sum) * 1000000 AS a,
+       |    4 * m * m AS den
+       |  FROM dsum ds LEFT JOIN intra i ON ds.label = i.label CROSS JOIN mm),
+       |tot AS (
+       |  SELECT SUM(a) AS ta, MAX(den) AS tden FROM num)
+       |SELECT label, n_nodes, intra_edges, degree_sum,
+       |  CAST((a - ((a % den + den) % den)) // den AS BIGINT) AS contribution_ppm,
+       |  CAST((ta - ((ta % tden + tden) % tden)) // tden AS BIGINT) AS q_ppm
+       |FROM num CROSS JOIN tot
+       |ORDER BY label NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- g2
   /** Multi-source BFS layers: minimal hop distance from a deterministic
     * source set (the [[BfsSources]] lowest node ids) to every node within
@@ -792,6 +971,8 @@ object Graph extends QueryModule {
     "pr1_pagerank" -> (pageRank _),
     "g2_bfs_layers" -> (bfsLayers _),
     "g6_sssp_weighted" -> (ssspLayers _),
+    "g7_label_propagation" -> (labelPropagation _),
+    "g8_modularity" -> (modularityScore _),
     "g3_degree_census" -> (degreeCensus _))
 
   override val oracle: Map[String, String] = Map(
@@ -801,5 +982,7 @@ object Graph extends QueryModule {
     "pr1_pagerank" -> pageRankSql,
     "g2_bfs_layers" -> bfsLayersSql,
     "g6_sssp_weighted" -> ssspLayersSql,
+    "g7_label_propagation" -> labelPropagationSql,
+    "g8_modularity" -> modularityScoreSql,
     "g3_degree_census" -> degreeCensusSql)
 }

@@ -1498,6 +1498,203 @@ object Similarity extends QueryModule {
        |ORDER BY dim_i NULLS FIRST, dim_j NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- emb8
+  /** Power-iteration dominant eigenvector over the emb6 covariance
+    * block — the PCA step a whitening / dimensionality-reduction stage
+    * runs on emb6's output: T fixed iterations of v ← C·v, L∞-
+    * normalized to milli units each step (v_i ← ⌊1000·w_i / max|w|⌋,
+    * floor spelled with the pmod subtraction so signed division is
+    * engine-stable), from the seedless all-ones start, plus the
+    * Rayleigh quotient ⌊(vᵀCv)/(vᵀv)⌋ as the eigenvalue estimate in
+    * cov_ppm units. Every step is integer, so the oracle restates the
+    * covariance pass AND the unrolled iterations CTE-for-CTE and the
+    * eigenvector hash-matches bit-for-bit — the Lloyd-fixpoint
+    * technique (ann2) applied to spectral math.
+    *
+    * Scale posture: ONE corpus pass builds the D×D covariance (emb6's
+    * bounded 36-group aggregate, persisted — iterating must not rescan
+    * the corpus); every iteration is then an 8-row broadcast join —
+    * the matrix is tiny at any corpus size, which is exactly why power
+    * iteration is the at-scale PCA primitive (corpus touches: 1).
+    */
+  private val PowerIters = 4
+
+  private def powerIteration(s: SparkSession, dir: String): DataFrame = {
+    val cov = covarianceBlock(s, dir)
+      .select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov_ppm").as("c"))
+    val cfull = cov.unionByName(
+      cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+      // 64 rows whose lineage is the corpus pass: iterate on the
+      // materialized matrix, not 4 rescans of the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = s.range(CovBlockDims)
+      .select(col("id").cast(LongType).as("dim"), lit(1000L).as("v"))
+    for (_ <- 1 to PowerIters) {
+      val w = cfull.join(broadcast(v), col("j") === col("dim"))
+        .groupBy(col("i"))
+        .agg(sum(col("c") * col("v")).as("w"))
+        .select(col("i").as("dim"), col("w"))
+      val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("dim"),
+          expr("CAST((1000*w - (((1000*w) % m + m) % m)) DIV m AS BIGINT)").as("v"))
+    }
+    val w = cfull.join(broadcast(v), col("j") === col("dim"))
+      .groupBy(col("i"))
+      .agg(sum(col("c") * col("v")).as("w"))
+      .select(col("i").as("dim2"), col("w"))
+    val lam = v.join(w, col("dim") === col("dim2"))
+      .agg(
+        sum(col("v").cast(DecimalType(38, 0)) * col("w").cast(DecimalType(38, 0))).as("num"),
+        sum(col("v").cast(DecimalType(38, 0)) * col("v").cast(DecimalType(38, 0))).as("den"))
+      .select(expr("CAST((num - ((num % den + den) % den)) DIV den AS BIGINT)").as("lambda_ppm"))
+    v.crossJoin(broadcast(lam))
+      .select(col("dim"), col("v").as("v_milli"), col("lambda_ppm"))
+      .orderBy(col("dim").asc_nulls_first)
+  }
+
+  /** Shared oracle CTE prefix for the spectral family: quantized
+    * embeddings, the emb6 covariance block, the [[PowerIters]] unrolled
+    * power iterations (v0..v[[PowerIters]]), and the Rayleigh CTEs
+    * (`wf`/`ray`) — emb8 reads the eigenvector off the end, emb9
+    * projects the corpus onto it. */
+  private val powerCtes = {
+    // covariance CTEs shared with emb6's oracle, then the unrolled
+    // iterations; floor of signed division via the same pmod spelling
+    val d = CovBlockDims - 1
+    val iters = (1 to PowerIters).map { t =>
+      s"""w$t AS (
+         |  SELECT i AS dim, CAST(SUM(c * v) AS BIGINT) AS w
+         |  FROM cfull JOIN v${t - 1} ON j = dim GROUP BY i),
+         |m$t AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w$t),
+         |v$t AS (
+         |  SELECT dim, CAST((1000*w - (((1000*w) % m + m) % m)) // m AS BIGINT) AS v
+         |  FROM w$t CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |vals AS (
+       |  SELECT unnest(flatten(list_transform(range(0, ${d + 1}), i ->
+       |    list_transform(range(i, ${d + 1}), j ->
+       |      {'i': i, 'j': j, 'x': q[i + 1], 'y': q[j + 1],
+       |       'xy': q[i + 1] * q[j + 1]})))) AS p
+       |  FROM emb),
+       |agg AS (
+       |  SELECT (p).i AS dim_i, (p).j AS dim_j, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM((p).x) AS sx, SUM((p).y) AS sy, SUM((p).xy) AS sxy
+       |  FROM vals GROUP BY 1, 2),
+       |num AS (
+       |  SELECT dim_i, dim_j,
+       |    (CAST(n AS HUGEINT) * sxy - sx * sy) * 1000000 AS a,
+       |    CAST(n AS HUGEINT) * n AS m
+       |  FROM agg),
+       |cov AS (
+       |  SELECT dim_i, dim_j,
+       |    CAST((a - ((a % m + m) % m)) // m AS BIGINT) AS c
+       |  FROM num),
+       |cfull AS (
+       |  SELECT dim_i AS i, dim_j AS j, c FROM cov
+       |  UNION ALL
+       |  SELECT dim_j AS i, dim_i AS j, c FROM cov WHERE dim_i <> dim_j),
+       |v0 AS (SELECT unnest(range(0, ${d + 1})) AS dim, CAST(1000 AS BIGINT) AS v),
+       |$iters,
+       |wf AS (
+       |  SELECT i AS dim, CAST(SUM(c * v) AS BIGINT) AS w
+       |  FROM cfull JOIN v$PowerIters ON j = dim GROUP BY i),
+       |ray AS (
+       |  SELECT SUM(CAST(v.v AS HUGEINT) * wf.w) AS num,
+       |    SUM(CAST(v.v AS HUGEINT) * v.v) AS den
+       |  FROM v$PowerIters v JOIN wf ON v.dim = wf.dim)""".stripMargin
+  }
+
+  private val powerIterationSql =
+    s"""$powerCtes
+       |SELECT CAST(v.dim AS BIGINT) AS dim, v.v AS v_milli,
+       |  CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS lambda_ppm
+       |FROM v$PowerIters v CROSS JOIN ray
+       |ORDER BY dim NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- emb9
+  /** PCA PROJECTION census + variance-explained audit — the stage after
+    * emb8: project every embedding's leading [[CovBlockDims]]-dim block
+    * onto the power-iteration eigenvector (micro units: milli·milli)
+    * and histogram the corpus along that principal axis (floored
+    * [[Emb9BucketUs]]-wide buckets — projections go NEGATIVE, so
+    * truncation vs floor diverges and both engines spell floor via the
+    * pmod subtraction), alongside the global check a whitening stage
+    * gates on: the Rayleigh eigenvalue estimate over the covariance
+    * trace, floored to ppm — "how much of the block's variance does
+    * axis 1 actually carry". Everything is integer end-to-end, so the
+    * oracle restates covariance → iterations → projection CTE-for-CTE.
+    *
+    * Scale posture: the eigenvector is a 1-row array frame (built from
+    * emb8's 8-row output — broadcast cross join, the scalar-attach
+    * pattern), so the projection is ONE map-side codegen dot product
+    * per vector ([[VectorFunctions.longDot]]) feeding a bucket-grain
+    * aggregate: corpus passes = 1, exchange carries ≤ #buckets rows.
+    * Covariance/eigenvector lineage reuses emb8's plan (same memoized
+    * covariance input).
+    */
+  private val Emb9BucketUs = 500000L // 0.5 in original embedding units
+
+  private def pcaProjection(s: SparkSession, dir: String): DataFrame = {
+    val ev = powerIteration(s, dir) // (dim, v_milli, lambda_ppm)
+    val varr = ev.agg(
+      expr("transform(sort_array(collect_list(struct(dim, v_milli))), p -> p.v_milli)")
+        .as("varr"),
+      first(col("lambda_ppm")).as("lam"))
+    val trace = covarianceBlock(s, dir)
+      .filter(col("dim_i") === col("dim_j"))
+      .agg(sum(col("cov_ppm")).as("tr"))
+    val ve = varr.crossJoin(broadcast(trace))
+      .select(col("varr"),
+        expr("CAST((lam*1000000 - ((lam*1000000 % tr + tr) % tr)) DIV tr AS BIGINT)")
+          .as("var_explained_ppm"))
+    quantized(s, dir)
+      .crossJoin(broadcast(ve))
+      .select(
+        VectorFunctions.longDot(slice(col("q"), 1, CovBlockDims), col("varr"))
+          .as("proj"),
+        col("var_explained_ppm"))
+      .groupBy(
+        expr(s"CAST((proj - ((proj % $Emb9BucketUs + $Emb9BucketUs) % $Emb9BucketUs)) DIV $Emb9BucketUs AS BIGINT)")
+          .as("bucket"),
+        col("var_explained_ppm"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("proj")).as("min_proj"), max(col("proj")).as("max_proj"))
+      .select(col("bucket"), col("n_vectors"), col("min_proj"),
+        col("max_proj"), col("var_explained_ppm"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
+  private val pcaProjectionSql =
+    s"""$powerCtes,
+       |lam AS (
+       |  SELECT CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS lam
+       |  FROM ray),
+       |varr AS (
+       |  SELECT list(v ORDER BY dim) AS varr FROM v$PowerIters),
+       |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS tr FROM cov WHERE dim_i = dim_j),
+       |ve AS (
+       |  SELECT CAST((lam*1000000 - ((lam*1000000 % tr + tr) % tr)) // tr AS BIGINT)
+       |    AS var_explained_ppm
+       |  FROM lam CROSS JOIN tr),
+       |proj AS (
+       |  SELECT CAST(list_sum(list_transform(range(1, $CovBlockDims + 1),
+       |    i -> q[i] * varr[i])) AS BIGINT) AS proj
+       |  FROM emb CROSS JOIN varr)
+       |SELECT
+       |  CAST((proj - ((proj % $Emb9BucketUs + $Emb9BucketUs) % $Emb9BucketUs)) // $Emb9BucketUs AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  MIN(proj) AS min_proj, MAX(proj) AS max_proj,
+       |  var_explained_ppm
+       |FROM proj CROSS JOIN ve
+       |GROUP BY 1, var_explained_ppm
+       |ORDER BY bucket NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ann10
   /** DIVERSIFIED top-k — retrieval with a per-group result cap (≤2 hits
     * per label), the "don't return ten near-identical passages from one
@@ -1553,6 +1750,8 @@ object Similarity extends QueryModule {
     "emb5_dim_profile" -> (dimProfile _),
     "emb6_covariance" -> (covarianceBlock _),
     "emb7_pq_distortion" -> (pqDistortion _),
+    "emb8_power_iteration" -> (powerIteration _),
+    "emb9_pca_projection" -> (pcaProjection _),
     "dd13_semantic_dedup" -> (semanticDedup _),
     "dd14_crosslang_neardup" -> (crossLangNearDup _),
     "ann10_topk_diversified" -> (diversifiedTopK _),
@@ -1576,6 +1775,8 @@ object Similarity extends QueryModule {
     "emb5_dim_profile" -> dimProfileSql,
     "emb6_covariance" -> covarianceBlockSql,
     "emb7_pq_distortion" -> pqDistortionSql,
+    "emb8_power_iteration" -> powerIterationSql,
+    "emb9_pca_projection" -> pcaProjectionSql,
     "dd13_semantic_dedup" -> semanticDedupSql,
     "dd14_crosslang_neardup" -> crossLangNearDupSql,
     "ann8_topk_filtered" -> filteredTopKSql,

@@ -380,7 +380,191 @@ object StreamingGate extends QueryModule {
       |WHERE rnk <= 3 AND bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
       |ORDER BY bucket_hour NULLS FIRST, event_type NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw10
+  /** CUSTOM sessionization via flatMapGroupsWithState — the same
+    * 30-minute-gap / 10-minute-watermark session semantics as sw3's
+    * built-in `session_window`, re-implemented as arbitrary
+    * EventTimeTimeout state (the escape hatch a real pipeline reaches
+    * for when sessions need custom close rules, per-session payloads,
+    * or speculative emission the built-in cannot express). The oracle
+    * is sw3's lag/flag construction — a hash match proves the custom
+    * state machine reproduces Spark's own sessionization exactly:
+    * out-of-order merge (each batch's events are interval-merged into
+    * the open-session list, coalescing sessions a late event bridges),
+    * watermark-gated emission (a session is emitted iff
+    * last + gap ≤ watermark — flushed on BOTH the data path and the
+    * timeout path, so the ≥-closes contract holds at equality where
+    * Spark's timeout alone fires strictly-after), and tail withholding
+    * (sessions past the final watermark stay in state, unemitted).
+    *
+    * Scale posture: state per user is the OPEN session list (almost
+    * always 1 entry — bounded by out-of-orderness within the
+    * watermark, never by history); timeouts are set to the earliest
+    * open end, so idle keys cost no per-batch work. Timestamps cross
+    * the typed boundary as epoch-µs longs and come back via
+    * `timestamp_micros` — no Timestamp-encoder timezone coupling.
+    */
+  // public: the Dataset encoders' generated code must see the
+  // constructors (a private case class leaves janino only the accessors,
+  // failing codegen at runtime)
+  case class OpenSess(startUs: Long, lastUs: Long, n: Long)
+  case class SessRow(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  private def customSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val GapUs = 30L * 60 * 1000000L
+    val src = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    val out = src
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSess], SessRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state) =>
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          // merge incoming events into the open-session list: sort by
+          // start, coalesce any pair within the gap (a late event can
+          // bridge two previously-separate sessions)
+          val seeds = evs.map(e => OpenSess(e._3, e._3, 1L)).toList
+          val merged = (state.getOption.getOrElse(Nil) ++ seeds)
+            .sortBy(ss => (ss.startUs, ss.lastUs))
+            .foldLeft(List.empty[OpenSess]) { (acc, cur) =>
+              acc match {
+                case h :: t if cur.startUs <= h.lastUs + GapUs =>
+                  OpenSess(h.startUs, math.max(h.lastUs, cur.lastUs), h.n + cur.n) :: t
+                case _ => cur :: acc
+              }
+            }
+            .reverse
+          // emit sessions the watermark has closed (>= at equality — the
+          // session_window contract); keep the rest and arm the timeout
+          // for the earliest still-open end
+          val (closed, open) = merged.partition(ss => ss.lastUs + GapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            val earliestEndMs = open.map(ss => (ss.lastUs + GapUs) / 1000L).min
+            state.setTimeoutTimestamp(
+              math.max(earliestEndMs - 1L, state.getCurrentWatermarkMs + 1L))
+          }
+          closed.iterator.map(ss =>
+            SessRow(uid, ss.startUs, ss.lastUs + GapUs, ss.n))
+      }
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"))
+    drain(s, out, "sw10_mem")
+      .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------- sw11
+  /** The STATE-V2 arbitrary-state operator (`transformWithState`,
+    * Spark 4's successor to flatMapGroupsWithState) under the oracle:
+    * sw2's watermarked hourly tumbling aggregate re-expressed as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] with typed
+    * [[org.apache.spark.sql.streaming.MapState]] (window-start →
+    * running (count, cents)) and per-window EVENT-TIME TIMERS — the
+    * API a production pipeline reaches for when windows need custom
+    * merge/emit rules the built-in aggregate cannot express. The
+    * oracle is sw2's SQL: a hash match proves the processor's window
+    * assignment, accumulation, and watermark-gated emission reproduce
+    * Spark's own tumbling-window semantics exactly.
+    *
+    * Emission is computed from the WATERMARK on both paths, never
+    * trusted to timer edge semantics: each batch's data path and each
+    * expired timer flush every window with end ≤ current watermark
+    * (sw10's dual-path lesson — the ≥-closes contract must hold at
+    * equality, where a timer alone fires strictly-after). One timer
+    * per window, registered at creation (end − 1 ms), so idle keys
+    * cost nothing and no timer churn accumulates.
+    *
+    * Scale posture: state per (event_type) key is the OPEN window map
+    * — bounded by out-of-orderness within the watermark, and held in
+    * the RocksDB state store provider (the state-v2 requirement),
+    * i.e. spillable off-heap state rather than executor heap — the
+    * 100 TB posture for wide-key stateful streams. The provider conf
+    * is set for this query and restored after (other entries keep the
+    * default HDFS-backed store).
+    */
+  // public for janino: the typed pipeline's generated code needs the
+  // constructors (sw10's lesson)
+  case class SwEvent(event_type: String, us: Long, cents: Long)
+  case class WinAgg(n: Long, cents: Long)
+  case class HourRow(event_type: String, start_us: Long, n_events: Long, cents: Long)
+
+  private val HourUs = 3600L * 1000000L
+
+  class HourlyTwsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, SwEvent, HourRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    @transient private var wins: MapState[Long, WinAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val wa: Encoder[WinAgg] = Encoders.product[WinAgg]
+      wins = getHandle.getMapState[Long, WinAgg](
+        "wins", Encoders.scalaLong, wa, TTLConfig.NONE)
+    }
+
+    private def flush(et: String, wmUs: Long): Iterator[HourRow] = {
+      val closed = wins.iterator()
+        .filter { case (st, _) => st + HourUs <= wmUs }.toList.sortBy(_._1)
+      closed.foreach { case (st, _) => wins.removeKey(st) }
+      closed.iterator.map { case (st, a) => HourRow(et, st, a.n, a.cents) }
+    }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[SwEvent], tv: TimerValues): Iterator[HourRow] = {
+      rows.foreach { e =>
+        val st = e.us - (e.us % HourUs)
+        if (!wins.containsKey(st)) {
+          wins.updateValue(st, WinAgg(1L, e.cents))
+          getHandle.registerTimer((st + HourUs) / 1000L - 1L)
+        } else {
+          val a = wins.getValue(st)
+          wins.updateValue(st, WinAgg(a.n + 1L, a.cents + e.cents))
+        }
+      }
+      flush(key, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(
+        key: String, tv: TimerValues, info: ExpiredTimerInfo): Iterator[HourRow] =
+      flush(key, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  private def twsHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val src = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .as[SwEvent]
+    val out = src.groupByKey(_.event_type)
+      .transformWithState(new HourlyTwsProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .select(timestamp_micros(col("start_us")).as("bucket_hour"),
+        col("event_type"), col("n_events"),
+        (col("cents").cast(DoubleType) / lit(100.0)).as("sum_value"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(s, out, "sw11_mem")
+      .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
+    finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sw11_tws_hourly" -> (twsHourly _),
+    "sw10_custom_sessions" -> (customSessions _),
     "sw9_stream_outer_join" -> (streamStreamOuter _),
     "sw8_stream_topk" -> (streamTopK _),
     "sw7_static_enrich" -> (streamStaticEnrich _),
@@ -391,6 +575,8 @@ object StreamingGate extends QueryModule {
     "sw6_stream_distinct" -> (streamDistinctUsers _))
 
   def oracle: Map[String, String] = Map(
+    "sw11_tws_hourly" -> streamHourlySql, // sw2's contract, state-v2 API
+    "sw10_custom_sessions" -> streamSessionsSql, // sw3's contract, custom state
     "sw9_stream_outer_join" -> streamStreamOuterSql,
     "sw8_stream_topk" -> streamTopKSql,
     "sw7_static_enrich" -> streamStaticEnrichSql,

@@ -535,4 +535,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(maxStateRows <= groups, s"state rows $maxStateRows exceed window-groups $groups")
     assert(userGroups > groups, "fixture degenerate: one user per group — pin proves nothing")
   }
+
+  test("sw11 transformWithState hourly windows equal sw2's built-in tumbling aggregate") {
+    // the equivalence claim behind sw11's oracle reuse: the state-v2
+    // MapState + event-time-timer processor must reproduce the built-in
+    // watermarked tumbling aggregate row-for-row, including the
+    // ≥-closes emission contract at the final watermark
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      SparkEntry.queries(name)(s, dir).collect().map(_.toSeq).toSeq
+    val tws = rows("sw11_tws_hourly")
+    val builtin = rows("sw2_stream_hourly")
+    assert(tws.nonEmpty, "vacuous: no closed windows at fixture scale")
+    assert(tws == builtin,
+      s"state-v2 processor diverged: ${tws.size} vs ${builtin.size} rows")
+  }
+
+  test("sw10 custom flatMapGroupsWithState sessions equal sw3's built-in session_window") {
+    // the equivalence claim behind sw10's oracle reuse: the custom
+    // EventTimeTimeout state machine must reproduce Spark's own
+    // sessionization row-for-row — merge order, watermark gating, and
+    // tail withholding included
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      SparkEntry.queries(name)(s, dir).collect().map(_.toSeq).toSeq
+    val custom = rows("sw10_custom_sessions")
+    val builtin = rows("sw3_stream_sessions")
+    assert(custom.nonEmpty, "vacuous: no closed sessions at fixture scale")
+    assert(custom == builtin,
+      s"custom sessionizer diverged: ${custom.size} vs ${builtin.size} rows")
+  }
 }
