@@ -40,7 +40,29 @@ object AviCodec {
 
   // ------------------------------------------------------------ decoder
 
-  def parseAvi(bytes: Array[Byte], everyNth: Int): Option[AviInfo] = {
+  def parseAvi(bytes: Array[Byte], everyNth: Int): Option[AviInfo] =
+    walk(bytes, everyNth,
+      f => JpegCodec.parseJpeg(f).map(i => (i.width, i.height, i.sumPx)))
+      .map { case (w, h, nFrames, sums) =>
+        AviInfo(w, h, nFrames, sums.size, sums.sum)
+      }
+
+  /** Per-frame content signatures: [[JpegCodec.parseJpegSig]]'s
+    * position-weighted pixel sum of EVERY frame, in frame order. This
+    * is the dedup entry point — near-dup detection needs a
+    * collision-resistant signature per frame (mm17's frame-fingerprint
+    * join), unlike the sampling path where unsampled frames are never
+    * decoded. Same structural validation as [[parseAvi]]; an
+    * undecodable payload is None (data, not an error).
+    */
+  def frameSigs(bytes: Array[Byte]): Option[Seq[Long]] =
+    walk(bytes, 1, JpegCodec.parseJpegSig).map(_._4)
+
+  /** Shared RIFF/movi walk: (width, height, nFrames, per-sampled-frame
+    * values), where `frameVal` decodes one frame to (w, h, value). */
+  private def walk(
+      bytes: Array[Byte], everyNth: Int,
+      frameVal: Array[Byte] => Option[(Int, Int, Long)]): Option[(Int, Int, Int, Seq[Long])] = {
     if (everyNth < 1 || bytes.length < 12 + 8) return None
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def u32(p: Int): Long = b.getInt(p) & 0xffffffffL
@@ -51,9 +73,8 @@ object AviCodec {
     var width = -1
     var height = -1
     var declaredFrames = -1L
-    var sum = 0L
+    val sums = scala.collection.mutable.ListBuffer.empty[Long]
     var nFrames = 0
-    var nSampled = 0
 
     // walk the top-level chunks; recurse only into hdrl and movi LISTs
     var pos = 12L
@@ -91,11 +112,10 @@ object AviCodec {
               if (nFrames % everyNth == 0) {
                 val frame = java.util.Arrays.copyOfRange(
                   bytes, (p + 8).toInt, (p + 8 + csize).toInt)
-                JpegCodec.parseJpeg(frame) match {
-                  case Some(i) =>
-                    if (width >= 0 && (i.width != width || i.height != height)) return None
-                    sum += i.sumPx
-                    nSampled += 1
+                frameVal(frame) match {
+                  case Some((fw, fh, v)) =>
+                    if (width >= 0 && (fw != width || fh != height)) return None
+                    sums += v
                   case None => return None
                 }
               }
@@ -109,7 +129,7 @@ object AviCodec {
     }
     if (width < 0 || nFrames == 0) return None
     if (declaredFrames >= 0 && declaredFrames != nFrames) return None
-    Some(AviInfo(width, height, nFrames, nSampled, sum))
+    Some((width, height, nFrames, sums.toSeq))
   }
 
   // ------------------------------------------------------------ encoder
@@ -118,11 +138,19 @@ object AviCodec {
     * [[JpegCodec.synthJpeg]] frames (seed id·7 + f) of `wb`×`hb`
     * 8-pixel blocks.
     */
-  def synthAvi(id: Long, wb: Int, hb: Int, frames: Int): Array[Byte] = {
+  def synthAvi(id: Long, wb: Int, hb: Int, frames: Int): Array[Byte] =
+    synthAviSeeds((0 until frames).map(f => id * 7 + f), wb, hb)
+
+  /** Variant with explicit per-frame JPEG seeds — the near-dup fixture
+    * ([[Multimodal.aviNearDupMediaTable]]) shares seed lists across
+    * videos so frame-signature overlap is constructed, not accidental.
+    */
+  def synthAviSeeds(seeds: Seq[Long], wb: Int, hb: Int): Array[Byte] = {
+    val frames = seeds.size
     require(frames > 0 && wb > 0 && hb > 0, s"degenerate $frames frames ${wb}x$hb")
     val w = wb * 8
     val h = hb * 8
-    val payloads = (0 until frames).map(f => JpegCodec.synthJpeg(id * 7 + f, wb, hb))
+    val payloads = seeds.map(sd => JpegCodec.synthJpeg(sd, wb, hb))
 
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = {

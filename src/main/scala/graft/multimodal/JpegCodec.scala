@@ -177,6 +177,22 @@ object JpegCodec {
       .map { case (w, h) => JpegInfo(w, h, w.toLong * h, sum) }
   }
 
+  /** Position-weighted pixel signature Σ (y·w + x + 1)·v — the frame
+    * fingerprint for video near-dup (mm17). The plain pixel sum
+    * concentrates (the synth fixture's DC term dominates), so distinct
+    * frames collide on it routinely; weighting by image position keeps
+    * the signature order-independent (restatable as SQL aggregation)
+    * while making cross-content collisions vanishingly unlikely.
+    */
+  def parseJpegSig(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    var sig = 0L
+    var ww = 0
+    walk(bytes) { (w, _) =>
+      ww = w
+      (x, y, v) => sig += (y.toLong * ww + x + 1) * v
+    }.map { case (w, h) => (w, h, sig) }
+  }
+
   /** Full pixel decode (row-major w×h, values 0–255) — the spec's
     * conformance surface against ImageIO.
     */

@@ -235,6 +235,33 @@ object Multimodal {
       })
   }
 
+  /** Video corpus with CONSTRUCTED near-duplicate pairs for mm17: ids
+    * ≡ 5 (mod 25) pair up by `base = doc_id / 50` ({5,30}, {55,80}, …);
+    * both members of a pair share geometry and the frame-seed list
+    * `base·1000 + f`, and the SECOND member (doc_id % 50 ≥ 25)
+    * re-shoots exactly one frame (position `(doc_id/25) % frames`,
+    * seed `base·1000 + 777 + doc_id` — provably outside every shared
+    * seed range) — so pair Jaccard over frame signatures is
+    * (frames−1)/(frames+1) ≥ 5/7 and cross-pair videos share no seeds
+    * at all. 6–8 frames per video keeps true pairs above and noise
+    * pairs far below any sane threshold.
+    */
+  def aviNearDupMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 5)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 50
+        val wb = (1 + base % 2).toInt
+        val frames = (6 + base % 3).toInt
+        val seeds = (0 until frames).map(f => base * 1000 + f).toArray
+        if (id % 50 >= 25) seeds(((id / 25) % frames).toInt) = base * 1000 + 777 + id
+        MediaFile(id, "video", AviCodec.synthAviSeeds(seeds.toSeq, wb, 1),
+          MediaMeta("avi_mjpg", wb * 8, 8, frames * 40L))
+      })
+  }
+
   /** The decode seam. Implementations must be deterministic per byte
     * content (idempotent re-runs, cross-run joins).
     */

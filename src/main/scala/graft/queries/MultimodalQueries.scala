@@ -593,6 +593,121 @@ object MultimodalQueries extends QueryModule {
        |ORDER BY media_id NULLS FIRST""".stripMargin
   }
 
+  // --------------------------------------------------------------- mm17
+  /** VIDEO NEAR-DUP over decoded frame signatures — the multimodal ×
+    * dedup crossover a training-data pipeline runs on every video
+    * ingest: demux each AVI, entropy-decode EVERY frame
+    * ([[graft.multimodal.AviCodec.frameSigs]]) into a per-frame content
+    * signature (position-WEIGHTED pixel sum — the plain sum collides
+    * routinely: measured 4-of-5 cross-group collisions on this very
+    * fixture, which is why [[graft.multimodal.JpegCodec.parseJpegSig]]
+    * weights each pixel by its image position), then find video pairs whose
+    * signature SETS overlap — the re-encoded / one-frame-edited copies
+    * byte hashing can never catch. The fixture
+    * ([[graft.multimodal.Multimodal.aviNearDupMediaTable]]) constructs
+    * pair-mates sharing all but one frame, so true pairs sit at
+    * Jaccard (f−1)/(f+1) ≥ 714 285 ppm and everything else shares
+    * nothing; the oracle replays the per-frame decode arithmetic (the
+    * mm15 dequantize→IDCT→clamp chain, per seed) and the full
+    * candidate-join/Jaccard algebra, so a hash match proves frame
+    * decode AND pair logic.
+    *
+    * Scale posture: this is dd2's banded-LSH shape with the frame
+    * signature as the band key — explode to (video, sig), inverted-
+    * index self-join on sig (candidates = videos sharing ≥1 frame,
+    * never all pairs), count-distinct-free intersection via group
+    * count, Jaccard in integer ppm. At 100 TB the one caveat is a
+    * stop-frame (black frame everywhere) creating a quadratic bucket —
+    * same mitigation as dd6's stop-shingles: drop signatures above a
+    * document-frequency cap before the join (not needed at gate scale;
+    * the fixture has no shared-everywhere frame).
+    */
+  private val Mm17ThetaPpm = 600000L
+
+  private def mm17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = Multimodal.aviNearDupMediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.AviCodec.frameSigs(m.content) match {
+          case Some(fs) => (m.media_id, fs)
+          case None     => (m.media_id, Seq.empty[Long])
+        }
+      })
+      .toDF("media_id", "sigs")
+      // distinct per video: signature overlap is SET semantics
+      .select(col("media_id"), explode(array_distinct(col("sigs"))).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sigs.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
+    val pairs = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("inter_frames"))
+    val out = pairs
+      .join(sizes.select(col("media_id").as("id_a"), col("sz").as("n_sigs_a")), Seq("id_a"))
+      .join(sizes.select(col("media_id").as("id_b"), col("sz").as("n_sigs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_sigs_a"), col("n_sigs_b"),
+        col("inter_frames"),
+        expr("inter_frames * 1000000 DIV (n_sigs_a + n_sigs_b - inter_frames)")
+          .as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= Mm17ThetaPpm)
+      .orderBy(col("id_a").asc_nulls_first, col("id_b").asc_nulls_first)
+    out
+  }
+
+  private val mm17Sql = {
+    import graft.multimodal.JpegCodec
+    def row(n: Int) =
+      (0 until 64).map(p => JpegCodec.IdctBasis((n << 6) | p)).mkString("[", ",", "]")
+    // per-frame pixel sum = the mm15 decode arithmetic, per (video, seed)
+    s"""WITH cfg AS (
+       |  SELECT doc_id AS media_id, doc_id // 50 AS base,
+       |    1 + (doc_id // 50) % 2 AS wb, 6 + (doc_id // 50) % 3 AS frames
+       |  FROM documents WHERE doc_id % 25 = 5),
+       |fr AS (
+       |  SELECT media_id, wb,
+       |    CASE WHEN media_id % 50 >= 25 AND f = (media_id // 25) % frames
+       |         THEN base * 1000 + 777 + media_id
+       |         ELSE base * 1000 + f END AS seed
+       |  FROM (SELECT *, unnest(range(0, frames)) AS f FROM cfg)),
+       |coef AS (
+       |  SELECT media_id, wb, seed, unnest(range(0, wb)) AS b FROM fr),
+       |deq AS (
+       |  SELECT media_id, wb, seed, b,
+       |    (CASE WHEN b = 0 THEN 120 WHEN b = 1 THEN -120
+       |          ELSE ((seed * 7 + b * 3) % 61) - 30 END) * 8 AS c0,
+       |    (((seed * 5 + b) % 7) - 3) * 15 AS c1,
+       |    (((seed * 3 + 2 * b) % 5) - 2) * 22 AS c8,
+       |    (((seed + b) % 3) - 1) * 9 AS c2
+       |  FROM coef),
+       |px AS (
+       |  SELECT media_id, seed,
+       |    ((p // 8) * (wb * 8) + b * 8 + (p % 8) + 1) *
+       |    LEAST(255, GREATEST(0, 128 + CAST(FLOOR(
+       |      (c0 * (${row(0)})[p + 1] + c1 * (${row(1)})[p + 1]
+       |       + c8 * (${row(8)})[p + 1] + c2 * (${row(2)})[p + 1]
+       |       + 524288) / 1048576.0) AS BIGINT))) AS wv
+       |  FROM (SELECT *, unnest(range(0, 64)) AS p FROM deq)),
+       |sig AS (
+       |  SELECT DISTINCT media_id, framesum AS sig FROM (
+       |    SELECT media_id, seed, CAST(SUM(wv) AS BIGINT) AS framesum
+       |    FROM px GROUP BY media_id, seed)),
+       |sizes AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS sz
+       |          FROM sig GROUP BY media_id),
+       |pairs AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter_frames
+       |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.media_id < b.media_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, sa.sz AS n_sigs_a, sb.sz AS n_sigs_b, inter_frames,
+       |  inter_frames * 1000000 // (sa.sz + sb.sz - inter_frames) AS jaccard_ppm
+       |FROM pairs
+       |  JOIN sizes sa ON sa.media_id = id_a
+       |  JOIN sizes sb ON sb.media_id = id_b
+       |WHERE inter_frames * 1000000 // (sa.sz + sb.sz - inter_frames) >= $Mm17ThetaPpm
+       |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
+  }
+
   // ---------------------------------------------------------------- mm7
   /** Windowed audio loudness from the REAL decode — one level deeper
     * than mm6's whole-file summary: every audio payload's PCM samples,
@@ -881,7 +996,8 @@ object MultimodalQueries extends QueryModule {
     "mm12_jpeg_decode" -> (mm12 _),
     "mm13_png_decode" -> (mm13 _),
     "mm14_gif_decode" -> (mm14 _),
-    "mm15_mjpeg_demux" -> (mm15 _))
+    "mm15_mjpeg_demux" -> (mm15 _),
+    "mm17_video_neardup" -> (mm17 _))
 
   override val oracle: Map[String, String] = Map(
     "mm16_color_jpeg" -> mm16Sql,
@@ -899,5 +1015,6 @@ object MultimodalQueries extends QueryModule {
     "mm12_jpeg_decode" -> mm12Sql,
     "mm13_png_decode" -> mm13Sql,
     "mm14_gif_decode" -> mm14Sql,
-    "mm15_mjpeg_demux" -> mm15Sql)
+    "mm15_mjpeg_demux" -> mm15Sql,
+    "mm17_video_neardup" -> mm17Sql)
 }
