@@ -424,8 +424,14 @@ object Graph extends QueryModule {
   private val LpaSweeps = 3
 
   /** Final (node, label) frame after [[LpaSweeps]] synchronous sweeps —
-    * shared by g7's census and g8's modularity audit. */
-  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    * shared by g7's census and g8's modularity audit, so the sweep cost
+    * is paid once per session ([[graft.SharedFrames]], same posture as
+    * the edge frames). */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    if (planOnly(s)) lpaLabelsBuild(s, dir)
+    else graft.SharedFrames.memoize(s, s"graph.lpaLabels:$dir")(lpaLabelsBuild(s, dir))
+
+  private def lpaLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val edges = directedEdges(s, dir) // (src, dst), both directions
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -508,6 +514,8 @@ object Graph extends QueryModule {
   private def modularityScore(s: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val und = orientedEdges(s, dir)                  // (u, v), u < v
+    // three consumers below (degree sum + both endpoint joins) read the
+    // memoized node-grain label frame — the 3-sweep lineage runs once
     val labels = lpaLabels(s, dir)                   // (node, label)
     // degree = both-direction incidence count; every labeled node has
     // at least one edge by construction, so the join is inner and lossless

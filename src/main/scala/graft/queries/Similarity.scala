@@ -1447,7 +1447,9 @@ object Similarity extends QueryModule {
        |FROM dist GROUP BY m
        |ORDER BY m NULLS FIRST""".stripMargin
 
-  private def covarianceBlock(s: SparkSession, dir: String): DataFrame = {
+  // package-visible: NewShapePinsSpec pins the BUILD plan (one scan, one
+  // aggregate exchange) — the gate entry itself returns the memoized copy
+  private[graft] def covarianceBlock(s: SparkSession, dir: String): DataFrame = {
     val d = CovBlockDims - 1
     quantized(s, dir)
       .select(explode(expr(
@@ -1512,45 +1514,69 @@ object Similarity extends QueryModule {
     * technique (ann2) applied to spectral math.
     *
     * Scale posture: ONE corpus pass builds the D×D covariance (emb6's
-    * bounded 36-group aggregate, persisted — iterating must not rescan
-    * the corpus); every iteration is then an 8-row broadcast join —
-    * the matrix is tiny at any corpus size, which is exactly why power
-    * iteration is the at-scale PCA primitive (corpus touches: 1).
+    * bounded 36-group aggregate, [[SharedFrames]]-memoized across
+    * emb6/emb8/emb9); the iteration itself runs on the DRIVER over the
+    * collected D² planning scalars ([[powerSolve]]) — the matrix is
+    * tiny at any corpus size, which is exactly why power iteration is
+    * the at-scale PCA primitive (corpus touches: 1, driver rows: 36).
     */
   private val PowerIters = 4
 
-  private def powerIteration(s: SparkSession, dir: String): DataFrame = {
-    val cov = covarianceBlock(s, dir)
-      .select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov_ppm").as("c"))
-    val cfull = cov.unionByName(
-      cov.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("c")))
-      // 64 rows whose lineage is the corpus pass: iterate on the
-      // materialized matrix, not 4 rescans of the corpus
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var v = s.range(CovBlockDims)
-      .select(col("id").cast(LongType).as("dim"), lit(1000L).as("v"))
+  private def planOnly(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.planOnly").contains("true")
+
+  /** Covariance block memoized per (session, dir): emb6 returns it,
+    * emb8/emb9's driver solve reads it — one corpus pass serves all
+    * three (the codebook-sharing posture applied to the Gram matrix).
+    */
+  private def covarianceShared(s: SparkSession, dir: String): DataFrame =
+    if (planOnly(s)) covarianceBlock(s, dir)
+    else graft.SharedFrames.memoize(s, s"emb.cov:$dir")(covarianceBlock(s, dir))
+
+  /** DRIVER-side power iteration: (v_milli per dim, lambda_ppm,
+    * trace_ppm). The covariance matrix is D×D = [[CovBlockDims]]² rows
+    * BY CONSTRUCTION — a bounded planning scalar at any corpus size —
+    * so after the one distributed corpus pass the iterate-normalize
+    * loop runs as plain integer math on the driver (the first Spark
+    * spelling chained 4 broadcast-join sweeps whose lineage doubled per
+    * iteration: ~30 tiny jobs, 14 s at sf0.1, for 8×8 arithmetic).
+    * Every step mirrors the oracle's integer spelling exactly:
+    * Math.floorDiv IS the pmod-subtraction floor for positive divisors,
+    * and the Rayleigh quotient floors once over BigInt sums.
+    */
+  private def powerSolve(s: SparkSession, dir: String): (Array[Long], Long, Long) = {
+    if (planOnly(s)) return (Array.fill(CovBlockDims)(0L), 0L, 1L) // plan-shape only
+    val d = CovBlockDims
+    val c = Array.ofDim[Long](d, d)
+    var trace = 0L
+    covarianceShared(s, dir).select(col("dim_i"), col("dim_j"), col("cov_ppm"))
+      .collect().foreach { r =>
+        val i = r.getLong(0).toInt
+        val j = r.getLong(1).toInt
+        val v = r.getLong(2)
+        c(i)(j) = v
+        c(j)(i) = v
+        if (i == j) trace += v
+      }
+    var v = Array.fill(d)(1000L)
     for (_ <- 1 to PowerIters) {
-      val w = cfull.join(broadcast(v), col("j") === col("dim"))
-        .groupBy(col("i"))
-        .agg(sum(col("c") * col("v")).as("w"))
-        .select(col("i").as("dim"), col("w"))
-      val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("dim"),
-          expr("CAST((1000*w - (((1000*w) % m + m) % m)) DIV m AS BIGINT)").as("v"))
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = math.max(w.map(math.abs).max, 1L)
+      v = w.map(wi => Math.floorDiv(1000L * wi, m))
     }
-    val w = cfull.join(broadcast(v), col("j") === col("dim"))
-      .groupBy(col("i"))
-      .agg(sum(col("c") * col("v")).as("w"))
-      .select(col("i").as("dim2"), col("w"))
-    val lam = v.join(w, col("dim") === col("dim2"))
-      .agg(
-        sum(col("v").cast(DecimalType(38, 0)) * col("w").cast(DecimalType(38, 0))).as("num"),
-        sum(col("v").cast(DecimalType(38, 0)) * col("v").cast(DecimalType(38, 0))).as("den"))
-      .select(expr("CAST((num - ((num % den + den) % den)) DIV den AS BIGINT)").as("lambda_ppm"))
-    v.crossJoin(broadcast(lam))
-      .select(col("dim"), col("v").as("v_milli"), col("lambda_ppm"))
+    val wf = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    val num = (0 until d).map(i => BigInt(v(i)) * wf(i)).sum
+    val den = (0 until d).map(i => BigInt(v(i)) * v(i)).sum
+    val lam = ((num - (((num % den) + den) % den)) / den).toLong
+    (v, lam, math.max(trace, 1L))
+  }
+
+  private def powerIteration(s: SparkSession, dir: String): DataFrame = {
+    val (v, lam, _) = powerSolve(s, dir)
+    import s.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (vm, d) => (d.toLong, vm, lam) }
+      .toDF("dim", "v_milli", "lambda_ppm")
       .orderBy(col("dim").asc_nulls_first)
   }
 
@@ -1630,43 +1656,34 @@ object Similarity extends QueryModule {
     * axis 1 actually carry". Everything is integer end-to-end, so the
     * oracle restates covariance → iterations → projection CTE-for-CTE.
     *
-    * Scale posture: the eigenvector is a 1-row array frame (built from
-    * emb8's 8-row output — broadcast cross join, the scalar-attach
-    * pattern), so the projection is ONE map-side codegen dot product
-    * per vector ([[VectorFunctions.longDot]]) feeding a bucket-grain
-    * aggregate: corpus passes = 1, exchange carries ≤ #buckets rows.
-    * Covariance/eigenvector lineage reuses emb8's plan (same memoized
-    * covariance input).
+    * Scale posture: the eigenvector comes from [[powerSolve]]'s driver
+    * math over the memoized covariance (zero extra corpus passes) and
+    * enters the plan as a LITERAL array, so the projection is ONE
+    * map-side codegen dot product per vector
+    * ([[VectorFunctions.longDot]]) feeding a bucket-grain aggregate:
+    * corpus passes = 1, exchange carries ≤ #buckets rows.
     */
   private val Emb9BucketUs = 500000L // 0.5 in original embedding units
 
   private def pcaProjection(s: SparkSession, dir: String): DataFrame = {
-    val ev = powerIteration(s, dir) // (dim, v_milli, lambda_ppm)
-    val varr = ev.agg(
-      expr("transform(sort_array(collect_list(struct(dim, v_milli))), p -> p.v_milli)")
-        .as("varr"),
-      first(col("lambda_ppm")).as("lam"))
-    val trace = covarianceBlock(s, dir)
-      .filter(col("dim_i") === col("dim_j"))
-      .agg(sum(col("cov_ppm")).as("tr"))
-    val ve = varr.crossJoin(broadcast(trace))
-      .select(col("varr"),
-        expr("CAST((lam*1000000 - ((lam*1000000 % tr + tr) % tr)) DIV tr AS BIGINT)")
-          .as("var_explained_ppm"))
+    val (v, lam, trace) = powerSolve(s, dir)
+    // floor(lam·10⁶ / trace), the oracle's pmod spelling (lam ≥ 0 for a
+    // PSD block, but spell floor anyway — integer-floored cov entries
+    // can nudge the quotient negative in principle)
+    val lamScaled = BigInt(lam) * 1000000
+    val tr = BigInt(trace)
+    val vePpm = ((lamScaled - (((lamScaled % tr) + tr) % tr)) / tr).toLong
     quantized(s, dir)
-      .crossJoin(broadcast(ve))
       .select(
-        VectorFunctions.longDot(slice(col("q"), 1, CovBlockDims), col("varr"))
-          .as("proj"),
-        col("var_explained_ppm"))
+        VectorFunctions.longDot(slice(col("q"), 1, CovBlockDims), typedLit(v.toSeq))
+          .as("proj"))
       .groupBy(
         expr(s"CAST((proj - ((proj % $Emb9BucketUs + $Emb9BucketUs) % $Emb9BucketUs)) DIV $Emb9BucketUs AS BIGINT)")
-          .as("bucket"),
-        col("var_explained_ppm"))
+          .as("bucket"))
       .agg(count(lit(1)).as("n_vectors"),
         min(col("proj")).as("min_proj"), max(col("proj")).as("max_proj"))
       .select(col("bucket"), col("n_vectors"), col("min_proj"),
-        col("max_proj"), col("var_explained_ppm"))
+        col("max_proj"), lit(vePpm).as("var_explained_ppm"))
       .orderBy(col("bucket").asc_nulls_first)
   }
 
@@ -1748,7 +1765,9 @@ object Similarity extends QueryModule {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb5_dim_profile" -> (dimProfile _),
-    "emb6_covariance" -> (covarianceBlock _),
+    "emb6_covariance" -> ((s: SparkSession, dir: String) =>
+      covarianceShared(s, dir)
+        .orderBy(col("dim_i").asc_nulls_first, col("dim_j").asc_nulls_first)),
     "emb7_pq_distortion" -> (pqDistortion _),
     "emb8_power_iteration" -> (powerIteration _),
     "emb9_pca_projection" -> (pcaProjection _),

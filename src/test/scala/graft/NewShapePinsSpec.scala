@@ -33,7 +33,9 @@ class NewShapePinsSpec extends AnyFunSuite {
 
   test("emb6: one embeddings scan, one aggregate exchange (plus the presentation sort)") {
     aqeOff { s =>
-      val df = SparkEntry.queries("emb6_covariance")(s, dir)
+      // pin the BUILD plan — the gate entry returns the SharedFrames-
+      // memoized copy (scanless by design, pinned below)
+      val df = graft.queries.Similarity.covarianceBlock(s, dir)
       val scans = df.queryExecution.executedPlan.collect {
         case p if p.nodeName.contains("Scan") && p.toString.contains("embeddings") => p
       }
@@ -41,8 +43,19 @@ class NewShapePinsSpec extends AnyFunSuite {
       val shuffles = df.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeLike => e
       }
-      // groupBy(dim_i, dim_j) + the gate's orderBy range exchange
+      // groupBy(dim_i, dim_j) + the presentation orderBy range exchange
       assert(shuffles.size <= 2, s"unexpected exchanges: ${shuffles.size}")
+    }
+  }
+
+  test("emb6 entry: second call reads the memoized covariance, no embeddings rescan") {
+    aqeOff { s =>
+      SparkEntry.queries("emb6_covariance")(s, dir).collect() // build or reuse
+      val again = SparkEntry.queries("emb6_covariance")(s, dir)
+      val scans = again.queryExecution.executedPlan.collect {
+        case p if p.nodeName.contains("Scan") && p.toString.contains("embeddings") => p
+      }
+      assert(scans.isEmpty, s"memoized entry rescans embeddings: ${scans.size}")
     }
   }
 
