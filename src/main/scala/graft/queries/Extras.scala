@@ -1444,6 +1444,70 @@ object Extras extends QueryModule {
       |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
       |  n_lines NULLS FIRST, revenue_e4 NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dpp1
+  /** DYNAMIC PARTITION PRUNING under the oracle — the engine feature a
+    * partitioned 100 TB fact table lives or dies by: the fact (orders,
+    * re-written partitioned by order month — bkt1/cmp1's bootstrap
+    * pattern) joins a dim whose surviving keys are only knowable at
+    * RUNTIME (months where the urgent-order count hits a data-dependent
+    * predicate), so static partition pruning is impossible and Spark
+    * must inject the broadcast dim as a runtime partition filter on the
+    * fact scan (`dynamicpruningexpression` — reusing the join's own
+    * broadcast, so the filter costs nothing extra). The hash proves the
+    * partitioned round-trip + join + aggregate; the MECHANISM (the
+    * pruning filter on the scan, and that it prunes strictly fewer than
+    * all partitions) is pinned in NewShapePinsSpec, sj4-style.
+    *
+    * Scale posture: ~84 month partitions at any SF; the dim aggregate
+    * is month-grain (tiny, broadcast); the fact scan reads ONLY the
+    * surviving months — at 100 TB this is the difference between
+    * scanning a month and scanning a decade. The partition column is a
+    * string month so partition-value inference round-trips exactly.
+    */
+  private val dppBuilt = scala.collection.mutable.Set.empty[String]
+
+  private[graft] def dppRoot(s: SparkSession, dir: String): String = new java.io.File(
+    sys.props("java.io.tmpdir"),
+    "graft_dpp1_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  private def partitionPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val root = dppRoot(s, dir)
+    dppBuilt.synchronized {
+      if (!dppBuilt.contains(root)) {
+        t(s, dir, "orders")
+          .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("om").parquet(root)
+        dppBuilt += root
+        ()
+      }
+    }
+    val fact = s.read.parquet(root)
+    val dim = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("om"))
+      .agg(count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"))
+      .filter(col("n_urgent") % 3 === 0) // runtime-only month subset
+      .select(col("om"))
+    fact.join(broadcast(dim), Seq("om"))
+      .groupBy(col("om"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).as("sum_cents"))
+      .orderBy(col("om").asc_nulls_first)
+  }
+
+  private val partitionPrunedJoinSql =
+    """WITH dim AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS om,
+      |    CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+      |  FROM orders GROUP BY 1)
+      |SELECT f.om, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM (SELECT strftime(o_orderdate, '%Y-%m') AS om, o_totalprice FROM orders) f
+      |  JOIN dim d ON f.om = d.om
+      |WHERE d.n_urgent % 3 = 0
+      |GROUP BY f.om
+      |ORDER BY f.om NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- cmp1
   /** Compaction-invisibility gate — the [[graft.sinks.Compactor]] was
     * the one r11 operator with no CORRECTNESS row (spec-only; VERDICT
@@ -2487,6 +2551,7 @@ object Extras extends QueryModule {
     "bf1_bloom_semi_join" -> (bloomSemiJoin _),
     "bkt1_bucketed_join" -> (bucketedJoinGate _),
     "cmp1_compacted_table" -> (compactedTableGate _),
+    "dpp1_partition_pruned_join" -> (partitionPrunedJoin _),
     "zo1_zorder_audit" -> (zorderAudit _),
     "un1_unpivot" -> (unpivotMetrics _),
     "c10_int_math" -> (intMath _),
@@ -2552,6 +2617,7 @@ object Extras extends QueryModule {
     "bf1_bloom_semi_join" -> bloomSemiJoinSql,
     "bkt1_bucketed_join" -> bucketedJoinGateSql,
     "cmp1_compacted_table" -> compactedTableGateSql,
+    "dpp1_partition_pruned_join" -> partitionPrunedJoinSql,
     "zo1_zorder_audit" -> zorderAuditSql,
     "un1_unpivot" -> unpivotMetricsSql,
     "c10_int_math" -> intMathSql,

@@ -59,6 +59,25 @@ class NewShapePinsSpec extends AnyFunSuite {
     }
   }
 
+  test("dpp1: fact scan carries a dynamic partition pruning filter and prunes") {
+    val s = SparkEntry.configure(spark)
+    val df = SparkEntry.queries("dpp1_partition_pruned_join")(s, dir)
+    val rows = df.collect()
+    // mechanism: the partitioned fact scan must carry the runtime
+    // pruning subquery (reused broadcast), not read every partition
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning filter on the fact scan:\n$plan")
+    // non-vacuity: the runtime predicate keeps SOME months and drops
+    // SOME (else the pruning filter proves nothing)
+    val total = SparkEntry.configure(spark).read
+      .parquet(graft.queries.Extras.dppRoot(s, dir))
+      .select("om").distinct().count()
+    assert(rows.nonEmpty, "vacuous: predicate kept no months")
+    assert(rows.length < total,
+      s"vacuous: all $total partitions survived - nothing was pruned")
+  }
+
   test("dq7: the key-grain frame is persisted, not rebuilt per consumer") {
     val s = SparkEntry.configure(spark)
     val df = SparkEntry.queries("dq7_join_skew")(s, dir)
