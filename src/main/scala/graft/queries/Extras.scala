@@ -439,6 +439,96 @@ object Extras extends QueryModule {
       |FROM picked k LEFT JOIN events p ON k.nk = p.event_id
       |ORDER BY k.event_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- aj5
+  /** Time-INTERPOLATION join — the sensor-fusion step past aj3's
+    * nearest-pick: each click gets its user's purchase value LINEARLY
+    * INTERPOLATED between the bracketing purchases (backward per aj1's
+    * contract: latest ts ≤ t, largest id; forward per aj2's: earliest
+    * ts ≥ t, smallest id), in integer cents with the floored-division
+    * pmod spelling (Δv is signed). A purchase exactly at the click ts
+    * brackets from BOTH sides; degenerate dt = 0 resolves to the
+    * backward value (aj3's backward-wins tie rule). Either side
+    * missing → NULL (interpolation needs both brackets; extrapolation
+    * is a different, lying, operator). Magnitude: |Δcents|·Δt_µs stays
+    * ≈ 2·10¹⁸ < 2⁶³ at fixture spans — stated, not assumed.
+    *
+    * Scale posture: both directions keep AsOfJoin's one-shuffle
+    * union+window plan, composed by an equi-join on the unique click
+    * id — no pair explosion anywhere, same shape as aj3.
+    */
+  private def asofInterp(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val payload = Seq("event_id", "ts", "value")
+    def side(df: DataFrame, p: String) = df.select(
+      col("event_id") +: col("user_id") +: col("ts") +:
+        payload.map(c => col(s"asof_$c").as(s"$p$c")): _*)
+    val back = side(graft.operators.AsOfJoin.leftAsOf(
+      clicks, purchases, leftKey = "user_id", rightKey = "user_id",
+      leftTs = "ts", rightTs = "ts",
+      tieBreak = "event_id", payload = payload), "b_")
+    val fwd = side(graft.operators.AsOfJoin.leftAsOfForward(
+      clicks, purchases, leftKey = "user_id", rightKey = "user_id",
+      leftTs = "ts", rightTs = "ts",
+      tieBreak = "event_id", payload = payload), "f_")
+      .drop("user_id", "ts")
+    back.join(fwd, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("b_event_id").as("prev_event_id"),
+        col("f_event_id").as("next_event_id"),
+        unix_micros(col("ts")).as("t"),
+        unix_micros(col("b_ts")).as("t0"),
+        unix_micros(col("f_ts")).as("t1"),
+        round(col("b_value") * 100).cast(LongType).as("v0"),
+        round(col("f_value") * 100).cast(LongType).as("v1"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("prev_event_id"), col("next_event_id"),
+        expr("""CAST(CASE
+          WHEN prev_event_id IS NULL OR next_event_id IS NULL THEN NULL
+          WHEN t1 - t0 = 0 THEN v0
+          ELSE v0 + ((v1 - v0) * (t - t0)
+                     - pmod((v1 - v0) * (t - t0), t1 - t0)) DIV (t1 - t0)
+          END AS BIGINT)""").as("interp_cents"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  private val asofInterpSql =
+    """WITH b AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    (SELECT p.event_id FROM events p
+      |     WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+      |       AND p.ts <= e.ts
+      |     ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS pk
+      |  FROM events e WHERE e.event_type = 'click'),
+      |f AS (
+      |  SELECT e.event_id,
+      |    (SELECT p.event_id FROM events p
+      |     WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+      |       AND p.ts >= e.ts
+      |     ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS nk
+      |  FROM events e WHERE e.event_type = 'click'),
+      |j AS (
+      |  SELECT b.event_id, b.user_id, b.ts, b.pk AS prev_event_id,
+      |    f.nk AS next_event_id,
+      |    epoch_us(b.ts) AS t, epoch_us(pb.ts) AS t0, epoch_us(pf.ts) AS t1,
+      |    CAST(round(pb.value * 100) AS BIGINT) AS v0,
+      |    CAST(round(pf.value * 100) AS BIGINT) AS v1
+      |  FROM b JOIN f ON b.event_id = f.event_id
+      |  LEFT JOIN events pb ON b.pk = pb.event_id
+      |  LEFT JOIN events pf ON f.nk = pf.event_id)
+      |SELECT event_id, user_id, ts, prev_event_id, next_event_id,
+      |  CAST(CASE
+      |    WHEN prev_event_id IS NULL OR next_event_id IS NULL THEN NULL
+      |    WHEN t1 - t0 = 0 THEN v0
+      |    ELSE v0 + ((v1 - v0) * (t - t0)
+      |               - (((((v1 - v0) * (t - t0)) % (t1 - t0)) + (t1 - t0)) % (t1 - t0)))
+      |             // (t1 - t0)
+      |    END AS BIGINT) AS interp_cents
+      |FROM j ORDER BY event_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- aj2
   // Forward as-of join (graft.operators.AsOfJoin.leftAsOfForward): each
   // event gets the EARLIEST order of its customer with o_orderdate >=
@@ -2562,6 +2652,7 @@ object Extras extends QueryModule {
     "aj4_asof_exec" -> (asofExecJoin _),
     "aj3_asof_nearest" -> (asofNearest _),
     "aj2_asof_forward" -> (asofForward _),
+    "aj5_asof_interp" -> (asofInterp _),
     "rj1_range_join" -> (rangeJoin _),
     "rj2_interval_overlap" -> (intervalOverlapJoin _),
     "opt2_range_bin_auto" -> (rangeBinAuto _),
@@ -2628,6 +2719,7 @@ object Extras extends QueryModule {
     "aj4_asof_exec" -> asofJoinSql,
     "aj3_asof_nearest" -> asofNearestSql,
     "aj2_asof_forward" -> asofForwardSql,
+    "aj5_asof_interp" -> asofInterpSql,
     "rj1_range_join" -> rangeJoinSql,
     "rj2_interval_overlap" -> intervalOverlapJoinSql,
     "opt2_range_bin_auto" -> rangeBinAutoSql,

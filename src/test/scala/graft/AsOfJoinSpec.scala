@@ -80,6 +80,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("aj5: interpolation is bracketed, two-sided, and degenerate-safe") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("aj5_asof_interp")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val cents = graft.Tables.events(spark, dir)
+      .filter("event_type = 'purchase'")
+      .selectExpr("event_id", "CAST(round(value * 100) AS BIGINT) AS c").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("c")).toMap
+    var interpolated = 0; var oneSided = 0
+    rows.foreach { r =>
+      val prev = Option(r.getAs[java.lang.Long]("prev_event_id"))
+      val next = Option(r.getAs[java.lang.Long]("next_event_id"))
+      val interp = Option(r.getAs[java.lang.Long]("interp_cents"))
+      (prev, next) match {
+        case (Some(p), Some(n)) =>
+          interpolated += 1
+          val (v0, v1) = (cents(p), cents(n))
+          val v = interp.getOrElse(fail(s"event ${r.getAs[Long]("event_id")}: both brackets, null interp"))
+          assert(v >= math.min(v0, v1) && v <= math.max(v0, v1),
+            s"event ${r.getAs[Long]("event_id")}: $v outside [$v0,$v1]")
+          if (p == n) assert(v == v0) // purchase exactly at the click ts
+        case _ =>
+          oneSided += 1
+          assert(interp.isEmpty, "one-sided bracket must not extrapolate")
+      }
+    }
+    assert(interpolated > 0, "fixture never exercised the interpolation arm")
+    assert(oneSided > 0, "fixture never exercised the missing-bracket arm")
+  }
+
   test("forward: left rows after the last right row, or alien keys, get nulls") {
     val late = AsOfJoin.leftAsOfForward(
       Seq((1L, 25L, "e5")).toDF("k", "lts", "eid"), right,
