@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CdcSegments, LongDot, LongSquaredL2, MinHashSigs, NgramMd5, SimHash64}
+import org.apache.spark.sql.graft.{CdcSegments, LongDot, LongSquaredL2, MinHashSigs, NgramMd5, SimHash64, UnicodeNormalize}
 
 /** Column-API and SQL-name surfaces for the codegen vector kernels
   * (org.apache.spark.sql.graft.VectorKernels).
@@ -27,6 +27,12 @@ object VectorFunctions {
 
   def cdcSegments(words: Column, nibbles: Int): Column =
     GraftShims.column(CdcSegments(GraftShims.expression(words), nibbles))
+
+  /** Unicode-normalize a string column (form ∈ NFC/NFD/NFKC/NFKD) —
+    * codegen kernel with ASCII and already-normalized fast paths.
+    */
+  def unicodeNormalize(c: Column, form: String): Column =
+    GraftShims.column(UnicodeNormalize(GraftShims.expression(c), form))
 
   /** |A∩B| of two SORTED, distinct string arrays — one codegen merge
     * pass, no intersection materialization (see SetKernels scaladoc).
@@ -69,7 +75,8 @@ object VectorFunctions {
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_sigs" -> (es => MinHashSigs(es(0), foldableK(es(1), "minhash_sigs"))),
     "ngram_md5" -> (es => NgramMd5(es(0), foldableK(es(1), "ngram_md5"))),
-    "cdc_segments" -> (es => CdcSegments(es(0), foldableK(es(1), "cdc_segments"))))
+    "cdc_segments" -> (es => CdcSegments(es(0), foldableK(es(1), "cdc_segments"))),
+    "unicode_normalize" -> (es => UnicodeNormalize(es(0), foldableForm(es(1), "unicode_normalize"))))
 
   /** The SQL surface needs k/n at plan-construction time (it sizes the
     * kernel): accept any integer literal, reject the rest with an error
@@ -82,6 +89,18 @@ object VectorFunctions {
   }
 
   private[functions] def foldableKPublic(e: Expression, fn: String): Int = foldableK(e, fn)
+
+  /** String-literal sibling of [[foldableK]] (the normalization form is
+    * a plan-time constant — it picks the enum the generated code
+    * references).
+    */
+  private def foldableForm(e: Expression, fn: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: the form argument must be a string literal (NFC/NFD/NFKC/NFKD), got $other")
+  }
+
+  private[functions] def foldableFormPublic(e: Expression, fn: String): String = foldableForm(e, fn)
 
   /** Runtime registration (for sessions we did not build, e.g. the
     * driver's): makes the kernels callable from SQL text.
@@ -129,5 +148,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CdcSegments].getName, "cdc_segments"),
       (es: Seq[Expression]) => CdcSegments(es(0),
         VectorFunctions.foldableKPublic(es(1), "cdc_segments"))))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (es: Seq[Expression]) => UnicodeNormalize(es(0),
+        VectorFunctions.foldableFormPublic(es(1), "unicode_normalize"))))
   }
 }

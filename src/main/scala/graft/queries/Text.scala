@@ -1337,6 +1337,66 @@ object Text extends QueryModule {
        |HAVING COUNT(*) >= $BoilerplateMinDocs
        |ORDER BY prefix_hash NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- tx18
+  /** Unicode NFC normalization pass — the canonical first cleanup step
+    * of a pretraining text pipeline (compose combining marks so "e"+
+    * U+0301 and "é" dedup/tokenize identically), run through the codegen
+    * [[graft.functions.VectorFunctions.unicodeNormalize]] kernel
+    * (org.apache.spark.sql.graft.UnicodeNormalize: ASCII and already-
+    * normalized fast paths, java.text.Normalizer only on genuinely
+    * denormalized rows).
+    *
+    * The corpus tables are pure ASCII, so the entry DETERMINISTICALLY
+    * denormalizes first — combining acute after every 'e' for doc_id%3
+    * rows, combining grave after every 'a' for doc_id%7 rows (both
+    * engines spell the same replace) — then normalizes and reports the
+    * per-document changed flag, code-point lengths before/after, and
+    * the md5 of the NFC text. Non-vacuity lives in the data: %3/%7 rows
+    * compose (len_nfc < len_raw), coprime-remainder rows pass through
+    * untouched, and TextQualitySpec pins both populations plus NFC/NFKC
+    * form behavior on the kernel directly.
+    *
+    * Scale posture: pure map-side per-row compute inside whole-stage
+    * codegen; the only exchange is the gate's ORDER BY. At 100 TB the
+    * ASCII fast path makes the pass ~a branch per row on the (typical)
+    * already-clean majority; nothing is materialized twice.
+    */
+  private def unicodeNfcPass(s: SparkSession, dir: String): DataFrame = {
+    val acute = "́" // COMBINING ACUTE ACCENT (chr(769) in the oracle)
+    val grave = "̀" // COMBINING GRAVE ACCENT (chr(768))
+    import graft.functions.VectorFunctions.unicodeNormalize
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, expr(s"replace(text, 'e', 'e$acute')"))
+          .otherwise(col("text")).as("d0"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, expr(s"replace(d0, 'a', 'a$grave')"))
+          .otherwise(col("d0")).as("d"))
+      .withColumn("nfc", unicodeNormalize(col("d"), "NFC"))
+      .select(
+        col("doc_id"),
+        (col("d") =!= col("nfc")).cast(IntegerType).as("changed"),
+        length(col("d")).as("len_raw"),
+        length(col("nfc")).as("len_nfc"),
+        md5(col("nfc")).as("nfc_hash"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val unicodeNfcPassSql =
+    """WITH deco AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN replace(d0, 'a', 'a' || chr(768)) ELSE d0 END AS d
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769)) ELSE text END AS d0
+      |    FROM documents))
+      |SELECT doc_id,
+      |  CAST(d != nfc_normalize(d) AS INTEGER) AS changed,
+      |  length(d) AS len_raw,
+      |  length(nfc_normalize(d)) AS len_nfc,
+      |  md5(nfc_normalize(d)) AS nfc_hash
+      |FROM deco ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- tx16
   /** PMI collocation mining — the phrase-discovery operator of a corpus
     * curation stack (multi-word expressions for tokenizer vocab seeding,
@@ -1460,6 +1520,7 @@ object Text extends QueryModule {
     "cur4_dataset_card" -> (datasetCard _),
     "tx16_pmi_collocations" -> (pmiCollocations _),
     "tx17_boilerplate" -> (boilerplateCensus _),
+    "tx18_unicode_nfc" -> (unicodeNfcPass _),
     "tok1_bpe_merges" -> (bpeMerges _),
     "tok2_bpe_segment" -> (bpeApply _),
     "tok3_vocab_coverage" -> (vocabCoverage _),
@@ -1485,6 +1546,7 @@ object Text extends QueryModule {
     "cur4_dataset_card" -> datasetCardSql,
     "tx16_pmi_collocations" -> pmiCollocationsSql,
     "tx17_boilerplate" -> boilerplateCensusSql,
+    "tx18_unicode_nfc" -> unicodeNfcPassSql,
     "tok1_bpe_merges" -> bpeMergesSql,
     "tok2_bpe_segment" -> bpeApplySql,
     "tok3_vocab_coverage" -> vocabCoverageSql,

@@ -39,6 +39,66 @@ class TextQualitySpec extends AnyFunSuite {
     assert(dupPrefix.isEmpty || out.nonEmpty)
   }
 
+  test("tx18: NFC kernel composes/folds correctly and the gate entry is non-vacuous") {
+    val s = SparkEntry.configure(spark)
+    import s.implicits._
+    import graft.functions.VectorFunctions.unicodeNormalize
+    import org.apache.spark.sql.functions.col
+
+    // kernel semantics vs java.text.Normalizer on a parquet-backed frame
+    // (a local Seq would collapse to an eager LocalTableScan — we want the
+    // codegen path; see verify-skill note). Round-trip through a temp file.
+    val cases = Seq(
+      "plain ascii stays",           // ASCII fast path
+      "café composes",    // e + U+0301 -> é
+      "already é normalized",   // isNormalized fast path
+      "à grave",               // a + U+0300 -> à
+      "ﬁ ligature untouched by NFC") // NFC keeps U+FB01; NFKC folds to "fi"
+    val tmp = java.nio.file.Files.createTempDirectory("tx18spec").toString
+    cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .write.mode("overwrite").parquet(tmp)
+    val back = s.read.parquet(tmp)
+    val gotNfc = back.select(col("id"), unicodeNormalize(col("t"), "NFC"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gotNfkc = back.select(col("id"), unicodeNormalize(col("t"), "NFKC"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(gotNfc(i.toLong) ==
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC), s"NFC case $i")
+      assert(gotNfkc(i.toLong) ==
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFKC), s"NFKC case $i")
+    }
+    assert(gotNfc(1L).contains("é") && !gotNfc(1L).contains("́"))
+    assert(gotNfkc(4L).contains("fi") && !gotNfkc(4L).contains("ﬁ"))
+    assert(gotNfc(4L).contains("ﬁ")) // NFC does NOT fold compatibility forms
+    // a bad form fails at construction, not per row
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.UnicodeNormalize(
+        org.apache.spark.sql.GraftShims.expression(col("t")), "NFX")
+    }
+
+    // gate entry: %3 / %7 rows compose (shrink), coprime rows untouched
+    val out = SparkEntry.queries("tx18_unicode_nfc")(s, dir).collect()
+    assert(out.length == docs.length)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    var changed = 0; var untouched = 0
+    docs.foreach { case (id, text, _) =>
+      val r = byId(id)
+      val decorated = (id % 3 == 0 && text.contains('e')) ||
+        (id % 7 == 0 && text.contains('a'))
+      if (decorated) {
+        changed += 1
+        assert(r.getAs[Int]("changed") == 1 &&
+          r.getAs[Int]("len_nfc") < r.getAs[Int]("len_raw"), s"doc $id should compose")
+      } else {
+        untouched += 1
+        assert(r.getAs[Int]("changed") == 0 &&
+          r.getAs[Int]("len_nfc") == r.getAs[Int]("len_raw"), s"doc $id should pass through")
+      }
+    }
+    assert(changed > 0 && untouched > 0, s"need both populations: $changed / $untouched")
+  }
+
   test("cur4: dataset card ties out to the operators it summarizes") {
     val s = SparkEntry.configure(spark)
     val card = SparkEntry.queries("cur4_dataset_card")(s, dir).collect()
