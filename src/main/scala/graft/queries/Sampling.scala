@@ -55,6 +55,81 @@ object Sampling extends QueryModule {
        |  CASE WHEN lang = 'en' THEN '$EnThreshold' ELSE '$DefaultThreshold' END
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- ds11
+  /** Temporal train/val/test split with a leakage audit — the OTHER split
+    * axis a training pipeline needs beside ds1's hash split: evaluation
+    * data must come from time STRICTLY AFTER training data (fresh-data
+    * holdout; forecasting and recommendation evals are meaningless
+    * otherwise). Boundaries are the 80% / 90% points of the observed
+    * [min, max] event-time span, computed in exact epoch-microsecond
+    * integer arithmetic (`mn + (mx-mn)*8 DIV 10` — non-negative operands,
+    * so Spark DIV and DuckDB // agree) and attached as a broadcast 1-row
+    * scalar, never a driver round-trip.
+    *
+    * The audit column is the one that catches real bugs: per split, how
+    * many of its users ALSO appear in the test window (`test_overlap
+    * _users`). A user-level-leakage-free protocol (user holdout) would
+    * need that to be 0 for train; the time split deliberately shares
+    * users across windows, and the entry MEASURES it instead of assuming
+    * — ds6 is the companion that splits along dup-cluster boundaries.
+    *
+    * Scale posture: one min/max agg (6-byte exchange), map-side labeling,
+    * one 3-group aggregate, and a distinct-(split,user) frame semi-joined
+    * against test users — all key-partitioned exchanges that carry
+    * partial-aggregated rows only; nothing global but the 3-row sort.
+    */
+  private def timeSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val labeled = ev.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        // DIV, not `/`: the Column `/` operator is double division; the
+        // boundary must stay an exact integer microsecond on both engines
+        when(col("us") < expr("mn + (mx - mn) * 8 DIV 10"), lit("train"))
+          .when(col("us") < expr("mn + (mx - mn) * 9 DIV 10"), lit("val"))
+          .otherwise(lit("test")))
+      .select(col("split"), col("user_id"), col("us"))
+    val perSplit = labeled.groupBy(col("split")).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      min(col("us")).as("min_us"),
+      max(col("us")).as("max_us"))
+    val splitUsers = labeled.select(col("split"), col("user_id")).distinct()
+    val testUsers = splitUsers.filter(col("split") === "test").select(col("user_id"))
+    val overlap = splitUsers
+      .join(testUsers, Seq("user_id"), "left_semi")
+      .groupBy(col("split")).agg(countDistinct(col("user_id")).as("test_overlap_users"))
+    perSplit.join(overlap, Seq("split"), "left")
+      .select(col("split"), col("n_events"), col("n_users"), col("min_us"),
+        col("max_us"), coalesce(col("test_overlap_users"), lit(0L)).as("test_overlap_users"))
+      .orderBy(col("split").asc_nulls_first)
+  }
+
+  private val timeSplitSql =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |lab AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN us < mn + (mx - mn) * 8 // 10 THEN 'train'
+      |         WHEN us < mn + (mx - mn) * 9 // 10 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM ev, b),
+      |tu AS (SELECT DISTINCT user_id FROM lab WHERE split = 'test'),
+      |agg AS (
+      |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |    MIN(us) AS min_us, MAX(us) AS max_us
+      |  FROM lab GROUP BY split),
+      |lk AS (
+      |  SELECT split, CAST(COUNT(DISTINCT su.user_id) AS BIGINT) AS test_overlap_users
+      |  FROM (SELECT DISTINCT split, user_id FROM lab) su
+      |  JOIN tu USING (user_id) GROUP BY split)
+      |SELECT agg.split, n_events, n_users, min_us, max_us,
+      |  CAST(COALESCE(lk.test_overlap_users, 0) AS BIGINT) AS test_overlap_users
+      |FROM agg LEFT JOIN lk ON agg.split = lk.split
+      |ORDER BY agg.split NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ds2
   /** Exactly-K-per-stratum sampling (ds1 keeps a *fraction*; evaluation
     * sets want a fixed COUNT): the K smallest md5 keys per lang via the
@@ -506,6 +581,7 @@ object Sampling extends QueryModule {
       "ds7_interleave_shards" -> (interleaveShards _),
       "ds5_token_budget_mix" -> (tokenBudgetMix _),
       "ds1_stratified_sample" -> (stratifiedSample _),
+      "ds11_time_split" -> (timeSplit _),
       "ds2_topk_sample" -> (topkSample _),
       "ds3_weighted_sample" -> (weightedSample _),
       "ds4_temperature_resample" -> (temperatureResample _))
@@ -519,6 +595,7 @@ object Sampling extends QueryModule {
       "ds7_interleave_shards" -> interleaveShardsSql,
       "ds5_token_budget_mix" -> tokenBudgetMixSql,
       "ds1_stratified_sample" -> stratifiedSampleSql,
+      "ds11_time_split" -> timeSplitSql,
       "ds2_topk_sample" -> topkSampleSql,
       "ds3_weighted_sample" -> weightedSampleSql,
       "ds4_temperature_resample" -> temperatureResampleSql)

@@ -20,6 +20,25 @@ class NewShapePinsSpec extends AnyFunSuite {
     finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("ds11: windows are disjoint and ordered, fractions ~80/10/10, audit is exact") {
+    val s = SparkEntry.configure(spark)
+    val rows = SparkEntry.queries("ds11_time_split")(s, "/root/testdata/sf0.01")
+      .collect().map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    val (tr, va, te) = (rows("train"), rows("val"), rows("test"))
+    // strictly ordered, non-overlapping time windows
+    assert(tr.getAs[Long]("max_us") < va.getAs[Long]("min_us"))
+    assert(va.getAs[Long]("max_us") < te.getAs[Long]("min_us"))
+    // fractions near the 80/10/10 design (events are ~uniform in time)
+    val n = Seq(tr, va, te).map(_.getAs[Long]("n_events")).sum.toDouble
+    assert(math.abs(tr.getAs[Long]("n_events") / n - 0.8) < 0.05)
+    assert(math.abs(va.getAs[Long]("n_events") / n - 0.1) < 0.05)
+    // the audit column: test's overlap with itself IS its user count, and
+    // the leak it exists to measure is non-trivial on this data
+    assert(te.getAs[Long]("test_overlap_users") == te.getAs[Long]("n_users"))
+    assert(tr.getAs[Long]("test_overlap_users") > 0, "time split shares users: audit must see it")
+  }
+
   test("hh1: sketch is an ObjectHashAggregate, rescore a broadcast semi-join, no window") {
     aqeOff { s =>
       val plan = SparkEntry.queries("hh1_heavy_hitters")(s, dir)
