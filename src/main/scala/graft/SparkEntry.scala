@@ -40,6 +40,9 @@ object SparkEntry {
     // opts in via spark.graft.approxDistinct (see ApproxDistinctRewrite;
     // exact below k, so the opt4 gate entry hash-matches the exact oracle)
     graft.plans.ApproxDistinctRewrite.install(spark)
+    // aggregates over a registered base table re-plan as roll-ups of its
+    // materialized summary when spark.graft.mv.enabled is set (opt5)
+    graft.plans.MaterializedViewRewrite.install(spark)
     // set-if-missing: a session (or spec) that pinned its own threshold
     // — including 0 = off — keeps it across re-configure
     if (spark.conf.getOption(graft.plans.InListToJoinRewrite.ThresholdConfKey).isEmpty)

@@ -1,0 +1,217 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Materialized-view roll-up rewrite (OPT-IN): an `Aggregate` over a
+  * registered base table re-plans as a (re-)aggregation of its
+  * pre-aggregated summary table when the query is derivable from it —
+  * grouping columns a subset of the MV's, every aggregate one of the
+  * MV's measures, any filter touching only MV grouping columns.
+  *
+  * Why this matters at 100 TB: the classic warehouse pattern is ONE
+  * nightly pass that folds the fact table to a few-thousand-row summary,
+  * after which every dashboard/report aggregate reads the summary — a
+  * 10^6× scan reduction the OPTIMIZER applies, so users keep writing
+  * queries against the base table and old notebooks speed up without
+  * edits. This is the query-rewrite half of the project's MV posture
+  * ([[graft.SharedFrames]] is the build-once half; `cmp1`'s
+  * VersionedTable is where a production MV would live so refreshes
+  * publish atomically).
+  *
+  * Derivability rules (v1, exactness-preserving only):
+  *   - `SUM(e)` over an integral/decimal-typed `e` → `SUM(mv.sum_e)`
+  *     (associative and exact; DOUBLE sums are refused — re-aggregation
+  *     reorders accumulation, and this library's differential gate
+  *     promises bit-stable results);
+  *   - `MIN(e)`/`MAX(e)` → `MIN(mv.min_e)`/`MAX(mv.max_e)`;
+  *   - `COUNT(*)` → `COALESCE(SUM(mv.cnt), 0)` (the coalesce restores
+  *     COUNT's non-null contract; a grouped MV row always has cnt ≥ 1,
+  *     the coalesce only fires for a global aggregate over zero rows);
+  *   - `COUNT(DISTINCT …)` and FILTER clauses: never derivable from a
+  *     grouped summary — left untouched.
+  *
+  * Measure matching is STRUCTURAL, keyed on the normalized SQL text of
+  * the aggregate function as it appears in the OPTIMIZED plan
+  * (`AggregateFunction.sql` prints attribute names, not exprIds, so two
+  * plans over different scan instances of the same table compare equal).
+  * Registration extracts those strings from the MV definition frame's
+  * own optimized plan, so definition and query pass through the same
+  * analyzer/optimizer normalizations — the same trick Calcite-style MV
+  * matching uses, minus algebraic equivalence search (a sum spelled
+  * differently than the MV's definition simply doesn't match; the gate
+  * entry and spec pin the contract).
+  *
+  * Scope guards: the child must be a bare scan of the registered base
+  * path — attribute-only Projects are looked through, ONE Filter is
+  * allowed iff its references are all MV grouping columns (it transplants
+  * onto the MV, where partition/min-max pruning applies), anything else
+  * (joins, windows, non-trivial projections) disqualifies. Output
+  * exprIds are preserved by re-aliasing, so parent operators never see
+  * the substitution. Catalog entries are keyed by applicationId — no
+  * cross-session leakage; enable with `spark.graft.mv.enabled=true`.
+  */
+object MaterializedViewRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.mv.enabled"
+
+  /** One derivable measure: the MV column holding the partial, the
+    * normalized SQL of the base-table aggregate it folds, and how to
+    * re-aggregate the partial (`sum` also serves COUNT(*), flagged so
+    * the rewrite restores non-nullness).
+    */
+  final case class Measure(mvCol: String, fnSql: String, reAgg: String, isCount: Boolean)
+
+  final case class MvDef(basePath: String, mvPath: String,
+      groupCols: Seq[String], measures: Seq[Measure])
+
+  // (applicationId, basePath) -> MvDef; appId-keyed like SharedFrames so a
+  // restarted session can never see a stale registration.
+  private val catalog = new ConcurrentHashMap[(String, String), MvDef]()
+
+  /** Register `mvDf` (an Aggregate over `base`, already written to
+    * `mvPath`) as the summary of `base`. Group columns must be plain
+    * base columns aliased to themselves; measures are extracted from the
+    * definition's optimized plan (see scaladoc).
+    */
+  def register(spark: SparkSession, base: DataFrame, mvDf: DataFrame, mvPath: String): Unit = {
+    // deep walk: the base frame may carry normalization Projects (e.g.
+    // Tables' NTZ-timestamp cast) above the relation — registration only
+    // needs the file path; QUERY matching (unwrapScan) stays strict.
+    val basePath = base.queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
+        case _ => None
+      }
+    }.flatten.getOrElse(throw new IllegalArgumentException(
+      "MV base must contain a single file-source scan"))
+    val (groupCols, measures) = mvDf.queryExecution.optimizedPlan.collectFirst {
+      case Aggregate(ge, ae, _, _) =>
+        val groups = ge.map {
+          case a: AttributeReference => a.name
+          case other => throw new IllegalArgumentException(
+            s"MV grouping expressions must be plain columns, got $other")
+        }
+        val ms = ae.collect {
+          case Alias(AggregateExpression(fn, _, false, None, _), name) => fn match {
+            case Sum(c, _) => Measure(name, fn.sql, "sum", isCount = false)
+            case _: Count => Measure(name, fn.sql, "sum", isCount = true)
+            case Min(_) => Measure(name, fn.sql, "min", isCount = false)
+            case Max(_) => Measure(name, fn.sql, "max", isCount = false)
+            case other => throw new IllegalArgumentException(
+              s"MV measures must be SUM/COUNT/MIN/MAX, got ${other.sql}")
+          }
+        }
+        (groups, ms)
+    }.getOrElse(throw new IllegalArgumentException("MV definition must be an Aggregate"))
+    catalog.put((spark.sparkContext.applicationId, basePath),
+      MvDef(basePath, mvPath, groupCols, measures))
+    ()
+  }
+
+  def install(spark: SparkSession): Unit = {
+    val current = spark.experimental.extraOptimizations
+    if (!current.contains(MaterializedViewRewrite))
+      spark.experimental.extraOptimizations = current :+ MaterializedViewRewrite
+  }
+
+  private def scanPathOf(plan: LogicalPlan): Option[String] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanPathOf(child)
+    case _ => None
+  }
+
+  /** Strip attribute-only Projects; allow one Filter. Returns the base
+    * scan path and the optional filter condition.
+    */
+  private def unwrapScan(plan: LogicalPlan): Option[(String, Option[Expression])] = plan match {
+    case lr: LogicalRelation => scanPathOf(lr).map(p => (p, None))
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrapScan(child)
+    case Filter(cond, child) =>
+      unwrapScan(child).flatMap {
+        case (p, None) => Some((p, Some(cond)))
+        case _ => None // two filters: stay out
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
+    val spark = SparkSession.active
+    val appId = spark.sparkContext.applicationId
+    plan.transformUp {
+      case agg @ Aggregate(ge, ae, child, _) =>
+        val rewritten = for {
+          (path, filterOpt) <- unwrapScan(child)
+          mv <- Option(catalog.get((appId, path)))
+          out <- tryRewrite(spark, agg, ge, ae, filterOpt, mv)
+        } yield out
+        rewritten.getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(spark: SparkSession, agg: Aggregate, ge: Seq[Expression],
+      ae: Seq[NamedExpression], filterOpt: Option[Expression], mv: MvDef): Option[LogicalPlan] = {
+    // grouping must be plain columns, each one an MV grouping column
+    val groupNames = ge.map {
+      case a: AttributeReference if mv.groupCols.contains(a.name) => a.name
+      case _ => return None
+    }
+    // a filter may only touch MV grouping columns (it transplants 1:1)
+    filterOpt.foreach { cond =>
+      if (!cond.deterministic) return None
+      if (!cond.references.forall(r => mv.groupCols.contains(r.name))) return None
+    }
+    val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+    val mvAttr: Map[String, AttributeReference] =
+      mvPlan.output.collect { case a: AttributeReference => a.name -> a }.toMap
+    if (!mv.groupCols.forall(mvAttr.contains) || !mv.measures.forall(m => mvAttr.contains(m.mvCol)))
+      return None
+
+    val newAggExprs: Seq[NamedExpression] = ae.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      case al @ Alias(a: AttributeReference, name) if groupNames.contains(a.name) =>
+        Alias(mvAttr(a.name), name)(exprId = al.exprId, qualifier = al.qualifier)
+      case al @ Alias(aggE @ AggregateExpression(fn, _, false, None, _), name) =>
+        val m = mv.measures.find(_.fnSql == fn.sql).getOrElse(return None)
+        val partial = mvAttr(m.mvCol)
+        val reFn: AggregateFunction = m.reAgg match {
+          case "sum" => Sum(partial)
+          case "min" => Min(partial)
+          case "max" => Max(partial)
+        }
+        // exactness guard: refuse float re-aggregation (accumulation order)
+        if (Seq(org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.FloatType).contains(partial.dataType)) return None
+        val reAggE = aggE.copy(aggregateFunction = reFn)
+        val body: Expression =
+          if (m.isCount) Coalesce(Seq(reAggE, Literal(0L))) // COUNT is non-null
+          else reAggE
+        if (body.dataType != al.dataType) return None // type-preserving or bust
+        Alias(body, name)(exprId = al.exprId, qualifier = al.qualifier)
+      case _ => return None
+    }
+    val newGroup: Seq[Expression] = groupNames.map(mvAttr(_))
+    val newChild: LogicalPlan = filterOpt match {
+      case Some(cond) =>
+        val onMv = cond.transform {
+          case a: AttributeReference => mvAttr.getOrElse(a.name, return None)
+        }
+        Filter(onMv, mvPlan)
+      case None => mvPlan
+    }
+    Some(Aggregate(newGroup, newAggExprs, newChild))
+  }
+}

@@ -1654,6 +1654,155 @@ object Extras extends QueryModule {
       |FROM documents GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt5
+  /** Materialized-view roll-up rewrite under the oracle — the
+    * query-rewrite half of the MV posture
+    * ([[graft.plans.MaterializedViewRewrite]] scaladoc has the full
+    * derivability contract). The entry builds a (returnflag, linestatus)
+    * summary of lineitem ONCE per (session, corpus) — sum-of-cents
+    * measures per the money convention, exact BIGINT partials — then
+    * runs a FILTERED ROLL-UP against the BASE table: group by
+    * l_returnflag only, restricted to linestatus 'F'. With the rule
+    * enabled the optimizer re-plans it onto the few-row summary (the
+    * filter transplants onto an MV grouping column; the sums re-
+    * aggregate exactly); the DuckDB oracle computes from RAW lineitem,
+    * so the hash proves MV-path ≡ base-path end-to-end. The plan pin
+    * (OptimizerRuleSpec) proves the rewrite actually fired: the executed
+    * plan scans the summary path and never touches lineitem.parquet.
+    *
+    * The per-row cents expressions are shared between the MV definition
+    * and the query (`mvQtyCents`/`mvPriceCents`) — the rule matches on
+    * normalized SQL of the optimized aggregate, which is exactly the MV
+    * contract: derivability, not algebra search.
+    */
+  private def mvQtyCents: org.apache.spark.sql.Column = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+  private def mvPriceCents: org.apache.spark.sql.Column = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+
+  private val mvBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def mvRewriteGate(s: SparkSession, dir: String): DataFrame = {
+    // appId-salted root, same isolation story as cmp1 (ADVICE r12)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_mv_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    mvBuilt.synchronized {
+      if (!mvBuilt.contains(root)) {
+        val base = t(s, dir, "lineitem")
+        val defn = base
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(mvQtyCents).as("sum_qty_c"),
+            sum(mvPriceCents).as("sum_price_c"),
+            count(lit(1)).as("cnt"))
+        defn.write.mode("overwrite").parquet(root)
+        graft.plans.MaterializedViewRewrite.register(s, base, defn, root)
+        mvBuilt += root
+        ()
+      }
+    }
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    t(s, dir, "lineitem")
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(mvQtyCents).as("sum_qty_c"),
+        sum(mvPriceCents).as("sum_price_c"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  private val mvRewriteGateSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- opt6
+  /** Incremental materialized-view REFRESH through the atomic publish
+    * protocol — the maintenance half of the MV posture (opt5 is the
+    * query-rewrite half; [[graft.sinks.VersionedTable]] is the storage).
+    * The initial corpus (6 of 7 orderkey residues) folds to a
+    * (returnflag, linestatus) summary published as v1; an append batch
+    * (the 7th residue) then refreshes the MV by aggregating ONLY the
+    * delta and merging it with the few-row committed summary — sums and
+    * counts add, min/max merge (append-only tables never retract, so
+    * MIN/MAX are incrementally maintainable; deletes would demote them
+    * to full recompute) — published as v2. The entry returns the
+    * refreshed summary; the DuckDB oracle computes the SAME summary from
+    * the raw full table, so the hash proves delta-merge ≡ full-recompute
+    * end-to-end, and the retention rule keeps v1 alive so MvRefreshSpec
+    * can pin that v1 really was the partial (the refresh was genuinely
+    * incremental, not a hidden full rebuild).
+    *
+    * Why this matters at 100 TB: a nightly full MV rebuild re-reads the
+    * whole fact table; the incremental refresh reads yesterday's
+    * summary (KBs) plus the new partition (the delta), an O(delta)
+    * job — and the two-phase publish means dashboards reading the MV
+    * never observe a half-refreshed summary. At gate scale both
+    * "batches" are filters over one parquet; on a partitioned fact
+    * table the delta filter is partition pruning.
+    */
+  private val mvRefreshBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def mvRefreshRoot(s: SparkSession, dir: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_mvref_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  /** The MV grain shared by v1, the delta fold, and the oracle. */
+  private def mvRefreshSummary(df: DataFrame): DataFrame =
+    df.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(mvQtyCents).as("sum_qty_c"),
+        sum(mvPriceCents).as("sum_price_c"),
+        count(lit(1)).as("cnt"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+
+  private def mvRefreshGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val root = mvRefreshRoot(s, dir)
+    mvRefreshBuilt.synchronized {
+      if (!mvRefreshBuilt.contains(root)) {
+        VersionedTable.drop(s, root)
+        val li = t(s, dir, "lineitem")
+        VersionedTable.publish(s, root,
+          mvRefreshSummary(li.filter(col("l_orderkey") % 7 =!= 0)))
+        // refresh: committed summary (few rows) + delta fold, re-merged
+        val merged = VersionedTable.read(s, root)
+          .unionByName(mvRefreshSummary(li.filter(col("l_orderkey") % 7 === 0)))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("sum_qty_c")).as("sum_qty_c"),
+            sum(col("sum_price_c")).as("sum_price_c"),
+            sum(col("cnt")).as("cnt"),
+            min(col("min_ship")).as("min_ship"),
+            max(col("max_ship")).as("max_ship"))
+        VersionedTable.publish(s, root, merged)
+        mvRefreshBuilt += root
+        ()
+      }
+    }
+    graft.sinks.VersionedTable.read(s, root)
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  private val mvRefreshGateSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- zo1
   /** Z-order layout audit — the data-layout leg beside bkt1's
     * bucketing: interleave the bits of the two dominant filter keys
@@ -2658,6 +2807,8 @@ object Extras extends QueryModule {
     "opt2_range_bin_auto" -> (rangeBinAuto _),
     "opt3_inlist_semijoin" -> (inlistSemiJoin _),
     "opt4_approx_distinct" -> (approxDistinctAuto _),
+    "opt5_mv_rewrite" -> (mvRewriteGate _),
+    "opt6_mv_refresh" -> (mvRefreshGate _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -2725,6 +2876,8 @@ object Extras extends QueryModule {
     "opt2_range_bin_auto" -> rangeBinAutoSql,
     "opt3_inlist_semijoin" -> inlistSemiJoinSql,
     "opt4_approx_distinct" -> approxDistinctAutoSql,
+    "opt5_mv_rewrite" -> mvRewriteGateSql,
+    "opt6_mv_refresh" -> mvRefreshGateSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan + semantics pins for [[graft.plans.MaterializedViewRewrite]]
+  * (opt5): the gate hash proves MV-path ≡ raw-path values, these tests
+  * prove the rewrite actually FIRES (the summary is scanned, the fact
+  * table is not), that it round-trips semantics, and that every
+  * exactness guard refuses correctly. Per-test `newSession()` keeps the
+  * session-scoped conf/rule installs isolated.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def qtyCents = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+
+  /** Fresh configured session with the MV built+registered (the gate
+    * entry memoizes the build per app) and the rewrite enabled.
+    */
+  private def mvSession(): SparkSession = {
+    val s = SparkEntry.configure(spark.newSession())
+    SparkEntry.queries("opt5_mv_rewrite")(s, dir).collect() // build + register
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    s
+  }
+
+  /** Root paths of every file scan in the OPTIMIZED plan — the plan's
+    * toString elides paths, so assertions walk the relations directly.
+    */
+  private def scans(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+
+  private def scansMv(df: DataFrame): Boolean = scans(df).exists(_.contains("graft_mv_"))
+  private def scansFact(df: DataFrame): Boolean = scans(df).exists(_.contains("lineitem"))
+
+  test("opt5 entry re-plans onto the summary: MV scanned, lineitem never") {
+    val s = mvSession()
+    val df = SparkEntry.queries("opt5_mv_rewrite")(s, dir)
+    assert(scansMv(df), s"summary not scanned: ${scans(df)}")
+    assert(!scansFact(df), s"fact table still scanned: ${scans(df)}")
+  }
+
+  test("rewritten results equal the base-table plan, including a global aggregate") {
+    val s = mvSession()
+    def q(sess: SparkSession): DataFrame =
+      graft.Tables(sess, dir, "lineitem")
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(qtyCents).as("sq"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    def g(sess: SparkSession): DataFrame =
+      graft.Tables(sess, dir, "lineitem").agg(sum(qtyCents).as("sq"), count(lit(1)).as("n"))
+    val off = SparkEntry.configure(spark.newSession())
+    off.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "false")
+    assert(scansMv(q(s)) && !scansFact(q(s)))
+    assert(scansMv(g(s)), "global aggregate should roll up too")
+    assert(q(s).collect().toSeq == q(off).collect().toSeq)
+    assert(g(s).collect().toSeq == g(off).collect().toSeq)
+    // COUNT's non-null contract survives the SUM re-aggregation
+    assert(!q(s).schema("n").nullable || q(s).collect().forall(!_.isNullAt(1)))
+  }
+
+  test("exactness guards refuse: double SUM, non-group filter, unknown measure") {
+    val s = mvSession()
+    val doubleSum = graft.Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("sq"))
+    assert(scansFact(doubleSum) && !scansMv(doubleSum),
+      "float re-aggregation must be refused (accumulation order)")
+    val badFilter = graft.Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(scansFact(badFilter) && !scansMv(badFilter),
+      "a filter on a non-grouping column is not derivable from the summary")
+    val unknown = graft.Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("CAST(round(l_discount * 100) AS BIGINT)")).as("sd"))
+    assert(scansFact(unknown) && !scansMv(unknown),
+      "a measure the MV does not store must stay on the base table")
+  }
+
+  test("opt6 refresh is genuinely incremental: v1 = partial fold, v2 = full, both retained") {
+    import graft.sinks.VersionedTable
+    val s = SparkEntry.configure(spark.newSession())
+    val out = SparkEntry.queries("opt6_mv_refresh")(s, dir).collect().toSet
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_mvref_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    // two-phase publish ran twice; retention keeps BOTH committed versions
+    assert(VersionedTable.committedVersion(s, root).contains(2L))
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qtyCents).as("sum_qty_c"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sum_price_c"),
+          count(lit(1)).as("cnt"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+    val li = graft.Tables(s, dir, "lineitem")
+    val v1 = s.read.parquet(VersionedTable.dataPath(root, 1L)).collect().toSet
+    val partial = summarize(li.filter(col("l_orderkey") % 7 =!= 0)).collect().toSet
+    val full = summarize(li).collect().toSet
+    assert(v1 == partial, "v1 must be the initial-corpus fold only")
+    assert(v1 != full, "the delta must be non-empty or the refresh pin is vacuous")
+    assert(out == full, "refreshed summary must equal the full recompute")
+  }
+}
