@@ -1763,7 +1763,122 @@ object Similarity extends QueryModule {
       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- ann12
+  /** SQ8 scalar-quantized ANN — the third compression leg beside PQ
+    * (ann5/ann9) and matryoshka truncation (ann7): each corpus vector is
+    * stored as ONE SIGNED BYTE per dimension (64 B here vs 512 B full
+    * precision) under the per-dimension affine code
+    * `code_d = (q_d − mn_d)·255 DIV span_d` (stored as `code_d − 128`,
+    * the int8 convention; the shift is an exact bijection [0,255] ↔
+    * [−128,127], so the oracle states the unshifted codes). Scoring is
+    * asymmetric (ADC): the full-precision query meets the scaled
+    * reconstruction `recon_d = 255·mn_d + code_d·span_d` — exactly 255×
+    * the affine decode `mn + code·span/255`, one GLOBAL monotonic scale,
+    * so integer ADC ranks identically to the real-valued one and both
+    * engines state the same exact arithmetic. Top-R=20 ADC candidates
+    * per query, then re-rank with the exact full-precision dot; output
+    * is the exact-scored top-5.
+    *
+    * Scale posture: the scan leg touches only the byte-coded index — 8×
+    * smaller than the full-precision corpus, at 100 TB the difference
+    * between an in-memory index and a disk-bound one; the full-precision
+    * table is read back for only R candidates per query (a broadcast
+    * semi-restriction, never a second full scan as the probe side).
+    * Per-dim stats are one broadcast row; stats + codes build once per
+    * (session, corpus) via [[graft.SharedFrames]] — the index-build-once
+    * posture. Both rankings are bounded TopKAgg aggregates (k rows per
+    * group × partition through each exchange, no global window).
+    */
+  private def sq8Stats(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.memoize(s, s"sq8:stats:$dir")(
+      quantized(s, dir)
+        .select(posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(min("v").as("mn"), (max("v") - min("v")).as("span"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("mn")))), x => x("mn")).as("mn"),
+          transform(array_sort(collect_list(struct(col("pos"), col("span")))), x => x("span")).as("span")))
+
+  /** The byte-width index: (vec_id, code_i8 array<tinyint>).
+    * Spec-visible so DedupSimilaritySpec can pin the element type is
+    * genuinely ByteType (the 8× memory claim, not a BIGINT stand-in).
+    */
+  private[graft] def sq8Index(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.memoize(s, s"sq8:index:$dir")(
+      quantized(s, dir).crossJoin(broadcast(sq8Stats(s, dir)))
+        .select(col("vec_id"),
+          expr("""transform(
+                 |  zip_with(zip_with(q, mn, (v, m) -> v - m), span,
+                 |    (d, sp) -> CASE WHEN sp = 0 THEN CAST(0 AS BIGINT)
+                 |               ELSE d * 255 DIV sp END),
+                 |  c -> CAST(c - 128 AS TINYINT))""".stripMargin).as("code_i8")))
+
+  private def sq8TopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val queries = emb.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    // scaled reconstruction from the byte codes (one pass per corpus row)
+    val recon = sq8Index(s, dir).crossJoin(broadcast(sq8Stats(s, dir)))
+      .select(col("vec_id"),
+        expr("""zip_with(
+               |  zip_with(transform(code_i8, c -> CAST(c AS BIGINT) + 128),
+               |    span, (c, sp) -> c * sp),
+               |  mn, (x, m) -> x + 255 * m)""".stripMargin).as("r"))
+    val topR = udaf(new TopKAgg(20))
+    val cand = recon.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), dot(col("qv"), col("r")).as("adc"))
+      .groupBy("query_id")
+      .agg(topR(col("adc"), col("neighbor_id")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.id").as("neighbor_id"))
+    val topk = udaf(new TopKAgg(5))
+    val exact = emb
+      .join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("q")).as("score"))
+    explodeHits(exact.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  private val sq8TopKSql =
+    """WITH emb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |stats AS (
+      |  SELECT list(mn ORDER BY pos) AS mn, list(span ORDER BY pos) AS span FROM (
+      |    SELECT pos, MIN(v) AS mn, MAX(v) - MIN(v) AS span FROM (
+      |      SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v FROM emb)
+      |    GROUP BY pos)),
+      |recon AS (
+      |  SELECT vec_id, list_transform(range(1, len(q) + 1),
+      |    i -> 255 * mn[i] + (CASE WHEN span[i] = 0 THEN 0
+      |                        ELSE ((q[i] - mn[i]) * 255) // span[i] END) * span[i]) AS r
+      |  FROM emb, stats),
+      |queries AS (SELECT vec_id AS query_id, q AS qv FROM emb WHERE vec_id IN (0, 1, 2)),
+      |adc AS (
+      |  SELECT query_id, r.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * r.r[i])) AS s
+      |  FROM queries CROSS JOIN recon r WHERE r.vec_id <> query_id),
+      |cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      |    FROM adc) WHERE rn <= 20),
+      |exact AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.q[i])) AS BIGINT) AS score
+      |  FROM cand c
+      |  JOIN emb e ON e.vec_id = c.neighbor_id
+      |  JOIN queries qs ON qs.query_id = c.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM exact)
+      |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann12_topk_sq8" -> (sq8TopK _),
     "emb5_dim_profile" -> (dimProfile _),
     "emb6_covariance" -> ((s: SparkSession, dir: String) =>
       covarianceShared(s, dir)
@@ -1791,6 +1906,7 @@ object Similarity extends QueryModule {
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
+    "ann12_topk_sq8" -> sq8TopKSql,
     "emb5_dim_profile" -> dimProfileSql,
     "emb6_covariance" -> covarianceBlockSql,
     "emb7_pq_distortion" -> pqDistortionSql,

@@ -16,6 +16,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, dir).collect()
 
+  test("ann12: the SQ8 index is genuinely byte-width; re-ranked scores are exact") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val idx = Similarity.sq8Index(spark, dir)
+    val et = idx.schema("code_i8").dataType.asInstanceOf[ArrayType].elementType
+    assert(et == ByteType, s"index must store int8 codes, got $et")
+    // the re-rank is full-precision: every (query, neighbor) ann12 shares
+    // with ann1's exact top-10 must carry the identical exact score
+    val exact = run("ann1_topk_exact")
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("score")).toMap
+    val sq8 = run("ann12_topk_sq8")
+    val shared = sq8.filter(r => exact.contains((r.getLong(0), r.getAs[Long]("neighbor_id"))))
+    assert(shared.nonEmpty, "zero overlap with the exact top-10 despite R=20 candidates")
+    shared.foreach { r =>
+      assert(exact((r.getLong(0), r.getAs[Long]("neighbor_id"))) == r.getAs[Long]("score"),
+        s"re-ranked score differs from exact for $r")
+    }
+  }
+
   test("TopKAgg reduce-fold equals sort-then-take, ties broken by id") {
     val agg = new TopKAgg(3)
     val hits = Seq(TopHit(5, 9), TopHit(7, 2), TopHit(5, 1), TopHit(7, 8), TopHit(1, 0))
