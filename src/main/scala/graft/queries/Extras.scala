@@ -1793,6 +1793,76 @@ object Extras extends QueryModule {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- cmp2
+  /** Version DIFF over the committed history — the "what changed between
+    * yesterday's table and today's" primitive every lakehouse exposes
+    * (Delta CDF / Iceberg changelog), stated over [[mvRefreshGate]]'s
+    * two retained versions via the new time-travel read
+    * ([[graft.sinks.VersionedTable.readVersion]]): FULL OUTER JOIN on
+    * the grain keys, per-row change_type (added / removed / changed /
+    * unchanged) plus the measure deltas. Append-only history means
+    * 'removed' is impossible here — the CASE arm exists because the
+    * operator is generic, and the hash proves it never fires.
+    *
+    * Scale posture: a keyed diff of two summaries is a join on the MV
+    * grain (few rows); diffing two FACT versions at 100 TB is the same
+    * plan with a shuffle join on the table key — no full-history scan,
+    * only the two compared snapshots. Nullable-int trap: absent-side
+    * counts are coalesced to −1 on BOTH engines (the checker is
+    * dtype-strict; a null BIGINT reaches pandas as float64).
+    */
+  private def versionDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    mvRefreshGate(s, dir) // memoized build: publishes v1 + v2 if absent
+    val root = mvRefreshRoot(s, dir)
+    val v1 = VersionedTable.readVersion(s, root, 1L)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_c").as("old_qty_c"), col("cnt").as("old_cnt"))
+    val v2 = VersionedTable.readVersion(s, root, 2L)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_c").as("new_qty_c"), col("cnt").as("new_cnt"))
+    v1.join(v2, Seq("l_returnflag", "l_linestatus"), "full_outer")
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        when(col("old_cnt").isNull, lit("added"))
+          .when(col("new_cnt").isNull, lit("removed"))
+          .when(col("old_qty_c") === col("new_qty_c") && col("old_cnt") === col("new_cnt"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("change_type"),
+        coalesce(col("old_cnt"), lit(-1L)).as("old_cnt"),
+        coalesce(col("new_cnt"), lit(-1L)).as("new_cnt"),
+        (coalesce(col("new_qty_c"), lit(0L)) - coalesce(col("old_qty_c"), lit(0L)))
+          .as("qty_delta_c"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  private val versionDiffSql =
+    """WITH v1 AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS old_qty_c,
+      |    CAST(COUNT(*) AS BIGINT) AS old_cnt
+      |  FROM lineitem WHERE l_orderkey % 7 <> 0
+      |  GROUP BY l_returnflag, l_linestatus),
+      |v2 AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS new_qty_c,
+      |    CAST(COUNT(*) AS BIGINT) AS new_cnt
+      |  FROM lineitem
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT
+      |  COALESCE(v1.l_returnflag, v2.l_returnflag) AS l_returnflag,
+      |  COALESCE(v1.l_linestatus, v2.l_linestatus) AS l_linestatus,
+      |  CASE WHEN v1.old_cnt IS NULL THEN 'added'
+      |       WHEN v2.new_cnt IS NULL THEN 'removed'
+      |       WHEN v1.old_qty_c = v2.new_qty_c AND v1.old_cnt = v2.new_cnt THEN 'unchanged'
+      |       ELSE 'changed' END AS change_type,
+      |  COALESCE(v1.old_cnt, -1) AS old_cnt,
+      |  COALESCE(v2.new_cnt, -1) AS new_cnt,
+      |  COALESCE(v2.new_qty_c, 0) - COALESCE(v1.old_qty_c, 0) AS qty_delta_c
+      |FROM v1 FULL OUTER JOIN v2
+      |  ON v1.l_returnflag = v2.l_returnflag AND v1.l_linestatus = v2.l_linestatus
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   private val mvRefreshGateSql =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
@@ -2809,6 +2879,7 @@ object Extras extends QueryModule {
     "opt4_approx_distinct" -> (approxDistinctAuto _),
     "opt5_mv_rewrite" -> (mvRewriteGate _),
     "opt6_mv_refresh" -> (mvRefreshGate _),
+    "cmp2_version_diff" -> (versionDiff _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -2878,6 +2949,7 @@ object Extras extends QueryModule {
     "opt4_approx_distinct" -> approxDistinctAutoSql,
     "opt5_mv_rewrite" -> mvRewriteGateSql,
     "opt6_mv_refresh" -> mvRefreshGateSql,
+    "cmp2_version_diff" -> versionDiffSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

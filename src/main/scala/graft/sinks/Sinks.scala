@@ -271,6 +271,18 @@ object VersionedTable {
     spark.read.parquet(dataPath(root, v))
   }
 
+  /** Time travel: read a SPECIFIC committed version — refuses uncommitted
+    * (staged/abandoned) data dirs, which are not part of table history.
+    * A version is readable for as long as the retention window keeps it
+    * (publish keeps the newest two; [[vacuumRetain]] sets deeper policy).
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    if (!committedVersions(spark, root).contains(v))
+      throw new IllegalStateException(
+        s"version $v is not committed under $root (vacuumed, or never published)")
+    spark.read.parquet(dataPath(root, v))
+  }
+
   /** Phase 1: stage version `v`'s data (unmarked — invisible). */
   private[graft] def stage(spark: SparkSession, root: String, v: Long, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(dataPath(root, v))

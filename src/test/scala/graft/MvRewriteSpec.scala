@@ -114,4 +114,20 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(v1 != full, "the delta must be non-empty or the refresh pin is vacuous")
     assert(out == full, "refreshed summary must equal the full recompute")
   }
+
+  test("readVersion time travel reads committed history only; staged data is refused") {
+    import graft.sinks.VersionedTable
+    val s = SparkEntry.configure(spark.newSession())
+    SparkEntry.queries("opt6_mv_refresh")(s, dir).collect()
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_mvref_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    assert(VersionedTable.readVersion(s, root, 1L).count() > 0)
+    assert(VersionedTable.readVersion(s, root, 2L).count() > 0)
+    intercept[IllegalStateException](VersionedTable.readVersion(s, root, 9L))
+    // stage v9 WITHOUT committing: still not history
+    VersionedTable.stage(s, root, 9L, VersionedTable.read(s, root))
+    intercept[IllegalStateException](VersionedTable.readVersion(s, root, 9L))
+  }
 }
