@@ -562,7 +562,96 @@ object StreamingGate extends QueryModule {
     }
   }
 
+  // ---------------------------------------------------------------- sw12
+  /** Exactly-once streaming SINK — the delivery-guarantee leg the sw
+    * family was missing: Structured Streaming is exactly-once only up to
+    * its checkpoint; after a crash it REPLAYS the last uncommitted
+    * epoch, so any external sink must be idempotent per (batchId) or
+    * the pipeline silently double-counts. This entry runs a real
+    * multi-batch stream (events staged as 4 files, maxFilesPerTrigger=1
+    * under AvailableNow → 4 micro-batches) through `foreachBatch` into a
+    * [[graft.sinks.VersionedTable]]: each batch's delta aggregate merges
+    * with the committed summary and publishes atomically with the
+    * batchId recorded INSIDE the commit marker — data visibility and the
+    * transaction tag are one rename. [[eosApply]] skips a batchId it has
+    * already seen, so a replayed epoch is a no-op (StreamingSpec pins
+    * the replay; the oracle proves the merged result equals the plain
+    * batch aggregate over all events).
+    *
+    * Scale posture: this is Delta's `txn`/idempotent-writes protocol in
+    * miniature — the standard shape for stream → warehouse delivery.
+    * State lives in the table, not the executor; each micro-batch does
+    * one bounded merge (grouped summary + delta) and one atomic rename.
+    * Retention keeps the newest two markers, which is exactly the
+    * replay window Structured Streaming needs (only the LAST epoch can
+    * replay); deeper history is vacuum policy.
+    */
+  private val eosBuilt = scala.collection.mutable.Set.empty[String]
+
+  private[graft] def eosRoot(s: SparkSession, dir: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_sw12_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  /** The idempotent per-batch apply: skip if this batchId's tag is
+    * already in the retained markers, else merge-and-publish with the
+    * tag riding the commit marker.
+    */
+  private[graft] def eosApply(s: SparkSession, root: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.sinks.VersionedTable
+    val tag = s"batch=$batchId"
+    if (VersionedTable.committedMetas(s, root).exists(_._2 == tag)) return
+    val delta = batch.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast(LongType)).as("sum_cents"))
+    val merged =
+      if (VersionedTable.committedVersion(s, root).isEmpty) delta
+      else VersionedTable.read(s, root).unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_cents")).as("sum_cents"))
+    VersionedTable.publish(s, root, merged, meta = tag)
+    ()
+  }
+
+  private def streamExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val root = eosRoot(s, dir)
+    eosBuilt.synchronized {
+      if (!eosBuilt.contains(root)) {
+        VersionedTable.drop(s, root)
+        val staging = root + "_staging"
+        val ckpt = root + "_ckpt"
+        graft.Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(staging)
+        val schema = s.read.parquet(staging).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(staging)
+        val q = stream.writeStream
+          .foreachBatch((df: DataFrame, id: Long) => eosApply(s, root)(df, id))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        eosBuilt += root
+        ()
+      }
+    }
+    VersionedTable.read(s, root).orderBy(col("event_type").asc_nulls_first)
+  }
+
+  private val streamExactlyOnceSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sw12_exactly_once_sink" -> (streamExactlyOnce _),
     "sw11_tws_hourly" -> (twsHourly _),
     "sw10_custom_sessions" -> (customSessions _),
     "sw9_stream_outer_join" -> (streamStreamOuter _),
@@ -575,6 +664,7 @@ object StreamingGate extends QueryModule {
     "sw6_stream_distinct" -> (streamDistinctUsers _))
 
   def oracle: Map[String, String] = Map(
+    "sw12_exactly_once_sink" -> streamExactlyOnceSql,
     "sw11_tws_hourly" -> streamHourlySql, // sw2's contract, state-v2 API
     "sw10_custom_sessions" -> streamSessionsSql, // sw3's contract, custom state
     "sw9_stream_outer_join" -> streamStreamOuterSql,

@@ -287,13 +287,21 @@ object VersionedTable {
   private[graft] def stage(spark: SparkSession, root: String, v: Long, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(dataPath(root, v))
 
-  /** Phase 2: atomically publish version `v`. */
-  private[graft] def commit(spark: SparkSession, root: String, v: Long): Unit = {
+  /** Phase 2: atomically publish version `v`. `meta` (optional, one
+    * line) rides INSIDE the marker, so it becomes visible in the same
+    * atomic rename as the data — the transactional slot idempotent
+    * writers record their application id in (Delta's `txn` action):
+    * a foreachBatch sink stores `batch=<id>` here and an epoch replay
+    * finds its own tag and skips, never double-applying.
+    */
+  private[graft] def commit(spark: SparkSession, root: String, v: Long,
+      meta: String = ""): Unit = {
+    require(!meta.contains("\n"), "marker meta must be a single line")
     val f = fs(spark, root)
     val staging = new Path(s"$root/$Staging$v")
     val out = f.create(staging, true)
     try {
-      out.writeBytes(s"v$v\n")
+      out.writeBytes(s"v$v\n$meta\n")
       // durable before visible: the rename must never expose a marker
       // whose bytes could still be lost (local ChecksumFileSystem lacks
       // hsync — flush is its strongest barrier)
@@ -363,11 +371,31 @@ object VersionedTable {
     }
   }
 
+  /** Marker metas of the retained committed versions, newest first.
+    * NOTE the retention caveat: vacuum deletes superseded markers along
+    * with their data, so this is the RECENT transaction history — enough
+    * for the streaming-epoch idempotence contract (a restart replays
+    * only the last uncommitted epoch, whose tag is by definition in the
+    * newest marker if it was applied), not an audit log.
+    */
+  def committedMetas(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    val f = fs(spark, root)
+    committedVersions(spark, root).map { v =>
+      val in = f.open(new Path(s"$root/$Marker$v"))
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        (v, lines.drop(1).headOption.getOrElse(""))
+      } finally in.close()
+    }
+  }
+
   /** Two-phase publish of `df` as the next version; returns it.
     * Claim → stage → commit → vacuum-behind-one: the newest two
     * committed versions always survive (see class doc, Retention).
+    * `meta` is recorded atomically in the commit marker (see [[commit]]).
     */
-  def publish(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def publish(spark: SparkSession, root: String, df: DataFrame,
+      meta: String): Long = {
     var next = committedVersion(spark, root).getOrElse(0L) + 1
     var probes = 0
     while (!tryClaim(spark, root, next)) { // competing writer owns it
@@ -377,11 +405,15 @@ object VersionedTable {
         throw new IllegalStateException(
           s"could not claim a version under $root after $probes probes")
     }
-    stage(spark, root, next, df) // phase 1 — invisible
-    commit(spark, root, next) //    phase 2 — atomic rename
-    vacuumRetain(spark, root, 2) // only after the marker landed
+    stage(spark, root, next, df) //   phase 1 — invisible
+    commit(spark, root, next, meta) // phase 2 — atomic rename
+    vacuumRetain(spark, root, 2) //   only after the marker landed
     next
   }
+
+  /** Meta-less publish (the common whole-table case). */
+  def publish(spark: SparkSession, root: String, df: DataFrame): Long =
+    publish(spark, root, df, meta = "")
 
   /** Drop the whole table root (test/bootstrap hygiene). */
   def drop(spark: SparkSession, root: String): Unit = {

@@ -567,4 +567,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(custom == builtin,
       s"custom sessionizer diverged: ${custom.size} vs ${builtin.size} rows")
   }
+
+  test("sw12: the stream ran multi-batch, and replaying an applied epoch is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.VersionedTable
+    import graft.queries.StreamingGate
+    val dir = "/root/testdata/sf0.001"
+    val s = SparkEntry.configure(spark.newSession())
+    val out = SparkEntry.queries("sw12_exactly_once_sink")(s, dir).collect().toSet
+    val root = StreamingGate.eosRoot(s, dir)
+    // 4 staged files → 4 micro-batches → at least 4 published versions
+    val v = VersionedTable.committedVersion(s, root)
+    assert(v.exists(_ >= 4L), s"expected a multi-batch run, got version $v")
+    // the newest retained marker carries the last applied epoch's tag
+    val metas = VersionedTable.committedMetas(s, root)
+    assert(metas.head._2.startsWith("batch="), s"marker meta missing: $metas")
+    val lastId = metas.head._2.stripPrefix("batch=").toLong
+    // replay that epoch (a restart re-runs the last, possibly-committed
+    // batch): the sink must recognize its own tag and change NOTHING —
+    // feed it the WHOLE events table, which would visibly double-count
+    val before = VersionedTable.read(s, root).collect().toSet
+    StreamingGate.eosApply(s, root)(
+      graft.Tables(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+      lastId)
+    assert(VersionedTable.committedVersion(s, root) == v, "replay must not publish")
+    assert(VersionedTable.read(s, root).collect().toSet == before, "replay mutated the sink")
+    // a NEW epoch id with fresh rows DOES apply (the skip is id-keyed,
+    // not content-keyed): counts strictly grow
+    StreamingGate.eosApply(s, root)(
+      graft.Tables(s, dir, "events").select(col("event_id"), col("event_type"), col("value")).limit(5),
+      lastId + 1000)
+    val after = VersionedTable.read(s, root)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    val beforeN = before.toSeq.map(_.getAs[Long]("n_events")).sum
+    assert(after == beforeN + 5, s"new epoch should add 5 rows: $beforeN -> $after")
+    assert(out.nonEmpty)
+  }
 }
