@@ -43,6 +43,9 @@ object SparkEntry {
     // aggregates over a registered base table re-plan as roll-ups of its
     // materialized summary when spark.graft.mv.enabled is set (opt5)
     graft.plans.MaterializedViewRewrite.install(spark)
+    // left joins to a VERIFIED-unique key with no right-column references
+    // drop entirely when spark.graft.joinElim.enabled is set (opt7)
+    graft.plans.JoinEliminationRewrite.install(spark)
     // set-if-missing: a session (or spec) that pinned its own threshold
     // — including 0 = off — keeps it across re-configure
     if (spark.conf.getOption(graft.plans.InListToJoinRewrite.ThresholdConfKey).isEmpty)

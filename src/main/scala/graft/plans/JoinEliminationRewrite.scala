@@ -1,0 +1,137 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Constraint-based JOIN ELIMINATION (opt-in): a LEFT OUTER join whose
+  * right side is a bare scan of a table with a VERIFIED-unique join key
+  * is dropped entirely when nothing above the join references a right
+  * column. Soundness is pure algebra, no referential integrity needed:
+  * a left join never filters left rows, and a unique right key never
+  * duplicates them (rows matching zero right rows survive with nulls
+  * the parent provably never reads; duplicate NULL keys on the right
+  * are irrelevant — `=` is never true on null); so the join is
+  * row-for-row the left child.
+  *
+  * Why this matters at 100 TB: generated BI SQL and view stacks
+  * routinely join every dimension "just in case" and then project none
+  * of its columns — each such join is a full dimension scan plus a
+  * shuffle or broadcast that produces NOTHING. Warehouses eliminate
+  * these from declared primary keys; Spark has no PK metadata, so this
+  * library's spelling is [[TableConstraints.registerUnique]]: an
+  * ANALYZE-style registration that VERIFIES uniqueness with one
+  * aggregate pass (`count(col) == count(distinct col)`) before the
+  * planner is allowed to trust it — a false declaration is refused, not
+  * silently believed. Registrations are appId-keyed like the MV catalog.
+  *
+  * Scope guards mirror [[MaterializedViewRewrite]]: the right side must
+  * unwrap (through attribute-only Projects) to a file scan of the
+  * registered path; the condition must be a single equi-pair on the
+  * registered unique column; the parent must be a Project or Aggregate
+  * whose references are all left-side (projection-like parents define
+  * their output, so no right attr can leak past them; a Filter parent
+  * passes right columns through and is deliberately NOT eligible).
+  * Enable with `spark.graft.joinElim.enabled=true`.
+  */
+object JoinEliminationRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.joinElim.enabled"
+
+  def install(spark: SparkSession): Unit = {
+    val current = spark.experimental.extraOptimizations
+    if (!current.contains(JoinEliminationRewrite))
+      spark.experimental.extraOptimizations = current :+ JoinEliminationRewrite
+  }
+
+  private def scanPathOf(plan: LogicalPlan): Option[String] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanPathOf(child)
+    // ANY right-side filter is elimination-sound: it can only shrink the
+    // match set, which a left join converts to null-extension the parent
+    // provably never reads — and a unique key stays unique on every
+    // subset. (The optimizer itself plants isnotnull(key) here.)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(_, child) =>
+      scanPathOf(child)
+    case _ => None
+  }
+
+  /** The right side qualifies iff it is a bare scan of a path whose
+    * (path, keyCol) uniqueness was verified-and-registered.
+    */
+  private def uniqueKeyOf(appId: String, right: LogicalPlan,
+      attr: AttributeReference): Boolean =
+    scanPathOf(right).exists(p => TableConstraints.isUnique(appId, p, attr.name))
+
+  private def eligible(appId: String, parentRefs: AttributeSet, j: Join): Option[LogicalPlan] =
+    j match {
+      case Join(l, r, LeftOuter, Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+        val (rightKey, leftKey) =
+          if (r.outputSet.contains(b)) (b, a)
+          else if (r.outputSet.contains(a)) (a, b)
+          else return None
+        if (!l.outputSet.contains(leftKey)) return None
+        if (!parentRefs.subsetOf(l.outputSet)) return None
+        if (!uniqueKeyOf(appId, r, rightKey)) return None
+        Some(l)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
+    val appId = SparkSession.active.sparkContext.applicationId
+    plan.transformUp {
+      // projection-like parents only: their output is their expr list,
+      // so right-side attrs cannot leak upward once references check out
+      case p @ Project(_, j: Join) =>
+        eligible(appId, p.references, j).map(l => p.copy(child = l)).getOrElse(p)
+      case a @ Aggregate(_, _, j: Join, _) =>
+        eligible(appId, a.references, j).map(l => a.copy(child = l)).getOrElse(a)
+    }
+  }
+}
+
+/** Verified table constraints, ANALYZE-style: registration runs the
+  * audit pass and refuses a false claim.
+  */
+object TableConstraints {
+
+  // (appId, scanPath, column) present iff uniqueness was verified
+  private val unique = new ConcurrentHashMap[(String, String, String), java.lang.Boolean]()
+
+  private def scanPathDeep(df: DataFrame): Option[String] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
+        case _ => None
+      }
+    }.flatten
+
+  /** Verify `col` is duplicate-free among non-null values of `df`'s
+    * single file scan, and register on success. Returns whether the
+    * constraint now holds (false = audit refused it; nothing recorded).
+    */
+  def registerUnique(spark: SparkSession, df: DataFrame, col: String): Boolean = {
+    import org.apache.spark.sql.functions.{count, countDistinct, col => c}
+    val path = scanPathDeep(df).getOrElse(
+      throw new IllegalArgumentException("constraint base must contain a single file-source scan"))
+    val key = (spark.sparkContext.applicationId, path, col)
+    if (unique.containsKey(key)) return true
+    val row = df.agg(count(c(col)).as("n"), countDistinct(c(col)).as("d")).collect()(0)
+    val ok = row.getLong(0) == row.getLong(1)
+    if (ok) unique.put(key, java.lang.Boolean.TRUE)
+    ok
+  }
+
+  def isUnique(appId: String, path: String, col: String): Boolean =
+    unique.containsKey((appId, path, col))
+}

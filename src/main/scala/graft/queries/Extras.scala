@@ -1680,7 +1680,13 @@ object Extras extends QueryModule {
 
   private val mvBuilt = scala.collection.mutable.Set.empty[String]
 
-  private def mvRewriteGate(s: SparkSession, dir: String): DataFrame = {
+  private def mvRewriteGate(s0: SparkSession, dir: String): DataFrame = {
+    // CHILD session (sj4's hygiene): the rewrite flag would otherwise
+    // stay enabled on the shared sweep session and silently re-plan
+    // every later derivable lineitem aggregate onto the MV — correct,
+    // but a conf leak; the flag dies with this entry. Registration is
+    // appId-keyed, so MvRewriteSpec's own sessions still see the MV.
+    val s = graft.SparkEntry.configure(s0.newSession())
     // appId-salted root, same isolation story as cmp1 (ADVICE r12)
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
@@ -1792,6 +1798,43 @@ object Extras extends QueryModule {
     graft.sinks.VersionedTable.read(s, root)
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
+
+  // --------------------------------------------------------------- opt7
+  /** Constraint-based JOIN ELIMINATION under the oracle
+    * ([[graft.plans.JoinEliminationRewrite]] scaladoc has the soundness
+    * argument): the query LEFT-joins lineitem to orders on the orders
+    * key and then aggregates ONLY lineitem columns — the view-stack /
+    * generated-BI shape where a dimension is joined "just in case" and
+    * never read. `TableConstraints.registerUnique` first VERIFIES
+    * o_orderkey is duplicate-free (one ANALYZE-style aggregate pass,
+    * memoized per app; a false claim is refused); with the flag on, the
+    * optimizer then drops the join — the plan never scans orders at all
+    * (OptimizerRuleSpec pins that). The DuckDB oracle EXECUTES the full
+    * join, so the hash is the end-to-end soundness proof: eliminating
+    * the join changed nothing. Child session, sj4's conf hygiene.
+    */
+  private def joinElimGate(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.SparkEntry.configure(s0.newSession())
+    require(graft.plans.TableConstraints.registerUnique(s, t(s, dir, "orders"), "o_orderkey"),
+      "o_orderkey failed the uniqueness audit — testdata changed?")
+    s.conf.set(graft.plans.JoinEliminationRewrite.ConfKey, "true")
+    val li = t(s, dir, "lineitem")
+    val or = t(s, dir, "orders")
+    li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(mvQtyCents).as("sum_qty_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  private val joinElimGateSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- cmp2
   /** Version DIFF over the committed history — the "what changed between
@@ -2880,6 +2923,7 @@ object Extras extends QueryModule {
     "opt5_mv_rewrite" -> (mvRewriteGate _),
     "opt6_mv_refresh" -> (mvRefreshGate _),
     "cmp2_version_diff" -> (versionDiff _),
+    "opt7_join_elim" -> (joinElimGate _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -2950,6 +2994,7 @@ object Extras extends QueryModule {
     "opt5_mv_rewrite" -> mvRewriteGateSql,
     "opt6_mv_refresh" -> mvRefreshGateSql,
     "cmp2_version_diff" -> versionDiffSql,
+    "opt7_join_elim" -> joinElimGateSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

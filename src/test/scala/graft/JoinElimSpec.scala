@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{JoinEliminationRewrite, TableConstraints}
+
+/** Plan + soundness pins for [[graft.plans.JoinEliminationRewrite]]
+  * (opt7): the gate hash proves elimination ≡ executing the join; these
+  * tests prove the join is actually GONE from the plan, that every
+  * refusal path keeps it, and that a false uniqueness claim is refused
+  * at registration.
+  */
+class JoinElimSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def scans(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+
+  private def scansOrders(df: DataFrame): Boolean = scans(df).exists(_.contains("orders"))
+
+  private def elimSession(): SparkSession = {
+    val s = SparkEntry.configure(spark.newSession())
+    assert(TableConstraints.registerUnique(s, Tables(s, dir, "orders"), "o_orderkey"))
+    s.conf.set(JoinEliminationRewrite.ConfKey, "true")
+    s
+  }
+
+  test("opt7 gate plan never scans orders; results equal the rule-off run") {
+    val s = SparkEntry.configure(spark.newSession())
+    val df = SparkEntry.queries("opt7_join_elim")(s, dir)
+    assert(!scansOrders(df), s"orders still scanned: ${scans(df)}")
+    assert(scans(df).exists(_.contains("lineitem")))
+    val off = SparkEntry.configure(spark.newSession())
+    off.conf.set(JoinEliminationRewrite.ConfKey, "false")
+    val li = Tables(off, dir, "lineitem")
+    val or = Tables(off, dir, "orders")
+    val full = li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("sum_qty_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+    assert(scansOrders(full), "control: rule-off plan must keep the join")
+    assert(df.collect().toSeq == full.collect().toSeq)
+  }
+
+  test("refusal paths all keep the join; a false uniqueness claim is refused") {
+    val s = elimSession()
+    // the audit pass refuses a genuinely duplicated key
+    assert(!TableConstraints.registerUnique(s, Tables(s, dir, "lineitem"), "l_suppkey"))
+    def joined(kind: String) = {
+      val li = Tables(s, dir, "lineitem")
+      val or = Tables(s, dir, "orders")
+      li.join(or, li("l_orderkey") === or("o_orderkey"), kind)
+    }
+    // positive control: the eligible shape rewrites on this session
+    val good = joined("left").groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(!scansOrders(good), "control: eligible shape must eliminate")
+    // a right-column reference above the join keeps it
+    val refsRight = joined("left").groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), max(col("o_custkey")).as("mx"))
+    assert(scansOrders(refsRight), "right-column reference must keep the join")
+    // inner join filters unmatched left rows — never eliminable from
+    // uniqueness alone
+    val inner = joined("inner").groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(scansOrders(inner), "inner join must keep the join")
+    // a join to a non-registered table keeps it
+    val li = Tables(s, dir, "lineitem")
+    val supp = Tables(s, dir, "supplier")
+    val unreg = li.join(supp, li("l_suppkey") === supp("s_suppkey"), "left")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(scans(unreg).exists(_.contains("supplier")), "unregistered table must keep the join")
+  }
+}
