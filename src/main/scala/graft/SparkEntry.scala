@@ -46,6 +46,9 @@ object SparkEntry {
     // left joins to a VERIFIED-unique key with no right-column references
     // drop entirely when spark.graft.joinElim.enabled is set (opt7)
     graft.plans.JoinEliminationRewrite.install(spark)
+    // fact-side aggregates push below a verified-unique dimension join
+    // when spark.graft.eagerAgg.enabled is set (opt8)
+    graft.plans.EagerAggregationRewrite.install(spark)
     // set-if-missing: a session (or spec) that pinned its own threshold
     // — including 0 = off — keeps it across re-configure
     if (spark.conf.getOption(graft.plans.InListToJoinRewrite.ThresholdConfKey).isEmpty)

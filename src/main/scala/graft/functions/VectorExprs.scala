@@ -122,6 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
     ext.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.EagerAggregationRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("long_dot"),

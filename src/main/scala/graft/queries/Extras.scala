@@ -1836,6 +1836,44 @@ object Extras extends QueryModule {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt8
+  /** EAGER AGGREGATION through the dimension join under the oracle
+    * ([[graft.plans.EagerAggregationRewrite]] has the soundness and the
+    * Yan–Larson lineage): the canonical report shape — fact INNER JOIN
+    * dim on the dim's verified-unique key, GROUP BY a dim attribute —
+    * re-plans with the fact-side partials pushed BELOW the join,
+    * grouped by the join key: at sf0.1 the join probes 1 000
+    * pre-aggregated rows instead of 600 000 fact rows, and at 100 TB
+    * that ratio is the whole game for this query family. The DuckDB
+    * oracle states the plain single-aggregate query; OptimizerRuleSpec
+    * pins that the executed plan really has an Aggregate BELOW the
+    * join. Child session, sj4's conf hygiene.
+    */
+  private def eagerAggGate(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.SparkEntry.configure(s0.newSession())
+    require(graft.plans.TableConstraints.registerUnique(s, t(s, dir, "supplier"), "s_suppkey"),
+      "s_suppkey failed the uniqueness audit — testdata changed?")
+    s.conf.set(graft.plans.EagerAggregationRewrite.ConfKey, "true")
+    val li = t(s, dir, "lineitem")
+    val supp = t(s, dir, "supplier")
+    li.join(supp, li("l_suppkey") === supp("s_suppkey"), "inner")
+      .groupBy(col("s_name"))
+      .agg(
+        sum(mvQtyCents).as("sum_qty_c"),
+        count(lit(1)).as("n_rows"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("s_name").asc_nulls_first)
+  }
+
+  private val eagerAggGateSql =
+    """SELECT s_name,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MAX(l_shipdate) AS max_ship
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY s_name NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- cmp2
   /** Version DIFF over the committed history — the "what changed between
     * yesterday's table and today's" primitive every lakehouse exposes
@@ -2924,6 +2962,7 @@ object Extras extends QueryModule {
     "opt6_mv_refresh" -> (mvRefreshGate _),
     "cmp2_version_diff" -> (versionDiff _),
     "opt7_join_elim" -> (joinElimGate _),
+    "opt8_eager_agg" -> (eagerAggGate _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -2995,6 +3034,7 @@ object Extras extends QueryModule {
     "opt6_mv_refresh" -> mvRefreshGateSql,
     "cmp2_version_diff" -> versionDiffSql,
     "opt7_join_elim" -> joinElimGateSql,
+    "opt8_eager_agg" -> eagerAggGateSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

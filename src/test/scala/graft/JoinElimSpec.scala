@@ -79,4 +79,66 @@ class JoinElimSpec extends AnyFunSuite {
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     assert(scans(unreg).exists(_.contains("supplier")), "unregistered table must keep the join")
   }
+
+  // ------------------------------------------------------------- opt8
+  import graft.plans.EagerAggregationRewrite
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+
+  /** The pushed shape: an Aggregate somewhere BELOW a Join. */
+  private def aggBelowJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.left.collectFirst { case a: Aggregate => a }.nonEmpty => j
+    }.nonEmpty
+
+  private def eagerSession(): SparkSession = {
+    val s = SparkEntry.configure(spark.newSession())
+    assert(TableConstraints.registerUnique(s, Tables(s, dir, "supplier"), "s_suppkey"))
+    s.conf.set(EagerAggregationRewrite.ConfKey, "true")
+    s
+  }
+
+  test("opt8 gate pushes the partial aggregate below the join; results equal rule-off") {
+    val s = SparkEntry.configure(spark.newSession())
+    val df = SparkEntry.queries("opt8_eager_agg")(s, dir)
+    assert(aggBelowJoin(df), "no aggregate below the join:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    val off = SparkEntry.configure(spark.newSession())
+    off.conf.set(EagerAggregationRewrite.ConfKey, "false")
+    val li = Tables(off, dir, "lineitem")
+    val supp = Tables(off, dir, "supplier")
+    val plain = li.join(supp, li("l_suppkey") === supp("s_suppkey"), "inner")
+      .groupBy(col("s_name"))
+      .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("sum_qty_c"),
+        count(lit(1)).as("n_rows"), max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("s_name").asc_nulls_first)
+    assert(!aggBelowJoin(plain), "control: rule-off plan must be a single aggregate")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("opt8 refusals: right-side measure, distinct agg, non-unique key all stay single-agg") {
+    val s = eagerSession()
+    def joined = {
+      val li = Tables(s, dir, "lineitem")
+      val supp = Tables(s, dir, "supplier")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"), "inner")
+    }
+    // positive control
+    val good = joined.groupBy(col("s_name")).agg(count(lit(1)).as("n"))
+    assert(aggBelowJoin(good), "control: eligible shape must push")
+    // an aggregate over a right (dim) column cannot decompose to the fact side
+    val rightMeasure = joined.groupBy(col("s_name"))
+      .agg(sum(expr("CAST(round(s_acctbal * 100) AS BIGINT)")).as("bal"))
+    assert(!aggBelowJoin(rightMeasure), "right-side measure must refuse")
+    // COUNT(DISTINCT ...) never decomposes through a pre-aggregation
+    val distinctAgg = joined.groupBy(col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("d"))
+    assert(!aggBelowJoin(distinctAgg), "distinct aggregate must refuse")
+    // a never-registered dim key (customer — orders.o_orderkey is
+    // registered by the opt7 tests in this same app): stays single-agg
+    val or = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val unreg = or.join(cust, or("o_custkey") === cust("c_custkey"), "inner")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    assert(!aggBelowJoin(unreg), "unregistered key must refuse")
+  }
 }
