@@ -235,6 +235,23 @@ object Multimodal {
       })
   }
 
+  /** MS-RLE8 delta-frame video payloads on the %25==9 doc slice — the
+    * INTER-FRAME codec path ([[RleVideoCodec]]): keyframe + delta
+    * frames that only decode correctly if the canvas persists across
+    * frames.
+    */
+  def rleVideoMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 9)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val frames = RleVideoCodec.nFrames(id)
+        MediaFile(id, "video", RleVideoCodec.synthRleAvi(id),
+          MediaMeta("avi_rle8", RleVideoCodec.W, RleVideoCodec.H, frames * 40L))
+      })
+  }
+
   /** Video corpus with CONSTRUCTED near-duplicate pairs for mm17: ids
     * ≡ 5 (mod 25) pair up by `base = doc_id / 50` ({5,30}, {55,80}, …);
     * both members of a pair share geometry and the frame-seed list
@@ -302,7 +319,9 @@ object Multimodal {
     * closed-form oracles — transform, LZ77+Huffman, and LZW
     * families all decoded for real; [[JpegCodec.parseJpegColor]] adds
     * baseline 4:2:0/4:4:4 YCbCr COLOR — interleaved MCUs, chroma
-    * upsample, fixed-point color convert — gated by mm16). What
+    * upsample, fixed-point color convert — gated by mm16; and
+    * [[RleVideoCodec]] adds INTER-FRAME video — MS-RLE8 keyframe +
+    * delta frames over a persistent canvas, gated by mm18). What
     * genuinely still needs an external library: progressive JPEG
     * (successive approximation), and the patent-laden video/audio
     * families (H.264, AAC, MP3).

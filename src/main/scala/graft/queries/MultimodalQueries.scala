@@ -541,6 +541,49 @@ object MultimodalQueries extends QueryModule {
     * Unsampled frames are never entropy-decoded, the cost model frame
     * sampling exists for. A failed parse emits a −1 sentinel row.
     */
+  // ---------------------------------------------------------------- mm18
+  /** INTER-FRAME video decode ([[graft.multimodal.RleVideoCodec]]):
+    * MS-RLE8 keyframe + delta frames over a persistent canvas — the
+    * temporal-prediction codec leg MJPEG (mm15) cannot exercise. The
+    * entry decodes every stream with the REAL state machine (runs,
+    * absolute mode, EOL/EOS/DELTA escapes, bounds-checked) and emits
+    * per-stream frame count, the final canvas sum, the canvas sum
+    * after the FIRST delta frame (wrong unless state persisted), and
+    * total delta-painted pixels; the oracle states the synthesis's
+    * closed-form sums — a decoder that reset the canvas per frame, or
+    * skipped a delta, hash-fails on three separate columns.
+    */
+  private def mm18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.rleVideoMediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.RleVideoCodec.parseRleAvi(m.content) match {
+          case Some(i) =>
+            (m.media_id, i.nFrames.toLong, i.finalPxSum, i.sumAfterF1, i.nPxDelta)
+          case None => (m.media_id, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("media_id", "n_frames", "final_px_sum", "sum_after_f1", "n_px_delta")
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm18Sql =
+    """WITH cfg AS (
+      |  SELECT doc_id AS media_id, 3 + doc_id % 4 AS frames,
+      |    (doc_id * 31) % 200 AS v0
+      |  FROM documents WHERE doc_id % 25 = 9),
+      |d AS (
+      |  SELECT media_id, frames, v0,
+      |    list_sum(list_transform(range(1, frames),
+      |      f -> 4 * ((media_id * 31 + f * 7) % 200))) AS delta_sum,
+      |    4 * ((media_id * 31 + 7) % 200) AS d1
+      |  FROM cfg)
+      |SELECT media_id, CAST(frames AS BIGINT) AS n_frames,
+      |  CAST(v0 * (128 - 4 * (frames - 1)) + delta_sum AS BIGINT) AS final_px_sum,
+      |  CAST(124 * v0 + d1 AS BIGINT) AS sum_after_f1,
+      |  CAST(4 * (frames - 1) AS BIGINT) AS n_px_delta
+      |FROM d ORDER BY media_id NULLS FIRST""".stripMargin
+
   private def mm15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Multimodal.aviMediaTable(s, dir)
@@ -997,7 +1040,8 @@ object MultimodalQueries extends QueryModule {
     "mm13_png_decode" -> (mm13 _),
     "mm14_gif_decode" -> (mm14 _),
     "mm15_mjpeg_demux" -> (mm15 _),
-    "mm17_video_neardup" -> (mm17 _))
+    "mm17_video_neardup" -> (mm17 _),
+    "mm18_rle_delta_video" -> (mm18 _))
 
   override val oracle: Map[String, String] = Map(
     "mm16_color_jpeg" -> mm16Sql,
@@ -1016,5 +1060,6 @@ object MultimodalQueries extends QueryModule {
     "mm13_png_decode" -> mm13Sql,
     "mm14_gif_decode" -> mm14Sql,
     "mm15_mjpeg_demux" -> mm15Sql,
-    "mm17_video_neardup" -> mm17Sql)
+    "mm17_video_neardup" -> mm17Sql,
+    "mm18_rle_delta_video" -> mm18Sql)
 }

@@ -57,4 +57,25 @@ class AviCodecSpec extends AnyFunSuite {
     broken(moviAt + 12) = 0x00 // clobber the first frame's SOI marker
     assert(AviCodec.parseAvi(broken, 2).isEmpty, "undecodable sampled frame must refuse")
   }
+
+  test("RLE8 delta video: canvas state persists across frames, sums match closed form") {
+    import graft.multimodal.RleVideoCodec
+    val id = 34L // nFrames = 3 + 34%4 = 5 → 4 delta frames
+    val i = RleVideoCodec.parseRleAvi(RleVideoCodec.synthRleAvi(id)).get
+    val nF = RleVideoCodec.nFrames(id)
+    assert(i.nFrames == nF)
+    val v0 = RleVideoCodec.v0(id).toLong
+    val deltas = (1 until nF).map(f => 4L * RleVideoCodec.vf(id, f))
+    assert(i.finalPxSum == v0 * (128 - 4 * (nF - 1)) + deltas.sum,
+      "final canvas must carry keyframe + every delta")
+    assert(i.sumAfterF1 == v0 * 124 + deltas.head,
+      "mid-stream sum proves per-frame state, not per-frame reset")
+    assert(i.nPxDelta == 4L * (nF - 1))
+    // a canvas that reset per frame would make the two sums equal only
+    // if every delta painted the same total — pin they differ here
+    assert(i.finalPxSum != i.sumAfterF1)
+    // truncating away the EOS of the last frame must refuse, not hang
+    val good = RleVideoCodec.synthRleAvi(id)
+    assert(RleVideoCodec.parseRleAvi(good.dropRight(3)).isEmpty)
+  }
 }

@@ -78,4 +78,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("rle8", RawCodec.synthRle8Bmp(17L, 9, 7), RawCodec.parseRle8Bmp)
     fuzz("adpcm", RawCodec.synthAdpcmWav(17L, 2, 3, 2, 8000), RawCodec.parseAdpcmWav)
   }
+
+  test("RLE8 delta-video decoder never throws on corrupt bytes") {
+    fuzz("rle_video", graft.multimodal.RleVideoCodec.synthRleAvi(34L),
+      graft.multimodal.RleVideoCodec.parseRleAvi)
+  }
 }
