@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -1874,6 +1874,71 @@ object Extras extends QueryModule {
       |GROUP BY s_name
       |ORDER BY s_name NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- inc3
+  /** Incremental view maintenance for a JOIN — the delta-rule twin of
+    * opt6's aggregate maintenance: for appends ΔR, ΔS to R₀⋈S₀, the
+    * refreshed view is old ∪ (ΔR⋈S₀) ∪ (R₀⋈ΔS) ∪ (ΔR⋈ΔS) — inner join
+    * distributes over union, so the refresh touches each delta against
+    * the OTHER side and never recomputes base⋈base. Published through
+    * [[graft.sinks.VersionedTable]] (v1 = the pre-delta join, v2 = the
+    * refreshed view, both retained so MvRewriteSpec-style pins can
+    * prove v1 really was partial); the DuckDB oracle aggregates the
+    * full raw join, so the hash proves delta-rule ≡ full recompute.
+    *
+    * Scale posture: a nightly full join of two 100 TB-class tables
+    * re-shuffles both; the delta rule shuffles |Δ| rows against each
+    * base (and Δ⋈Δ), with the base sides ideally bucket-pruned — the
+    * standard IVM shape (materialized join views in every warehouse
+    * that has them). At gate scale the "batches" are residue filters
+    * over one parquet; the algebra is the artifact under test.
+    */
+  private val ivmBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def ivmRoot(s: SparkSession, dir: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_inc3_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  private def joinIvm(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val root = ivmRoot(s, dir)
+    ivmBuilt.synchronized {
+      if (!ivmBuilt.contains(root)) {
+        VersionedTable.drop(s, root)
+        def li(p: Column => Column) = t(s, dir, "lineitem").filter(p(col("l_orderkey")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            mvQtyCents.as("qty_c"))
+        def or(p: Column => Column) = t(s, dir, "orders").filter(p(col("o_orderkey")))
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        def j(l: DataFrame, r: DataFrame) =
+          l.join(r, col("l_orderkey") === col("o_orderkey"), "inner")
+        val r0 = li(k => k % 5 =!= 0); val dR = li(k => k % 5 === 0)
+        val s0 = or(k => k % 7 =!= 0); val dS = or(k => k % 7 === 0)
+        VersionedTable.publish(s, root, j(r0, s0)) // v1: the pre-delta view
+        val refreshed = VersionedTable.read(s, root)
+          .unionByName(j(dR, s0)) // ΔR ⋈ S₀
+          .unionByName(j(r0, dS)) // R₀ ⋈ ΔS
+          .unionByName(j(dR, dS)) // ΔR ⋈ ΔS
+        VersionedTable.publish(s, root, refreshed) // v2: never base⋈base
+        ivmBuilt += root
+        ()
+      }
+    }
+    graft.sinks.VersionedTable.read(s, root)
+      .groupBy(col("o_orderstatus"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty_c")).as("sum_qty_c"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("l_returnflag").asc_nulls_first)
+  }
+
+  private val joinIvmSql =
+    """SELECT o_orderstatus, l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus, l_returnflag
+      |ORDER BY o_orderstatus NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- cmp2
   /** Version DIFF over the committed history — the "what changed between
     * yesterday's table and today's" primitive every lakehouse exposes
@@ -2963,6 +3028,7 @@ object Extras extends QueryModule {
     "cmp2_version_diff" -> (versionDiff _),
     "opt7_join_elim" -> (joinElimGate _),
     "opt8_eager_agg" -> (eagerAggGate _),
+    "inc3_join_ivm" -> (joinIvm _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -3035,6 +3101,7 @@ object Extras extends QueryModule {
     "cmp2_version_diff" -> versionDiffSql,
     "opt7_join_elim" -> joinElimGateSql,
     "opt8_eager_agg" -> eagerAggGateSql,
+    "inc3_join_ivm" -> joinIvmSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

@@ -115,6 +115,28 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(out == full, "refreshed summary must equal the full recompute")
   }
 
+  test("inc3: v1 is the pre-delta join; the delta-rule refresh equals the full join") {
+    import graft.sinks.VersionedTable
+    val s = SparkEntry.configure(spark.newSession())
+    SparkEntry.queries("inc3_join_ivm")(s, dir).collect()
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_inc3_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    assert(VersionedTable.committedVersion(s, root).contains(2L))
+    val li = Tables(s, dir, "lineitem")
+    val or = Tables(s, dir, "orders")
+    def joinCount(lp: org.apache.spark.sql.Column, op: org.apache.spark.sql.Column): Long =
+      li.filter(lp).join(or.filter(op), col("l_orderkey") === col("o_orderkey")).count()
+    val partial = joinCount(col("l_orderkey") % 5 =!= 0, col("o_orderkey") % 7 =!= 0)
+    val full = joinCount(lit(true), lit(true))
+    val v1 = s.read.parquet(VersionedTable.dataPath(root, 1L)).count()
+    val v2 = s.read.parquet(VersionedTable.dataPath(root, 2L)).count()
+    assert(v1 == partial, "v1 must be the pre-delta join only")
+    assert(v2 == full, "the three delta terms must complete the full join")
+    assert(v1 < v2, "the deltas must be non-empty or the pin is vacuous")
+  }
+
   test("readVersion time travel reads committed history only; staged data is refused") {
     import graft.sinks.VersionedTable
     val s = SparkEntry.configure(spark.newSession())
