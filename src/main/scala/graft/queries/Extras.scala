@@ -1874,6 +1874,49 @@ object Extras extends QueryModule {
       |GROUP BY s_name
       |ORDER BY s_name NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt9
+  /** RULE COMPOSITION under the oracle — the optimizer rules are not
+    * islands: the canonical view-stack query (fact LEFT JOIN dim whose
+    * columns are never read, filtered + aggregated on fact columns)
+    * needs TWO rewrites to reach its best plan, in sequence: join
+    * elimination (opt7) strips the dim join, which EXPOSES the bare
+    * filtered aggregate that MV rewrite (opt5) re-plans onto the
+    * published summary. The final plan scans ONLY the few-row MV —
+    * neither lineitem nor orders (OptimizerRuleSpec-style pin in
+    * MvRewriteSpec); the DuckDB oracle executes the full join + raw
+    * aggregate, so the hash proves the composed rewrite end-to-end.
+    * The extra-optimizer batch re-runs rules to fixpoint, so the
+    * composition holds regardless of install order.
+    */
+  private def ruleCompositionGate(s0: SparkSession, dir: String): DataFrame = {
+    mvRewriteGate(s0, dir) // memoized: MV built + registered for this app
+    val s = graft.SparkEntry.configure(s0.newSession())
+    require(graft.plans.TableConstraints.registerUnique(s, t(s, dir, "orders"), "o_orderkey"),
+      "o_orderkey failed the uniqueness audit — testdata changed?")
+    s.conf.set(graft.plans.JoinEliminationRewrite.ConfKey, "true")
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    val li = t(s, dir, "lineitem")
+    val or = t(s, dir, "orders")
+    li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(mvQtyCents).as("sum_qty_c"),
+        sum(mvPriceCents).as("sum_price_c"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
+  private val ruleCompositionGateSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- inc3
   /** Incremental view maintenance for a JOIN — the delta-rule twin of
     * opt6's aggregate maintenance: for appends ΔR, ΔS to R₀⋈S₀, the
@@ -3029,6 +3072,7 @@ object Extras extends QueryModule {
     "opt7_join_elim" -> (joinElimGate _),
     "opt8_eager_agg" -> (eagerAggGate _),
     "inc3_join_ivm" -> (joinIvm _),
+    "opt9_rule_composition" -> (ruleCompositionGate _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -3102,6 +3146,7 @@ object Extras extends QueryModule {
     "opt7_join_elim" -> joinElimGateSql,
     "opt8_eager_agg" -> eagerAggGateSql,
     "inc3_join_ivm" -> joinIvmSql,
+    "opt9_rule_composition" -> ruleCompositionGateSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

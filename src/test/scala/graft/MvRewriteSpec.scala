@@ -115,6 +115,15 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(out == full, "refreshed summary must equal the full recompute")
   }
 
+  test("opt9: join elimination + MV rewrite compose — only the summary is scanned") {
+    val s = SparkEntry.configure(spark.newSession())
+    val df = SparkEntry.queries("opt9_rule_composition")(s, dir)
+    val paths = scans(df)
+    assert(paths.exists(_.contains("graft_mv_")), s"summary not scanned: $paths")
+    assert(!paths.exists(_.contains("lineitem")), s"fact still scanned: $paths")
+    assert(!paths.exists(_.contains("orders")), s"dim still scanned: $paths")
+  }
+
   test("inc3: v1 is the pre-delta join; the delta-rule refresh equals the full join") {
     import graft.sinks.VersionedTable
     val s = SparkEntry.configure(spark.newSession())
