@@ -110,4 +110,64 @@ class ChaosRewriteSpec extends AnyFunSuite {
     assert(got == want, s"rewritten=$got literal=$want")
     assert(got.head.asInstanceOf[Long] > 30L, "skew amplification missing — vacuous chaos")
   }
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+
+  test("MV rewrite + join elimination + eager aggregation under AQE at sf0.1: fire and match") {
+    import graft.plans.{EagerAggregationRewrite, JoinEliminationRewrite,
+      MaterializedViewRewrite, TableConstraints}
+    val s = SparkEntry.configure(chaosSession())
+    // build + register the lineitem summary at sf0.1 (memoized per app)
+    SparkEntry.queries("opt5_mv_rewrite")(s, dir).collect()
+    assert(TableConstraints.registerUnique(s, Tables(s, dir, "orders"), "o_orderkey"))
+    assert(TableConstraints.registerUnique(s, Tables(s, dir, "supplier"), "s_suppkey"))
+    s.conf.set(MaterializedViewRewrite.ConfKey, "true")
+    s.conf.set(JoinEliminationRewrite.ConfKey, "true")
+    s.conf.set(EagerAggregationRewrite.ConfKey, "true")
+    val off = SparkEntry.configure(chaosSession()) // all three flags default off
+
+    // the opt9 composed shape, adaptive execution live the whole way
+    def composed(sess: SparkSession) = {
+      val li = Tables(sess, dir, "lineitem")
+      val or = Tables(sess, dir, "orders")
+      li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("a"),
+          count(lit(1)).as("b"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }
+    val c = composed(s)
+    val cp = scanPaths(c)
+    assert(cp.exists(_.contains("graft_mv_")) && !cp.exists(_.contains("lineitem")) &&
+      !cp.exists(_.contains("orders")), s"composition did not reach summary-only: $cp")
+    assert(c.collect().toSeq == composed(off).collect().toSeq)
+
+    // eager aggregation under a runtime-adaptive join
+    def report(sess: SparkSession) = {
+      val li = Tables(sess, dir, "lineitem")
+      val supp = Tables(sess, dir, "supplier")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"), "inner")
+        .groupBy(col("s_name"))
+        .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("a"),
+          count(lit(1)).as("b"))
+        .orderBy(col("s_name").asc_nulls_first)
+    }
+    val r = report(s)
+    val pushed = r.queryExecution.optimizedPlan.collect {
+      case j: Join if j.left.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty => j
+    }
+    assert(pushed.nonEmpty, "eager aggregation did not fire under AQE")
+    assert(r.collect().toSeq == report(off).collect().toSeq)
+  }
 }
