@@ -68,8 +68,16 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     */
   final case class Measure(mvCol: String, fnSql: String, reAgg: String, isCount: Boolean)
 
+  /** `mvRelation` is the ANALYZED scan of the summary, captured once at
+    * registration: re-planning a query must not pay a parquet listing +
+    * footer read per optimizer pass (measured: that overhead alone made
+    * the rewrite a net LOSS at sf0.1 — 0.29 s vs 0.24 s for the raw
+    * aggregate). Each rewrite takes `newInstance()` of it — fresh
+    * exprIds, so the same MV can serve two aggregates in one query
+    * without attribute conflicts, with zero IO at plan time.
+    */
   final case class MvDef(basePath: String, mvPath: String,
-      groupCols: Seq[String], measures: Seq[Measure])
+      groupCols: Seq[String], measures: Seq[Measure], mvRelation: LogicalRelation)
 
   // (applicationId, basePath) -> MvDef; appId-keyed like SharedFrames so a
   // restarted session can never see a stale registration.
@@ -110,8 +118,11 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
         }
         (groups, ms)
     }.getOrElse(throw new IllegalArgumentException("MV definition must be an Aggregate"))
+    val mvRelation = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr
+    }.getOrElse(throw new IllegalStateException(s"MV at $mvPath did not analyze to a scan"))
     catalog.put((spark.sparkContext.applicationId, basePath),
-      MvDef(basePath, mvPath, groupCols, measures))
+      MvDef(basePath, mvPath, groupCols, measures, mvRelation))
     ()
   }
 
@@ -173,7 +184,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       if (!cond.deterministic) return None
       if (!cond.references.forall(r => mv.groupCols.contains(r.name))) return None
     }
-    val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+    val mvPlan = mv.mvRelation.newInstance() // fresh exprIds, zero plan-time IO
     val mvAttr: Map[String, AttributeReference] =
       mvPlan.output.collect { case a: AttributeReference => a.name -> a }.toMap
     if (!mv.groupCols.forall(mvAttr.contains) || !mv.measures.forall(m => mvAttr.contains(m.mvCol)))
