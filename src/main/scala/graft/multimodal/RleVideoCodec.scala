@@ -115,7 +115,10 @@ object RleVideoCodec {
       while (p + 8 <= to) {
         val id = b.getInt(p)
         val size = b.getInt(p + 4)
-        if (size < 0 || p + 8 + size > to) return false
+        // Long math: a crafted size near Int.MaxValue overflows the Int
+        // sum, slips past the bound and walks p negative (r13 review) —
+        // corrupt input must be None, never a throw
+        if (size < 0 || p.toLong + 8 + size > to) return false
         if (id == fourCC("LIST")) {
           if (size >= 4 && !walk(p + 12, p + 8 + size)) return false
         } else if (id == fourCC("00dc")) {

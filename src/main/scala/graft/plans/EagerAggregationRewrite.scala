@@ -49,19 +49,9 @@ object EagerAggregationRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations = current :+ EagerAggregationRewrite
   }
 
-  private def scanPathOf(plan: LogicalPlan): Option[String] = plan match {
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
-      case _ => None
-    }
-    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      scanPathOf(child)
-    // inner-join soundness under a right filter: the filter only decides
-    // WHICH groups survive the join, never how they aggregate
-    case org.apache.spark.sql.catalyst.plans.logical.Filter(_, child) =>
-      scanPathOf(child)
-    case _ => None
-  }
+  // right-side scan extraction: filters are sound here (an inner join's
+  // right predicate only decides WHICH groups survive, never how they
+  // aggregate); multi-path scans refuse — see [[PlanScans]].
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
@@ -90,7 +80,8 @@ object EagerAggregationRewrite extends Rule[LogicalPlan] {
       if (l.outputSet.contains(a) && r.outputSet.contains(b)) (a, b)
       else if (l.outputSet.contains(b) && r.outputSet.contains(a)) (b, a)
       else return None
-    if (!scanPathOf(r).exists(p => TableConstraints.isUnique(appId, p, rightKey.name)))
+    if (!PlanScans.filteredScanPath(r).exists(p =>
+        TableConstraints.isUnique(appId, p, rightKey.name)))
       return None
     // v1 scope: plain-column grouping (either side)
     if (!ge.forall(_.isInstanceOf[AttributeReference])) return None
@@ -112,6 +103,12 @@ object EagerAggregationRewrite extends Rule[LogicalPlan] {
       case al @ Alias(aggE @ AggregateExpression(fn, _, false, None, _), name) =>
         if (!fn.references.subsetOf(l.outputSet)) return None
         val (partialFn, mergeOf): (AggregateFunction, Attribute => AggregateFunction) = fn match {
+          // float SUMs never decompose: re-aggregation reorders the
+          // accumulation, and this library's differential gate promises
+          // bit-stable results (the MV rule's guard, applied here too —
+          // r13 review)
+          case Sum(e, _) if Seq(org.apache.spark.sql.types.DoubleType,
+              org.apache.spark.sql.types.FloatType).contains(e.dataType) => return None
           case Sum(e, em)  => (Sum(e, em), p => Sum(p, em))
           case c: Count    => (c, p => Sum(p))
           case Min(e)      => (Min(e), p => Min(p))

@@ -49,28 +49,18 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations = current :+ JoinEliminationRewrite
   }
 
-  private def scanPathOf(plan: LogicalPlan): Option[String] = plan match {
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
-      case _ => None
-    }
-    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      scanPathOf(child)
-    // ANY right-side filter is elimination-sound: it can only shrink the
-    // match set, which a left join converts to null-extension the parent
-    // provably never reads — and a unique key stays unique on every
-    // subset. (The optimizer itself plants isnotnull(key) here.)
-    case org.apache.spark.sql.catalyst.plans.logical.Filter(_, child) =>
-      scanPathOf(child)
-    case _ => None
-  }
-
-  /** The right side qualifies iff it is a bare scan of a path whose
-    * (path, keyCol) uniqueness was verified-and-registered.
+  /** The right side qualifies iff it is a (possibly filtered) bare
+    * SINGLE-ROOT scan of a path whose (path, keyCol) uniqueness was
+    * verified-and-registered. Filters are sound here — they only
+    * shrink the match set, which a left join converts to
+    * null-extension the parent provably never reads, and a unique key
+    * stays unique on every subset (the optimizer itself plants
+    * isnotnull(key) here). A multi-path scan is a UNION the constraint
+    * was never verified on — [[PlanScans]] refuses it.
     */
   private def uniqueKeyOf(appId: String, right: LogicalPlan,
       attr: AttributeReference): Boolean =
-    scanPathOf(right).exists(p => TableConstraints.isUnique(appId, p, attr.name))
+    PlanScans.filteredScanPath(right).exists(p => TableConstraints.isUnique(appId, p, attr.name))
 
   private def eligible(appId: String, parentRefs: AttributeSet, j: Join): Option[LogicalPlan] =
     j match {
@@ -108,22 +98,22 @@ object TableConstraints {
   // (appId, scanPath, column) present iff uniqueness was verified
   private val unique = new ConcurrentHashMap[(String, String, String), java.lang.Boolean]()
 
-  private def scanPathDeep(df: DataFrame): Option[String] =
-    df.queryExecution.optimizedPlan.collectFirst {
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
-        case _ => None
-      }
-    }.flatten
-
   /** Verify `col` is duplicate-free among non-null values of `df`'s
     * single file scan, and register on success. Returns whether the
     * constraint now holds (false = audit refused it; nothing recorded).
+    *
+    * `df` must be a ROW-PRESERVING chain over the scan (normalization
+    * Projects fine; Filters/joins/limits REFUSED with a throw): an
+    * audit over a filtered slice would verify uniqueness on the subset
+    * and register it against the full table — the subset-verified-
+    * constraint hole the r13 review flagged.
     */
   def registerUnique(spark: SparkSession, df: DataFrame, col: String): Boolean = {
     import org.apache.spark.sql.functions.{count, countDistinct, col => c}
-    val path = scanPathDeep(df).getOrElse(
-      throw new IllegalArgumentException("constraint base must contain a single file-source scan"))
+    val path = PlanScans.rowPreservingScanPath(df.queryExecution.optimizedPlan).getOrElse(
+      throw new IllegalArgumentException(
+        "constraint base must be a row-preserving chain over a single file-source scan " +
+          "(no filters/joins/limits: the audit must see every row)"))
     val key = (spark.sparkContext.applicationId, path, col)
     if (unique.containsKey(key)) return true
     val row = df.agg(count(c(col)).as("n"), countDistinct(c(col)).as("d")).collect()(0)

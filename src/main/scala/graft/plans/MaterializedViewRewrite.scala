@@ -87,20 +87,37 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     * `mvPath`) as the summary of `base`. Group columns must be plain
     * base columns aliased to themselves; measures are extracted from the
     * definition's optimized plan (see scaladoc).
+    *
+    * REFRESH CONTRACT: the summary's analyzed scan (its file listing)
+    * is captured HERE — rewrites pay zero plan-time IO, which also
+    * means a refresh that rewrites `mvPath` in place is invisible (and
+    * leaves the cached listing pointing at deleted part-files). A
+    * refresh job must re-register, which atomically replaces the
+    * catalog entry; the natural spelling is opt6's — publish each
+    * refresh as a NEW `VersionedTable` version and register that
+    * version's path.
     */
   def register(spark: SparkSession, base: DataFrame, mvDf: DataFrame, mvPath: String): Unit = {
-    // deep walk: the base frame may carry normalization Projects (e.g.
-    // Tables' NTZ-timestamp cast) above the relation — registration only
-    // needs the file path; QUERY matching (unwrapScan) stays strict.
-    val basePath = base.queryExecution.optimizedPlan.collectFirst {
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
-        case _ => None
-      }
-    }.flatten.getOrElse(throw new IllegalArgumentException(
-      "MV base must contain a single file-source scan"))
+    // row-preserving walk: the base frame may carry normalization
+    // Projects (e.g. Tables' NTZ-timestamp cast) above the relation —
+    // those never add/drop/duplicate rows; anything else (a Filter, a
+    // Join) would make the registration a lie. QUERY matching
+    // (unwrapScan) stays strict.
+    val basePath = PlanScans.rowPreservingScanPath(base.queryExecution.optimizedPlan)
+      .getOrElse(throw new IllegalArgumentException(
+        "MV base must be a row-preserving chain over a single file-source scan"))
     val (groupCols, measures) = mvDf.queryExecution.optimizedPlan.collectFirst {
-      case Aggregate(ge, ae, _, _) =>
+      case Aggregate(ge, ae, child, _) =>
+        // the definition must summarize EVERY row of the base scan: a
+        // Filter (or join, or sample) between the Aggregate and the
+        // scan would register a partial summary that later rewrites
+        // whole-table queries to silently wrong results (r13 review).
+        val defPath = PlanScans.rowPreservingScanPath(child).getOrElse(
+          throw new IllegalArgumentException(
+            "MV definition must aggregate a row-preserving chain over the base scan " +
+              "(no filters/joins between the Aggregate and the scan)"))
+        if (defPath != basePath) throw new IllegalArgumentException(
+          s"MV definition aggregates $defPath, not the base scan $basePath")
         val groups = ge.map {
           case a: AttributeReference => a.name
           case other => throw new IllegalArgumentException(
@@ -132,21 +149,13 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations = current :+ MaterializedViewRewrite
   }
 
-  private def scanPathOf(plan: LogicalPlan): Option[String] = plan match {
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
-      case _ => None
-    }
-    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      scanPathOf(child)
-    case _ => None
-  }
-
   /** Strip attribute-only Projects; allow one Filter. Returns the base
-    * scan path and the optional filter condition.
+    * scan path and the optional filter condition. Single-root only
+    * ([[PlanScans]] — a multi-path scan is a union the MV knows nothing
+    * about).
     */
   private def unwrapScan(plan: LogicalPlan): Option[(String, Option[Expression])] = plan match {
-    case lr: LogicalRelation => scanPathOf(lr).map(p => (p, None))
+    case lr: LogicalRelation => PlanScans.bareScanPath(lr).map(p => (p, None))
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       unwrapScan(child)
     case Filter(cond, child) =>

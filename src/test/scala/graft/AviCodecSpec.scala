@@ -77,5 +77,12 @@ class AviCodecSpec extends AnyFunSuite {
     // truncating away the EOS of the last frame must refuse, not hang
     val good = RleVideoCodec.synthRleAvi(id)
     assert(RleVideoCodec.parseRleAvi(good.dropRight(3)).isEmpty)
+    // a chunk size near Int.MaxValue must not overflow the bounds check
+    // into a negative walk (r13 review): None, never a throw
+    val evil = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes); evil.putInt(24); evil.put("AVI ".getBytes)
+    evil.put("00dc".getBytes); evil.putInt(0x7FFFFFF8)
+    assert(RleVideoCodec.parseRleAvi(evil.array()).isEmpty)
   }
 }

@@ -80,6 +80,23 @@ class JoinElimSpec extends AnyFunSuite {
     assert(scans(unreg).exists(_.contains("supplier")), "unregistered table must keep the join")
   }
 
+  test("audit scope and multi-path scans (r13 review): both refuse") {
+    val s = elimSession()
+    // an audit over a filtered slice must THROW, not register a
+    // subset-verified constraint against the full table
+    intercept[IllegalArgumentException] {
+      TableConstraints.registerUnique(
+        s, Tables(s, dir, "orders").filter(col("o_orderkey") < 100), "o_orderkey")
+    }
+    // a multi-path scan is a union the constraint was never verified
+    // on: o_orderkey is unique in EACH dir but duplicated across them
+    val dup = s.read.parquet(s"$dir/orders.parquet", "/root/testdata/sf0.01/orders.parquet")
+    val li = Tables(s, dir, "lineitem")
+    val q = li.join(dup, li("l_orderkey") === dup("o_orderkey"), "left")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(scansOrders(q), "multi-path right side must keep the join")
+  }
+
   // ------------------------------------------------------------- opt8
   import graft.plans.EagerAggregationRewrite
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}

@@ -86,6 +86,14 @@ class MvRewriteSpec extends AnyFunSuite {
       .agg(sum(expr("CAST(round(l_discount * 100) AS BIGINT)")).as("sd"))
     assert(scansFact(unknown) && !scansMv(unknown),
       "a measure the MV does not store must stay on the base table")
+    // a FILTERED definition must refuse at registration (r13 review): a
+    // partial summary would rewrite whole-table queries to wrong results
+    val base = graft.Tables(s, dir, "lineitem")
+    val filteredDefn = base.filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+    intercept[IllegalArgumentException] {
+      graft.plans.MaterializedViewRewrite.register(s, base, filteredDefn, "/tmp/never_written")
+    }
   }
 
   test("opt6 refresh is genuinely incremental: v1 = partial fold, v2 = full, both retained") {
