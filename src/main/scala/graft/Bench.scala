@@ -57,10 +57,38 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
   }
 
+  /** Committed per-entry baseline (the recording this sweep is graded
+    * against), read from the artifact path BEFORE this run overwrites
+    * it. Absent file / entry → no adjudication for that entry.
+    */
+  private def readBaseline(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // minimal parse of {"queries":{"name":sec,...}} — values are plain
+      // doubles or "err:..." strings; skip the strings.
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        body.split(',').flatMap { kv =>
+          kv.split(':') match {
+            case Array(k, v) if !v.startsWith("\"") =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // brief: local[32], 32 shuffle partitions
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Optional entry filter for targeted adjudication runs (comma list).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -73,36 +101,66 @@ object Bench {
     spark.range(100000).select(org.apache.spark.sql.functions.sum($"id"))
       .write.format("noop").mode("overwrite").save()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val outcome =
-        try {
-          val times = (1 to runs).map { _ =>
-            val t0 = System.nanoTime()
-            org.apache.spark.sql.GraftShims.dropTopLevelSort(fn(spark, sfDir))
-              .write.format("noop").mode("overwrite").save()
-            val sec = (System.nanoTime() - t0) / 1e9
-            // drop caches the run registered so the next run (and the
-            // next query) measures the full plan under its own memory
-            sweepState(spark)
-            sec
-          }.sorted
-          Right(times(times.size / 2)) // median (upper on even n)
-        } catch {
-          case e: Throwable =>
-            failed ::= name
-            sweepState(spark)
-            System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-            Left(e.getClass.getSimpleName)
-        }
-      name -> outcome
+    def timeEntry(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] =
+      try {
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          org.apache.spark.sql.GraftShims.dropTopLevelSort(fn(spark, sfDir))
+            .write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          // drop caches the run registered so the next run (and the
+          // next query) measures the full plan under its own memory
+          sweepState(spark)
+          sec
+        }.sorted
+        Right(times(times.size / 2)) // median (upper on even n)
+      } catch {
+        case e: Throwable =>
+          failed ::= name
+          sweepState(spark)
+          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+      }
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = entries.map { case (name, fn) => name -> timeEntry(name, fn) }
+    // Self-adjudication (VERDICT r13 #1): any entry that measured >2x its
+    // committed recording gets an isolated second pass at sweep end —
+    // same JVM, but after sweepState has cleared every other entry's
+    // residue and the sweep's positional context is gone. Both numbers
+    // go in the JSON so the >2x gate can tell a code regression (isolated
+    // ~= sweep, still slow) from sweep-positional noise (isolated ~=
+    // baseline). Absolute floor 0.25s so micro-entries' jitter doesn't
+    // trigger re-runs.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_full.json")
+    val baseline = readBaseline(baselinePath)
+    val movers = results.collect {
+      case (name, Right(sec))
+        if baseline.get(name).exists(b => sec > 2 * b && sec - b > 0.25) => name
     }
+    val adjudication: Seq[(String, (Double, Either[String, Double]))] =
+      if (movers.isEmpty) Nil
+      else {
+        System.gc() // settle before the isolated pass
+        movers.map { name =>
+          val sweep = results.toMap.apply(name).toOption.get
+          name -> (sweep -> timeEntry(name, SparkEntry.queries(name)))
+        }
+      }
     val qs = results.map {
       case (k, Right(sec)) => s"\"$k\":$sec"
       case (k, Left(err))  => s"\"$k\":\"err:$err\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(sec)) => sec }.sum
+    def f3v(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // [sweep, isolated, committed] per adjudicated entry (isolated may be
+    // "err:..." if the re-run failed).
+    val adjJson = adjudication.map { case (name, (sweep, iso)) =>
+      val isoS = iso.fold(e => s""""err:$e"""", f3v)
+      s""""$name":[${f3v(sweep)},$isoS,${f3v(baseline(name))}]"""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.distinct.size},"adjudication":$adjJson}"""
     // The driver keeps only the last ~2000 stdout chars, and the full
     // per-query map is ~12 KB at 254 entries — it can NEVER fit, which
     // is why BENCH_r*.json carried "parsed": null for twelve rounds.
@@ -125,7 +183,7 @@ object Bench {
       case Left(err)  => s""""$k":"err:$err""""
     }).mkString("{", ",", "}")
     val shortLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir","queries":$headQs,"full":"bench_full.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":${failed.distinct.size},"sf":"$sfDir","queries":$headQs,"adjudication":$adjJson,"full":"bench_full.json"}"""
     // Persist the complete per-query map as a file artifact: the driver
     // captures a truncated log *tail*, so with 233 entries the printed
     // line can lose the first half of the alphabet (BENCH_r06.json kept
@@ -137,8 +195,10 @@ object Bench {
     // a fixed sidecar path regardless of sf, for any consumer that wants
     // the summary without stdout framing.
     val sfName = new java.io.File(sfDir).getName
+    // A filtered run must never clobber the full committed recording.
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (sfName == "sf0.1") "bench_full.json" else s"bench_full_$sfName.json")
+      if (only.isDefined) "bench_only.json"
+      else if (sfName == "sf0.1") "bench_full.json" else s"bench_full_$sfName.json")
     Seq(artifact, "bench_summary.json").foreach { p =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(p),

@@ -257,8 +257,11 @@ object Multimodal {
     * both members of a pair share geometry and the frame-seed list
     * `base·1000 + f`, and the SECOND member (doc_id % 50 ≥ 25)
     * re-shoots exactly one frame (position `(doc_id/25) % frames`,
-    * seed `base·1000 + 777 + doc_id` — provably outside every shared
-    * seed range) — so pair Jaccard over frame signatures is
+    * seed `base·1000 + 930` — provably outside every shared seed
+    * range: shared seeds occupy offsets 0..7 of each base's
+    * thousands-block, and 930 stays inside its own base's block, so
+    * no other base's seeds can reach it) — so pair Jaccard over frame
+    * signatures is
     * (frames−1)/(frames+1) ≥ 5/7 and cross-pair videos share no seeds
     * at all. 6–8 frames per video keeps true pairs above and noise
     * pairs far below any sane threshold.
@@ -273,7 +276,7 @@ object Multimodal {
         val wb = (1 + base % 2).toInt
         val frames = (6 + base % 3).toInt
         val seeds = (0 until frames).map(f => base * 1000 + f).toArray
-        if (id % 50 >= 25) seeds(((id / 25) % frames).toInt) = base * 1000 + 777 + id
+        if (id % 50 >= 25) seeds(((id / 25) % frames).toInt) = base * 1000 + 930
         MediaFile(id, "video", AviCodec.synthAviSeeds(seeds.toSeq, wb, 1),
           MediaMeta("avi_mjpg", wb * 8, 8, frames * 40L))
       })

@@ -710,7 +710,7 @@ object MultimodalQueries extends QueryModule {
        |fr AS (
        |  SELECT media_id, wb,
        |    CASE WHEN media_id % 50 >= 25 AND f = (media_id // 25) % frames
-       |         THEN base * 1000 + 777 + media_id
+       |         THEN base * 1000 + 930
        |         ELSE base * 1000 + f END AS seed
        |  FROM (SELECT *, unnest(range(0, frames)) AS f FROM cfg)),
        |coef AS (

@@ -1558,17 +1558,25 @@ object Similarity extends QueryModule {
         c(j)(i) = v
         if (i == j) trace += v
       }
-    var v = Array.fill(d)(1000L)
+    // The whole iteration runs in BigInt (36×36 driver math, cost nil):
+    // with raw Longs, 1000·wi overflows once |cov_ppm| nears ~2.5e11 and
+    // the driver would wrap silently while the oracle's BIGINT raises —
+    // the two engines must diverge TOGETHER or not at all (ADVICE r13).
+    // floorDiv semantics are kept explicitly (BigInt `/` truncates).
+    def floorDivB(a: BigInt, b: BigInt): BigInt = (a - (((a % b) + b) % b)) / b
+    var v = Array.fill(d)(BigInt(1000))
     for (_ <- 1 to PowerIters) {
-      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
-      val m = math.max(w.map(math.abs).max, 1L)
-      v = w.map(wi => Math.floorDiv(1000L * wi, m))
+      val w = Array.tabulate(d)(i => (0 until d).map(j => BigInt(c(i)(j)) * v(j)).sum)
+      val m = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(wi => floorDivB(wi * 1000, m))
     }
-    val wf = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
-    val num = (0 until d).map(i => BigInt(v(i)) * wf(i)).sum
-    val den = (0 until d).map(i => BigInt(v(i)) * v(i)).sum
+    val wf = Array.tabulate(d)(i => (0 until d).map(j => BigInt(c(i)(j)) * v(j)).sum)
+    val num = (0 until d).map(i => v(i) * wf(i)).sum
+    val den = (0 until d).map(i => v(i) * v(i)).sum
     val lam = ((num - (((num % den) + den) % den)) / den).toLong
-    (v, lam, math.max(trace, 1L))
+    // |v(i)| ≤ 1000 after the last normalization — the Long narrowing
+    // is exact by construction.
+    (v.map(_.toLong), lam, math.max(trace, 1L))
   }
 
   private def powerIteration(s: SparkSession, dir: String): DataFrame = {

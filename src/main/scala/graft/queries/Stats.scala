@@ -704,7 +704,11 @@ object Stats extends QueryModule {
     * d hash rows, not d scans).
     *
     * Hashing is 2-universal ((a·key + b) mod p mod w, p = 2³¹−1 prime,
-    * literal per-row a/b), pure integer arithmetic — so the oracle
+    * literal per-row a ∈ [1, p−1], b ∈ [0, p−1] as Carter–Wegman
+    * requires — the constants are canonical multiplicative seeds
+    * reduced mod p, which leaves every bucket value identical while
+    * keeping a/b inside the family's domain), pure integer
+    * arithmetic — so the oracle
     * rebuilds the ENTIRE sketch table in SQL and the estimates
     * hash-match exactly: this audits the real estimate values beside
     * exact ground truth (dq12's measure-don't-guess posture), not just
@@ -715,8 +719,12 @@ object Stats extends QueryModule {
   private val CmD = 4
   private val CmW = 64
   private val CmP = 2147483647L // 2^31 − 1, prime
-  private val CmA = Seq(1103515245L, 2246822519L, 3266489917L, 668265263L)
-  private val CmB = Seq(12345L, 374761393L, 2654435761L, 1013904223L)
+  // xxHash/Knuth-style seeds reduced mod CmP so each a ∈ [1, p−1],
+  // b ∈ [0, p−1]: (key·a + b) mod p is unchanged by the reduction
+  // (key·(a − a') is a multiple of p), so estimates are bit-identical
+  // to the unreduced constants while the 2-universal domain claim holds.
+  private val CmA = Seq(1103515245L, 99338872L, 1119006270L, 668265263L)
+  private val CmB = Seq(12345L, 374761393L, 506952114L, 1013904223L)
 
   private def cmBucket(key: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
     ((key * CmA(r) + CmB(r)) % CmP) % CmW

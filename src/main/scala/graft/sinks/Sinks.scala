@@ -229,10 +229,14 @@ object Compactor {
   * (`_claim_v<N>`; HDFS create(overwrite=false) is a single NameNode
   * op, O_CREAT|O_EXCL on POSIX). Exactly one writer can own a number,
   * so two publishers can never stage into the same data dir — the
-  * loser bumps to the next free number and lands as a later version
-  * (optimistic concurrency, last-writer-wins for whole-table
-  * publishes). A claim whose writer crashed strands a number, never a
-  * partial table; stale claims fall to vacuum.
+  * loser bumps to the next free number and lands as a later version.
+  * Which publish becomes "current" is decided at CLAIM time, not
+  * commit time (claim-order-wins, not commit-completion-order): a
+  * writer that claims v2 and stages slowly while a competitor claims
+  * and commits v3 has its later-in-wall-clock publish land as the
+  * non-current version. Readers see whichever claimed number is both
+  * highest and committed. A claim whose writer crashed strands a
+  * number, never a partial table; stale claims fall to vacuum.
   */
 object VersionedTable {
   import org.apache.hadoop.fs.Path
