@@ -80,8 +80,8 @@ object EagerAggregationRewrite extends Rule[LogicalPlan] {
       if (l.outputSet.contains(a) && r.outputSet.contains(b)) (a, b)
       else if (l.outputSet.contains(b) && r.outputSet.contains(a)) (b, a)
       else return None
-    if (!PlanScans.filteredScanPath(r).exists(p =>
-        TableConstraints.isUnique(appId, p, rightKey.name)))
+    if (!PlanScans.filteredScanRef(r).exists(ref =>
+        TableConstraints.isUnique(appId, ref, rightKey.name)))
       return None
     // v1 scope: plain-column grouping (either side)
     if (!ge.forall(_.isInstanceOf[AttributeReference])) return None

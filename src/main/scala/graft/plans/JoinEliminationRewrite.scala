@@ -60,7 +60,7 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
     */
   private def uniqueKeyOf(appId: String, right: LogicalPlan,
       attr: AttributeReference): Boolean =
-    PlanScans.filteredScanPath(right).exists(p => TableConstraints.isUnique(appId, p, attr.name))
+    PlanScans.filteredScanRef(right).exists(r => TableConstraints.isUnique(appId, r, attr.name))
 
   private def eligible(appId: String, parentRefs: AttributeSet, j: Join): Option[LogicalPlan] =
     j match {
@@ -95,8 +95,14 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
   */
 object TableConstraints {
 
-  // (appId, scanPath, column) present iff uniqueness was verified
-  private val unique = new ConcurrentHashMap[(String, String, String), java.lang.Boolean]()
+  // (appId, scanPath, column) -> the file-listing fingerprint the
+  // audit ran over. A constraint is only trusted against a query-side
+  // scan with the SAME fingerprint: files appended after the audit
+  // were never verified, and a duplicate key in one of them would make
+  // the "unique" claim — and every rewrite built on it — silently
+  // wrong (VERDICT r13 #2).
+  private val unique =
+    new ConcurrentHashMap[(String, String, String), PlanScans.ScanFingerprint]()
 
   /** Verify `col` is duplicate-free among non-null values of `df`'s
     * single file scan, and register on success. Returns whether the
@@ -107,21 +113,25 @@ object TableConstraints {
     * audit over a filtered slice would verify uniqueness on the subset
     * and register it against the full table — the subset-verified-
     * constraint hole the r13 review flagged.
+    *
+    * Re-registering after the table changed re-runs the audit over the
+    * new listing and replaces the stored fingerprint (the memo
+    * short-circuits only while the listing is unchanged).
     */
   def registerUnique(spark: SparkSession, df: DataFrame, col: String): Boolean = {
     import org.apache.spark.sql.functions.{count, countDistinct, col => c}
-    val path = PlanScans.rowPreservingScanPath(df.queryExecution.optimizedPlan).getOrElse(
+    val ref = PlanScans.rowPreservingScanRef(df.queryExecution.optimizedPlan).getOrElse(
       throw new IllegalArgumentException(
         "constraint base must be a row-preserving chain over a single file-source scan " +
           "(no filters/joins/limits: the audit must see every row)"))
-    val key = (spark.sparkContext.applicationId, path, col)
-    if (unique.containsKey(key)) return true
+    val key = (spark.sparkContext.applicationId, ref.path, col)
+    if (ref.fingerprint == unique.get(key)) return true // audited this exact listing
     val row = df.agg(count(c(col)).as("n"), countDistinct(c(col)).as("d")).collect()(0)
     val ok = row.getLong(0) == row.getLong(1)
-    if (ok) unique.put(key, java.lang.Boolean.TRUE)
+    if (ok) unique.put(key, ref.fingerprint) else unique.remove(key)
     ok
   }
 
-  def isUnique(appId: String, path: String, col: String): Boolean =
-    unique.containsKey((appId, path, col))
+  def isUnique(appId: String, ref: PlanScans.ScanRef, col: String): Boolean =
+    ref.fingerprint == unique.get((appId, ref.path, col))
 }

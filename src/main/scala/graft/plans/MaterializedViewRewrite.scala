@@ -76,8 +76,9 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     * exprIds, so the same MV can serve two aggregates in one query
     * without attribute conflicts, with zero IO at plan time.
     */
-  final case class MvDef(basePath: String, mvPath: String,
-      groupCols: Seq[String], measures: Seq[Measure], mvRelation: LogicalRelation)
+  final case class MvDef(basePath: String, baseFingerprint: PlanScans.ScanFingerprint,
+      mvPath: String, groupCols: Seq[String], measures: Seq[Measure],
+      mvRelation: LogicalRelation)
 
   // (applicationId, basePath) -> MvDef; appId-keyed like SharedFrames so a
   // restarted session can never see a stale registration.
@@ -96,6 +97,15 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     * catalog entry; the natural spelling is opt6's — publish each
     * refresh as a NEW `VersionedTable` version and register that
     * version's path.
+    *
+    * BASE-SIDE STALENESS: the base scan's file-listing fingerprint is
+    * captured here too, and the rewrite compares it against the
+    * query-side relation's listing on every match — if part-files were
+    * appended (or compacted, or overwritten) after registration, the
+    * rewrite STANDS DOWN and the query runs on the base table until a
+    * refresh re-registers over the new listing. Without this, the MV
+    * would keep answering with a summary silently missing the new rows
+    * (VERDICT r13 #2).
     */
   def register(spark: SparkSession, base: DataFrame, mvDf: DataFrame, mvPath: String): Unit = {
     // row-preserving walk: the base frame may carry normalization
@@ -103,9 +113,10 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     // those never add/drop/duplicate rows; anything else (a Filter, a
     // Join) would make the registration a lie. QUERY matching
     // (unwrapScan) stays strict.
-    val basePath = PlanScans.rowPreservingScanPath(base.queryExecution.optimizedPlan)
+    val baseRef = PlanScans.rowPreservingScanRef(base.queryExecution.optimizedPlan)
       .getOrElse(throw new IllegalArgumentException(
         "MV base must be a row-preserving chain over a single file-source scan"))
+    val basePath = baseRef.path
     val (groupCols, measures) = mvDf.queryExecution.optimizedPlan.collectFirst {
       case Aggregate(ge, ae, child, _) =>
         // the definition must summarize EVERY row of the base scan: a
@@ -139,7 +150,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       case lr: LogicalRelation => lr
     }.getOrElse(throw new IllegalStateException(s"MV at $mvPath did not analyze to a scan"))
     catalog.put((spark.sparkContext.applicationId, basePath),
-      MvDef(basePath, mvPath, groupCols, measures, mvRelation))
+      MvDef(basePath, baseRef.fingerprint, mvPath, groupCols, measures, mvRelation))
     ()
   }
 
@@ -154,17 +165,18 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     * ([[PlanScans]] — a multi-path scan is a union the MV knows nothing
     * about).
     */
-  private def unwrapScan(plan: LogicalPlan): Option[(String, Option[Expression])] = plan match {
-    case lr: LogicalRelation => PlanScans.bareScanPath(lr).map(p => (p, None))
-    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      unwrapScan(child)
-    case Filter(cond, child) =>
-      unwrapScan(child).flatMap {
-        case (p, None) => Some((p, Some(cond)))
-        case _ => None // two filters: stay out
-      }
-    case _ => None
-  }
+  private def unwrapScan(plan: LogicalPlan): Option[(PlanScans.ScanRef, Option[Expression])] =
+    plan match {
+      case lr: LogicalRelation => PlanScans.bareScanRef(lr).map(r => (r, None))
+      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrapScan(child)
+      case Filter(cond, child) =>
+        unwrapScan(child).flatMap {
+          case (r, None) => Some((r, Some(cond)))
+          case _ => None // two filters: stay out
+        }
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
@@ -173,8 +185,13 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(ge, ae, child, _) =>
         val rewritten = for {
-          (path, filterOpt) <- unwrapScan(child)
-          mv <- Option(catalog.get((appId, path)))
+          (ref, filterOpt) <- unwrapScan(child)
+          mv <- Option(catalog.get((appId, ref.path)))
+          // staleness gate: the query-side listing must be the listing
+          // the MV summarized — files appended/compacted/overwritten
+          // since registration would make the summary silently wrong,
+          // so the rewrite stands down and the query runs on the base.
+          if mv.baseFingerprint == ref.fingerprint
           out <- tryRewrite(spark, agg, ge, ae, filterOpt, mv)
         } yield out
         rewritten.getOrElse(agg)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
 
 /** THE scan-path extraction for the constraint/MV rule family — one
   * implementation with one contract, because each caller's soundness
@@ -14,12 +14,47 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * verified on one path says nothing about the union (a key present in
   * both paths duplicates), and an MV of one path is missing the other
   * path's rows. Every extractor returns None for multi-root scans.
+  *
+  * Every extractor returns a [[ScanRef]] carrying the scan's
+  * FILE-LISTING FINGERPRINT beside its path. Registration-time trust
+  * (a verified-unique key, an MV summary) is only as fresh as the
+  * listing it was computed over: if part-files are appended to the base
+  * path afterwards, a path-keyed catalog would keep rewriting queries
+  * to a summary that is silently missing the new rows, or keep
+  * trusting a uniqueness that was never re-verified (VERDICT r13 #2 —
+  * "registered once, believed forever"). The query-side relation's
+  * listing is already in driver memory at plan time, so comparing
+  * fingerprints is free; on mismatch every rule stands down and the
+  * query runs un-rewritten — correct, just unoptimized — until the
+  * catalog entry is re-registered over the new listing.
   */
 object PlanScans {
 
-  private def rootOf(lr: LogicalRelation): Option[String] = lr.relation match {
+  /** File-listing fingerprint: file count + total bytes + newest
+    * mtime. Any append, delete, overwrite or compaction of the listed
+    * files moves at least one component (an in-place same-size rewrite
+    * moves mtime). Computed from the ALREADY-LISTED in-memory index —
+    * no filesystem IO at plan time.
+    */
+  final case class ScanFingerprint(files: Int, bytes: Long, maxMtime: Long)
+
+  /** A single-root file scan: its root path plus the listing
+    * fingerprint of the relation instance the caller walked.
+    */
+  final case class ScanRef(path: String, fingerprint: ScanFingerprint)
+
+  private def fingerprintOf(h: HadoopFsRelation): ScanFingerprint = h.location match {
+    case p: PartitioningAwareFileIndex =>
+      val fs = p.allFiles()
+      ScanFingerprint(fs.length, fs.iterator.map(_.getLen).sum,
+        if (fs.isEmpty) 0L else fs.iterator.map(_.getModificationTime).max)
+    case other => // non-listing index: count+bytes still move on append
+      ScanFingerprint(other.inputFiles.length, other.sizeInBytes, 0L)
+  }
+
+  private def refOf(lr: LogicalRelation): Option[ScanRef] = lr.relation match {
     case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
-      Some(h.location.rootPaths.head.toString)
+      Some(ScanRef(h.location.rootPaths.head.toString, fingerprintOf(h)))
     case _ => None // multi-path or non-file relation: refuse
   }
 
@@ -30,9 +65,9 @@ object PlanScans {
     * Filter/Join/Limit/Sample/aggregate refuses. What "a scan of the
     * registered table" means on the MV rule's QUERY side.
     */
-  def bareScanPath(plan: LogicalPlan): Option[String] = plan match {
-    case lr: LogicalRelation => rootOf(lr)
-    case Project(pl, child) if attrsOnly(pl) => bareScanPath(child)
+  def bareScanRef(plan: LogicalPlan): Option[ScanRef] = plan match {
+    case lr: LogicalRelation => refOf(lr)
+    case Project(pl, child) if attrsOnly(pl) => bareScanRef(child)
     case _ => None
   }
 
@@ -43,10 +78,10 @@ object PlanScans {
     * aggregation (an inner join's right filter only selects which
     * groups survive). The optimizer itself plants isnotnull(key) here.
     */
-  def filteredScanPath(plan: LogicalPlan): Option[String] = plan match {
-    case lr: LogicalRelation => rootOf(lr)
-    case Project(pl, child) if attrsOnly(pl) => filteredScanPath(child)
-    case Filter(_, child) => filteredScanPath(child)
+  def filteredScanRef(plan: LogicalPlan): Option[ScanRef] = plan match {
+    case lr: LogicalRelation => refOf(lr)
+    case Project(pl, child) if attrsOnly(pl) => filteredScanRef(child)
+    case Filter(_, child) => filteredScanRef(child)
     case _ => None
   }
 
@@ -59,9 +94,12 @@ object PlanScans {
     * table (a Filter here was the r13-review hole: a subset-verified
     * "constraint" licensing rewrites on the full table).
     */
-  def rowPreservingScanPath(plan: LogicalPlan): Option[String] = plan match {
-    case lr: LogicalRelation => rootOf(lr)
-    case Project(pl, child) if pl.forall(_.deterministic) => rowPreservingScanPath(child)
+  def rowPreservingScanRef(plan: LogicalPlan): Option[ScanRef] = plan match {
+    case lr: LogicalRelation => refOf(lr)
+    case Project(pl, child) if pl.forall(_.deterministic) => rowPreservingScanRef(child)
     case _ => None
   }
+
+  def rowPreservingScanPath(plan: LogicalPlan): Option[String] =
+    rowPreservingScanRef(plan).map(_.path)
 }
