@@ -5,7 +5,8 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -160,6 +161,166 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations = current :+ MaterializedViewRewrite
   }
 
+  // ------------------------------------------------------ star-schema MVs
+
+  /** One dimension leg of a star MV: the dim's scan (path +
+    * fingerprint) and the equi-key pair, left key ON THE FACT.
+    */
+  final case class DimJoin(path: String, fingerprint: PlanScans.ScanFingerprint,
+      leftKey: String, rightKey: String)
+
+  /** A star MV: an aggregate over fact ⟕ dims (all LEFT OUTER
+    * equi-joins whose left keys are fact columns). Soundness of
+    * matching needs NO uniqueness constraint: if the fact and every
+    * dim have the same file listing the query's join is bag-identical
+    * to the join the MV summarized (pure-star left joins commute —
+    * each leg multiplies a fact row by max(matches, 1) independently
+    * of the others — so dim ORDER is canonicalized away), and the MV
+    * summarizes exactly the query's input.
+    */
+  final case class StarDef(factPath: String, factFp: PlanScans.ScanFingerprint,
+      dims: Seq[DimJoin], mvPath: String, groupCols: Seq[String], measures: Seq[Measure],
+      mvRelation: LogicalRelation)
+
+  // (applicationId, canonical star signature) -> StarDef
+  private val starCatalog = new ConcurrentHashMap[(String, String), StarDef]()
+
+  private def starKey(factPath: String, dims: Seq[DimJoin]): String =
+    factPath + dims.map(d => s"|${d.path}~${d.leftKey}~${d.rightKey}")
+      .sorted.mkString
+
+  private def sortedDims(dims: Seq[DimJoin]): Seq[DimJoin] =
+    dims.sortBy(d => (d.path, d.leftKey, d.rightKey, d.fingerprint.files,
+      d.fingerprint.bytes, d.fingerprint.maxMtime))
+
+  /** Unwrap a pure-star join tree: a chain of LEFT OUTER single-pair
+    * equi-joins whose right sides are bare dim scans and whose left
+    * keys are FACT columns (a dim-sourced left key would be a
+    * snowflake — refused, the commutation argument needs independence),
+    * over a fact leaf accepted by `leaf` (row-preserving at
+    * registration; strict bare-scan on the query side, mirroring the
+    * single-table rule's asymmetry). No Filters anywhere: a predicate
+    * the optimizer pushed into any leg means the query joins a SUBSET
+    * of what the MV summarized.
+    */
+  private def unwrapStarShape(plan: LogicalPlan,
+      leaf: LogicalPlan => Option[PlanScans.ScanRef])
+      : Option[(PlanScans.ScanRef, AttributeSet, Seq[DimJoin])] = plan match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrapStarShape(child, leaf)
+    case Join(l, r, LeftOuter, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+      for {
+        (fRef, factOut, dims) <- unwrapStarShape(l, leaf)
+        keys <- {
+          val rOut = r.outputSet
+          if (rOut.contains(y) && !rOut.contains(x)) Some((x, y))
+          else if (rOut.contains(x) && !rOut.contains(y)) Some((y, x))
+          else None
+        }
+        if factOut.contains(keys._1) // pure star: left key on the fact
+        rRef <- dimScanRef(r, keys._2)
+      } yield (fRef, factOut, dims :+ DimJoin(rRef.path, rRef.fingerprint,
+        keys._1.name, keys._2.name))
+    case other =>
+      leaf(other).map(ref => (ref, other.outputSet, Seq.empty[DimJoin]))
+  }
+
+  /** Bare dim scan, admitting ONLY the optimizer's own
+    * `isnotnull(rightKey)` (null keys never match a LEFT join's
+    * condition, so dropping them is the identity on the join output —
+    * the optimizer plants exactly this via constraint inference). Any
+    * other predicate means the query joins a SUBSET of the dim the MV
+    * summarized: refuse.
+    */
+  private def dimScanRef(plan: LogicalPlan,
+      rightKey: AttributeReference): Option[PlanScans.ScanRef] = {
+    def keyNotNullOnly(cond: Expression): Boolean = cond match {
+      case And(a, b) => keyNotNullOnly(a) && keyNotNullOnly(b)
+      case IsNotNull(a: AttributeReference) => a.exprId == rightKey.exprId
+      case _ => false
+    }
+    plan match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        dimScanRef(child, rightKey)
+      case Filter(cond, child) if keyNotNullOnly(cond) => dimScanRef(child, rightKey)
+      case lr: LogicalRelation => PlanScans.bareScanRef(lr)
+      case _ => None
+    }
+  }
+
+  /** Register `mvDf` — an Aggregate over a pure-star join tree,
+    * already written to `mvPath` — as the star summary of its fact
+    * table. Everything (fact path, dim legs, group columns, measures)
+    * is extracted from the definition's own optimized plan; group and
+    * measure name resolution must be unambiguous across the join
+    * output (fact/dim column name collisions are refused). The same
+    * staleness contract as [[register]] applies to the fact AND every
+    * dim: any listing change stands the rewrite down until
+    * re-registration.
+    */
+  def registerStar(spark: SparkSession, mvDf: DataFrame, mvPath: String): Unit = {
+    val reg = mvDf.queryExecution.optimizedPlan.collectFirst {
+      case Aggregate(ge, ae, child, _) =>
+        val (factRef, _, dims) =
+          unwrapStarShape(child, PlanScans.rowPreservingScanRef).getOrElse(
+            throw new IllegalArgumentException(
+              "star MV definition must aggregate a pure-star join tree " +
+                "(LEFT OUTER equi-joins of bare dim scans onto one fact scan)"))
+        if (dims.isEmpty) throw new IllegalArgumentException(
+          "no dimension joins found — use register() for single-table MVs")
+        val groups = ge.map {
+          case a: AttributeReference => a.name
+          case other => throw new IllegalArgumentException(
+            s"star MV grouping expressions must be plain columns, got $other")
+        }
+        val ms = ae.collect {
+          case Alias(AggregateExpression(fn, _, false, None, _), name) => fn match {
+            case Sum(_, _) => Measure(name, fn.sql, "sum", isCount = false)
+            case _: Count => Measure(name, fn.sql, "sum", isCount = true)
+            case Min(_) => Measure(name, fn.sql, "min", isCount = false)
+            case Max(_) => Measure(name, fn.sql, "max", isCount = false)
+            case other => throw new IllegalArgumentException(
+              s"star MV measures must be SUM/COUNT/MIN/MAX, got ${other.sql}")
+          }
+        }
+        // name-resolution ambiguity guard: measure matching is by
+        // attribute NAME (fn.sql), so a name present in two legs of
+        // the join could match the wrong column — refuse.
+        val referenced = (ge.flatMap(_.references) ++
+          ae.collect { case Alias(AggregateExpression(fn, _, _, _, _), _) => fn }
+            .flatMap(_.references)).map(_.name).toSet
+        val dup = child.output.groupBy(_.name).collect {
+          case (n, as) if as.size > 1 && referenced.contains(n) => n
+        }
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"ambiguous column name(s) across the star join: ${dup.mkString(", ")}")
+        StarDef(factRef.path, factRef.fingerprint, sortedDims(dims), mvPath, groups, ms, null)
+    }.getOrElse(throw new IllegalArgumentException("star MV definition must be an Aggregate"))
+    val mvRelation = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr
+    }.getOrElse(throw new IllegalStateException(s"MV at $mvPath did not analyze to a scan"))
+    starCatalog.put((spark.sparkContext.applicationId, starKey(reg.factPath, reg.dims)),
+      reg.copy(mvRelation = mvRelation))
+    ()
+  }
+
+  /** Query-side star match: same shape walk with the STRICT fact leaf,
+    * catalog hit on the canonical signature, then fingerprint equality
+    * on the fact and every dim leg (staleness: any appended/compacted
+    * leg stands the rewrite down).
+    */
+  private def tryStar(spark: SparkSession, appId: String, agg: Aggregate, ge: Seq[Expression],
+      ae: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      (factRef, _, dims) <- unwrapStarShape(child, PlanScans.bareScanRef)
+      if dims.nonEmpty
+      sd <- Option(starCatalog.get((appId, starKey(factRef.path, dims))))
+      if sd.factFp == factRef.fingerprint
+      if sortedDims(dims) == sd.dims
+      out <- tryRewrite(spark, agg, ge, ae, None,
+        MvDef(sd.factPath, sd.factFp, sd.mvPath, sd.groupCols, sd.measures, sd.mvRelation))
+    } yield out
+
   /** Strip attribute-only Projects; allow one Filter. Returns the base
     * scan path and the optional filter condition. Single-root only
     * ([[PlanScans]] — a multi-path scan is a union the MV knows nothing
@@ -184,7 +345,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     val appId = spark.sparkContext.applicationId
     plan.transformUp {
       case agg @ Aggregate(ge, ae, child, _) =>
-        val rewritten = for {
+        val rewritten = (for {
           (ref, filterOpt) <- unwrapScan(child)
           mv <- Option(catalog.get((appId, ref.path)))
           // staleness gate: the query-side listing must be the listing
@@ -193,7 +354,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
           // so the rewrite stands down and the query runs on the base.
           if mv.baseFingerprint == ref.fingerprint
           out <- tryRewrite(spark, agg, ge, ae, filterOpt, mv)
-        } yield out
+        } yield out).orElse(tryStar(spark, appId, agg, ge, ae, child))
         rewritten.getOrElse(agg)
     }
   }

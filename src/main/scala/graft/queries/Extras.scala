@@ -1917,6 +1917,79 @@ object Extras extends QueryModule {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt10
+  /** STAR-SCHEMA MV derivability under the oracle — the classic
+    * warehouse dashboard query is an aggregate over fact ⟕ broadcast
+    * dims GROUPED BY A DIM ATTRIBUTE, which neither opt5 (single-table
+    * matcher) nor opt7 (the parent reads dim columns, so the join
+    * can't be eliminated) could touch. [[graft.plans
+    * .MaterializedViewRewrite.registerStar]] extracts the whole star
+    * shape (fact scan + every LEFT OUTER equi-leg + groups + measures)
+    * from the definition's optimized plan; the query-side matcher
+    * recognizes the SAME star (canonical dim-set signature, so join
+    * order is irrelevant; file-listing fingerprints on the fact and
+    * every dim, so staleness stands it down) and re-plans the
+    * dashboard query onto the few-hundred-row summary. Soundness needs
+    * no uniqueness constraint: equal listings make the query's join
+    * bag-identical to the join the MV summarized. The entry builds a
+    * (o_orderpriority, s_nationkey) summary of lineitem ⟕ orders ⟕
+    * supplier once per (session, corpus), then runs the coarser
+    * "revenue by order priority" roll-up; the DuckDB oracle EXECUTES
+    * the full two-dim join + aggregate, so the hash proves
+    * star-MV-path ≡ raw-join-path. MvRewriteSpec pins that the
+    * executed plan scans ONLY the summary — no lineitem, no orders, no
+    * supplier. At 100 TB this is the difference between a dashboard
+    * refresh that re-joins the fact table and one that reads kilobytes.
+    */
+  private val starMvBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def starJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val or = t(s, dir, "orders")
+    val supp = t(s, dir, "supplier")
+    li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+      .join(supp, li("l_suppkey") === supp("s_suppkey"), "left")
+  }
+
+  private def starMvGate(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.SparkEntry.configure(s0.newSession()) // sj4 conf hygiene
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_starmv_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    starMvBuilt.synchronized {
+      if (!starMvBuilt.contains(root)) {
+        val defn = starJoin(s, dir)
+          .groupBy(col("o_orderpriority"), col("s_nationkey"))
+          .agg(
+            sum(mvPriceCents).as("sum_price_c"),
+            sum(mvQtyCents).as("sum_qty_c"),
+            count(lit(1)).as("cnt"))
+        defn.write.mode("overwrite").parquet(root)
+        graft.plans.MaterializedViewRewrite.registerStar(s, defn, root)
+        starMvBuilt += root
+        ()
+      }
+    }
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    starJoin(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(mvPriceCents).as("sum_price_c"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val starMvGateSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |LEFT JOIN orders ON l_orderkey = o_orderkey
+      |LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- inc3
   /** Incremental view maintenance for a JOIN — the delta-rule twin of
     * opt6's aggregate maintenance: for appends ΔR, ΔS to R₀⋈S₀, the
@@ -3073,6 +3146,7 @@ object Extras extends QueryModule {
     "opt8_eager_agg" -> (eagerAggGate _),
     "inc3_join_ivm" -> (joinIvm _),
     "opt9_rule_composition" -> (ruleCompositionGate _),
+    "opt10_star_mv" -> (starMvGate _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -3147,6 +3221,7 @@ object Extras extends QueryModule {
     "opt8_eager_agg" -> eagerAggGateSql,
     "inc3_join_ivm" -> joinIvmSql,
     "opt9_rule_composition" -> ruleCompositionGateSql,
+    "opt10_star_mv" -> starMvGateSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

@@ -132,6 +132,77 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(!paths.exists(_.contains("orders")), s"dim still scanned: $paths")
   }
 
+  test("opt10: star MV fires — only the summary scanned; refusals keep the join") {
+    val s = SparkEntry.configure(spark.newSession())
+    val df = SparkEntry.queries("opt10_star_mv")(s, dir)
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true") // entry enabled its CHILD only
+    val paths = scans(df)
+    assert(paths.exists(_.contains("graft_starmv_")), s"summary not scanned: $paths")
+    assert(!paths.exists(p => p.contains("lineitem") || p.contains("orders") ||
+      p.contains("supplier")), s"star legs still scanned: $paths")
+    // values equal the rule-off raw join
+    val off = SparkEntry.configure(spark.newSession())
+    off.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "false")
+    def q(sess: SparkSession): DataFrame = {
+      val li = graft.Tables(sess, dir, "lineitem")
+      val or = graft.Tables(sess, dir, "orders")
+      val supp = graft.Tables(sess, dir, "supplier")
+      li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+        .join(supp, li("l_suppkey") === supp("s_suppkey"), "left")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(qtyCents).as("sq"))
+        .orderBy(col("s_nationkey").asc_nulls_first)
+    }
+    assert(scansMv2(q(s)), "roll-up to the other dim attribute must also derive")
+    assert(q(s).collect().toSeq == q(off).collect().toSeq)
+    // refusal 1: a FILTERED star query joins a subset — must stay raw
+    val li = graft.Tables(s, dir, "lineitem")
+    val or = graft.Tables(s, dir, "orders")
+    val filtered = li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(!scansMv2(filtered), "a filter anywhere in the star must refuse")
+    // refusal 2: a DIFFERENT dim set (orders only) is a different star
+    val oneDim = li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(!scansMv2(oneDim), "a star missing a registered leg must refuse")
+    // refusal 3: a measure over a dim column the MV doesn't store
+    val supp = graft.Tables(s, dir, "supplier")
+    val badMeasure = li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+      .join(supp, li("l_suppkey") === supp("s_suppkey"), "left")
+      .groupBy(col("o_orderpriority")).agg(min(col("s_acctbal")).as("m"))
+    assert(!scansMv2(badMeasure), "an unstored measure must stay on the raw join")
+  }
+
+  private def scansMv2(df: DataFrame): Boolean = scans(df).exists(_.contains("graft_starmv_"))
+
+  test("opt10 staleness: a part-file on a DIM leg stands the star rewrite down") {
+    val s = SparkEntry.configure(spark.newSession())
+    import s.implicits._
+    def salt(tag: String) = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_starstale_${tag}_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val factDir = salt("fact"); val dimDir = salt("dim"); val mvDir = salt("mv")
+    (1 to 60).map(i => (i.toLong % 6, i.toLong)).toDF("fk", "v").write.parquet(factDir)
+    (0L to 5L).map(k => (k, s"g${k % 2}")).toDF("k", "grp").write.parquet(dimDir)
+    def join(sess: SparkSession) = sess.read.parquet(factDir)
+      .join(sess.read.parquet(dimDir), col("fk") === col("k"), "left")
+    val defn = join(s).groupBy(col("grp")).agg(sum(col("v")).as("sum_v"), count(lit(1)).as("cnt"))
+    defn.write.parquet(mvDir)
+    graft.plans.MaterializedViewRewrite.registerStar(s, defn, mvDir)
+    graft.plans.MaterializedViewRewrite.install(s)
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    def q() = join(s).groupBy(col("grp")).agg(sum(col("v")).as("sv"))
+    assert(scans(q()).exists(_.contains(new java.io.File(mvDir).getName)), "must fire when fresh")
+    Seq((0L, "g1")).toDF("k", "grp").write.mode("append").parquet(dimDir) // dim grows (dup key!)
+    val after = q()
+    assert(!scans(after).exists(_.contains(new java.io.File(mvDir).getName)),
+      "stale star rewrite fired after dim append")
+    val expect = join(SparkEntry.configure(spark.newSession()))
+      .groupBy(col("grp")).agg(sum(col("v")).as("sv"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(after.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap == expect)
+  }
+
   test("inc3: v1 is the pre-delta join; the delta-rule refresh equals the full join") {
     import graft.sinks.VersionedTable
     val s = SparkEntry.configure(spark.newSession())
