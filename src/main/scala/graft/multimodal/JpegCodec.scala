@@ -17,11 +17,14 @@ package graft.multimodal
   * rounding differs slightly from any other's — JpegCodecSpec pins this
   * one within ±2 of the JDK's ImageIO (libjpeg-derived) decode in both
   * interop directions. [[parseJpeg]] is the single-component
-  * (grayscale) path; [[parseJpegColor]]/[[walkColor]] decode
+  * (grayscale) path and handles BOTH frame types: SOF0 baseline and
+  * SOF2 PROGRESSIVE (spectral selection + successive approximation,
+  * all four scan types incl. AC refinement with EOB runs —
+  * [[walkProgressive]]). [[parseJpegColor]]/[[walkColor]] decode
   * 3-component baseline YCbCr (4:2:0 and 4:4:4) with MCU-interleaved
   * scans, per-component DC prediction, box chroma upsampling and
-  * libjpeg's exact fixed-point color convert. Progressive scans,
-  * 12-bit precision, arithmetic coding and other samplings return
+  * libjpeg's exact fixed-point color convert. 12-bit precision,
+  * arithmetic coding, progressive color and other samplings return
   * None (undecodable payloads are data).
   *
   * Encoder ([[synthJpeg]]): writes real baseline files — DQT, SOF0,
@@ -165,17 +168,58 @@ object JpegCodec {
   private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-  /** Decode a baseline sequential GRAYSCALE JPEG. None on anything the
-    * decoder does not cover (color, progressive, 12-bit, arithmetic
-    * coding) or any structural mismatch. The gate path streams a sum
-    * (O(1) state beyond one 8×8 block); [[decodeImage]] shares the same
-    * walk with a materializing sink for conformance tests.
+  /** First SOFn marker of the stream (the frame TYPE decides the
+    * decode path), or −1 on anything structurally off before a frame
+    * header. DHT (0xc4), JPG (0xc8) and DAC (0xcc) share the 0xCn
+    * range but are not frame markers.
+    */
+  private def sofMarker(bytes: Array[Byte]): Int = {
+    if (bytes.length < 4) return -1
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (u16(0) != 0xffd8) return -1
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      if (u8(pos) != 0xff) return -1
+      val m = u8(pos + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+      else if (m == 0xd9 || m == 0xda) return -1 // SOS/EOI before any SOF
+      else {
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) return m
+        val len = u16(pos + 2)
+        if (len < 2 || pos + 2 + len > bytes.length) return -1
+        pos += 2 + len
+      }
+    }
+    -1
+  }
+
+  /** Decode a GRAYSCALE JPEG — baseline sequential (SOF0) or
+    * progressive (SOF2, spectral selection + successive approximation).
+    * None on anything the decoder does not cover (color via this
+    * entry point, 12-bit, arithmetic coding) or any structural
+    * mismatch. The baseline gate path streams a sum (O(1) state beyond
+    * one 8×8 block); progressive decode holds the full coefficient
+    * plane by the format's nature (every scan revisits every block).
     */
   def parseJpeg(bytes: Array[Byte]): Option[JpegInfo] = {
     var sum = 0L
-    walk(bytes)((_, _) => (_, _, v) => sum += v)
+    dispatch(bytes)((_, _) => (_, _, v) => sum += v)
       .map { case (w, h) => JpegInfo(w, h, w.toLong * h, sum) }
   }
+
+  /** Route on the frame marker: SOF0 → [[walk]], SOF2 →
+    * [[walkProgressive]]. Dispatching BEFORE decode (not try-and-
+    * fall-back) keeps the sink single-shot: a sink never sees pixels
+    * from an abandoned walk.
+    */
+  private def dispatch(bytes: Array[Byte])(
+      mkSink: (Int, Int) => (Int, Int, Int) => Unit): Option[(Int, Int)] =
+    sofMarker(bytes) match {
+      case 0xc0 => walk(bytes)(mkSink)
+      case 0xc2 => walkProgressive(bytes)(mkSink)
+      case _ => None
+    }
 
   /** Position-weighted pixel signature Σ (y·w + x + 1)·v — the frame
     * fingerprint for video near-dup (mm17). The plain pixel sum
@@ -187,7 +231,7 @@ object JpegCodec {
   def parseJpegSig(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
     var sig = 0L
     var ww = 0
-    walk(bytes) { (w, _) =>
+    dispatch(bytes) { (w, _) =>
       ww = w
       (x, y, v) => sig += (y.toLong * ww + x + 1) * v
     }.map { case (w, h) => (w, h, sig) }
@@ -199,7 +243,7 @@ object JpegCodec {
   private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     var px: Array[Int] = null
     var ww = 0
-    walk(bytes) { (w, h) =>
+    dispatch(bytes) { (w, h) =>
       px = new Array[Int](w * h); ww = w
       (x, y, v) => px(y * ww + x) = v
     }.map { case (w, h) => (w, h, px) }
@@ -368,6 +412,302 @@ object JpegCodec {
       blk += 1
     }
     Some((w, h))
+  }
+
+  // ------------------------------------------------- progressive decoder
+
+  /** PROGRESSIVE (SOF2) grayscale decode — spectral selection +
+    * successive approximation per ITU T.81 §G.2. The coefficient plane
+    * persists across scans (zigzag order, one Int[64] per block);
+    * each SOS is one of the four scan types:
+    *
+    *   - DC first  (Ss=Se=0, Ah=0): differential DC, values << Al;
+    *   - DC refine (Ah>0): one raw bit per block, OR'd into bit Al;
+    *   - AC first  (Ss>0, Ah=0): run/size decode over the band with
+    *     EOB-RUN codes (EOBn = symbol n<<4: 2ⁿ + n-extra-bits blocks
+    *     end here), values << Al;
+    *   - AC refine (Ss>0, Ah>0): newly-significant coefficients arrive
+    *     as run/1 symbols (sign bit → ±2^Al, the run counting only
+    *     ZERO-history positions), while every already-nonzero
+    *     coefficient crossed en route consumes one correction bit that
+    *     moves it one bit of magnitude toward its true value; EOB runs
+    *     carry correction bits for the blocks they cover.
+    *
+    * Single component, 8-bit, no restart markers in progressive scope
+    * (the synth writer never emits DRI; a DRI segment refuses).
+    * Undecodable payloads are data: any structural mismatch → None.
+    */
+  private def walkProgressive(bytes: Array[Byte])(
+      mkSink: (Int, Int) => (Int, Int, Int) => Unit): Option[(Int, Int)] = {
+    if (bytes.length < 4) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (u16(0) != 0xffd8) return None
+    var pos = 2
+    val quant = Array.fill(4)(null: Array[Int]) // natural order
+    val dcTab = Array.fill(4)(null: Huff)
+    val acTab = Array.fill(4)(null: Huff)
+    var w = 0
+    var h = 0
+    var qSel = -1
+    var coefs: Array[Array[Int]] = null // per block, ZIGZAG order
+    var nBlocks = 0
+    var sawEoi = false
+
+    while (!sawEoi) {
+      if (pos + 2 > bytes.length) return None
+      if (u8(pos) != 0xff) return None
+      val marker = u8(pos + 1)
+      if (marker == 0xd8) { pos += 2 }
+      else if (marker == 0xd9) { sawEoi = true; pos += 2 }
+      else if (marker >= 0xd0 && marker <= 0xd7) return None // RST outside a scan
+      else {
+        if (pos + 4 > bytes.length) return None
+        val len = u16(pos + 2)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        val seg = pos + 4
+        val end = pos + 2 + len
+        marker match {
+          case 0xdb =>
+            var p = seg
+            while (p < end) {
+              val pq = u8(p) >> 4
+              val tq = u8(p) & 15
+              if (tq > 3 || pq > 1) return None
+              val n = if (pq == 0) 64 else 128
+              if (p + 1 + n > end) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                t(Zigzag(k)) = if (pq == 0) u8(p + 1 + k) else u16(p + 1 + 2 * k)
+                k += 1
+              }
+              quant(tq) = t
+              p += 1 + n
+            }
+          case 0xc4 =>
+            var p = seg
+            while (p < end) {
+              val tc = u8(p) >> 4
+              val th = u8(p) & 15
+              if (tc > 1 || th > 3 || p + 17 > end) return None
+              val bits17 = Array.tabulate(16)(i => u8(p + 1 + i))
+              val n = bits17.sum
+              if (n == 0 || n > 256 || p + 17 + n > end) return None
+              val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+              val huff = new Huff(bits17, vals)
+              if (tc == 0) dcTab(th) = huff else acTab(th) = huff
+              p += 17 + n
+            }
+          case 0xc2 =>
+            if (coefs != null) return None // one frame per stream
+            if (len < 11) return None // 9 payload bytes + 2 length bytes
+            if (u8(seg) != 8) return None // 8-bit precision only
+            h = u16(seg + 1); w = u16(seg + 3)
+            if (u8(seg + 5) != 1) return None // GRAYSCALE only
+            if (u8(seg + 7) != 0x11) return None // 1x1 sampling
+            qSel = u8(seg + 8)
+            if (qSel > 3) return None
+            if (w <= 0 || h <= 0) return None
+            nBlocks = ((w + 7) / 8) * ((h + 7) / 8)
+            coefs = Array.fill(nBlocks)(new Array[Int](64))
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // this walk is SOF2-only
+          case 0xdd => return None // restarts out of progressive scope
+          case 0xda =>
+            if (coefs == null) return None // SOS before SOF2
+            if (len < 8 || u8(seg) != 1) return None
+            val dcSel = u8(seg + 2) >> 4
+            val acSel = u8(seg + 2) & 15
+            if (dcSel > 3 || acSel > 3) return None
+            val ss = u8(seg + 3)
+            val se = u8(seg + 4)
+            val ah = u8(seg + 5) >> 4
+            val al = u8(seg + 5) & 15
+            val r = new BitReader(bytes, end)
+            if (!decodeProgressiveScan(r, coefs, nBlocks, ss, se, ah, al,
+                dcTab(dcSel), acTab(acSel))) return None
+            pos = r.pos
+            // fall through to the shared `pos = end` below would rewind
+            // into the entropy data — skip it by continuing directly
+            if (pos >= bytes.length || u8(pos) != 0xff) return None // scans end at a marker
+            // loop continues from the marker after the entropy data
+          case _ => () // APPn, COM: skip
+        }
+        if (marker != 0xda) pos = end
+      }
+    }
+
+    if (coefs == null || qSel < 0 || quant(qSel) == null) return None
+    val q = quant(qSel)
+    val sink = mkSink(w, h)
+    val wb = (w + 7) / 8
+    val deq = new Array[Long](64)
+    var blk = 0
+    while (blk < nBlocks) {
+      var k = 0
+      while (k < 64) { // dequantize + de-zigzag
+        val n = Zigzag(k)
+        deq(n) = coefs(blk)(k).toLong * q(n)
+        k += 1
+      }
+      val bx = (blk % wb) * 8
+      val by = (blk / wb) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (bx + x < w && by + y < h) {
+            var acc = 0L
+            var n = 0
+            while (n < 64) {
+              val c = deq(n)
+              if (c != 0L) acc += c * IdctBasis((n << 6) | (y * 8 + x))
+              n += 1
+            }
+            val px = 128L + ((acc + (1L << 19)) >> 20)
+            sink(bx + x, by + y, math.max(0L, math.min(255L, px)).toInt)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      blk += 1
+    }
+    Some((w, h))
+  }
+
+  /** One progressive scan's entropy decode over every block (single
+    * component → non-interleaved, blocks in raster order). Returns
+    * false on any structural mismatch. `coefs` is in ZIGZAG order.
+    */
+  private def decodeProgressiveScan(r: BitReader, coefs: Array[Array[Int]],
+      nBlocks: Int, ss: Int, se: Int, ah: Int, al: Int,
+      dc: Huff, ac: Huff): Boolean = {
+    if (al > 13) return false // point transforms beyond coef range
+    if (ss == 0) {
+      if (se != 0) return false // DC scans never carry a band
+      if (ah == 0) { // DC first
+        if (dc == null) return false
+        var pred = 0
+        var b = 0
+        while (b < nBlocks) {
+          val t = r.decode(dc)
+          if (r.broken || t < 0 || t > 15) return false
+          pred += extend(r.bits(t), t)
+          coefs(b)(0) = pred << al
+          b += 1
+        }
+      } else { // DC refine: one raw bit per block
+        var b = 0
+        while (b < nBlocks) {
+          coefs(b)(0) |= r.bit() << al
+          b += 1
+        }
+      }
+      !r.broken
+    } else { // AC scans
+      if (se > 63 || ss > se || ac == null) return false
+      if (ah == 0) { // AC first
+        var eobrun = 0
+        var b = 0
+        while (b < nBlocks) {
+          val c = coefs(b)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var open = true
+            while (open && k <= se) {
+              val rs = r.decode(ac)
+              if (r.broken || rs < 0) return false
+              val run = rs >> 4
+              val s = rs & 15
+              if (s == 0) {
+                if (run == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << run) - 1 // this block ends here;
+                  if (run > 0) eobrun += r.bits(run) // the rest skip whole blocks
+                  open = false
+                }
+              } else {
+                k += run
+                if (k > se) return false
+                c(k) = extend(r.bits(s), s) << al
+                k += 1
+              }
+            }
+          }
+          if (r.broken) return false
+          b += 1
+        }
+        true
+      } else { // AC refine (T.81 G.1.2.3)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        // one correction bit moves an already-nonzero coefficient one
+        // bit of magnitude toward its true value; bit 0 = no change
+        def correct(c: Array[Int], k: Int): Unit =
+          if (r.bit() == 1 && (c(k) & p1) == 0) {
+            if (c(k) >= 0) c(k) += p1 else c(k) += m1
+          }
+        var eobrun = 0
+        var b = 0
+        while (b < nBlocks) {
+          val c = coefs(b)
+          var k = ss
+          if (eobrun == 0) {
+            var ended = false
+            while (!ended && k <= se) {
+              val rs = r.decode(ac)
+              if (r.broken || rs < 0) return false
+              var run = rs >> 4
+              val s = rs & 15
+              var ins = 0
+              if (s == 0) {
+                if (run < 15) { // EOBn: correction bits then block ends
+                  eobrun = 1 << run
+                  if (run > 0) eobrun += r.bits(run)
+                  ended = true
+                }
+                // run == 15 (ZRL): skip 16 zero-HISTORY positions below
+              } else {
+                if (s != 1) return false // new coefficients are ±2^Al
+                ins = if (r.bit() == 1) p1 else m1
+              }
+              if (!ended) {
+                // advance: already-nonzero coefficients consume
+                // correction bits and do NOT count against `run`; the
+                // (run+1)-th zero-history position receives `ins`
+                var placed = false
+                while (!placed && k <= se) {
+                  if (c(k) != 0) correct(c, k)
+                  else if (run == 0) {
+                    if (ins != 0) c(k) = ins
+                    placed = true
+                  } else run -= 1
+                  k += 1
+                }
+                if (!placed && ins != 0) return false // band overrun
+                if (r.broken) return false
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // inside an EOB run: remaining nonzero-history coefficients
+            // of this block still take correction bits
+            while (k <= se) {
+              if (c(k) != 0) correct(c, k)
+              k += 1
+            }
+            eobrun -= 1
+          }
+          if (r.broken) return false
+          b += 1
+        }
+        true
+      }
+    }
   }
 
   // ------------------------------------------------------- color decoder
@@ -751,6 +1091,192 @@ object JpegCodec {
       if (lastNonzero < 63) putCoded(acCode, acIndex(0x00)) // EOB
     }
     bw.flushOnes()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // -------------------------------------------------- progressive encoder
+
+  // The progressive AC table adds the EOBn symbols (n<<4, n = 1..14)
+  // the refinement/first AC scans need for multi-block EOB runs; a
+  // SEPARATE table so baseline payloads (and their committed oracle
+  // hashes) keep their exact canonical code assignment.
+  private val AcValsP: Array[Int] = AcVals ++ (1 to 14).map(_ << 4)
+  private val AcBitsP = { val b = new Array[Int](16); b(6) = AcValsP.length; b }
+
+  /** Synthesize a PROGRESSIVE (SOF2) grayscale JPEG whose FINAL
+    * coefficients equal [[synthCoeff]] — the same closed form the mm12
+    * oracle replays, so one oracle serves both codings. Four scans,
+    * the classic successive-approximation script, chosen so every
+    * decoder branch runs:
+    *
+    *   1. DC first   Al=1 (differential, shifted domain);
+    *   2. AC first   Ss=1..63, Al=1 — |v|≥2 coefficients appear at
+    *      half magnitude; runs, ZRL and cross-block EOB runs all occur;
+    *   3. DC refine  Ah=1→0 — one raw bit per block;
+    *   4. AC refine  Ah=1→0 — the ±1 coefficients of [[synthCoeff]]
+    *      (slots 1/2/5 take ±1 routinely) become newly significant
+    *      HERE, interleaved with correction bits for the scan-2
+    *      coefficients and EOB runs carrying buffered corrections —
+    *      the branchiest path in the whole codec, exercised by every
+    *      payload.
+    *
+    * The entropy coding follows T.81 §G.1.2 exactly (libjpeg's
+    * encoder is the reference behavior): AC-first point transform is
+    * sign·(|v|≫Al); refinement emits run/1 symbols whose run counts
+    * only zero-HISTORY positions, with correction bits for crossed
+    * nonzero-history coefficients appended after the next emitted
+    * symbol (or after the EOBn that closes their run).
+    */
+  def synthJpegProgressive(id: Long, wb: Int, hb: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); u16(2 + 1 + 64); out.write(0x00) // DQT, 8-bit, id 0
+    for (k <- 0 until 64) out.write(synthQuant(k))
+    m(0xc2); u16(11); out.write(8); u16(hb * 8); u16(wb * 8) // SOF2
+    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    m(0xc4); u16(2 + 1 + 16 + DcVals.length); out.write(0x00) // DHT DC
+    DcBits.foreach(out.write); DcVals.foreach(out.write)
+    m(0xc4); u16(2 + 1 + 16 + AcValsP.length); out.write(0x10) // DHT AC (EOBn-capable)
+    AcBitsP.foreach(out.write); AcValsP.foreach(out.write)
+    val dcCode = canonicalCodes(DcBits)
+    val acCode = canonicalCodes(AcBitsP)
+    val acIndex = AcValsP.zipWithIndex.toMap
+    val nB = wb * hb
+    def coeff(b: Int, k: Int): Int = synthCoeff(id, b, k)
+
+    def sos(ss: Int, se: Int, ah: Int, al: Int): BitWriter = {
+      m(0xda); u16(8); out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      new BitWriter(out)
+    }
+    def putAc(bw: BitWriter, sym: Int): Unit = {
+      val (c, l) = acCode(acIndex(sym)); bw.put(c, l)
+    }
+
+    // ---- scan 1: DC first, Al=1 (differential in the shifted domain)
+    locally {
+      val bw = sos(0, 0, 0, 1)
+      var pred = 0
+      for (b <- 0 until nB) {
+        val v = coeff(b, 0) >> 1 // arithmetic: sign-preserving point transform
+        val diff = v - pred
+        pred = v
+        val t = category(diff)
+        val (c0, l0) = dcCode(t); bw.put(c0, l0)
+        if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      }
+      bw.flushOnes()
+    }
+
+    // ---- scan 2: AC first, Ss=1..63, Al=1
+    locally {
+      val bw = sos(1, 63, 0, 1)
+      var eobrun = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var nbits = 0
+        var t = eobrun
+        while ({ t >>= 1; t != 0 }) nbits += 1
+        putAc(bw, nbits << 4)
+        if (nbits > 0) bw.put(eobrun & ((1 << nbits) - 1), nbits)
+        eobrun = 0
+      }
+      for (b <- 0 until nB) {
+        var r = 0
+        for (k <- 1 to 63) {
+          val v0 = coeff(b, k)
+          val av = math.abs(v0) >> 1 // AC point transform: |v| >> Al
+          if (av == 0) r += 1
+          else {
+            emitEobrun()
+            while (r > 15) { putAc(bw, 0xf0); r -= 16 }
+            val s = category(av)
+            putAc(bw, (r << 4) | s)
+            val v = if (v0 < 0) -av else av
+            bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+            r = 0
+          }
+        }
+        if (r > 0) eobrun += 1 // trailing zeros (an all-zero band is r = 63) fold into an EOB run
+      }
+      emitEobrun()
+      bw.flushOnes()
+    }
+
+    // ---- scan 3: DC refine, Ah=1, Al=0 — one raw bit per block
+    locally {
+      val bw = sos(0, 0, 1, 0)
+      for (b <- 0 until nB) bw.put(coeff(b, 0) & 1, 1)
+      bw.flushOnes()
+    }
+
+    // ---- scan 4: AC refine, Ss=1..63, Ah=1, Al=0
+    locally {
+      val bw = sos(1, 63, 1, 0)
+      var eobrun = 0
+      // Buffered correction bits, split libjpeg-style: the first `be`
+      // belong to the blocks the PENDING EOB RUN covers (the decoder
+      // consumes them right after the EOBn symbol, while crossing those
+      // blocks); the rest were buffered in the CURRENT block and are
+      // consumed during the advance that follows the current block's
+      // next emitted symbol — flushing them with the EOBn instead
+      // misaligns every later Huffman code by that many bits.
+      val corr = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var be = 0
+      def flushCurrent(): Unit = { corr.foreach(bit => bw.put(bit, 1)); corr.clear(); be = 0 }
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var nbits = 0
+        var t = eobrun
+        while ({ t >>= 1; t != 0 }) nbits += 1
+        putAc(bw, nbits << 4)
+        if (nbits > 0) bw.put(eobrun & ((1 << nbits) - 1), nbits)
+        eobrun = 0
+        var i = 0
+        while (i < be) { bw.put(corr(i), 1); i += 1 } // EOB-run bits only
+        corr.remove(0, be)
+        be = 0
+      }
+      for (b <- 0 until nB) {
+        val abs = Array.tabulate(64)(k => if (k == 0) 0 else math.abs(coeff(b, k)))
+        var eobPos = 0 // position of the last NEWLY-significant coefficient
+        for (k <- 1 to 63) if (abs(k) == 1) eobPos = k
+        var r = 0
+        for (k <- 1 to 63) {
+          val av = abs(k)
+          if (av == 0) r += 1
+          else {
+            // ZRLs are emitted on reaching ANY nonzero absvalue (the
+            // decoder's crossing consumes the flushed corrections in
+            // the same spans), but never when they can fold into the
+            // block's EOB (no new coefficient remains)
+            while (r > 15 && k <= eobPos) {
+              emitEobrun()
+              putAc(bw, 0xf0)
+              r -= 16
+              flushCurrent()
+            }
+            if (av > 1) corr += (av & 1) // history: buffer its bit; run unaffected
+            else { // newly significant (|v| == 1)
+              emitEobrun()
+              putAc(bw, (r << 4) | 1)
+              r = 0
+              bw.put(if (coeff(b, k) < 0) 0 else 1, 1)
+              flushCurrent()
+            }
+          }
+        }
+        if (r > 0 || corr.size > be) { // trailing zeros/corrections fold into an EOB
+          eobrun += 1
+          be = corr.size // this block's bits now belong to the run
+        }
+        if (eobrun == 0x7fff || be > 900) emitEobrun() // T.81 bounds
+      }
+      emitEobrun()
+      bw.flushOnes()
+    }
+
     m(0xd9) // EOI
     out.toByteArray
   }

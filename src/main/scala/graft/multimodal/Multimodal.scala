@@ -156,6 +156,27 @@ object Multimodal {
       })
   }
 
+  /** PROGRESSIVE (SOF2) grayscale JPEG payloads on a doc slice
+    * disjoint from the other media slices (%25==21): same block
+    * geometry and the same closed-form coefficients as
+    * [[jpegMediaTable]], re-coded as a four-scan successive-
+    * approximation script (DC first/refine, AC first/refine with EOB
+    * runs) — so the mm19 oracle is the mm12 arithmetic on a different
+    * slice while the DECODE path is the progressive state machine.
+    */
+  def jpegProgressiveMediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 25 === 21)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val wb = (1 + id % 3).toInt
+        val hb = (1 + (id / 3) % 2).toInt
+        MediaFile(id, "image", JpegCodec.synthJpegProgressive(id, wb, hb),
+          MediaMeta("jpeg_progressive", wb * 8, hb * 8, 0L))
+      })
+  }
+
   /** Baseline 4:2:0 YCbCr COLOR JPEG payloads on a doc slice disjoint
     * from the other media slices (%25==5): 1–2 × 1–2 MCUs (16–32 px a
     * side), Y coefficients on the mm12 closed form over the global
@@ -322,12 +343,14 @@ object Multimodal {
     * closed-form oracles — transform, LZ77+Huffman, and LZW
     * families all decoded for real; [[JpegCodec.parseJpegColor]] adds
     * baseline 4:2:0/4:4:4 YCbCr COLOR — interleaved MCUs, chroma
-    * upsample, fixed-point color convert — gated by mm16; and
+    * upsample, fixed-point color convert — gated by mm16;
     * [[RleVideoCodec]] adds INTER-FRAME video — MS-RLE8 keyframe +
-    * delta frames over a persistent canvas, gated by mm18). What
-    * genuinely still needs an external library: progressive JPEG
-    * (successive approximation), and the patent-laden video/audio
-    * families (H.264, AAC, MP3).
+    * delta frames over a persistent canvas, gated by mm18; and
+    * [[JpegCodec.walkProgressive]] adds PROGRESSIVE JPEG — spectral
+    * selection + successive approximation, all four scan types with
+    * EOB runs — gated by mm19). What genuinely still needs an
+    * external library: the patent-laden video/audio families (H.264,
+    * AAC, MP3) — nothing else.
     */
   object NativeDecoder extends MediaDecoder {
     override def features(m: MediaFile): MediaFeatures =

@@ -440,6 +440,70 @@ object MultimodalQueries extends QueryModule {
        |ORDER BY media_id NULLS FIRST""".stripMargin
   }
 
+  // --------------------------------------------------------------- mm19
+  /** PROGRESSIVE JPEG decode under the oracle — the last non-patent
+    * seam family closed: payloads are real SOF2 files
+    * ([[graft.multimodal.Multimodal.jpegProgressiveMediaTable]]) whose
+    * four-scan successive-approximation script exercises every
+    * progressive branch (differential DC at Al=1, the DC refinement
+    * bit, AC first with runs/ZRL/EOB-runs at Al=1, and AC REFINEMENT —
+    * newly-significant ±1 coefficients interleaved with correction
+    * bits and EOB runs carrying buffered corrections), and
+    * [[graft.multimodal.JpegCodec.parseJpeg]] routes them through the
+    * real multi-scan state machine ([[graft.multimodal.JpegCodec
+    * .walkProgressive]]). The oracle is deliberately the mm12
+    * arithmetic on this slice: a progressive file's FINAL coefficients
+    * equal the baseline closed form, so any defect in scan sequencing,
+    * refinement sign handling, EOB-run correction-bit alignment or the
+    * point transforms shifts the decoded sum and fails the hash.
+    * JpegCodecSpec pins cross-codec identity (progressive ≡ baseline
+    * pixels, bit-exact) and ImageIO interop in both directions.
+    */
+  private def mm19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.jpegProgressiveMediaTable(s, dir)
+      .mapPartitions(_.map { m =>
+        graft.multimodal.JpegCodec.parseJpeg(m.content) match {
+          case Some(i) => (m.media_id, i.width.toLong, i.height.toLong, i.nPx, i.sumPx)
+          case None => (m.media_id, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_px", "sum_px")
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
+  private val mm19Sql = {
+    import graft.multimodal.JpegCodec
+    def row(n: Int) =
+      (0 until 64).map(p => JpegCodec.IdctBasis((n << 6) | p)).mkString("[", ",", "]")
+    s"""WITH cfg AS (
+       |  SELECT doc_id AS media_id, 1 + doc_id % 3 AS wb, 1 + (doc_id // 3) % 2 AS hb
+       |  FROM documents WHERE doc_id % 25 = 21),
+       |coef AS (
+       |  SELECT media_id, wb, hb, unnest(range(0, wb * hb)) AS b FROM cfg),
+       |deq AS (
+       |  SELECT media_id, wb, hb, b,
+       |    (CASE WHEN b = 0 THEN 120 WHEN b = 1 THEN -120
+       |          ELSE ((media_id * 7 + b * 3) % 61) - 30 END) * 8 AS c0,
+       |    (((media_id * 5 + b) % 7) - 3) * 15 AS c1,
+       |    (((media_id * 3 + 2 * b) % 5) - 2) * 22 AS c8,
+       |    (((media_id + b) % 3) - 1) * 9 AS c2
+       |  FROM coef),
+       |px AS (
+       |  SELECT media_id, wb, hb,
+       |    LEAST(255, GREATEST(0, 128 + CAST(FLOOR(
+       |      (c0 * (${row(0)})[p + 1] + c1 * (${row(1)})[p + 1]
+       |       + c8 * (${row(8)})[p + 1] + c2 * (${row(2)})[p + 1]
+       |       + 524288) / 1048576.0) AS BIGINT))) AS v
+       |  FROM (SELECT *, unnest(range(0, 64)) AS p FROM deq))
+       |SELECT media_id, CAST(wb * 8 AS BIGINT) AS width,
+       |  CAST(hb * 8 AS BIGINT) AS height,
+       |  CAST(wb * hb * 64 AS BIGINT) AS n_px,
+       |  CAST(SUM(v) AS BIGINT) AS sum_px
+       |FROM px GROUP BY media_id, wb, hb
+       |ORDER BY media_id NULLS FIRST""".stripMargin
+  }
+
   // --------------------------------------------------------------- mm13
   /** 8-bit grayscale PNG decode under the oracle — the fourth
     * compressed codec and the DICTIONARY/LZ class: pixels come out of a
@@ -1041,7 +1105,8 @@ object MultimodalQueries extends QueryModule {
     "mm14_gif_decode" -> (mm14 _),
     "mm15_mjpeg_demux" -> (mm15 _),
     "mm17_video_neardup" -> (mm17 _),
-    "mm18_rle_delta_video" -> (mm18 _))
+    "mm18_rle_delta_video" -> (mm18 _),
+    "mm19_jpeg_progressive" -> (mm19 _))
 
   override val oracle: Map[String, String] = Map(
     "mm16_color_jpeg" -> mm16Sql,
@@ -1061,5 +1126,6 @@ object MultimodalQueries extends QueryModule {
     "mm14_gif_decode" -> mm14Sql,
     "mm15_mjpeg_demux" -> mm15Sql,
     "mm17_video_neardup" -> mm17Sql,
-    "mm18_rle_delta_video" -> mm18Sql)
+    "mm18_rle_delta_video" -> mm18Sql,
+    "mm19_jpeg_progressive" -> mm19Sql)
 }

@@ -51,6 +51,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("jpeg", JpegCodec.synthJpeg(17L, 3, 2, restartInterval = 2), JpegCodec.parseJpeg)
   }
 
+  test("progressive JPEG decoder never throws on corrupt bytes") {
+    fuzz("jpeg-progressive", JpegCodec.synthJpegProgressive(17L, 3, 2), JpegCodec.parseJpeg)
+  }
+
   test("color JPEG decoder never throws on corrupt bytes") {
     fuzz("jpeg_color",
       JpegCodec.synthJpegColor(17L, 2, 2, subsample = true, restartInterval = 2),

@@ -56,6 +56,77 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive synth → parse equals the closed form exactly (the mm19 oracle contract)") {
+    for (id <- Seq(0L, 1L, 7L, 19L, 44L, 101L); (wb, hb) <- Seq((1, 1), (3, 2), (2, 4))) {
+      val bytes = JpegCodec.synthJpegProgressive(id, wb, hb)
+      // the payload is genuinely SOF2: the frame marker is in the file
+      assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+        "no SOF2 marker — not a progressive file")
+      val info = JpegCodec.parseJpeg(bytes)
+        .getOrElse(fail(s"synthJpegProgressive($id,$wb,$hb) did not parse"))
+      assert(info.width == wb * 8 && info.height == hb * 8)
+      assert(info.sumPx == closedFormSum(id, wb, hb), s"id=$id wb=$wb hb=$hb")
+    }
+  }
+
+  test("progressive and baseline codings decode to bit-identical pixels") {
+    for (id <- 0L until 60L; (wb, hb) <- Seq((1, 1), (2, 1), (3, 2), (4, 3))) {
+      val prog = JpegCodec.decodeImage(JpegCodec.synthJpegProgressive(id, wb, hb))
+        .getOrElse(fail(s"progressive $id/$wb/$hb did not parse"))
+      val base = JpegCodec.decodeImage(JpegCodec.synthJpeg(id, wb, hb))
+        .getOrElse(fail(s"baseline $id/$wb/$hb did not parse"))
+      assert(prog._3.sameElements(base._3), s"pixel mismatch id=$id wb=$wb hb=$hb")
+    }
+  }
+
+  test("our progressive files decode identically under ImageIO within the accuracy band") {
+    for (id <- Seq(3L, 18L, 77L); (wb, hb) <- Seq((2, 2), (3, 1))) {
+      val bytes = JpegCodec.synthJpegProgressive(id, wb, hb)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO rejected our progressive file")
+      val (w, h, ours) = JpegCodec.decodeImage(bytes).get
+      assert(img.getWidth == w && img.getHeight == h)
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val theirs = img.getRaster.getSample(x, y, 0)
+        maxDiff = math.max(maxDiff, math.abs(theirs - ours(y * w + x)))
+      }
+      assert(maxDiff <= 2, s"id=$id max per-pixel gap vs ImageIO = $maxDiff")
+    }
+  }
+
+  test("ImageIO-written progressive files (foreign scan script, odd sizes) decode within ±2") {
+    for ((w, h, seed) <- Seq((13, 9, 5L), (32, 32, 11L), (24, 17, 43L))) {
+      val src = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val rnd = new scala.util.Random(seed)
+      for (y <- 0 until h; x <- 0 until w)
+        src.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+      writer.dispose(); ios.close()
+      val bytes = out.toByteArray
+      // the JDK writer's default progressive script (multiple AC bands,
+      // Ah=2→1→0 approximation) is a FOREIGN scan order for our decoder
+      assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+        "ImageIO did not write a progressive (SOF2) file")
+      val (dw, dh, ours) = JpegCodec.decodeImage(bytes)
+        .getOrElse(fail(s"foreign progressive ${w}x$h file did not parse"))
+      assert(dw == w && dh == h)
+      val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val theirs = ref.getRaster.getSample(x, y, 0)
+        maxDiff = math.max(maxDiff, math.abs(theirs - ours(y * w + x)))
+      }
+      assert(maxDiff <= 2, s"${w}x$h max per-pixel gap vs ImageIO = $maxDiff")
+    }
+  }
+
   test("restart markers (DRI + RSTn + DC reset) decode to identical pixels") {
     for (id <- Seq(3L, 19L, 57L); ri <- Seq(1, 2, 5)) {
       val plain = JpegCodec.parseJpeg(JpegCodec.synthJpeg(id, 4, 3)).get
