@@ -232,15 +232,22 @@ object Graph extends QueryModule {
             graft.functions.VectorFunctions.sortedLongIntersectCount(col("na"), col("nb"))),
             lit(0L)).as("n_triangles"))
       } else {
-        // Degree-oriented repartitioned fallback (compact-forward): once
-        // the catalog outgrows broadcast, re-orient every edge toward
-        // its higher-(degree, id) endpoint. Under that acyclic total
-        // order each node's out-degree is O(√m), so the shuffled wedge
-        // join's fan-out stays bounded even at hub nodes, and each
-        // triangle {x,y,z} with π(x)<π(y)<π(z) appears exactly once as
-        // wedge a→b, a→c closed by b→c (the closing probe is a LEFT
-        // SEMI shuffle join — no broadcast anywhere on this path; hot
-        // keys fall under the same AQE skew-split posture as dd2).
+        // Degree-oriented SHUFFLED adjacency-merge fallback
+        // (compact-forward): once the catalog outgrows broadcast,
+        // re-orient every edge toward its higher-(degree, id) endpoint.
+        // Under that acyclic total order each node's out-degree is
+        // O(√m), so every adjacency list is bounded even at hub nodes —
+        // which makes the SAME codegen merge-intersect the broadcast
+        // path uses viable here with plain shuffle joins: edge (a,b)
+        // counts |N⁺(a) ∩ N⁺(b)|, and triangle {x,y,z} with
+        // π(x)<π(y)<π(z) is counted exactly once, at edge (x,y). The
+        // previous fallback MATERIALIZED the wedge stream through a
+        // self-join + LEFT SEMI probe — the r14 sf1 pressure test
+        // measured it at 135 s for 12M edges / 493M wedges (74× the
+        // sf0.1 time for 10× the data: a plan cliff at the broadcast
+        // ceiling, not a data effect); the merge-intersect shape
+        // shuffles only 2m adjacency-tagged edge rows and never
+        // materializes a wedge.
         val deg = edges.select(col("u").as("node"))
           .unionAll(edges.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -252,13 +259,17 @@ object Graph extends QueryModule {
           .select(
             when(uLower, col("u")).otherwise(col("v")).as("a"),
             when(uLower, col("v")).otherwise(col("u")).as("b"))
-          .persist(StorageLevel.MEMORY_AND_DISK) // wedge ends + closing probe
+          .persist(StorageLevel.MEMORY_AND_DISK) // adjacency build + both probes
+        val adj = dedges.groupBy(col("a").as("node"))
+          .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+        // inner joins: a node absent from adj has no out-neighbors, so
+        // its edges contribute zero to the sum either way
         dedges
-          .join(dedges.select(col("a"), col("b").as("c")), Seq("a"))
-          .filter(col("b") =!= col("c"))
-          .select(col("b").as("a"), col("c").as("b"))
-          .join(dedges, Seq("a", "b"), "left_semi")
-          .agg(count(lit(1)).as("n_triangles"))
+          .join(adj.select(col("node").as("a"), col("nbrs").as("na")), Seq("a"))
+          .join(adj.select(col("node").as("b"), col("nbrs").as("nb")), Seq("b"))
+          .agg(coalesce(sum(
+            graft.functions.VectorFunctions.sortedLongIntersectCount(col("na"), col("nb"))),
+            lit(0L)).as("n_triangles"))
       }
 
     wedges.crossJoin(triangles)
