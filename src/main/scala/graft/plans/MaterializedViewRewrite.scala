@@ -382,6 +382,23 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
       case al @ Alias(a: AttributeReference, name) if groupNames.contains(a.name) =>
         Alias(mvAttr(a.name), name)(exprId = al.exprId, qualifier = al.qualifier)
+      // a deterministic, aggregate-free expression over GROUP columns
+      // (e.g. COALESCE(g, -1), CONCAT(g, '!')) evaluates identically
+      // per output group on either side — transplant it onto the MV
+      // attributes. CollapseProject folds such projections INTO the
+      // Aggregate, so dashboard queries hit this arm routinely. Must
+      // be tried BEFORE the measure arm falls through to refusal, and
+      // must never swallow an AggregateExpression (a COUNT over base
+      // rows is NOT a scalar of the group).
+      case al @ Alias(e, name)
+        if e.deterministic &&
+          !e.exists(_.isInstanceOf[AggregateExpression]) &&
+          e.references.nonEmpty &&
+          e.references.forall(r => groupNames.contains(r.name)) =>
+        val onMv = e.transform {
+          case a: AttributeReference => mvAttr.getOrElse(a.name, return None)
+        }
+        Alias(onMv, name)(exprId = al.exprId, qualifier = al.qualifier)
       case al @ Alias(aggE @ AggregateExpression(fn, _, false, None, _), name) =>
         val m = mv.measures.find(_.fnSql == fn.sql).getOrElse(return None)
         val partial = mvAttr(m.mvCol)

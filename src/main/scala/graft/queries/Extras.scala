@@ -1990,6 +1990,144 @@ object Extras extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt11
+  /** The FULL production star-MV loop under one oracle — registration →
+    * rewrite → base growth → STALENESS STAND-DOWN → incremental refresh
+    * → re-registration → rewrite re-armed. opt10 proves the star
+    * matcher; the r14 staleness work proves the stand-down; this entry
+    * proves the composition end-to-end the way a warehouse lives it:
+    * the fact table is a real parquet path that GROWS (an appended
+    * part-file), the refresh folds ONLY the delta through the dim join
+    * and merges it with the committed summary (sums/counts add), and
+    * the refreshed MV is re-registered over the new listing — after
+    * which the dashboard query re-plans onto the summary again. The
+    * DuckDB oracle computes the FULL join + aggregate from the raw
+    * tables, so the hash proves the delta-refreshed summary ≡ a full
+    * recompute: a wrong merge, a stale rewrite firing mid-flight, or a
+    * fingerprint mismatch all shift the values. MvRewriteSpec pins the
+    * plan states (fires fresh → stands down stale → fires again after
+    * re-registration).
+    */
+  private val starRefreshBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def starRefreshGate(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.SparkEntry.configure(s0.newSession()) // sj4 conf hygiene
+    def salted(tag: String) = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_starref_${tag}_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val factDir = salted("fact")
+    val mvV1 = salted("mv1")
+    val mvV2 = salted("mv2")
+    def fold(df: DataFrame): DataFrame =
+      df.join(t(s, dir, "supplier"), df("l_suppkey") === col("s_suppkey"), "left")
+        .groupBy(col("s_nationkey"))
+        .agg(sum(mvPriceCents).as("sum_price_c"), count(lit(1)).as("cnt"))
+    starRefreshBuilt.synchronized {
+      if (!starRefreshBuilt.contains(factDir)) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        Seq(factDir, mvV1, mvV2).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+        // day 0: the initial fact slice lands; its star summary publishes
+        li.filter(col("l_orderkey") % 9 =!= 0).write.parquet(factDir)
+        fold(s.read.parquet(factDir)).write.parquet(mvV1)
+        val defn1 = fold(s.read.parquet(factDir))
+        graft.plans.MaterializedViewRewrite.registerStar(s, defn1, mvV1)
+        // day 1: a late batch APPENDS to the fact path — the v1
+        // registration is now stale (its fingerprint no longer matches)
+        // and the rewrite stands down until the refresh below
+        val delta = li.filter(col("l_orderkey") % 9 === 0)
+        delta.write.mode("append").parquet(factDir)
+        // incremental refresh: committed summary + delta fold, merged —
+        // the delta joins the dim; the v1 base rows are never re-read
+        val refreshed = s.read.parquet(mvV1)
+          .unionByName(fold(delta))
+          .groupBy(col("s_nationkey"))
+          .agg(sum(col("sum_price_c")).as("sum_price_c"), sum(col("cnt")).as("cnt"))
+        refreshed.write.parquet(mvV2)
+        // re-register: the definition is the canonical full-fact star
+        // (over the GROWN listing); the data under mvV2 was produced
+        // incrementally — if the merge were wrong, the rewritten query
+        // below would answer wrong values and the oracle hash fails
+        graft.plans.MaterializedViewRewrite.registerStar(s, fold(s.read.parquet(factDir)), mvV2)
+        starRefreshBuilt += factDir
+        ()
+      }
+    }
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    fold(s.read.parquet(factDir))
+      .select(coalesce(col("s_nationkey"), lit(-1L)).as("nation_key"),
+        col("sum_price_c"), col("cnt").as("n_lines"))
+      .orderBy(col("nation_key").asc_nulls_first)
+  }
+
+  private val starRefreshGateSql =
+    """SELECT COALESCE(s_nationkey, -1) AS nation_key,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY COALESCE(s_nationkey, -1)
+      |ORDER BY nation_key NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- inc4
+  /** Delete-aware incremental view maintenance — the RETRACTION half of
+    * the delta rule (opt6/inc3 are append-only): for a delete set Δ⁻,
+    * the refreshed summary is old ⊎ (−fold(Δ⁻)) — SUM and COUNT are
+    * groups under negation, so the refresh folds ONLY the deleted rows,
+    * negates the partials, merges with the committed few-row summary,
+    * and drops groups whose count reaches zero (a fully-retracted group
+    * must VANISH, not linger as a zero row). MIN/MAX are deliberately
+    * absent: they are not retractable from a summary (the deleted row
+    * may have been the extremum) — the append-only entries (opt6) carry
+    * them, this one documents the boundary by refusing to cross it.
+    * Published as VersionedTable v2 beside the v1 full summary; the
+    * DuckDB oracle aggregates the SURVIVING raw rows, so the hash
+    * proves retraction-merge ≡ recompute-after-delete.
+    */
+  private val inc4Built = scala.collection.mutable.Set.empty[String]
+
+  private def inc4Root(s: SparkSession, dir: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_inc4_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  private def deleteIvm(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val root = inc4Root(s, dir)
+    def fold(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg((sum(mvQtyCents) * sign).as("sum_qty_c"),
+          (count(lit(1)) * sign).as("cnt"))
+    inc4Built.synchronized {
+      if (!inc4Built.contains(root)) {
+        VersionedTable.drop(s, root)
+        val li = t(s, dir, "lineitem")
+        VersionedTable.publish(s, root, fold(li, 1)) // v1: the full summary
+        // a delete batch retracts the %11 slice: negate its fold, merge
+        val refreshed = VersionedTable.read(s, root)
+          .unionByName(fold(li.filter(col("l_orderkey") % 11 === 0), -1))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("sum_qty_c")).as("sum_qty_c"), sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0) // fully-retracted groups vanish
+        VersionedTable.publish(s, root, refreshed) // v2: never re-reads survivors
+        inc4Built += root
+        ()
+      }
+    }
+    graft.sinks.VersionedTable.read(s, root)
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  private val deleteIvmSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM lineitem WHERE l_orderkey % 11 <> 0
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- inc3
   /** Incremental view maintenance for a JOIN — the delta-rule twin of
     * opt6's aggregate maintenance: for appends ΔR, ΔS to R₀⋈S₀, the
@@ -3147,6 +3285,8 @@ object Extras extends QueryModule {
     "inc3_join_ivm" -> (joinIvm _),
     "opt9_rule_composition" -> (ruleCompositionGate _),
     "opt10_star_mv" -> (starMvGate _),
+    "opt11_star_mv_refresh" -> (starRefreshGate _),
+    "inc4_delete_ivm" -> (deleteIvm _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
     "q02_rollup" -> (rollupAgg _),
@@ -3222,6 +3362,8 @@ object Extras extends QueryModule {
     "inc3_join_ivm" -> joinIvmSql,
     "opt9_rule_composition" -> ruleCompositionGateSql,
     "opt10_star_mv" -> starMvGateSql,
+    "opt11_star_mv_refresh" -> starRefreshGateSql,
+    "inc4_delete_ivm" -> deleteIvmSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
     "q02_rollup" -> rollupAggSql,

@@ -203,6 +203,44 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(after.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap == expect)
   }
 
+  test("opt11: the refreshed star MV serves the final query; neither fact nor dim scanned") {
+    val s = SparkEntry.configure(spark.newSession())
+    val df = SparkEntry.queries("opt11_star_mv_refresh")(s, dir)
+    val paths = scans(df)
+    assert(paths.exists(_.contains("graft_starref_mv2")),
+      s"final plan must read the REFRESHED summary: $paths")
+    assert(!paths.exists(p => p.contains("graft_starref_fact") || p.contains("supplier")),
+      s"fact/dim still scanned after re-registration: $paths")
+    // the refresh was genuinely incremental: v1 is the partial fold
+    val v1 = s.read.parquet(paths.head.replace("graft_starref_mv2", "graft_starref_mv1")
+      .replaceAll("_mv2_", "_mv1_"))
+    val v2 = s.read.parquet(paths.find(_.contains("graft_starref_mv2")).get)
+    val s1 = v1.agg(sum(col("cnt"))).head().getLong(0)
+    val s2 = v2.agg(sum(col("cnt"))).head().getLong(0)
+    assert(s1 < s2, s"v1 must be the pre-delta fold only (v1=$s1, v2=$s2)")
+  }
+
+  test("inc4: v1 is the full summary; the retraction merge equals recompute-after-delete") {
+    import graft.sinks.VersionedTable
+    val s = SparkEntry.configure(spark.newSession())
+    SparkEntry.queries("inc4_delete_ivm")(s, dir).collect()
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_inc4_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    assert(VersionedTable.committedVersion(s, root).contains(2L))
+    val li = Tables(s, dir, "lineitem")
+    def summarize(df: DataFrame) =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_c"), count(lit(1)).as("cnt"))
+    val v1 = s.read.parquet(VersionedTable.dataPath(root, 1L)).collect().toSet
+    val v2 = s.read.parquet(VersionedTable.dataPath(root, 2L)).collect().toSet
+    assert(v1 == summarize(li).collect().toSet, "v1 must be the FULL pre-delete summary")
+    assert(v2 == summarize(li.filter(col("l_orderkey") % 11 =!= 0)).collect().toSet,
+      "retraction merge must equal the recompute over surviving rows")
+    assert(v1 != v2, "the delete set must be non-empty or the pin is vacuous")
+  }
+
   test("inc3: v1 is the pre-delta join; the delta-rule refresh equals the full join") {
     import graft.sinks.VersionedTable
     val s = SparkEntry.configure(spark.newSession())
