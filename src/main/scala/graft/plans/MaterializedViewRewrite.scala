@@ -198,19 +198,25 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     * keys are FACT columns (a dim-sourced left key would be a
     * snowflake — refused, the commutation argument needs independence),
     * over a fact leaf accepted by `leaf` (row-preserving at
-    * registration; strict bare-scan on the query side, mirroring the
-    * single-table rule's asymmetry). No Filters anywhere: a predicate
-    * the optimizer pushed into any leg means the query joins a SUBSET
-    * of what the MV summarized.
+    * registration; bare-scan-plus-one-filter on the query side). The
+    * fact leaf may yield ONE deterministic filter (the optimizer
+    * pushes a dashboard's WHERE below the joins onto the fact scan);
+    * [[tryRewrite]] admits it only over MV GROUPING columns and
+    * transplants it 1:1 onto the summary — sound because a fact-column
+    * filter commutes with every left dim join, so the filtered join's
+    * groups are exactly the MV groups passing the predicate. Dim legs
+    * stay predicate-free (beyond the optimizer's own isnotnull(key)):
+    * a filtered dim means the query joins a SUBSET of what the MV
+    * summarized.
     */
   private def unwrapStarShape(plan: LogicalPlan,
-      leaf: LogicalPlan => Option[PlanScans.ScanRef])
-      : Option[(PlanScans.ScanRef, AttributeSet, Seq[DimJoin])] = plan match {
+      leaf: LogicalPlan => Option[(PlanScans.ScanRef, Option[Expression])])
+      : Option[(PlanScans.ScanRef, AttributeSet, Seq[DimJoin], Option[Expression])] = plan match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       unwrapStarShape(child, leaf)
     case Join(l, r, LeftOuter, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
       for {
-        (fRef, factOut, dims) <- unwrapStarShape(l, leaf)
+        (fRef, factOut, dims, factFilter) <- unwrapStarShape(l, leaf)
         keys <- {
           val rOut = r.outputSet
           if (rOut.contains(y) && !rOut.contains(x)) Some((x, y))
@@ -220,10 +226,30 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
         if factOut.contains(keys._1) // pure star: left key on the fact
         rRef <- dimScanRef(r, keys._2)
       } yield (fRef, factOut, dims :+ DimJoin(rRef.path, rRef.fingerprint,
-        keys._1.name, keys._2.name))
+        keys._1.name, keys._2.name), factFilter)
     case other =>
-      leaf(other).map(ref => (ref, other.outputSet, Seq.empty[DimJoin]))
+      leaf(other).map { case (ref, f) => (ref, other.outputSet, Seq.empty[DimJoin], f) }
   }
+
+  /** Registration-side fact leaf: row-preserving chain, NO filters (the
+    * definition must summarize every fact row).
+    */
+  private def regFactLeaf(plan: LogicalPlan): Option[(PlanScans.ScanRef, Option[Expression])] =
+    PlanScans.rowPreservingScanRef(plan).map(r => (r, None))
+
+  /** Query-side fact leaf: a bare scan, optionally under ONE
+    * deterministic pushed-down Filter (attribute-only Projects looked
+    * through on either side — [[PlanScans.bareScanRef]] refuses a
+    * second Filter below).
+    */
+  private def queryFactLeaf(plan: LogicalPlan): Option[(PlanScans.ScanRef, Option[Expression])] =
+    plan match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        queryFactLeaf(child)
+      case Filter(cond, child) if cond.deterministic =>
+        PlanScans.bareScanRef(child).map(r => (r, Some(cond)))
+      case other => PlanScans.bareScanRef(other).map(r => (r, None))
+    }
 
   /** Bare dim scan, admitting ONLY the optimizer's own
     * `isnotnull(rightKey)` (null keys never match a LEFT join's
@@ -261,8 +287,8 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
   def registerStar(spark: SparkSession, mvDf: DataFrame, mvPath: String): Unit = {
     val reg = mvDf.queryExecution.optimizedPlan.collectFirst {
       case Aggregate(ge, ae, child, _) =>
-        val (factRef, _, dims) =
-          unwrapStarShape(child, PlanScans.rowPreservingScanRef).getOrElse(
+        val (factRef, _, dims, _) =
+          unwrapStarShape(child, regFactLeaf).getOrElse(
             throw new IllegalArgumentException(
               "star MV definition must aggregate a pure-star join tree " +
                 "(LEFT OUTER equi-joins of bare dim scans onto one fact scan)"))
@@ -312,12 +338,12 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
   private def tryStar(spark: SparkSession, appId: String, agg: Aggregate, ge: Seq[Expression],
       ae: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
     for {
-      (factRef, _, dims) <- unwrapStarShape(child, PlanScans.bareScanRef)
+      (factRef, _, dims, factFilter) <- unwrapStarShape(child, queryFactLeaf)
       if dims.nonEmpty
       sd <- Option(starCatalog.get((appId, starKey(factRef.path, dims))))
       if sd.factFp == factRef.fingerprint
       if sortedDims(dims) == sd.dims
-      out <- tryRewrite(spark, agg, ge, ae, None,
+      out <- tryRewrite(spark, agg, ge, ae, factFilter,
         MvDef(sd.factPath, sd.factFp, sd.mvPath, sd.groupCols, sd.measures, sd.mvRelation))
     } yield out
 

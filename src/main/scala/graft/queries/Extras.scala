@@ -1990,6 +1990,65 @@ object Extras extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt12
+  /** FILTERED star-MV derivability under the oracle — the other half of
+    * every dashboard: "revenue by nation WHERE returnflag = 'R'". The
+    * optimizer pushes the fact-column predicate below both dim joins
+    * onto the fact scan, so the star matcher meets it at the fact LEAF
+    * ([[graft.plans.MaterializedViewRewrite]]'s queryFactLeaf); it is
+    * admitted only over MV GROUPING columns and transplants 1:1 onto
+    * the summary — sound because a fact-column filter commutes with
+    * every left dim join (the filtered join's groups are exactly the MV
+    * groups passing the predicate), and on the summary it becomes
+    * min/max-prunable instead of a full fact scan. The MV here groups
+    * by (l_returnflag, s_nationkey); the gate query filters the fact
+    * grouping column and rolls up to the dim attribute. DuckDB executes
+    * the raw filtered join; MvRewriteSpec pins that only the summary is
+    * scanned and that non-grouping-column filters refuse.
+    */
+  private val starMv2Built = scala.collection.mutable.Set.empty[String]
+
+  private def filteredStarGate(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.SparkEntry.configure(s0.newSession()) // sj4 conf hygiene
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_starmv2_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    def join(sess: SparkSession): DataFrame = {
+      val li = t(sess, dir, "lineitem")
+      val supp = t(sess, dir, "supplier")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"), "left")
+    }
+    starMv2Built.synchronized {
+      if (!starMv2Built.contains(root)) {
+        val defn = join(s)
+          .groupBy(col("l_returnflag"), col("s_nationkey"))
+          .agg(sum(mvPriceCents).as("sum_price_c"), count(lit(1)).as("cnt"))
+        defn.write.mode("overwrite").parquet(root)
+        graft.plans.MaterializedViewRewrite.registerStar(s, defn, root)
+        starMv2Built += root
+        ()
+      }
+    }
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    join(s)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("s_nationkey"))
+      .agg(sum(mvPriceCents).as("sum_price_c"), count(lit(1)).as("n_lines"))
+      .select(coalesce(col("s_nationkey"), lit(-1L)).as("nation_key"),
+        col("sum_price_c"), col("n_lines"))
+      .orderBy(col("nation_key").asc_nulls_first)
+  }
+
+  private val filteredStarGateSql =
+    """SELECT COALESCE(s_nationkey, -1) AS nation_key,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY COALESCE(s_nationkey, -1)
+      |ORDER BY nation_key NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- opt11
   /** The FULL production star-MV loop under one oracle — registration →
     * rewrite → base growth → STALENESS STAND-DOWN → incremental refresh
@@ -3286,6 +3345,7 @@ object Extras extends QueryModule {
     "opt9_rule_composition" -> (ruleCompositionGate _),
     "opt10_star_mv" -> (starMvGate _),
     "opt11_star_mv_refresh" -> (starRefreshGate _),
+    "opt12_filtered_star_mv" -> (filteredStarGate _),
     "inc4_delete_ivm" -> (deleteIvm _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
@@ -3363,6 +3423,7 @@ object Extras extends QueryModule {
     "opt9_rule_composition" -> ruleCompositionGateSql,
     "opt10_star_mv" -> starMvGateSql,
     "opt11_star_mv_refresh" -> starRefreshGateSql,
+    "opt12_filtered_star_mv" -> filteredStarGateSql,
     "inc4_delete_ivm" -> deleteIvmSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,

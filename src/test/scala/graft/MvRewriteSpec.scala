@@ -203,6 +203,58 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(after.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap == expect)
   }
 
+  test("opt12: filtered star query re-plans onto the summary; non-grouping filters refuse") {
+    val s = SparkEntry.configure(spark.newSession())
+    val df = SparkEntry.queries("opt12_filtered_star_mv")(s, dir)
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    val paths = scans(df)
+    assert(paths.exists(_.contains("graft_starmv2_")), s"summary not scanned: $paths")
+    assert(!paths.exists(p => p.contains("lineitem") || p.contains("supplier")),
+      s"star legs still scanned: $paths")
+    def join(): DataFrame = {
+      val li = graft.Tables(s, dir, "lineitem")
+      val supp = graft.Tables(s, dir, "supplier")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"), "left")
+    }
+    def mv2(d: DataFrame): Boolean = scans(d).exists(_.contains("graft_starmv2_"))
+    // a filter on the OTHER grouping column (the dim one) also derives:
+    // the optimizer null-filters supplier and converts the join to
+    // INNER, a different shape — so it must simply NOT crash and stay
+    // correct; pin only that results match the rule-off run
+    val qDim = join().filter(col("s_nationkey") === 3)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val off = SparkEntry.configure(spark.newSession())
+    off.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "false")
+    def qDimOf(sess: SparkSession): DataFrame = {
+      val li = graft.Tables(sess, dir, "lineitem")
+      val supp = graft.Tables(sess, dir, "supplier")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"), "left")
+        .filter(col("s_nationkey") === 3)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }
+    assert(qDimOf(s).collect().toSeq == qDimOf(off).collect().toSeq)
+    // a filter on a NON-grouping fact column must refuse (not derivable)
+    val qBad = join().filter(col("l_quantity") > 10)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+    assert(!mv2(qBad), "a non-grouping-column filter must keep the raw join")
+    // the admitted filter path: fact grouping column, rolled to the dim attr
+    val qGood = join().filter(col("l_returnflag") === "N")
+      .groupBy(col("s_nationkey")).agg(sum(expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sp"))
+    assert(mv2(qGood), s"fact-grouping-column filter must derive: ${scans(qGood)}")
+    def collectM(d: DataFrame) = d.orderBy(col("s_nationkey").asc_nulls_first).collect().toSeq
+    val qGoodOff = {
+      val li = graft.Tables(off, dir, "lineitem")
+      val supp = graft.Tables(off, dir, "supplier")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"), "left")
+        .filter(col("l_returnflag") === "N")
+        .groupBy(col("s_nationkey")).agg(sum(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sp"))
+    }
+    assert(collectM(qGood) == collectM(qGoodOff))
+  }
+
   test("opt11: the refreshed star MV serves the final query; neither fact nor dim scanned") {
     val s = SparkEntry.configure(spark.newSession())
     val df = SparkEntry.queries("opt11_star_mv_refresh")(s, dir)
