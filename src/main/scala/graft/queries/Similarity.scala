@@ -228,6 +228,94 @@ object Similarity extends QueryModule {
       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- ann13
+  /** INCREMENTAL IVF ingest — the index-maintenance path every vector
+    * store lives on: the codebook is trained ONCE on the base corpus
+    * (vec_id % 13 ≠ 0, its own SharedFrames memo), and the ingest
+    * delta (% 13 = 0) is ASSIGNED to the existing centroids — never
+    * retrained — before queries run over the merged index. This is the
+    * 100 TB posture for a growing corpus: ingest cost is one
+    * assignment pass over |Δ| (a broadcast of C centroids + a map-side
+    * argmin), not a Lloyd fixpoint over |corpus|; the codebook retrains
+    * on a maintenance cadence (when ann11's recall audit says so), not
+    * per batch. The DuckDB oracle replays the BASE-ONLY training
+    * fixpoint and assigns everything against it — an implementation
+    * that sneaks the delta into training lands on different centroids,
+    * different buckets, different top-5s, and a failed hash. Query ids
+    * 0 and 26 are themselves delta rows, so the gate proves
+    * just-ingested vectors are immediately searchable AND findable.
+    */
+  private def baseQuantized(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir).filter(col("vec_id") % 13 =!= 0)
+
+  private def incIvfCents(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.memoize(s, s"ivf:cents-inc:$dir")(
+      trainCentroids(baseQuantized(s, dir)))
+
+  private def incIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = incIvfCents(s, dir)
+    // index build (base) + ingest (delta): both are pure assignments
+    // against the SAME trained codebook; the union is the live index
+    val baseIdx = assignTo(baseQuantized(s, dir), cents)
+    val deltaIdx = assignTo(quantized(s, dir).filter(col("vec_id") % 13 === 0), cents)
+    val assigned = baseIdx.unionByName(deltaIdx)
+    val queries = assigned.filter(col("vec_id").isin(0L, 1L, 26L))
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("qc"), col("q").as("qv"))
+    val topk = udaf(new TopKAgg(5))
+    val scored = assigned
+      .join(broadcast(queries),
+        col("centroid_id") === col("qc") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), dot(col("qv"), col("q")).as("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  /** [[lloydCtes]] with training restricted to the base corpus; the
+    * final `assigned` covers EVERYTHING (base + delta) against the
+    * base-trained centroids — the oracle twin of [[incIvfTopK]]'s
+    * union (assignment is per-row, so assign(base)∪assign(delta) =
+    * assign(all)).
+    */
+  private val incLloydCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |base AS (SELECT * FROM emb WHERE vec_id % 13 <> 0),
+       |cents0 AS (SELECT vec_id AS centroid_id, q AS cv FROM base WHERE vec_id < $C)""".stripMargin
+    for (i <- 1 to LloydIters) {
+      sb ++= s""",
+       |asg$i AS (${assignCte(s"cents${i - 1}").replace("FROM emb e", "FROM base e")}),
+       |cents$i AS (
+       |  SELECT centroid_id, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT centroid_id, pos,
+       |      CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+       |    FROM (SELECT centroid_id, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+       |          FROM asg$i)
+       |    GROUP BY centroid_id, pos)
+       |  GROUP BY centroid_id)""".stripMargin
+    }
+    sb ++= s""",
+       |assigned AS (${assignCte(s"cents$LloydIters")})""".stripMargin
+    sb.toString
+  }
+
+  private val incIvfTopKSql =
+    s"""WITH $incLloydCtes,
+      |queries AS (
+      |  SELECT vec_id AS query_id, centroid_id AS qc, q AS qv
+      |  FROM assigned WHERE vec_id IN (0, 1, 26)),
+      |scored AS (
+      |  SELECT query_id, a.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * a.q[i])) AS BIGINT) AS score
+      |  FROM queries JOIN assigned a ON a.centroid_id = queries.qc AND a.vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- ann11
   /** ANN recall audit — dd15's "measure, don't guess" discipline applied
     * to the dense channel: run the EXACT top-5 (ann1's brute-force
@@ -1887,6 +1975,7 @@ object Similarity extends QueryModule {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann12_topk_sq8" -> (sq8TopK _),
+    "ann13_incremental_ivf" -> (incIvfTopK _),
     "emb5_dim_profile" -> (dimProfile _),
     "emb6_covariance" -> ((s: SparkSession, dir: String) =>
       covarianceShared(s, dir)
@@ -1915,6 +2004,7 @@ object Similarity extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "ann12_topk_sq8" -> sq8TopKSql,
+    "ann13_incremental_ivf" -> incIvfTopKSql,
     "emb5_dim_profile" -> dimProfileSql,
     "emb6_covariance" -> covarianceBlockSql,
     "emb7_pq_distortion" -> pqDistortionSql,

@@ -106,4 +106,17 @@ class NewShapePinsSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
       "mult frame not cached — lineitem would scan twice")
   }
+
+  test("ann13: just-ingested delta vectors are searchable AND findable (non-vacuous)") {
+    val s = SparkEntry.configure(spark.newSession())
+    val rows = SparkEntry.queries("ann13_incremental_ivf")(s, dir).collect()
+    val queryIds = rows.map(_.getLong(0)).toSet
+    // query ids 0 and 26 are DELTA rows (% 13 = 0): they queried the index
+    assert(queryIds.contains(0L) && queryIds.contains(26L),
+      s"delta queries missing from the result: $queryIds")
+    // and at least one delta vector surfaces as a NEIGHBOR of someone
+    val neighbors = rows.map(_.getLong(2))
+    assert(neighbors.exists(_ % 13 == 0),
+      "no just-ingested vector was ever retrieved — the ingest pin is vacuous")
+  }
 }
