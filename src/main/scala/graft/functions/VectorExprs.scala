@@ -46,6 +46,11 @@ object VectorFunctions {
     GraftShims.column(org.apache.spark.sql.graft.SortedLongIntersectCount(
       GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** The intersecting VALUES (ascending) — g4's closing-vertex kernel. */
+  def sortedLongIntersectValues(a: Column, b: Column): Column =
+    GraftShims.column(org.apache.spark.sql.graft.SortedLongIntersectValues(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
   /** Probe a driver-built `util.sketch.BloomFilter` (serialized bytes).
     * Not in the SQL-name registry: the filter bytes aren't expressible
     * as a SQL literal users should type.

@@ -832,15 +832,23 @@ object Graph extends QueryModule {
     * ppm.
     *
     * Per-node triangle counts WITHOUT materializing the triangle (or
-    * wedge) stream: for every directed edge (a,b) the codegen merge
-    * kernel counts |N(a) ∩ N(b)| against the full undirected adjacency
-    * — each triangle at v is counted twice across v's incident edges
-    * (once per other vertex ordering), so Σ_incident counts = 2·tri(v)
-    * and the ppm needs no halving. The exchange carries one LONG per
-    * directed edge; nodes are the bounded parts catalog, so the
-    * adjacency table broadcasts under the same measured gate as tri1
-    * (directed rows = 2m → half tri1's edge ceiling), with a shuffled
-    * hash-join fallback beyond it. deg ≥ 2 rows only (C is undefined
+    * wedge) stream: tri1's oriented adjacency-merge kernel, VALUES
+    * variant — for every oriented edge (u,v) the codegen merge emits
+    * the closing vertices N⁺(u) ∩ N⁺(v), so each triangle surfaces
+    * exactly once (at its lowest edge) carrying all three corner ids;
+    * a corner explosion + one hash aggregate then credits every
+    * triangle to its three nodes. The per-edge intermediate is the
+    * edge's TRIANGLE list (Σ = 3·#triangles), not its neighborhood.
+    * The previous spelling joined every DIRECTED edge against the full
+    * undirected adjacency and counted — the carried array payloads
+    * total Σ deg² (two wedge-sets' worth), which the r14 sf1 sweep
+    * measured at 89 s / 62× for 10× the data: the same plan-cliff
+    * family as tri1's old fallback, one shape further disguised (it
+    * never materialized wedges as ROWS, but shipped them as array
+    * payloads through two joins). Nodes are the bounded parts catalog,
+    * so the adjacency table broadcasts under the same measured gate as
+    * tri1; past the ceiling the SAME plan runs with shuffle joins —
+    * no separate fallback shape. deg ≥ 2 rows only (C is undefined
     * below that).
     */
   private[graft] val CcBroadcastMaxDirected = 4L * 1000 * 1000
@@ -857,22 +865,54 @@ object Graph extends QueryModule {
       s: SparkSession, dir: String, maxBroadcastDirected: Long): DataFrame = {
     val f = directedEdges(s, dir)
     val dirCount = if (planOnly(s)) 0L else f.count()
-    val adj = f.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    def gate(df: DataFrame): DataFrame =
-      if (dirCount <= maxBroadcastDirected) broadcast(df) else df
-    f.select(col("src").as("a"), col("dst").as("b"))
-      .join(gate(adj.select(col("src").as("a"), col("nbrs").as("na"))), Seq("a"))
-      .join(gate(adj.select(col("src").as("b"), col("nbrs").as("nb"))), Seq("b"))
-      .groupBy(col("a"))
-      .agg(
-        count(lit(1)).as("deg"),
-        sum(graft.functions.VectorFunctions.sortedLongIntersectCount(
-          col("na"), col("nb"))).as("closed2"))
+    val useBroadcast = dirCount <= maxBroadcastDirected
+    val edges = orientedEdges(s, dir) // u < v, memoized, persisted
+    val deg = f.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // Corner attribution is ORIENTATION-independent (the closing vertex
+    // ids come out of the kernel), so past the broadcast ceiling the
+    // edges re-orient compact-forward exactly like tri1's fallback:
+    // out-degrees cap at O(√m), which bounds the per-edge adjacency
+    // payload the two SHUFFLE joins carry (under natural u<v order a
+    // hub's out-list is O(deg), and Σ outdeg² is wedge-order again —
+    // the r14 sf1 re-measure showed natural-order shuffle joins only
+    // bought 89 → 67 s; compact-forward is the real lever).
+    val base =
+      if (useBroadcast) edges.select(col("u").as("a"), col("v").as("b"))
+      else {
+        val uLower = (col("du") < col("dv")) ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        edges
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+          .select(
+            when(uLower, col("u")).otherwise(col("v")).as("a"),
+            when(uLower, col("v")).otherwise(col("u")).as("b"))
+          .persist(StorageLevel.MEMORY_AND_DISK) // adjacency build + probe side
+      }
+    val adj = base.groupBy(col("a").as("node"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    def gate(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+    val withClosers = base
+      .join(gate(adj.select(col("node").as("a"), col("nbrs").as("na"))), Seq("a"))
+      .join(gate(adj.select(col("node").as("b"), col("nbrs").as("nb"))), Seq("b"))
+      .select(col("a").as("u"), col("b").as("v"),
+        graft.functions.VectorFunctions.sortedLongIntersectValues(
+          col("na"), col("nb")).as("zs"))
+      .filter(size(col("zs")) > 0)
+    // credit each triangle to its three corners in ONE pass over the
+    // join subtree (a 3-way union would execute the joins + intersects
+    // three times): per edge the corner multiset is zs ⊎ u×|zs| ⊎ v×|zs|
+    // — every triangle contributes each of its corners exactly once
+    val tri = withClosers
+      .select(explode(concat(col("zs"),
+        array_repeat(col("u"), size(col("zs"))),
+        array_repeat(col("v"), size(col("zs"))))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("node"), "left")
       .filter(col("deg") >= 2)
-      .select(col("a").as("node"), col("deg"),
-        expr("closed2 DIV 2").as("n_tri"),
-        expr("(closed2 * 1000000) DIV (deg * (deg - 1))").as("coeff_ppm"))
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("(coalesce(n_tri, 0) * 2 * 1000000) DIV (deg * (deg - 1))").as("coeff_ppm"))
       .orderBy(col("node").asc_nulls_first)
   }
 

@@ -130,3 +130,70 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
     copy(l, r)
 }
+
+/** VALUES sibling of [[SortedLongIntersectCount]]: the intersection of
+  * two ascending long arrays, as an ascending long array. Exists for
+  * consumers that need the intersecting ELEMENTS, not just how many —
+  * g4's per-node triangle counting attributes each triangle to its
+  * three corners, so the closing vertices must come out of the kernel
+  * (the count alone can only credit the probing edge's endpoints).
+  * Same single merge pass; the output is materialized once as an
+  * UnsafeArrayData (size ≤ min(|a|, |b|), in practice the per-edge
+  * triangle count — far smaller than either adjacency list).
+  */
+case class SortedLongIntersectValues(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_long_intersect_values"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    val buf = new Array[Long](math.min(n, m))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { buf(c) = xv; c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, c))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val buf = ctx.freshName("buf")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |long[] $buf = new long[$n < $m ? $n : $m];
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $buf[$c++] = $xv; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($buf, $c));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectValues =
+    copy(l, r)
+}
