@@ -695,6 +695,63 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  // --------------------------------------------------------------- sw13
+  /** STREAMING decontamination — dd9's two-tier probe executed as a
+    * real Structured Streaming query, because that is where
+    * decontamination actually runs at 100 TB: at INGEST, scoring every
+    * arriving document against the benchmark suite before it can enter
+    * the training corpus. The document stream (file source,
+    * AvailableNow micro-batches) shingles map-side, gates each shingle
+    * through the driver-built Bloom filter (~1.2 MB/M shingles at 1%
+    * fpp — a codegen expression, so it rides inside whole-stage
+    * codegen in every micro-batch), then exact-verifies survivors via
+    * the stream-static broadcast join and counts per document. The
+    * SAME [[contaminationCounts]] chain as dd8/dd9 — batch and
+    * streaming semantics cannot drift. Complete output mode: the gate
+    * corpus is bounded, and the operator under test is the
+    * bloom-prefiltered stream-static join, not sink mechanics (a
+    * production deployment attaches ingest time + a watermark and
+    * appends, or upserts via foreachBatch — sw12's pattern). The
+    * DuckDB oracle computes the exact batch answer over ALL documents,
+    * so the hash proves stream-executed prefilter+verify ≡ exact batch:
+    * a Bloom false positive leaking past the verify join, a dropped
+    * micro-batch, or stale complete-mode state all shift a count.
+    */
+  private def docStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val fileSchema = s.read.parquet(path).schema
+    s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+  }
+
+  private def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val bench = benchmarkShingles(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK) // sizes + fills the bloom, then verifies
+    val bytes = VectorFunctions.bloomBytesOf(bench, "shingle", BloomFpp)
+    val counts = contaminationCounts(docStream(s, dir), bench,
+      shinglePrefilter = VectorFunctions.bloomMightContain(_, bytes))
+    val q = counts.writeStream.format("memory").queryName("sw13_mem")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("sw13_mem").orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val streamDecontaminateSql =
+    s"""WITH bsh AS (
+       |  ${shingle4Sql("documents", "doc_id % 97 = 0")}),
+       |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM bsh),
+       |csh AS (
+       |  ${shingle4Sql("documents", "TRUE")}),
+       |corpus_sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM csh)
+       |SELECT c.doc_id, COUNT(*) AS n_hit_shingles
+       |FROM corpus_sh c JOIN bench b ON c.shingle = b.shingle
+       |GROUP BY c.doc_id
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- dd10
   /** Incremental near-dup: the every-ingest variant of dd2. The "new
     * batch" (the planted ≥1M ids) is banded with the SAME shared
@@ -1252,6 +1309,7 @@ object Dedup extends QueryModule {
     "dd11_segment_dedup" -> (cdcSegmentDedup _),
     "dd10_incremental_neardup" -> (incrementalNearDup _),
     "dd9_bloom_decontaminate" -> (bloomDecontaminate _),
+    "sw13_stream_decontaminate" -> (streamDecontaminate _),
     "dd1_exact_dedup" -> (exactDedup _),
     "dd2_minhash_lsh_pairs" -> (minhashPairs _),
     "dd3_simhash" -> (simhash _),
@@ -1268,6 +1326,7 @@ object Dedup extends QueryModule {
     // same result as dd8 by construction (bloom FPs die in the verify
     // join) — the gate proves the equivalence
     "dd9_bloom_decontaminate" -> decontaminateSql,
+    "sw13_stream_decontaminate" -> streamDecontaminateSql,
     "dd11_segment_dedup" -> cdcSegmentDedupSql,
     "dd10_incremental_neardup" -> incrementalNearDupSql,
     "dd1_exact_dedup" -> exactDedupSql,

@@ -119,4 +119,15 @@ class NewShapePinsSpec extends AnyFunSuite {
     assert(neighbors.exists(_ % 13 == 0),
       "no just-ingested vector was ever retrieved — the ingest pin is vacuous")
   }
+
+  test("sw13: streaming decontamination flags the benchmark's own docs (non-vacuous)") {
+    val s = SparkEntry.configure(spark.newSession())
+    val rows = SparkEntry.queries("sw13_stream_decontaminate")(s, dir).collect()
+    assert(rows.nonEmpty, "stream produced no contamination rows")
+    val byDoc = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0 is in the benchmark slice (0 % 97 == 0): streaming it back
+    // through the probe must flag every one of its own shingles
+    assert(byDoc.get(0L).exists(_ >= 1L),
+      s"benchmark doc 0 not flagged by its own suite: $byDoc")
+  }
 }
