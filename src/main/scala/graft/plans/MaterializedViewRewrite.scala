@@ -164,10 +164,11 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
   // ------------------------------------------------------ star-schema MVs
 
   /** One dimension leg of a star MV: the dim's scan (path +
-    * fingerprint) and the equi-key pair, left key ON THE FACT.
+    * fingerprint + full schema names) and the equi-key pair, left key
+    * ON THE FACT.
     */
   final case class DimJoin(path: String, fingerprint: PlanScans.ScanFingerprint,
-      leftKey: String, rightKey: String)
+      leftKey: String, rightKey: String, schemaNames: Seq[String])
 
   /** A star MV: an aggregate over fact ⟕ dims (all LEFT OUTER
     * equi-joins whose left keys are fact columns). Soundness of
@@ -226,7 +227,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
         if factOut.contains(keys._1) // pure star: left key on the fact
         rRef <- dimScanRef(r, keys._2)
       } yield (fRef, factOut, dims :+ DimJoin(rRef.path, rRef.fingerprint,
-        keys._1.name, keys._2.name), factFilter)
+        keys._1.name, keys._2.name, rRef.schemaNames), factFilter)
     case other =>
       leaf(other).map { case (ref, f) => (ref, other.outputSet, Seq.empty[DimJoin], f) }
   }
@@ -309,17 +310,22 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
               s"star MV measures must be SUM/COUNT/MIN/MAX, got ${other.sql}")
           }
         }
-        // name-resolution ambiguity guard: measure matching is by
-        // attribute NAME (fn.sql), so a name present in two legs of
-        // the join could match the wrong column — refuse.
+        // name-resolution ambiguity guard: query matching binds group
+        // columns, measures and filters by NAME, so every referenced
+        // name must live on exactly ONE leg of the star. Checked
+        // against the legs' FULL schemas, not the plan output — column
+        // pruning removes an unreferenced duplicate from the optimized
+        // output, and a later query referencing the OTHER leg's column
+        // of that name would bind to this MV's wrong-leg values (the
+        // r14 review found the output-based check vacuous for exactly
+        // this reason).
         val referenced = (ge.flatMap(_.references) ++
           ae.collect { case Alias(AggregateExpression(fn, _, _, _, _), _) => fn }
             .flatMap(_.references)).map(_.name).toSet
-        val dup = child.output.groupBy(_.name).collect {
-          case (n, as) if as.size > 1 && referenced.contains(n) => n
-        }
+        val legSchemas = factRef.schemaNames +: dims.map(_.schemaNames)
+        val dup = referenced.filter(n => legSchemas.count(_.contains(n)) != 1)
         if (dup.nonEmpty) throw new IllegalArgumentException(
-          s"ambiguous column name(s) across the star join: ${dup.mkString(", ")}")
+          s"ambiguous column name(s) across the star join's legs: ${dup.mkString(", ")}")
         StarDef(factRef.path, factRef.fingerprint, sortedDims(dims), mvPath, groups, ms, null)
     }.getOrElse(throw new IllegalArgumentException("star MV definition must be an Aggregate"))
     val mvRelation = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
@@ -343,6 +349,13 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       sd <- Option(starCatalog.get((appId, starKey(factRef.path, dims))))
       if sd.factFp == factRef.fingerprint
       if sortedDims(dims) == sd.dims
+      // no query-side name guard is needed: everything the rewrite can
+      // bind resolves through mv.groupCols / registered measure text,
+      // and registration's LEG-SCHEMA guard proved each of those names
+      // lives on exactly one leg — with leg schemas pinned identical by
+      // the fingerprint equality above, a query attribute of that name
+      // can only be that leg's column. A query referencing a name the
+      // registration never did simply fails to match (missed rewrite).
       out <- tryRewrite(spark, agg, ge, ae, factFilter,
         MvDef(sd.factPath, sd.factFp, sd.mvPath, sd.groupCols, sd.measures, sd.mvRelation))
     } yield out

@@ -38,10 +38,15 @@ object PlanScans {
     */
   final case class ScanFingerprint(files: Int, bytes: Long, maxMtime: Long)
 
-  /** A single-root file scan: its root path plus the listing
-    * fingerprint of the relation instance the caller walked.
+  /** A single-root file scan: its root path, the listing fingerprint
+    * of the relation instance the caller walked, and the relation's
+    * FULL schema names (pre-pruning — the optimizer's column pruning
+    * hides unreferenced columns from `plan.output`, so ambiguity
+    * checks over the visible output are vacuous; the star-MV rule's
+    * name-resolution guard needs the table's real column set).
     */
-  final case class ScanRef(path: String, fingerprint: ScanFingerprint)
+  final case class ScanRef(path: String, fingerprint: ScanFingerprint,
+      schemaNames: Seq[String])
 
   private def fingerprintOf(h: HadoopFsRelation): ScanFingerprint = h.location match {
     case p: PartitioningAwareFileIndex =>
@@ -54,7 +59,8 @@ object PlanScans {
 
   private def refOf(lr: LogicalRelation): Option[ScanRef] = lr.relation match {
     case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
-      Some(ScanRef(h.location.rootPaths.head.toString, fingerprintOf(h)))
+      Some(ScanRef(h.location.rootPaths.head.toString, fingerprintOf(h),
+        h.schema.fieldNames.toSeq))
     case _ => None // multi-path or non-file relation: refuse
   }
 

@@ -67,6 +67,30 @@ class StalenessSpec extends AnyFunSuite {
     assert(q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap == got)
   }
 
+  test("star registration refuses a grouping name that exists on two legs (ambiguous bind)") {
+    val s = SparkEntry.configure(spark.newSession())
+    import s.implicits._
+    val factDir = tmp("ambfact"); val dimDir = tmp("ambdim")
+    (1 to 20).map(i => (i.toLong % 4, s"fx$i", i.toLong)).toDF("k", "x", "v")
+      .write.parquet(factDir)
+    (0L to 3L).map(k => (k, s"dx$k")).toDF("dk", "x").write.parquet(dimDir)
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir)
+    val defn = fact.join(dim, fact("k") === dim("dk"), "left")
+      .groupBy(dim("x")) // name `x` exists on BOTH legs — by-name matching would mis-bind
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+    // two refusal layers may fire: Spark's own analyzer (AMBIGUOUS_
+    // REFERENCE on the definition plan) or, if the plan analyzes,
+    // registerStar's referenced-name guard — either way an
+    // ambiguous-name star can never enter the catalog
+    val ex = intercept[Exception] {
+      graft.plans.MaterializedViewRewrite.registerStar(s, defn, tmp("ambmv"))
+    }
+    assert(ex.isInstanceOf[IllegalArgumentException] ||
+      ex.isInstanceOf[org.apache.spark.sql.AnalysisException], ex.toString)
+    assert(ex.getMessage.toLowerCase.contains("ambiguous"), ex.getMessage)
+  }
+
   test("verified-unique constraint expires with the listing: join elimination stands down") {
     val s = SparkEntry.configure(spark.newSession())
     import s.implicits._
