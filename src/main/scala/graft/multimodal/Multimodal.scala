@@ -21,8 +21,9 @@ import graft.Tables
   * for real in pure JVM ([[RawCodec]], [[JpegCodec]], [[PngCodec]] —
   * actual sample
   * rates, dimensions, pixel/sample statistics from the payload bytes);
-  * only progressive JPEG and the patent-laden video/audio codecs
-  * (H.264, AAC, MP3) need native libraries this container lacks, so
+  * only the patent-laden video/audio codecs (H.264, AAC, MP3) need
+  * native libraries this container lacks — progressive JPEG joined the
+  * pure-JVM decoders in r14 — so
   * `NativeDecoder` stays an explicit `???` seam for those and
   * `FakeDecoder` produces deterministic features from the raw bytes for
   * fixture payloads. The Spark-side contract — schema, encoders, batch
