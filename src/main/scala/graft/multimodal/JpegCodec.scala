@@ -1200,6 +1200,7 @@ object JpegCodec {
           }
         }
         if (r > 0) eobrun += 1 // trailing zeros (an all-zero band is r = 63) fold into an EOB run
+        if (eobrun == 0x7fff) emitEobrun() // T.81 EOBn bound (same clamp as scan 4)
       }
       emitEobrun()
       bw.flushOnes()

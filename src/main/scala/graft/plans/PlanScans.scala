@@ -33,8 +33,15 @@ object PlanScans {
   /** File-listing fingerprint: file count + total bytes + newest
     * mtime. Any append, delete, overwrite or compaction of the listed
     * files moves at least one component (an in-place same-size rewrite
-    * moves mtime). Computed from the ALREADY-LISTED in-memory index —
-    * no filesystem IO at plan time.
+    * moves mtime, up to the filesystem's mtime granularity — the one
+    * residual blind window, inherent to listing-based freshness).
+    * Computed from the ALREADY-LISTED in-memory index — no filesystem
+    * IO at plan time. Only [[PartitioningAwareFileIndex]] exposes the
+    * per-file listing; any other index would have to fall back to
+    * (count, estimated bytes, mtime=0), under which an in-place
+    * same-size same-count rewrite passes undetected — so extraction
+    * REFUSES there (r14 ADVICE): no fingerprint means no registration
+    * and no rewrite, correct-but-unoptimized rather than stale.
     */
   final case class ScanFingerprint(files: Int, bytes: Long, maxMtime: Long)
 
@@ -48,19 +55,18 @@ object PlanScans {
   final case class ScanRef(path: String, fingerprint: ScanFingerprint,
       schemaNames: Seq[String])
 
-  private def fingerprintOf(h: HadoopFsRelation): ScanFingerprint = h.location match {
+  private def fingerprintOf(h: HadoopFsRelation): Option[ScanFingerprint] = h.location match {
     case p: PartitioningAwareFileIndex =>
       val fs = p.allFiles()
-      ScanFingerprint(fs.length, fs.iterator.map(_.getLen).sum,
-        if (fs.isEmpty) 0L else fs.iterator.map(_.getModificationTime).max)
-    case other => // non-listing index: count+bytes still move on append
-      ScanFingerprint(other.inputFiles.length, other.sizeInBytes, 0L)
+      Some(ScanFingerprint(fs.length, fs.iterator.map(_.getLen).sum,
+        if (fs.isEmpty) 0L else fs.iterator.map(_.getModificationTime).max))
+    case _ => None // non-listing index: no trustworthy fingerprint — refuse
   }
 
   private def refOf(lr: LogicalRelation): Option[ScanRef] = lr.relation match {
     case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
-      Some(ScanRef(h.location.rootPaths.head.toString, fingerprintOf(h),
-        h.schema.fieldNames.toSeq))
+      fingerprintOf(h).map(fp =>
+        ScanRef(h.location.rootPaths.head.toString, fp, h.schema.fieldNames.toSeq))
     case _ => None // multi-path or non-file relation: refuse
   }
 

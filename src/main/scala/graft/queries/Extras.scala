@@ -2728,8 +2728,12 @@ object Extras extends QueryModule {
     * order under signed comparison; the fraction unflips and must use
     * shiftrightUNSIGNED — for NDV between k and ~2k the k-th minimum
     * hash has its top bit set and an arithmetic shift sign-extends into
-    * a negative fraction. Package-visible so the spec pins the above-k
-    * regime the gate corpora never reach.
+    * a negative fraction. Package-visible because the above-k regime is
+    * exercised OUTSIDE ev25 (whose gate audiences sit below the default
+    * k): dq13's set rows run this algebra at k = 256 over orderkey sets
+    * with NDV ≫ k (engaged flag + 30% bound in-gate), dq14 runs ev25's
+    * own audience-overlap shape at k = 64 so every per-type sketch
+    * provably trims, and NdvSketchSpec pins the branch unit-level.
     */
   private[graft] def sketchPairAlgebra(sets: DataFrame): DataFrame = {
     val unflip = "(thmin ^ -9223372036854775808)"

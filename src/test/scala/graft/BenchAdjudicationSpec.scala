@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins Bench's self-adjudication load canary (VERDICT r14 #1).
+  *
+  * The isolated re-run pass happens in the same wall-clock window as
+  * the sweep, so sustained ambient load forges the "real regression"
+  * signature (isolated ≈ sweep) on entries whose code never changed —
+  * r14 had five such false signatures, all cleared by a fresh JVM. The
+  * canary re-measures a known-stable sentinel first and stamps the
+  * whole block `load_tainted` when even the sentinel inflates >2x its
+  * committed value. Two pins here:
+  *
+  *  1. the taint predicate's exact semantics (ratio gate AND absolute
+  *     floor, so micro-jitter on a ~50 ms sentinel can't false-taint);
+  *  2. the MECHANISM under real forced load — burn 3x-nproc spin
+  *     threads, re-measure the same CPU-bound job, and assert the
+  *     inflation trips the predicate exactly as a loaded driver window
+  *     would.
+  */
+class BenchAdjudicationSpec extends AnyFunSuite {
+
+  test("loadTainted: ratio gate with absolute floor") {
+    // steady sentinel: no taint
+    assert(!Bench.loadTainted(0.046, 0.046))
+    // under 2x: no taint even with large absolute diff
+    assert(!Bench.loadTainted(1.9, 1.0))
+    // over 2x but inside the 0.1 s floor — micro-jitter, no taint
+    // (0.12 > 2 * 0.05 but the delta is only 0.07)
+    assert(!Bench.loadTainted(0.12, 0.05))
+    // the r14 false-signature shape: a sub-second sentinel blown to
+    // multiples of committed → taint
+    assert(Bench.loadTainted(1.0, 0.046))
+    // boundary: exactly 2x never taints (gate is strict >)
+    assert(!Bench.loadTainted(2.0, 1.0))
+    // just past both gates
+    assert(Bench.loadTainted(0.25, 0.1))
+  }
+
+  test("sentinel candidates are real gate entries") {
+    // The canary is only as good as its sentinel: every candidate must
+    // exist in the query map, or a rename silently downgrades the
+    // canary to the next candidate (or to nothing).
+    Bench.SentinelCandidates.foreach { s =>
+      assert(SparkEntry.queries.contains(s), s"sentinel candidate $s is not a gate entry")
+    }
+  }
+
+  test("forced load trips the taint predicate") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    // A CPU-bound job sized to ~0.3-1 s unloaded on local[2], so the
+    // 0.1 s absolute floor is irrelevant and only the ratio gate
+    // decides. Same measurement discipline as Bench: median of 3.
+    def measure(): Double = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 3000000, 1, 2)
+          .select(sum(length(sha2(concat(lit("x"), $"id".cast("string")), 256))))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(1)
+    }
+    measure() // absorb codegen/JIT warmup outside both measurements
+    val unloaded = measure()
+    val burners = java.lang.Runtime.getRuntime.availableProcessors() * 3
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to burners).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += 1; if (x == Long.MaxValue) x = 0 }
+      })
+      t.setDaemon(true); t.setPriority(Thread.MAX_PRIORITY); t.start(); t
+    }
+    try {
+      val loaded = measure()
+      info(f"unloaded=$unloaded%.3f s loaded=$loaded%.3f s (${loaded / unloaded}%.1fx, $burners burn threads)")
+      assert(Bench.loadTainted(loaded, unloaded),
+        f"forced load only inflated ${loaded / unloaded}%.2fx — canary would miss a loaded window")
+      // and the converse: an unloaded re-measure of itself must not taint
+      assert(!Bench.loadTainted(unloaded, unloaded))
+    } finally {
+      stop.set(true)
+      threads.foreach(_.join(1000))
+    }
+  }
+}

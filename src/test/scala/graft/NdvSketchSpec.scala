@@ -104,6 +104,36 @@ class NdvSketchSpec extends AnyFunSuite {
     assert(un > 512L, s"union $un is inside the kept-count bound 2k — not theta-scaled")
   }
 
+  test("dq14 headroom: audience-overlap estimates sit well inside the gate bound at k=64") {
+    // dq14's oracle states overlap/union_within_60pct as literal TRUE;
+    // this pin measures the ACTUAL relative errors on the same data
+    // (sf0.01 events, k=64 — every per-type audience is 150 ≫ k, so all
+    // sketches trim) and requires ≤ 40%: if a data regeneration or a
+    // sketch change eats the margin down to the wire, this trips before
+    // the gate starts flaking. Also pins engagement from sketch state.
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val sets = ev.groupBy("event_type")
+      .agg(NdvSketch.ndvSketchSet(col("user_id"), 64).as("sk"))
+    assert(sets.select(max(col("sk.exact"))).collect()(0).getBoolean(0) == false,
+      "a sketch stayed exact — estimator regime not engaged")
+    val est = graft.queries.Extras.sketchPairAlgebra(sets).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val u = ev.select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val types = u.map(_._1).toSeq.sorted
+    var worst = 0.0
+    for (a <- types; b <- types if a < b) {
+      val ua = u.collect { case (`a`, x) => x }
+      val ub = u.collect { case (`b`, x) => x }
+      val (exOv, exUn) = ((ua & ub).size.toLong, (ua | ub).size.toLong)
+      val (ov, un) = est((a, b))
+      worst = math.max(worst, math.abs(ov - exOv).toDouble / exOv)
+      worst = math.max(worst, math.abs(un - exUn).toDouble / exUn)
+    }
+    info(f"worst relative error: ${worst * 100}%.1f%% (gate bound 60%%)")
+    assert(worst <= 0.40, f"worst error ${worst * 100}%.1f%% — margin to the 60%% gate bound is gone")
+  }
+
   test("property: any split/permutation of any stream merges to the single-stream sketch") {
     import org.scalacheck.{Gen, rng}
     // generated streams with duplicates, adversarial sizes around k, and
