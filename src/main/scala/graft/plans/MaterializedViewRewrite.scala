@@ -76,14 +76,48 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     * aggregate). Each rewrite takes `newInstance()` of it — fresh
     * exprIds, so the same MV can serve two aggregates in one query
     * without attribute conflicts, with zero IO at plan time.
+    *
+    * `nullFreeSums`: normalized SQL of the SUM measures whose child was
+    * AUDITED null-free over the summarized input at registration time.
+    * This is what licenses deriving `AVG(e)` from `SUM(e)` and the MV's
+    * `COUNT(*)` partial: avg divides by COUNT(e) — the NON-NULL count —
+    * so a COUNT(*)-backed denominator is only correct when e had no
+    * nulls. A schema check can't establish that (file sources are
+    * always nullable in Spark), so registration runs one counting pass
+    * (the registerUnique precedent) and the existing file-listing
+    * fingerprint makes the audit durable: any data change stands the
+    * whole rewrite down until re-registration re-audits.
     */
   final case class MvDef(basePath: String, baseFingerprint: PlanScans.ScanFingerprint,
       mvPath: String, groupCols: Seq[String], measures: Seq[Measure],
-      mvRelation: LogicalRelation)
+      mvRelation: LogicalRelation, nullFreeSums: Set[String] = Set.empty)
 
   // (applicationId, basePath) -> MvDef; appId-keyed like SharedFrames so a
   // restarted session can never see a stale registration.
   private val catalog = new ConcurrentHashMap[(String, String), MvDef]()
+
+  /** Registration-time null-free audit: one counting pass over the
+    * summarized input (`child` — the definition Aggregate's own child,
+    * so for a star MV this is the fact ⟕ dims join itself), comparing
+    * COUNT(child-of-sum) against COUNT(*) per SUM measure. Returns the
+    * fnSql of every sum whose child matched — i.e. had zero nulls,
+    * including join-introduced ones from unmatched left-join rows.
+    * Cost: one extra aggregate over input the MV build just scanned
+    * anyway; valid as long as the listing fingerprint holds.
+    */
+  private def auditNullFree(spark: SparkSession, child: LogicalPlan,
+      sums: Seq[(String, Expression)]): Set[String] = {
+    if (sums.isEmpty) return Set.empty
+    val aggs: Seq[NamedExpression] =
+      Alias(AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false), "_n")() +:
+        sums.zipWithIndex.map { case ((_, c), i) =>
+          Alias(AggregateExpression(Count(Seq(c)), Complete, isDistinct = false), s"_c$i")()
+        }
+    val row = org.apache.spark.sql.GraftShims
+      .ofRows(spark, Aggregate(Nil, aggs, child)).collect()(0)
+    val n = row.getLong(0)
+    sums.zipWithIndex.collect { case ((sql, _), i) if row.getLong(i + 1) == n => sql }.toSet
+  }
 
   /** Register `mvDf` (an Aggregate over `base`, already written to
     * `mvPath`) as the summary of `base`. Group columns must be plain
@@ -118,7 +152,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       .getOrElse(throw new IllegalArgumentException(
         "MV base must be a row-preserving chain over a single file-source scan"))
     val basePath = baseRef.path
-    val (groupCols, measures) = mvDf.queryExecution.optimizedPlan.collectFirst {
+    val (groupCols, measures, nullFree) = mvDf.queryExecution.optimizedPlan.collectFirst {
       case Aggregate(ge, ae, child, _) =>
         // the definition must summarize EVERY row of the base scan: a
         // Filter (or join, or sample) between the Aggregate and the
@@ -145,13 +179,16 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
               s"MV measures must be SUM/COUNT/MIN/MAX, got ${other.sql}")
           }
         }
-        (groups, ms)
+        val sumKids = ae.collect {
+          case Alias(AggregateExpression(fn @ Sum(c, _), _, false, None, _), _) => (fn.sql, c)
+        }
+        (groups, ms, auditNullFree(spark, child, sumKids))
     }.getOrElse(throw new IllegalArgumentException("MV definition must be an Aggregate"))
     val mvRelation = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation => lr
     }.getOrElse(throw new IllegalStateException(s"MV at $mvPath did not analyze to a scan"))
     catalog.put((spark.sparkContext.applicationId, basePath),
-      MvDef(basePath, baseRef.fingerprint, mvPath, groupCols, measures, mvRelation))
+      MvDef(basePath, baseRef.fingerprint, mvPath, groupCols, measures, mvRelation, nullFree))
     ()
   }
 
@@ -181,7 +218,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     */
   final case class StarDef(factPath: String, factFp: PlanScans.ScanFingerprint,
       dims: Seq[DimJoin], mvPath: String, groupCols: Seq[String], measures: Seq[Measure],
-      mvRelation: LogicalRelation)
+      mvRelation: LogicalRelation, nullFreeSums: Set[String] = Set.empty)
 
   // (applicationId, canonical star signature) -> StarDef
   private val starCatalog = new ConcurrentHashMap[(String, String), StarDef]()
@@ -326,7 +363,11 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
         val dup = referenced.filter(n => legSchemas.count(_.contains(n)) != 1)
         if (dup.nonEmpty) throw new IllegalArgumentException(
           s"ambiguous column name(s) across the star join's legs: ${dup.mkString(", ")}")
-        StarDef(factRef.path, factRef.fingerprint, sortedDims(dims), mvPath, groups, ms, null)
+        val sumKids = ae.collect {
+          case Alias(AggregateExpression(fn @ Sum(c, _), _, false, None, _), _) => (fn.sql, c)
+        }
+        StarDef(factRef.path, factRef.fingerprint, sortedDims(dims), mvPath, groups, ms,
+          null, auditNullFree(spark, child, sumKids))
     }.getOrElse(throw new IllegalArgumentException("star MV definition must be an Aggregate"))
     val mvRelation = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation => lr
@@ -357,7 +398,8 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       // can only be that leg's column. A query referencing a name the
       // registration never did simply fails to match (missed rewrite).
       out <- tryRewrite(spark, agg, ge, ae, factFilter,
-        MvDef(sd.factPath, sd.factFp, sd.mvPath, sd.groupCols, sd.measures, sd.mvRelation))
+        MvDef(sd.factPath, sd.factFp, sd.mvPath, sd.groupCols, sd.measures, sd.mvRelation,
+          sd.nullFreeSums))
     } yield out
 
   /** Strip attribute-only Projects; allow one Filter. Returns the base
@@ -416,45 +458,95 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     if (!mv.groupCols.forall(mvAttr.contains) || !mv.measures.forall(m => mvAttr.contains(m.mvCol)))
       return None
 
+    // Transplant one aggregate call onto the MV partials. The generic
+    // arm re-aggregates a recorded measure (structural fnSql match,
+    // float partials refused — accumulation order, COUNT coalesced back
+    // to its non-null contract). The AVG arm DERIVES avg(e) from
+    // sum(e) and a count without any avg partial in the summary:
+    // exact integral total, exact row total, ONE final division —
+    // value-identical to Average for integral children wherever the
+    // double-accumulated raw sum is itself exact (always below 2^53;
+    // past it the derived path is strictly MORE exact), and refused for
+    // float/decimal children. The denominator must be COUNT(e) — the
+    // non-null count — so COUNT(*) serves only when registration's
+    // null-free audit proved e had no nulls (nullFreeSums; the listing
+    // fingerprint keeps that audit current). COUNT(DISTINCT …) never
+    // derives from a grouped summary: the isDistinct=false pattern
+    // refuses it here, MvRewriteSpec pins the refusal.
+    def deriveAggE(aggE: AggregateExpression): Option[Expression] = aggE match {
+      case AggregateExpression(fn, _, false, None, _) =>
+        def partialOf(m: Measure): Option[AttributeReference] =
+          mvAttr.get(m.mvCol).filterNot(a =>
+            Seq(org.apache.spark.sql.types.DoubleType,
+              org.apache.spark.sql.types.FloatType).contains(a.dataType))
+        fn match {
+          case Average(e, _) if Seq[org.apache.spark.sql.types.DataType](
+              org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+              .contains(e.dataType) =>
+            for {
+              sumM <- mv.measures.find(m =>
+                !m.isCount && m.reAgg == "sum" && m.fnSql == Sum(e).sql)
+              cntM <- mv.measures.find(m => m.isCount && m.fnSql == Count(Seq(e)).sql)
+                .orElse(mv.measures.find(m => m.isCount && m.fnSql == "count(1)")
+                  .filter(_ => mv.nullFreeSums.contains(sumM.fnSql)))
+              sumP <- partialOf(sumM)
+              cntP <- mvAttr.get(cntM.mvCol)
+              // fresh resultIds: physical planning dedupes aggregate
+              // calls BY resultId, so two copies sharing the avg's
+              // original id would collapse into one buffer (ratio 1.0)
+              out = Divide(
+                Cast(aggE.copy(aggregateFunction = Sum(sumP),
+                  resultId = NamedExpression.newExprId),
+                  org.apache.spark.sql.types.DoubleType),
+                Cast(aggE.copy(aggregateFunction = Sum(cntP),
+                  resultId = NamedExpression.newExprId),
+                  org.apache.spark.sql.types.DoubleType))
+              if out.dataType == aggE.dataType
+            } yield out
+          case _ =>
+            for {
+              m <- mv.measures.find(_.fnSql == fn.sql)
+              partial <- partialOf(m)
+              reAggE = aggE.copy(aggregateFunction = m.reAgg match {
+                case "sum" => Sum(partial)
+                case "min" => Min(partial)
+                case "max" => Max(partial)
+              })
+              body = if (m.isCount) Coalesce(Seq(reAggE, Literal(0L))) // COUNT is non-null
+                     else reAggE: Expression
+              if body.dataType == aggE.dataType // type-preserving or bust
+            } yield body
+        }
+      case _ => None
+    }
+    // An output expression is derivable when every aggregate call in it
+    // derives from a measure and every reference OUTSIDE aggregates is
+    // a group column (evaluates identically per output group on either
+    // side). This one walk subsumes the bare-group-column, scalar-over-
+    // group (COALESCE(g, -1) — CollapseProject folds such projections
+    // INTO the Aggregate, so dashboards hit it routinely) and plain-
+    // measure shapes, and additionally admits scalar shells over
+    // aggregates (floor(avg(x) * 1000), sum(a) - sum(b)). Manual
+    // recursion, not transform: the derived subtree's own MV attrs
+    // must not re-enter the group-column check.
+    def transplant(e: Expression): Option[Expression] = e match {
+      case aggE: AggregateExpression => deriveAggE(aggE)
+      case a: AttributeReference =>
+        if (groupNames.contains(a.name)) mvAttr.get(a.name) else None
+      case other if other.deterministic =>
+        val kids = other.children.map(transplant)
+        if (kids.contains(None)) None else Some(other.withNewChildren(kids.map(_.get)))
+      case _ => None
+    }
     val newAggExprs: Seq[NamedExpression] = ae.map {
       case a: AttributeReference if groupNames.contains(a.name) =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
-      case al @ Alias(a: AttributeReference, name) if groupNames.contains(a.name) =>
-        Alias(mvAttr(a.name), name)(exprId = al.exprId, qualifier = al.qualifier)
-      // a deterministic, aggregate-free expression over GROUP columns
-      // (e.g. COALESCE(g, -1), CONCAT(g, '!')) evaluates identically
-      // per output group on either side — transplant it onto the MV
-      // attributes. CollapseProject folds such projections INTO the
-      // Aggregate, so dashboard queries hit this arm routinely. Must
-      // be tried BEFORE the measure arm falls through to refusal, and
-      // must never swallow an AggregateExpression (a COUNT over base
-      // rows is NOT a scalar of the group).
-      case al @ Alias(e, name)
-        if e.deterministic &&
-          !e.exists(_.isInstanceOf[AggregateExpression]) &&
-          e.references.nonEmpty &&
-          e.references.forall(r => groupNames.contains(r.name)) =>
-        val onMv = e.transform {
-          case a: AttributeReference => mvAttr.getOrElse(a.name, return None)
+      case al @ Alias(e, name) =>
+        transplant(e) match {
+          case Some(onMv) => Alias(onMv, name)(exprId = al.exprId, qualifier = al.qualifier)
+          case None => return None
         }
-        Alias(onMv, name)(exprId = al.exprId, qualifier = al.qualifier)
-      case al @ Alias(aggE @ AggregateExpression(fn, _, false, None, _), name) =>
-        val m = mv.measures.find(_.fnSql == fn.sql).getOrElse(return None)
-        val partial = mvAttr(m.mvCol)
-        val reFn: AggregateFunction = m.reAgg match {
-          case "sum" => Sum(partial)
-          case "min" => Min(partial)
-          case "max" => Max(partial)
-        }
-        // exactness guard: refuse float re-aggregation (accumulation order)
-        if (Seq(org.apache.spark.sql.types.DoubleType,
-            org.apache.spark.sql.types.FloatType).contains(partial.dataType)) return None
-        val reAggE = aggE.copy(aggregateFunction = reFn)
-        val body: Expression =
-          if (m.isCount) Coalesce(Seq(reAggE, Literal(0L))) // COUNT is non-null
-          else reAggE
-        if (body.dataType != al.dataType) return None // type-preserving or bust
-        Alias(body, name)(exprId = al.exprId, qualifier = al.qualifier)
       case _ => return None
     }
     val newGroup: Seq[Expression] = groupNames.map(mvAttr(_))

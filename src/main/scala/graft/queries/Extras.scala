@@ -1990,6 +1990,50 @@ object Extras extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt13
+  /** AVG derivability from the star summary — the dashboard's next
+    * query after opt10's "revenue by priority" is "AVERAGE order value
+    * by priority", and the MV stores no avg partial. None is needed:
+    * avg(e) = SUM(sum_e) / SUM(cnt), with two soundness obligations the
+    * rewrite discharges ([[graft.plans.MaterializedViewRewrite]]):
+    * the denominator must be the NON-NULL count of e (COUNT(*) is
+    * licensed by registration's null-free audit, kept current by the
+    * listing fingerprint), and the division must be value-identical to
+    * the raw Average (exact integral totals, one final division —
+    * identical wherever the raw double accumulation is itself exact,
+    * i.e. below 2^53; strictly more exact past it). The quantized
+    * projection (floor(avg*1000)) rides INSIDE the rewritten Aggregate
+    * (CollapseProject folds it), so this also gates the composite
+    * scalar-shell transplant. count(DISTINCT) stays un-derivable —
+    * MvRewriteSpec pins the refusal. The DuckDB oracle executes the raw
+    * two-dim join + AVG; MvRewriteSpec pins that only the summary is
+    * scanned. At 100 TB: the avg dashboard reads kilobytes, not the
+    * fact table.
+    */
+  private def starAvgGate(s0: SparkSession, dir: String): DataFrame = {
+    starMvGate(s0, dir) // memoized: star MV built + registered for this app
+    val s = graft.SparkEntry.configure(s0.newSession()) // sj4 conf hygiene
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    starJoin(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(avg(mvPriceCents).as("avg_price"), count(lit(1)).as("n_lines"))
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(avg_price * 1000) AS BIGINT)").as("avg_price_milli"),
+        col("n_lines"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val starAvgGateSql =
+    """SELECT o_orderpriority,
+      |  CAST(floor(AVG(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1000) AS BIGINT)
+      |    AS avg_price_milli,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |LEFT JOIN orders ON l_orderkey = o_orderkey
+      |LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- opt12
   /** FILTERED star-MV derivability under the oracle — the other half of
     * every dashboard: "revenue by nation WHERE returnflag = 'R'". The
@@ -3350,6 +3394,7 @@ object Extras extends QueryModule {
     "opt10_star_mv" -> (starMvGate _),
     "opt11_star_mv_refresh" -> (starRefreshGate _),
     "opt12_filtered_star_mv" -> (filteredStarGate _),
+    "opt13_star_mv_avg" -> (starAvgGate _),
     "inc4_delete_ivm" -> (deleteIvm _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
@@ -3428,6 +3473,7 @@ object Extras extends QueryModule {
     "opt10_star_mv" -> starMvGateSql,
     "opt11_star_mv_refresh" -> starRefreshGateSql,
     "opt12_filtered_star_mv" -> filteredStarGateSql,
+    "opt13_star_mv_avg" -> starAvgGateSql,
     "inc4_delete_ivm" -> deleteIvmSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,

@@ -176,6 +176,65 @@ class MvRewriteSpec extends AnyFunSuite {
 
   private def scansMv2(df: DataFrame): Boolean = scans(df).exists(_.contains("graft_starmv_"))
 
+  test("opt13: avg derives from sum+count partials; distinct and nullable children refuse") {
+    val s = SparkEntry.configure(spark.newSession())
+    val df = SparkEntry.queries("opt13_star_mv_avg")(s, dir)
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    val paths = scans(df)
+    assert(paths.exists(_.contains("graft_starmv_")), s"summary not scanned: $paths")
+    assert(!paths.exists(p => p.contains("lineitem") || p.contains("orders") ||
+      p.contains("supplier")), s"avg query still scans the star legs: $paths")
+    // values equal the rule-off raw join (exact-total division ≡ Average)
+    val off = SparkEntry.configure(spark.newSession())
+    off.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "false")
+    assert(SparkEntry.queries("opt13_star_mv_avg")(s, dir).collect().toSeq ==
+      SparkEntry.queries("opt13_star_mv_avg")(off, dir).collect().toSeq)
+    // refusal: COUNT(DISTINCT) is never derivable from a grouped summary
+    val li = graft.Tables(s, dir, "lineitem")
+    val or = graft.Tables(s, dir, "orders")
+    val supp = graft.Tables(s, dir, "supplier")
+    val cd = li.join(or, li("l_orderkey") === or("o_orderkey"), "left")
+      .join(supp, li("l_suppkey") === supp("s_suppkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("l_suppkey")).as("n"))
+    assert(!scansMv2(cd) && scansFact(cd),
+      "count(distinct) must stay on the raw join — not derivable from a grouped summary")
+  }
+
+  test("opt13 soundness: COUNT(*)-backed avg needs the null-free audit") {
+    // A star whose fact column v HAS nulls and whose MV stores only
+    // sum(v), sum(u), count(*): avg(u) (audited null-free) derives;
+    // avg(v) must refuse — dividing sum(v) by COUNT(*) would average
+    // nulls in. This is the branch the registration-time audit guards.
+    val s = SparkEntry.configure(spark.newSession())
+    import s.implicits._
+    def salt(tag: String) = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_avgaudit_${tag}_" + java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    val factDir = salt("fact"); val dimDir = salt("dim"); val mvDir = salt("mv")
+    (1 to 60).map(i => (i.toLong % 6, if (i % 5 == 0) None else Some(i.toLong), i.toLong * 2))
+      .toDF("fk", "v", "u").write.parquet(factDir)
+    (0L to 5L).map(k => (k, s"g${k % 2}")).toDF("k", "grp").write.parquet(dimDir)
+    def join(sess: SparkSession) = sess.read.parquet(factDir)
+      .join(sess.read.parquet(dimDir), col("fk") === col("k"), "left")
+    val defn = join(s).groupBy(col("grp"))
+      .agg(sum(col("v")).as("sum_v"), sum(col("u")).as("sum_u"), count(lit(1)).as("cnt"))
+    defn.write.parquet(mvDir)
+    graft.plans.MaterializedViewRewrite.registerStar(s, defn, mvDir)
+    graft.plans.MaterializedViewRewrite.install(s)
+    s.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "true")
+    val mvName = new java.io.File(mvDir).getName
+    val avgU = join(s).groupBy(col("grp")).agg(avg(col("u")).as("a"))
+    assert(scans(avgU).exists(_.contains(mvName)), "audited null-free avg must derive")
+    val avgV = join(s).groupBy(col("grp")).agg(avg(col("v")).as("a"))
+    assert(!scans(avgV).exists(_.contains(mvName)),
+      "avg over a column with nulls must NOT derive from a COUNT(*) partial")
+    // and the refused plan still answers correctly (avg skips nulls)
+    val offS = SparkEntry.configure(spark.newSession())
+    assert(avgV.collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap ==
+      join(offS).groupBy(col("grp")).agg(avg(col("v")).as("a"))
+        .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap)
+  }
+
   test("opt10 staleness: a part-file on a DIM leg stands the star rewrite down") {
     val s = SparkEntry.configure(spark.newSession())
     import s.implicits._
