@@ -626,13 +626,33 @@ object Dedup extends QueryModule {
     * streaming path.
     */
   private[graft] def contaminationCounts(docs: DataFrame, benchShingles: DataFrame,
-      shinglePrefilter: Column => Column = _ => lit(true)): DataFrame =
-    shingledN(docs, n = DecontamN, hashed = true)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      shinglePrefilter: Column => Column = _ => lit(true),
+      eventTime: Option[(Column, String)] = None): DataFrame = {
+    val sh = shingledN(docs, n = DecontamN, hashed = true)
+    // eventTime = (ts expression over doc_id, watermark delay): the sw14
+    // append-mode spelling. The watermark node sits BEFORE the bloom
+    // gate and verify join, so rows those stages drop (the sentinel
+    // that only exists to advance the watermark past the last real
+    // window) still advance it; grouping adds the tumbling window the
+    // watermark needs to close per-doc state. Each doc carries exactly
+    // one ts, so (window, doc_id) groups are 1:1 with doc_id groups and
+    // the batch answer is unchanged — the window is dropped on output.
+    val (keyed, groups) = eventTime match {
+      case Some((ts, delay)) =>
+        (sh.withColumn("ts", ts).withWatermark("ts", delay)
+           .select(col("doc_id"), col("ts"), explode(col("shingles")).as("shingle")),
+         Seq(window(col("ts"), "1 minute"), col("doc_id")))
+      case None =>
+        (sh.select(col("doc_id"), explode(col("shingles")).as("shingle")),
+         Seq(col("doc_id")))
+    }
+    keyed
       .filter(shinglePrefilter(col("shingle")))
       .join(broadcast(benchShingles), Seq("shingle"))
       // shingles are distinct per doc → plain count = distinct overlaps
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+      .groupBy(groups: _*).agg(count(lit(1)).as("n_hit_shingles"))
+      .select(col("doc_id"), col("n_hit_shingles"))
+  }
 
   /** Benchmark-suite shingles: the doc_id % 97 slice of the raw table. */
   private[graft] def benchmarkShingles(s: SparkSession, dir: String): DataFrame =
@@ -751,6 +771,99 @@ object Dedup extends QueryModule {
        |FROM corpus_sh c JOIN bench b ON c.shingle = b.shingle
        |GROUP BY c.doc_id
        |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- sw14
+  /** sw13 in its PRODUCTION posture (VERDICT r14 #6): watermarked
+    * APPEND output instead of Complete. Complete mode holds every
+    * per-doc count in state forever — fine for the bounded gate corpus,
+    * unbounded at a real ingest. Here each arriving document carries an
+    * ingest time, the aggregation keys on (1-minute window, doc_id)
+    * under a 10-second watermark, and a doc's count is emitted ONCE and
+    * its state EVICTED as soon as the watermark passes its window —
+    * bounded state regardless of corpus size (StreamingSpec pins
+    * numRowsRemoved > 0 mid-stream and a bounded final state).
+    *
+    * Determinism: the gate re-stages the documents as four parquet
+    * files bucketed by doc_id % 4 with ascending synthetic ingest times
+    * (bucket i → epoch + i minutes) and ascending mtimes, so the file
+    * source (maxFilesPerTrigger = 1) replays a five-micro-batch ingest
+    * in time order; a fifth one-row SENTINEL file (doc_id = −1, epoch +
+    * 5 min) advances the watermark past the last real window so the
+    * final counts emit before AvailableNow terminates — the append-mode
+    * tail every production stream has to solve (the sentinel's shingles
+    * die in the bloom gate/verify join, so it never reaches the
+    * output). The oracle is UNCHANGED from sw13 — per-doc counts over
+    * all documents — so the hash proves append-mode lifecycle ≡ exact
+    * batch: a window evicted early, the tail never flushed, or a doc
+    * split across windows all shift a count.
+    */
+  private val sw14Staged = scala.collection.mutable.Set.empty[String]
+
+  /** Synthetic ingest time: epoch + (doc_id mod 4) minutes; the
+    * sentinel (doc_id < 0) lands at epoch + 5 min, one full window +
+    * watermark delay past the last real bucket.
+    */
+  private[graft] val sw14Ts: Column = expr(
+    "timestamp'2026-03-01 00:00:00' + make_interval(0, 0, 0, 0, 0, " +
+      "CASE WHEN doc_id < 0 THEN 5 ELSE CAST(pmod(doc_id, 4) AS INT) END, 0)")
+
+  private[graft] def sw14Stage(s: SparkSession, dir: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_sw14_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    sw14Staged.synchronized {
+      if (!sw14Staged.contains(root)) {
+        val rootF = new java.io.File(root); rootF.mkdirs()
+        val tmp = new java.io.File(rootF, "_stage_tmp")
+        val t0 = System.currentTimeMillis()
+        def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no part file staged in $tmp"))
+          val dest = new java.io.File(rootF, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dest.setLastModified(mtime); ()
+        }
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // 2 s mtime spacing: distinct even at 1 s filesystem granularity,
+        // so the file source's oldest-first order is the bucket order
+        for (i <- 0 until 4)
+          writeOne(docs.filter(pmod(col("doc_id"), lit(4)) === i), f"b$i%d_docs.parquet",
+            t0 + i * 2000L)
+        import s.implicits._
+        writeOne(Seq((-1L, "sw14 sentinel advances past the final window"))
+          .toDF("doc_id", "text"), "z_sentinel.parquet", t0 + 8000L)
+        org.apache.spark.sql.GraftShims.deleteRecursively(tmp)
+        sw14Staged += root
+        ()
+      }
+    }
+    root
+  }
+
+  private def streamDecontaminateAppend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val stage = sw14Stage(s, dir)
+    val bench = benchmarkShingles(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK) // sizes + fills the bloom, then verifies
+    val bytes = VectorFunctions.bloomBytesOf(bench, "shingle", BloomFpp)
+    val fileSchema = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(fileSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .select(col("doc_id"), col("text"))
+    val counts = contaminationCounts(stream, bench,
+      shinglePrefilter = VectorFunctions.bloomMightContain(_, bytes),
+      eventTime = Some((sw14Ts, "10 seconds")))
+    val q = counts.writeStream.format("memory").queryName("sw14_mem")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("sw14_mem").orderBy(col("doc_id").asc_nulls_first)
+  }
 
   // --------------------------------------------------------------- dd10
   /** Incremental near-dup: the every-ingest variant of dd2. The "new
@@ -1310,6 +1423,7 @@ object Dedup extends QueryModule {
     "dd10_incremental_neardup" -> (incrementalNearDup _),
     "dd9_bloom_decontaminate" -> (bloomDecontaminate _),
     "sw13_stream_decontaminate" -> (streamDecontaminate _),
+    "sw14_stream_decontam_append" -> (streamDecontaminateAppend _),
     "dd1_exact_dedup" -> (exactDedup _),
     "dd2_minhash_lsh_pairs" -> (minhashPairs _),
     "dd3_simhash" -> (simhash _),
@@ -1327,6 +1441,8 @@ object Dedup extends QueryModule {
     // join) — the gate proves the equivalence
     "dd9_bloom_decontaminate" -> decontaminateSql,
     "sw13_stream_decontaminate" -> streamDecontaminateSql,
+    // same counts as sw13 — the append-mode lifecycle must not change them
+    "sw14_stream_decontam_append" -> streamDecontaminateSql,
     "dd11_segment_dedup" -> cdcSegmentDedupSql,
     "dd10_incremental_neardup" -> incrementalNearDupSql,
     "dd1_exact_dedup" -> exactDedupSql,

@@ -75,6 +75,12 @@ object GraftShims {
       .foreach(cat.dropTempView)
   }
 
+  /** Recursive local-file delete for staging scratch (Spark's own
+    * battle-tested Utils — symlink-safe, unlike a naive walk).
+    */
+  def deleteRecursively(f: java.io.File): Unit =
+    org.apache.spark.util.Utils.deleteRecursively(f)
+
   /** Register a catalyst function builder on an already-built session —
     * the runtime counterpart of SparkSessionExtensions.injectFunction.
     */

@@ -181,6 +181,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sw14: append-mode decontamination evicts per-doc state as the watermark passes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val s = SparkEntry.configure(spark.newSession())
+    val dir = "/root/testdata/sf0.001"
+    val stage = graft.queries.Dedup.sw14Stage(s, dir)
+    val bench = graft.queries.Dedup.benchmarkShingles(s, dir)
+    val fileSchema = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(fileSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .select(col("doc_id"), col("text"))
+    val counts = graft.queries.Dedup.contaminationCounts(stream, bench,
+      eventTime = Some((graft.queries.Dedup.sw14Ts, "10 seconds")))
+    val q = counts.writeStream.format("memory").queryName("sw14_pin")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progress = q.recentProgress.toSeq
+    val dataBatches = progress.count(_.numInputRows > 0)
+    assert(dataBatches >= 5, s"expected 5 micro-batches (4 buckets + sentinel), got $dataBatches")
+    // eviction is CONTINUOUS, not end-of-stream: state rows leave while
+    // data is still arriving — the bounded-state claim sw14 exists for
+    val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum)
+    assert(removed.dropRight(1).sum > 0, s"no mid-stream eviction: $removed")
+    // and the sentinel closes every real window: final state is EMPTY
+    val lastState = progress.last.stateOperators.map(_.numRowsTotal).sum
+    assert(lastState == 0, s"final state not evicted: $lastState rows")
+    // the append lifecycle emitted every count exactly as the batch pass
+    val streamed = s.table("sw14_pin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.queries.Dedup.contaminationCounts(
+      Tables(s, dir, "documents").select("doc_id", "text"), bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("sw7 stream-static enrichment: null pass-through non-vacuous, census matches batch") {
     import org.apache.spark.sql.functions._
     val s = SparkEntry.configure(spark)
