@@ -33,7 +33,7 @@ object Bench {
     * cluster sat right after the checkpoint users). Blocking unpersist
     * so the release is visible to the *next* timed run, not eventual.
     */
-  private def sweepState(spark: SparkSession): Unit = {
+  private[graft] def sweepState(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     // Streaming entries (sw*) leave two kinds of state clearCache never
     // sees, and every later alphabetical entry (tok*, tx*, …) would

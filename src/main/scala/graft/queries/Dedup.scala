@@ -1192,10 +1192,17 @@ object Dedup extends QueryModule {
     */
   private val ContainmentMinPpm = 800000L // t = 0.8
 
-  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingledN(corpus(s, dir), n = 3, hashed = true)
-      .withColumn("shingles", array_sort(col("shingles")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentFrom(
+      shingledN(corpus(s, dir), n = 3, hashed = true)
+        .withColumn("shingles", array_sort(col("shingles")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** The dd12 algorithm from the sorted-shingle frame down — shared with
+    * dd17 so the capped variant is provably the SAME prefix/position/
+    * verify pipeline over a redefined shingle set.
+    */
+  private def containmentFrom(sh: DataFrame): DataFrame = {
     // ⌊0.2·|A|⌋+1-element sorted prefix — the only shingles A must probe
     val probes = sh.select(col("doc_id").as("doc_a"),
       size(col("shingles")).as("na"),
@@ -1238,6 +1245,111 @@ object Dedup extends QueryModule {
        |  SELECT doc_id, list_sort(${shingleListSql(n = 3, hashed = true)}) AS shingles
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
        |  WHERE len(w) >= 3),
+       |pr AS (
+       |  SELECT doc_id AS doc_a, len(shingles) AS na,
+       |    unnest(shingles[1 : len(shingles) // 5 + 1]) AS sh_h,
+       |    generate_subscripts(shingles[1 : len(shingles) // 5 + 1], 1) AS i
+       |  FROM sh),
+       |ix AS (
+       |  SELECT doc_id AS doc_b, len(shingles) AS nb, unnest(shingles) AS sh_h,
+       |    generate_subscripts(shingles, 1) AS j
+       |  FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM pr JOIN ix USING (sh_h)
+       |  WHERE doc_a <> doc_b
+       |    AND 5 * (least(na - i, nb - j) + 1) >= 4 * na)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(sa.shingles) AS BIGINT) AS na,
+       |  CAST(len(sb.shingles) AS BIGINT) AS nb,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
+       |    // len(sa.shingles) AS containment_ppm
+       |FROM cand
+       |JOIN sh sa ON cand.doc_a = sa.doc_id
+       |JOIN sh sb ON cand.doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
+       |    // len(sa.shingles) >= $ContainmentMinPpm
+       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- dd17
+  /** STOP-SHINGLE–capped containment — dd12's documented open-web lever,
+    * now a gated operator instead of a scaladoc promise. The r15 sf3
+    * pressure test killed exact dd12 by DISK at 30× (the ScaleGen corpus
+    * near-replicates every document 30 ways, so true containment output
+    * is quadratic in the copy factor — measured 218× output for 10×
+    * data — and every verified pair drags two full shingle arrays
+    * through the verify join: >70 GB of spill). The production fix is
+    * the classic document-frequency cap: shingles appearing in more
+    * than [[StopShingleDf]] documents are boilerplate, carry no
+    * identifying signal, and are dropped from the shingle SETS before
+    * anything else — after which the UNCHANGED dd12 pipeline
+    * ([[containmentFrom]]) runs over the redefined sets. The cap bounds
+    * every posting list at `cap`, so candidate generation is at most
+    * `cap²` pairs per shingle — the df² explosion cannot happen no
+    * matter how boilerplate-ridden the corpus. Semantics: containment
+    * over NON-boilerplate shingles (the documented, deliberate loss:
+    * pairs whose entire overlap is boilerplate).
+    *
+    * The gate makes the cap non-vacuous by INJECTING boilerplate: every
+    * doc_id % 3 == 0 corpus document gets a fixed 14-word header, whose
+    * 3-grams hit df ≈ |corpus|/3 ≫ cap at every Verify scale — the
+    * oracle applies the same header + df cap in SQL, so the hash proves
+    * the capped Spark pipeline ≡ the capped exact answer (a dropped
+    * organic shingle, a kept boilerplate shingle, or a df miscount all
+    * shift containment ppm). The planted +2M subset docs stay at
+    * exactly 1e6 ppm through the cap (their kept sets remain true
+    * subsets) — ContainmentCapSpec pins that, plus that the cap
+    * actually drops shingles at gate scale.
+    *
+    * Scale posture: df is one hash aggregate over the posting stream
+    * (map-side combine), the keep-list join is a co-partitioned
+    * semi-join on the same key — at open-web scale both ride the
+    * existing posting exchange; nothing new shuffles.
+    */
+  private val StopShingleDf = 64L
+
+  private val BoilerHeader =
+    "terms of service all rights reserved do not redistribute this corpus boilerplate header"
+
+  private[graft] def boilerplatedCorpus(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(BoilerHeader + " "), col("text"))).otherwise(col("text")))
+
+  /** (distinct shingles, shingles surviving the df cap) over the
+    * boilerplated corpus — the spec's non-vacuity probe.
+    */
+  private[graft] def cappedShingleStats(s: SparkSession, dir: String): (Long, Long) = {
+    val df = shingledN(boilerplatedCorpus(s, dir), n = 3, hashed = true)
+      .select(col("doc_id"), explode(col("shingles")).as("sh_h"))
+      .groupBy("sh_h").agg(count(lit(1)).as("df"))
+    (df.count(), df.filter(col("df") <= StopShingleDf).count())
+  }
+
+  private def containmentCapped(s: SparkSession, dir: String): DataFrame = {
+    val posts = shingledN(boilerplatedCorpus(s, dir), n = 3, hashed = true)
+      .select(col("doc_id"), explode(col("shingles")).as("sh_h"))
+    val keep = posts.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= StopShingleDf).select("sh_h")
+    val sh = posts.join(keep, Seq("sh_h"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("sh_h"))).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    containmentFrom(sh)
+  }
+
+  private val containmentCappedSql =
+    s"""WITH $corpusSql,
+       |corpb AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN '$BoilerHeader ' || text ELSE text END AS text
+       |  FROM corpus),
+       |posts AS (
+       |  SELECT doc_id, unnest(${shingleListSql(n = 3, hashed = true)}) AS sh_h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpb)
+       |  WHERE len(w) >= 3),
+       |keep AS (SELECT sh_h FROM posts GROUP BY sh_h HAVING COUNT(*) <= $StopShingleDf),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list(sh_h)) AS shingles
+       |  FROM posts JOIN keep USING (sh_h) GROUP BY doc_id),
        |pr AS (
        |  SELECT doc_id AS doc_a, len(shingles) AS na,
        |    unnest(shingles[1 : len(shingles) // 5 + 1]) AS sh_h,
@@ -1418,6 +1530,7 @@ object Dedup extends QueryModule {
     "dd16_repeated_passages" -> (repeatedPassages _),
     "dd15_lsh_quality" -> (lshQuality _),
     "dd12_containment" -> (containmentPairs _),
+    "dd17_containment_capped" -> (containmentCapped _),
     "cur3_canonical_pick" -> (canonicalPick _),
     "dd11_segment_dedup" -> (cdcSegmentDedup _),
     "dd10_incremental_neardup" -> (incrementalNearDup _),
@@ -1451,6 +1564,7 @@ object Dedup extends QueryModule {
     "dd5_simhash_neardup" -> simhashNearDupSql,
     "dd15_lsh_quality" -> lshQualitySql,
     "dd12_containment" -> containmentPairsSql,
+    "dd17_containment_capped" -> containmentCappedSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,
     "dd7_dup_clusters" -> dupClustersSql,
     "ds6_cluster_safe_split" -> clusterSafeSplitSql,

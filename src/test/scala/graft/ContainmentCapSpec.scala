@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Non-vacuity pins for dd17 (stop-shingle–capped containment). The
+  * gate hash proves capped-Spark ≡ capped-oracle; these pins prove the
+  * cap is LIVE (it actually drops shingles on the gate corpus — an
+  * always-empty stop list would pass the hash trivially) and HARMLESS
+  * to the signal (the planted +2M subset docs keep their exact 1e6 ppm
+  * containment through the cap: their kept shingle sets remain true
+  * subsets of their sources').
+  */
+class ContainmentCapSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("the df cap drops the injected boilerplate shingles at gate scale") {
+    val s = SparkEntry.configure(spark.newSession())
+    val (total, kept) = graft.queries.Dedup.cappedShingleStats(s, dir)
+    assert(kept < total,
+      s"cap dropped nothing ($total distinct, $kept kept) — the stop list is vacuous")
+    // the injected 14-word header yields at least a dozen high-df grams
+    assert(total - kept >= 10, s"only ${total - kept} shingles capped — header not landing")
+  }
+
+  test("planted subset docs keep exact 1e6 ppm containment through the cap") {
+    val s = SparkEntry.configure(spark.newSession())
+    val out = SparkEntry.queries("dd17_containment_capped")(s, dir).collect()
+    val planted = out.filter(r => r.getLong(0) >= 2000000L && r.getLong(4) == 1000000L)
+    assert(planted.nonEmpty,
+      "no planted +2M doc at exactly 1e6 ppm — the cap ate real containment signal")
+  }
+}
