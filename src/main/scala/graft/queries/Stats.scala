@@ -2487,10 +2487,60 @@ object Stats extends QueryModule {
       |LEFT JOIN ov o ON o.type_a = ca.event_type AND o.type_b = cb.event_type
       |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- dq15
+  /** Approx-QUANTILE contract audit — the percentile sibling of dq13/
+    * dq14's NDV-sketch gates. At 100 TB exact percentiles need a full
+    * sort; the scale spelling is Spark's native `approx_percentile`
+    * (a GK-style mergeable summary, one pass, driver-bounded), whose
+    * contract is relative RANK error ≤ 1/accuracy. That contract — not
+    * the values — is what an oracle can pin: the returned quantile's
+    * rank window [count(< q)+1, count(≤ q)] must intersect
+    * (p ± 1/acc)·n. The audit computes both ranks EXACTLY in the same
+    * job (the audit's deliberate cost, dq12's pattern) and emits the
+    * bound as a flag the oracle states as literal TRUE, with a ±2/1000
+    * margin over the ±1/1000 contract so engine-edge rank conventions
+    * can't flake it. The approx VALUES never reach the output: a GK
+    * summary's result legally varies with merge order (partitioning),
+    * only the bound is an invariant. All-integer bound arithmetic.
+    *
+    * Scale posture: one aggregate builds the summary; the rank pass is
+    * a 6-way broadcast cross join + one grouped conditional count (at
+    * production scale: conditional aggregation, no row expansion).
+    */
+  private val Dq15Acc = 1000
+
+  private def approxQuantileAudit(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(100L, 250L, 500L, 750L, 900L, 990L)
+    val li = t(s, dir, "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+    val approx = li.agg(expr(
+      s"approx_percentile(pc, array(${ps.map(_ / 1000.0).mkString(",")}), $Dq15Acc)").as("qs"))
+    val pa = approx.select(posexplode(col("qs")).as(Seq("i", "a")))
+      .withColumn("p_milli",
+        expr(s"element_at(array(${ps.mkString("L,")}L), CAST(i AS INT) + 1)"))
+    li.crossJoin(broadcast(pa))
+      .groupBy(col("p_milli"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("pc") <= col("a"), 1L).otherwise(0L)).as("r_le"),
+        sum(when(col("pc") < col("a"), 1L).otherwise(0L)).as("r_lt"))
+      .select(col("p_milli"), col("n_rows"),
+        ((col("r_le") >= expr("n_rows * (p_milli - 2) DIV 1000")) &&
+          (col("r_lt") <= expr("n_rows * (p_milli + 2) DIV 1000 + 1"))).as("within_bound"))
+      .orderBy(col("p_milli").asc_nulls_first)
+  }
+
+  private val approxQuantileAuditSql =
+    """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+      |SELECT CAST(p_milli AS BIGINT) AS p_milli, n_rows, TRUE AS within_bound
+      |FROM (VALUES (100), (250), (500), (750), (900), (990)) AS t(p_milli), n
+      |ORDER BY p_milli NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq12_join_cardinality" -> (joinCardinality _),
     "dq13_estimator_regime" -> (estimatorRegime _),
     "dq14_overlap_estimator" -> (overlapEstimator _),
+    "dq15_approx_quantile_audit" -> (approxQuantileAudit _),
     "w7_ntile_deciles" -> (ntileDeciles _),
     "q27_market_share" -> (marketShare _),
     "q28_forecast_revenue" -> (forecastRevenue _),
@@ -2551,6 +2601,7 @@ object Stats extends QueryModule {
     "dq12_join_cardinality" -> joinCardinalitySql,
     "dq13_estimator_regime" -> estimatorRegimeSql,
     "dq14_overlap_estimator" -> overlapEstimatorSql,
+    "dq15_approx_quantile_audit" -> approxQuantileAuditSql,
     "dq10_freshness" -> freshnessAuditSql,
     "dq11_stats_policy" -> statsPolicySql,
     "w8_period_growth" -> periodGrowthSql,

@@ -891,6 +891,73 @@ object Text extends QueryModule {
       |GROUP BY b.doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- tx19
+  /** Conditional bigram-LM surprise — the KenLM-shaped half of the
+    * perplexity-filter pair. tx14 scores the model's NUMERATOR (how
+    * common each bigram is); a real LM filter scores the CONDITIONAL
+    * p(w│h) = (c(h w) + 1) / (c(h·) + V), add-1 smoothed over the
+    * corpus vocabulary, so a rare continuation of a COMMON history is
+    * penalized where tx14's unconditional count would let the common
+    * history mask it. The score is the integral surrogate of perplexity
+    * this codebase's cross-engine discipline requires (Retrieval's
+    * rational-surrogate precedent — bit-stable logs don't exist across
+    * engines): per bigram, cost = ⌊1000 / p⌋ = (c(h·)+V)·1000 DIV
+    * (c(hw)+1) — monotone in exactly the variable −log p is — and per
+    * doc the arithmetic mean of costs (mean inverse probability; the
+    * geometric mean IS perplexity, the arithmetic mean ranks the same
+    * tails a CCNet-style filter trims). All-integer: both engines
+    * truncate non-negative DIV identically, sums ride the DECIMAL/
+    * HUGEINT convention, zero float anywhere.
+    *
+    * Scale posture: tx14's exactly — the c(hw) and c(h·) tables shuffle
+    * on their keys (never broadcast; history counts are map-side
+    * combined), the score join is co-partitioned on bigram, V is one
+    * scalar distinct-count; at 100 TB the LM tables would be the
+    * maintained top-K + tail-bucket form tx13 uses.
+    */
+  private def conditionalSurprise(s: SparkSession, dir: String): DataFrame = {
+    val bg = t(s, dir, "documents")
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => array_join(slice(col("w"), i, lit(2)), " "))).as("bigram"))
+      .withColumn("h", substring_index(col("bigram"), " ", 1))
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("h").agg(count(lit(1)).as("c1"))
+    val vocab = t(s, dir, "documents").withColumn("w", words)
+      .select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(c2, Seq("bigram")).join(c1, Seq("h")).crossJoin(broadcast(vocab))
+      .withColumn("cost", expr("(c1 + v) * 1000 DIV (c2 + 1)"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("CAST(CAST(sum(cost) AS DECIMAL(38,0)) DIV count(1) AS BIGINT)")
+          .as("surprise_milli"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val conditionalSurpriseSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS bigram
+      |  FROM d WHERE len(w) >= 2),
+      |bgh AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS h FROM bg),
+      |c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2 FROM bgh GROUP BY bigram),
+      |c1 AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c1 FROM bgh GROUP BY h),
+      |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      |      FROM (SELECT unnest(w) AS tok FROM d))
+      |SELECT b.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(CAST(SUM((c1.c1 + v.v) * 1000 // (c2.c2 + 1)) AS HUGEINT) // COUNT(*) AS BIGINT)
+      |    AS surprise_milli
+      |FROM bgh b JOIN c2 ON b.bigram = c2.bigram JOIN c1 ON b.h = c1.h CROSS JOIN v
+      |GROUP BY b.doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- tx15
   /** Mixed-language (code-switching / concatenation) detection — the
     * quality gate tx3's whole-document argmax cannot express: a document
@@ -1526,6 +1593,7 @@ object Text extends QueryModule {
     "tok3_vocab_coverage" -> (vocabCoverage _),
     "tx15_mixed_lang" -> (mixedLang _),
     "tx14_bigram_familiarity" -> (bigramFamiliarity _),
+    "tx19_conditional_surprise" -> (conditionalSurprise _),
     "tx13_rarity_score" -> (rarityScore _),
     "cur2_curation_v2" -> (curationV2 _),
     "tx11_zipf_coverage" -> (zipfCoverage _),
@@ -1552,6 +1620,7 @@ object Text extends QueryModule {
     "tok3_vocab_coverage" -> vocabCoverageSql,
     "tx15_mixed_lang" -> mixedLangSql,
     "tx14_bigram_familiarity" -> bigramFamiliaritySql,
+    "tx19_conditional_surprise" -> conditionalSurpriseSql,
     "tx13_rarity_score" -> rarityScoreSql,
     "cur2_curation_v2" -> curationV2Sql,
     "tx11_zipf_coverage" -> zipfCoverageSql,
