@@ -194,10 +194,16 @@ object Bench {
           name -> (sweep -> timeEntry(name, SparkEntry.queries(name), trackFailure = false))
         }
       }
-    val tainted = sentinel.exists {
-      case (_, Right(sec), committed) => loadTainted(sec, committed)
-      case (_, Left(_), _)            => true // sentinel itself failed: trust nothing
-    }
+    // Fail-safe: when movers were adjudicated but NO canary could run
+    // (no candidate present in both the query map and the baseline),
+    // the isolated signatures are unguarded — mark the block tainted
+    // rather than let load_tainted:false read as a verified-clean
+    // window (r15 review).
+    val tainted = movers.nonEmpty && (sentinel match {
+      case None                               => true
+      case Some((_, Left(_), _))              => true // sentinel itself failed: trust nothing
+      case Some((_, Right(sec), committed))   => loadTainted(sec, committed)
+    })
     val qs = results.map {
       case (k, Right(sec)) => s"\"$k\":$sec"
       case (k, Left(err))  => s"\"$k\":\"err:$err\""

@@ -1295,10 +1295,14 @@ object Dedup extends QueryModule {
     * oracle applies the same header + df cap in SQL, so the hash proves
     * the capped Spark pipeline ≡ the capped exact answer (a dropped
     * organic shingle, a kept boilerplate shingle, or a df miscount all
-    * shift containment ppm). The planted +2M subset docs stay at
-    * exactly 1e6 ppm through the cap (their kept sets remain true
-    * subsets) — ContainmentCapSpec pins that, plus that the cap
-    * actually drops shingles at gate scale.
+    * shift containment ppm). Planted +2M subset docs whose header
+    * assignment doesn't EXCEED their source's (source id ≢ 1 mod 3 —
+    * two thirds of them; 2000000 ≡ 2 mod 3 shifts the header slice)
+    * keep their kept sets true subsets and stay at exactly 1e6 ppm;
+    * the remaining third gains header/bridge shingles its un-headered
+    * source lacks and legitimately drops below 1e6 (the oracle agrees
+    * — r15 review). ContainmentCapSpec pins the surviving class, plus
+    * that the cap actually drops shingles at gate scale.
     *
     * Scale posture: df is one hash aggregate over the posting stream
     * (map-side combine), the keep-list join is a co-partitioned
@@ -1326,8 +1330,12 @@ object Dedup extends QueryModule {
   }
 
   private def containmentCapped(s: SparkSession, dir: String): DataFrame = {
+    // persisted: feeds BOTH the df aggregate and the keep-join below —
+    // unpersisted, the corpus n-gram md5 pass would run twice (r15
+    // review; dd12 persists its shingled frame for the same reason)
     val posts = shingledN(boilerplatedCorpus(s, dir), n = 3, hashed = true)
       .select(col("doc_id"), explode(col("shingles")).as("sh_h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keep = posts.groupBy("sh_h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= StopShingleDf).select("sh_h")
     val sh = posts.join(keep, Seq("sh_h"))

@@ -2461,10 +2461,15 @@ object Stats extends QueryModule {
       .select(
         col("type_a"), col("type_b"), col("exact_overlap"), col("exact_union"),
         col("estimator_engaged"),
+        // greatest(·,1): at exact_overlap = 0 a relative bound is
+        // undefined and any nonzero estimate would fail a healthy
+        // sketch; the floor makes the audit total (r15 review — the
+        // current corpus has no disjoint audiences, but nothing pins
+        // regenerated data to that)
         (abs(col("overlap_users") - col("exact_overlap")) * 100
-          <= col("exact_overlap") * bound).as("overlap_within_60pct"),
+          <= greatest(col("exact_overlap"), lit(1L)) * bound).as("overlap_within_60pct"),
         (abs(col("union_users") - col("exact_union")) * 100
-          <= col("exact_union") * bound).as("union_within_60pct"))
+          <= greatest(col("exact_union"), lit(1L)) * bound).as("union_within_60pct"))
       .orderBy(col("type_a").asc_nulls_first, col("type_b").asc_nulls_first)
   }
 

@@ -66,7 +66,11 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     }
     measure() // absorb codegen/JIT warmup outside both measurements
     val unloaded = measure()
-    val burners = java.lang.Runtime.getRuntime.availableProcessors() * 3
+    // 6x oversubscription: CFS fair-shares largely ignore thread
+    // priority, so 3x gave only ~3x inflation against the >2x gate — a
+    // margin GC pauses or a cgroup quota could erase (r15 review). 6x
+    // puts the expected inflation at ~7x.
+    val burners = java.lang.Runtime.getRuntime.availableProcessors() * 6
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val threads = (1 to burners).map { _ =>
       val t = new Thread(() => {

@@ -6,9 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * gate hash proves capped-Spark ≡ capped-oracle; these pins prove the
   * cap is LIVE (it actually drops shingles on the gate corpus — an
   * always-empty stop list would pass the hash trivially) and HARMLESS
-  * to the signal (the planted +2M subset docs keep their exact 1e6 ppm
-  * containment through the cap: their kept shingle sets remain true
-  * subsets of their sources').
+  * to the signal: planted +2M subset docs whose header assignment
+  * doesn't exceed their source's (two thirds — see the dd17 scaladoc)
+  * keep exact 1e6 ppm containment through the cap; the third that
+  * gains a header its source lacks legitimately drops below 1e6, so
+  * the pin asserts the surviving class nonEmpty, not all-planted.
   */
 class ContainmentCapSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark

@@ -184,11 +184,29 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(paths.exists(_.contains("graft_starmv_")), s"summary not scanned: $paths")
     assert(!paths.exists(p => p.contains("lineitem") || p.contains("orders") ||
       p.contains("supplier")), s"avg query still scans the star legs: $paths")
-    // values equal the rule-off raw join (exact-total division ≡ Average)
+    // values equal the rule-off raw join (exact-total division ≡ Average).
+    // Built DIRECTLY against the off session — the entry force-enables
+    // the rewrite on its own child session, so calling the entry with an
+    // off parent would compare the rewrite to itself (r15 review).
     val off = SparkEntry.configure(spark.newSession())
     off.conf.set(graft.plans.MaterializedViewRewrite.ConfKey, "false")
-    assert(SparkEntry.queries("opt13_star_mv_avg")(s, dir).collect().toSeq ==
-      SparkEntry.queries("opt13_star_mv_avg")(off, dir).collect().toSeq)
+    def rawAvg(sess: SparkSession): DataFrame = {
+      val li0 = graft.Tables(sess, dir, "lineitem")
+      val or0 = graft.Tables(sess, dir, "orders")
+      val sp0 = graft.Tables(sess, dir, "supplier")
+      li0.join(or0, li0("l_orderkey") === or0("o_orderkey"), "left")
+        .join(sp0, li0("l_suppkey") === sp0("s_suppkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(avg(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("avg_price"),
+          count(lit(1)).as("n_lines"))
+        .select(col("o_orderpriority"),
+          expr("CAST(floor(avg_price * 1000) AS BIGINT)").as("avg_price_milli"),
+          col("n_lines"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    }
+    assert(!scansMv2(rawAvg(off)) && scansFact(rawAvg(off)),
+      "off-session control query unexpectedly rewritten — comparison would be vacuous")
+    assert(df.collect().toSeq == rawAvg(off).collect().toSeq)
     // refusal: COUNT(DISTINCT) is never derivable from a grouped summary
     val li = graft.Tables(s, dir, "lineitem")
     val or = graft.Tables(s, dir, "orders")
