@@ -51,6 +51,14 @@ object VectorFunctions {
     GraftShims.column(org.apache.spark.sql.graft.SortedLongIntersectValues(
       GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** Checksum-validated PII scan: struct<candidates, valid, masked> of
+    * Luhn-checked digit runs with length in [minLen, maxLen] — valid
+    * runs masked, invalid left for audit (see LuhnKernel scaladoc).
+    */
+  def luhnScan(c: Column, minLen: Int, maxLen: Int, mask: String): Column =
+    GraftShims.column(org.apache.spark.sql.graft.LuhnScan(
+      GraftShims.expression(c), minLen, maxLen, mask))
+
   /** Probe a driver-built `util.sketch.BloomFilter` (serialized bytes).
     * Not in the SQL-name registry: the filter bytes aren't expressible
     * as a SQL literal users should type.
@@ -81,7 +89,10 @@ object VectorFunctions {
     "minhash_sigs" -> (es => MinHashSigs(es(0), foldableK(es(1), "minhash_sigs"))),
     "ngram_md5" -> (es => NgramMd5(es(0), foldableK(es(1), "ngram_md5"))),
     "cdc_segments" -> (es => CdcSegments(es(0), foldableK(es(1), "cdc_segments"))),
-    "unicode_normalize" -> (es => UnicodeNormalize(es(0), foldableForm(es(1), "unicode_normalize"))))
+    "unicode_normalize" -> (es => UnicodeNormalize(es(0), foldableForm(es(1), "unicode_normalize"))),
+    "luhn_scan" -> (es => org.apache.spark.sql.graft.LuhnScan(es(0),
+      foldableK(es(1), "luhn_scan"), foldableK(es(2), "luhn_scan"),
+      foldableStr(es(3), "luhn_scan"))))
 
   /** The SQL surface needs k/n at plan-construction time (it sizes the
     * kernel): accept any integer literal, reject the rest with an error
@@ -106,6 +117,15 @@ object VectorFunctions {
   }
 
   private[functions] def foldableFormPublic(e: Expression, fn: String): String = foldableForm(e, fn)
+
+  /** Any plan-time string constant (e.g. luhn_scan's mask token). */
+  private def foldableStr(e: Expression, fn: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: the argument must be a string literal (a plan-time constant), got $other")
+  }
+
+  private[functions] def foldableStrPublic(e: Expression, fn: String): String = foldableStr(e, fn)
 
   /** Runtime registration (for sessions we did not build, e.g. the
     * driver's): makes the kernels callable from SQL text.
@@ -161,5 +181,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (es: Seq[Expression]) => UnicodeNormalize(es(0),
         VectorFunctions.foldableFormPublic(es(1), "unicode_normalize"))))
+    ext.injectFunction((
+      FunctionIdentifier("luhn_scan"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.LuhnScan].getName, "luhn_scan"),
+      (es: Seq[Expression]) => org.apache.spark.sql.graft.LuhnScan(es(0),
+        VectorFunctions.foldableKPublic(es(1), "luhn_scan"),
+        VectorFunctions.foldableKPublic(es(2), "luhn_scan"),
+        VectorFunctions.foldableStrPublic(es(3), "luhn_scan"))))
   }
 }

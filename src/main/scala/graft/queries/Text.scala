@@ -675,6 +675,82 @@ object Text extends QueryModule {
        |    AS clean
        |FROM red ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- red2
+  /** Checksum-validated numeric PII (payment-card shapes) — red1's
+    * regexp can mask what a PATTERN matches, but card redaction that
+    * masks every 13-19-digit run wholesale also destroys order ids and
+    * trace numbers; the production control is Luhn validation BEFORE
+    * masking. That decision (checksum over the matched span) is
+    * inexpressible in regexp_replace, so this entry runs the codegen
+    * [[org.apache.spark.sql.graft.LuhnScan]] kernel: one byte pass that
+    * finds maximal digit runs, counts candidates in [13,19], validates
+    * each, and masks only valid ones. The corpus has zero organic
+    * digits, so the entry plants per row: a short run (below min), two
+    * 16-digit candidates with data-dependent validity (fixed 15-digit
+    * prefixes from doc_id with fixed check digits — ≈1 in 10 of each
+    * passes Luhn), and a 20-digit run (above max). The oracle knows the
+    * plant layout, so it can state validity as closed-form fixed-width
+    * Luhn arithmetic — but the kernel sees only the raw string: the
+    * candidate count proves both length guards, and the masked-text
+    * hash proves masking fired exactly on the Luhn-valid spans.
+    * Per-row map work, zero shuffles before the gate sort.
+    */
+  private def luhnAudit(s: SparkSession, dir: String): DataFrame = {
+    val Mod = 1000000000000000L // 10^15: the 15-digit candidate prefix space
+    def planted(mult: Long, check: String): Column =
+      concat(lpad(pmod(col("doc_id") * mult, lit(Mod)).cast(StringType), 15, "0"),
+        lit(check))
+    val raw = concat(
+      col("text"), lit(" id "), pmod(col("doc_id"), lit(10000L)).cast(StringType),
+      lit(" card "), planted(7919L, "0"),
+      lit(" ref "), planted(104729L, "7"),
+      lit(" trace "), lpad(pmod(col("doc_id"), lit(100000L)).cast(StringType), 20, "0"))
+    t(s, dir, "documents")
+      .withColumn("raw", raw)
+      .withColumn("scan",
+        graft.functions.VectorFunctions.luhnScan(col("raw"), 13, 19, "<CARD>"))
+      .select(
+        col("doc_id"),
+        col("scan.candidates").cast(LongType).as("n_candidates"),
+        col("scan.valid").cast(LongType).as("n_valid"),
+        md5(col("scan.masked")).as("masked_hash"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Fixed-width (16-digit) Luhn validity as closed-form SQL over a
+    * VARCHAR column `p`: odd 1-based positions double (they sit at odd
+    * offsets from the rightmost check digit), 9 subtracted from
+    * two-digit products, valid iff the sum is ≡ 0 (mod 10).
+    */
+  private def luhn16Sql(p: String): String = {
+    val terms = (1 to 16).map { i =>
+      val d = s"CAST(substr($p, $i, 1) AS INT)"
+      if (i % 2 == 1) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)" else d
+    }
+    s"((${terms.mkString(" + ")}) % 10 = 0)"
+  }
+
+  private val luhnAuditSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0') || '0' AS p1,
+       |    lpad(CAST((doc_id * 104729) % 1000000000000000 AS VARCHAR), 15, '0') || '7' AS p2
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, text, p1, p2,
+       |    ${luhn16Sql("p1")} AS v1, ${luhn16Sql("p2")} AS v2
+       |  FROM base)
+       |SELECT doc_id,
+       |  CAST(2 AS BIGINT) AS n_candidates,
+       |  CAST((CASE WHEN v1 THEN 1 ELSE 0 END) + (CASE WHEN v2 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_valid,
+       |  md5(text || ' id ' || CAST(doc_id % 10000 AS VARCHAR) ||
+       |      ' card ' || (CASE WHEN v1 THEN '<CARD>' ELSE p1 END) ||
+       |      ' ref ' || (CASE WHEN v2 THEN '<CARD>' ELSE p2 END) ||
+       |      ' trace ' || lpad(CAST(doc_id % 100000 AS VARCHAR), 20, '0'))
+       |    AS masked_hash
+       |FROM v ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- cur2
   /** The round-6 composed curation pass — quality gate ∧ repetition gate
     * ∧ weight-proportional sampling, reported as a per-language funnel
@@ -1599,6 +1675,7 @@ object Text extends QueryModule {
     "tx11_zipf_coverage" -> (zipfCoverage _),
     "tx12_repetition" -> (repetition _),
     "red1_pii_redact" -> (piiRedact _),
+    "red2_luhn_audit" -> (luhnAudit _),
     "tx10_tfidf" -> (tfidf _),
     "tx9_pack" -> (pack _),
     "tx8_chunking" -> (chunk _),
@@ -1626,6 +1703,7 @@ object Text extends QueryModule {
     "tx11_zipf_coverage" -> zipfCoverageSql,
     "tx12_repetition" -> repetitionSql,
     "red1_pii_redact" -> piiRedactSql,
+    "red2_luhn_audit" -> luhnAuditSql,
     "tx10_tfidf" -> tfidfSql,
     "tx9_pack" -> packSql,
     "tx8_chunking" -> chunkSql,
