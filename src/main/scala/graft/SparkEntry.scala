@@ -49,6 +49,9 @@ object SparkEntry {
     // fact-side aggregates push below a verified-unique dimension join
     // when spark.graft.eagerAgg.enabled is set (opt8)
     graft.plans.EagerAggregationRewrite.install(spark)
+    // dedups whose keys include a verified primary key drop to a
+    // projection when spark.graft.distinctElim.enabled is set (opt14)
+    graft.plans.DistinctEliminationRewrite.install(spark)
     // set-if-missing: a session (or spec) that pinned its own threshold
     // — including 0 = off — keeps it across re-configure
     if (spark.conf.getOption(graft.plans.InListToJoinRewrite.ThresholdConfKey).isEmpty)

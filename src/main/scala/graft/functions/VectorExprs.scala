@@ -148,6 +148,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
     ext.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EagerAggregationRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.DistinctEliminationRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("long_dot"),

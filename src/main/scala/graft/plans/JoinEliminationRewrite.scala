@@ -134,4 +134,37 @@ object TableConstraints {
 
   def isUnique(appId: String, ref: PlanScans.ScanRef, col: String): Boolean =
     ref.fingerprint == unique.get((appId, ref.path, col))
+
+  // (appId, scanPath, column) -> listing fingerprint for the FULL
+  // primary-key contract: unique AND null-free. Kept separate from
+  // `unique` because the two audits trust different rewrites —
+  // distinct elimination is unsound on a merely-unique column with
+  // several null rows (equal NULL keys dedup to one).
+  private val keys =
+    new ConcurrentHashMap[(String, String, String), PlanScans.ScanFingerprint]()
+
+  /** Verify `col` is unique AND null-free over `df`'s single file scan
+    * (the PRIMARY KEY contract), registering on success — the stronger
+    * sibling of [[registerUnique]], with the same row-preserving-chain
+    * and fingerprint rules. A verified key is also recorded as unique
+    * (the weaker constraint follows a fortiori).
+    */
+  def registerKey(spark: SparkSession, df: DataFrame, col: String): Boolean = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, col => c}
+    val ref = PlanScans.rowPreservingScanRef(df.queryExecution.optimizedPlan).getOrElse(
+      throw new IllegalArgumentException(
+        "constraint base must be a row-preserving chain over a single file-source scan " +
+          "(no filters/joins/limits: the audit must see every row)"))
+    val key = (spark.sparkContext.applicationId, ref.path, col)
+    if (ref.fingerprint == keys.get(key)) return true // audited this exact listing
+    val row = df.agg(count(lit(1)).as("rows"), count(c(col)).as("n"),
+      countDistinct(c(col)).as("d")).collect()(0)
+    val ok = row.getLong(0) == row.getLong(1) && row.getLong(1) == row.getLong(2)
+    if (ok) { keys.put(key, ref.fingerprint); unique.put(key, ref.fingerprint) }
+    else keys.remove(key)
+    ok
+  }
+
+  def isKey(appId: String, ref: PlanScans.ScanRef, col: String): Boolean =
+    ref.fingerprint == keys.get((appId, ref.path, col))
 }

@@ -2034,6 +2034,45 @@ object Extras extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt14
+  /** DISTINCT ELIMINATION under the oracle
+    * ([[graft.plans.DistinctEliminationRewrite]] has the soundness
+    * argument): the inherited-pipeline shape — a defensive
+    * `dropDuplicates` on the ingest key before aggregating — where the
+    * dedup's hash aggregate shuffles the full table to remove nothing.
+    * `TableConstraints.registerKey` first VERIFIES the full PRIMARY KEY
+    * contract (o_orderkey unique AND null-free — strictly more than
+    * opt7's uniqueness, because dropDuplicates would merge equal NULL
+    * keys); with the flag on, the optimizer collapses the dedup to a
+    * streaming projection and the plan carries ONE aggregate (the
+    * groupBy), not two (OptimizerRuleSpec pins that, plus the null-key
+    * and non-key refusals). The DuckDB oracle executes the plain
+    * aggregate — sound to state WITHOUT the dedup exactly because the
+    * key is unique, which the audit, not faith, established. Child
+    * session, sj4's conf hygiene.
+    */
+  private def distinctElimGate(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.SparkEntry.configure(s0.newSession())
+    require(graft.plans.TableConstraints.registerKey(s, t(s, dir, "orders"), "o_orderkey"),
+      "o_orderkey failed the primary-key audit — testdata changed?")
+    s.conf.set(graft.plans.DistinctEliminationRewrite.ConfKey, "true")
+    t(s, dir, "orders")
+      .dropDuplicates("o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_price_c"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val distinctElimGateSql =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- opt12
   /** FILTERED star-MV derivability under the oracle — the other half of
     * every dashboard: "revenue by nation WHERE returnflag = 'R'". The
@@ -3395,6 +3434,7 @@ object Extras extends QueryModule {
     "opt11_star_mv_refresh" -> (starRefreshGate _),
     "opt12_filtered_star_mv" -> (filteredStarGate _),
     "opt13_star_mv_avg" -> (starAvgGate _),
+    "opt14_distinct_elim" -> (distinctElimGate _),
     "inc4_delete_ivm" -> (deleteIvm _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
@@ -3474,6 +3514,7 @@ object Extras extends QueryModule {
     "opt11_star_mv_refresh" -> starRefreshGateSql,
     "opt12_filtered_star_mv" -> filteredStarGateSql,
     "opt13_star_mv_avg" -> starAvgGateSql,
+    "opt14_distinct_elim" -> distinctElimGateSql,
     "inc4_delete_ivm" -> deleteIvmSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,
