@@ -362,15 +362,180 @@ object Retrieval extends QueryModule {
        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ir5
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM-shaped): the
+    * standard second-pass retriever — run the plain BM25 query, take
+    * the top-F documents AS IF relevant, mine their most frequent
+    * non-query terms as expansion terms, and re-score the corpus with
+    * the expanded weighted query (original terms at weight 2, expansion
+    * at weight 1 — the classic α:β ratio kept integral so the oracle
+    * can restate scoring exactly). Recall-starved single-term queries
+    * are the production use: mining hard negatives or contamination
+    * candidates where the literal phrasing misses paraphrases.
+    *
+    * Scale posture — the PRF-inherent cost is exactly two
+    * vocabulary-filtered corpus passes, and nothing else grows: pass 1
+    * is ir1's shape (broadcast query vocabulary → filtered token
+    * shuffle → bounded [[TopKAgg]](F)); the feedback set is F·|Q| ≤ 15
+    * DOCUMENTS, so the expansion-term census (explode → count → window)
+    * runs on a bounded frame — the only window in the family, and it
+    * ranks a few hundred rows, never the corpus; pass 2 re-runs the
+    * ir1 shape with the (still tiny, still broadcast) expanded
+    * vocabulary and weighted sum. At 100 TB both passes are the same
+    * filtered-shuffle plan ir1 already proved out.
+    */
+  private val PrfFeedbackK = 5
+  private val PrfExpandM = 3
+
+  private def prfExpansion(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val stats = d.agg(
+      expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
+      count(lit(1)).as("n"))
+    val qterms = s.createDataFrame(QuerySet).toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    // ir1's integer-exact scoring over a given (broadcastable) vocabulary
+    def contribOf(terms: DataFrame): DataFrame = {
+      val tf = d
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
+        .join(broadcast(terms), Seq("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .join(broadcast(stats))
+        .select(col("term"), col("doc_id"),
+          (expr("(1000 * (2*n - 2*df + 1)) DIV (2*df + 1)") *
+            expr("(44000 * a * tf) DIV (20*a*tf + 6*a + 18*dl)")).as("c"))
+    }
+    // pass 1: plain BM25, keep the top-F feedback documents per query
+    val topkF = udaf(new TopKAgg(PrfFeedbackK))
+    val feedback = contribOf(qterms.select("term").distinct())
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("score"))
+      .groupBy("query_id")
+      .agg(topkF(col("score"), col("doc_id")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("doc_id"))
+    // expansion mining: term census over the bounded feedback set,
+    // minus each query's own terms, top-M by (count desc, term asc)
+    val expTerms = d.join(broadcast(feedback), Seq("doc_id"))
+      .select(col("query_id"), explode(col("w")).as("term"))
+      .groupBy("query_id", "term")
+      .agg(count(lit(1)).as("cnt"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cnt").desc, col("term").asc)))
+      .filter(col("rk") <= PrfExpandM)
+      .select("query_id", "term")
+    // The expanded query is PLANNING data, not corpus data — ≤ |Q|·M
+    // rows (the SketchJoin bounded-probe precedent) — so collect it and
+    // re-embed as a local relation: leaving it lazy replicates the
+    // whole pass-1 subtree under every pass-2 consumer (vocabulary
+    // filter, df aggregate, weighted join), turning 2 corpus passes
+    // into ~6. With wq local, pass 2 is structurally ir1's plan.
+    val expLocal = expTerms.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // pass 2: weighted re-score with the expanded query
+    val qtermsW = qterms.withColumn("wt", lit(2L))
+    val wq =
+      if (expLocal.isEmpty) qtermsW
+      else qtermsW.unionByName(
+        s.createDataFrame(expLocal).toDF("query_id", "term").withColumn("wt", lit(1L)))
+    val topk = udaf(new TopKAgg(10))
+    contribOf(wq.select("term").distinct())
+      .join(broadcast(wq), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wt") * col("c")).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("doc_id")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("hit.id").as("doc_id"), col("hit.score").as("score"))
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  private val prfExpansionSql = {
+    val values = QuerySet.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |stats AS (SELECT CAST(SUM(len(w)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS a,
+       |                 CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+       |qterms AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+       |terms1 AS (SELECT DISTINCT term FROM qterms),
+       |tf1 AS (
+       |  SELECT t.term, doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(w, x -> x = t.term)) AS BIGINT) AS tf
+       |  FROM docs CROSS JOIN terms1 t
+       |  WHERE list_contains(w, t.term)),
+       |df1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf1 GROUP BY term),
+       |c1 AS (
+       |  SELECT f.term, f.doc_id,
+       |    ((1000 * (2*s.n - 2*d.df + 1)) // (2*d.df + 1)) *
+       |    ((44000 * s.a * f.tf) // (20*s.a*f.tf + 6*s.a + 18*f.dl)) AS c
+       |  FROM tf1 f JOIN df1 d USING (term) CROSS JOIN stats s),
+       |s1 AS (
+       |  SELECT qt.query_id, c.doc_id, CAST(SUM(c.c) AS BIGINT) AS score
+       |  FROM c1 c JOIN qterms qt USING (term)
+       |  GROUP BY qt.query_id, c.doc_id),
+       |fb AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |    FROM s1) WHERE rank <= $PrfFeedbackK),
+       |fbt AS (
+       |  SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT f.query_id, unnest(dc.w) AS term
+       |    FROM fb f JOIN docs dc USING (doc_id))
+       |  GROUP BY query_id, term),
+       |fbx AS (
+       |  SELECT f.query_id, f.term, f.cnt FROM fbt f
+       |  LEFT JOIN qterms qt ON f.query_id = qt.query_id AND f.term = qt.term
+       |  WHERE qt.query_id IS NULL),
+       |exp AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cnt DESC, term) AS rk
+       |    FROM fbx) WHERE rk <= $PrfExpandM),
+       |wq AS (
+       |  SELECT query_id, term, CAST(2 AS BIGINT) AS wt FROM qterms
+       |  UNION ALL
+       |  SELECT query_id, term, CAST(1 AS BIGINT) AS wt FROM exp),
+       |vocab AS (SELECT DISTINCT term FROM wq),
+       |tf2 AS (
+       |  SELECT t.term, doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(w, x -> x = t.term)) AS BIGINT) AS tf
+       |  FROM docs CROSS JOIN vocab t
+       |  WHERE list_contains(w, t.term)),
+       |df2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+       |c2 AS (
+       |  SELECT f.term, f.doc_id,
+       |    ((1000 * (2*s.n - 2*d.df + 1)) // (2*d.df + 1)) *
+       |    ((44000 * s.a * f.tf) // (20*s.a*f.tf + 6*s.a + 18*f.dl)) AS c
+       |  FROM tf2 f JOIN df2 d USING (term) CROSS JOIN stats s),
+       |s2 AS (
+       |  SELECT w.query_id, c.doc_id, CAST(SUM(w.wt * c.c) AS BIGINT) AS score
+       |  FROM c2 c JOIN wq w ON c.term = w.term
+       |  GROUP BY w.query_id, c.doc_id)
+       |SELECT query_id, rank, doc_id, score FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM s2) WHERE rank <= 10
+       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ir1_bm25_topk" -> (bm25TopK _),
     "ir2_postings" -> (postings _),
     "ir3_phrase_match" -> (phraseMatch _),
-    "ir4_hybrid_rrf" -> (hybridRrf _))
+    "ir4_hybrid_rrf" -> (hybridRrf _),
+    "ir5_prf_expansion" -> (prfExpansion _))
 
   override val oracle: Map[String, String] = Map(
     "ir1_bm25_topk" -> bm25TopKSql,
     "ir2_postings" -> postingsSql,
     "ir3_phrase_match" -> phraseMatchSql,
-    "ir4_hybrid_rrf" -> hybridRrfSql)
+    "ir4_hybrid_rrf" -> hybridRrfSql,
+    "ir5_prf_expansion" -> prfExpansionSql)
 }

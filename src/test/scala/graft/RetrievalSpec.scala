@@ -92,4 +92,50 @@ class RetrievalSpec extends AnyFunSuite {
     // the 3-term phrase (two chained positional joins) is non-vacuous
     assert(want.keys.exists(_._1 == 3), "no 3-term match — chained join untested")
   }
+
+  test("ir5: expansion is non-vacuous (reranks vs plain BM25) and the plan stays bounded") {
+    val s = SparkEntry.configure(spark.newSession())
+    val prf = SparkEntry.queries("ir5_prf_expansion")(s, dir)
+    val rows = prf.collect()
+    assert(rows.nonEmpty)
+    // ranks contiguous per query, ordered by (score desc, doc asc)
+    rows.groupBy(_.getAs[Int]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length), s"query $q ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Long]("score"), b.getAs[Long]("score"))
+          assert(sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+        case _ =>
+      }
+    }
+    // the feedback loop DID something: for at least one query the
+    // expanded ranking's doc order differs from plain BM25's (ir1 and
+    // ir5 share the query set, k, scoring surrogate and tie-breaks, so
+    // any difference is the expansion terms' weight-1 contributions)
+    val plain = SparkEntry.queries("ir1_bm25_topk")(s, dir).collect()
+      .groupBy(_.getAs[Int]("query_id"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq }
+    val expanded = rows.groupBy(_.getAs[Int]("query_id"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq }
+    assert(plain.keySet == expanded.keySet)
+    assert(plain.exists { case (q, docs) => expanded(q) != docs },
+      "expansion changed no ranking — PRF is vacuous on this corpus")
+    // plan shape: the only Window ranks the bounded feedback census;
+    // corpus-scale ranking stays in the bounded TopKAgg buffers
+    // pass 1 + census run EAGERLY (the expanded query is collected as
+    // planning data — ≤ |Q|·M rows, the SketchJoin bounded-probe
+    // precedent), so the returned plan is pass 2 alone: ir1's shape,
+    // with NO window (census included) and a LocalRelation vocabulary
+    val windows = prf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      s"pass 2 must be window-free (census is eager planning data), got ${windows.size}")
+    assert(prf.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "expanded-query local relation missing from pass 2")
+    assert(prf.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "bounded TopKAgg missing from plan")
+  }
 }
