@@ -93,6 +93,34 @@ class DistinctElimSpec extends AnyFunSuite {
     assert(nAggs(Tables(off, dir, "orders").dropDuplicates("o_orderkey")) == 1)
   }
 
+  test("composes with join elimination: dedup AND never-read dim join both vanish") {
+    val s = keySession()
+    assert(TableConstraints.registerUnique(s, Tables(s, dir, "customer"), "c_custkey"))
+    s.conf.set(graft.plans.JoinEliminationRewrite.ConfKey, "true")
+    val or = Tables(s, dir, "orders")
+    val cu = Tables(s, dir, "customer")
+    val q = or.dropDuplicates("o_orderkey")
+      .join(cu, or("o_custkey") === cu("c_custkey"), "left")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+    assert(nAggs(q) == 1, "dedup aggregate must be gone")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(!scans.exists(_.contains("customer")), "never-read dim join must be gone")
+    // the composed plan still answers correctly
+    val off = SparkEntry.configure(spark.newSession())
+    val ctl = Tables(off, dir, "orders").dropDuplicates("o_orderkey")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+    assert(q.collect().toSeq == ctl.collect().toSeq)
+  }
+
   test("a unique-but-nullable column is refused the key contract (null-merge soundness)") {
     val s = keySession()
     val path = java.nio.file.Files.createTempDirectory("distinct_elim_nulls").toString
