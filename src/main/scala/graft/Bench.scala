@@ -281,7 +281,13 @@ object Bench {
         }.foldLeft(0)(_ max _)
         Some(s"bench_r${maxN + 1}.json")
       } else None
-    (Seq(artifact, "bench_summary.json") ++ stamped).foreach { p =>
+    // bench_summary.json mirrors the COMMITTED recording, so it gets the
+    // same clobber guard as bench_full.json: filtered probes and
+    // off-scale runs write only their own artifact (a committed 2-entry
+    // /tmp-scale probe summary is exactly the drift this prevents).
+    val summary: Option[String] =
+      if (only.isEmpty && sfName == "sf0.1") Some("bench_summary.json") else None
+    (Seq(artifact) ++ summary ++ stamped).foreach { p =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(p),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

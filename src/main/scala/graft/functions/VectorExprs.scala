@@ -106,24 +106,21 @@ object VectorFunctions {
 
   private[functions] def foldableKPublic(e: Expression, fn: String): Int = foldableK(e, fn)
 
-  /** String-literal sibling of [[foldableK]] (the normalization form is
-    * a plan-time constant — it picks the enum the generated code
-    * references).
+  /** String-literal sibling of [[foldableK]]: any plan-time string
+    * constant (a normalization form, luhn_scan's mask token); `what`
+    * names the argument in the refusal.
     */
-  private def foldableForm(e: Expression, fn: String): String = e match {
+  private def foldableStr(e: Expression, fn: String,
+      what: String = "argument (a plan-time constant)"): String = e match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) if s != null => s.toString
     case other => throw new IllegalArgumentException(
-      s"$fn: the form argument must be a string literal (NFC/NFD/NFKC/NFKD), got $other")
+      s"$fn: the $what must be a string literal, got $other")
   }
+
+  private def foldableForm(e: Expression, fn: String): String =
+    foldableStr(e, fn, "form argument (NFC/NFD/NFKC/NFKD)")
 
   private[functions] def foldableFormPublic(e: Expression, fn: String): String = foldableForm(e, fn)
-
-  /** Any plan-time string constant (e.g. luhn_scan's mask token). */
-  private def foldableStr(e: Expression, fn: String): String = e match {
-    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) if s != null => s.toString
-    case other => throw new IllegalArgumentException(
-      s"$fn: the argument must be a string literal (a plan-time constant), got $other")
-  }
 
   private[functions] def foldableStrPublic(e: Expression, fn: String): String = foldableStr(e, fn)
 

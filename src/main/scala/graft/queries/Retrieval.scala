@@ -50,28 +50,36 @@ object Retrieval extends QueryModule {
     2 -> "customer order query",
     3 -> "scan filter table")
 
-  // ---------------------------------------------------------------- ir1
-  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  /** The integer-exact BM25 contribution (term, doc_id, c) over the
+    * corpus restricted to a broadcastable vocabulary — the ONE scoring
+    * definition shared by ir1 (plain retrieval), ir4's lexical tower
+    * and both of ir5's passes, so the surrogate can never drift between
+    * entries (RetrievalSpec's ir1-vs-ir5 rerank comparison assumes it).
+    */
+  private def bm25Contrib(d: DataFrame, terms: DataFrame): DataFrame = {
     val stats = d.agg(
-        expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
-        count(lit(1)).as("n"))
-    val qterms = s.createDataFrame(QuerySet).toDF("query_id", "qtext")
-      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
-      .distinct()
-    val terms = qterms.select("term").distinct()
+      expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
+      count(lit(1)).as("n"))
     val tf = d
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
       .join(broadcast(terms), Seq("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(dfreq), Seq("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
       .join(broadcast(stats))
       .select(col("term"), col("doc_id"),
         (expr("(1000 * (2*n - 2*df + 1)) DIV (2*df + 1)") *
           expr("(44000 * a * tf) DIV (20*a*tf + 6*a + 18*dl)")).as("c"))
+  }
+
+  // ---------------------------------------------------------------- ir1
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val qterms = s.createDataFrame(QuerySet).toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val contrib = bm25Contrib(d, qterms.select("term").distinct())
     val topk = udaf(new TopKAgg(10))
     contrib
       .join(broadcast(qterms), Seq("term"))
@@ -248,25 +256,10 @@ object Retrieval extends QueryModule {
     val d = docs(s, dir)
     val topk = udaf(new TopKAgg(10))
     // -- lexical tower: BM25, query terms = first 8 tokens of the query doc
-    val stats = d.agg(
-      expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
-      count(lit(1)).as("n"))
     val qterms = d.filter(col("doc_id").isin(RrfQueryIds: _*))
       .select(col("doc_id").as("query_id"), explode(slice(col("w"), 1, 8)).as("term"))
       .distinct()
-    val terms = qterms.select("term").distinct()
-    val tf = d
-      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
-      .join(broadcast(terms), Seq("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(dfreq), Seq("term"))
-      .join(broadcast(stats))
-      .select(col("term"), col("doc_id"),
-        (expr("(1000 * (2*n - 2*df + 1)) DIV (2*df + 1)") *
-          expr("(44000 * a * tf) DIV (20*a*tf + 6*a + 18*dl)")).as("c"))
+    val contrib = bm25Contrib(d, qterms.select("term").distinct())
     val lex = contrib
       .join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id")) // query-by-example: not self
@@ -389,29 +382,12 @@ object Retrieval extends QueryModule {
 
   private def prfExpansion(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val stats = d.agg(
-      expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
-      count(lit(1)).as("n"))
     val qterms = s.createDataFrame(QuerySet).toDF("query_id", "qtext")
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
-    // ir1's integer-exact scoring over a given (broadcastable) vocabulary
-    def contribOf(terms: DataFrame): DataFrame = {
-      val tf = d
-        .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
-        .join(broadcast(terms), Seq("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), Seq("term"))
-        .join(broadcast(stats))
-        .select(col("term"), col("doc_id"),
-          (expr("(1000 * (2*n - 2*df + 1)) DIV (2*df + 1)") *
-            expr("(44000 * a * tf) DIV (20*a*tf + 6*a + 18*dl)")).as("c"))
-    }
     // pass 1: plain BM25, keep the top-F feedback documents per query
     val topkF = udaf(new TopKAgg(PrfFeedbackK))
-    val feedback = contribOf(qterms.select("term").distinct())
+    val feedback = bm25Contrib(d, qterms.select("term").distinct())
       .join(broadcast(qterms), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("c")).as("score"))
@@ -444,7 +420,7 @@ object Retrieval extends QueryModule {
       else qtermsW.unionByName(
         s.createDataFrame(expLocal).toDF("query_id", "term").withColumn("wt", lit(1L)))
     val topk = udaf(new TopKAgg(10))
-    contribOf(wq.select("term").distinct())
+    bm25Contrib(d, wq.select("term").distinct())
       .join(broadcast(wq), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("wt") * col("c")).as("score"))
