@@ -673,7 +673,108 @@ object Linkage extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY order_year NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- er1
+  /** Cross-source entity RESOLUTION — the stage AFTER fz1's pair
+    * generation: link a corrupted second source back to the clean
+    * registry, resolve each dirty record to at most ONE clean record,
+    * and publish the match-quality census a production linkage job
+    * ships with. Ground truth is planted so the census is checkable:
+    * the dirty source is the registry with one name character
+    * substituted at a key-dependent position and ids offset by 10⁹.
+    *
+    * Design decisions the census then measures:
+    *  - Blocking runs on the perturbation-IMMUNE attributes
+    *    (nationkey, floor(acctbal)) — the production pattern: block on
+    *    reliable columns, fuzzy-match the noisy one. That makes the
+    *    candidate stage a plain shuffle EQUI-join (both sides corpus-
+    *    sized, never broadcast, never all-pairs): block count grows
+    *    with data, block size stays O(1), so candidates stay linear at
+    *    100 TB.
+    *  - Resolution is a bounded argmin per dirty record — MIN over the
+    *    packed integer dist·10¹⁰ + clean_id (exact in both engines,
+    *    deterministic tie-break toward the smaller id), no window, no
+    *    collect.
+    *  - The census reports per segment: candidates, matched, CORRECT
+    *    (resolved to the planted twin), and integer precision/recall —
+    *    the ann11 recall-audit posture applied to linkage.
+    */
+  private val ErMaxDist = 2L
+
+  private def entityResolve(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val clean = c.select(
+      col("c_custkey").as("clean_id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"),
+      floor(col("c_acctbal")).cast(LongType).as("bal"))
+    val dirty = c
+      .withColumn("p", (lit(11L) + pmod(col("c_custkey"), lit(8L))).cast(IntegerType))
+      .select(
+        (col("c_custkey") + lit(1000000000L)).as("dirty_id"),
+        expr("concat(substr(c_name, 1, p - 1), 'x', substr(c_name, p + 1))").as("dname"),
+        col("c_nationkey").as("nat"),
+        floor(col("c_acctbal")).cast(LongType).as("bal"),
+        col("c_mktsegment").as("seg"))
+    val resolved = clean.join(dirty, Seq("nat", "bal"))
+      .withColumn("dist", levenshtein(col("name"), col("dname")).cast(LongType))
+      .filter(col("dist") <= ErMaxDist)
+      .groupBy("dirty_id")
+      .agg(
+        count(lit(1)).as("n_cand"),
+        min(col("dist") * lit(10000000000L) + col("clean_id")).as("best"))
+    dirty.join(resolved, Seq("dirty_id"), "left")
+      .groupBy(col("seg"))
+      .agg(
+        count(lit(1)).as("n_dirty"),
+        sum(coalesce(col("n_cand"), lit(0L))).as("n_candidates"),
+        sum(when(col("best").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(pmod(col("best"), lit(10000000000L)) === col("dirty_id") - lit(1000000000L),
+          1L).otherwise(0L)).as("n_correct"))
+      .select(col("seg"), col("n_dirty"), col("n_candidates"), col("n_matched"),
+        col("n_correct"),
+        expr("CASE WHEN n_matched = 0 THEN 0 ELSE (1000 * n_correct) DIV n_matched END")
+          .as("precision_milli"),
+        expr("(1000 * n_correct) DIV n_dirty").as("recall_milli"))
+      .orderBy(col("seg").asc_nulls_first)
+  }
+
+  private val entityResolveSql =
+    s"""WITH clean AS (
+       |  SELECT c_custkey AS clean_id, c_name AS name, c_nationkey AS nat,
+       |    CAST(floor(c_acctbal) AS BIGINT) AS bal
+       |  FROM customer),
+       |dirty AS (
+       |  SELECT c_custkey + 1000000000 AS dirty_id,
+       |    concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
+       |           substr(c_name, CAST(12 + (c_custkey % 8) AS INT))) AS dname,
+       |    c_nationkey AS nat, CAST(floor(c_acctbal) AS BIGINT) AS bal,
+       |    c_mktsegment AS seg
+       |  FROM customer),
+       |resolved AS (
+       |  SELECT d.dirty_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    MIN(CAST(levenshtein(c.name, d.dname) AS BIGINT) * 10000000000 + c.clean_id)
+       |      AS best
+       |  FROM clean c JOIN dirty d ON c.nat = d.nat AND c.bal = d.bal
+       |  WHERE levenshtein(c.name, d.dname) <= $ErMaxDist
+       |  GROUP BY d.dirty_id)
+       |SELECT seg,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dirty,
+       |  CAST(SUM(COALESCE(r.n_cand, 0)) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(CASE WHEN r.best IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |  CAST(SUM(CASE WHEN r.best % 10000000000 = d.dirty_id - 1000000000
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(CASE WHEN SUM(CASE WHEN r.best IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 0
+       |       ELSE (1000 * SUM(CASE WHEN r.best % 10000000000 = d.dirty_id - 1000000000
+       |                        THEN 1 ELSE 0 END))
+       |            // SUM(CASE WHEN r.best IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT)
+       |    AS precision_milli,
+       |  CAST((1000 * SUM(CASE WHEN r.best % 10000000000 = d.dirty_id - 1000000000
+       |                    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS recall_milli
+       |FROM dirty d LEFT JOIN resolved r USING (dirty_id)
+       |GROUP BY seg
+       |ORDER BY seg NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er1_entity_resolution" -> (entityResolve _),
     "inc1_agg_refresh" -> (aggRefresh _),
     "inc2_join_refresh" -> (joinRefresh _),
     "cdc5_scd2_tombstones" -> (scd2Tombstones _),
@@ -689,6 +790,7 @@ object Linkage extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "fz1_fuzzy_join" -> fuzzyJoinSql,
     "cdc5_scd2_tombstones" -> scd2TombstonesSql,
+    "er1_entity_resolution" -> entityResolveSql,
     "inc1_agg_refresh" -> aggRefreshSql,
     "inc2_join_refresh" -> joinRefreshSql,
     "cdc3_scd2_history" -> scd2HistorySql,

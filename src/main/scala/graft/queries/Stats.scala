@@ -2541,7 +2541,68 @@ object Stats extends QueryModule {
       |FROM (VALUES (100), (250), (500), (750), (900), (990)) AS t(p_milli), n
       |ORDER BY p_milli NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- priv1
+  /** k-anonymity / l-diversity audit — the privacy census a pipeline
+    * runs BEFORE releasing a training slice that carries person-level
+    * attributes: group by the quasi-identifier set (nationality,
+    * market segment, account-balance kilodollar bucket — the classic
+    * "harmless" columns that jointly re-identify), measure the
+    * smallest group, the rows that would need suppression under k=5,
+    * and the minimum l-diversity of the sensitive attribute (exact
+    * balance, in cents) across groups. Complements red1/red2: those
+    * SCRUB direct identifiers; this measures whether the REMAINING
+    * columns still single people out — the re-identification risk no
+    * regexp can see.
+    *
+    * All-integer bucketing (floor to dollars, then integer DIV 1000)
+    * so both engines agree bit-for-bit; two hash aggregates with
+    * map-side partials (QI census, then per-segment rollup) — linear,
+    * shuffle keyed by the QI tuple, trivially 100 TB-safe.
+    */
+  private val AnonK = 5L
+
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val qi = t(s, dir, "customer").select(
+      col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(floor(c_acctbal) AS BIGINT) DIV 1000").as("bal_k"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("sens"))
+    val groups = qi.groupBy("nat", "seg", "bal_k")
+      .agg(count(lit(1)).as("sz"), countDistinct(col("sens")).as("ldiv"))
+    groups.groupBy("seg")
+      .agg(
+        sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("sz")).as("min_group"),
+        sum(when(col("sz") < AnonK, col("sz")).otherwise(0L)).as("suppressed_rows"),
+        min(col("ldiv")).as("l_div_min"))
+      .withColumn("k_anonymous", col("min_group") >= AnonK)
+      .orderBy(col("seg").asc_nulls_first)
+  }
+
+  private val kAnonymitySql =
+    s"""WITH qi AS (
+       |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+       |    CAST(floor(c_acctbal) AS BIGINT) // 1000 AS bal_k,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS sens
+       |  FROM customer),
+       |groups AS (
+       |  SELECT nat, seg, bal_k, CAST(COUNT(*) AS BIGINT) AS sz,
+       |    CAST(COUNT(DISTINCT sens) AS BIGINT) AS ldiv
+       |  FROM qi GROUP BY nat, seg, bal_k)
+       |SELECT seg,
+       |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(MIN(sz) AS BIGINT) AS min_group,
+       |  CAST(SUM(CASE WHEN sz < $AnonK THEN sz ELSE 0 END) AS BIGINT) AS suppressed_rows,
+       |  CAST(MIN(ldiv) AS BIGINT) AS l_div_min,
+       |  MIN(sz) >= $AnonK AS k_anonymous
+       |FROM groups
+       |GROUP BY seg
+       |ORDER BY seg NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv1_k_anonymity" -> (kAnonymity _),
     "dq12_join_cardinality" -> (joinCardinality _),
     "dq13_estimator_regime" -> (estimatorRegime _),
     "dq14_overlap_estimator" -> (overlapEstimator _),
@@ -2603,6 +2664,7 @@ object Stats extends QueryModule {
     "q29_profit_rollup" -> profitRollupSql,
     "q30_priority_shipping" -> priorityShippingSql,
     "dq9_cardinality_audit" -> cardinalityAuditSql,
+    "priv1_k_anonymity" -> kAnonymitySql,
     "dq12_join_cardinality" -> joinCardinalitySql,
     "dq13_estimator_regime" -> estimatorRegimeSql,
     "dq14_overlap_estimator" -> overlapEstimatorSql,
