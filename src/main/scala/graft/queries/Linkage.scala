@@ -773,8 +773,108 @@ object Linkage extends QueryModule {
        |GROUP BY seg
        |ORDER BY seg NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- er2
+  /** Golden-record survivorship — the full MDM shape er1 feeds:
+    * THREE sources (the registry plus two independently corrupted
+    * feeds, each with one name character substituted at a different
+    * key-dependent position), pairwise candidate edges under er1's
+    * blocking, connected components over the match graph
+    * ([[graft.operators.ConnectedComponents]], dd7's kernel), then
+    * per-cluster ELECTION: the minimum id survives (registry ids sort
+    * first, so a cluster containing its registry row elects it), and
+    * the census reports how survivorship went per segment — full
+    * triples recovered, singletons left behind, and how many clusters
+    * elected a REGISTRY golden record vs a corrupted one.
+    *
+    * Scale posture: the edge stage is er1's linear shuffle equi-join
+    * (block sizes O(1)); components run dd7's per-sweep-checkpointed
+    * label propagation, sweep count bounded by the match-graph
+    * diameter (≤ source count here); the census is one aggregate over
+    * the cluster frame. Nothing quadratic, nothing collected.
+    */
+  private def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def source(k: Int, shift: Int): DataFrame = c
+      .withColumn("p", (lit(11L) + pmod(col("c_custkey") + lit(shift.toLong), lit(8L))).cast(IntegerType))
+      .select(
+        (col("c_custkey") + lit(k * 1000000000L)).as("id"),
+        (if (k == 0) col("c_name")
+         else expr("concat(substr(c_name, 1, p - 1), 'x', substr(c_name, p + 1))")).as("name"),
+        col("c_nationkey").as("nat"),
+        floor(col("c_acctbal")).cast(LongType).as("bal"),
+        col("c_mktsegment").as("seg"))
+    val all = source(0, 0).unionByName(source(1, 0)).unionByName(source(2, 3))
+    val a = all.select(col("id").as("a"), col("name").as("na"), col("nat"), col("bal"))
+    val b = all.select(col("id").as("b"), col("name").as("nb"), col("nat"), col("bal"))
+    val edges = a.join(b, Seq("nat", "bal"))
+      .filter(col("a") < col("b") && levenshtein(col("na"), col("nb")) <= ErMaxDist)
+      .select("a", "b")
+    val cc = graft.operators.ConnectedComponents.run(edges)
+    val labeled = all.join(cc.select(col("node").as("id"), col("cluster")), Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    val clusters = labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("size"), min(col("id")).as("golden"))
+    val goldenRows = labeled.select(col("id").as("golden"), col("seg"))
+    clusters.join(goldenRows, Seq("golden"))
+      .groupBy("seg")
+      .agg(
+        sum(col("size")).as("n_records"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("size") === 3L, 1L).otherwise(0L)).as("n_triples"),
+        sum(when(col("size") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("golden") < 1000000000L, 1L).otherwise(0L)).as("golden_from_registry"))
+      .orderBy(col("seg").asc_nulls_first)
+  }
+
+  private val goldenRecordSql =
+    s"""WITH RECURSIVE src AS (
+       |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+       |    CAST(floor(c_acctbal) AS BIGINT) AS bal, c_mktsegment AS seg
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000000,
+       |    concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
+       |           substr(c_name, CAST(12 + (c_custkey % 8) AS INT))),
+       |    c_nationkey, CAST(floor(c_acctbal) AS BIGINT), c_mktsegment
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey + 2000000000,
+       |    concat(substr(c_name, 1, CAST(10 + ((c_custkey + 3) % 8) AS INT)), 'x',
+       |           substr(c_name, CAST(12 + ((c_custkey + 3) % 8) AS INT))),
+       |    c_nationkey, CAST(floor(c_acctbal) AS BIGINT), c_mktsegment
+       |  FROM customer),
+       |pairs AS (
+       |  SELECT x.id AS a, y.id AS b
+       |  FROM src x JOIN src y ON x.nat = y.nat AND x.bal = y.bal
+       |  WHERE x.id < y.id AND levenshtein(x.name, y.name) <= $ErMaxDist),
+       |nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+       |cc AS (SELECT node AS id, MIN(lab) AS cluster FROM reach GROUP BY node),
+       |labeled AS (
+       |  SELECT s.id, s.seg, COALESCE(c.cluster, s.id) AS cluster
+       |  FROM src s LEFT JOIN cc c ON s.id = c.id),
+       |clusters AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+       |    CAST(MIN(id) AS BIGINT) AS golden
+       |  FROM labeled GROUP BY cluster)
+       |SELECT g.seg,
+       |  CAST(SUM(cl.size) AS BIGINT) AS n_records,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(CASE WHEN cl.size = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_triples,
+       |  CAST(SUM(CASE WHEN cl.size = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       |  CAST(SUM(CASE WHEN cl.golden < 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS golden_from_registry
+       |FROM clusters cl JOIN labeled g ON cl.golden = g.id
+       |GROUP BY g.seg
+       |ORDER BY g.seg NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_entity_resolution" -> (entityResolve _),
+    "er2_golden_record" -> (goldenRecord _),
     "inc1_agg_refresh" -> (aggRefresh _),
     "inc2_join_refresh" -> (joinRefresh _),
     "cdc5_scd2_tombstones" -> (scd2Tombstones _),
@@ -791,6 +891,7 @@ object Linkage extends QueryModule {
     "fz1_fuzzy_join" -> fuzzyJoinSql,
     "cdc5_scd2_tombstones" -> scd2TombstonesSql,
     "er1_entity_resolution" -> entityResolveSql,
+    "er2_golden_record" -> goldenRecordSql,
     "inc1_agg_refresh" -> aggRefreshSql,
     "inc2_join_refresh" -> joinRefreshSql,
     "cdc3_scd2_history" -> scd2HistorySql,

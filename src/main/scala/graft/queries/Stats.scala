@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -2601,7 +2601,95 @@ object Stats extends QueryModule {
        |GROUP BY seg
        |ORDER BY seg NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- priv2
+  /** Generalization-ladder anonymization — the ACTING counterpart to
+    * priv1's audit: given a fixed ladder of quasi-identifier
+    * coarsenings (full QI → wider balance buckets → drop nationality →
+    * segment only), pick PER SEGMENT the least-general level whose
+    * smallest group reaches k, i.e. the minimum information loss that
+    * buys k-anonymity — the standard full-domain generalization scheme
+    * (Samarati's ladder) restated as four aggregates and an argmin.
+    * A segment no level can fix (fewer than k rows in total) reports
+    * level −1 with every row suppressed — the honest fallback.
+    *
+    * Scale posture: each ladder level is one hash aggregate over the
+    * same scan (map-side partials; the four level censuses are
+    * segment-sized, i.e. tiny), the argmin is a MIN over a
+    * segment-keyed frame, and nothing corpus-sized is ever windowed,
+    * collected or joined quadratically.
+    */
+  private def generalizationLadder(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").select(
+      col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(floor(c_acctbal) AS BIGINT)").as("bal"))
+    // per-segment census of one ladder level: (seg, lvl, n_groups, min_group)
+    def census(lvl: Int, qi: Seq[Column]): DataFrame =
+      base.groupBy(qi :+ col("seg"): _*)
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_groups"), min(col("sz")).as("min_group"))
+        .select(col("seg"), lit(lvl.toLong).as("lvl"), col("n_groups"), col("min_group"))
+    val ladder =
+      census(0, Seq(col("nat"), expr("bal DIV 1000"))).unionByName(
+        census(1, Seq(col("nat"), expr("bal DIV 2000")))).unionByName(
+        census(2, Seq(expr("bal DIV 2000")))).unionByName(
+        census(3, Seq.empty))
+    val chosen = ladder.filter(col("min_group") >= AnonK)
+      .groupBy("seg").agg(min(col("lvl")).as("chosen_level"))
+    val totals = base.groupBy("seg").agg(count(lit(1)).as("n_rows"))
+    totals
+      .join(chosen, Seq("seg"), "left")
+      .join(ladder.withColumnRenamed("lvl", "chosen_level"),
+        Seq("seg", "chosen_level"), "left")
+      .select(
+        col("seg"), col("n_rows"),
+        coalesce(col("chosen_level"), lit(-1L)).as("chosen_level"),
+        coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+        coalesce(col("min_group"), lit(0L)).as("min_group"),
+        when(col("chosen_level").isNull, col("n_rows")).otherwise(lit(0L))
+          .as("suppressed_rows"))
+      .orderBy(col("seg").asc_nulls_first)
+  }
+
+  private val generalizationLadderSql =
+    s"""WITH base AS (
+       |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+       |    CAST(floor(c_acctbal) AS BIGINT) AS bal
+       |  FROM customer),
+       |l0 AS (SELECT seg, CAST(0 AS BIGINT) AS lvl, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |         CAST(MIN(sz) AS BIGINT) AS min_group
+       |       FROM (SELECT seg, nat, bal // 1000 AS b, CAST(COUNT(*) AS BIGINT) AS sz
+       |             FROM base GROUP BY seg, nat, bal // 1000) GROUP BY seg),
+       |l1 AS (SELECT seg, CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |         CAST(MIN(sz) AS BIGINT)
+       |       FROM (SELECT seg, nat, bal // 2000 AS b, CAST(COUNT(*) AS BIGINT) AS sz
+       |             FROM base GROUP BY seg, nat, bal // 2000) GROUP BY seg),
+       |l2 AS (SELECT seg, CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |         CAST(MIN(sz) AS BIGINT)
+       |       FROM (SELECT seg, bal // 2000 AS b, CAST(COUNT(*) AS BIGINT) AS sz
+       |             FROM base GROUP BY seg, bal // 2000) GROUP BY seg),
+       |l3 AS (SELECT seg, CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+       |         CAST(COUNT(*) AS BIGINT)
+       |       FROM base GROUP BY seg),
+       |ladder AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+       |           UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+       |chosen AS (SELECT seg, CAST(MIN(lvl) AS BIGINT) AS chosen_level
+       |           FROM ladder WHERE min_group >= $AnonK GROUP BY seg),
+       |totals AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows FROM base GROUP BY seg)
+       |SELECT t.seg, t.n_rows,
+       |  CAST(COALESCE(c.chosen_level, -1) AS BIGINT) AS chosen_level,
+       |  CAST(COALESCE(l.n_groups, 0) AS BIGINT) AS n_groups,
+       |  CAST(COALESCE(l.min_group, 0) AS BIGINT) AS min_group,
+       |  CAST(CASE WHEN c.chosen_level IS NULL THEN t.n_rows ELSE 0 END AS BIGINT)
+       |    AS suppressed_rows
+       |FROM totals t
+       |LEFT JOIN chosen c ON t.seg = c.seg
+       |LEFT JOIN ladder l ON t.seg = l.seg AND l.lvl = c.chosen_level
+       |ORDER BY t.seg NULLS FIRST""".stripMargin
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv2_generalization" -> (generalizationLadder _),
     "priv1_k_anonymity" -> (kAnonymity _),
     "dq12_join_cardinality" -> (joinCardinality _),
     "dq13_estimator_regime" -> (estimatorRegime _),
@@ -2665,6 +2753,7 @@ object Stats extends QueryModule {
     "q30_priority_shipping" -> priorityShippingSql,
     "dq9_cardinality_audit" -> cardinalityAuditSql,
     "priv1_k_anonymity" -> kAnonymitySql,
+    "priv2_generalization" -> generalizationLadderSql,
     "dq12_join_cardinality" -> joinCardinalitySql,
     "dq13_estimator_regime" -> estimatorRegimeSql,
     "dq14_overlap_estimator" -> overlapEstimatorSql,

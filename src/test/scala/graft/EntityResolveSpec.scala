@@ -58,4 +58,39 @@ class EntityResolveSpec extends AnyFunSuite {
     assert(r.getAs[Long]("precision_milli") == 500L)
     assert(r.getAs[Long]("recall_milli") == 500L)
   }
+
+  test("er2: survivorship census is consistent and a triple elects the registry row") {
+    val s = SparkEntry.configure(spark.newSession())
+    val rows = SparkEntry.queries("er2_golden_record")(s, dir).collect()
+    assert(rows.nonEmpty)
+    val nCustomers = Tables(s, dir, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_records")).sum == 3 * nCustomers,
+      "every source row must land in exactly one cluster")
+    rows.foreach { r =>
+      val (nc, t3, s1, g) = (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_triples"),
+        r.getAs[Long]("n_singletons"), r.getAs[Long]("golden_from_registry"))
+      assert(t3 + s1 <= nc && g <= nc, s"inconsistent survivorship row: $r")
+      assert(t3 > 0, "no full triple recovered — the match graph is broken")
+    }
+  }
+
+  test("er2: two ambiguous registry twins merge into one 6-cluster electing the min id") {
+    val s = SparkEntry.configure(spark.newSession())
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("er2_merge").toString
+    // same block, names within distance 1 of each other — all six
+    // source rows (2 registry + 4 corrupted) glue into ONE component
+    Seq(
+      (0L, "AAAAAAAAAAZAAAAAAA", 1, 700.25, "T"),
+      (8L, "AAAAAAAAAAYAAAAAAA", 1, 700.75, "T"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val out = SparkEntry.queries("er2_golden_record")(s, tmp).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_records") == 6L && r.getAs[Long]("n_clusters") == 1L)
+    assert(r.getAs[Long]("n_triples") == 0L && r.getAs[Long]("n_singletons") == 0L)
+    assert(r.getAs[Long]("golden_from_registry") == 1L,
+      "the merged cluster must elect registry id 0")
+  }
 }
