@@ -79,3 +79,73 @@ case class KmvNdv(
   override protected def withNewChildInternal(newChild: Expression): KmvNdv =
     copy(child = newChild)
 }
+
+/** Merge ALREADY-BUILT KMV sketch states ([[KmvSet]] structs emitted by
+  * `NdvSketch.ndvSketchSet`) into the NDV of their union — the
+  * re-aggregation path a sketch CUBE needs: fine-grain sketches roll up
+  * to any coarser grain WITHOUT rescanning the corpus, and the result is
+  * IDENTICAL to the sketch built directly at the coarse grain. Two facts
+  * make that exact (not merely approximate): (a) the k smallest distinct
+  * hashes of a union are contained in the union of the per-part k
+  * smallest, so pooling kept sets and re-compacting reproduces the
+  * direct kept set; (b) exactness gates on the merged admission bound
+  * θ = min(θᵢ) — NOT on the merged kept-set size, which alone would
+  * misclassify the corner where a trimmed child is the only non-empty
+  * input (pooled set exactly k, but the union was already an estimate).
+  * Re-admitting bare hashes into a fresh sketch gets (a) right and (b)
+  * wrong; carrying the state struct through [[KmvCore.merge]] gets both.
+  */
+case class KmvMergeNdv(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuf] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): KmvBuf = KmvCore.zero
+
+  override def update(b: KmvBuf, input: InternalRow): KmvBuf = {
+    val v = child.eval(input)
+    if (v == null) b
+    else {
+      // KmvSet constructor order: (n, theta, hashes, exact)
+      val s = v.asInstanceOf[InternalRow]
+      val hashes = s.getArray(2).toLongArray() // fresh array: merge may sort it
+      KmvCore.merge(b, KmvBuf(hashes.length, s.getLong(1), hashes), k)
+    }
+  }
+
+  override def merge(b: KmvBuf, other: KmvBuf): KmvBuf = KmvCore.merge(b, other, k)
+
+  override def eval(b: KmvBuf): Any = KmvCore.estimate(KmvCore.compact(b, k), k)
+
+  override def serialize(b: KmvBuf): Array[Byte] = {
+    val c = KmvCore.compact(b, k)
+    val bb = ByteBuffer.allocate(12 + 8 * c.n)
+    bb.putInt(c.n).putLong(c.theta)
+    var i = 0
+    while (i < c.n) { bb.putLong(c.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val theta = bb.getLong()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = bb.getLong(); i += 1 }
+    KmvBuf(n, theta, arr)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_merge_ndv"
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvMergeNdv =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvMergeNdv =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMergeNdv =
+    copy(child = newChild)
+}

@@ -175,4 +175,14 @@ object NdvSketch {
     */
   def ndvSketchSet(c: Column, k: Int = DefaultK): Column =
     udaf(new KmvSetAgg(k)).apply(when(c.isNotNull, xxhash64(c)))
+
+  /** Union-NDV of already-built [[KmvSet]] state structs — the sketch
+    * CUBE's re-aggregation path (see [[KmvMergeNdv]] for why the state,
+    * not the bare hashes, must flow: exactness gates on θ = min(θᵢ)).
+    * Same k as the inputs, or the merged trim bound is wrong.
+    */
+  def ndvMergeSets(sk: Column, k: Int = DefaultK): Column =
+    org.apache.spark.sql.GraftShims.column(
+      KmvMergeNdv(org.apache.spark.sql.GraftShims.expression(sk), k)
+        .toAggregateExpression())
 }

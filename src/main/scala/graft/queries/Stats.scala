@@ -2541,6 +2541,60 @@ object Stats extends QueryModule {
       |FROM (VALUES (100), (250), (500), (750), (900), (990)) AS t(p_milli), n
       |ORDER BY p_milli NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- dq16
+  /** Sketch-cube ROLLUP mergeability — the property that makes sketches
+    * worth materializing at 100 TB: per-(nation, segment) KMV sketch
+    * states roll up to per-nation NDVs by MERGING STATES
+    * ([[graft.functions.KmvMergeNdv]]), never rescanning the corpus,
+    * and the merged estimate is IDENTICAL to the sketch built directly
+    * at the nation grain — `merged_eq_direct` states that equality
+    * in-gate (oracle: literal TRUE), in BOTH regimes: at sf0.01 every
+    * nation sits under k = 64 (exact regime), at sf0.1 every nation
+    * exceeds it (estimator regime, flagged by `estimator_engaged =
+    * exact_ndv > k`, which the oracle derives independently from the
+    * exact count — the trim condition is distinct > k precisely).
+    * `within_60pct` bounds the estimator against the exact NDV (k = 64
+    * → σ ≈ 12.7%, so 60% ≈ 4.7σ — dq14's margin discipline). Exact
+    * NDVs ride a separate aggregate from the sketch (dq9's two-narrow-
+    * aggregates rule: a DISTINCT partial groups by (gid, value) and
+    * would drag the sketch buffer through every distinct value).
+    */
+  private val Dq16K = 64
+
+  private def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NdvSketch
+    val c = t(s, dir, "customer")
+    val level1 = c.groupBy("c_nationkey", "c_mktsegment")
+      .agg(NdvSketch.ndvSketchSet(col("c_custkey"), Dq16K).as("sk"))
+    val merged = level1.groupBy("c_nationkey")
+      .agg(NdvSketch.ndvMergeSets(col("sk"), Dq16K).as("merged_ndv"))
+    val direct = c.groupBy("c_nationkey")
+      .agg(NdvSketch.ndvSketch(col("c_custkey"), Dq16K).as("direct_ndv"))
+    val exact = c.groupBy("c_nationkey")
+      .agg(countDistinct(col("c_custkey")).as("exact_ndv"))
+    exact
+      .join(broadcast(direct), Seq("c_nationkey"))
+      .join(broadcast(merged), Seq("c_nationkey"))
+      .select(
+        col("c_nationkey").as("nation_key"),
+        col("exact_ndv"),
+        (col("exact_ndv") > Dq16K).as("estimator_engaged"),
+        (col("merged_ndv") === col("direct_ndv")).as("merged_eq_direct"),
+        (abs(col("direct_ndv") - col("exact_ndv")) * 100
+          <= greatest(col("exact_ndv"), lit(1L)) * 60).as("within_60pct"))
+      .orderBy(col("nation_key").asc_nulls_first)
+  }
+
+  private val sketchRollupSql =
+    s"""SELECT c_nationkey AS nation_key,
+       |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_ndv,
+       |  COUNT(DISTINCT c_custkey) > $Dq16K AS estimator_engaged,
+       |  TRUE AS merged_eq_direct,
+       |  TRUE AS within_60pct
+       |FROM customer
+       |GROUP BY c_nationkey
+       |ORDER BY nation_key NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- priv1
   /** k-anonymity / l-diversity audit — the privacy census a pipeline
     * runs BEFORE releasing a training slice that carries person-level
@@ -2691,6 +2745,7 @@ object Stats extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv2_generalization" -> (generalizationLadder _),
     "priv1_k_anonymity" -> (kAnonymity _),
+    "dq16_sketch_rollup" -> (sketchRollup _),
     "dq12_join_cardinality" -> (joinCardinality _),
     "dq13_estimator_regime" -> (estimatorRegime _),
     "dq14_overlap_estimator" -> (overlapEstimator _),
@@ -2754,6 +2809,7 @@ object Stats extends QueryModule {
     "dq9_cardinality_audit" -> cardinalityAuditSql,
     "priv1_k_anonymity" -> kAnonymitySql,
     "priv2_generalization" -> generalizationLadderSql,
+    "dq16_sketch_rollup" -> sketchRollupSql,
     "dq12_join_cardinality" -> joinCardinalitySql,
     "dq13_estimator_regime" -> estimatorRegimeSql,
     "dq14_overlap_estimator" -> overlapEstimatorSql,

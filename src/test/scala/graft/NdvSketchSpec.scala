@@ -181,4 +181,30 @@ class NdvSketchSpec extends AnyFunSuite {
     assert(agg.finish(agg.merge(fold(all), agg.zero)) == whole)
     assert(agg.finish(agg.merge(agg.zero, fold(all))) == whole)
   }
+
+  test("state rollup (ndvMergeSets) equals the direct coarse-grain sketch") {
+    val k = 16
+    // 500 values across 5 fine groups, overlapping ranges: every group
+    // trims at k=16, and the rollup must equal the direct nation-grain
+    // sketch exactly (same kept set, same theta, same estimate)
+    val df = (1 to 500).map(i => (i % 5, (i % 137).toLong)).toDF("g", "v")
+    val fine = df.groupBy("g").agg(NdvSketch.ndvSketchSet($"v", k).as("sk"))
+    val rolled = fine.agg(NdvSketch.ndvMergeSets($"sk", k)).head().getLong(0)
+    val direct = df.agg(NdvSketch.ndvSketch($"v", k)).head().getLong(0)
+    assert(rolled == direct, s"rollup $rolled != direct $direct")
+  }
+
+  test("theta corner: a single TRIMMED child must stay an estimate, not its kept count") {
+    val k = 16
+    // one group, 100 distinct values > k: the child sketch trims. A
+    // naive re-admission of its 16 kept hashes into a fresh sketch
+    // would never trim (pooled = exactly k), take the exact path, and
+    // answer 16; the state merge carries theta and estimates instead.
+    val df = (1L to 100L).map(v => (0, v)).toDF("g", "v")
+    val fine = df.groupBy("g").agg(NdvSketch.ndvSketchSet($"v", k).as("sk"))
+    val rolled = fine.agg(NdvSketch.ndvMergeSets($"sk", k)).head().getLong(0)
+    val direct = df.agg(NdvSketch.ndvSketch($"v", k)).head().getLong(0)
+    assert(rolled == direct, s"rollup $rolled != direct $direct")
+    assert(rolled != k.toLong, "rollup answered the kept-set size — theta was dropped")
+  }
 }
