@@ -87,6 +87,19 @@ private[graft] object KmvCore {
     if (f >= b.theta) b else append(b, f, k)
   }
 
+  /** Admit one already-FLIPPED hash (a kept-set member from another
+    * sketch's state) — [[KmvMergeNdv]]'s state-fold path. The caller
+    * must have adopted the source state's theta into `b` first, or
+    * hashes the source had already closed the door on would re-enter.
+    * INCLUSIVE bound, unlike [[add]]'s exclusive one: a trimmed state's
+    * theta IS its k-th minimum, which is a kept MEMBER — filtering it
+    * out would strand the merged pool at k−1 hashes. (f == theta from
+    * the buffer's own trim is a duplicate of an existing member; the
+    * compaction dedup absorbs it.)
+    */
+  def addFlipped(b: KmvBuf, f: Long, k: Int): KmvBuf =
+    if (f > b.theta) b else append(b, f, k)
+
   def merge(x: KmvBuf, y: KmvBuf, k: Int): KmvBuf = {
     // k smallest distinct of (X ∪ Y) ⊆ x.kept ∪ y.kept, so pooling the
     // two kept sets and re-compacting is the exact union sketch

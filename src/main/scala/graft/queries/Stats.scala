@@ -2548,11 +2548,13 @@ object Stats extends QueryModule {
     * ([[graft.functions.KmvMergeNdv]]), never rescanning the corpus,
     * and the merged estimate is IDENTICAL to the sketch built directly
     * at the nation grain — `merged_eq_direct` states that equality
-    * in-gate (oracle: literal TRUE), in BOTH regimes: at sf0.01 every
-    * nation sits under k = 64 (exact regime), at sf0.1 every nation
-    * exceeds it (estimator regime, flagged by `estimator_engaged =
-    * exact_ndv > k`, which the oracle derives independently from the
-    * exact count — the trim condition is distinct > k precisely).
+    * in-gate (oracle: literal TRUE), in BOTH regimes: sf0.01 runs a
+    * MIXED regime (per-nation distinct custkeys measured 43–74, so
+    * nations straddle k = 64 and both estimate paths execute in one
+    * gate run), sf0.1 is estimator everywhere (≈600 per nation). The
+    * regime flag `estimator_engaged = exact_ndv > k` is derived by the
+    * oracle independently from the exact count — the trim condition is
+    * distinct > k precisely.
     * `within_60pct` bounds the estimator against the exact NDV (k = 64
     * → σ ≈ 12.7%, so 60% ≈ 4.7σ — dq14's margin discipline). Exact
     * NDVs ride a separate aggregate from the sketch (dq9's two-narrow-
@@ -2572,11 +2574,16 @@ object Stats extends QueryModule {
       .agg(NdvSketch.ndvSketch(col("c_custkey"), Dq16K).as("direct_ndv"))
     val exact = c.groupBy("c_nationkey")
       .agg(countDistinct(col("c_custkey")).as("exact_ndv"))
-    exact
-      .join(broadcast(direct), Seq("c_nationkey"))
-      .join(broadcast(merged), Seq("c_nationkey"))
+    // null-SAFE join keys: the oracle's plain GROUP BY keeps a NULL
+    // nation group, and an inner `=` join would silently drop it —
+    // latent on TPC-H-shaped data, wrong on anything nullable
+    exact.as("e")
+      .join(broadcast(direct.as("d")),
+        col("e.c_nationkey") <=> col("d.c_nationkey"))
+      .join(broadcast(merged.as("m")),
+        col("e.c_nationkey") <=> col("m.c_nationkey"))
       .select(
-        col("c_nationkey").as("nation_key"),
+        col("e.c_nationkey").as("nation_key"),
         col("exact_ndv"),
         (col("exact_ndv") > Dq16K).as("estimator_engaged"),
         (col("merged_ndv") === col("direct_ndv")).as("merged_eq_direct"),

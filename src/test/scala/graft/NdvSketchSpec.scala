@@ -207,4 +207,29 @@ class NdvSketchSpec extends AnyFunSuite {
     assert(rolled == direct, s"rollup $rolled != direct $direct")
     assert(rolled != k.toLong, "rollup answered the kept-set size — theta was dropped")
   }
+
+  test("state-fold update equals the direct sketch on randomized group layouts") {
+    val k = 16
+    val rnd = new scala.util.Random(2025)
+    for (trial <- 1 to 5) {
+      val nGroups = 1 + rnd.nextInt(7)
+      val rows = (1 to 400).map(_ => (rnd.nextInt(nGroups), rnd.nextInt(300).toLong))
+      val df = rows.toDF("g", "v")
+      val rolled = df.groupBy("g").agg(NdvSketch.ndvSketchSet($"v", k).as("sk"))
+        .agg(NdvSketch.ndvMergeSets($"sk", k)).head().getLong(0)
+      val direct = df.agg(NdvSketch.ndvSketch($"v", k)).head().getLong(0)
+      assert(rolled == direct, s"trial $trial: rollup $rolled != direct $direct")
+    }
+  }
+
+  test("merging states built with a smaller k refuses instead of answering garbage") {
+    // inputs at k=8 (trimmed), merged at k=64: the merge's 64th minimum
+    // was never retained, so eval must throw, not estimate
+    val fine = (1L to 100L).map(v => (0, v)).toDF("g", "v")
+      .groupBy("g").agg(NdvSketch.ndvSketchSet($"v", 8).as("sk"))
+    val e = intercept[Exception] {
+      fine.agg(NdvSketch.ndvMergeSets($"sk", 64)).head()
+    }
+    assert(e.getMessage != null)
+  }
 }
