@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, First, Last, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, RepartitionOperation, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types._
 
 /** Constraint-based DISTINCT ELIMINATION (opt-in): a deduplication whose
   * keys include a VERIFIED primary key of the underlying scan is a
@@ -26,12 +27,14 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * `Deduplicate` node is long gone (ReplaceDeduplicateWithAggregate
   * rewrote it); this rule matches the post-replacement shape instead:
   * an Aggregate whose every output is either a grouping attribute or a
-  * `first(attr)` alias over a singleton group. Both dedup spellings
-  * land here — `distinct()` (all columns group) and
-  * `dropDuplicates(pk)` (non-keys wrapped in first()) — and so does a
-  * hand-written `groupBy(pk).agg(first(...))`, which is sound by the
-  * same singleton-group argument. first()'s arbitrary-row
-  * nondeterminism collapses: over one row there is nothing to choose.
+  * collapsible aggregate over a singleton group (see [[collapsed]]).
+  * Both dedup spellings land here — `distinct()` (all columns group)
+  * and `dropDuplicates(pk)` (non-keys wrapped in first()) — and so do
+  * hand-written REAL aggregates keyed by the primary key (opt15):
+  * `groupBy(pk).agg(sum(x), count(*), min(y))` is a per-row
+  * computation once every group is proven a single row. first()'s
+  * arbitrary-row nondeterminism collapses: over one row there is
+  * nothing to choose.
   *
   * Why this matters at 100 TB: defensive `dropDuplicates` on an
   * already-unique ingest key is one of the most common wasted shuffles
@@ -55,21 +58,69 @@ object DistinctEliminationRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations = current :+ DistinctEliminationRewrite
   }
 
+  /** SINGLETON-GROUP COLLAPSE of one aggregate output (opt15 widened
+    * this from opt14's `first(attr)`-only shape): over a group proven
+    * to hold exactly one row, each standard aggregate has a closed
+    * per-row form —
+    *   first/last(x, any ignoreNulls) = x   (one row: nothing to skip)
+    *   min/max(x) = x
+    *   sum(x)  = CAST(x AS <sum result type>)   (integral→LONG widening
+    *             and fractional→DOUBLE are exact; DECIMAL refuses — its
+    *             precision-promotion rounding corners aren't worth it)
+    *   avg(x)  = CAST(x AS DOUBLE)              (same allowlist)
+    *   count(…) = 1 when no argument can be null, else
+    *              IF(any arg IS NULL, 0, 1)
+    * DISTINCT variants are identity over one row, so they collapse the
+    * same way; a FILTER clause could exclude THE row and refuses.
+    * Returns None on anything else — refusal keeps the aggregate.
+    */
+  private def collapsed(fn: Expression, distinct: Boolean): Option[Expression] = {
+    // exact-cast allowlist for sum/avg result widening
+    def primitive(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _ => false
+    }
+    fn match {
+      case First(attr: AttributeReference, _) if !distinct => Some(attr)
+      case Last(attr: AttributeReference, _) if !distinct => Some(attr)
+      case m: Min => m.child match {
+        case a: AttributeReference => Some(a)
+        case _ => None
+      }
+      case m: Max => m.child match {
+        case a: AttributeReference => Some(a)
+        case _ => None
+      }
+      case sm: Sum => sm.child match {
+        case a: AttributeReference if primitive(a.dataType) =>
+          Some(if (a.dataType == sm.dataType) a else Cast(a, sm.dataType))
+        case _ => None
+      }
+      case av: Average => av.child match {
+        case a: AttributeReference if primitive(a.dataType) && av.dataType == DoubleType =>
+          Some(Cast(a, DoubleType))
+        case _ => None
+      }
+      case ct: Count =>
+        val nullable = ct.children.filter(_.nullable)
+        if (nullable.isEmpty) Some(Literal(1L))
+        else Some(If(nullable.map(IsNull(_): Expression).reduce(Or), Literal(0L), Literal(1L)))
+      case _ => None
+    }
+  }
+
   /** Rewrite the aggregate list to its projection form, refusing on the
-    * first output that is not a grouping attribute or a plain
-    * `first(attr)` (no DISTINCT, no FILTER clause, no ignoreNulls — the
-    * exact shape ReplaceDeduplicateWithAggregate emits).
+    * first output that is not a grouping attribute or a collapsible
+    * aggregate over the singleton group (see [[collapsed]]).
     */
   private def projected(aggExprs: Seq[NamedExpression],
       grouping: AttributeSet): Option[Seq[NamedExpression]] = {
     val out = aggExprs.map {
       case a: AttributeReference if grouping.contains(a) => a
-      case al @ Alias(ae: AggregateExpression, name)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case First(attr: AttributeReference, false) =>
-            Alias(attr, name)(exprId = al.exprId, qualifier = al.qualifier)
-          case _ => return None
+      case al @ Alias(ae: AggregateExpression, name) if ae.filter.isEmpty =>
+        collapsed(ae.aggregateFunction, ae.isDistinct) match {
+          case Some(e) => Alias(e, name)(exprId = al.exprId, qualifier = al.qualifier)
+          case None => return None
         }
       case _ => return None
     }

@@ -2073,6 +2073,54 @@ object Extras extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt15
+  /** SINGLETON-GROUP AGGREGATE COLLAPSE under the oracle — opt14's
+    * constraint widened from dedup to REAL aggregates: a `groupBy` on
+    * a verified primary key makes every group one row, so `sum(x)` IS
+    * x (cast), `count(*)` IS 1, `min(x)` IS x — the whole blocking
+    * hash aggregate (a full shuffle) replaces with a streaming
+    * projection ([[graft.plans.DistinctEliminationRewrite.collapsed]]
+    * has the per-function forms and the DECIMAL/FILTER refusals). The
+    * shape is the inherited-pipeline classic: an inner "per-order
+    * rollup" keyed by the ingest key — vacuous, but only a PRIMARY KEY
+    * proof makes removing it sound — feeding a real rollup. With the
+    * flag on the plan carries ONE aggregate (the outer); the DuckDB
+    * oracle states the query WITHOUT the inner rollup, sound exactly
+    * because the audited key is unique and null-free.
+    * DistinctElimSpec pins the plan shape, the value equality against
+    * the rule-off run, and the decimal-sum refusal.
+    */
+  private def singletonAggGate(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.SparkEntry.configure(s0.newSession()) // sj4 conf hygiene
+    require(graft.plans.TableConstraints.registerKey(s, t(s, dir, "orders"), "o_orderkey"),
+      "o_orderkey failed the primary-key audit — testdata changed?")
+    s.conf.set(graft.plans.DistinctEliminationRewrite.ConfKey, "true")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"),
+        col("o_orderdate"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority")) // singleton: pk in keys
+      .agg(
+        sum(col("price_c")).as("order_total_c"),
+        count(lit(1)).as("n_lines"),
+        min(col("o_orderdate")).as("first_date"))
+      .groupBy(col("o_orderpriority")) // the real rollup
+      .agg(
+        sum(col("order_total_c")).as("sum_price_c"),
+        sum(col("n_lines")).as("n_orders"),
+        min(col("first_date")).as("min_date"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val singletonAggGateSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  MIN(o_orderdate) AS min_date
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- opt12
   /** FILTERED star-MV derivability under the oracle — the other half of
     * every dashboard: "revenue by nation WHERE returnflag = 'R'". The
@@ -3435,6 +3483,7 @@ object Extras extends QueryModule {
     "opt12_filtered_star_mv" -> (filteredStarGate _),
     "opt13_star_mv_avg" -> (starAvgGate _),
     "opt14_distinct_elim" -> (distinctElimGate _),
+    "opt15_singleton_agg" -> (singletonAggGate _),
     "inc4_delete_ivm" -> (deleteIvm _),
     "f6_like_regex" -> (likeFilter _),
     "j5_semi_anti" -> (semiAnti _),
@@ -3515,6 +3564,7 @@ object Extras extends QueryModule {
     "opt12_filtered_star_mv" -> filteredStarGateSql,
     "opt13_star_mv_avg" -> starAvgGateSql,
     "opt14_distinct_elim" -> distinctElimGateSql,
+    "opt15_singleton_agg" -> singletonAggGateSql,
     "inc4_delete_ivm" -> deleteIvmSql,
     "f6_like_regex" -> likeFilterSql,
     "j5_semi_anti" -> semiAntiSql,

@@ -411,6 +411,79 @@ object Graph extends QueryModule {
        |ORDER BY mass DESC NULLS FIRST, node NULLS FIRST LIMIT $PrTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g9
+  /** PERSONALIZED PageRank — pr1 with the teleport restricted to a
+    * seed set, the graph primitive a curation pipeline uses to
+    * propagate trust/quality outward from a vetted seed corpus (the
+    * "harmonic sampling" shape): random walks restart only at seeds,
+    * so mass measures proximity to the seed set, not global
+    * centrality. Seeds are the 2% of parts with `partkey % 50 = 0`
+    * (computable per row — the seed membership never needs a join);
+    * non-seeds start at zero and receive the damped neighbor mass
+    * only. Same integer fixpoint technique as pr1 (ppm mass units,
+    * 85//100 damping, mass//deg contributions), three unrolled sweeps,
+    * so both engines land on the identical integers.
+    *
+    * Scale posture: identical to pr1 — per sweep one contribution
+    * join (shuffle on src, or state broadcast under the measured
+    * ≤[[StateBroadcastMaxEdges]] gate) plus one dst-keyed aggregate;
+    * the seed indicator is an expression over the node id, costing
+    * nothing. Top-20 by final mass bounds output.
+    */
+  private def personalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = directedEdges(s, dir)
+    val broadcastState = planOnly(s) || edges.count() <= StateBroadcastMaxEdges
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // read 4×: every sweep + init
+    def teleport(node: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(node % 50 === 0, lit(150000L)).otherwise(lit(0L))
+    var masses = deg.select(col("node"),
+      when(col("node") % 50 === 0, lit(1000000L)).otherwise(lit(0L)).as("mass"),
+      col("deg"))
+    for (_ <- 1 to PrIters) {
+      val state = masses.withColumnRenamed("node", "src")
+      val next = edges
+        .join(if (broadcastState) broadcast(state) else state, Seq("src"))
+        .select(col("dst").as("node"), expr("mass DIV deg").as("contrib"))
+        .groupBy("node")
+        .agg((teleport(col("node")) + expr("(sum(contrib) * 85) DIV 100")).as("mass"))
+      masses = next.join(if (broadcastState) broadcast(deg) else deg, Seq("node"))
+    }
+    masses.select(col("node"), col("mass"))
+      .orderBy(col("mass").desc_nulls_first, col("node").asc_nulls_first)
+      .limit(PrTopK)
+  }
+
+  private def pprSweepSql(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT e.dst AS node,
+       |    CAST(CASE WHEN e.dst % 50 = 0 THEN 150000 ELSE 0 END
+       |      + (SUM(m.mass // m.deg) * 85) // 100 AS BIGINT) AS mass
+       |  FROM edges e JOIN $prev m ON e.src = m.node GROUP BY e.dst),
+       |${next}d AS (SELECT $next.node, $next.mass, deg.deg
+       |             FROM $next JOIN deg ON $next.node = deg.node)""".stripMargin
+
+  private val personalizedPageRankSql = {
+    val sweeps = (1 to PrIters)
+      .map(i => pprSweepSql(s"m${i - 1}d", s"m$i")).mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |                     AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT u AS src, v AS dst FROM und
+       |          UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY src),
+       |m0d AS (SELECT node,
+       |          CAST(CASE WHEN node % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT)
+       |            AS mass, deg FROM deg),
+       |$sweeps
+       |SELECT node, mass FROM m${PrIters}d
+       |ORDER BY mass DESC NULLS FIRST, node NULLS FIRST LIMIT $PrTopK""".stripMargin
+  }
+
   // ---------------------------------------------------------------- g7
   /** Label-propagation communities (synchronous LPA) — the community
     * detector beside dd7's connected components: CC answers "which
@@ -1028,6 +1101,7 @@ object Graph extends QueryModule {
     "g4_clustering_coeff" -> (clusteringCoeff _),
     "tri1_triangle_census" -> (triangleCensus _),
     "pr1_pagerank" -> (pageRank _),
+    "g9_personalized_pagerank" -> (personalizedPageRank _),
     "g2_bfs_layers" -> (bfsLayers _),
     "g6_sssp_weighted" -> (ssspLayers _),
     "g7_label_propagation" -> (labelPropagation _),
@@ -1039,6 +1113,7 @@ object Graph extends QueryModule {
     "g4_clustering_coeff" -> clusteringCoeffSql,
     "tri1_triangle_census" -> triangleCensusSql,
     "pr1_pagerank" -> pageRankSql,
+    "g9_personalized_pagerank" -> personalizedPageRankSql,
     "g2_bfs_layers" -> bfsLayersSql,
     "g6_sssp_weighted" -> ssspLayersSql,
     "g7_label_propagation" -> labelPropagationSql,

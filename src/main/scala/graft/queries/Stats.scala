@@ -2713,6 +2713,104 @@ object Stats extends QueryModule {
       .orderBy(col("seg").asc_nulls_first)
   }
 
+  // --------------------------------------------------------------- priv3
+  /** t-closeness audit — the distributional leak k-anonymity and
+    * l-diversity (priv1) cannot see: a group can be large AND diverse
+    * yet still leak if its sensitive-attribute DISTRIBUTION differs
+    * sharply from the table's (e.g. one nation×segment holding mostly
+    * negative balances). Per quasi-identifier group (nation, segment),
+    * measure the Earth Mover's Distance between the group's
+    * balance-bucket distribution and the global one over the ordered
+    * bucket domain — EMD(p,q) = Σᵢ|P(i) − Q(i)| / (B−1), the standard
+    * t-closeness instrument for ordered attributes — and flag groups
+    * past t = 0.2.
+    *
+    * Exact integer arithmetic end-to-end: with group size `sz`, table
+    * size N and cumulative counts, |P−Q| scales to |cum·N − gcum·sz|,
+    * so the EMD numerator, the reported milli-EMD (floor) and the
+    * t-test (emd·5 > (B−1)·sz·N) are all BIGINT-exact in both engines.
+    * BIGINT headroom: the test term is bounded by B·sz·N·1000 — safe
+    * past 10⁶ rows per engine-exact bucket; beyond ~10⁹ rows promote
+    * the two products to DECIMAL(38,0) (the emb-family convention).
+    *
+    * Scale posture: one hash aggregate over the scan per side (group×
+    * bucket census, global bucket census), then everything downstream
+    * is GROUP-sized (≤ nations×segments×buckets rows) — the grid
+    * cross-join, cumulative windows and final rollup never touch a
+    * corpus-sized frame; both joins broadcast.
+    */
+  private def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").select(
+      col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(floor(c_acctbal) AS BIGINT) DIV 1000").as("b"))
+    val groups = base.groupBy("nat", "seg").agg(count(lit(1)).as("sz"))
+    val buckets = base.select(col("b")).distinct()
+    val global = base.groupBy("b").agg(count(lit(1)).as("gcnt"))
+    val totals = base.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("b")).as("n_buckets"))
+    val cnts = base.groupBy("nat", "seg", "b").agg(count(lit(1)).as("cnt"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("nat", "seg").orderBy(col("b").asc_nulls_first)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b").asc_nulls_first)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val gcum = global.select(col("b"), sum(col("gcnt")).over(wb).as("gcum"))
+    val grid = groups
+      .crossJoin(broadcast(buckets)) // group-list × bucket-domain: tiny
+      .join(cnts, Seq("nat", "seg", "b"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .select(col("nat"), col("seg"), col("sz"), col("b"),
+        sum(col("cnt")).over(wg).as("cum"))
+      .join(broadcast(gcum), Seq("b"))
+      .crossJoin(broadcast(totals)) // one-row scalar attach
+    grid.groupBy("nat", "seg", "sz", "n_total", "n_buckets")
+      .agg(sum(abs(col("cum") * col("n_total") - col("gcum") * col("sz")))
+        .cast(LongType).as("emd_num"))
+      .select(
+        col("nat"), col("seg"), col("sz"),
+        // integer floor division (nonnegative operands, so DIV == //)
+        expr("emd_num * 1000 DIV ((n_buckets - 1) * sz * n_total)")
+          .cast(LongType).as("emd_milli"),
+        (col("emd_num") * 5 >
+          (col("n_buckets") - 1) * col("sz") * col("n_total")).as("t_fail"))
+      .orderBy(col("nat").asc_nulls_first, col("seg").asc_nulls_first)
+  }
+
+  private val tClosenessSql =
+    """WITH base AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal) AS BIGINT) // 1000 AS b
+      |  FROM customer),
+      |groups AS (SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS sz
+      |           FROM base GROUP BY nat, seg),
+      |buckets AS (SELECT DISTINCT b FROM base),
+      |gcum AS (SELECT b, CAST(SUM(gcnt) OVER (ORDER BY b NULLS FIRST
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum
+      |         FROM (SELECT b, COUNT(*) AS gcnt FROM base GROUP BY b)),
+      |totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+      |             CAST(COUNT(DISTINCT b) AS BIGINT) AS n_buckets FROM base),
+      |cnts AS (SELECT nat, seg, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM base GROUP BY nat, seg, b),
+      |grid AS (
+      |  SELECT g.nat, g.seg, g.sz, k.b,
+      |    CAST(SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.nat, g.seg
+      |      ORDER BY k.b NULLS FIRST ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM groups g CROSS JOIN buckets k
+      |  LEFT JOIN cnts c ON c.nat = g.nat AND c.seg = g.seg AND c.b = k.b),
+      |emd AS (
+      |  SELECT gr.nat, gr.seg, gr.sz, t.n_total, t.n_buckets,
+      |    CAST(SUM(abs(gr.cum * t.n_total - gc.gcum * gr.sz)) AS BIGINT) AS emd_num
+      |  FROM grid gr JOIN gcum gc ON gr.b = gc.b CROSS JOIN totals t
+      |  GROUP BY gr.nat, gr.seg, gr.sz, t.n_total, t.n_buckets)
+      |SELECT nat, seg, sz,
+      |  CAST(emd_num * 1000 // ((n_buckets - 1) * sz * n_total) AS BIGINT)
+      |    AS emd_milli,
+      |  emd_num * 5 > (n_buckets - 1) * sz * n_total AS t_fail
+      |FROM emd
+      |ORDER BY nat NULLS FIRST, seg NULLS FIRST""".stripMargin
+
   private val generalizationLadderSql =
     s"""WITH base AS (
        |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
@@ -2750,6 +2848,7 @@ object Stats extends QueryModule {
        |ORDER BY t.seg NULLS FIRST""".stripMargin
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv3_t_closeness" -> (tCloseness _),
     "priv2_generalization" -> (generalizationLadder _),
     "priv1_k_anonymity" -> (kAnonymity _),
     "dq16_sketch_rollup" -> (sketchRollup _),
@@ -2816,6 +2915,7 @@ object Stats extends QueryModule {
     "dq9_cardinality_audit" -> cardinalityAuditSql,
     "priv1_k_anonymity" -> kAnonymitySql,
     "priv2_generalization" -> generalizationLadderSql,
+    "priv3_t_closeness" -> tClosenessSql,
     "dq16_sketch_rollup" -> sketchRollupSql,
     "dq12_join_cardinality" -> joinCardinalitySql,
     "dq13_estimator_regime" -> estimatorRegimeSql,

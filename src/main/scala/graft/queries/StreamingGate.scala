@@ -650,7 +650,122 @@ object StreamingGate extends QueryModule {
       |FROM events GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw15
+  /** STREAMING SCD Type-2 — cdc3's versioned-history build maintained
+    * incrementally as events arrive, via flatMapGroupsWithState. A
+    * change-data stream almost never gets to rebuild the dimension's
+    * history from scratch; the production shape is exactly this: per
+    * key, buffer the not-yet-final tail, and emit version row i the
+    * moment its interval is SEALED — the successor's timestamp (the
+    * row's valid_to) is at or below the watermark, so no admissible
+    * future event can land inside the interval or reorder it.
+    *
+    * Append-mode contract (the oracle states it portably): a history
+    * row is emitted iff `valid_to_us ≤ final watermark`; open (
+    * is_current) rows stay in state, unemitted. Because valid_to is
+    * nondecreasing along each key's history, the emitted set is a
+    * PREFIX of the batch history and the in-state version counter
+    * reproduces the batch `row_number` exactly — a hash match proves
+    * the incremental state machine equals cdc3's full rebuild on the
+    * closed prefix. Closure applies the watermark inclusively (≤) on
+    * BOTH the data path and the timeout path (sw10's dual-path lesson:
+    * a timer alone fires strictly-after the watermark passes).
+    *
+    * Scale posture: state per (user_id, event_type) is the UNSEALED
+    * tail — bounded by out-of-orderness within the watermark delay
+    * (almost always 1 open row), never by history length; emitted rows
+    * leave state immediately. One timer per key, armed at the earliest
+    * pending close, so idle keys cost no per-batch work. Timestamps
+    * cross the typed boundary as epoch-µs longs (sw10's convention).
+    */
+  // public for janino: the typed pipeline's generated code needs the
+  // constructors (sw10's lesson)
+  case class PendEv(es: Long, eventId: Long, valueC: Long)
+  case class Scd2State(nextVersion: Long, pending: List[PendEv])
+  case class Scd2Row(user_id: Long, event_type: String, event_id: Long,
+      value_c: Long, version: Long, valid_from_us: Long, valid_to_us: Long)
+
+  /** The stateful stage, shared by the gate entry and StreamingSpec's
+    * MemoryStream pin. `src` is an events-shaped streaming frame
+    * (event_id, ts, user_id, event_type, value).
+    */
+  private[graft] def scd2Stream(s: SparkSession, src: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = src
+      .filter(col("user_id") % 10 === 0 && col("ts").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("es"), col("event_id"),
+        coalesce(round(col("value") * 100).cast(LongType), lit(-1L)).as("value_c"))
+      .as[(Long, String, java.sql.Timestamp, Long, Long, Long)]
+    typed
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, evs, state) =>
+          val (uid, etype) = key
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val st0 = state.getOption.getOrElse(Scd2State(1L, Nil))
+          // merge the batch into the unsealed tail; total in-key order is
+          // (es, event_id), the cdc3 window order
+          var rest = (st0.pending ++ evs.map(e => PendEv(e._4, e._5, e._6)))
+            .sortBy(p => (p.es, p.eventId))
+          val emitted = List.newBuilder[Scd2Row]
+          var ver = st0.nextVersion
+          // pop every interval the watermark has sealed: its valid_to
+          // (the successor's timestamp) is at or below the watermark
+          while (rest.lengthCompare(2) >= 0 && rest.tail.head.es <= wmUs) {
+            val h = rest.head; val succ = rest.tail.head
+            emitted += Scd2Row(uid, etype, h.eventId, h.valueC, ver, h.es, succ.es)
+            ver += 1
+            rest = rest.tail
+          }
+          // rest is never empty here (data path brings ≥1 event; the
+          // timeout path only fires for keys holding state)
+          state.update(Scd2State(ver, rest))
+          if (rest.lengthCompare(2) >= 0) {
+            // arm for the earliest pending close; −1 ms so the timer
+            // fires when the watermark REACHES the close (timers alone
+            // fire strictly-after), clamped above the current watermark
+            // as the API requires
+            val closeMs = rest.tail.head.es / 1000L
+            state.setTimeoutTimestamp(
+              math.max(closeMs - 1L, state.getCurrentWatermarkMs + 1L))
+          }
+          emitted.result().iterator
+      }
+      .toDF()
+  }
+
+  private def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    val out = scd2Stream(s, eventStream(s, dir))
+    drain(s, out, "sw15_mem")
+      .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first,
+        col("version").asc_nulls_first)
+  }
+
+  private val streamScd2Sql =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS es,
+      |    COALESCE(CAST(round(value * 100) AS BIGINT), -1) AS value_c
+      |  FROM events WHERE user_id % 10 = 0 AND ts IS NOT NULL),
+      |wm AS (SELECT max(es) - 600000000 AS wm_us FROM base),
+      |hist AS (
+      |  SELECT user_id, event_type, event_id, value_c,
+      |    CAST(row_number() OVER w AS BIGINT) AS version,
+      |    es AS valid_from_us, lead(es) OVER w AS valid_to_us
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |               ORDER BY es NULLS FIRST, event_id NULLS FIRST))
+      |SELECT h.user_id, h.event_type, h.event_id, h.value_c, h.version,
+      |  h.valid_from_us, h.valid_to_us
+      |FROM hist h, wm WHERE h.valid_to_us <= wm.wm_us
+      |ORDER BY h.user_id NULLS FIRST, h.event_type NULLS FIRST,
+      |  h.version NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sw15_stream_scd2" -> (streamScd2 _),
     "sw12_exactly_once_sink" -> (streamExactlyOnce _),
     "sw11_tws_hourly" -> (twsHourly _),
     "sw10_custom_sessions" -> (customSessions _),
@@ -664,6 +779,7 @@ object StreamingGate extends QueryModule {
     "sw6_stream_distinct" -> (streamDistinctUsers _))
 
   def oracle: Map[String, String] = Map(
+    "sw15_stream_scd2" -> streamScd2Sql,
     "sw12_exactly_once_sink" -> streamExactlyOnceSql,
     "sw11_tws_hourly" -> streamHourlySql, // sw2's contract, state-v2 API
     "sw10_custom_sessions" -> streamSessionsSql, // sw3's contract, custom state

@@ -67,16 +67,12 @@ class DistinctElimSpec extends AnyFunSuite {
     assert(nAggs(renamed) == 1, "renamed key must still eliminate the dedup")
   }
 
-  test("refusals: non-key dedup, real aggregates, joined child, conf off") {
+  test("refusals: non-key dedup, joined child, conf off") {
     val s = keySession()
     // dedup on a non-registered (and genuinely non-unique) column
     val nonKey = Tables(s, dir, "orders").dropDuplicates("o_custkey")
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
     assert(nAggs(nonKey) == 2, "non-key dedup must keep its aggregate")
-    // a real aggregate over singleton groups is NOT the dedup shape
-    val realAgg = Tables(s, dir, "orders").groupBy(col("o_orderkey"))
-      .agg(sum(col("o_totalprice")).as("t"))
-    assert(nAggs(realAgg) == 1, "sum() is not first(): the aggregate stays")
     // a joined child is not a (filtered) scan of the registered table
     val or = Tables(s, dir, "orders")
     val cu = Tables(s, dir, "customer")
@@ -119,6 +115,77 @@ class DistinctElimSpec extends AnyFunSuite {
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority").asc_nulls_first)
     assert(q.collect().toSeq == ctl.collect().toSeq)
+  }
+
+  test("opt15: singleton aggregates collapse to per-row forms with exact types and values") {
+    val s = keySession()
+    def q(sess: SparkSession) = Tables(sess, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"),
+        // a genuinely nullable column, to pin count(x)'s IF form
+        when(col("o_orderpriority") =!= "1-URGENT", col("o_orderpriority")).as("pri_n"),
+        col("o_orderdate"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        sum(col("price_c")).as("s"),
+        avg(col("price_c")).as("a"),
+        count(lit(1)).as("n_star"),
+        count(col("pri_n")).as("n_pri"),
+        min(col("o_orderdate")).as("d0"),
+        max(col("o_orderdate")).as("d1"),
+        first(col("pri_n"), ignoreNulls = true).as("f"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+    val on = q(s)
+    assert(nAggs(on) == 0, s"singleton aggregate survived:\n${on.queryExecution.optimizedPlan}")
+    val off = SparkEntry.configure(spark.newSession())
+    off.conf.set(DistinctEliminationRewrite.ConfKey, "false")
+    val ctl = q(off)
+    assert(nAggs(ctl) == 1, "control must execute the aggregate")
+    // types must survive the collapse exactly (sum→LONG, avg→DOUBLE,
+    // counts→LONG), or downstream plans would re-resolve differently
+    assert(on.schema.map(f => (f.name, f.dataType)) == ctl.schema.map(f => (f.name, f.dataType)))
+    assert(on.collect().toSeq == ctl.collect().toSeq)
+  }
+
+  test("opt15 refusals: DECIMAL sum, FILTER clause, computed child keep the aggregate") {
+    val s = keySession()
+    // decimal sum: the precision-promotion cast is not in the exact
+    // allowlist — the aggregate must stay
+    val dec = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), expr("CAST(o_totalprice AS DECIMAL(12,2))").as("p"))
+      .groupBy(col("o_orderkey")).agg(sum(col("p")).as("s"))
+    assert(nAggs(dec) == 1, "decimal sum must refuse")
+    // FILTER clause could exclude the group's one row
+    val filt = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("p"))
+      .groupBy(col("o_orderkey"))
+      .agg(expr("sum(p) FILTER (WHERE p > 1000000)").as("s"))
+    assert(nAggs(filt) == 1, "FILTER clause must refuse")
+    // an aggregate over a non-attribute child (computed inside the agg)
+    val comp = Tables(s, dir, "orders").groupBy(col("o_orderkey"))
+      .agg(sum(col("o_totalprice") * 2).as("s"))
+    assert(nAggs(comp) == 1, "computed aggregate child must refuse")
+  }
+
+  test("opt15 gate plan carries one aggregate (the outer rollup), not two") {
+    val s = SparkEntry.configure(spark.newSession())
+    val df = SparkEntry.queries("opt15_singleton_agg")(s, dir)
+    assert(nAggs(df) == 1, s"inner singleton rollup survived:\n${df.queryExecution.optimizedPlan}")
+    val off = SparkEntry.configure(spark.newSession())
+    off.conf.set(DistinctEliminationRewrite.ConfKey, "false")
+    // rule-off control of the same two-level query
+    val full = Tables(off, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"), col("o_orderdate"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum(col("price_c")).as("order_total_c"), count(lit(1)).as("n_lines"),
+        min(col("o_orderdate")).as("first_date"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("order_total_c")).as("sum_price_c"), sum(col("n_lines")).as("n_orders"),
+        min(col("first_date")).as("min_date"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+    assert(nAggs(full) == 2, "control: rule-off plan must keep both aggregates")
+    assert(df.collect().toSeq == full.collect().toSeq)
   }
 
   test("a unique-but-nullable column is refused the key contract (null-merge soundness)") {

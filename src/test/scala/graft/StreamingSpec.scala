@@ -638,4 +638,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == beforeN + 5, s"new epoch should add 5 rows: $beforeN -> $after")
     assert(out.nonEmpty)
   }
+
+  test("sw15: streaming SCD2 emits the watermark-closed prefix across batches, " +
+      "timers close idle keys, ties order by event_id, filtered keys stay out") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.StreamingGate
+    val s = SparkEntry.configure(spark.newSession())
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def us(t: String) = ts(t).getTime * 1000L
+    // (event_id, ts, user_id, event_type, value)
+    type E = (Long, Timestamp, Long, String, Double)
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = StreamingGate.scd2Stream(s,
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val q = EventStream.startMemorySink(out, "sw15_pin", OutputMode.Append())
+    def emitted() = s.table("sw15_pin").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
+    try {
+      // batch 1: key (10,click) gets 3 versions; key (20,view) gets a
+      // same-timestamp tie (ids 100,101) plus a successor; user 7 is
+      // outside the user_id % 10 = 0 sample
+      stream.addData(
+        (1L, ts("2024-01-01 10:00:00"), 10L, "click", 1.0): E,
+        (2L, ts("2024-01-01 10:05:00"), 10L, "click", 2.0): E,
+        (3L, ts("2024-01-01 12:00:00"), 10L, "click", 3.0): E,
+        (100L, ts("2024-01-01 10:00:00"), 20L, "view", 9.0): E,
+        (101L, ts("2024-01-01 10:00:00"), 20L, "view", 8.0): E,
+        (102L, ts("2024-01-01 11:00:00"), 20L, "view", 7.0): E,
+        (999L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0): E)
+      q.processAllAvailable()
+      // the data batch advances the watermark to 12:00 − 10 min = 11:50
+      // and the engine's trailing no-data batch fires the armed timers
+      // under it: key 10 seals v1 only (v2's valid_to 12:00 > wm); key
+      // 20's same-timestamp tie seals in event_id order — TIMER path,
+      // the key saw exactly one data batch
+      assert(emitted() == Set(
+        (10L, "click", 1L, 100L, 1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:05:00")),
+        (20L, "view", 100L, 900L, 1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00")),
+        (20L, "view", 101L, 800L, 2L, us("2024-01-01 10:00:00"), us("2024-01-01 11:00:00"))),
+        s"after batch 1: ${emitted()}")
+      // each later batch advances the watermark by an hour and must seal
+      // exactly one more version of key 10 — the contiguous prefix walk
+      stream.addData((4L, ts("2024-01-01 13:00:00"), 10L, "click", 4.0): E)
+      q.processAllAvailable() // wm 12:50 → v2 [10:05, 12:00) seals
+      assert(emitted().count(_._1 == 10L) == 2, s"after batch 2: ${emitted()}")
+      stream.addData((5L, ts("2024-01-01 14:00:00"), 10L, "click", 5.0): E)
+      q.processAllAvailable() // wm 13:50 → v3 [12:00, 13:00) seals
+      stream.addData((6L, ts("2024-01-01 15:00:00"), 10L, "click", 6.0): E)
+      q.processAllAvailable() // wm 14:50 → v4 [13:00, 14:00) seals
+      val fin = emitted()
+      assert(fin.count(_._1 == 10L) == 4 && fin.count(_._1 == 20L) == 2, s"final: $fin")
+      assert(fin.filter(_._1 == 10L).map(r => (r._5, r._3)) ==
+        Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)),
+        "key 10 versions must be the contiguous prefix in event order")
+      assert(!fin.exists(_._1 == 7L), "sampled-out key leaked")
+      // nothing open was emitted: every row's valid_to is a real seal
+      assert(fin.forall(r => r._7 >= r._6), s"interval edges inverted: $fin")
+    } finally q.stop()
+  }
 }
