@@ -2602,6 +2602,98 @@ object Stats extends QueryModule {
        |GROUP BY c_nationkey
        |ORDER BY nation_key NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- dq17
+  /** Sample-cube rollup mergeability — dq16's property for SAMPLES
+    * instead of NDV: the deterministic bottom-k-by-md5 sample
+    * ([[graft.functions.SampleSketch]]) is EXACTLY mergeable, so
+    * per-(nation, segment) samples roll up to per-nation samples equal
+    * to the directly-built ones, and the rolled-up sample's median
+    * tracks the exact median. Because the sample is a pure function of
+    * the data (md5 order, no seed), DuckDB reproduces the IDENTICAL
+    * sample with a window row_number — sample_n and sample_median_c
+    * are exact cross-engine integers, not bounded estimates;
+    * merged_eq_direct is the mergeability claim itself, computed
+    * Spark-side (struct-array equality) and stated TRUE by the oracle.
+    *
+    * Scale posture: the engine side never windows base rows — two
+    * narrow aggregates (level-1 samples, then the state merge) with
+    * map-side trims, kilobytes per group on the shuffle; the window
+    * spelling is the ORACLE's (and the exact median is dq12-style
+    * deliberate ground truth, the expensive half the audit exists to
+    * avoid at scale).
+    */
+  private val Dq17K = 64
+
+  private def sampleRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SampleSketch
+    val base = t(s, dir, "customer").select(
+      col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      md5(concat(lit("s:"), col("c_custkey").cast("string"))).as("h"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+    val level1 = base.groupBy("nat", "seg")
+      .agg(SampleSketch.sampleSet(col("h"), col("bal_c"), Dq17K).as("sk"))
+    val merged = level1.groupBy("nat")
+      .agg(SampleSketch.sampleMergeSets(col("sk"), Dq17K).as("sk_m"))
+    val direct = base.groupBy("nat")
+      .agg(SampleSketch.sampleSet(col("h"), col("bal_c"), Dq17K).as("sk_d"),
+        count(lit(1)).as("n_customers"))
+    // exact median (lower middle of the sorted multiset): the dq12-style
+    // exact ground truth beside the sketch — deliberately the expensive
+    // window spelling
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nat").orderBy(col("bal_c").asc_nulls_first)
+    val exact = base
+      .select(col("nat"), col("bal_c"), row_number().over(w).as("rn"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("nat")).as("cnt"))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .select(col("nat"), col("bal_c").as("exact_median_c"))
+    direct.as("d")
+      .join(broadcast(merged.as("m")), col("d.nat") <=> col("m.nat"))
+      .join(broadcast(exact.as("e")), col("d.nat") <=> col("e.nat"))
+      .select(
+        col("d.nat").as("nation_key"),
+        col("n_customers"),
+        size(col("sk_d")).cast("long").as("sample_n"),
+        expr("element_at(array_sort(transform(sk_d, x -> x.v)), CAST((size(sk_d) + 1) DIV 2 AS INT))")
+          .as("sample_median_c"),
+        col("exact_median_c"),
+        (col("sk_m") === col("sk_d")).as("merged_eq_direct"))
+      .orderBy(col("nation_key").asc_nulls_first)
+  }
+
+  private val sampleRollupSql =
+    s"""WITH base AS (
+       |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+       |    md5('s:' || CAST(c_custkey AS VARCHAR)) AS h,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+       |  FROM customer),
+       |ranked AS (
+       |  SELECT nat, bal_c,
+       |    row_number() OVER (PARTITION BY nat ORDER BY h, bal_c) AS srn
+       |  FROM base),
+       |samp AS (SELECT nat, bal_c FROM ranked WHERE srn <= $Dq17K),
+       |smed AS (
+       |  SELECT nat, bal_c AS sample_median_c, n AS sample_n FROM (
+       |    SELECT nat, bal_c,
+       |      row_number() OVER (PARTITION BY nat ORDER BY bal_c NULLS FIRST) AS rn,
+       |      CAST(COUNT(*) OVER (PARTITION BY nat) AS BIGINT) AS n
+       |    FROM samp)
+       |  WHERE rn = (n + 1) // 2),
+       |emed AS (
+       |  SELECT nat, bal_c AS exact_median_c, n AS n_customers FROM (
+       |    SELECT nat, bal_c,
+       |      row_number() OVER (PARTITION BY nat ORDER BY bal_c NULLS FIRST) AS rn,
+       |      CAST(COUNT(*) OVER (PARTITION BY nat) AS BIGINT) AS n
+       |    FROM base)
+       |  WHERE rn = (n + 1) // 2)
+       |SELECT e.nat AS nation_key, e.n_customers, s.sample_n,
+       |  s.sample_median_c, e.exact_median_c,
+       |  TRUE AS merged_eq_direct
+       |FROM emed e JOIN smed s ON e.nat = s.nat
+       |ORDER BY nation_key NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- priv1
   /** k-anonymity / l-diversity audit — the privacy census a pipeline
     * runs BEFORE releasing a training slice that carries person-level
@@ -2849,6 +2941,7 @@ object Stats extends QueryModule {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv3_t_closeness" -> (tCloseness _),
+    "dq17_sample_rollup" -> (sampleRollup _),
     "priv2_generalization" -> (generalizationLadder _),
     "priv1_k_anonymity" -> (kAnonymity _),
     "dq16_sketch_rollup" -> (sketchRollup _),
@@ -2916,6 +3009,7 @@ object Stats extends QueryModule {
     "priv1_k_anonymity" -> kAnonymitySql,
     "priv2_generalization" -> generalizationLadderSql,
     "priv3_t_closeness" -> tClosenessSql,
+    "dq17_sample_rollup" -> sampleRollupSql,
     "dq16_sketch_rollup" -> sketchRollupSql,
     "dq12_join_cardinality" -> joinCardinalitySql,
     "dq13_estimator_regime" -> estimatorRegimeSql,

@@ -1034,6 +1034,72 @@ object Text extends QueryModule {
       |GROUP BY b.doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- tx20
+  /** Character-diversity quality signal — the inverse-Simpson
+    * "effective alphabet" per document, the rational surrogate of
+    * character entropy (bit-stable logs don't exist across engines;
+    * 1/Σpᵢ² ranks the same degenerate tails −Σp·ln p does): a document
+    * whose cleaned text concentrates on a handful of characters
+    * (keyboard mashing, padding runs, separator soup) scores a small
+    * effective alphabet no word-level filter sees. All integer —
+    * eff·1000 = n²·1000 DIV Σcᵢ² over per-character counts cᵢ of the
+    * [a-z ]-sanitized lowercase text (ASCII-safe split on both
+    * engines).
+    *
+    * Scale posture: the whole histogram is computed PER ROW inside one
+    * codegen expression chain (sort chars → run boundaries → Σlen²
+    * via HOFs) — no explode, no (doc, char)-grain shuffle, nothing but
+    * the final sort; the DuckDB oracle executes the RELATIONAL
+    * spelling (unnest → group by doc×char → Σk²), so the hash match
+    * proves the per-row kernel equals the straightforward aggregation.
+    */
+  private def charDiversity(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""filter(split(regexp_replace(lower(text), '[^a-z ]', ''), ''),
+                       c -> c != '')""").as("cs"))
+      .filter(size(col("cs")) > 0)
+      .select(col("doc_id"),
+        expr("CAST(size(cs) AS BIGINT)").as("n_chars"),
+        expr("array_sort(cs)").as("s"))
+      // run boundaries of the sorted char array: positions where the
+      // value changes; run lengths are adjacent boundary differences
+      .select(col("doc_id"), col("n_chars"),
+        expr("""filter(sequence(1, CAST(n_chars AS INT)),
+                       i -> i = 1 OR element_at(s, i) != element_at(s, i - 1))""")
+          .as("starts"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("CAST(size(starts) AS BIGINT)").as("distinct_chars"),
+        expr("""aggregate(
+                  zip_with(starts,
+                           concat(slice(starts, 2, size(starts) - 1),
+                                  array(CAST(n_chars AS INT) + 1)),
+                           (a, b) -> CAST(b - a AS BIGINT) * CAST(b - a AS BIGINT)),
+                  0L, (acc, x) -> acc + x)""").as("s2"))
+      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+        expr("n_chars * n_chars * 1000 DIV s2").as("eff_alpha_milli"),
+        expr("n_chars * n_chars * 1000 DIV s2 < 5000").as("low_diversity"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val charDiversitySql =
+    """WITH ch AS (
+      |  SELECT doc_id, c
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), '')) AS c
+      |        FROM documents)
+      |  WHERE c <> ''),
+      |h AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c),
+      |agg AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+      |          CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+      |          CAST(SUM(k * k) AS BIGINT) AS s2
+      |        FROM h GROUP BY doc_id)
+      |SELECT doc_id, n_chars, distinct_chars,
+      |  CAST(n_chars * n_chars * 1000 // s2 AS BIGINT) AS eff_alpha_milli,
+      |  n_chars * n_chars * 1000 // s2 < 5000 AS low_diversity
+      |FROM agg
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- tx15
   /** Mixed-language (code-switching / concatenation) detection — the
     * quality gate tx3's whole-document argmax cannot express: a document
@@ -1668,6 +1734,7 @@ object Text extends QueryModule {
     "tok2_bpe_segment" -> (bpeApply _),
     "tok3_vocab_coverage" -> (vocabCoverage _),
     "tx15_mixed_lang" -> (mixedLang _),
+    "tx20_char_diversity" -> (charDiversity _),
     "tx14_bigram_familiarity" -> (bigramFamiliarity _),
     "tx19_conditional_surprise" -> (conditionalSurprise _),
     "tx13_rarity_score" -> (rarityScore _),
@@ -1696,6 +1763,7 @@ object Text extends QueryModule {
     "tok2_bpe_segment" -> bpeApplySql,
     "tok3_vocab_coverage" -> vocabCoverageSql,
     "tx15_mixed_lang" -> mixedLangSql,
+    "tx20_char_diversity" -> charDiversitySql,
     "tx14_bigram_familiarity" -> bigramFamiliaritySql,
     "tx19_conditional_surprise" -> conditionalSurpriseSql,
     "tx13_rarity_score" -> rarityScoreSql,
