@@ -740,9 +740,16 @@ object Dedup extends QueryModule {
   private def docStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val fileSchema = s.read.parquet(path).schema
-    s.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      .select(col("doc_id"), col("text"))
+    // plain-file table → name glob over the shared dir; ScaleGen-built
+    // DIRECTORY table → point at it directly (the name glob matches no
+    // part file — StreamingGate.eventStream has the full story)
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        s.readStream.schema(fileSchema)
+          .option("pathGlobFilter", "*.parquet").parquet(path)
+      else s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    raw.select(col("doc_id"), col("text"))
   }
 
   private def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {

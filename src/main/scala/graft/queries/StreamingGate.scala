@@ -33,10 +33,20 @@ object StreamingGate extends QueryModule {
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val fileSchema = s.read.parquet(path).schema
-    // the file stream source requires a directory path; select the one
-    // table out of the shared testdata dir with a glob filter
-    val raw = s.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // the file stream source requires a DIRECTORY path. The driver's
+    // testdata ships each table as a single plain FILE, so the stream
+    // points at the shared dir with a name glob; a ScaleGen-built table
+    // is a Spark-written DIRECTORY of part files, where that same glob
+    // matches NOTHING (pathGlobFilter tests leaf file names) — the
+    // sf1+ pressure probes of every sw entry were silently reading
+    // zero rows until this branch (round-15 find). Point at the table
+    // directory itself in that case.
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        s.readStream.schema(fileSchema)
+          .option("pathGlobFilter", "*.parquet").parquet(path)
+      else s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
     val ts = fileSchema("ts").dataType match {
       case LongType => timestamp_micros(expr("ts DIV 1000"))
       case _        => col("ts").cast(TimestampType)
