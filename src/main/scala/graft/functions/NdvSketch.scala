@@ -75,7 +75,17 @@ private[graft] object KmvCore {
 
   private def append(b: KmvBuf, f: Long, k: Int): KmvBuf = {
     val cap = 2 * k
-    val buf = if (b.arr.length == 0) b.copy(arr = new Array[Long](cap)) else b
+    // grow the pool PROGRESSIVELY (64 → ×2 → cap), never upfront: the
+    // buffer encoder serializes the WHOLE array, so an upfront 2k-long
+    // pool made every low-cardinality group ship 16 KB·k/8192 of zeros
+    // per serialization boundary — in sw6's streaming state that was
+    // ~131 KB per (window × micro-batch) for ~140 users (round-15
+    // find). Groups that genuinely reach cap keep the full pool.
+    val buf =
+      if (b.arr.length == 0) b.copy(arr = new Array[Long](math.min(64, cap)))
+      else if (b.n == b.arr.length && b.arr.length < cap)
+        b.copy(arr = java.util.Arrays.copyOf(b.arr, math.min(b.arr.length * 2L, cap.toLong).toInt))
+      else b
     buf.arr(buf.n) = f
     val grown = buf.copy(n = buf.n + 1)
     if (grown.n == cap) compact(grown, k) else grown
@@ -108,7 +118,9 @@ private[graft] object KmvCore {
     if (cy.n == 0) cx
     else if (cx.n == 0) cy
     else {
-      val pool = new Array[Long]((2 * k).max(cx.n + cy.n))
+      // exact-size pool (same serialization-bloat reasoning as append's
+      // progressive growth); a later append grows it if needed
+      val pool = new Array[Long](cx.n + cy.n)
       System.arraycopy(cx.arr, 0, pool, 0, cx.n)
       System.arraycopy(cy.arr, 0, pool, cx.n, cy.n)
       compact(KmvBuf(cx.n + cy.n, math.min(cx.theta, cy.theta), pool), k)
