@@ -773,6 +773,100 @@ object Linkage extends QueryModule {
        |GROUP BY seg
        |ORDER BY seg NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- er3
+  /** Blocking-quality audit — the metrics that justify er1's blocking
+    * choice, computed BEFORE any matcher runs (Christen's framework):
+    * per scheme, PAIR COMPLETENESS (fraction of true twin pairs the
+    * blocks keep together — recall's hard ceiling: a twin split across
+    * blocks can never be matched) and REDUCTION RATIO (1 − candidates
+    * ÷ all-pairs — the work the blocks save). Two schemes face off:
+    * er1's perturbation-IMMUNE (nat, ⌊bal⌋) block, and the naive
+    * name-prefix-12 block the perturbation breaks whenever the
+    * substituted position falls inside the prefix (key-dependent
+    * position 11+k%8, so k%8 ∈ {0,1} splits — PC lands near 750‰, the
+    * measured cost of blocking on a noisy attribute).
+    *
+    * Scale posture — the audit itself must not do the work it grades:
+    * candidates are counted as a BLOCK-CENSUS PRODUCT-SUM
+    * (Σ_b cnt_clean(b)·cnt_dirty(b) over per-side aggregates), never a
+    * materialized pair join; completeness is a per-ROW expression
+    * (twin rows derive from one registry row, so co-blocking is a
+    * same-row comparison). Two hash aggregates and a 2-row output, at
+    * any scale.
+    */
+  private def blockingAudit(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    // the er1 fixture, restated: clean = registry; dirty = one char
+    // substituted at position 11 + k%8; ids offset (unused here — the
+    // twin test is same-row)
+    val base = c.select(
+      col("c_custkey").as("k"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"),
+      floor(col("c_acctbal")).cast(LongType).as("bal"),
+      expr("""concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
+                     substr(c_name, CAST(12 + (c_custkey % 8) AS INT)))""").as("dname"))
+    def audit(scheme: String, cleanKey: Column, dirtyKey: Column): DataFrame = {
+      val withKeys = base.select(col("k"), cleanKey.as("cb"), dirtyKey.as("db"))
+      val nRows = withKeys.agg(count(lit(1)).as("n")).select(col("n"))
+      val cBlocks = withKeys.groupBy(col("cb").as("b")).agg(count(lit(1)).as("nc"))
+      val dBlocks = withKeys.groupBy(col("db").as("b")).agg(count(lit(1)).as("nd"))
+      val cand = cBlocks.join(dBlocks, Seq("b"))
+        .agg(coalesce(sum(col("nc") * col("nd")), lit(0L)).as("n_candidates"),
+          count(lit(1)).as("n_blocks"))
+      val pc = withKeys
+        .agg(count(lit(1)).as("n_twins"),
+          sum(when(col("cb") <=> col("db"), 1L).otherwise(0L)).as("n_coblocked"))
+      cand.crossJoin(pc).crossJoin(nRows) // three one-row frames
+        .select(
+          lit(scheme).as("scheme"), col("n_blocks"), col("n_candidates"),
+          expr("(1000 * n_coblocked) DIV n_twins").as("pair_completeness_milli"),
+          expr("1000 - (1000 * n_candidates) DIV (n * n)").as("reduction_milli"))
+    }
+    audit("immune_nat_bal",
+      concat_ws("|", col("nat"), col("bal")),
+      concat_ws("|", col("nat"), col("bal")))
+      .unionByName(audit("naive_name_prefix",
+        substring(col("name"), 1, 12), substring(col("dname"), 1, 12)))
+      .orderBy(col("scheme").asc_nulls_first)
+  }
+
+  private val blockingAuditSql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
+      |    CAST(floor(c_acctbal) AS BIGINT) AS bal,
+      |    concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
+      |           substr(c_name, CAST(12 + (c_custkey % 8) AS INT))) AS dname
+      |  FROM customer),
+      |k1 AS (SELECT k, concat_ws('|', nat, bal) AS cb, concat_ws('|', nat, bal) AS db
+      |       FROM base),
+      |k2 AS (SELECT k, substr(name, 1, 12) AS cb, substr(dname, 1, 12) AS db
+      |       FROM base),
+      |a1 AS (
+      |  SELECT 'immune_nat_bal' AS scheme,
+      |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |    CAST(COALESCE(SUM(nc * nd), 0) AS BIGINT) AS n_candidates
+      |  FROM (SELECT cb AS b, COUNT(*) AS nc FROM k1 GROUP BY cb) c
+      |  JOIN (SELECT db AS b, COUNT(*) AS nd FROM k1 GROUP BY db) d USING (b)),
+      |a2 AS (
+      |  SELECT 'naive_name_prefix' AS scheme,
+      |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |    CAST(COALESCE(SUM(nc * nd), 0) AS BIGINT) AS n_candidates
+      |  FROM (SELECT cb AS b, COUNT(*) AS nc FROM k2 GROUP BY cb) c
+      |  JOIN (SELECT db AS b, COUNT(*) AS nd FROM k2 GROUP BY db) d USING (b)),
+      |p1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
+      |         CAST(SUM(CASE WHEN cb = db THEN 1 ELSE 0 END) AS BIGINT) AS n_coblocked
+      |       FROM k1),
+      |p2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
+      |         CAST(SUM(CASE WHEN cb = db THEN 1 ELSE 0 END) AS BIGINT) AS n_coblocked
+      |       FROM k2),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
+      |SELECT scheme, n_blocks, n_candidates,
+      |  CAST((1000 * n_coblocked) // n_twins AS BIGINT) AS pair_completeness_milli,
+      |  CAST(1000 - (1000 * n_candidates) // (n.n * n.n) AS BIGINT) AS reduction_milli
+      |FROM (SELECT a1.*, p1.* FROM a1, p1
+      |      UNION ALL SELECT a2.*, p2.* FROM a2, p2), n
+      |ORDER BY scheme NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- er2
   /** Golden-record survivorship — the full MDM shape er1 feeds:
     * THREE sources (the registry plus two independently corrupted
@@ -874,6 +968,7 @@ object Linkage extends QueryModule {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_entity_resolution" -> (entityResolve _),
+    "er3_blocking_audit" -> (blockingAudit _),
     "er2_golden_record" -> (goldenRecord _),
     "inc1_agg_refresh" -> (aggRefresh _),
     "inc2_join_refresh" -> (joinRefresh _),
@@ -891,6 +986,7 @@ object Linkage extends QueryModule {
     "fz1_fuzzy_join" -> fuzzyJoinSql,
     "cdc5_scd2_tombstones" -> scd2TombstonesSql,
     "er1_entity_resolution" -> entityResolveSql,
+    "er3_blocking_audit" -> blockingAuditSql,
     "er2_golden_record" -> goldenRecordSql,
     "inc1_agg_refresh" -> aggRefreshSql,
     "inc2_join_refresh" -> joinRefreshSql,
