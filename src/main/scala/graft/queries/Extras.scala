@@ -2347,13 +2347,13 @@ object Extras extends QueryModule {
       "graft_inc5_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
         "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
 
-  /** The refresh algebra, shared with IncMinMaxSpec: returns
-    * (refreshed summary, affected-group count, groups-with-deletes
-    * count, total group count) — the last three collected for the
-    * spec's partiality pins (bounded: ≤ the 100-group key domain).
+  /** The refresh algebra, shared with IncMinMaxSpec: returns the
+    * refreshed summary plus the LAZY audit frames (affected keys,
+    * groups-with-deletes, all groups) the spec counts for its
+    * partiality pins — lazy, so the gate path executes none of them.
     */
   private[graft] def minMaxRefresh(s: SparkSession, dir: String)
-      : (DataFrame, Long, Long, Long) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val grp = (expr("l_suppkey % 100")).as("grp")
     def rows(df: DataFrame) = df.select(grp, mvPriceCents.as("price_c"))
     val isDel = col("l_orderkey") % 11 === 0
@@ -2386,10 +2386,7 @@ object Extras extends QueryModule {
           .as("min_price_c"),
         when(col("affected"), col("rmax")).otherwise(col("max_price_c"))
           .as("max_price_c"))
-    val nAffected = affectedKeys.count()
-    val nWithDeletes = dels.count()
-    val nGroups = committed.count()
-    (refreshed, nAffected, nWithDeletes, nGroups)
+    (refreshed, affectedKeys, dels, committed)
   }
 
   private def minMaxIvm(s: SparkSession, dir: String): DataFrame = {
@@ -2398,7 +2395,7 @@ object Extras extends QueryModule {
     inc5Built.synchronized {
       if (!inc5Built.contains(root)) {
         VersionedTable.drop(s, root)
-        val (refreshed, _, _, _) = minMaxRefresh(s, dir)
+        val (refreshed, _, _, _) = minMaxRefresh(s, dir) // audit frames stay lazy here
         VersionedTable.publish(s, root, refreshed)
         inc5Built += root
         ()

@@ -55,6 +55,92 @@ object Sampling extends QueryModule {
        |  CASE WHEN lang = 'en' THEN '$EnThreshold' ELSE '$DefaultThreshold' END
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- ds12
+  /** JOIN-CONSISTENT sampling — the multi-table property ds1's per-row
+    * hash gate cannot give: sampling orders and lineitems
+    * INDEPENDENTLY at rate p keeps only p² of the joined pairs and
+    * biases every per-order statistic computed from the sample.
+    * Keying BOTH tables' admission on the same hash of the JOIN KEY
+    * (md5 of o_orderkey / l_orderkey, one threshold) makes the two
+    * samples co-admit entire order groups, so
+    * sample(orders) ⋈ sample(lineitem) ≡ sample(orders ⋈ lineitem) —
+    * the universe-sampling identity (Σ-consistent sampling; what
+    * BlinkDB-style engines call a key universe). The entry audits the
+    * identity it claims: the per-priority census over the joined
+    * sample carries orders whose EVERY lineitem survived
+    * (complete_orders = orders, a vacuous-looking equality that an
+    * independent per-row sample visibly breaks), and the oracle
+    * recomputes the same census from the raw join under the same key
+    * gate.
+    *
+    * Scale posture: the gate is a per-row codegen predicate pushed at
+    * both scans — no shuffle added, the join keeps its key
+    * partitioning, and the sampled fraction (~1/8) flows through the
+    * same broadcast/shuffle plan the full join would use.
+    */
+  private val JoinSampleThreshold = "20" // 32/256 = 12.5% of the key universe
+
+  private def consistentSample(s: SparkSession, dir: String): DataFrame = {
+    def admit(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      substring(md5(concat(lit("u:"), key.cast("string"))), 1, 2) <
+        lit(JoinSampleThreshold)
+    val o = Tables(s, dir, "orders").filter(admit(col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables(s, dir, "lineitem").filter(admit(col("l_orderkey")))
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+    val perOrder = o.join(li, Seq("o_orderkey"), "left")
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(col("price_c")).as("n_lines"), // 0 for lineitem-less orders
+        coalesce(sum(col("price_c")), lit(0L)).as("order_price_c"))
+    // the audit half: admitted orders' sampled line counts vs their
+    // FULL-table line counts — the identity makes every order complete
+    // (computed on both engines, not asserted; an independent per-row
+    // sample visibly breaks it — ConsistentSampleSpec's control). The
+    // full-count side re-reads lineitem: audit cost, not production
+    // cost — the identity itself adds only the scan predicate.
+    val fullCnt = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("full_lines"))
+    perOrder.join(fullCnt, Seq("o_orderkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("order_price_c")).as("sum_price_c"),
+        sum(when(col("n_lines") =!= coalesce(col("full_lines"), lit(0L)), 1L)
+          .otherwise(0L)).as("n_incomplete_orders"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val consistentSampleSql =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderpriority FROM orders
+       |  WHERE substr(md5('u:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '$JoinSampleThreshold'),
+       |li AS (
+       |  SELECT l_orderkey AS o_orderkey,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+       |  FROM lineitem
+       |  WHERE substr(md5('u:' || CAST(l_orderkey AS VARCHAR)), 1, 2) < '$JoinSampleThreshold'),
+       |per_order AS (
+       |  SELECT o.o_orderkey, o.o_orderpriority,
+       |    CAST(COUNT(li.price_c) AS BIGINT) AS n_lines,
+       |    CAST(COALESCE(SUM(li.price_c), 0) AS BIGINT) AS order_price_c
+       |  FROM o LEFT JOIN li USING (o_orderkey)
+       |  GROUP BY o.o_orderkey, o.o_orderpriority),
+       |full_cnt AS (
+       |  SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT) AS full_lines
+       |  FROM lineitem GROUP BY l_orderkey)
+       |SELECT o_orderpriority,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       |  CAST(SUM(order_price_c) AS BIGINT) AS sum_price_c,
+       |  CAST(SUM(CASE WHEN n_lines <> COALESCE(full_lines, 0) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_incomplete_orders
+       |FROM per_order LEFT JOIN full_cnt USING (o_orderkey)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- ds11
   /** Temporal train/val/test split with a leakage audit — the OTHER split
     * axis a training pipeline needs beside ds1's hash split: evaluation
@@ -581,6 +667,7 @@ object Sampling extends QueryModule {
       "ds7_interleave_shards" -> (interleaveShards _),
       "ds5_token_budget_mix" -> (tokenBudgetMix _),
       "ds1_stratified_sample" -> (stratifiedSample _),
+      "ds12_consistent_sample" -> (consistentSample _),
       "ds11_time_split" -> (timeSplit _),
       "ds2_topk_sample" -> (topkSample _),
       "ds3_weighted_sample" -> (weightedSample _),
@@ -595,6 +682,7 @@ object Sampling extends QueryModule {
       "ds7_interleave_shards" -> interleaveShardsSql,
       "ds5_token_budget_mix" -> tokenBudgetMixSql,
       "ds1_stratified_sample" -> stratifiedSampleSql,
+      "ds12_consistent_sample" -> consistentSampleSql,
       "ds11_time_split" -> timeSplitSql,
       "ds2_topk_sample" -> topkSampleSql,
       "ds3_weighted_sample" -> weightedSampleSql,

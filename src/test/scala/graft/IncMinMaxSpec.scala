@@ -16,8 +16,10 @@ class IncMinMaxSpec extends AnyFunSuite {
 
   test("the affected set is partial, and refresh ≡ rebuild") {
     val s = SparkEntry.configure(spark.newSession())
-    val (refreshed, nAffected, nWithDeletes, nGroups) =
+    val (refreshed, affectedKeys, dels, committed) =
       graft.queries.Extras.minMaxRefresh(s, dir)
+    val (nAffected, nWithDeletes, nGroups) =
+      (affectedKeys.count(), dels.count(), committed.count())
     assert(nAffected > 0, "no group needed a re-scan — the tie flag is dead")
     assert(nAffected < nGroups, "every group re-scanned — pruning is vacuous")
     // the sharper pin: pruning must beat the trivial 'groups with any
