@@ -70,9 +70,12 @@ object DistinctEliminationRewrite extends Rule[LogicalPlan] {
     *   avg(x)  = CAST(x AS DOUBLE)              (same allowlist)
     *   count(…) = 1 when no argument can be null, else
     *              IF(any arg IS NULL, 0, 1)
-    * DISTINCT variants are identity over one row, so they collapse the
-    * same way; a FILTER clause could exclude THE row and refuses.
-    * Returns None on anything else — refusal keeps the aggregate.
+    * DISTINCT variants of sum/avg/min/max/count are identity over one
+    * row and collapse the same way; first/last cannot legally be
+    * DISTINCT, so their guard refuses it defensively rather than
+    * reasoning about a shape the analyzer never emits. A FILTER clause
+    * could exclude THE row and refuses. Returns None on anything
+    * else — refusal keeps the aggregate.
     */
   private def collapsed(fn: Expression, distinct: Boolean): Option[Expression] = {
     // exact-cast allowlist for sum/avg result widening

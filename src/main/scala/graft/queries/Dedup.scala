@@ -737,20 +737,9 @@ object Dedup extends QueryModule {
     * a Bloom false positive leaking past the verify join, a dropped
     * micro-batch, or stale complete-mode state all shift a count.
     */
-  private def docStream(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    val fileSchema = s.read.parquet(path).schema
-    // plain-file table → name glob over the shared dir; ScaleGen-built
-    // DIRECTORY table → point at it directly (the name glob matches no
-    // part file — StreamingGate.eventStream has the full story)
-    val raw =
-      if (new java.io.File(path).isDirectory)
-        s.readStream.schema(fileSchema)
-          .option("pathGlobFilter", "*.parquet").parquet(path)
-      else s.readStream.schema(fileSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    raw.select(col("doc_id"), col("text"))
-  }
+  private def docStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.streamSource(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
 
   private def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}

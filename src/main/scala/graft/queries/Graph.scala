@@ -353,8 +353,19 @@ object Graph extends QueryModule {
     *   for ContextCleaner GC (ADVICE r05: high-diameter runs accumulate
     *   sweep blocks in executor storage).
     */
+  /** `initMass`/`teleport` parameterize the restart distribution as
+    * functions of the node column: pr1's globals are the defaults
+    * (uniform init, constant teleport — the expression trees are
+    * unchanged, so pr1's plan is bit-identical to the pre-g9 one), and
+    * g9 passes the seed-set variants — ONE sweep machinery, including
+    * the iters>[[PrIters]] checkpoint/release path both callers get.
+    */
   private[graft] def pageRankSized(
-      s: SparkSession, dir: String, iters: Int, maxBroadcastEdges: Long): DataFrame = {
+      s: SparkSession, dir: String, iters: Int, maxBroadcastEdges: Long,
+      initMass: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ => lit(1000000L),
+      teleport: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ => lit(150000L)): DataFrame = {
     val edges = directedEdges(s, dir)
     // measured state-broadcast gate; the count reads the cache the
     // directedEdges build just materialized, so it is metadata-cheap
@@ -364,7 +375,7 @@ object Graph extends QueryModule {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val checkpointed = iters > PrIters && !planOnly(s)
 
-    var masses = deg.select(col("node"), lit(1000000L).as("mass"), col("deg"))
+    var masses = deg.select(col("node"), initMass(col("node")).as("mass"), col("deg"))
     var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
     for (_ <- 1 to iters) {
       val state = masses.withColumnRenamed("node", "src")
@@ -372,7 +383,7 @@ object Graph extends QueryModule {
         .join(if (broadcastState) broadcast(state) else state, Seq("src"))
         .select(col("dst").as("node"), expr("mass DIV deg").as("contrib"))
         .groupBy("node")
-        .agg((lit(150000L) + expr("(sum(contrib) * 85) DIV 100")).as("mass"))
+        .agg((teleport(col("node")) + expr("(sum(contrib) * 85) DIV 100")).as("mass"))
       masses = next.join(if (broadcastState) broadcast(deg) else deg, Seq("node"))
       if (checkpointed) {
         masses = masses.localCheckpoint() // eager: materializes the sweep
@@ -385,17 +396,20 @@ object Graph extends QueryModule {
       .limit(PrTopK)
   }
 
-  private def prSweepSql(prev: String, next: String): String =
+  private def prSweepSql(prev: String, next: String, teleportSql: String): String =
     s"""$next AS (
        |  SELECT e.dst AS node,
-       |    CAST(150000 + (SUM(m.mass // m.deg) * 85) // 100 AS BIGINT) AS mass
+       |    CAST($teleportSql + (SUM(m.mass // m.deg) * 85) // 100 AS BIGINT) AS mass
        |  FROM edges e JOIN $prev m ON e.src = m.node GROUP BY e.dst),
        |${next}d AS (SELECT $next.node, $next.mass, deg.deg
        |             FROM $next JOIN deg ON $next.node = deg.node)""".stripMargin
 
-  private val pageRankSql = {
+  /** The oracle twin of [[pageRankSized]]'s parameterization: one CTE
+    * unroll, the restart distribution injected as SQL fragments.
+    */
+  private def pageRankSqlWith(initMassSql: String, teleportSql: String): String = {
     val sweeps = (1 to PrIters)
-      .map(i => prSweepSql(s"m${i - 1}d", s"m$i")).mkString(",\n")
+      .map(i => prSweepSql(s"m${i - 1}d", s"m$i", teleportSql)).mkString(",\n")
     s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |und AS (
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -405,11 +419,13 @@ object Graph extends QueryModule {
        |          UNION ALL SELECT v, u FROM und),
        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
        |        FROM edges GROUP BY src),
-       |m0d AS (SELECT node, CAST(1000000 AS BIGINT) AS mass, deg FROM deg),
+       |m0d AS (SELECT node, CAST($initMassSql AS BIGINT) AS mass, deg FROM deg),
        |$sweeps
        |SELECT node, mass FROM m${PrIters}d
        |ORDER BY mass DESC NULLS FIRST, node NULLS FIRST LIMIT $PrTopK""".stripMargin
   }
+
+  private val pageRankSql = pageRankSqlWith("1000000", "150000")
 
   // ---------------------------------------------------------------- g9
   /** PERSONALIZED PageRank — pr1 with the teleport restricted to a
@@ -430,59 +446,14 @@ object Graph extends QueryModule {
     * the seed indicator is an expression over the node id, costing
     * nothing. Top-20 by final mass bounds output.
     */
-  private def personalizedPageRank(s: SparkSession, dir: String): DataFrame = {
-    val edges = directedEdges(s, dir)
-    val broadcastState = planOnly(s) || edges.count() <= StateBroadcastMaxEdges
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // read 4×: every sweep + init
-    def teleport(node: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(node % 50 === 0, lit(150000L)).otherwise(lit(0L))
-    var masses = deg.select(col("node"),
-      when(col("node") % 50 === 0, lit(1000000L)).otherwise(lit(0L)).as("mass"),
-      col("deg"))
-    for (_ <- 1 to PrIters) {
-      val state = masses.withColumnRenamed("node", "src")
-      val next = edges
-        .join(if (broadcastState) broadcast(state) else state, Seq("src"))
-        .select(col("dst").as("node"), expr("mass DIV deg").as("contrib"))
-        .groupBy("node")
-        .agg((teleport(col("node")) + expr("(sum(contrib) * 85) DIV 100")).as("mass"))
-      masses = next.join(if (broadcastState) broadcast(deg) else deg, Seq("node"))
-    }
-    masses.select(col("node"), col("mass"))
-      .orderBy(col("mass").desc_nulls_first, col("node").asc_nulls_first)
-      .limit(PrTopK)
-  }
+  private def personalizedPageRank(s: SparkSession, dir: String): DataFrame =
+    pageRankSized(s, dir, PrIters, StateBroadcastMaxEdges,
+      initMass = n => when(n % 50 === 0, lit(1000000L)).otherwise(lit(0L)),
+      teleport = n => when(n % 50 === 0, lit(150000L)).otherwise(lit(0L)))
 
-  private def pprSweepSql(prev: String, next: String): String =
-    s"""$next AS (
-       |  SELECT e.dst AS node,
-       |    CAST(CASE WHEN e.dst % 50 = 0 THEN 150000 ELSE 0 END
-       |      + (SUM(m.mass // m.deg) * 85) // 100 AS BIGINT) AS mass
-       |  FROM edges e JOIN $prev m ON e.src = m.node GROUP BY e.dst),
-       |${next}d AS (SELECT $next.node, $next.mass, deg.deg
-       |             FROM $next JOIN deg ON $next.node = deg.node)""".stripMargin
-
-  private val personalizedPageRankSql = {
-    val sweeps = (1 to PrIters)
-      .map(i => pprSweepSql(s"m${i - 1}d", s"m$i")).mkString(",\n")
-    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |und AS (
-       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
-       |                     AND a.l_partkey < b.l_partkey),
-       |edges AS (SELECT u AS src, v AS dst FROM und
-       |          UNION ALL SELECT v, u FROM und),
-       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
-       |        FROM edges GROUP BY src),
-       |m0d AS (SELECT node,
-       |          CAST(CASE WHEN node % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT)
-       |            AS mass, deg FROM deg),
-       |$sweeps
-       |SELECT node, mass FROM m${PrIters}d
-       |ORDER BY mass DESC NULLS FIRST, node NULLS FIRST LIMIT $PrTopK""".stripMargin
-  }
+  private val personalizedPageRankSql = pageRankSqlWith(
+    initMassSql = "CASE WHEN node % 50 = 0 THEN 1000000 ELSE 0 END",
+    teleportSql = "CASE WHEN e.dst % 50 = 0 THEN 150000 ELSE 0 END")
 
   // ---------------------------------------------------------------- g7
   /** Label-propagation communities (synchronous LPA) — the community

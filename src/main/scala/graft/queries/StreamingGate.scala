@@ -31,23 +31,11 @@ object StreamingGate extends QueryModule {
     * session type exactly like the batch loader so both engines agree.
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val fileSchema = s.read.parquet(path).schema
-    // the file stream source requires a DIRECTORY path. The driver's
-    // testdata ships each table as a single plain FILE, so the stream
-    // points at the shared dir with a name glob; a ScaleGen-built table
-    // is a Spark-written DIRECTORY of part files, where that same glob
-    // matches NOTHING (pathGlobFilter tests leaf file names) — the
-    // sf1+ pressure probes of every sw entry were silently reading
-    // zero rows until this branch (round-15 find). Point at the table
-    // directory itself in that case.
-    val raw =
-      if (new java.io.File(path).isDirectory)
-        s.readStream.schema(fileSchema)
-          .option("pathGlobFilter", "*.parquet").parquet(path)
-      else s.readStream.schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val ts = fileSchema("ts").dataType match {
+    // both table layouts (plain file / part-file directory) stream via
+    // the shared source helper — graft.streaming.EventStream.streamSource
+    // has the story
+    val raw = graft.streaming.EventStream.streamSource(s, dir, "events")
+    val ts = raw.schema("ts").dataType match {
       case LongType => timestamp_micros(expr("ts DIV 1000"))
       case _        => col("ts").cast(TimestampType)
     }
@@ -671,8 +659,14 @@ object StreamingGate extends QueryModule {
     * future event can land inside the interval or reorder it.
     *
     * Append-mode contract (the oracle states it portably): a history
-    * row is emitted iff `valid_to_us ≤ final watermark`; open (
-    * is_current) rows stay in state, unemitted. Because valid_to is
+    * row is emitted iff `valid_to_us ≤ final watermark`, where the
+    * watermark is stated at Spark's MILLISECOND resolution —
+    * `(max(es) // 1000 − delay_ms) · 1000` — because the engine tracks
+    * event-time stats in ms (`getCurrentWatermarkMs`); a raw-µs oracle
+    * watermark would sit up to 999 µs ABOVE the engine's and claim
+    * rows the engine correctly still holds (review find — latent on
+    * today's data, armed by any regeneration). Open (is_current) rows
+    * stay in state, unemitted. Because valid_to is
     * nondecreasing along each key's history, the emitted set is a
     * PREFIX of the batch history and the in-state version counter
     * reproduces the batch `row_number` exactly — a hash match proves
@@ -760,7 +754,7 @@ object StreamingGate extends QueryModule {
       |  SELECT user_id, event_type, event_id, epoch_us(ts) AS es,
       |    COALESCE(CAST(round(value * 100) AS BIGINT), -1) AS value_c
       |  FROM events WHERE user_id % 10 = 0 AND ts IS NOT NULL),
-      |wm AS (SELECT max(es) - 600000000 AS wm_us FROM base),
+      |wm AS (SELECT (max(es) // 1000 - 600000) * 1000 AS wm_us FROM base),
       |hist AS (
       |  SELECT user_id, event_type, event_id, value_c,
       |    CAST(row_number() OVER w AS BIGINT) AS version,

@@ -21,6 +21,26 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** File stream source over one testdata table, handling BOTH layouts
+    * a table can arrive in: the driver's plain single FILE (streamed
+    * via a name glob over the shared dir — the file stream source
+    * itself requires a directory path) and a Spark-written DIRECTORY
+    * of part files, where that same glob matches nothing
+    * (`pathGlobFilter` tests leaf file names — the round-15 find that
+    * had every sf1+ streaming pressure probe reading zero rows).
+    * Schema comes from the batch read of the same path, so both
+    * layouts stream with their true file schema.
+    */
+  def streamSource(s: SparkSession, dir: String, table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val fileSchema = s.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "*.parquet").parquet(path)
+    else s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** events schema for file stream sources (matches events.parquet after
     * Tables' nanos normalization).
     */
