@@ -1047,9 +1047,11 @@ object Text extends QueryModule {
     * engines).
     *
     * Scale posture: the whole histogram is computed PER ROW inside one
-    * codegen expression chain (sort chars → run boundaries → Σlen²
-    * via HOFs) — no explode, no (doc, char)-grain shuffle, nothing but
-    * the final sort; the DuckDB oracle executes the RELATIONAL
+    * higher-order-function chain (sort chars → run boundaries → Σlen²
+    * — Catalyst-native array lambdas, interpreted inside the codegen
+    * stage but never a UDF) — no explode, no (doc, char)-grain
+    * shuffle, nothing but the deliberate wide-spread of the
+    * unsplittable scan and the final sort; the DuckDB oracle executes the RELATIONAL
     * spelling (unnest → group by doc×char → Σk²), so the hash match
     * proves the per-row kernel equals the straightforward aggregation.
     */
