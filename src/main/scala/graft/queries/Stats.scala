@@ -1474,6 +1474,94 @@ object Stats extends QueryModule {
       .orderBy(col("table_key").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- dq18
+  /** Kolmogorov–Smirnov drift audit — the VALUE-distribution twin of
+    * dq4's composition drift: per event type, the KS statistic
+    * (max CDF deviation) between the two halves of the month over the
+    * `value` column in cents. Binned monitors (dq4's ppm shares,
+    * PSI-style buckets) can miss a shift that stays inside bucket
+    * boundaries; KS compares the FULL empirical CDFs at every observed
+    * value, so any location/shape change moves it. Integer-exact:
+    * with half sizes n₁, n₂ and cumulative counts cum₁, cum₂ over the
+    * merged support, KS·(n₁·n₂) = max |cum₁·n₂ − cum₂·n₁| — BIGINT
+    * all the way, reported as milli-KS (floor) with a 5% drift flag.
+    *
+    * Plan: one scan → one hash aggregate on (type, value-cent) with
+    * the two halves as conditional sums → cumulative window per type
+    * over the SUPPORT rows (distinct values per type, already
+    * aggregated — orders of magnitude smaller than the event grain)
+    * → max per type. Headroom: cum·n ≤ n², so BIGINT holds to ~3·10⁹
+    * rows per type-half; past that, promote the two products to
+    * DECIMAL(38,0) (the emb convention).
+    */
+  private val KsSplit = "2024-01-16 00:00:00"
+  private val KsDriftMilli = 50L // flag at 5% max CDF deviation
+
+  private def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val split = to_timestamp(lit(KsSplit))
+    ksDriftOf(t(s, dir, "events")
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_c"),
+        when(col("ts") < split, 1L).otherwise(0L).as("in1"),
+        when(col("ts") >= split, 1L).otherwise(0L).as("in2")))
+  }
+
+  /** The KS core over a pre-bucketed (event_type, v_c, in1, in2) frame —
+    * package-visible so StatsSpec can plant a shifted half and pin the
+    * POSITIVE drift branch the gate corpus never reaches (its synthetic
+    * values are stationary; `drifted` is honestly all-false there).
+    */
+  private[graft] def ksDriftOf(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val support = rows
+      .groupBy("event_type", "v_c")
+      .agg(sum(col("in1")).as("c1"), sum(col("in2")).as("c2"))
+    val wCum = Window.partitionBy("event_type")
+      .orderBy(col("v_c").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("event_type")
+    support
+      .select(col("event_type"),
+        sum(col("c1")).over(wCum).as("cum1"),
+        sum(col("c2")).over(wCum).as("cum2"),
+        sum(col("c1")).over(wAll).as("n1"),
+        sum(col("c2")).over(wAll).as("n2"))
+      .groupBy("event_type", "n1", "n2")
+      .agg(count(lit(1)).as("support_size"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("ks_num"))
+      .select(col("event_type"), col("n1"), col("n2"), col("support_size"),
+        expr("ks_num * 1000 DIV (n1 * n2)").as("ks_milli"),
+        expr(s"ks_num * 1000 DIV (n1 * n2) > $KsDriftMilli").as("drifted"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  private val ksDriftSql =
+    s"""WITH support AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c,
+       |    CAST(SUM(CASE WHEN ts < TIMESTAMP '$KsSplit' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '$KsSplit' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY event_type, CAST(round(value * 100) AS BIGINT)),
+       |cums AS (
+       |  SELECT event_type,
+       |    CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY v_c NULLS FIRST
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+       |    CAST(SUM(c2) OVER (PARTITION BY event_type ORDER BY v_c NULLS FIRST
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+       |    CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+       |    CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+       |  FROM support)
+       |SELECT event_type, n1, n2,
+       |  CAST(COUNT(*) AS BIGINT) AS support_size,
+       |  CAST(MAX(abs(cum1 * n2 - cum2 * n1)) * 1000 // (n1 * n2) AS BIGINT)
+       |    AS ks_milli,
+       |  MAX(abs(cum1 * n2 - cum2 * n1)) * 1000 // (n1 * n2) > $KsDriftMilli
+       |    AS drifted
+       |FROM cums
+       |GROUP BY event_type, n1, n2
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- dq4
   /** Distribution-drift monitor — the DQ check that catches a silently
     * changed upstream mix: compare the event-type distribution of two
@@ -2966,6 +3054,7 @@ object Stats extends QueryModule {
     "dq2_integrity_audit" -> (integrityAudit _),
     "dq3_key_uniqueness" -> (keyUniquenessAudit _),
     "dq4_dist_drift" -> (distDrift _),
+    "dq18_ks_drift" -> (ksDrift _),
     "dq5_fd_audit" -> (fdAudit _),
     "q21_waiting_supplier" -> (waitingSupplier _),
     "q22_no_order_customers" -> (noOrderRichCustomers _),
@@ -3026,6 +3115,7 @@ object Stats extends QueryModule {
     "dq2_integrity_audit" -> integrityAuditSql,
     "dq3_key_uniqueness" -> keyUniquenessAuditSql,
     "dq4_dist_drift" -> distDriftSql,
+    "dq18_ks_drift" -> ksDriftSql,
     "dq5_fd_audit" -> fdAuditSql,
     "q21_waiting_supplier" -> waitingSupplierSql,
     "q22_no_order_customers" -> noOrderRichCustomersSql,

@@ -482,4 +482,25 @@ class StatsSpec extends AnyFunSuite {
         s"med2_c nullability disagrees with frame emptiness: $r")
     }
   }
+  test("dq18: a planted location shift fires the drift flag; a stationary twin does not") {
+    import org.apache.spark.sql.functions._
+    val s = SparkEntry.configure(spark.newSession())
+    import s.implicits._
+    // type A: identical halves (KS 0); type B: half 2 shifted by +1000
+    // cents (disjoint supports, KS = 1000 milli)
+    val rows =
+      (1 to 200).map(i => ("A", (i % 50) * 10L, 1L, 0L)) ++
+      (1 to 200).map(i => ("A", (i % 50) * 10L, 0L, 1L)) ++
+      (1 to 200).map(i => ("B", (i % 50) * 10L, 1L, 0L)) ++
+      (1 to 200).map(i => ("B", 100000L + (i % 50) * 10L, 0L, 1L))
+    val out = graft.queries.Stats.ksDriftOf(
+      rows.toDF("event_type", "v_c", "in1", "in2"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("ks_milli"), r.getAs[Boolean]("drifted"))).toMap
+    assert(out("A") == ((0L, false)), s"stationary type flagged: ${out("A")}")
+    assert(out("B") == ((1000L, true)), s"disjoint shift must max KS: ${out("B")}")
+    // and the gate corpus is honestly stationary: all-false there
+    val gate = SparkEntry.queries("dq18_ks_drift")(s, dir).collect()
+    assert(gate.nonEmpty && gate.forall(!_.getAs[Boolean]("drifted")))
+  }
 }
