@@ -228,6 +228,68 @@ object Similarity extends QueryModule {
       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- imp5
+  /** Embedding-neighborhood label imputation — KNN classification in
+    * its bucket-vote form, the weak-supervision primitive a labeling
+    * pipeline runs at 100 TB: held-out vectors (vec_id % 7 = 0 — the
+    * simulated missing-label set) take the PLURALITY label of the
+    * labeled vectors sharing their IVF bucket (k = bucket size; ties
+    * break to the smaller label — min_by over (−count, label), the
+    * deterministic argmax). Rides [[assignedBuckets]] — the SAME
+    * shared trained codebook every ANN/dedup consumer reads, so the
+    * imputation costs one (centroid, label) census plus a broadcast
+    * join, never a distance computation per held-out vector. The
+    * census reports per true label: held-out count, correctly voted,
+    * bucket-had-no-labeled-rows count, and milli-accuracy — an
+    * accuracy CLAIM the oracle recomputes from its own Lloyd replay,
+    * not a number taken on faith.
+    */
+  private def labelImpute(s: SparkSession, dir: String): DataFrame = {
+    val labels = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    val joined = assignedBuckets(s, dir).join(labels, Seq("vec_id"))
+      .withColumn("held", col("vec_id") % 7 === 0)
+    val votes = joined.filter(!col("held"))
+      .groupBy("centroid_id", "label").agg(count(lit(1)).as("n"))
+      .groupBy("centroid_id")
+      .agg(min_by(col("label"), struct((-col("n")).as("neg_n"), col("label")))
+        .as("pred"))
+    joined.filter(col("held"))
+      .join(broadcast(votes), Seq("centroid_id"), "left") // all-held bucket → no vote
+      .groupBy(col("label").as("true_label"))
+      .agg(
+        count(lit(1)).as("n_held"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("pred").isNull, 1L).otherwise(0L)).as("n_unvoted"))
+      .select(col("true_label"), col("n_held"), col("n_correct"), col("n_unvoted"),
+        expr("(1000 * n_correct) DIV n_held").as("accuracy_milli"))
+      .orderBy(col("true_label").asc_nulls_first)
+  }
+
+  private val labelImputeSql =
+    s"""WITH $lloydCtes,
+      |lab AS (
+      |  SELECT a.vec_id, a.centroid_id, CAST(e.label AS BIGINT) AS label,
+      |    a.vec_id % 7 = 0 AS held
+      |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id),
+      |votes AS (
+      |  SELECT centroid_id, label AS pred FROM (
+      |    SELECT centroid_id, label,
+      |      row_number() OVER (PARTITION BY centroid_id
+      |        ORDER BY COUNT(*) DESC, label ASC) AS rn
+      |    FROM lab WHERE NOT held GROUP BY centroid_id, label)
+      |  WHERE rn = 1)
+      |SELECT l.label AS true_label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_held,
+      |  CAST(SUM(CASE WHEN v.pred = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN v.pred IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unvoted,
+      |  CAST((1000 * SUM(CASE WHEN v.pred = l.label THEN 1 ELSE 0 END)) // COUNT(*)
+      |    AS BIGINT) AS accuracy_milli
+      |FROM lab l LEFT JOIN votes v ON l.centroid_id = v.centroid_id
+      |WHERE l.held
+      |GROUP BY l.label
+      |ORDER BY true_label NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- ann13
   /** INCREMENTAL IVF ingest — the index-maintenance path every vector
     * store lives on: the codebook is trained ONCE on the base corpus
@@ -2000,6 +2062,7 @@ object Similarity extends QueryModule {
     "ann3_topk_cosine" -> (cosineTopK _),
     "ann4_topk_srp" -> (srpTopK _),
     "emb1_label_centroids" -> (labelCentroids _),
+    "imp5_label_impute" -> (labelImpute _),
     "dd4_embedding_neardup" -> (embeddingNearDup _))
 
   override val oracle: Map[String, String] = Map(
@@ -2027,5 +2090,6 @@ object Similarity extends QueryModule {
     "ann3_topk_cosine" -> cosineTopKSql,
     "ann4_topk_srp" -> srpTopKSql,
     "emb1_label_centroids" -> labelCentroidsSql,
+    "imp5_label_impute" -> labelImputeSql,
     "dd4_embedding_neardup" -> embeddingNearDupSql)
 }
