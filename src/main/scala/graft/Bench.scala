@@ -57,6 +57,54 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
   }
 
+  /** Fresh-JVM mover re-run (the SPARK_GRAFT_ADJUDICATE_FORK path):
+    * spawns ONE child JVM running [[TimeQuery]] over all names —
+    * same classpath and the Spark-on-JDK17 add-opens set build.sbt
+    * forks with — and returns each name's median-of-3 (run 1 absorbs
+    * session warmup and memo builds, the median discards it). stdout
+    * is drained BEFORE waitFor (pipe-buffer deadlock otherwise).
+    * Package-visible so BenchAdjudicationSpec can pin the round trip.
+    */
+  private[graft] def forkAdjudicate(names: Seq[String], sfDir: String)
+      : Map[String, Either[String, Double]] = {
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-cp", sys.props("java.class.path"), "graft.TimeQuery") ++ names
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    pb.environment().put("SPARK_GRAFT_RUNS", "3")
+    pb.redirectErrorStream(true)
+    val medians = try {
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val code = proc.waitFor()
+      val runRe = """^(\S+) run(\d+) ([0-9.]+) s$""".r
+      val byName = out.collect { case runRe(n, _, s) => n -> s.toDouble }.groupBy(_._1)
+      names.map { n =>
+        n -> byName.get(n).map(_.map(_._2).sorted)
+          .filter(_.nonEmpty)
+          .map(ts => Right(ts(ts.size / 2)): Either[String, Double])
+          .getOrElse(Left(if (code != 0) s"fork exit $code" else "fork produced no timing"))
+      }.toMap
+    } catch {
+      case e: Exception => names.map(_ -> Left(s"fork: ${e.getClass.getSimpleName}")).toMap
+    }
+    medians
+  }
+
   /** Committed per-entry baseline (the recording this sweep is graded
     * against), read from the artifact path BEFORE this run overwrites
     * it. Absent file / entry → no adjudication for that entry.
@@ -181,17 +229,36 @@ object Bench {
     // movers so the block records whether the isolated window itself was
     // loaded. (sentinelSec, committed) — None when no mover triggered or
     // no sentinel is in both the map and the baseline.
+    //
+    // SPARK_GRAFT_ADJUDICATE_FORK=1 (VERDICT r14 #1's escape hatch):
+    // the isolated pass runs in a FRESH forked JVM (graft.TimeQuery,
+    // median-of-3) instead of this one — immune to this JVM's heap/GC
+    // state, the failure mode the in-JVM pass cannot rule out. The
+    // sentinel rides the same forked run, so the canary guards the
+    // fork's wall-clock window.
+    val forkMode = sys.env.get("SPARK_GRAFT_ADJUDICATE_FORK")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     var sentinel: Option[(String, Either[String, Double], Double)] = None
     val adjudication: Seq[(String, (Double, Either[String, Double]))] =
       if (movers.isEmpty) Nil
       else {
-        System.gc() // settle before the isolated pass
-        sentinel = SentinelCandidates
+        val sentName = SentinelCandidates
           .find(s => SparkEntry.queries.contains(s) && baseline.contains(s))
-          .map(s => (s, timeEntry(s, SparkEntry.queries(s), trackFailure = false), baseline(s)))
-        movers.map { name =>
-          val sweep = results.toMap.apply(name).toOption.get
-          name -> (sweep -> timeEntry(name, SparkEntry.queries(name), trackFailure = false))
+        if (forkMode) {
+          val forked = forkAdjudicate(sentName.toSeq ++ movers, sfDir)
+          sentinel = sentName.map(s => (s, forked(s), baseline(s)))
+          movers.map { name =>
+            val sweep = results.toMap.apply(name).toOption.get
+            name -> (sweep -> forked(name))
+          }
+        } else {
+          System.gc() // settle before the isolated pass
+          sentinel = sentName
+            .map(s => (s, timeEntry(s, SparkEntry.queries(s), trackFailure = false), baseline(s)))
+          movers.map { name =>
+            val sweep = results.toMap.apply(name).toOption.get
+            name -> (sweep -> timeEntry(name, SparkEntry.queries(name), trackFailure = false))
+          }
         }
       }
     // Fail-safe: when movers were adjudicated but NO canary could run
@@ -224,7 +291,7 @@ object Bench {
       s""""$name",${sec.fold(e => s""""err:$e"""", f3v)},${f3v(committed)}"""
     }.fold("null")(s => s"[$s]")
     val adjJson =
-      s"""{"entries":$adjEntries,"sentinel":$sentJson,"load_tainted":$tainted}"""
+      s"""{"entries":$adjEntries,"sentinel":$sentJson,"load_tainted":$tainted,"forked":$forkMode}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.distinct.size},"adjudication":$adjJson}"""
     // The driver keeps only the last ~2000 stdout chars, and the full

@@ -91,4 +91,16 @@ class BenchAdjudicationSpec extends AnyFunSuite {
       threads.foreach(_.join(1000))
     }
   }
+  test("forkAdjudicate round-trips a real entry through a fresh JVM") {
+    // smallest stable entries: one fast scan-shaped query keeps the
+    // forked session's wall time to startup + a few hundred ms
+    val out = Bench.forkAdjudicate(Seq("yg_hub_states"), "/root/testdata/sf0.001")
+    out("yg_hub_states") match {
+      case Right(sec) => assert(sec > 0.0 && sec < 60.0, s"implausible fork timing $sec")
+      case Left(err)  => fail(s"fork failed: $err")
+    }
+    // an unknown entry surfaces as an error, not an exception
+    val bad = Bench.forkAdjudicate(Seq("no_such_entry"), "/root/testdata/sf0.001")
+    assert(bad("no_such_entry").isLeft)
+  }
 }
