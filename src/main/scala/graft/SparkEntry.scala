@@ -52,6 +52,9 @@ object SparkEntry {
     // dedups whose keys include a verified primary key drop to a
     // projection when spark.graft.distinctElim.enabled is set (opt14)
     graft.plans.DistinctEliminationRewrite.install(spark)
+    // unfiltered global count/min/max over a parquet scan answer from
+    // the file footers when spark.graft.footerAgg.enabled is set (opt16)
+    graft.plans.FooterAggregateRewrite.install(spark)
     // set-if-missing: a session (or spec) that pinned its own threshold
     // — including 0 = off — keeps it across re-configure
     if (spark.conf.getOption(graft.plans.InListToJoinRewrite.ThresholdConfKey).isEmpty)

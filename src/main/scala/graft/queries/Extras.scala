@@ -2121,6 +2121,38 @@ object Extras extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt16
+  /** FOOTER-STATISTICS aggregate answering under the oracle
+    * ([[graft.plans.FooterAggregateRewrite]] has the soundness
+    * boundaries): the warehouse-catalog classic — `SELECT count(*),
+    * count(col), min(k), max(k) FROM t` with no filter — answered
+    * entirely from parquet footers at plan time; the optimized plan is
+    * a one-row LocalRelation, NO scan at all (FooterAggSpec pins
+    * that, plus the filter/grouping/float refusals and the staleness
+    * fingerprint). The DuckDB oracle executes the real aggregation, so
+    * the hash proves the footer arithmetic (Σ row counts, Σ null
+    * counts, min/max merge across row groups) equals scanning.
+    */
+  private def footerAggGate(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.SparkEntry.configure(s0.newSession()) // sj4 conf hygiene
+    s.conf.set(graft.plans.FooterAggregateRewrite.ConfKey, "true")
+    t(s, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_shipdate")).as("n_shipdates"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"),
+        min(col("l_partkey")).as("min_pkey"),
+        max(col("l_suppkey")).as("max_skey"))
+  }
+
+  private val footerAggGateSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(l_shipdate) AS BIGINT) AS n_shipdates,
+      |  MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+      |  MIN(l_partkey) AS min_pkey, MAX(l_suppkey) AS max_skey
+      |FROM lineitem""".stripMargin
+
   // --------------------------------------------------------------- opt12
   /** FILTERED star-MV derivability under the oracle — the other half of
     * every dashboard: "revenue by nation WHERE returnflag = 'R'". The
@@ -3581,6 +3613,7 @@ object Extras extends QueryModule {
     "opt13_star_mv_avg" -> (starAvgGate _),
     "opt14_distinct_elim" -> (distinctElimGate _),
     "opt15_singleton_agg" -> (singletonAggGate _),
+    "opt16_footer_agg" -> (footerAggGate _),
     "inc4_delete_ivm" -> (deleteIvm _),
     "inc5_minmax_ivm" -> (minMaxIvm _),
     "f6_like_regex" -> (likeFilter _),
@@ -3663,6 +3696,7 @@ object Extras extends QueryModule {
     "opt13_star_mv_avg" -> starAvgGateSql,
     "opt14_distinct_elim" -> distinctElimGateSql,
     "opt15_singleton_agg" -> singletonAggGateSql,
+    "opt16_footer_agg" -> footerAggGateSql,
     "inc4_delete_ivm" -> deleteIvmSql,
     "inc5_minmax_ivm" -> minMaxIvmSql,
     "f6_like_regex" -> likeFilterSql,
