@@ -3072,6 +3072,89 @@ object Extras extends QueryModule {
       |FROM dau d JOIN wau w ON d.day = w.day
       |ORDER BY d.day NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ev26
+  /** Periodicity detection via lagged products — the autocorrelation
+    * instrument beside ev19's calendar profile: ev19 ASSUMES the cycle
+    * length (weekday buckets); this measures whether one exists. Per
+    * event type, the dense hourly count series x_t (zero-filled over
+    * the observed hour range — gaps are data, not absent rows) scores
+    * r(lag) = 1000·Σ xₜ·xₜ₊ₗₐ₉ DIV Σ xₜ² at lag 1 and lag 24; a
+    * daily-cycled series scores r(24) ≈ r(0) ≫ r(1), a flat one scores
+    * both near (n−lag)/n. All-integer (products of counts), so both
+    * engines agree bit-for-bit; the synthetic corpus is honestly
+    * aperiodic (flags false — NewShapePinsSpec plants a cycled series to
+    * pin the positive branch).
+    *
+    * Scale posture: the event grain collapses to (type, hour) in ONE
+    * hash aggregate; everything after — the dense-grid fill, the
+    * lag-24 self-join, the rollup — runs on the ~720·|types| series
+    * grain. The grid is a broadcast range join, never event-sized.
+    */
+  private def autocorrelation(s: SparkSession, dir: String): DataFrame =
+    autocorrelationOf(
+      t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("h")))
+
+  /** The series core over (event_type, h) rows — package-visible so
+    * the spec can plant a periodic series (the gate corpus is flat).
+    */
+  private[graft] def autocorrelationOf(rows: DataFrame): DataFrame = {
+    val counts = rows.groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+    val range = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val types = counts.select("event_type").distinct()
+    val grid = types
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      .join(counts, Seq("event_type", "h"), "left")
+      .na.fill(0L, Seq("x"))
+    def lagged(lag: Int) = grid.as("a")
+      .join(grid.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.h") === col("a.h") + lag)
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(col("a.x") * col("b.x")).as(s"s$lag"))
+    grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("x") * col("x")).as("s0"))
+      .join(broadcast(lagged(1)), Seq("event_type"))
+      .join(broadcast(lagged(24)), Seq("event_type"))
+      .select(col("event_type"), col("n_hours"),
+        expr("s1 * 1000 DIV s0").as("r1_milli"),
+        expr("s24 * 1000 DIV s0").as("r24_milli"),
+        expr("s24 * 1000 DIV s0 > s1 * 1000 DIV s0 + 100").as("periodic_24"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  private val autocorrelationSql =
+    """WITH rows0 AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h
+      |  FROM events WHERE ts IS NOT NULL),
+      |counts AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS x
+      |           FROM rows0 GROUP BY event_type, h),
+      |rng AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+      |grid AS (
+      |  SELECT t.event_type, g.h, COALESCE(c.x, 0) AS x
+      |  FROM (SELECT DISTINCT event_type FROM counts) t
+      |  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM rng) g
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = g.h),
+      |base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |           CAST(SUM(x * x) AS BIGINT) AS s0
+      |         FROM grid GROUP BY event_type),
+      |l1 AS (SELECT a.event_type, CAST(SUM(a.x * b.x) AS BIGINT) AS s1
+      |       FROM grid a JOIN grid b
+      |         ON a.event_type = b.event_type AND b.h = a.h + 1
+      |       GROUP BY a.event_type),
+      |l24 AS (SELECT a.event_type, CAST(SUM(a.x * b.x) AS BIGINT) AS s24
+      |        FROM grid a JOIN grid b
+      |          ON a.event_type = b.event_type AND b.h = a.h + 24
+      |        GROUP BY a.event_type)
+      |SELECT base.event_type, n_hours,
+      |  CAST(s1 * 1000 // s0 AS BIGINT) AS r1_milli,
+      |  CAST(s24 * 1000 // s0 AS BIGINT) AS r24_milli,
+      |  s24 * 1000 // s0 > s1 * 1000 // s0 + 100 AS periodic_24
+      |FROM base JOIN l1 USING (event_type) JOIN l24 USING (event_type)
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- ev20
   /** Inter-arrival time histogram — the traffic-shape census behind
     * session-gap and rate-limit tuning (sw1/ev3 ASSUME a 30-minute gap;
@@ -3614,6 +3697,7 @@ object Extras extends QueryModule {
     "opt14_distinct_elim" -> (distinctElimGate _),
     "opt15_singleton_agg" -> (singletonAggGate _),
     "opt16_footer_agg" -> (footerAggGate _),
+    "ev26_autocorrelation" -> (autocorrelation _),
     "inc4_delete_ivm" -> (deleteIvm _),
     "inc5_minmax_ivm" -> (minMaxIvm _),
     "f6_like_regex" -> (likeFilter _),
@@ -3697,6 +3781,7 @@ object Extras extends QueryModule {
     "opt14_distinct_elim" -> distinctElimGateSql,
     "opt15_singleton_agg" -> singletonAggGateSql,
     "opt16_footer_agg" -> footerAggGateSql,
+    "ev26_autocorrelation" -> autocorrelationSql,
     "inc4_delete_ivm" -> deleteIvmSql,
     "inc5_minmax_ivm" -> minMaxIvmSql,
     "f6_like_regex" -> likeFilterSql,

@@ -130,4 +130,27 @@ class NewShapePinsSpec extends AnyFunSuite {
     assert(byDoc.get(0L).exists(_ >= 1L),
       s"benchmark doc 0 not flagged by its own suite: $byDoc")
   }
+  test("ev26: a planted daily cycle flips periodic_24; the gate corpus stays flat") {
+    import org.apache.spark.sql.functions._
+    val s = SparkEntry.configure(spark.newSession())
+    import s.implicits._
+    // type P: events only during hours h % 24 < 4 (a hard daily duty
+    // cycle -> lag-24 products land on-peak, lag-1 mostly cross the
+    // edge); type F: one event every hour (flat)
+    val rows =
+      (0 until 720).filter(_ % 24 < 4).flatMap(h => Seq.fill(5)(("P", h.toLong))) ++
+      (0 until 720).map(h => ("F", h.toLong))
+    val out = graft.queries.Extras.autocorrelationOf(
+      rows.toDF("event_type", "h"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("r1_milli"), r.getAs[Long]("r24_milli"),
+          r.getAs[Boolean]("periodic_24"))).toMap
+    val (p1, p24, pFlag) = out("P")
+    assert(pFlag && p24 > p1 + 100, s"daily cycle not detected: r1=$p1 r24=$p24")
+    val (f1, f24, fFlag) = out("F")
+    assert(!fFlag && math.abs(f1 - f24) < 100, s"flat series flagged: r1=$f1 r24=$f24")
+    // and the real corpus is honestly aperiodic
+    val gate = SparkEntry.queries("ev26_autocorrelation")(s, dir).collect()
+    assert(gate.nonEmpty && gate.forall(!_.getAs[Boolean]("periodic_24")))
+  }
 }
