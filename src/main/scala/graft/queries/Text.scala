@@ -1426,6 +1426,104 @@ object Text extends QueryModule {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- tok4
+  /** BYTE-FALLBACK tokenization pricing — the words tok2 silently
+    * drops (`^[a-z]+$` is the trained alphabet; numbers, punctuation
+    * runs, mixed-case junk fall outside it) are exactly what a real
+    * tokenizer must still encode. The production answer is byte
+    * fallback (SentencePiece's `byte_fallback`, GPT-2's byte-level
+    * base): an out-of-alphabet word encodes one token per UTF-8 BYTE —
+    * so its token count is simply `octet_length(word)`, a per-row
+    * expression both engines spell exactly. In-alphabet words price
+    * through the learned merges (tok2's chained replace, same rules
+    * frame). Per document: words on each path, BPE subwords, fallback
+    * byte tokens, and the fallback share in milli — the honest
+    * full-corpus token bill, where tok2's is the trained-alphabet
+    * subset.
+    *
+    * Scale posture: tok2's exactly — training compresses to vocabulary
+    * grain, application is one map-side chained replace + a per-word
+    * byte length; the only corpus-grain shuffle is the per-doc rollup.
+    */
+  /** The planted fallback tail: digits, a hyphenated id and two-byte
+    * non-ASCII chars — every shape the `^[a-z]+$` alphabet excludes,
+    * appended to the %10 docs re-keyed at +3M (the tx15 planting
+    * convention: the synthetic corpus is all-lowercase-alpha, so
+    * genuine fallback positives must be planted or the path is
+    * vacuous; both engines state the marker as the same literal).
+    */
+  private val fallbackMarker = " x9 42 c-3 ωμ"
+
+  private def byteFallback(s: SparkSession, dir: String): DataFrame = {
+    val (onerow, applied) = bpeRulesFrom(
+      trainedMerges(s, dir, evenOnly = false), BpeMergeCount)
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(fallbackMarker)).as("text")))
+    corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("alpha", col("w").rlike("^[a-z]+$"))
+      .withColumn("syms",
+        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")))
+      .crossJoin(broadcast(onerow))
+      .select(col("doc_id"), col("alpha"),
+        when(col("alpha"), size(split(trim(expr(applied)), "  ")).cast(LongType))
+          .otherwise(lit(0L)).as("n_sub"),
+        when(!col("alpha"), octet_length(col("w")).cast(LongType))
+          .otherwise(lit(0L)).as("n_bytes"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("alpha"), 1L).otherwise(0L)).as("n_bpe_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_bytes")).as("n_fallback_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_words"),
+        col("n_subwords"), col("n_fallback_tokens"),
+        expr("""CASE WHEN n_subwords + n_fallback_tokens = 0 THEN 0
+                ELSE (1000 * n_fallback_tokens) DIV (n_subwords + n_fallback_tokens)
+                END""").as("fallback_milli"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val byteFallbackSql = {
+    val merges = (1 to BpeMergeCount).flatMap(i => Seq(
+      s"(SELECT pa FROM t$i) AS pa$i", s"(SELECT pb FROM t$i) AS pb$i")).mkString(", ")
+    val applied = (1 to BpeMergeCount).foldLeft("syms")((acc, i) =>
+      s"replace($acc, ' ' || pa$i || '  ' || pb$i || ' ', ' ' || pa$i || pb$i || ' ')")
+    s"""WITH $bpeTrainCtes,
+       |m AS (SELECT $merges),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text || ' x9 42 c-3 ωμ'
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |dw AS (
+       |  SELECT doc_id, w, regexp_matches(w, '^[a-z]+$$') AS alpha
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+       |  WHERE length(w) > 0),
+       |ap AS (
+       |  SELECT doc_id, alpha,
+       |    CASE WHEN alpha THEN len(string_split(trim(
+       |      $applied), '  ')) ELSE 0 END AS n_sub,
+       |    CASE WHEN NOT alpha THEN strlen(w) ELSE 0 END AS n_bytes
+       |  FROM (SELECT doc_id, w, alpha,
+       |          ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS syms
+       |        FROM dw), m)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(CASE WHEN alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_bpe_words,
+       |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS n_fallback_tokens,
+       |  CAST(CASE WHEN SUM(n_sub) + SUM(n_bytes) = 0 THEN 0
+       |       ELSE (1000 * SUM(n_bytes)) // (SUM(n_sub) + SUM(n_bytes)) END AS BIGINT)
+       |    AS fallback_milli
+       |FROM ap GROUP BY doc_id
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   // ---------------------------------------------------------------- tok3
   /** Held-out vocabulary coverage — the tokenizer-evaluation step
     * between training (tok1) and pricing (tok2): train the merge rules
@@ -1735,6 +1833,7 @@ object Text extends QueryModule {
     "tok1_bpe_merges" -> (bpeMerges _),
     "tok2_bpe_segment" -> (bpeApply _),
     "tok3_vocab_coverage" -> (vocabCoverage _),
+    "tok4_byte_fallback" -> (byteFallback _),
     "tx15_mixed_lang" -> (mixedLang _),
     "tx20_char_diversity" -> (charDiversity _),
     "tx14_bigram_familiarity" -> (bigramFamiliarity _),
@@ -1764,6 +1863,7 @@ object Text extends QueryModule {
     "tok1_bpe_merges" -> bpeMergesSql,
     "tok2_bpe_segment" -> bpeApplySql,
     "tok3_vocab_coverage" -> vocabCoverageSql,
+    "tok4_byte_fallback" -> byteFallbackSql,
     "tx15_mixed_lang" -> mixedLangSql,
     "tx20_char_diversity" -> charDiversitySql,
     "tx14_bigram_familiarity" -> bigramFamiliaritySql,
