@@ -3086,9 +3086,11 @@ object Extras extends QueryModule {
     * pin the positive branch).
     *
     * Scale posture: the event grain collapses to (type, hour) in ONE
-    * hash aggregate; everything after — the dense-grid fill, the
-    * lag-24 self-join, the rollup — runs on the ~720·|types| series
-    * grain. The grid is a broadcast range join, never event-sized.
+    * hash aggregate; everything after — the dense-grid fill, both lags
+    * as window LEADS (one pass; a self-join per lag would re-run the
+    * event aggregate per lag), the rollup — runs on the ~720·|types|
+    * series grain. The grid is a broadcast range join, never
+    * event-sized.
     */
   private def autocorrelation(s: SparkSession, dir: String): DataFrame =
     autocorrelationOf(
@@ -3108,16 +3110,21 @@ object Extras extends QueryModule {
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
       .join(counts, Seq("event_type", "h"), "left")
       .na.fill(0L, Seq("x"))
-    def lagged(lag: Int) = grid.as("a")
-      .join(grid.as("b"),
-        col("a.event_type") === col("b.event_type") &&
-          col("b.h") === col("a.h") + lag)
-      .groupBy(col("a.event_type").as("event_type"))
-      .agg(sum(col("a.x") * col("b.x")).as(s"s$lag"))
-    grid.groupBy("event_type")
-      .agg(count(lit(1)).as("n_hours"), sum(col("x") * col("x")).as("s0"))
-      .join(broadcast(lagged(1)), Seq("event_type"))
-      .join(broadcast(lagged(24)), Seq("event_type"))
+    // both lags as window leads over the dense series — ONE pass over
+    // the grid (a self-join per lag would re-aggregate the event scan
+    // once per lag); a lead past the series end is null, its product
+    // null, and SUM skips it — exactly the missing-pair semantics
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("h").asc_nulls_first)
+    grid
+      .select(col("event_type"), col("x"),
+        lead(col("x"), 1).over(w).as("x1"),
+        lead(col("x"), 24).over(w).as("x24"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x") * col("x")).as("s0"),
+        sum(col("x") * col("x1")).as("s1"),
+        sum(col("x") * col("x24")).as("s24"))
       .select(col("event_type"), col("n_hours"),
         expr("s1 * 1000 DIV s0").as("r1_milli"),
         expr("s24 * 1000 DIV s0").as("r24_milli"),
@@ -3137,22 +3144,20 @@ object Extras extends QueryModule {
       |  FROM (SELECT DISTINCT event_type FROM counts) t
       |  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM rng) g
       |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = g.h),
+      |led AS (
+      |  SELECT event_type, x,
+      |    lead(x, 1) OVER w AS x1, lead(x, 24) OVER w AS x24
+      |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY h NULLS FIRST)),
       |base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
-      |           CAST(SUM(x * x) AS BIGINT) AS s0
-      |         FROM grid GROUP BY event_type),
-      |l1 AS (SELECT a.event_type, CAST(SUM(a.x * b.x) AS BIGINT) AS s1
-      |       FROM grid a JOIN grid b
-      |         ON a.event_type = b.event_type AND b.h = a.h + 1
-      |       GROUP BY a.event_type),
-      |l24 AS (SELECT a.event_type, CAST(SUM(a.x * b.x) AS BIGINT) AS s24
-      |        FROM grid a JOIN grid b
-      |          ON a.event_type = b.event_type AND b.h = a.h + 24
-      |        GROUP BY a.event_type)
-      |SELECT base.event_type, n_hours,
+      |           CAST(SUM(x * x) AS BIGINT) AS s0,
+      |           CAST(SUM(x * x1) AS BIGINT) AS s1,
+      |           CAST(SUM(x * x24) AS BIGINT) AS s24
+      |         FROM led GROUP BY event_type)
+      |SELECT event_type, n_hours,
       |  CAST(s1 * 1000 // s0 AS BIGINT) AS r1_milli,
       |  CAST(s24 * 1000 // s0 AS BIGINT) AS r24_milli,
       |  s24 * 1000 // s0 > s1 * 1000 // s0 + 100 AS periodic_24
-      |FROM base JOIN l1 USING (event_type) JOIN l24 USING (event_type)
+      |FROM base
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- ev20
