@@ -1,4 +1,6 @@
 package graft
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
@@ -89,15 +91,34 @@ object Bench {
     pb.redirectErrorStream(true)
     val medians = try {
       val proc = pb.start()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-      val code = proc.waitFor()
+      // drain stdout on a daemon thread so the TIMED waitFor below can
+      // kill a hung child without deadlocking on a full pipe buffer
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val drainer = new Thread(() => {
+        scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+          .foreach(out.add)
+      })
+      drainer.setDaemon(true)
+      drainer.start()
+      val finished = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) proc.destroyForcibly().waitFor()
+      drainer.join(5000)
+      val code = if (finished) proc.exitValue() else -1
       val runRe = """^(\S+) run(\d+) ([0-9.]+) s$""".r
-      val byName = out.collect { case runRe(n, _, s) => n -> s.toDouble }.groupBy(_._1)
+      val byName = out.asScala.toList
+        .collect { case runRe(n, _, s) => n -> s.toDouble }.groupBy(_._1)
       names.map { n =>
+        // a COMPLETE set of runs is required: a child that crashed
+        // mid-entry would otherwise hand back run 1 — the warmup-laden
+        // measurement the median protocol exists to discard — wearing
+        // a valid Right (review find)
         n -> byName.get(n).map(_.map(_._2).sorted)
-          .filter(_.nonEmpty)
+          .filter(ts => ts.size >= 3 && (finished && code == 0))
           .map(ts => Right(ts(ts.size / 2)): Either[String, Double])
-          .getOrElse(Left(if (code != 0) s"fork exit $code" else "fork produced no timing"))
+          .getOrElse(Left(
+            if (!finished) "fork timeout"
+            else if (code != 0) s"fork exit $code"
+            else "fork produced incomplete timings"))
       }.toMap
     } catch {
       case e: Exception => names.map(_ -> Left(s"fork: ${e.getClass.getSimpleName}")).toMap

@@ -60,32 +60,62 @@ object FooterAggregateRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations = current :+ FooterAggregateRewrite
   }
 
-  /** Per-column footer stats. `valid` = EVERY row group carried a
-    * statistics object (a single stats-less block poisons the column —
-    * refusal, not an answer). `min`/`max` merge over the blocks that
-    * held non-null values; None WITH valid=true means the column is
-    * all-null everywhere, which IS an answer (SQL MIN/MAX = NULL) —
-    * the two cases must not conflate (review find during design).
+  /** Per-column footer stats.
+    *  - `covered`: Σ row counts of the blocks that CARRY the column —
+    *    answers are sound only when covered == the table's total rows,
+    *    or files written without the column (schema evolution under
+    *    mergeSchema) would be billed as non-null data (review find);
+    *  - `valid`: every carrying block either exposed min/max or was
+    *    PROVABLY all-null (numNulls == the block's rows). A block with
+    *    min/max unset but non-null rows present (parquet lets writers
+    *    omit them independently) poisons the column — hasNonNullValue
+    *    reports whether min/max are SET, not whether values exist
+    *    (review find);
+    *  - `physOk`: the parquet schema types the column as plain signed
+    *    INT32/INT64 in EVERY file — a UINT32 or other logical
+    *    annotation reinterprets the physical value Spark-side, so the
+    *    Spark DataType alone cannot license the raw statistic (review
+    *    find);
+    *  - `min`/`max` merge over value-carrying blocks; None with
+    *    valid=true means all-null everywhere → SQL NULL.
     */
-  private case class ColStats(nulls: Option[Long], valid: Boolean,
-      min: Option[Any], max: Option[Any])
+  private case class ColStats(nulls: Option[Long], covered: Long, valid: Boolean,
+      physOk: Boolean, min: Option[Any], max: Option[Any])
   private case class TableStats(rows: Long, cols: Map[String, ColStats])
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, PlanScans.ScanFingerprint), TableStats]()
+  // one live version per root path: a new listing fingerprint REPLACES
+  // the cached stats (stale versions would otherwise leak per append
+  // for the JVM lifetime — review find)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (PlanScans.ScanFingerprint, TableStats)]()
+
+  /** Is this parquet schema field a plain signed 32/64-bit integer
+    * (no logical-type reinterpretation)?
+    */
+  private def plainIntField(t: org.apache.parquet.schema.Type): Boolean = t match {
+    case p: org.apache.parquet.schema.PrimitiveType =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val phys = p.getPrimitiveTypeName
+      (phys == INT32 || phys == INT64) && (p.getLogicalTypeAnnotation match {
+        case null => true
+        case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          i.isSigned && ((phys == INT32 && i.getBitWidth == 32) ||
+            (phys == INT64 && i.getBitWidth == 64))
+        case _ => false
+      })
+    case _ => false
+  }
 
   /** Read every footer of the scan's CURRENT listing. Returns None if
     * the index is not listing-backed (no trustworthy fingerprint — the
     * PlanScans refusal) or any footer fails to read.
     */
-  private def statsOf(h: HadoopFsRelation): Option[TableStats] = h.location match {
-    case p: PartitioningAwareFileIndex if h.location.rootPaths.length == 1 =>
-      val files = p.allFiles()
-      val fp = PlanScans.ScanFingerprint(files.length, files.iterator.map(_.getLen).sum,
-        if (files.isEmpty) 0L else files.iterator.map(_.getModificationTime).max)
-      val key = (h.location.rootPaths.head.toString, fp)
-      Option(cache.get(key)).orElse {
+  private def statsOf(h: HadoopFsRelation): Option[TableStats] =
+    PlanScans.fingerprint(h).flatMap { fp =>
+      val root = h.location.rootPaths.head.toString
+      Option(cache.get(root)).collect { case (`fp`, ts) => ts }.orElse {
         try {
+          val files = h.location.asInstanceOf[PartitioningAwareFileIndex].allFiles()
           val conf = h.sparkSession.sessionState.newHadoopConf()
           var rows = 0L
           val colAgg = scala.collection.mutable.Map.empty[String, ColStats]
@@ -94,21 +124,35 @@ object FooterAggregateRewrite extends Rule[LogicalPlan] {
             val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
             try {
               val footer = reader.getFooter
+              val schema = footer.getFileMetaData.getSchema
               footer.getBlocks.asScala.foreach { block =>
-                rows += block.getRowCount
+                val blockRows = block.getRowCount
+                rows += blockRows
                 block.getColumns.asScala.foreach { cc =>
                   val path = cc.getPath.toDotString
                   val st = cc.getStatistics
+                  val hasValues = st != null && st.hasNonNullValue
+                  // min/max absent is fine ONLY when the block provably
+                  // holds no values at all
+                  val blockValid = hasValues ||
+                    (st != null && st.isNumNullsSet && st.getNumNulls == blockRows)
+                  // top-level leaf only (one path segment); nested
+                  // columns never license a raw min/max
+                  val physOk = cc.getPath.size == 1 &&
+                    schema.containsField(path) &&
+                    plainIntField(schema.getType(Seq(path): _*))
                   val cur = ColStats(
                     if (st != null && st.isNumNullsSet) Some(st.getNumNulls) else None,
-                    st != null && !st.isEmpty,
-                    if (st != null && st.hasNonNullValue) Some(st.genericGetMin) else None,
-                    if (st != null && st.hasNonNullValue) Some(st.genericGetMax) else None)
+                    blockRows, blockValid, physOk,
+                    if (hasValues) Some(st.genericGetMin) else None,
+                    if (hasValues) Some(st.genericGetMax) else None)
                   val merged = colAgg.get(path) match {
                     case None => cur
                     case Some(prev) => ColStats(
                       for (a <- prev.nulls; b <- cur.nulls) yield a + b,
+                      prev.covered + cur.covered,
                       prev.valid && cur.valid,
+                      prev.physOk && cur.physOk,
                       mergeMinMax(prev.min, cur.min, takeMin = true),
                       mergeMinMax(prev.max, cur.max, takeMin = false))
                   }
@@ -118,12 +162,11 @@ object FooterAggregateRewrite extends Rule[LogicalPlan] {
             } finally reader.close()
           }
           val ts = TableStats(rows, colAgg.toMap)
-          cache.put(key, ts)
+          cache.put(root, (fp, ts))
           Some(ts)
         } catch { case _: Exception => None }
       }
-    case _ => None
-  }
+    }
 
   /** Min/max merge where a missing side is NEUTRAL (that block simply
     * held no non-null values); validity — did every block carry a
@@ -157,41 +200,52 @@ object FooterAggregateRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The bare-scan walk: attribute-only Projects down to a single-root
-    * parquet LogicalRelation; anything else (Filter included) refuses.
-    * Returns the relation plus the scan-side name of each attr.
+  /** The bare-scan walk — [[PlanScans.bareScanRelation]]'s single
+    * implementation (attribute-only Projects, single root, listing
+    * index; Filter refuses), narrowed here to the PARQUET format the
+    * footer arithmetic is about.
     */
-  private def bareScan(plan: LogicalPlan): Option[HadoopFsRelation] = plan match {
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation if h.location.rootPaths.length == 1 &&
-        h.fileFormat.isInstanceOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
-        Some(h)
-      case _ => None
-    }
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) => bareScan(child)
-    case _ => None
+  private def bareScan(plan: LogicalPlan): Option[HadoopFsRelation] =
+    PlanScans.bareScanRelation(plan).filter(_.fileFormat
+      .isInstanceOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
+  /** Does the footer value's runtime class agree with the Spark type
+    * the answer slot carries? The belt to physOk's suspenders: even a
+    * schema-admitted column refuses if the statistic materialized as
+    * the wrong box (e.g. an Integer for a LongType attribute).
+    */
+  private def classMatches(v: Any, t: DataType): Boolean = (v, t) match {
+    case (_: java.lang.Integer, IntegerType) => true
+    case (_: java.lang.Long, LongType) => true
+    case _ => false
   }
 
   private def answer(ae: AggregateExpression, stats: TableStats): Option[Any] = {
     if (ae.isDistinct || ae.filter.isDefined) return None
+    // a column answer is sound only when every table row is covered by
+    // a block that carries the column (schema-evolution guard)
+    def covered(name: String): Option[ColStats] =
+      stats.cols.get(name).filter(_.covered == stats.rows)
     ae.aggregateFunction match {
       case c: Count if c.children.forall(ch => ch.foldable && !ch.nullable) =>
         Some(stats.rows)
       case c: Count => c.children match {
         case Seq(a: AttributeReference) =>
-          stats.cols.get(a.name).flatMap(_.nulls).map(n => stats.rows - n)
+          covered(a.name).flatMap(_.nulls).map(n => stats.rows - n)
         case _ => None
       }
       case m: Min => m.child match {
         case a: AttributeReference if plainNumeric(a.dataType) =>
-          // every row group must CARRY stats (valid); min None under
-          // valid=true means an all-null column — SQL MIN's null
-          stats.cols.get(a.name).filter(_.valid).map(cs => cs.min.orNull)
+          covered(a.name).filter(cs => cs.valid && cs.physOk)
+            .filter(cs => cs.min.forall(classMatches(_, a.dataType)))
+            .map(cs => cs.min.orNull)
         case _ => None
       }
       case m: Max => m.child match {
         case a: AttributeReference if plainNumeric(a.dataType) =>
-          stats.cols.get(a.name).filter(_.valid).map(cs => cs.max.orNull)
+          covered(a.name).filter(cs => cs.valid && cs.physOk)
+            .filter(cs => cs.max.forall(classMatches(_, a.dataType)))
+            .map(cs => cs.max.orNull)
         case _ => None
       }
       case _ => None

@@ -1490,9 +1490,11 @@ object Stats extends QueryModule {
     * the two halves as conditional sums → cumulative window per type
     * over the SUPPORT rows (distinct values per type, already
     * aggregated — orders of magnitude smaller than the event grain)
-    * → max per type. Headroom: cum·n ≤ n², so BIGINT holds to ~3·10⁹
-    * rows per type-half; past that, promote the two products to
-    * DECIMAL(38,0) (the emb convention).
+    * → max per type. Headroom: the BINDING term is the milli scaling
+    * ks_num·1000 ≤ n₁·n₂·1000, so BIGINT holds to ~9.6·10⁷ rows per
+    * type-half (not n² alone — review find); past that, promote
+    * ks_num·1000 and n₁·n₂ to DECIMAL(38,0) (the emb convention) —
+    * Spark would otherwise WRAP silently where DuckDB errors.
     */
   private val KsSplit = "2024-01-16 00:00:00"
   private val KsDriftMilli = 50L // flag at 5% max CDF deviation

@@ -77,6 +77,24 @@ class FooterAggSpec extends AnyFunSuite {
     assert(r2.getLong(1) == 10L, s"stale max after append: $r2")
   }
 
+  test("schema evolution refuses: a file missing the column must not be billed as non-null") {
+    val s = onSession()
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("footer_agg_evo").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").write.mode("append").parquet(path)
+    Seq(3L, 4L, 5L).toDF("k").write.mode("append").parquet(path) // no v
+    val df = s.read.option("mergeSchema", "true").parquet(path)
+      .agg(count(col("v")).as("nv"), min(col("v")).as("mn"))
+    // v covers only 2 of 5 rows: the rewrite must keep the scan...
+    assert(nScans(df) == 1, s"uncovered column answered from footers:\n${df.queryExecution.optimizedPlan}")
+    // ...and execution gives the true answer (the rows without v are null)
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 10L, s"got $r")
+    // count(*) over the same mixed table IS coverable — answered scan-free
+    val cnt = s.read.option("mergeSchema", "true").parquet(path).agg(count(lit(1)).as("n"))
+    assert(nScans(cnt) == 0 && cnt.collect()(0).getLong(0) == 5L)
+  }
+
   test("an all-null integral column answers count 0 and NULL min — not a refusal") {
     val s = onSession()
     import s.implicits._
