@@ -648,6 +648,74 @@ object StreamingGate extends QueryModule {
       |FROM events GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw16
+  /** STREAMING deterministic sampling — dq17's bottom-k-by-md5 sample
+    * ([[graft.functions.SampleSketch]]) maintained in watermarked
+    * streaming STATE, the ingest-time shape of the sample cube: per
+    * (hour window, type), the state store holds one bounded sample
+    * buffer, merged across micro-batches. Where sw6's KMV twin is
+    * exact only below k, this one is hash-EXACT at every k — the
+    * bottom-k multiset is exactly mergeable and a pure function of the
+    * data, so the streamed samples (and their medians) equal the batch
+    * window spelling bit-for-bit, which is what the oracle executes.
+    * Emission contract restated like sw2/sw6: a window is emitted iff
+    * its end is at or below the final watermark.
+    *
+    * Scale posture: state per open window is ≤ 2k (hash, value) pairs
+    * regardless of event volume; closed windows evict with the
+    * watermark; map-side partials trim before the shuffle.
+    */
+  private val Sw16K = 8
+
+  private def streamSample(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), col("event_type"),
+        md5(concat(lit("sw16:"), col("event_id").cast("string"))).as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.SampleSketch.sampleSet(col("h"), col("v"), Sw16K).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bucket_hour"), col("event_type"),
+        size(col("sk")).cast(LongType).as("sample_n"),
+        expr("element_at(array_sort(transform(sk, x -> x.v)), " +
+          "CAST((size(sk) + 1) DIV 2 AS INT))").as("sample_median_c"),
+        col("n_events"))
+    drain(s, agg, "sw16_mem")
+      .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
+  private val streamSampleSql =
+    s"""WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+       |base AS (
+       |  SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+       |    md5('sw16:' || CAST(event_id AS VARCHAR)) AS h,
+       |    CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events),
+       |grp AS (SELECT bucket_hour, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+       |        FROM base GROUP BY bucket_hour, event_type),
+       |samp AS (
+       |  SELECT bucket_hour, event_type, v FROM (
+       |    SELECT bucket_hour, event_type, v,
+       |      row_number() OVER (PARTITION BY bucket_hour, event_type
+       |        ORDER BY h, v) AS rn
+       |    FROM base)
+       |  WHERE rn <= $Sw16K),
+       |medv AS (
+       |  SELECT bucket_hour, event_type,
+       |    CAST(sn AS BIGINT) AS sample_n, v AS sample_median_c FROM (
+       |    SELECT bucket_hour, event_type, v,
+       |      row_number() OVER (PARTITION BY bucket_hour, event_type
+       |        ORDER BY v NULLS FIRST) AS mrn,
+       |      COUNT(*) OVER (PARTITION BY bucket_hour, event_type) AS sn
+       |    FROM samp)
+       |  WHERE mrn = (sn + 1) // 2)
+       |SELECT g.bucket_hour, g.event_type, m.sample_n, m.sample_median_c,
+       |  g.n_events
+       |FROM grp g JOIN medv m USING (bucket_hour, event_type)
+       |WHERE g.bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+       |ORDER BY g.bucket_hour NULLS FIRST, g.event_type NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- sw15
   /** STREAMING SCD Type-2 — cdc3's versioned-history build maintained
     * incrementally as events arrive, via flatMapGroupsWithState. A
@@ -770,6 +838,7 @@ object StreamingGate extends QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sw15_stream_scd2" -> (streamScd2 _),
+    "sw16_stream_sample" -> (streamSample _),
     "sw12_exactly_once_sink" -> (streamExactlyOnce _),
     "sw11_tws_hourly" -> (twsHourly _),
     "sw10_custom_sessions" -> (customSessions _),
@@ -784,6 +853,7 @@ object StreamingGate extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "sw15_stream_scd2" -> streamScd2Sql,
+    "sw16_stream_sample" -> streamSampleSql,
     "sw12_exactly_once_sink" -> streamExactlyOnceSql,
     "sw11_tws_hourly" -> streamHourlySql, // sw2's contract, state-v2 API
     "sw10_custom_sessions" -> streamSessionsSql, // sw3's contract, custom state
