@@ -880,12 +880,24 @@ object Linkage extends QueryModule {
     * triples recovered, singletons left behind, and how many clusters
     * elected a REGISTRY golden record vs a corrupted one.
     *
-    * Scale posture: the edge stage is er1's linear shuffle equi-join
-    * (block sizes O(1)); components run dd7's per-sweep-checkpointed
-    * label propagation, sweep count bounded by the match-graph
-    * diameter (≤ source count here); the census is one aggregate over
-    * the cluster frame. Nothing quadratic, nothing collected.
+    * Scale posture (r15 VERDICT #3): candidate edges go through
+    * [[graft.operators.AdaptiveBlocker]] — exact-duplicate contraction
+    * plus segment sub-split of oversized blocks — because the plain
+    * (nat, bal) equi-join went ~quadratic at sf1 on the copy-replicated
+    * corpus (block-key cardinality constant while rows grow; avg
+    * occupancy 10.3, 23.0 s — BASELINE.md round-15 ledger). Contraction
+    * makes the candidate join scale with DISTINCT names per block, so
+    * N-way replication costs N in the contraction aggregate instead of
+    * N² in the pair join, and the blocker is invisible in the result:
+    * every candidate passes the same exact levenshtein verify, and
+    * contracting lev-0 classes preserves connected components exactly.
+    * Components run dd7's per-sweep-checkpointed label propagation at
+    * REP level, sweep count bounded by the match-graph diameter; the
+    * census is one aggregate over the cluster frame. Nothing quadratic,
+    * nothing collected.
     */
+  private val AdaptiveBlockBound = 64
+
   private def goldenRecord(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     def source(k: Int, shift: Int): DataFrame = c
@@ -898,14 +910,16 @@ object Linkage extends QueryModule {
         floor(col("c_acctbal")).cast(LongType).as("bal"),
         col("c_mktsegment").as("seg"))
     val all = source(0, 0).unionByName(source(1, 0)).unionByName(source(2, 3))
-    val a = all.select(col("id").as("a"), col("name").as("na"), col("nat"), col("bal"))
-    val b = all.select(col("id").as("b"), col("name").as("nb"), col("nat"), col("bal"))
-    val edges = a.join(b, Seq("nat", "bal"))
-      .filter(col("a") < col("b") && levenshtein(col("na"), col("nb")) <= ErMaxDist)
-      .select("a", "b")
+    val (edges, classes) = graft.operators.AdaptiveBlocker.levEdges(
+      all, Seq("nat", "bal"), "id", "name", ErMaxDist.toInt, AdaptiveBlockBound)
     val cc = graft.operators.ConnectedComponents.run(edges)
-    val labeled = all.join(cc.select(col("node").as("id"), col("cluster")), Seq("id"), "left")
-      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    // expansion: rows inherit their (block, name) class's component —
+    // one join against the contracted vocabulary, not a per-id map
+    val classLabel = classes
+      .join(cc.select(col("node").as("rep"), col("cluster")), Seq("rep"), "left")
+      .select(col("nat"), col("bal"), col("name"),
+        coalesce(col("cluster"), col("rep")).as("cluster"))
+    val labeled = all.join(classLabel, Seq("nat", "bal", "name"))
     val clusters = labeled.groupBy("cluster")
       .agg(count(lit(1)).as("size"), min(col("id")).as("golden"))
     val goldenRows = labeled.select(col("id").as("golden"), col("seg"))

@@ -91,6 +91,33 @@ class BenchAdjudicationSpec extends AnyFunSuite {
       threads.foreach(_.join(1000))
     }
   }
+  test("readBaseline: spread hi feeds the trigger, legacy recordings fall back to median") {
+    // r15 VERDICT #7: the >2x trigger must read committed hi (max-of-
+    // runs), not the point median, so a quiet-window median (dd17:
+    // 2.19 s committed vs 3.3-3.4 s steady) stops re-flagging every
+    // noisy sweep. Pin: (a) spread hi is parsed and paired with the
+    // median; (b) a pre-spread recording falls back to hi = median;
+    // (c) a spread hi below the median (impossible from sorted runs,
+    // but a hand-edited file could carry one) is clamped up to median.
+    val f = java.nio.file.Files.createTempFile("bench_base", ".json")
+    val txt = """{"metric":"total","value":9.9,"unit":"sec",""" +
+      """"queries":{"a_fast":0.10,"b_noisy":2.19,"c_err":"err:Boom"},""" +
+      """"spread":{"a_fast":[0.10,0.09,0.12],"b_noisy":[2.19,2.10,3.40],"weird":[1.0,0.5,0.4]},""" +
+      """"sf":"/x","failed":0}"""
+    java.nio.file.Files.write(f, txt.getBytes("UTF-8"))
+    val base = Bench.readBaseline(f.toString)
+    assert(base("a_fast") == (0.10, 0.12))
+    assert(base("b_noisy") == (2.19, 3.40)) // hi absorbs the honest tail
+    assert(!base.contains("c_err")) // err entries carry no baseline
+    // legacy format (no spread block): hi = median
+    val g = java.nio.file.Files.createTempFile("bench_legacy", ".json")
+    java.nio.file.Files.write(g,
+      """{"metric":"total","queries":{"a":1.5,"b":0.2},"sf":"/x"}""".getBytes("UTF-8"))
+    val legacy = Bench.readBaseline(g.toString)
+    assert(legacy("a") == (1.5, 1.5) && legacy("b") == (0.2, 0.2))
+    java.nio.file.Files.delete(f); java.nio.file.Files.delete(g)
+  }
+
   test("forkAdjudicate round-trips a real entry through a fresh JVM") {
     // smallest stable entries: one fast scan-shaped query keeps the
     // forked session's wall time to startup + a few hundred ms
