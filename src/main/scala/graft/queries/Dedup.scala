@@ -1195,10 +1195,18 @@ object Dedup extends QueryModule {
         .persist(StorageLevel.MEMORY_AND_DISK))
 
   /** The dd12 algorithm from the sorted-shingle frame down — shared with
-    * dd17 so the capped variant is provably the SAME prefix/position/
-    * verify pipeline over a redefined shingle set.
+    * dd17/dd18 so the capped and bounded-output variants are provably
+    * the SAME prefix/position/verify pipeline over a redefined shingle
+    * set.
     */
-  private def containmentFrom(sh: DataFrame): DataFrame = {
+  private def containmentFrom(sh: DataFrame): DataFrame =
+    containmentVerified(sh)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+
+  /** Verified containment pairs, unsorted — dd18 aggregates this stream
+    * instead of reporting it, so the sort is the caller's concern.
+    */
+  private def containmentVerified(sh: DataFrame): DataFrame = {
     // ⌊0.2·|A|⌋+1-element sorted prefix — the only shingles A must probe
     val probes = sh.select(col("doc_id").as("doc_a"),
       size(col("shingles")).as("na"),
@@ -1232,7 +1240,6 @@ object Dedup extends QueryModule {
       .withColumn("containment_ppm", expr("ic * 1000000 DIV na"))
       .drop("ic")
       .filter(col("containment_ppm") >= ContainmentMinPpm)
-      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
 
   private val containmentPairsSql =
@@ -1325,7 +1332,7 @@ object Dedup extends QueryModule {
     (df.count(), df.filter(col("df") <= StopShingleDf).count())
   }
 
-  private def containmentCapped(s: SparkSession, dir: String): DataFrame = {
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     // persisted: feeds BOTH the df aggregate and the keep-join below —
     // unpersisted, the corpus n-gram md5 pass would run twice (r15
     // review; dd12 persists its shingled frame for the same reason)
@@ -1334,13 +1341,19 @@ object Dedup extends QueryModule {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keep = posts.groupBy("sh_h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= StopShingleDf).select("sh_h")
-    val sh = posts.join(keep, Seq("sh_h"))
+    posts.join(keep, Seq("sh_h"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("sh_h"))).as("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    containmentFrom(sh)
   }
 
-  private val containmentCappedSql =
+  private def containmentCapped(s: SparkSession, dir: String): DataFrame =
+    containmentFrom(cappedShingles(s, dir))
+
+  /** The dd17 CTE chain through the verified pair set — shared verbatim
+    * by dd17 (full report) and dd18 (bounded top-K report), mirroring
+    * the Spark side's shared [[containmentVerified]].
+    */
+  private val cappedVerifiedCte =
     s"""WITH $corpusSql,
        |corpb AS (
        |  SELECT doc_id,
@@ -1366,18 +1379,65 @@ object Dedup extends QueryModule {
        |cand AS (
        |  SELECT DISTINCT doc_a, doc_b FROM pr JOIN ix USING (sh_h)
        |  WHERE doc_a <> doc_b
-       |    AND 5 * (least(na - i, nb - j) + 1) >= 4 * na)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(sa.shingles) AS BIGINT) AS na,
-       |  CAST(len(sb.shingles) AS BIGINT) AS nb,
-       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
-       |    // len(sa.shingles) AS containment_ppm
-       |FROM cand
-       |JOIN sh sa ON cand.doc_a = sa.doc_id
-       |JOIN sh sb ON cand.doc_b = sb.doc_id
-       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
-       |    // len(sa.shingles) >= $ContainmentMinPpm
+       |    AND 5 * (least(na - i, nb - j) + 1) >= 4 * na),
+       |ver AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(sa.shingles) AS BIGINT) AS na,
+       |    CAST(len(sb.shingles) AS BIGINT) AS nb,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
+       |      // len(sa.shingles) AS containment_ppm
+       |  FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
+       |      // len(sa.shingles) >= $ContainmentMinPpm)""".stripMargin
+
+  private val containmentCappedSql =
+    s"""$cappedVerifiedCte
+       |SELECT doc_a, doc_b, na, nb, containment_ppm FROM ver
        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- dd18
+  /** Bounded-output containment — the report-side lever dd17's ledger
+    * promised (r15 VERDICT #4): dd12's sf3 death was TRUE-output-driven
+    * (the replicated corpus's containment pair count is quadratic in
+    * the copy factor), and a production deployment caps the REPORT, not
+    * just the candidates. Per contained document, only the top
+    * [[ContainTopK]] containing documents (highest containment, ties to
+    * the smaller doc_b) survive — the full pipeline is dd17's
+    * ([[containmentVerified]] over [[cappedShingles]], shared verbatim),
+    * but the result is ≤ K rows per doc_a NO MATTER how many documents
+    * contain it, so output is ≤ K·N at any replication factor.
+    *
+    * Scale posture: the top-K is the bounded [[graft.functions.TopKAgg]]
+    * buffer (ObjectHashAggregate, map-side partials — k rows per
+    * (doc × partition) reach the exchange), never a window over the
+    * verified pair stream. ContainmentCapSpec pins the ≤ K·N output
+    * bound on the planted boilerplate corpus.
+    */
+  private val ContainTopK = 3
+
+  private def containmentTopK(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(ContainTopK))
+    containmentVerified(cappedShingles(s, dir))
+      .groupBy("doc_a")
+      .agg(topk(col("containment_ppm"), col("doc_b")).as("hits"))
+      .select(col("doc_a"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("doc_a"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("hit.id").as("doc_b"), col("hit.score").as("containment_ppm"))
+      .orderBy(col("doc_a").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  private val containmentTopKSql =
+    s"""$cappedVerifiedCte,
+       |ranked AS (
+       |  SELECT doc_a, doc_b, containment_ppm,
+       |    row_number() OVER (PARTITION BY doc_a
+       |                       ORDER BY containment_ppm DESC, doc_b) AS rank
+       |  FROM ver)
+       |SELECT doc_a, CAST(rank AS BIGINT) AS rank, doc_b, containment_ppm
+       |FROM ranked WHERE rank <= $ContainTopK
+       |ORDER BY doc_a NULLS FIRST, rank NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- dd15
   /** LSH blocking-quality audit — the "measure, don't guess" gate on the
@@ -1535,6 +1595,7 @@ object Dedup extends QueryModule {
     "dd15_lsh_quality" -> (lshQuality _),
     "dd12_containment" -> (containmentPairs _),
     "dd17_containment_capped" -> (containmentCapped _),
+    "dd18_containment_topk" -> (containmentTopK _),
     "cur3_canonical_pick" -> (canonicalPick _),
     "dd11_segment_dedup" -> (cdcSegmentDedup _),
     "dd10_incremental_neardup" -> (incrementalNearDup _),
@@ -1569,6 +1630,7 @@ object Dedup extends QueryModule {
     "dd15_lsh_quality" -> lshQualitySql,
     "dd12_containment" -> containmentPairsSql,
     "dd17_containment_capped" -> containmentCappedSql,
+    "dd18_containment_topk" -> containmentTopKSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,
     "dd7_dup_clusters" -> dupClustersSql,
     "ds6_cluster_safe_split" -> clusterSafeSplitSql,

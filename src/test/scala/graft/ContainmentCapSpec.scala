@@ -32,4 +32,32 @@ class ContainmentCapSpec extends AnyFunSuite {
     assert(planted.nonEmpty,
       "no planted +2M doc at exactly 1e6 ppm — the cap ate real containment signal")
   }
+
+  test("dd18 output is bounded at K rows per contained doc on the boilerplate corpus") {
+    // r15 VERDICT #4: the report cap must hold EXACTLY — ≤ K rows per
+    // doc_a (so ≤ K·N total at any replication factor), rank dense in
+    // 1..K, and each doc's kept set must be the top-K of dd17's full
+    // report under (ppm DESC, doc_b ASC) — the bounded aggregate can't
+    // silently reorder or drop a better pair.
+    val s = SparkEntry.configure(spark.newSession())
+    val topk = SparkEntry.queries("dd18_containment_topk")(s, dir).collect()
+    val full = SparkEntry.queries("dd17_containment_capped")(s, dir).collect()
+    assert(topk.nonEmpty)
+    val k = 3
+    val byDoc = topk.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rows) =>
+      assert(rows.length <= k, s"doc $doc has ${rows.length} rows > K=$k")
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length.toLong),
+        s"doc $doc ranks not dense: ${rows.map(_.getLong(1)).toSeq}")
+    }
+    val expected = full.groupBy(_.getLong(0)).map { case (doc, rows) =>
+      doc -> rows.map(r => (r.getLong(4), r.getLong(1))) // (ppm, doc_b)
+        .sortBy { case (ppm, b) => (-ppm, b) }.take(k).toSeq
+    }
+    byDoc.foreach { case (doc, rows) =>
+      val got = rows.sortBy(_.getLong(1)).map(r => (r.getLong(3), r.getLong(2))).toSeq
+      assert(got == expected(doc), s"doc $doc top-$k mismatch: $got vs ${expected(doc)}")
+    }
+    assert(byDoc.keySet == expected.keySet)
+  }
 }
