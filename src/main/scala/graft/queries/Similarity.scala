@@ -1326,6 +1326,55 @@ object Similarity extends QueryModule {
       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- ann14
+  /** ann8's documented scale path, gated (r15 VERDICT #5): the SAME
+    * filtered retrieval, but over the corpus written LABEL-PARTITIONED
+    * (dpp1's bootstrap pattern — first call per (JVM, corpus dir) lays
+    * the table out `partitionBy("label")`), so the label predicate is
+    * answered by the STORAGE LAYOUT: the query labels arrive only at
+    * runtime (they are read off the query vectors' own rows), Spark
+    * injects the broadcast join's build side as a dynamic partition
+    * pruning filter on the scan, and non-matching labels' files are
+    * never opened — at 100 TB the difference between scanning ~1/|L| of
+    * the corpus and scanning all of it, BEFORE any scoring runs. Same
+    * oracle as ann8 verbatim: layout must be invisible in the result
+    * (sj1/bkt1/dpp1's contract). The pruning mechanism + non-vacuity
+    * (fewer partitions read than exist) is pinned in NewShapePinsSpec.
+    * Inside a pruned label, scoring is ann8's exact kernel; a deployment
+    * whose per-label slice is still huge composes ann2's IVF bucketing
+    * within each partition — orthogonal, and the oracle would change
+    * (single-probe recall), so it stays a separate entry (ann2/ann11
+    * measure that trade).
+    */
+  private val annPartBuilt = scala.collection.mutable.Set.empty[String]
+
+  private[graft] def annPartRoot(s: SparkSession, dir: String): String = new java.io.File(
+    sys.props("java.io.tmpdir"),
+    "graft_ann14_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  private def filteredTopKPruned(s: SparkSession, dir: String): DataFrame = {
+    val root = annPartRoot(s, dir)
+    annPartBuilt.synchronized {
+      if (!annPartBuilt.contains(root)) {
+        t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+          .write.mode("overwrite").partitionBy("label").parquet(root)
+        annPartBuilt += root
+        ()
+      }
+    }
+    val emb = s.read.parquet(root).select(col("vec_id"), col("label"), quantExpr.as("q"))
+    val queries = emb.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("q").as("qv"))
+    val topk = udaf(new TopKAgg(5))
+    val scored = emb
+      .join(broadcast(queries),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("q")).as("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
   // ---------------------------------------------------------------- dd13
   /** Semantic dedup, SemDeDup-shaped (cluster, then prune ε-neighbors
     * within each cluster): the vector-space sibling of the text passes —
@@ -2049,6 +2098,7 @@ object Similarity extends QueryModule {
     "dd14_crosslang_neardup" -> (crossLangNearDup _),
     "ann10_topk_diversified" -> (diversifiedTopK _),
     "ann8_topk_filtered" -> (filteredTopK _),
+    "ann14_topk_pruned" -> (filteredTopKPruned _),
     "emb4_centroid_separation" -> (centroidSeparation _),
     "emb3_cluster_audit" -> (clusterAudit _),
     "ann5_topk_pq" -> (pqTopK _),
@@ -2076,6 +2126,7 @@ object Similarity extends QueryModule {
     "dd13_semantic_dedup" -> semanticDedupSql,
     "dd14_crosslang_neardup" -> crossLangNearDupSql,
     "ann8_topk_filtered" -> filteredTopKSql,
+    "ann14_topk_pruned" -> filteredTopKSql, // layout-invisibility: same oracle as ann8
     "ann10_topk_diversified" -> diversifiedTopKSql,
     "emb4_centroid_separation" -> centroidSeparationSql,
     "emb3_cluster_audit" -> clusterAuditSql,

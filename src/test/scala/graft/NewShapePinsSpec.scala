@@ -97,6 +97,32 @@ class NewShapePinsSpec extends AnyFunSuite {
       s"vacuous: all $total partitions survived - nothing was pruned")
   }
 
+  test("ann14: label-partitioned retrieval prunes partitions at runtime") {
+    val s = SparkEntry.configure(spark)
+    val df = SparkEntry.queries("ann14_topk_pruned")(s, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // mechanism: the partitioned embeddings scan must carry the dynamic
+    // pruning filter fed by the broadcast query labels (dpp1's pin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning filter on the label-partitioned scan:\n$plan")
+    // non-vacuity: the query labels must keep strictly fewer partitions
+    // than exist, else the pruning proves nothing
+    val root = graft.queries.Similarity.annPartRoot(s, dir)
+    val allLabels = SparkEntry.configure(spark).read.parquet(root)
+      .select("label").distinct().count()
+    val queryLabels = SparkEntry.configure(spark).read.parquet(root)
+      .filter(org.apache.spark.sql.functions.col("vec_id").isin(0L, 1L, 2L))
+      .select("label").distinct().count()
+    assert(queryLabels < allLabels,
+      s"vacuous: queries cover all $allLabels labels - nothing to prune")
+    // layout invisibility: identical result to ann8's unpartitioned path
+    val base = SparkEntry.queries("ann8_topk_filtered")(s, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == base.map(_.toSeq).toSeq,
+      "partitioned layout changed the retrieval result")
+  }
+
   test("dq7: the key-grain frame is persisted, not rebuilt per consumer") {
     val s = SparkEntry.configure(spark)
     val df = SparkEntry.queries("dq7_join_skew")(s, dir)
