@@ -401,6 +401,19 @@ object StreamingGate extends QueryModule {
     * open end, so idle keys cost no per-batch work. Timestamps cross
     * the typed boundary as epoch-µs longs and come back via
     * `timestamp_micros` — no Timestamp-encoder timezone coupling.
+    *
+    * Per-event cost (r15 VERDICT #6 — sw10 wore the family's worst
+    * sf10 ratio, 7.5× wall at 100× data, and the growth is work per
+    * EVENT, not state size): the per-batch merge is allocation-flat —
+    * this batch's times go through a primitive long[] sort + one
+    * coalescing pass (no per-event OpenSess seeds, no boxed sortBy
+    * keys), then a single linear merge with the already-sorted open
+    * list. Same state machine, same emissions, bit-for-bit. The
+    * Timestamp field itself cannot be pared from the typed row:
+    * event-time timeout requires the watermark-tagged attribute in the
+    * FMGWS child plan, so its per-event decode is inherent to the
+    * typed-state spelling (sw3's native session_window never leaves
+    * Tungsten rows — the residual gap is the boundary itself).
     */
   // public: the Dataset encoders' generated code must see the
   // constructors (a private case class leaves janino only the accessors,
@@ -412,6 +425,10 @@ object StreamingGate extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val GapUs = 30L * 60 * 1000000L
+    // the watermark-tagged ts attribute must survive into the FMGWS
+    // input (event-time timeout requires it in the child plan), so the
+    // typed row keeps all three fields; the µs long is what the state
+    // function reads
     val src = eventStream(s, dir)
       .withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
@@ -422,20 +439,41 @@ object StreamingGate extends QueryModule {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid, evs, state) =>
           val wmUs = state.getCurrentWatermarkMs * 1000L
-          // merge incoming events into the open-session list: sort by
-          // start, coalesce any pair within the gap (a late event can
-          // bridge two previously-separate sessions)
-          val seeds = evs.map(e => OpenSess(e._3, e._3, 1L)).toList
-          val merged = (state.getOption.getOrElse(Nil) ++ seeds)
-            .sortBy(ss => (ss.startUs, ss.lastUs))
-            .foldLeft(List.empty[OpenSess]) { (acc, cur) =>
-              acc match {
-                case h :: t if cur.startUs <= h.lastUs + GapUs =>
-                  OpenSess(h.startUs, math.max(h.lastUs, cur.lastUs), h.n + cur.n) :: t
-                case _ => cur :: acc
-              }
+          // this batch's event times: primitive sort + one coalescing
+          // pass into seed sessions (a late event can bridge sessions;
+          // the linear state merge below handles that)
+          val times = evs.map(_._3).toArray
+          java.util.Arrays.sort(times)
+          val seedsB = List.newBuilder[OpenSess]
+          var i = 0
+          while (i < times.length) {
+            val start = times(i)
+            var last = start
+            var n = 1L
+            i += 1
+            while (i < times.length && times(i) <= last + GapUs) {
+              last = times(i); n += 1; i += 1
             }
-            .reverse
+            seedsB += OpenSess(start, last, n)
+          }
+          // linear merge of two start-sorted session lists, coalescing
+          // any adjacent pair within the gap
+          val outB = List.newBuilder[OpenSess]
+          var cur: OpenSess = null
+          var x = state.getOption.getOrElse(Nil)
+          var y = seedsB.result()
+          while (x.nonEmpty || y.nonEmpty) {
+            val nxt =
+              if (y.isEmpty || (x.nonEmpty && x.head.startUs <= y.head.startUs)) {
+                val h = x.head; x = x.tail; h
+              } else { val h = y.head; y = y.tail; h }
+            if (cur == null) cur = nxt
+            else if (nxt.startUs <= cur.lastUs + GapUs)
+              cur = OpenSess(cur.startUs, math.max(cur.lastUs, nxt.lastUs), cur.n + nxt.n)
+            else { outB += cur; cur = nxt }
+          }
+          if (cur != null) outB += cur
+          val merged = outB.result()
           // emit sessions the watermark has closed (>= at equality — the
           // session_window contract); keep the rest and arm the timeout
           // for the earliest still-open end
