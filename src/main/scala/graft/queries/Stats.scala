@@ -2784,6 +2784,79 @@ object Stats extends QueryModule {
        |FROM emed e JOIN smed s ON e.nat = s.nat
        |ORDER BY nation_key NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- dq19
+  /** Mergeable QUANTILE-sketch rollup — the percentile symmetry the
+    * sketch cube was missing (r15 VERDICT #8): dq16 rolls up NDV
+    * states, dq17 rolls up sample states, and this entry rolls up
+    * [[graft.functions.QdigestSketch]] states — the deterministic
+    * GK/KLL-family summary (q-digest) a 100 TB pipeline maintains as
+    * its latency-SLO / price-distribution monitor. Per (returnflag,
+    * linestatus) digests merge STATE-wise to returnflag grain (base
+    * rows never re-read), and BOTH the merged and the directly-built
+    * digest must answer every probed percentile within the rank-error
+    * contract ε = L/k ≈ 1.2%, checked against EXACT ranks computed in
+    * the same job (dq15's audit pattern — the exact pass is the
+    * deliberate cost the sketch exists to avoid at scale) with a 4%+1
+    * margin (≈3.4× contract, dq14's margin discipline). Raw answers
+    * never reach the output: a digest's VALUES legally vary with merge
+    * topology, only the rank bound is an invariant — the oracle states
+    * the flags TRUE and the group cardinalities exactly.
+    *
+    * Scale posture: two narrow aggregates (level-1 states, state
+    * merge) with O(k)-node map-side partials; the rank audit is one
+    * broadcast of ≤ |groups|·|ps| answer rows joined back for a
+    * grouped conditional count — no row expansion at production scale.
+    */
+  private val Dq19Ps = Seq(100, 500, 900, 990)
+
+  private def quantileRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QdigestSketch
+    val base = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+      expr(s"least(greatest(CAST(round(l_extendedprice * 100) AS BIGINT), 0L), " +
+        s"${graft.functions.QdCore.Universe - 1}L)").as("pc"))
+    val lvl1 = base.groupBy("rf", "ls")
+      .agg(QdigestSketch.qdSet(col("pc")).as("sk"))
+    val mergedA = lvl1.groupBy("rf")
+      .agg(QdigestSketch.qdMergeAnswers(col("sk"), Dq19Ps).as("am"))
+    val directA = base.groupBy("rf")
+      .agg(QdigestSketch.qdAnswers(col("pc"), Dq19Ps).as("ad"),
+        count(lit(1)).as("n_rows"))
+    val qa = directA.join(mergedA, Seq("rf"))
+      .select(col("rf"), col("n_rows"),
+        posexplode(arrays_zip(col("ad"), col("am"))).as(Seq("i", "z")))
+      .select(col("rf"), col("n_rows"),
+        expr(s"element_at(array(${Dq19Ps.mkString("L,")}L), CAST(i AS INT) + 1)")
+          .as("p_milli"),
+        col("z.ad").as("a_d"), col("z.am").as("a_m"))
+    base.join(broadcast(qa), Seq("rf"))
+      .groupBy(col("rf"), col("p_milli"), col("n_rows"), col("a_d"), col("a_m"))
+      .agg(
+        sum(when(col("pc") <= col("a_d"), 1L).otherwise(0L)).as("dle"),
+        sum(when(col("pc") < col("a_d"), 1L).otherwise(0L)).as("dlt"),
+        sum(when(col("pc") <= col("a_m"), 1L).otherwise(0L)).as("mle"),
+        sum(when(col("pc") < col("a_m"), 1L).otherwise(0L)).as("mlt"))
+      .select(col("rf").as("return_flag"), col("p_milli"), col("n_rows"),
+        ((col("dle") >= expr("n_rows * p_milli DIV 1000 - (n_rows * 4 DIV 100 + 1)")) &&
+          (col("dlt") <= expr("n_rows * p_milli DIV 1000 + (n_rows * 4 DIV 100 + 1)")))
+          .as("within_direct"),
+        ((col("mle") >= expr("n_rows * p_milli DIV 1000 - (n_rows * 4 DIV 100 + 1)")) &&
+          (col("mlt") <= expr("n_rows * p_milli DIV 1000 + (n_rows * 4 DIV 100 + 1)")))
+          .as("within_merged"))
+      .orderBy(col("return_flag").asc_nulls_first, col("p_milli").asc_nulls_first)
+  }
+
+  private val quantileRollupSql = {
+    val values = Dq19Ps.map(p => s"($p)").mkString(", ")
+    s"""WITH n AS (
+       |  SELECT l_returnflag AS return_flag, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM lineitem GROUP BY 1)
+       |SELECT return_flag, CAST(p_milli AS BIGINT) AS p_milli, n_rows,
+       |  TRUE AS within_direct, TRUE AS within_merged
+       |FROM n, (VALUES $values) AS t(p_milli)
+       |ORDER BY return_flag NULLS FIRST, p_milli NULLS FIRST""".stripMargin
+  }
+
   // --------------------------------------------------------------- priv1
   /** k-anonymity / l-diversity audit — the privacy census a pipeline
     * runs BEFORE releasing a training slice that carries person-level
@@ -3032,6 +3105,7 @@ object Stats extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv3_t_closeness" -> (tCloseness _),
     "dq17_sample_rollup" -> (sampleRollup _),
+    "dq19_quantile_rollup" -> (quantileRollup _),
     "priv2_generalization" -> (generalizationLadder _),
     "priv1_k_anonymity" -> (kAnonymity _),
     "dq16_sketch_rollup" -> (sketchRollup _),
@@ -3101,6 +3175,7 @@ object Stats extends QueryModule {
     "priv2_generalization" -> generalizationLadderSql,
     "priv3_t_closeness" -> tClosenessSql,
     "dq17_sample_rollup" -> sampleRollupSql,
+    "dq19_quantile_rollup" -> quantileRollupSql,
     "dq16_sketch_rollup" -> sketchRollupSql,
     "dq12_join_cardinality" -> joinCardinalitySql,
     "dq13_estimator_regime" -> estimatorRegimeSql,

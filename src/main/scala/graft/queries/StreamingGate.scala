@@ -754,6 +754,79 @@ object StreamingGate extends QueryModule {
        |WHERE g.bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
        |ORDER BY g.bucket_hour NULLS FIRST, g.event_type NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw17
+  /** STREAMING quantile monitor — dq19's mergeable q-digest
+    * ([[graft.functions.QdigestSketch]]) maintained in watermarked
+    * streaming STATE, the latency-SLO shape every 100 TB pipeline runs
+    * (r15 VERDICT #8's second half; sw16 is the sampling twin, sw6 the
+    * NDV twin). Per (hour window, type) the state store holds one
+    * bounded digest, merged across micro-batches; emitted windows carry
+    * the percentile answers. A digest's raw VALUES legally vary with
+    * merge topology, so the gate audits the streamed answers against
+    * EXACT per-window ranks computed batch-side in the same job
+    * (dq15/dq19's contract pattern) and outputs only the bound flags —
+    * which the oracle states TRUE alongside the exact per-window
+    * counts and the sw2/sw16 emission contract (a window is emitted
+    * iff its end ≤ the final watermark).
+    *
+    * Scale posture: state per open window is O(k) digest nodes
+    * regardless of event volume; closed windows evict with the
+    * watermark; map-side partials compress before the shuffle. At gate
+    * scale per-window n < k, so the digests are exact and the flags
+    * can't flake; at production n the ε = L/k contract takes over —
+    * dq19 gates that regime on 600k rows.
+    */
+  private val Sw17Ps = Seq(500, 900, 990)
+
+  private def streamQuantileMonitor(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QdigestSketch
+    val vcents = expr("least(greatest(CAST(round(value * 100) AS BIGINT), 0L), " +
+      s"${graft.functions.QdCore.Universe - 1}L)")
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), col("event_type"), vcents.as("v"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(QdigestSketch.qdAnswers(col("v"), Sw17Ps).as("qs"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bucket_hour"), col("event_type"),
+        col("qs"), col("n_events"))
+    val qa = drain(s, agg, "sw17_mem")
+      .select(col("bucket_hour"), col("event_type"), col("n_events"),
+        posexplode(col("qs")).as(Seq("i", "a")))
+      .withColumn("p_milli",
+        expr(s"element_at(array(${Sw17Ps.mkString("L,")}L), CAST(i AS INT) + 1)"))
+    // batch-side exact rank audit of the STREAMED answers; only emitted
+    // windows appear in qa, so the join also applies the emission filter
+    val base = graft.Tables(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("bucket_hour"),
+        col("event_type"), vcents.as("v"))
+    base.join(broadcast(qa), Seq("bucket_hour", "event_type"))
+      .groupBy(col("bucket_hour"), col("event_type"), col("p_milli"),
+        col("n_events"), col("a"))
+      .agg(
+        sum(when(col("v") <= col("a"), 1L).otherwise(0L)).as("rle"),
+        sum(when(col("v") < col("a"), 1L).otherwise(0L)).as("rlt"))
+      .select(col("bucket_hour"), col("event_type"), col("p_milli"), col("n_events"),
+        ((col("rle") >= expr("n_events * p_milli DIV 1000 - (n_events * 4 DIV 100 + 1)")) &&
+          (col("rlt") <= expr("n_events * p_milli DIV 1000 + (n_events * 4 DIV 100 + 1)")))
+          .as("within_bound"))
+      .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first,
+        col("p_milli").asc_nulls_first)
+  }
+
+  private val streamQuantileSql =
+    s"""WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+       |grp AS (
+       |  SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT g.bucket_hour, g.event_type, CAST(p_milli AS BIGINT) AS p_milli,
+       |  g.n_events, TRUE AS within_bound
+       |FROM grp g, (VALUES (500), (900), (990)) AS t(p_milli)
+       |WHERE g.bucket_hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+       |ORDER BY g.bucket_hour NULLS FIRST, g.event_type NULLS FIRST,
+       |  p_milli NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- sw15
   /** STREAMING SCD Type-2 — cdc3's versioned-history build maintained
     * incrementally as events arrive, via flatMapGroupsWithState. A
@@ -877,6 +950,7 @@ object StreamingGate extends QueryModule {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sw15_stream_scd2" -> (streamScd2 _),
     "sw16_stream_sample" -> (streamSample _),
+    "sw17_stream_quantile" -> (streamQuantileMonitor _),
     "sw12_exactly_once_sink" -> (streamExactlyOnce _),
     "sw11_tws_hourly" -> (twsHourly _),
     "sw10_custom_sessions" -> (customSessions _),
@@ -892,6 +966,7 @@ object StreamingGate extends QueryModule {
   def oracle: Map[String, String] = Map(
     "sw15_stream_scd2" -> streamScd2Sql,
     "sw16_stream_sample" -> streamSampleSql,
+    "sw17_stream_quantile" -> streamQuantileSql,
     "sw12_exactly_once_sink" -> streamExactlyOnceSql,
     "sw11_tws_hourly" -> streamHourlySql, // sw2's contract, state-v2 API
     "sw10_custom_sessions" -> streamSessionsSql, // sw3's contract, custom state
