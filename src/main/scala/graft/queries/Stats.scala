@@ -2822,27 +2822,45 @@ object Stats extends QueryModule {
     val directA = base.groupBy("rf")
       .agg(QdigestSketch.qdAnswers(col("pc"), Dq19Ps).as("ad"),
         count(lit(1)).as("n_rows"))
-    val qa = directA.join(mergedA, Seq("rf"))
+    // the rank audit WITHOUT row expansion (the r16 sf10 probe measured
+    // the dq15-style pair-expansion spelling at 8.3× wall for 100× data
+    // — 60M rows × 12 answers through the exchange): the ≤ |groups|
+    // answer rows pivot into two per-group maps, each base row joins
+    // exactly ONE map row, and all 16 conditional counts ride a single
+    // grouped aggregate — one pass over the fact at any scale
+    val qaWide = directA.join(mergedA, Seq("rf"))
       .select(col("rf"), col("n_rows"),
-        posexplode(arrays_zip(col("ad"), col("am"))).as(Seq("i", "z")))
-      .select(col("rf"), col("n_rows"),
-        expr(s"element_at(array(${Dq19Ps.mkString("L,")}L), CAST(i AS INT) + 1)")
-          .as("p_milli"),
-        col("z.ad").as("a_d"), col("z.am").as("a_m"))
-    base.join(broadcast(qa), Seq("rf"))
-      .groupBy(col("rf"), col("p_milli"), col("n_rows"), col("a_d"), col("a_m"))
-      .agg(
-        sum(when(col("pc") <= col("a_d"), 1L).otherwise(0L)).as("dle"),
-        sum(when(col("pc") < col("a_d"), 1L).otherwise(0L)).as("dlt"),
-        sum(when(col("pc") <= col("a_m"), 1L).otherwise(0L)).as("mle"),
-        sum(when(col("pc") < col("a_m"), 1L).otherwise(0L)).as("mlt"))
-      .select(col("rf").as("return_flag"), col("p_milli"), col("n_rows"),
-        ((col("dle") >= expr("n_rows * p_milli DIV 1000 - (n_rows * 4 DIV 100 + 1)")) &&
-          (col("dlt") <= expr("n_rows * p_milli DIV 1000 + (n_rows * 4 DIV 100 + 1)")))
-          .as("within_direct"),
-        ((col("mle") >= expr("n_rows * p_milli DIV 1000 - (n_rows * 4 DIV 100 + 1)")) &&
-          (col("mlt") <= expr("n_rows * p_milli DIV 1000 + (n_rows * 4 DIV 100 + 1)")))
-          .as("within_merged"))
+        map_from_arrays(
+          expr(s"array(${Dq19Ps.mkString("L,")}L)"), col("ad")).as("md"),
+        map_from_arrays(
+          expr(s"array(${Dq19Ps.mkString("L,")}L)"), col("am")).as("mm"))
+    val condCounts = Dq19Ps.flatMap { p =>
+      Seq(
+        sum(when(col("pc") <= element_at(col("md"), lit(p.toLong)), 1L).otherwise(0L))
+          .as(s"dle_$p"),
+        sum(when(col("pc") < element_at(col("md"), lit(p.toLong)), 1L).otherwise(0L))
+          .as(s"dlt_$p"),
+        sum(when(col("pc") <= element_at(col("mm"), lit(p.toLong)), 1L).otherwise(0L))
+          .as(s"mle_$p"),
+        sum(when(col("pc") < element_at(col("mm"), lit(p.toLong)), 1L).otherwise(0L))
+          .as(s"mlt_$p"))
+    }
+    val counts = base.join(broadcast(qaWide), Seq("rf"))
+      .groupBy(col("rf"), col("n_rows"))
+      .agg(condCounts.head, condCounts.tail: _*)
+    def slack = "(n_rows * 4 DIV 100 + 1)"
+    counts
+      .select(col("rf").as("return_flag"), col("n_rows"),
+        explode(array(Dq19Ps.map { p =>
+          struct(
+            lit(p.toLong).as("p_milli"),
+            ((col(s"dle_$p") >= expr(s"n_rows * $p DIV 1000 - $slack")) &&
+              (col(s"dlt_$p") <= expr(s"n_rows * $p DIV 1000 + $slack"))).as("wd"),
+            ((col(s"mle_$p") >= expr(s"n_rows * $p DIV 1000 - $slack")) &&
+              (col(s"mlt_$p") <= expr(s"n_rows * $p DIV 1000 + $slack"))).as("wm"))
+        }: _*)).as("z"))
+      .select(col("return_flag"), col("z.p_milli").as("p_milli"), col("n_rows"),
+        col("z.wd").as("within_direct"), col("z.wm").as("within_merged"))
       .orderBy(col("return_flag").asc_nulls_first, col("p_milli").asc_nulls_first)
   }
 

@@ -13,8 +13,10 @@ import graft.functions.{QdBuf, QdCore, QdNode}
   */
 class QdigestSpec extends AnyFunSuite {
 
-  private def build(vs: Seq[Long], k: Int): Seq[QdNode] =
-    QdCore.compress(vs.foldLeft(QdCore.zero)((b, v) => QdCore.add(b, v, k)), k).items
+  private def build(vs: Seq[Long], k: Int): Seq[QdNode] = {
+    val b = vs.foldLeft(QdCore.zero)((acc, v) => QdCore.add(acc, v, k))
+    QdCore.normalize(b.nodes, b.pending, k)
+  }
 
   /** deterministic lcg values in [0, bound) */
   private def lcg(n: Int, bound: Long): Seq[Long] = {
@@ -69,9 +71,9 @@ class QdigestSpec extends AnyFunSuite {
     // three very different merge shapes over the same data
     val whole = build(vs, k)
     val halves = QdCore.merge(
-      QdBuf(build(vs.take(15000), k)), QdBuf(build(vs.drop(15000), k)), k).items
-    val shards = vs.grouped(1000).map(g => QdBuf(build(g, k)))
-      .reduce((a, b) => QdCore.merge(a, b, k)).items
+      QdBuf(build(vs.take(15000), k), Nil), QdBuf(build(vs.drop(15000), k), Nil), k).nodes
+    val shards = vs.grouped(1000).map(g => QdBuf(build(g, k), Nil))
+      .reduce((a, b) => QdCore.merge(a, b, k)).nodes
     Seq(100, 500, 900, 990).foreach { p =>
       val r = math.max(1L, n * p / 1000L)
       Seq("whole" -> whole, "halves" -> halves, "shards" -> shards).foreach {
