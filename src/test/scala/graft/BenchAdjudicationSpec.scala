@@ -39,6 +39,18 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.loadTainted(0.25, 0.1))
   }
 
+  test("loadTainted fork mode: fresh-JVM overhead on a tiny sentinel doesn't taint") {
+    // the r16 forced-mover drill: a 24 ms sentinel reads ~0.18 s in a
+    // fresh child JVM (fixed codegen/JIT residue) — >2x committed but
+    // NOT window load; the fork-mode 0.5 s floor absorbs it
+    assert(!Bench.loadTainted(0.18, 0.024, forked = true))
+    assert(Bench.loadTainted(0.18, 0.024, forked = false)) // in-JVM: same reading IS suspicious
+    // genuine load lands a fresh-JVM sentinel far past the floor
+    assert(Bench.loadTainted(1.2, 0.024, forked = true))
+    // a multi-second sentinel under real load trips either mode
+    assert(Bench.loadTainted(3.0, 1.0, forked = true))
+  }
+
   test("sentinel candidates are real gate entries") {
     // The canary is only as good as its sentinel: every candidate must
     // exist in the query map, or a rename silently downgrades the
