@@ -135,7 +135,12 @@ object Bench {
     * — every adjudication used to compare a point median to a point
     * committed value, so an entry whose committed run happened to catch
     * its own quiet tail re-flagged every noisy sweep). Recordings that
-    * predate the spread block fall back to hi = median.
+    * predate the spread block fall back to hi = median. The raw max is
+    * CLAMPED to 2× the median before use: a single loaded run in the
+    * recording window (ann11's committed [0.45, 0.42, 2.62]) would
+    * otherwise raise the trigger to 2×hi = 5.8× median and blind the
+    * sweep to a genuine 5× regression on that entry (r16 review #1) —
+    * the clamp keeps VERDICT #7's fix without importing the outlier.
     */
   private[graft] def readBaseline(path: String): Map[String, (Double, Double)] = {
     val parsed = try {
@@ -168,7 +173,9 @@ object Bench {
           catch { case _: NumberFormatException => None }
         }.toMap
       }
-      medians.map { case (k, med) => k -> (med, his.getOrElse(k, med).max(med)) }
+      medians.map { case (k, med) =>
+        k -> (med, his.getOrElse(k, med).max(med).min(2 * med))
+      }
     } catch { case _: Throwable => Map.empty[String, (Double, Double)] }
     // A format drift or parse hiccup silently disabling self-adjudication
     // for the whole sweep is exactly the failure mode the adjudication

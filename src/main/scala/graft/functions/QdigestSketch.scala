@@ -235,8 +235,23 @@ class QdAnswersAgg(k: Int, psMilli: Seq[Int])
 class QdMergeAnswersAgg(k: Int, psMilli: Seq[Int])
     extends Aggregator[Seq[QdNode], QdBuf, Seq[Long]] {
   override def zero: QdBuf = QdCore.zero
-  override def reduce(b: QdBuf, in: Seq[QdNode]): QdBuf =
-    QdCore.merge(b, QdBuf(if (in == null) Vector.empty else in, Nil), k)
+  // append incoming states into the node buffer and normalize on a size
+  // threshold, NOT per input row (r16 review #4: a per-state normalize
+  // is O(k log k) × G for G fine-grain states — the amortized buffer is
+  // the same trade the value path makes with pending, and normalize is
+  // a pure function of the node multiset so the answers are identical)
+  override def reduce(b: QdBuf, in: Seq[QdNode]): QdBuf = {
+    if (in == null) return b
+    val nb = b.nodes match {
+      case ab: ArrayBuffer[QdNode @unchecked] => ab
+      case other => ArrayBuffer.from(other)
+    }
+    nb ++= in
+    if (nb.length >= 8 * k)
+      QdBuf(QdCore.normalize(nb, Nil, k), ArrayBuffer.empty[Long])
+    else if (nb.asInstanceOf[AnyRef] eq b.nodes.asInstanceOf[AnyRef]) b
+    else QdBuf(nb, b.pending)
+  }
   override def merge(x: QdBuf, y: QdBuf): QdBuf = QdCore.merge(x, y, k)
   override def finish(b: QdBuf): Seq[Long] =
     QdCore.answers(QdCore.normalize(b.nodes, b.pending, k), psMilli)
@@ -246,6 +261,17 @@ class QdMergeAnswersAgg(k: Int, psMilli: Seq[Int])
 
 object QdigestSketch {
   val DefaultK = 2048 // ε = L/k ≈ 1.2% rank error
+
+  /** The house quantize-and-clamp: money/value column → cents, clamped
+    * into the digest universe. One definition shared by every gate that
+    * feeds a digest (dq19, sw17) AND by their exact-rank audits — a
+    * clamp that diverged between the sketch input and the audit's base
+    * column would shift ranks near the universe edges (r16 review #5).
+    */
+  def clampedCents(valueExpr: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"least(greatest(CAST(round(($valueExpr) * 100) AS BIGINT), 0L), " +
+        s"${QdCore.Universe - 1}L)")
 
   def qdSet(value: Column, k: Int = DefaultK): Column =
     udaf(new QdAgg(k)).apply(value)

@@ -68,6 +68,19 @@ object AdaptiveBlocker {
     *         (block, text) — not per row id — so the expansion join is
     *         rows ⋈ classes, broadcastable whenever the distinct
     *         vocabulary is small (the exact situation contraction wins).
+    *
+    *         NULL keys (r16 review #2): a row with NULL in any block
+    *         column or in the text can never match anything — SQL
+    *         equality semantics, the same contract as the plain
+    *         within-block equi-join this operator replaces — so such
+    *         rows produce no edges here and do NOT come back from the
+    *         equality expansion join. Callers MUST expand with a LEFT
+    *         join + coalesce(cluster, rowId) so those rows surface as
+    *         the singletons they are instead of vanishing (er2 does
+    *         exactly this). The contraction aggregate does group NULL
+    *         keys together (groupBy null-equality), but that phantom
+    *         class is edge-inert: its rep enters the candidate joins on
+    *         equality keys and matches nothing.
     */
   def levEdges(rows: DataFrame, blockCols: Seq[String], idCol: String,
       textCol: String, tau: Int, bound: Int): (DataFrame, DataFrame) = {

@@ -914,12 +914,17 @@ object Linkage extends QueryModule {
       all, Seq("nat", "bal"), "id", "name", ErMaxDist.toInt, AdaptiveBlockBound)
     val cc = graft.operators.ConnectedComponents.run(edges)
     // expansion: rows inherit their (block, name) class's component —
-    // one join against the contracted vocabulary, not a per-id map
+    // one join against the contracted vocabulary, not a per-id map.
+    // LEFT join + coalesce(…, id): a row with a NULL key never matches
+    // the equality join (the blocker's documented contract) and must
+    // surface as its own singleton cluster, exactly as the plain
+    // equi-join spelling treated it (r16 review #2)
     val classLabel = classes
       .join(cc.select(col("node").as("rep"), col("cluster")), Seq("rep"), "left")
       .select(col("nat"), col("bal"), col("name"),
         coalesce(col("cluster"), col("rep")).as("cluster"))
-    val labeled = all.join(classLabel, Seq("nat", "bal", "name"))
+    val labeled = all.join(classLabel, Seq("nat", "bal", "name"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
     val clusters = labeled.groupBy("cluster")
       .agg(count(lit(1)).as("size"), min(col("id")).as("golden"))
     val goldenRows = labeled.select(col("id").as("golden"), col("seg"))

@@ -2813,8 +2813,7 @@ object Stats extends QueryModule {
     import graft.functions.QdigestSketch
     val base = t(s, dir, "lineitem").select(
       col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
-      expr(s"least(greatest(CAST(round(l_extendedprice * 100) AS BIGINT), 0L), " +
-        s"${graft.functions.QdCore.Universe - 1}L)").as("pc"))
+      QdigestSketch.clampedCents("l_extendedprice").as("pc"))
     val lvl1 = base.groupBy("rf", "ls")
       .agg(QdigestSketch.qdSet(col("pc")).as("sk"))
     val mergedA = lvl1.groupBy("rf")

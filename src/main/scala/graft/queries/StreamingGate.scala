@@ -780,8 +780,7 @@ object StreamingGate extends QueryModule {
 
   private def streamQuantileMonitor(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.QdigestSketch
-    val vcents = expr("least(greatest(CAST(round(value * 100) AS BIGINT), 0L), " +
-      s"${graft.functions.QdCore.Universe - 1}L)")
+    val vcents = QdigestSketch.clampedCents("value")
     val agg = eventStream(s, dir)
       .withWatermark("ts", "10 minutes")
       .select(col("ts"), col("event_type"), vcents.as("v"))

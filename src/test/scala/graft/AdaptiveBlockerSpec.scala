@@ -75,6 +75,30 @@ class AdaptiveBlockerSpec extends AnyFunSuite {
     assert(edgeSet(allPairs) == edgeSet(segments))
   }
 
+  test("NULL keys: no edges, and a left-join expansion keeps the rows as singletons") {
+    // r16 review #2: SQL equality semantics — a NULL block key (or NULL
+    // text) matches nothing, not even another NULL, so such rows edge
+    // with nobody and the documented left-join + coalesce expansion
+    // surfaces them as their own singletons instead of dropping them
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(0L), Option("abc")), (2L, Option(0L), Option("abd")),
+      (3L, Option.empty[Long], Option("abc")), (4L, Option.empty[Long], Option("abc")),
+      (5L, Option(0L), Option.empty[String]), (6L, Option(0L), Option.empty[String]))
+      .toDF("id", "blk", "txt")
+    val (edges, classes) = AdaptiveBlocker.levEdges(df, Seq("blk"), "id", "txt", 2, 16)
+    assert(edgeSet(edges) == Set((1L, 2L)), "only the non-null pair may edge")
+    val cc = graft.operators.ConnectedComponents.run(edges)
+    val expanded = df
+      .join(classes.join(cc.select(col("node").as("rep"), col("cluster")), Seq("rep"), "left")
+        .select(col("blk"), col("txt"), coalesce(col("cluster"), col("rep")).as("cluster")),
+        Seq("blk", "txt"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expanded == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L),
+      s"null-keyed rows must be their own singletons: $expanded")
+  }
+
   test("planted low-entropy key: replication leaves rep-level work and edges unchanged") {
     import spark.implicits._
     val baseN = 60

@@ -121,6 +121,16 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(base("a_fast") == (0.10, 0.12))
     assert(base("b_noisy") == (2.19, 3.40)) // hi absorbs the honest tail
     assert(!base.contains("c_err")) // err entries carry no baseline
+    // (d) a load-spike outlier in the recording window must not blind
+    // the trigger: hi clamps to 2x median (r16 review #1 — ann11's
+    // committed [0.45, 0.42, 2.62] would otherwise set the trigger at
+    // 5.8x median)
+    val h = java.nio.file.Files.createTempFile("bench_spike", ".json")
+    java.nio.file.Files.write(h,
+      ("""{"metric":"total","queries":{"spiky":0.453},""" +
+        """"spread":{"spiky":[0.453,0.420,2.615]},"sf":"/x"}""").getBytes("UTF-8"))
+    assert(Bench.readBaseline(h.toString)("spiky") == (0.453, 0.906))
+    java.nio.file.Files.delete(h)
     // legacy format (no spread block): hi = median
     val g = java.nio.file.Files.createTempFile("bench_legacy", ".json")
     java.nio.file.Files.write(g,
