@@ -60,4 +60,20 @@ class ContainmentCapSpec extends AnyFunSuite {
     }
     assert(byDoc.keySet == expected.keySet)
   }
+
+  test("dd18's top-K is a bounded aggregate, never a window over the pair stream") {
+    // the scale claim: k rows per (doc x partition) reach the exchange
+    // via ObjectHashAggregate partials — a row_number window would drag
+    // every verified pair through one per-doc sort (the TopK.scala
+    // anti-pattern the operator exists to avoid)
+    val s = SparkEntry.configure(spark.newSession())
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("dd18_containment_topk")(s, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window in dd18's plan:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        "top-K must run as the bounded typed aggregate")
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
