@@ -2563,24 +2563,31 @@ object Stats extends QueryModule {
       .orderBy(col("type_a").asc_nulls_first, col("type_b").asc_nulls_first)
   }
 
+  // estimator_engaged is DERIVED (every type's exact NDV > k — the trim
+  // condition, dq16's rule), not stated TRUE: the literal was correct at
+  // the Verify scales by construction but wrong at sf0.001 and fragile
+  // to regenerated data shrinking an audience under k (r16 sf0.001
+  // robustness sweep).
   private val overlapEstimatorSql =
-    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
-      |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY event_type),
-      |ov AS (
-      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
-      |    CAST(COUNT(*) AS BIGINT) AS exact_overlap
-      |  FROM u x JOIN u y
-      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
-      |  GROUP BY type_a, type_b)
-      |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
-      |  COALESCE(o.exact_overlap, 0) AS exact_overlap,
-      |  ca.n + cb.n - COALESCE(o.exact_overlap, 0) AS exact_union,
-      |  TRUE AS estimator_engaged,
-      |  TRUE AS overlap_within_60pct,
-      |  TRUE AS union_within_60pct
-      |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
-      |LEFT JOIN ov o ON o.type_a = ca.event_type AND o.type_b = cb.event_type
-      |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+    s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+       |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY event_type),
+       |e AS (SELECT (MIN(CASE WHEN n > $Dq14K THEN 1 ELSE 0 END) = 1)
+       |        AS estimator_engaged FROM c),
+       |ov AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_overlap
+       |  FROM u x JOIN u y
+       |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+       |  GROUP BY type_a, type_b)
+       |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       |  COALESCE(o.exact_overlap, 0) AS exact_overlap,
+       |  ca.n + cb.n - COALESCE(o.exact_overlap, 0) AS exact_union,
+       |  e.estimator_engaged,
+       |  TRUE AS overlap_within_60pct,
+       |  TRUE AS union_within_60pct
+       |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+       |LEFT JOIN ov o ON o.type_a = ca.event_type AND o.type_b = cb.event_type, e
+       |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- dq15
   /** Approx-QUANTILE contract audit — the percentile sibling of dq13/
