@@ -154,9 +154,14 @@ object AdaptiveBlocker {
       .select("a", "b", "ta", "tb")
       .dropDuplicates("a", "b")
 
-    // 4. exact verify — blocking is invisible past this line
+    // 4. exact verify — blocking is invisible past this line. The
+    // THRESHOLDED levenshtein (Spark 3.5+) runs the banded O(τ·n)
+    // decision with early exit instead of the full O(n·m) DP — same
+    // predicate (returns the distance when ≤ τ, −1 otherwise), strictly
+    // less work per candidate, and this is the inner loop over every
+    // candidate pair.
     val edges = smallCand.unionByName(bigCand)
-      .filter(levenshtein(col("ta"), col("tb")) <= tau)
+      .filter(levenshtein(col("ta"), col("tb"), tau) =!= -1)
       .select("a", "b")
     (edges, classes)
   }

@@ -55,8 +55,12 @@ object Linkage extends QueryModule {
       // both the Filter and the Project — acceptable: it runs on the
       // vocabulary-sized candidate set, not the corpus. The withColumn
       // spelling is for clarity, not (despite appearances) for sharing.
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
-      .filter(col("dist") <= FuzzyMaxDist)
+      // thresholded levenshtein: banded O(τ·n) decision, returns the
+      // exact distance when ≤ τ and −1 otherwise — same output, less
+      // work per candidate pair
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), FuzzyMaxDist.toInt).cast(LongType))
+      .filter(col("dist") =!= -1L)
       .select("name_a", "name_b", "dist", "rows_a", "rows_b", "key_a", "key_b")
       .orderBy(col("name_a").asc_nulls_first, col("name_b").asc_nulls_first)
   }
@@ -715,8 +719,11 @@ object Linkage extends QueryModule {
         floor(col("c_acctbal")).cast(LongType).as("bal"),
         col("c_mktsegment").as("seg"))
     val resolved = clean.join(dirty, Seq("nat", "bal"))
-      .withColumn("dist", levenshtein(col("name"), col("dname")).cast(LongType))
-      .filter(col("dist") <= ErMaxDist)
+      // thresholded levenshtein — the banded decision, exact distance
+      // when ≤ τ (the packed argmin still sees the true distance)
+      .withColumn("dist",
+        levenshtein(col("name"), col("dname"), ErMaxDist.toInt).cast(LongType))
+      .filter(col("dist") =!= -1L)
       .groupBy("dirty_id")
       .agg(
         count(lit(1)).as("n_cand"),
