@@ -1375,6 +1375,140 @@ object Similarity extends QueryModule {
     explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
   }
 
+  // ---------------------------------------------------------------- ann15
+  /** PER-LABEL IVF — the second half of ann8's documented scale path
+    * (ann14 gated the partition-pruning half): within each label, an
+    * INDEPENDENT Lloyd-trained codebook, so filtered retrieval probes
+    * one bucket of one label's index — sub-linear in the label slice,
+    * which partition pruning alone cannot give once a single label is
+    * itself huge. The training is ann2's fixpoint with `label` threaded
+    * through every step (init = the [[AnnLabelC]] smallest vec_ids per
+    * label via the bounded BottomKAgg — no corpus window; per-
+    * (label, centroid, dim) floored integer means; argmin assignment
+    * joined on label). All arithmetic stays integer / single-op-double,
+    * so the oracle restates the whole per-label fixpoint CTE-for-CTE
+    * and the single-probe hit sets hash-match bit-for-bit (ann2's
+    * contract, per label). ann11's recall-audit pattern measures what a
+    * single probe costs; this entry pins WHERE the probe happens: the
+    * codebook and the bucket are the label's own.
+    *
+    * Scale posture: the codebook frame is |labels|·C rows (broadcast);
+    * training is [[LloydIters]] corpus passes exactly like ann2 (the
+    * per-label grain changes the GROUPING, not the exchanged volume);
+    * the query join carries (label, centroid) equality so only one
+    * bucket of one label reaches the scorer. Composed with ann14's
+    * layout, the scan prunes to the label's files and the index prunes
+    * within them.
+    */
+  private val AnnLabelC = 8
+
+  private def assignToLabeled(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val l2 = VectorFunctions.longSquaredL2(col("q"), col("cv"))
+    emb.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"), col("centroid_id"), col("q"), l2.as("dist"))
+      .groupBy("vec_id")
+      .agg(
+        first(col("label")).as("label"),
+        min_by(col("centroid_id"), struct(col("dist"), col("centroid_id"))).as("centroid_id"),
+        first(col("q")).as("q"))
+  }
+
+  private[graft] def labelAssigned(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.memoize(s, s"ivf:label-assigned:$dir") {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), quantExpr.as("q"))
+      val bk = udaf(new graft.functions.BottomKAgg(AnnLabelC))
+      val init = emb.groupBy("label")
+        .agg(bk(lpad(col("vec_id").cast("string"), 12, "0"), col("vec_id")).as("hits"))
+        .select(col("label"), posexplode(col("hits")).as(Seq("cid", "hit")))
+        .select(col("label"), col("cid").cast(LongType).as("centroid_id"),
+          col("hit.id").as("vec_id"))
+        .join(emb.select(col("vec_id"), col("q")), Seq("vec_id"))
+        .select(col("label"), col("centroid_id"), col("q").as("cv"))
+      val cents = (1 to LloydIters).foldLeft(init) { (c, _) =>
+        assignToLabeled(emb, c)
+          .select(col("label"), col("centroid_id"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("label", "centroid_id", "pos")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .withColumn("c",
+            floor(col("s").cast(DoubleType) / col("n").cast(DoubleType)).cast(LongType))
+          .groupBy("label", "centroid_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))), x => x("c")).as("cv"))
+      }
+      assignToLabeled(emb, cents)
+    }
+
+  private def perLabelIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val assigned = labelAssigned(s, dir)
+    val queries = assigned.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("centroid_id").as("qc"), col("q").as("qv"))
+    val topk = udaf(new TopKAgg(5))
+    val scored = assigned
+      .join(broadcast(queries),
+        col("label") === col("qlabel") && col("centroid_id") === col("qc") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("q")).as("score"))
+    explodeHits(scored.groupBy("query_id").agg(topk(col("score"), col("neighbor_id")).as("hits")))
+  }
+
+  /** Per-label argmin-assignment CTE body over centroid set `$cents` —
+    * [[assignCte]] with the label equality in the candidate join.
+    */
+  private def assignLabelCte(cents: String): String =
+    s"""SELECT vec_id, label, centroid_id, q FROM (
+       |    SELECT e.vec_id, e.label, c.centroid_id, e.q,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(e.q) + 1),
+       |          i -> (e.q[i] - cv[i]) * (e.q[i] - cv[i]))) ASC,
+       |        c.centroid_id ASC) AS rn
+       |    FROM embL e JOIN $cents c ON e.label = c.label) WHERE rn = 1""".stripMargin
+
+  private val perLabelIvfTopKSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH embL AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |ini AS (
+       |  SELECT label, vec_id, q,
+       |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |  FROM embL),
+       |lcents0 AS (SELECT label, CAST(rn - 1 AS BIGINT) AS centroid_id, q AS cv
+       |            FROM ini WHERE rn <= $AnnLabelC)""".stripMargin
+    for (i <- 1 to LloydIters) {
+      sb ++= s""",
+       |lasg$i AS (${assignLabelCte(s"lcents${i - 1}")}),
+       |lcents$i AS (
+       |  SELECT label, centroid_id, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT label, centroid_id, pos,
+       |      CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+       |    FROM (SELECT label, centroid_id, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+       |          FROM lasg$i)
+       |    GROUP BY label, centroid_id, pos)
+       |  GROUP BY label, centroid_id)""".stripMargin
+    }
+    sb ++= s""",
+       |assignedL AS (${assignLabelCte(s"lcents$LloydIters")}),
+       |qs AS (SELECT vec_id AS query_id, label AS qlabel, centroid_id AS qc, q AS qv
+       |       FROM assignedL WHERE vec_id IN (${QueryIds.mkString(", ")})),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * a.q[i])) AS BIGINT)
+       |      AS score
+       |  FROM qs JOIN assignedL a
+       |    ON a.label = qs.qlabel AND a.centroid_id = qs.qc AND a.vec_id <> qs.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+    sb.toString
+  }
+
   // ---------------------------------------------------------------- dd13
   /** Semantic dedup, SemDeDup-shaped (cluster, then prune ε-neighbors
     * within each cluster): the vector-space sibling of the text passes —
@@ -2099,6 +2233,7 @@ object Similarity extends QueryModule {
     "ann10_topk_diversified" -> (diversifiedTopK _),
     "ann8_topk_filtered" -> (filteredTopK _),
     "ann14_topk_pruned" -> (filteredTopKPruned _),
+    "ann15_topk_label_ivf" -> (perLabelIvfTopK _),
     "emb4_centroid_separation" -> (centroidSeparation _),
     "emb3_cluster_audit" -> (clusterAudit _),
     "ann5_topk_pq" -> (pqTopK _),
@@ -2127,6 +2262,7 @@ object Similarity extends QueryModule {
     "dd14_crosslang_neardup" -> crossLangNearDupSql,
     "ann8_topk_filtered" -> filteredTopKSql,
     "ann14_topk_pruned" -> filteredTopKSql, // layout-invisibility: same oracle as ann8
+    "ann15_topk_label_ivf" -> perLabelIvfTopKSql,
     "ann10_topk_diversified" -> diversifiedTopKSql,
     "emb4_centroid_separation" -> centroidSeparationSql,
     "emb3_cluster_audit" -> clusterAuditSql,

@@ -123,6 +123,29 @@ class NewShapePinsSpec extends AnyFunSuite {
       "partitioned layout changed the retrieval result")
   }
 
+  test("ann15: probe stays inside the query's label and its per-label index has real buckets") {
+    val s = SparkEntry.configure(spark)
+    val rows = SparkEntry.queries("ann15_topk_label_ivf")(s, dir).collect()
+    assert(rows.nonEmpty)
+    // every neighbor shares its query's label — the probe never leaves
+    // the label's own index
+    val emb = Tables(s, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(emb(q) == emb(n), s"neighbor $n left query $q's label")
+    }
+    // non-vacuity: at least one label trained into MULTIPLE buckets, so
+    // the (label, centroid) probe is a strict refinement of ann8's
+    // label-only candidate set
+    val a = graft.queries.Similarity.labelAssigned(s, dir)
+    val labels = a.select("label").distinct().count()
+    val buckets = a.select("label", "centroid_id").distinct().count()
+    assert(buckets > labels, s"every label collapsed to one bucket ($buckets/$labels)")
+  }
+
   test("dq7: the key-grain frame is persisted, not rebuilt per consumer") {
     val s = SparkEntry.configure(spark)
     val df = SparkEntry.queries("dq7_join_skew")(s, dir)
