@@ -55,6 +55,9 @@ object SparkEntry {
     // unfiltered global count/min/max over a parquet scan answer from
     // the file footers when spark.graft.footerAgg.enabled is set (opt16)
     graft.plans.FooterAggregateRewrite.install(spark)
+    // bounded edit-distance predicates plan as the banded thresholded
+    // levenshtein — always on, strictly semantics-preserving (opt17)
+    graft.plans.LevenshteinThresholdRewrite.install(spark)
     // set-if-missing: a session (or spec) that pinned its own threshold
     // — including 0 = off — keeps it across re-configure
     if (spark.conf.getOption(graft.plans.InListToJoinRewrite.ThresholdConfKey).isEmpty)

@@ -146,6 +146,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EagerAggregationRewrite)
     ext.injectOptimizerRule(_ => graft.plans.DistinctEliminationRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("long_dot"),

@@ -2230,6 +2230,55 @@ object Extras extends QueryModule {
     * plan states (fires fresh → stands down stale → fires again after
     * re-registration).
     */
+  // --------------------------------------------------------------- opt17
+  /** Thresholded-levenshtein rewrite under the oracle
+    * ([[graft.plans.LevenshteinThresholdRewrite]]): the query is
+    * spelled NAIVELY — `levenshtein(na, nb) <= 2` over blocked
+    * candidate pairs — and the always-on rule re-plans the predicate as
+    * the banded `levenshtein(na, nb, 2) >= 0` (O(t·n) with a length
+    * early-exit instead of the full DP matrix per pair). The oracle is
+    * the same naive SQL, so the hash proves the rewrite is invisible;
+    * OptimizerRuleSpec-style mechanism pinning (the optimized plan's
+    * levenshtein carries the threshold) lives in NewShapePinsSpec.
+    * Non-vacuity by construction: er1's corrupted-twin fixture
+    * guarantees lev-1 pairs inside the blocks.
+    */
+  private def levThresholdGate(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val base = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), floor(col("c_acctbal")).cast(LongType).as("bal"))
+    val twins = c
+      .withColumn("p", (lit(11L) + pmod(col("c_custkey"), lit(8L))).cast(IntegerType))
+      .select((col("c_custkey") + lit(1000000000L)).as("id"),
+        expr("concat(substr(c_name, 1, p - 1), 'x', substr(c_name, p + 1))").as("name"),
+        col("c_nationkey").as("nat"), floor(col("c_acctbal")).cast(LongType).as("bal"))
+    val all = base.unionByName(twins)
+    val a = all.select(col("id").as("a"), col("name").as("na"), col("nat"), col("bal"))
+    val b = all.select(col("id").as("b"), col("name").as("nb"), col("nat"), col("bal"))
+    a.join(b, Seq("nat", "bal"))
+      .filter(col("a") < col("b") && levenshtein(col("na"), col("nb")) <= 2)
+      .groupBy(col("nat"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("nat").asc_nulls_first)
+  }
+
+  private val levThresholdGateSql =
+    """WITH src AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+      |    CAST(floor(c_acctbal) AS BIGINT) AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000,
+      |    concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
+      |           substr(c_name, CAST(12 + (c_custkey % 8) AS INT))),
+      |    c_nationkey, CAST(floor(c_acctbal) AS BIGINT)
+      |  FROM customer)
+      |SELECT a.nat, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM src a JOIN src b ON a.nat = b.nat AND a.bal = b.bal
+      |WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 2
+      |GROUP BY a.nat
+      |ORDER BY a.nat NULLS FIRST""".stripMargin
+
   private val starRefreshBuilt = scala.collection.mutable.Set.empty[String]
 
   private def starRefreshGate(s0: SparkSession, dir: String): DataFrame = {
@@ -3702,6 +3751,7 @@ object Extras extends QueryModule {
     "opt14_distinct_elim" -> (distinctElimGate _),
     "opt15_singleton_agg" -> (singletonAggGate _),
     "opt16_footer_agg" -> (footerAggGate _),
+    "opt17_lev_threshold" -> (levThresholdGate _),
     "ev26_autocorrelation" -> (autocorrelation _),
     "inc4_delete_ivm" -> (deleteIvm _),
     "inc5_minmax_ivm" -> (minMaxIvm _),
@@ -3786,6 +3836,7 @@ object Extras extends QueryModule {
     "opt14_distinct_elim" -> distinctElimGateSql,
     "opt15_singleton_agg" -> singletonAggGateSql,
     "opt16_footer_agg" -> footerAggGateSql,
+    "opt17_lev_threshold" -> levThresholdGateSql,
     "ev26_autocorrelation" -> autocorrelationSql,
     "inc4_delete_ivm" -> deleteIvmSql,
     "inc5_minmax_ivm" -> minMaxIvmSql,

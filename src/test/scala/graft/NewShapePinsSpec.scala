@@ -146,6 +146,36 @@ class NewShapePinsSpec extends AnyFunSuite {
     assert(buckets > labels, s"every label collapsed to one bucket ($buckets/$labels)")
   }
 
+  test("opt17: the naive levenshtein predicate re-plans as the banded thresholded form") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    val s = SparkEntry.configure(spark)
+    val df = SparkEntry.queries("opt17_lev_threshold")(s, dir)
+    val levs = df.queryExecution.optimizedPlan.collect { case p => p }
+      .flatMap(_.expressions.flatMap(_.collect { case l: Levenshtein => l }))
+    assert(levs.nonEmpty, "no levenshtein survived in the optimized plan")
+    assert(levs.forall(_.threshold.isDefined),
+      s"un-thresholded levenshtein left in the plan: $levs")
+    // non-vacuity: the twin fixture guarantees lev-1 pairs, so the
+    // rewritten predicate actually admits rows
+    assert(df.collect().map(_.getLong(1)).sum > 0, "no pairs survived — vacuous")
+    // rule-off control: the same predicate built on a session with the
+    // rule removed keeps the un-thresholded levenshtein (i.e. the pin
+    // above is detecting the REWRITE, not some analyzer behavior).
+    // Built directly — the queries() wrapper would re-install the rule.
+    val s2 = SparkEntry.configure(spark.newSession())
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations.filterNot(_ == graft.plans.LevenshteinThresholdRewrite)
+    val ctrl = Tables(s2, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_name").as("na"),
+        org.apache.spark.sql.functions.col("c_name").as("nb"))
+      .filter(org.apache.spark.sql.functions.levenshtein(
+        org.apache.spark.sql.functions.col("na"),
+        org.apache.spark.sql.functions.col("nb")) <= 2)
+    val ctrlLevs = ctrl.queryExecution.optimizedPlan.collect { case p => p }
+      .flatMap(_.expressions.flatMap(_.collect { case l: Levenshtein => l }))
+    assert(ctrlLevs.exists(_.threshold.isEmpty), "rule-off control still rewrote")
+  }
+
   test("dq7: the key-grain frame is persisted, not rebuilt per consumer") {
     val s = SparkEntry.configure(spark)
     val df = SparkEntry.queries("dq7_join_skew")(s, dir)
