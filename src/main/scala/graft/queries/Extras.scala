@@ -2212,24 +2212,6 @@ object Extras extends QueryModule {
       |GROUP BY COALESCE(s_nationkey, -1)
       |ORDER BY nation_key NULLS FIRST""".stripMargin
 
-  // --------------------------------------------------------------- opt11
-  /** The FULL production star-MV loop under one oracle — registration →
-    * rewrite → base growth → STALENESS STAND-DOWN → incremental refresh
-    * → re-registration → rewrite re-armed. opt10 proves the star
-    * matcher; the r14 staleness work proves the stand-down; this entry
-    * proves the composition end-to-end the way a warehouse lives it:
-    * the fact table is a real parquet path that GROWS (an appended
-    * part-file), the refresh folds ONLY the delta through the dim join
-    * and merges it with the committed summary (sums/counts add), and
-    * the refreshed MV is re-registered over the new listing — after
-    * which the dashboard query re-plans onto the summary again. The
-    * DuckDB oracle computes the FULL join + aggregate from the raw
-    * tables, so the hash proves the delta-refreshed summary ≡ a full
-    * recompute: a wrong merge, a stale rewrite firing mid-flight, or a
-    * fingerprint mismatch all shift the values. MvRewriteSpec pins the
-    * plan states (fires fresh → stands down stale → fires again after
-    * re-registration).
-    */
   // --------------------------------------------------------------- opt17
   /** Thresholded-levenshtein rewrite under the oracle
     * ([[graft.plans.LevenshteinThresholdRewrite]]): the query is
@@ -2248,9 +2230,8 @@ object Extras extends QueryModule {
     val base = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
       col("c_nationkey").as("nat"), floor(col("c_acctbal")).cast(LongType).as("bal"))
     val twins = c
-      .withColumn("p", (lit(11L) + pmod(col("c_custkey"), lit(8L))).cast(IntegerType))
       .select((col("c_custkey") + lit(1000000000L)).as("id"),
-        expr("concat(substr(c_name, 1, p - 1), 'x', substr(c_name, p + 1))").as("name"),
+        TwinCorruption.name().as("name"),
         col("c_nationkey").as("nat"), floor(col("c_acctbal")).cast(LongType).as("bal"))
     val all = base.unionByName(twins)
     val a = all.select(col("id").as("a"), col("name").as("na"), col("nat"), col("bal"))
@@ -2263,14 +2244,13 @@ object Extras extends QueryModule {
   }
 
   private val levThresholdGateSql =
-    """WITH src AS (
+    s"""WITH src AS (
       |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
       |    CAST(floor(c_acctbal) AS BIGINT) AS bal
       |  FROM customer
       |  UNION ALL
       |  SELECT c_custkey + 1000000000,
-      |    concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
-      |           substr(c_name, CAST(12 + (c_custkey % 8) AS INT))),
+      |    ${TwinCorruption.nameSql(0)},
       |    c_nationkey, CAST(floor(c_acctbal) AS BIGINT)
       |  FROM customer)
       |SELECT a.nat, CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -2279,6 +2259,24 @@ object Extras extends QueryModule {
       |GROUP BY a.nat
       |ORDER BY a.nat NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- opt11
+  /** The FULL production star-MV loop under one oracle — registration →
+    * rewrite → base growth → STALENESS STAND-DOWN → incremental refresh
+    * → re-registration → rewrite re-armed. opt10 proves the star
+    * matcher; the r14 staleness work proves the stand-down; this entry
+    * proves the composition end-to-end the way a warehouse lives it:
+    * the fact table is a real parquet path that GROWS (an appended
+    * part-file), the refresh folds ONLY the delta through the dim join
+    * and merges it with the committed summary (sums/counts add), and
+    * the refreshed MV is re-registered over the new listing — after
+    * which the dashboard query re-plans onto the summary again. The
+    * DuckDB oracle computes the FULL join + aggregate from the raw
+    * tables, so the hash proves the delta-refreshed summary ≡ a full
+    * recompute: a wrong merge, a stale rewrite firing mid-flight, or a
+    * fingerprint mismatch all shift the values. MvRewriteSpec pins the
+    * plan states (fires fresh → stands down stale → fires again after
+    * re-registration).
+    */
   private val starRefreshBuilt = scala.collection.mutable.Set.empty[String]
 
   private def starRefreshGate(s0: SparkSession, dir: String): DataFrame = {

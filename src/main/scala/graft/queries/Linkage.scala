@@ -14,6 +14,22 @@ import graft.Tables
   * semantics follow the standard blocking + edit-distance-verify linkage
   * design and SQL MERGE.
   */
+/** The corrupted-twin fixture kernel shared by er1/er2/er3/opt17: one
+  * character of `c_name` substituted at the key-dependent position
+  * 11 + (c_custkey + shift) % 8 — always past the stable 10-character
+  * prefix, cycling with the key so every block carries twins at
+  * levenshtein 1. ONE definition with paired Scala/SQL spellings so the
+  * four fixtures cannot drift apart (r16 review: the formula existed in
+  * eight copies; a drifted copy would silently de-vacuate its gate).
+  */
+private[queries] object TwinCorruption {
+  def nameSql(shift: Long): String =
+    s"concat(substr(c_name, 1, CAST(10 + ((c_custkey + $shift) % 8) AS INT)), 'x', " +
+      s"substr(c_name, CAST(12 + ((c_custkey + $shift) % 8) AS INT)))"
+
+  def name(shift: Long = 0L): Column = expr(nameSql(shift))
+}
+
 object Linkage extends QueryModule {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
@@ -711,10 +727,9 @@ object Linkage extends QueryModule {
       col("c_nationkey").as("nat"),
       floor(col("c_acctbal")).cast(LongType).as("bal"))
     val dirty = c
-      .withColumn("p", (lit(11L) + pmod(col("c_custkey"), lit(8L))).cast(IntegerType))
       .select(
         (col("c_custkey") + lit(1000000000L)).as("dirty_id"),
-        expr("concat(substr(c_name, 1, p - 1), 'x', substr(c_name, p + 1))").as("dname"),
+        TwinCorruption.name().as("dname"),
         col("c_nationkey").as("nat"),
         floor(col("c_acctbal")).cast(LongType).as("bal"),
         col("c_mktsegment").as("seg"))
@@ -751,8 +766,7 @@ object Linkage extends QueryModule {
        |  FROM customer),
        |dirty AS (
        |  SELECT c_custkey + 1000000000 AS dirty_id,
-       |    concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
-       |           substr(c_name, CAST(12 + (c_custkey % 8) AS INT))) AS dname,
+       |    ${TwinCorruption.nameSql(0)} AS dname,
        |    c_nationkey AS nat, CAST(floor(c_acctbal) AS BIGINT) AS bal,
        |    c_mktsegment AS seg
        |  FROM customer),
@@ -810,8 +824,7 @@ object Linkage extends QueryModule {
       col("c_custkey").as("k"), col("c_name").as("name"),
       col("c_nationkey").as("nat"),
       floor(col("c_acctbal")).cast(LongType).as("bal"),
-      expr("""concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
-                     substr(c_name, CAST(12 + (c_custkey % 8) AS INT)))""").as("dname"))
+      TwinCorruption.name().as("dname"))
     def audit(scheme: String, cleanKey: Column, dirtyKey: Column): DataFrame = {
       val withKeys = base.select(col("k"), cleanKey.as("cb"), dirtyKey.as("db"))
       val nRows = withKeys.agg(count(lit(1)).as("n")).select(col("n"))
@@ -838,11 +851,10 @@ object Linkage extends QueryModule {
   }
 
   private val blockingAuditSql =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
       |    CAST(floor(c_acctbal) AS BIGINT) AS bal,
-      |    concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
-      |           substr(c_name, CAST(12 + (c_custkey % 8) AS INT))) AS dname
+      |    ${TwinCorruption.nameSql(0)} AS dname
       |  FROM customer),
       |k1 AS (SELECT k, concat_ws('|', nat, bal) AS cb, concat_ws('|', nat, bal) AS db
       |       FROM base),
@@ -911,8 +923,7 @@ object Linkage extends QueryModule {
       .withColumn("p", (lit(11L) + pmod(col("c_custkey") + lit(shift.toLong), lit(8L))).cast(IntegerType))
       .select(
         (col("c_custkey") + lit(k * 1000000000L)).as("id"),
-        (if (k == 0) col("c_name")
-         else expr("concat(substr(c_name, 1, p - 1), 'x', substr(c_name, p + 1))")).as("name"),
+        (if (k == 0) col("c_name") else TwinCorruption.name(shift.toLong)).as("name"),
         col("c_nationkey").as("nat"),
         floor(col("c_acctbal")).cast(LongType).as("bal"),
         col("c_mktsegment").as("seg"))
@@ -953,14 +964,12 @@ object Linkage extends QueryModule {
        |  FROM customer
        |  UNION ALL
        |  SELECT c_custkey + 1000000000,
-       |    concat(substr(c_name, 1, CAST(10 + (c_custkey % 8) AS INT)), 'x',
-       |           substr(c_name, CAST(12 + (c_custkey % 8) AS INT))),
+       |    ${TwinCorruption.nameSql(0)},
        |    c_nationkey, CAST(floor(c_acctbal) AS BIGINT), c_mktsegment
        |  FROM customer
        |  UNION ALL
        |  SELECT c_custkey + 2000000000,
-       |    concat(substr(c_name, 1, CAST(10 + ((c_custkey + 3) % 8) AS INT)), 'x',
-       |           substr(c_name, CAST(12 + ((c_custkey + 3) % 8) AS INT))),
+       |    ${TwinCorruption.nameSql(3)},
        |    c_nationkey, CAST(floor(c_acctbal) AS BIGINT), c_mktsegment
        |  FROM customer),
        |pairs AS (

@@ -2571,8 +2571,14 @@ object Stats extends QueryModule {
   private val overlapEstimatorSql =
     s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
        |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY event_type),
-       |e AS (SELECT (MIN(CASE WHEN n > $Dq14K THEN 1 ELSE 0 END) = 1)
-       |        AS estimator_engaged FROM c),
+       |-- engaged derives from NON-NULL distinct users: the sketch skips
+       |-- null keys, while c's n (feeding exact_union symmetrically with
+       |-- the Spark side) counts a null row — at the k boundary on
+       |-- null-bearing data the two would diverge (r16 review #2)
+       |e AS (SELECT (MIN(CASE WHEN n2 > $Dq14K THEN 1 ELSE 0 END) = 1)
+       |        AS estimator_engaged
+       |      FROM (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n2
+       |            FROM events GROUP BY event_type)),
        |ov AS (
        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
        |    CAST(COUNT(*) AS BIGINT) AS exact_overlap

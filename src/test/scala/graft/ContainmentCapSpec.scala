@@ -66,14 +66,15 @@ class ContainmentCapSpec extends AnyFunSuite {
     // via ObjectHashAggregate partials — a row_number window would drag
     // every verified pair through one per-doc sort (the TopK.scala
     // anti-pattern the operator exists to avoid)
+    // throwaway session: AQE off only here (no restore needed — the
+    // session is discarded; r16 review #4 dropped a dead finally that
+    // hardcoded "true" while claiming to restore)
     val s = SparkEntry.configure(spark.newSession())
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val plan = SparkEntry.queries("dd18_containment_topk")(s, dir)
-        .queryExecution.executedPlan.toString
-      assert(!plan.contains("Window"), s"window in dd18's plan:\n$plan")
-      assert(plan.contains("ObjectHashAggregate"),
-        "top-K must run as the bounded typed aggregate")
-    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+    val plan = SparkEntry.queries("dd18_containment_topk")(s, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in dd18's plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      "top-K must run as the bounded typed aggregate")
   }
 }
