@@ -1340,11 +1340,14 @@ object Similarity extends QueryModule {
     * oracle as ann8 verbatim: layout must be invisible in the result
     * (sj1/bkt1/dpp1's contract). The pruning mechanism + non-vacuity
     * (fewer partitions read than exist) is pinned in NewShapePinsSpec.
-    * Inside a pruned label, scoring is ann8's exact kernel; a deployment
-    * whose per-label slice is still huge composes ann2's IVF bucketing
-    * within each partition — orthogonal, and the oracle would change
-    * (single-probe recall), so it stays a separate entry (ann2/ann11
-    * measure that trade).
+    * Inside a pruned label, scoring is ann8's exact kernel; ann15 gates
+    * the per-label IVF composition (its own oracle — single-probe
+    * semantics differ). The bootstrap root is applicationId-keyed, the
+    * dpp1/cmp1 precedent: each driver stage runs a fresh JVM, so a
+    * mid-round testdata regeneration can never serve a stale layout
+    * (the new JVM re-lays it out), at the accepted cost of one
+    * tmp-dir copy per JVM that touches the entry — the same trade the
+    * other bootstrap gates make, bounded by JVM count per round.
     */
   private val annPartBuilt = scala.collection.mutable.Set.empty[String]
 
