@@ -75,6 +75,33 @@ class AdaptiveBlockerSpec extends AnyFunSuite {
     assert(edgeSet(allPairs) == edgeSet(segments))
   }
 
+  test("property: segment path equals brute force on random corpora incl. tiny strings") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    // random corpora over a 2-letter alphabet with lengths 1..8 — the
+    // regime where lev<=2 pairs are dense and the Pass-Join pigeonhole's
+    // edge cases live (strings shorter than tau+1 get zero-length
+    // segments, whose empty-string keys must degrade to all-pairs, not
+    // lose pairs). bound=3 forces the segment path everywhere.
+    val genCorpus = for {
+      n <- Gen.choose(30, 80)
+      rows <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 8)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+        blk <- Gen.choose(0L, 1L)
+      } yield (blk, cs.mkString))
+    } yield rows.zipWithIndex.map { case ((blk, txt), i) => (i.toLong, blk, txt) }
+    (1L to 8L).foreach { seed =>
+      val rows = genCorpus.pureApply(Gen.Parameters.default, rng.Seed(seed))
+      val df = rows.toDF("id", "blk", "txt")
+      val (adaptive, _) = AdaptiveBlocker.levEdges(df, Seq("blk"), "id", "txt", 2, 3)
+      val got = edgeSet(adaptive)
+      val expected = edgeSet(bruteEdges(df, 2))
+      assert(got == expected,
+        s"seed=$seed missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("NULL keys: no edges, and a left-join expansion keeps the rows as singletons") {
     // r16 review #2: SQL equality semantics — a NULL block key (or NULL
     // text) matches nothing, not even another NULL, so such rows edge

@@ -84,6 +84,42 @@ class QdigestSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rank contract and count conservation across random streams, k, and splits") {
+    import org.scalacheck.{Gen, rng}
+    // generated streams across the compression regimes (n below k, at
+    // the flush boundary, well above), dense duplicates, clamp-edge
+    // values, and a random 2-way split re-merged — the answers must
+    // stay within eps*n of the requested rank everywhere, and the
+    // total count must be conserved exactly (fixed seeds, no
+    // scalatestplus bridge in the offline set)
+    val genCase = for {
+      k <- Gen.oneOf(16, 64, 256)
+      n <- Gen.oneOf(Gen.choose(1, 12), Gen.choose(100, 600), Gen.choose(3000, 6000))
+      dense <- Gen.oneOf(50L, 1000L, QdCore.Universe)
+      vs <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.choose(0L, dense - 1),
+        1 -> Gen.oneOf(-3L, 0L, QdCore.Universe - 1, QdCore.Universe + 7)))
+    } yield (k, vs)
+    (1L to 30L).foreach { seed =>
+      val (k, vs) = genCase.pureApply(Gen.Parameters.default, rng.Seed(seed))
+      val n = vs.length.toLong
+      val slack = n * QdCore.L / k + 1
+      val whole = build(vs, k)
+      assert(whole.map(_.c).sum == n, s"seed=$seed: count not conserved")
+      val (xa, xb) = vs.splitAt(vs.length / 3)
+      val merged = QdCore.merge(QdBuf(build(xa, k), Nil), QdBuf(build(xb, k), Nil), k).nodes
+      assert(merged.map(_.c).sum == n, s"seed=$seed: merged count not conserved")
+      Seq(1, 250, 500, 750, 999).foreach { p =>
+        val r = math.max(1L, n * p / 1000L)
+        Seq("whole" -> whole, "merged" -> merged).foreach { case (name, items) =>
+          val a = QdCore.quantile(items, r)
+          assert(rankWithin(vs, a, r, slack),
+            s"seed=$seed k=$k n=$n $name p=$p: answer $a outside eps*n of rank $r")
+        }
+      }
+    }
+  }
+
   test("values clamp into the universe; counts are conserved through compression") {
     val k = 16
     val vs = Seq(-5L, -1L, 0L, QdCore.Universe - 1, QdCore.Universe, QdCore.Universe + 99)
