@@ -920,7 +920,6 @@ object Linkage extends QueryModule {
   private def goldenRecord(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     def source(k: Int, shift: Int): DataFrame = c
-      .withColumn("p", (lit(11L) + pmod(col("c_custkey") + lit(shift.toLong), lit(8L))).cast(IntegerType))
       .select(
         (col("c_custkey") + lit(k * 1000000000L)).as("id"),
         (if (k == 0) col("c_name") else TwinCorruption.name(shift.toLong)).as("name"),

@@ -109,12 +109,17 @@ class QdigestSpec extends AnyFunSuite {
       val (xa, xb) = vs.splitAt(vs.length / 3)
       val merged = QdCore.merge(QdBuf(build(xa, k), Nil), QdBuf(build(xb, k), Nil), k).nodes
       assert(merged.map(_.c).sum == n, s"seed=$seed: merged count not conserved")
-      Seq(1, 250, 500, 750, 999).foreach { p =>
-        val r = math.max(1L, n * p / 1000L)
-        Seq("whole" -> whole, "merged" -> merged).foreach { case (name, items) =>
-          val a = QdCore.quantile(items, r)
-          assert(rankWithin(vs, a, r, slack),
-            s"seed=$seed k=$k n=$n $name p=$p: answer $a outside eps*n of rank $r")
+      // the rank assertion only DISCRIMINATES when the contract's slack
+      // is tighter than the whole stream (k=16 has eps = 24/16 > 1 —
+      // any answer passes, so asserting would be vacuous; r16 review)
+      if (slack < n) {
+        Seq(1, 250, 500, 750, 999).foreach { p =>
+          val r = math.max(1L, n * p / 1000L)
+          Seq("whole" -> whole, "merged" -> merged).foreach { case (name, items) =>
+            val a = QdCore.quantile(items, r)
+            assert(rankWithin(vs, a, r, slack),
+              s"seed=$seed k=$k n=$n $name p=$p: answer $a outside eps*n of rank $r")
+          }
         }
       }
     }
