@@ -268,10 +268,19 @@ object QdigestSketch {
     * clamp that diverged between the sketch input and the audit's base
     * column would shift ranks near the universe edges (r16 review #5).
     */
+  /** Universe-clamped integer cents, NULL-PRESERVING (r16 ADVICE): a
+    * NULL input must stay NULL so the digest's Option-skipping reduce
+    * EXCLUDES it — `greatest(NULL, 0)` silently skips the null and
+    * would smuggle every NULL in as 0 cents, counting absent
+    * measurements as zero-latency events. Rank audits must size n from
+    * `count(<this column>)` (non-null), never `count(*)`, so the audit
+    * denominator equals what the digest actually ingested.
+    */
   def clampedCents(valueExpr: String): Column =
     org.apache.spark.sql.functions.expr(
-      s"least(greatest(CAST(round(($valueExpr) * 100) AS BIGINT), 0L), " +
-        s"${QdCore.Universe - 1}L)")
+      s"IF(($valueExpr) IS NULL, CAST(NULL AS BIGINT), " +
+        s"least(greatest(CAST(round(($valueExpr) * 100) AS BIGINT), 0L), " +
+        s"${QdCore.Universe - 1}L))")
 
   def qdSet(value: Column, k: Int = DefaultK): Column =
     udaf(new QdAgg(k)).apply(value)

@@ -135,9 +135,15 @@ object AdaptiveBlocker {
     // and segment i of THAT length's scheme, the substrings of this
     // string starting within ±τ of the segment start. sequence(lo, hi)
     // descends when lo > hi, so empty windows are guarded to array().
+    // The partner-length floor is 0, not 1 (r16 ADVICE): a length-0
+    // partner's scheme is τ+1 empty segments (slen=0, sstart=1, key "")
+    // which the index side emits for the empty string, so probing ll=0
+    // is what generates the (empty, short-string) candidate in the role
+    // where the empty string is the index side — clamping to 1 dropped
+    // exactly that edge whenever the empty string held the smaller id.
     val probe = big
       .select(bk :+ col("rid").as("b") :+ col("txt").as("tb") :+ length(col("txt")).as("ls"): _*)
-      .withColumn("ll", explode(expr(s"sequence(greatest(ls - $tau, 1), ls + $tau)")))
+      .withColumn("ll", explode(expr(s"sequence(greatest(ls - $tau, 0), ls + $tau)")))
       .withColumn("i", explode(expr(s"sequence(0, $tau)")))
       .withColumn("slen", segLen("ll"))
       .withColumn("sstart", segStart("ll"))

@@ -134,15 +134,18 @@ object Dedup extends QueryModule {
     * shared by the LSH (dd2) and anchor-blocked (dd6) passes so the
     * verify semantics cannot drift between them.
     */
-  private def jaccardVerified(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame =
-    cand
+  private def jaccardVerified(cand: DataFrame, sh: DataFrame, minJ: Double,
+      sorted: Boolean = true): DataFrame = {
+    val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
           size(array_union(col("sa"), col("sb"))).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= minJ)
-      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+    if (sorted) verified.orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+    else verified
+  }
 
   /** The oracle twin of [[jaccardVerified]]: expects CTEs `cand` and `sh`. */
   private def jaccardVerifySqlTail(minJ: Double): String =
@@ -167,6 +170,66 @@ object Dedup extends QueryModule {
        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
        |        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
        |        >= $minJ""".stripMargin
+
+  // ------------------------------------------ exact-duplicate contraction
+  /** (members, repCorpus): one representative document per EXACT-text
+    * class — er2's contraction lemma applied to the near-dup channels
+    * (r16 VERDICT #1). Every signature these pipelines band on (MinHash
+    * sigs, SimHash fingerprint, n-gram anchors) and every verify score
+    * (shingle Jaccard, Hamming) is a pure function of the text, so
+    * exact-text copies are fully interchangeable: a copy is a candidate
+    * with exactly its rep's partners and verifies at exactly its rep's
+    * score, and copies within one class pair with each other at the
+    * identity score (Jaccard 1.0 / Hamming 0), which passes every
+    * channel's threshold. Running the banded pipeline over reps and
+    * expanding afterward therefore reproduces the uncontracted pair set
+    * EXACTLY (pinned pair-for-pair in DedupSimilaritySpec) while the
+    * candidate join scales with DISTINCT texts, not rows — on an N-way
+    * replicated corpus (ScaleGen's sf10 shape, where dd2 measured 1.7×
+    * over linear from inflated band-bucket occupancy) band buckets stop
+    * growing with N altogether.
+    *
+    * The contraction is one hash aggregate whose map-side partials
+    * collapse copies BEFORE the exchange (the more duplicated the
+    * corpus, the less it shuffles), plus a members map carrying two
+    * longs per row. NULL text forms one inert class under a sentinel
+    * key (md5 output is hex, so "null" cannot collide).
+    */
+  private[graft] def contractedCorpus(c: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = c.select(col("doc_id"), col("text"),
+      coalesce(md5(col("text")), lit("null")).as("th"))
+    val classes = keyed.groupBy("th")
+      .agg(min("doc_id").as("rep"), min_by(col("text"), col("doc_id")).as("text"))
+    val members = keyed.select("doc_id", "th")
+      .join(classes.select("th", "rep"), Seq("th"))
+      .select("doc_id", "rep")
+    (members, classes.select(col("rep").as("doc_id"), col("text")))
+  }
+
+  /** Expand rep-level verified pairs onto all class members: cross-class
+    * pairs inherit the rep pair's score (same texts ⇒ same score);
+    * intra-class pairs carry the identity score and exist only for
+    * classes that PARTICIPATE in the channel's match path (e.g. docs
+    * with ≥ n words — `participating` is one `rep` column naming them),
+    * mirroring which docs the uncontracted pipeline could ever pair.
+    * Pairs stay unique by construction: a cross pair has a unique rep
+    * pair, an intra pair a unique class.
+    */
+  private def expandPairs(members: DataFrame, repPairs: DataFrame,
+      participating: DataFrame, payload: Seq[(String, Column)]): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("xa")), Seq("doc_a"))
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("xb")), Seq("doc_b"))
+      .select(least(col("xa"), col("xb")).as("doc_a") +:
+        greatest(col("xa"), col("xb")).as("doc_b") +:
+        payload.map { case (n, _) => col(n) }: _*)
+    val sm = members.join(participating, Seq("rep"), "left_semi")
+    val intra = sm.as("p").join(sm.as("q"),
+        col("p.rep") === col("q.rep") && col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a") +: col("q.doc_id").as("doc_b") +:
+        payload.map { case (n, cc) => cc.as(n) }: _*)
+    cross.unionByName(intra)
+  }
 
   /** MinHash-LSH near-dup pairs, verified: signature → banded bucket
     * self-join (candidates) → true shingle-Jaccard filter ≥ 0.5.
@@ -201,13 +264,42 @@ object Dedup extends QueryModule {
   private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.memoize(s, s"dedup.minhashPairs:$dir")(minhashPairs(s, dir))
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOver(corpus(s, dir))
+
+  /** Contracted LSH pipeline (r16 VERDICT #1): shingle/band/verify over
+    * exact-text class reps, then expand — identical pair set (spec-
+    * pinned vs [[minhashPairsUncontracted]]), candidate work bounded by
+    * distinct texts per bucket.
+    */
+  private[graft] def minhashPairsOver(c: DataFrame): DataFrame = {
     // The shingle sets feed three consumers (both self-join sides + the
-    // verify stage) and the band signatures two — persist them instead of
-    // recomputing the md5 pipeline per consumer. At 100 TB this
-    // materialization is mandatory, not an option: signatures are ~1% of
-    // corpus size and the alternative is N full-corpus re-hashes.
-    val sh = shingled(corpus(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    // verify stage), the band signatures two, and the members map four
+    // (both expansion roles + both intra self-join sides) — persist them
+    // instead of recomputing the md5 pipeline per consumer. At 100 TB
+    // this materialization is mandatory, not an option: signatures are
+    // ~1% of corpus size and the alternative is N full-corpus re-hashes.
+    val (members0, repCorpus) = contractedCorpus(c)
+    val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shingled(repCorpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandRows = bandRowsOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val repPairs = jaccardVerified(cand, sh, minJ = 0.5, sorted = false)
+    expandPairs(members, repPairs, sh.select(col("doc_id").as("rep")),
+      Seq("jaccard" -> lit(1.0)))
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  /** The pre-contraction pipeline, kept ONLY as the equality reference
+    * for the contraction spec — no gate entry runs it.
+    */
+  private[graft] def minhashPairsUncontracted(c: DataFrame): DataFrame = {
+    val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
     val bandRows = bandRowsOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
@@ -265,7 +357,10 @@ object Dedup extends QueryModule {
     * fingerprint table) and dd5 (the near-dup pair sweep).
     */
   private def simhashFrame(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir).select(
+    simhashOf(corpus(s, dir))
+
+  private def simhashOf(c: DataFrame): DataFrame =
+    c.select(
       col("doc_id"),
       // null text → simhash 0, as the HOF chain and the oracle's CASE
       // WHEN NULL > 0 … ELSE 0 bits both collapse to (no null docs in
@@ -331,11 +426,46 @@ object Dedup extends QueryModule {
   private val SimBands = 4
   private val HammingMax = 3
 
-  private def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  private def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    simhashNearDupOver(corpus(s, dir))
+
+  /** Contracted SimHash sweep (r16 VERDICT #1's dd5 audit — CONTRACT):
+    * the fingerprint is a pure function of the text, so exact copies
+    * share every band bucket with their rep and pair intra-class at
+    * Hamming 0 ≤ [[HammingMax]]; the sweep runs over exact-text reps
+    * and expands, pair-for-pair equal to the uncontracted sweep
+    * (spec-pinned). Every document participates (null text → simhash 0
+    * still fingerprints), so the intra expansion is unrestricted.
+    */
+  private[graft] def simhashNearDupOver(c: DataFrame): DataFrame = {
+    val (members0, repCorpus) = contractedCorpus(c)
+    val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
     // both sides of the band self-join consume the fingerprint frame; the
     // 64 per-word hash folds are the expensive part, so materialize once
     // (same persist-the-signatures reasoning as the LSH pass above)
-    val sims = simhashFrame(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sims = simhashOf(repCorpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandRows = sims.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L))): _*)).as(Seq("band_id", "bv")))
+    val repPairs = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+    expandPairs(members, repPairs, sims.select(col("doc_id").as("rep")),
+      Seq("hamming" -> lit(0).cast(IntegerType)))
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  /** Pre-contraction sweep, equality reference for the spec only. */
+  private[graft] def simhashNearDupUncontracted(c: DataFrame): DataFrame = {
+    val sims = simhashOf(c).persist(StorageLevel.MEMORY_AND_DISK)
     val bandRows = sims.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until SimBands).map(b =>
@@ -393,7 +523,25 @@ object Dedup extends QueryModule {
     * with a synthetic corpus.
     */
   private[graft] def ngramJaccardPairs(c: DataFrame): DataFrame = {
-    val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
+    // contracted (r16 VERDICT #1's dd6 audit — CONTRACT): both anchors
+    // and the verify score are pure functions of the text, and only
+    // ≥3-word documents ever anchor, so intra expansion is restricted
+    // to classes present in `sh` — the same participation set as the
+    // uncontracted pipeline's (spec-pinned equality)
+    val (members0, repCorpus) = contractedCorpus(c)
+    val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shingled(repCorpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val repPairs = anchoredRepPairs(repCorpus, sh)
+    expandPairs(members, repPairs, sh.select(col("doc_id").as("rep")),
+      Seq("jaccard" -> lit(1.0)))
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  /** The anchor → candidate → verify core over an explicit corpus + its
+    * shingle frame (no sort) — shared by the contracted gate path and
+    * the uncontracted spec reference.
+    */
+  private def anchoredRepPairs(c: DataFrame, sh: DataFrame): DataFrame = {
     // opening anchor from the RAW word sequence: the distinct-shingle
     // list's order is engine-specific (DuckDB's list_distinct does not
     // preserve first-occurrence order), the word sequence is not
@@ -413,7 +561,14 @@ object Dedup extends QueryModule {
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerified(cand, sh, minJ = NgramJaccardMin)
+    jaccardVerified(cand, sh, minJ = NgramJaccardMin, sorted = false)
+  }
+
+  /** Pre-contraction pipeline, equality reference for the spec only. */
+  private[graft] def ngramJaccardPairsUncontracted(c: DataFrame): DataFrame = {
+    val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
+    anchoredRepPairs(c, sh)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =

@@ -1351,17 +1351,52 @@ object Similarity extends QueryModule {
     */
   private val annPartBuilt = scala.collection.mutable.Set.empty[String]
 
-  private[graft] def annPartRoot(s: SparkSession, dir: String): String = new java.io.File(
-    sys.props("java.io.tmpdir"),
-    "graft_ann14_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+  /** Layout root keyed by CORPUS CONTENT (source dir + max mtime of the
+    * embeddings parquet), not applicationId (r16 ADVICE): appIds never
+    * repeat, so the appId key leaked one full corpus copy into
+    * java.io.tmpdir per JVM that touched the entry, across rounds. The
+    * mtime key keeps the staleness guarantee the appId key existed for
+    * — a mid-round testdata regeneration bumps the mtime, so a new JVM
+    * can never serve the old layout — while re-runs over unchanged data
+    * REUSE the one copy instead of accumulating. Stale siblings (same
+    * corpus dir, older mtime key, or legacy appId-keyed roots) are
+    * deleted at bootstrap, bounding disk to one layout per corpus dir.
+    */
+  private[graft] def annPartRoot(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val stamp = (src.lastModified() +:
+      Option(src.listFiles()).toSeq.flatten.map(_.lastModified())).max
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ann14_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_m" + stamp).getAbsolutePath
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
 
   private def filteredTopKPruned(s: SparkSession, dir: String): DataFrame = {
     val root = annPartRoot(s, dir)
     annPartBuilt.synchronized {
       if (!annPartBuilt.contains(root)) {
-        t(s, dir, "embeddings").select("vec_id", "label", "embedding")
-          .write.mode("overwrite").partitionBy("label").parquet(root)
+        // evict stale layouts of THIS corpus dir first: older-mtime
+        // siblings and pre-fix appId-keyed roots both embed the
+        // sanitized dir string, the live root's exact name is spared
+        val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+        val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val live = new java.io.File(root).getName
+        // anchored name matches only — a bare contains() would let the
+        // sf1 key ("_tmp_sf1") sweep away the sf10 layout
+        Option(tmp.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName != live &&
+            (f.getName.startsWith("graft_ann14_" + dirKey + "_m") ||
+              (f.getName.startsWith("graft_ann14_") && f.getName.endsWith("_" + dirKey))))
+          .foreach(deleteRecursively)
+        // _SUCCESS gates reuse: a root left by a crashed writer re-lays
+        if (!new java.io.File(root, "_SUCCESS").isFile) {
+          t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+            .write.mode("overwrite").partitionBy("label").parquet(root)
+        }
         annPartBuilt += root
         ()
       }

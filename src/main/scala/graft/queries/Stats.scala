@@ -2831,9 +2831,12 @@ object Stats extends QueryModule {
       .agg(QdigestSketch.qdSet(col("pc")).as("sk"))
     val mergedA = lvl1.groupBy("rf")
       .agg(QdigestSketch.qdMergeAnswers(col("sk"), Dq19Ps).as("am"))
+    // n over NON-NULL inputs only (r16 ADVICE): the digest's reduce
+    // skips NULLs, so count(*) would inflate the rank targets past what
+    // the digest ingested on data with NULL prices
     val directA = base.groupBy("rf")
       .agg(QdigestSketch.qdAnswers(col("pc"), Dq19Ps).as("ad"),
-        count(lit(1)).as("n_rows"))
+        count(col("pc")).as("n_rows"))
     // the rank audit WITHOUT row expansion (the r16 sf10 probe measured
     // the dq15-style pair-expansion spelling at 8.3× wall for 100× data
     // — 60M rows × 12 answers through the exchange): the ≤ |groups|
@@ -2879,7 +2882,8 @@ object Stats extends QueryModule {
   private val quantileRollupSql = {
     val values = Dq19Ps.map(p => s"($p)").mkString(", ")
     s"""WITH n AS (
-       |  SELECT l_returnflag AS return_flag, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  SELECT l_returnflag AS return_flag,
+       |    CAST(COUNT(l_extendedprice) AS BIGINT) AS n_rows
        |  FROM lineitem GROUP BY 1)
        |SELECT return_flag, CAST(p_milli AS BIGINT) AS p_milli, n_rows,
        |  TRUE AS within_direct, TRUE AS within_merged

@@ -786,7 +786,9 @@ object StreamingGate extends QueryModule {
       .select(col("ts"), col("event_type"), vcents.as("v"))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(QdigestSketch.qdAnswers(col("v"), Sw17Ps).as("qs"),
-        count(lit(1)).as("n_events"))
+        // non-null inputs only (r16 ADVICE): the digest skips NULLs, so
+        // the rank-target denominator must too
+        count(col("v")).as("n_events"))
       .select(col("w.start").as("bucket_hour"), col("event_type"),
         col("qs"), col("n_events"))
     val qa = drain(s, agg, "sw17_mem")
@@ -817,7 +819,7 @@ object StreamingGate extends QueryModule {
     s"""WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
        |grp AS (
        |  SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
-       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |    CAST(COUNT(value) AS BIGINT) AS n_events
        |  FROM events GROUP BY 1, 2)
        |SELECT g.bucket_hour, g.event_type, CAST(p_milli AS BIGINT) AS p_milli,
        |  g.n_events, TRUE AS within_bound

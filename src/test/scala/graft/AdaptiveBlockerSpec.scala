@@ -78,15 +78,17 @@ class AdaptiveBlockerSpec extends AnyFunSuite {
   test("property: segment path equals brute force on random corpora incl. tiny strings") {
     import org.scalacheck.{Gen, rng}
     import spark.implicits._
-    // random corpora over a 2-letter alphabet with lengths 1..8 — the
+    // random corpora over a 2-letter alphabet with lengths 0..8 — the
     // regime where lev<=2 pairs are dense and the Pass-Join pigeonhole's
     // edge cases live (strings shorter than tau+1 get zero-length
     // segments, whose empty-string keys must degrade to all-pairs, not
-    // lose pairs). bound=3 forces the segment path everywhere.
+    // lose pairs; length-0 strings pin the r16 ADVICE partner-length
+    // floor — a (""/short) pair must survive in BOTH id orders).
+    // bound=3 forces the segment path everywhere.
     val genCorpus = for {
       n <- Gen.choose(30, 80)
       rows <- Gen.listOfN(n, for {
-        len <- Gen.choose(1, 8)
+        len <- Gen.choose(0, 8)
         cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
         blk <- Gen.choose(0L, 1L)
       } yield (blk, cs.mkString))
@@ -100,6 +102,28 @@ class AdaptiveBlockerSpec extends AnyFunSuite {
       assert(got == expected,
         s"seed=$seed missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
     }
+  }
+
+  test("empty strings in an oversized block edge with short partners in both id orders") {
+    // r16 ADVICE: the probe side's partner-length floor was 1, so the
+    // ("", s) candidate with len(s) <= tau was only generated with the
+    // non-empty string as index side, and a < b then dropped the edge
+    // whenever the empty string's rep held the SMALLER id. Both
+    // orderings, segment path forced (bound=1), and filler rows push
+    // the block over any occupancy heuristic.
+    import spark.implicits._
+    // two BLOCKS so the empty string is a distinct rep in each — in one
+    // it holds the smaller id, in the other the larger (same-block empty
+    // strings would contract to one class and never need the probe)
+    val df = Seq(
+      (1L, 0L, ""), (2L, 0L, "ab"), // empty rep has the SMALLER id
+      (5L, 1L, "cd"), (6L, 1L, "")) // and the LARGER id
+      .toDF("id", "blk", "txt")
+    val (edges, _) = AdaptiveBlocker.levEdges(df, Seq("blk"), "id", "txt", tau = 2, bound = 1)
+    val got = edgeSet(edges)
+    assert(got.contains((1L, 2L)) && got.contains((5L, 6L)),
+      s"both empty/short orientations must edge: $got")
+    assert(got == edgeSet(bruteEdges(df, 2)))
   }
 
   test("NULL keys: no edges, and a left-join expansion keeps the rows as singletons") {

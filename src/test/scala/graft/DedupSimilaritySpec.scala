@@ -347,4 +347,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"${r.getAs[Long]("vec_b")} kept despite epsilon-mate ${r.getAs[Long]("vec_a")}")
     }
   }
+
+  test("contraction invisibility: dd2/dd5/dd6 pair sets equal the uncontracted " +
+    "pipelines on an N-way replicated corpus with nulls, empties, and short docs") {
+    // r16 VERDICT #1: exact-dup contraction applied to the near-dup
+    // channels must be INVISIBLE — pair-for-pair, score-for-score. The
+    // corpus is adversarial on purpose: verbatim N-way replication (the
+    // ScaleGen sf10 shape whose band-bucket inflation the contraction
+    // exists to kill), genuine near-dups across classes, sub-3-word docs
+    // (present in dd5's sweep, absent from dd2/dd6's), empty and NULL
+    // text, and a word-permuted pair (same SimHash, different class).
+    import spark.implicits._
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 0
+      (2L, "completely different text about training data pipelines at scale"),
+      (3L, "short doc"), // < 3 words: no shingles, still simhashes
+      (4L, ""), // empty: no shingles, simhash of [""]
+      (5L, null.asInstanceOf[String]), // NULL text: inert in dd2/dd6, sweeps in dd5
+      (6L, "scale at pipelines data training about text different completely"), // permutation of 2
+      (7L, "the quick brown fox jumps over the lazy dog today")) // in-base exact dup of 0
+    val n = 5
+    val replicated = base.flatMap { case (id, txt) =>
+      (0 until n).map(cp => (id + cp.toLong * 100L, txt))
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    val cases = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      ("dd2", Dedup.minhashPairsOver, Dedup.minhashPairsUncontracted),
+      ("dd5", Dedup.simhashNearDupOver, Dedup.simhashNearDupUncontracted),
+      ("dd6", Dedup.ngramJaccardPairs, Dedup.ngramJaccardPairsUncontracted))
+    cases.foreach { case (name, contracted, reference) =>
+      val got = pairSet(contracted(replicated))
+      val want = pairSet(reference(replicated))
+      assert(want.nonEmpty, s"$name: vacuous fixture — no reference pairs")
+      // non-vacuity of the contraction itself: intra-class pairs exist
+      assert(got.nonEmpty && got == want,
+        s"$name: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+    // and the lever is real: rep-level candidate work is independent of N
+    val (membersA, repsA) = Dedup.contractedCorpus(replicated)
+    val (_, repsB) = Dedup.contractedCorpus(base.toDF("doc_id", "text"))
+    assert(repsA.count() == repsB.count(),
+      "replication must not grow the contracted rep corpus")
+    assert(membersA.count() == base.length.toLong * n)
+  }
 }

@@ -136,4 +136,22 @@ class QdigestSpec extends AnyFunSuite {
     // the max-rank answer cannot exceed the universe
     assert(QdCore.quantile(items, (vs.length + 500).toLong) <= QdCore.Universe - 1)
   }
+
+  test("clampedCents preserves NULL, and the digest excludes it (r16 ADVICE)") {
+    // greatest(NULL, 0) null-SKIPS in Spark, so the pre-fix spelling
+    // quietly turned NULL prices into 0-cent observations; the fix keeps
+    // NULL → NULL so QdAgg's Option reduce drops the row — pinned here
+    // end-to-end so the count the digest carries equals count(col), not
+    // count(*)
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Some(1.0), None, Some(2.0), None, Some(3.0)).toDF("value")
+      .select(graft.functions.QdigestSketch.clampedCents("value").as("pc"))
+    assert(df.filter(col("pc").isNull).count() == 2, "NULL inputs must stay NULL")
+    val nodes = df.agg(graft.functions.QdigestSketch.qdSet(col("pc")).as("sk"))
+      .selectExpr("aggregate(sk, 0L, (acc, x) -> acc + x.c) AS n")
+      .collect()(0).getLong(0)
+    assert(nodes == 3L, s"digest must ingest only the 3 non-null rows, got $nodes")
+  }
 }
