@@ -68,7 +68,16 @@ object Bench {
     * Package-visible so BenchAdjudicationSpec can pin the round trip.
     */
   private[graft] def forkAdjudicate(names: Seq[String], sfDir: String)
-      : Map[String, Either[String, Double]] = {
+      : Map[String, Either[String, Double]] =
+    forkRuns(names, sfDir).map { case (n, e) => n -> e.map(ts => ts(ts.size / 2)) }
+
+  /** Like [[forkAdjudicate]] but returns the SORTED per-entry run times,
+    * so a recording can persist a fresh-JVM [median, lo, hi] spread
+    * (r16 VERDICT #3). Timeout scales with the name count: a full
+    * 320-entry battery at 3 runs each is a ~15 min child, not a hang.
+    */
+  private[graft] def forkRuns(names: Seq[String], sfDir: String)
+      : Map[String, Either[String, Seq[Double]]] = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
     val addOpens = Seq(
@@ -100,7 +109,8 @@ object Bench {
       })
       drainer.setDaemon(true)
       drainer.start()
-      val finished = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      val timeoutMin = 20L.max(names.size.toLong / 4)
+      val finished = proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
       if (!finished) proc.destroyForcibly().waitFor()
       drainer.join(5000)
       val code = if (finished) proc.exitValue() else -1
@@ -114,14 +124,15 @@ object Bench {
         // a valid Right (review find)
         n -> byName.get(n).map(_.map(_._2).sorted)
           .filter(ts => ts.size >= 3 && (finished && code == 0))
-          .map(ts => Right(ts(ts.size / 2)): Either[String, Double])
+          .map(ts => Right(ts): Either[String, Seq[Double]])
           .getOrElse(Left(
             if (!finished) "fork timeout"
             else if (code != 0) s"fork exit $code"
             else "fork produced incomplete timings"))
       }.toMap
     } catch {
-      case e: Exception => names.map(_ -> Left(s"fork: ${e.getClass.getSimpleName}")).toMap
+      case e: Exception =>
+        names.map(_ -> (Left(s"fork: ${e.getClass.getSimpleName}"): Either[String, Seq[Double]])).toMap
     }
     medians
   }
@@ -185,6 +196,59 @@ object Bench {
         s"[bench] WARNING: baseline $path exists but yielded 0 entries — self-adjudication is OFF this sweep")
     parsed
   }
+
+  /** Adjudication trigger (r16 VERDICT #2): ratio gate OR absolute
+    * excess. The ratio-only trigger (`> 2×hi`, hi clamped to 2×median)
+    * required up to ~4× median before firing, so the round's largest
+    * ABSOLUTE mover (sw9, +5.6 s at exactly 2.00× median) escaped
+    * un-adjudicated while sub-second entries re-ran for +0.3 s. The OR
+    * arm fires on `sweep − hi > max(1 s, hi/2)`: at least a second of
+    * real excess, and at least 1.5× hi — so ±30% ambient noise on the
+    * multi-second streaming tail doesn't re-adjudicate every sweep, but
+    * a multi-second absolute regression always gets a verdict.
+    */
+  private[graft] def isMover(sweepSec: Double, committedHi: Double): Boolean =
+    (sweepSec > 2 * committedHi && sweepSec - committedHi > 0.25) ||
+      (sweepSec - committedHi > math.max(1.0, committedHi / 2))
+
+  /** Explicit per-mover verdict (r16 VERDICT #3): the committed
+    * recording is sweep-warmed while the forked adjudicator measures a
+    * fresh JVM, so raw forked-vs-committed comparison manufactures
+    * borderline "regressed" readings on JIT-heavy entries (the judge's
+    * quiet-machine fresh-JVM medians for ir1/sw13 sat above committed
+    * hi with unchanged code). Like-for-like reference, in preference
+    * order: the committed recording's own FORKED hi (recorded via
+    * SPARK_GRAFT_RECORD_FORKED — same child-JVM protocol the
+    * adjudicator uses), else committed hi + the 0.5 s fresh-JVM
+    * allowance the sentinel floor was drilled at. The verdict then
+    * applies the SAME mover trigger to the isolated reading: an entry
+    * is "regressed" only if its fresh-JVM time would itself be flagged
+    * against the like-for-like reference.
+    */
+  private[graft] def adjudicationVerdict(isoSec: Double, committedHi: Double,
+      committedForkHi: Option[Double], forked: Boolean): String = {
+    val ref = if (forked) committedForkHi.getOrElse(committedHi + 0.5) else committedHi
+    if (isMover(isoSec, ref)) "regressed" else "cleared"
+  }
+
+  /** Fresh-JVM spread from the committed recording's `"fork"` block
+    * (written when SPARK_GRAFT_RECORD_FORKED=1): name → hi. Absent
+    * block / entry → None upstream (the +0.5 s allowance path).
+    */
+  private[graft] def readForkSpread(path: String): Map[String, Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val fStart = txt.indexOf("\"fork\":{")
+    if (fStart < 0) Map.empty
+    else {
+      val body = txt.substring(fStart + 8, txt.indexOf('}', fStart))
+      val re = """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
+      re.findAllMatchIn(body).flatMap { m =>
+        try Some(m.group(1) -> m.group(4).toDouble)
+        catch { case _: NumberFormatException => None }
+      }.toMap
+    }
+  } catch { case _: Throwable => Map.empty }
 
   /** Load-canary verdict for the self-adjudication isolated pass. The
     * isolated re-run happens inside the same wall-clock window as the
@@ -288,9 +352,12 @@ object Bench {
     // committed vs 3.3–3.4 s steady) re-flagged on every noisy sweep.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_full.json")
     val baseline = readBaseline(baselinePath)
+    // committed fresh-JVM spreads, when the recording carried them — the
+    // like-for-like reference for the forked adjudicator's verdicts
+    val forkBaseline = readForkSpread(baselinePath)
     val movers = results.collect {
       case (name, Right(sec))
-        if baseline.get(name).exists { case (_, hi) => sec > 2 * hi && sec - hi > 0.25 } => name
+        if baseline.get(name).exists { case (_, hi) => isMover(sec, hi) } => name
     }
     // Load canary (VERDICT r14 #1): measure the sentinel BEFORE the
     // movers so the block records whether the isolated window itself was
@@ -359,7 +426,12 @@ object Bench {
     // and must not be read as a code regression.
     val adjEntries = adjudication.map { case (name, (sweep, iso)) =>
       val isoS = iso.fold(e => s""""err:$e"""", f3v)
-      s""""$name":[${f3v(sweep)},$isoS,${f3v(baseline(name)._1)}]"""
+      // 4th element: the explicit verdict against the like-for-like
+      // reference (committed fork hi when recorded, else hi + the
+      // fresh-JVM allowance) — "err" if the isolated re-run failed
+      val verdict = iso.fold(_ => "err",
+        sec => adjudicationVerdict(sec, baseline(name)._2, forkBaseline.get(name), forkMode))
+      s""""$name":[${f3v(sweep)},$isoS,${f3v(baseline(name)._1)},"$verdict"]"""
     }.mkString("{", ",", "}")
     val sentJson = sentinel.map { case (name, sec, committed) =>
       s""""$name",${sec.fold(e => s""""err:$e"""", f3v)},${f3v(committed)}"""
@@ -374,8 +446,26 @@ object Bench {
     val spreadJson = rawResults.collect {
       case (k, Right(ts)) => s""""$k":[${f3v(median(ts))},${f3v(ts.head)},${f3v(ts.last)}]"""
     }.mkString("{", ",", "}")
+    // Fresh-JVM recording spread (r16 VERDICT #3): with
+    // SPARK_GRAFT_RECORD_FORKED=1, re-time the whole battery once in a
+    // forked child JVM — the adjudicator's exact measurement protocol —
+    // and persist its [median, lo, hi] per entry as the "fork" block.
+    // Future adjudications then compare fresh-JVM against fresh-JVM
+    // instead of against the sweep-warmed medians, closing the
+    // asymmetry that kept manufacturing borderline flags on JIT-heavy
+    // entries. Opt-in: it costs a second battery pass, paid at
+    // committed-recording time, never on the driver's sweep.
+    val forkJson: Option[String] =
+      if (only.isEmpty && sys.env.get("SPARK_GRAFT_RECORD_FORKED")
+          .exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+        val all = forkRuns(entries.map(_._1), sfDir)
+        Some(all.toSeq.sortBy(_._1).collect {
+          case (k, Right(ts)) => s""""$k":[${f3v(ts(ts.size / 2))},${f3v(ts.head)},${f3v(ts.last)}]"""
+        }.mkString("{", ",", "}"))
+      } else None
+    val forkField = forkJson.fold("")(f => s""","fork":$f""")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"sf":"$sfDir","failed":${failed.distinct.size},"adjudication":$adjJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson$forkField,"sf":"$sfDir","failed":${failed.distinct.size},"adjudication":$adjJson}"""
     // The driver keeps only the last ~2000 stdout chars, and the full
     // per-query map is ~12 KB at 254 entries — it can NEVER fit, which
     // is why BENCH_r*.json carried "parsed": null for twelve rounds.

@@ -51,6 +51,54 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.loadTainted(3.0, 1.0, forked = true))
   }
 
+  test("isMover: ratio gate OR absolute excess (r16 VERDICT #2)") {
+    // the classic ratio trigger still fires
+    assert(Bench.isMover(1.5, 0.4)) // 3.75x, +1.1 s
+    assert(!Bench.isMover(0.12, 0.05)) // >2x but micro-jitter (+0.07 s)
+    assert(!Bench.isMover(1.9, 1.0)) // under 2x, under the absolute arm
+    // the two r16 escapees now trigger:
+    // sw9's shape — exactly 2.00x median with a multi-second excess
+    assert(Bench.isMover(11.19, 5.6), "a +5.6 s mover must not escape at 2.00x")
+    // ir1's shape — 3x median excess hidden under a wide hi
+    assert(Bench.isMover(2.91, 1.575), "+1.3 s over a 1.6 s hi must trigger")
+    // but ambient +-30% noise on the slow streaming tail does NOT
+    // re-adjudicate every sweep: +1.3 s on a 6.2 s entry is under hi/2
+    assert(!Bench.isMover(7.5, 6.2))
+    // and the absolute arm needs at least a real second
+    assert(!Bench.isMover(1.9, 0.95))
+  }
+
+  test("adjudicationVerdict: like-for-like reference (r16 VERDICT #3)") {
+    // with a committed FORK hi, the forked reading is judged against it
+    // by the same mover trigger — fresh-JVM vs fresh-JVM
+    assert(Bench.adjudicationVerdict(2.2, 1.575, Some(2.3), forked = true) == "cleared")
+    assert(Bench.adjudicationVerdict(5.1, 1.575, Some(2.3), forked = true) == "regressed")
+    // without one, the 0.5 s fresh-JVM allowance rides on committed hi:
+    // the judge's ir1 measurement (2.18 fresh vs 1.575 committed hi) is
+    // exactly the borderline that must NOT read as a regression
+    assert(Bench.adjudicationVerdict(2.18, 1.575, None, forked = true) == "cleared")
+    assert(Bench.adjudicationVerdict(6.0, 1.575, None, forked = true) == "regressed")
+    // in-JVM mode pays no fresh-JVM overhead: no allowance
+    assert(Bench.adjudicationVerdict(2.5, 1.0, None, forked = false) == "regressed")
+    assert(Bench.adjudicationVerdict(1.1, 1.0, None, forked = false) == "cleared")
+  }
+
+  test("readForkSpread parses the fork block; absent block is empty") {
+    val f = java.nio.file.Files.createTempFile("bench_fork", ".json")
+    java.nio.file.Files.write(f,
+      ("""{"metric":"total","queries":{"a":0.9},"spread":{"a":[0.9,0.8,1.0]},""" +
+        """"fork":{"a":[2.1,1.9,2.4],"b":[0.3,0.3,0.4]},"sf":"/x"}""").getBytes("UTF-8"))
+    val fork = Bench.readForkSpread(f.toString)
+    assert(fork == Map("a" -> 2.4, "b" -> 0.4), s"fork his: $fork")
+    // the sweep baseline parse is unaffected by the extra block
+    assert(Bench.readBaseline(f.toString)("a") == (0.9, 1.0))
+    val g = java.nio.file.Files.createTempFile("bench_nofork", ".json")
+    java.nio.file.Files.write(g,
+      """{"metric":"total","queries":{"a":0.9},"sf":"/x"}""".getBytes("UTF-8"))
+    assert(Bench.readForkSpread(g.toString).isEmpty)
+    java.nio.file.Files.delete(f); java.nio.file.Files.delete(g)
+  }
+
   test("sentinel candidates are real gate entries") {
     // The canary is only as good as its sentinel: every candidate must
     // exist in the query map, or a rename silently downgrades the
