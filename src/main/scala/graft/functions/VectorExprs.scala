@@ -34,6 +34,12 @@ object VectorFunctions {
   def unicodeNormalize(c: Column, form: String): Column =
     GraftShims.column(UnicodeNormalize(GraftShims.expression(c), form))
 
+  /** DEFLATE-compressed byte count of a string (fixed level 6) — the
+    * compression-ratio quality primitive (tx22).
+    */
+  def deflatedLen(c: Column): Column =
+    GraftShims.column(org.apache.spark.sql.graft.DeflatedLen(GraftShims.expression(c)))
+
   /** |A∩B| of two SORTED, distinct string arrays — one codegen merge
     * pass, no intersection materialization (see SetKernels scaladoc).
     */
@@ -90,6 +96,7 @@ object VectorFunctions {
     "ngram_md5" -> (es => NgramMd5(es(0), foldableK(es(1), "ngram_md5"))),
     "cdc_segments" -> (es => CdcSegments(es(0), foldableK(es(1), "cdc_segments"))),
     "unicode_normalize" -> (es => UnicodeNormalize(es(0), foldableForm(es(1), "unicode_normalize"))),
+    "deflated_len" -> (es => org.apache.spark.sql.graft.DeflatedLen(es(0))),
     "luhn_scan" -> (es => org.apache.spark.sql.graft.LuhnScan(es(0),
       foldableK(es(1), "luhn_scan"), foldableK(es(2), "luhn_scan"),
       foldableStr(es(3), "luhn_scan"))))

@@ -1825,7 +1825,412 @@ object Text extends QueryModule {
        |FROM card
        |ORDER BY source NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- tx21
+  /** RAW-HTML → text extraction — the actual FIRST stage of a web
+    * corpus, previously absent (r16 VERDICT #5): every tx operator
+    * assumed pre-extracted text. Pipeline: drop <head> (title/style/
+    * script), drop residual script/style bodies and comments, convert
+    * block-closer tags to line breaks, strip remaining tags, decode
+    * HTML entities (tag-strip FIRST so a decoded '<' can never be eaten
+    * as markup), whitespace-normalize lines, then remove BOILERPLATE
+    * lines by document-frequency census — a line present in > 20% of
+    * documents is template chrome (nav, footer, subscribe banners),
+    * not content (the Gopher/CCNet line-dedup rule; same df-threshold
+    * shape as dd17's shingle cap).
+    *
+    * The HTML is synthesized closed-form in executors around each
+    * document's words (the mm6 synth-container discipline): planted
+    * nav/footer in every doc, a newsletter banner in half (df 50% →
+    * dropped), a promo line in ~1% (df ≪ 20% → kept) — so the census
+    * threshold is exercised in BOTH directions — plus entities and
+    * inline markup inside a paragraph. The DuckDB oracle never parses
+    * HTML: it restates the expected extraction ARITHMETICALLY from the
+    * raw words, so the gate hash proves the whole regex pipeline is
+    * exact and lossless. Paragraph lines embed the doc id, so corpus
+    * prefix collisions (tx17 shows boilerplate openings are common)
+    * cannot push a content line over the census threshold.
+    *
+    * Scale posture: synthesis+extraction are map-side expression work;
+    * the census shuffles (line, doc_id) once and joins back on the
+    * line hash — the same narrow exchange as dd1; re-assembly is one
+    * grouped collect of the doc's own ≤ 4 kept lines (bounded by the
+    * per-doc line count, never corpus-wide).
+    */
+  private def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 10)
+    val id = col("doc_id").cast("string")
+    val para1 = array_join(slice(col("w"), 1, 5), " ")
+    val para2 = array_join(slice(col("w"), 6, 5), " ")
+    val html = concat(
+      lit("<html><head><title>t"), id, lit("</title>"),
+      lit("<style>body { color: #000; }</style>"),
+      lit("<script>if (a < b && c > 1) { x = \"q\"; }</script></head>"),
+      lit("<body><nav>Home | About | Contact</nav>"),
+      lit("<!-- hidden <b>comment</b> -->"),
+      lit("<div id=\"main\"><h1>Doc "), id, lit("</h1>"),
+      lit("<p>p1 of "), id, lit(": "), para1, lit("</p>"),
+      lit("<p><b>p2</b> of "), id, lit(": "), para2,
+      lit(" &amp; &lt;tag&gt; &quot;q&#39;</p>"),
+      when(col("doc_id") % 2 === 0,
+        lit("<p>Subscribe to our newsletter</p>")).otherwise(lit("")),
+      when(col("doc_id") % 97 === 0,
+        lit("<p>promo of the day</p>")).otherwise(lit("")),
+      lit("</div><footer>Copyright 2024 Example Corp</footer></body></html>"))
+    extractHtml(docs.select(col("doc_id"), html.as("html")))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** The extraction core over any (doc_id, html) frame — package-
+    * visible so the planted-boilerplate spec can drive it with
+    * hand-written HTML. Returns one row per doc: kept/dropped line
+    * counts and the newline-joined kept text in document order.
+    */
+  private[graft] def extractHtml(pages: DataFrame): DataFrame = {
+    val html = col("html")
+    // extraction — generic, order-sensitive: structure drops, then
+    // block-closers → '\n', then tag strip, then entity decode
+    val noHead = regexp_replace(html, "(?is)<head>.*?</head>", " ")
+    val noScript = regexp_replace(noHead, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // BOTH opening and closing block tags break lines (an opening <div>
+    // after running text separates it from the div's content even when
+    // no closer intervenes); \b keeps <p> from matching <param>
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|div|h[1-6]|li|ul|ol|nav|footer|header|section|article|table|tr)\\b[^>]*>|<br\\b[^>]*>",
+      "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: no double-decode
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    val lines = pages
+      .select(col("doc_id"), posexplode(split(decoded, "\n")).as(Seq("pos", "l0")))
+      .select(col("doc_id"), col("pos"),
+        trim(regexp_replace(col("l0"), "\\s+", " ")).as("line"))
+      .filter(col("line") =!= "")
+    val census = lines.groupBy("line").agg(countDistinct(col("doc_id")).as("df"))
+    val total = pages.agg(count(lit(1)).as("n_total"))
+    lines
+      .join(census, Seq("line"))
+      .crossJoin(broadcast(total))
+      .withColumn("boiler", col("df") * 5 > col("n_total"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(!col("boiler"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("boiler"), struct(col("pos"), col("line"))))),
+            x => x("line")),
+          "\n").as("extracted"))
+  }
+
+  private val htmlExtractSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10)
+      |SELECT doc_id,
+      |  CAST(3 + CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+      |  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_boiler_dropped,
+      |  'Doc ' || doc_id || chr(10) ||
+      |  'p1 of ' || doc_id || ': ' || array_to_string(w[1:5], ' ') || chr(10) ||
+      |  'p2 of ' || doc_id || ': ' || array_to_string(w[6:10], ' ') ||
+      |  ' & <tag> "q''' ||
+      |  CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'promo of the day' ELSE '' END
+      |    AS extracted
+      |FROM d ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- tx22
+  /** Compression-ratio quality signal (r16 VERDICT #8) — the Gopher/
+    * CCNet repetitive-junk filter: templated spam compresses far below
+    * natural prose, and DEFLATE ratio is the standard text-quality
+    * feature no token census substitutes for. Per document the codegen
+    * [[graft.functions.VectorFunctions.deflatedLen]] kernel (fixed
+    * level, ThreadLocal-reused native stream) prices the text AND a
+    * same-word-count repetitive twin (first word repeated), then the
+    * gate emits per-lang exact counts plus BOUNDED flags in the
+    * dq9/tx7 discipline — DuckDB has no zlib, so raw byte counts never
+    * reach the output:
+    *   - `all_sane`: every compressed size is positive and under the
+    *     DEFLATE stored-block worst case (raw + raw/100 + 64) — true
+    *     for ANY conforming encoder;
+    *   - `junk_discriminates`: the per-lang aggregate ratio of the
+    *     repetitive twins is under HALF the real text's — measured
+    *     ~70‰ vs ~500‰ at every scale, so the 2× margin is ~7σ; the
+    *     aggregate (not per-doc) comparison is deliberate: a 10-word
+    *     doc's twin is header-dominated and can ratio ABOVE its text.
+    * TextQualitySpec pins the per-doc signal on planted high/low-
+    * entropy documents with exact separations.
+    *
+    * Scale posture: pure map-side per-document kernel work + one hash
+    * aggregate at lang grain; nothing but (lang, 4 longs) crosses the
+    * exchange.
+    */
+  private def compressionRatio(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.deflatedLen
+    val docs = t(s, dir, "documents")
+      .withColumn("w", words)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    val junk = array_join(array_repeat(element_at(col("w"), 1), size(col("w"))), " ")
+    val priced = docs.select(
+      col("lang"),
+      octet_length(col("text")).cast("long").as("raw"),
+      deflatedLen(col("text")).cast("long").as("c"),
+      octet_length(junk).cast("long").as("rawj"),
+      deflatedLen(junk).cast("long").as("cj"))
+    priced.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("raw")).as("sum_raw_bytes"),
+        min(col("c") > 0 && col("c") <= col("raw") + col("raw") / 100 + 64 &&
+          col("cj") > 0 && col("cj") <= col("rawj") + col("rawj") / 100 + 64)
+          .as("all_sane"),
+        (sum(col("cj")) * lit(2.0) / sum(col("rawj")) <
+          sum(col("c")).cast("double") / sum(col("raw")))
+          .as("junk_discriminates"))
+      .select(col("lang"), col("n_docs"), col("sum_raw_bytes"),
+        col("all_sane"), col("junk_discriminates"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val compressionRatioSql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_raw_bytes,
+      |  TRUE AS all_sane, TRUE AS junk_discriminates
+      |FROM documents
+      |WHERE text IS NOT NULL AND len(text) > 0
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- url1
+  /** URL canonicalization + registrable-domain (PLD) extraction +
+    * url-grain dedup census — the step that precedes every crawl
+    * curation (r16 VERDICT #7): url-grain dedup and per-host stats are
+    * meaningless over raw spellings ('HTTPS://u:p@WWW.X.COM:443/a?utm_
+    * source=f&b=2&a=1#frag' and 'https://www.x.com/a?a=1&b=2' are the
+    * same page). Rules, each a plain string expression: lowercase
+    * scheme+host, strip userinfo / fragment / the scheme's DEFAULT
+    * port (non-default ports are identity), drop tracking params
+    * (utm_*, fbclid, gclid), sort surviving params, empty path → '/';
+    * the PLD comes from a BROADCAST public-suffix list, longest match
+    * (so 'a.b.co.uk' → 'b.co.uk', not 'co.uk' via the bare 'uk' rule).
+    *
+    * Three raw spellings are synthesized per document — two of them
+    * the same page in different spellings (junk params, case, default
+    * port, userinfo, fragment), one a genuinely different page — so
+    * the dedup census must find EXACTLY 2 raw URLs per canonical. The
+    * oracle restates canonical strings, PLDs, and the census
+    * arithmetically from doc_id (closed-form synthesis, mm6/tx21
+    * discipline). Adversarial corners (IDN, empty path, bare host,
+    * nested subdomains, params without values) are spec-pinned in
+    * TextQualitySpec.
+    *
+    * Scale posture: canonicalization is map-side; the census is one
+    * hash aggregate keyed by canonical string; the suffix list is a
+    * broadcast of a few thousand rows (the real PSL fits in one
+    * partition); output joins back at url grain — dd1's exchange shape.
+    */
+  private[graft] val UrlTrackingParams = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+  /** Canonical URL of a raw-URL column — package-visible for the spec's
+    * adversarial corpus.
+    */
+  private[graft] def canonicalUrl(raw: Column): Column = {
+    val scheme = lower(regexp_extract(raw, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(raw, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = substring_index(auth, "@", -1)
+    val host = lower(substring_index(hostPort, ":", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val path0 = regexp_extract(raw, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(raw, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(UrlTrackingParams))
+    val q = array_join(array_sort(kept), "&")
+    val portPart = when(
+      port === "" || (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    concat(scheme, lit("://"), host, portPart, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Registrable domain of a host under a suffix-list frame
+    * (columns: suffix) — longest matching suffix wins; a host that IS a
+    * bare suffix, or matches nothing, yields NULL (not registrable).
+    */
+  private[graft] def pldOf(hosts: DataFrame, suffixes: DataFrame): DataFrame = {
+    val matched = hosts.join(broadcast(suffixes),
+        expr("host = suffix OR endswith(host, '.' || suffix)"), "left")
+      .groupBy("host")
+      .agg(max_by(col("suffix"), length(col("suffix"))).as("sfx"))
+    matched.select(col("host"),
+      when(col("sfx").isNull || col("host") === col("sfx"), lit(null))
+        .otherwise(concat(
+          substring_index(
+            expr("substring(host, 1, length(host) - length(sfx) - 1)"), ".", -1),
+          lit("."), col("sfx"))).as("pld"))
+  }
+
+  private def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id").cast("string")
+    val tld = when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM"))
+    val hostRaw = concat(lit("WWW.Example"), (col("doc_id") % 7).cast("string"), tld)
+    val v0 = concat(lit("HTTPS://user:pw@"), hostRaw,
+      lit(":443/Item/"), id, lit("?utm_source=feed&b=2&a=1&fbclid=xyz#sec2"))
+    val v1 = concat(lit("https://"), lower(hostRaw),
+      lit("/Item/"), id, lit("?a=1&utm_campaign=c&b=2"))
+    val v2 = concat(lit("http://"), lower(hostRaw), lit(":80/p/"), id)
+    val variants = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array(v0, v1, v2)).as("raw"))
+      .select(col("doc_id"), col("raw"), canonicalUrl(col("raw")).as("canonical"))
+    // url-grain dedup census over CANONICAL spellings
+    val censusByUrl = variants.groupBy("canonical").agg(count(lit(1)).as("n_raw"))
+    val suffixes = Seq("com", "org", "net", "io", "uk", "co.uk", "ac.uk")
+      .toDF("suffix")
+    val hosts = variants
+      .select(lower(regexp_extract(col("raw"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)).as("host"))
+      .distinct()
+    val plds = pldOf(hosts, suffixes)
+    variants
+      .filter(col("raw").startsWith("HTTPS://")) // one output row per doc: the hard spelling
+      .select(col("doc_id"), col("canonical"),
+        lower(regexp_extract(col("raw"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)).as("host"))
+      .join(broadcast(plds), Seq("host"))
+      .join(censusByUrl, Seq("canonical"))
+      .select(col("doc_id"), col("canonical"), col("pld"), col("n_raw"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val urlCanonicalDedupSql =
+    """SELECT doc_id,
+      |  'https://www.example' || (doc_id % 7) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+      |    '/Item/' || doc_id || '?a=1&b=2' AS canonical,
+      |  'example' || (doc_id % 7) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END AS pld,
+      |  CAST(2 AS BIGINT) AS n_raw
+      |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- tok5
+  /** BPE training GENERALIZED to an N-merge convergence loop (r16
+    * VERDICT #4): tok1's trainer is unrolled at 5 merges; a production
+    * tokenizer iterates to a target vocabulary and STOPS when no pair
+    * clears the minimum frequency. This entry runs the same
+    * vocabulary-grain trainer ([[bpeMergesOver]]'s exact pair-count /
+    * winner-pick / double-space merge semantics) as a driver loop to
+    * [[Tok5MaxMerges]] merges with min pair frequency [[Tok5MinFreq]],
+    * emitting one row per LEARNED merge. Two changes earn the scale:
+    * the winning pair is COLLECTED (1 row) per iteration, so the merge
+    * projection embeds it as a literal instead of re-running the pair
+    * count a second time per pass, and the convergence check is that
+    * same collect — empty winner → stop. Each pass localCheckpoints
+    * the vocab frame (the ConnectedComponents lineage posture).
+    *
+    * The oracle unrolls all [[Tok5MaxMerges]] iterations CTE-for-CTE
+    * with the min-frequency WHERE inside each winner pick and a LEFT
+    * JOIN carry (an empty winner leaves the vocabulary unchanged), so
+    * it is exact whether or not training converges early; the gate
+    * corpus learns all N, and TextCensusSpec pins early convergence on
+    * a micro-corpus that saturates first.
+    *
+    * Scale posture: tok1's exactly — one corpus explode+groupBy
+    * compresses to the (word, count) vocabulary, then every pass is
+    * vocabulary-grain with map-side combine; the driver touches one
+    * winner row per pass (the ann2-codebook class of driver data).
+    */
+  private val Tok5MaxMerges = 16
+  private val Tok5MinFreq = 2L
+
+  private[graft] def bpeMergesConverging(docs: DataFrame, maxIters: Int,
+      minFreq: Long): DataFrame = {
+    val s = docs.sparkSession
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(
+        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" "))
+          .as("syms"),
+        col("c"))
+    var seqs = vocab.localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 1
+    var converged = false
+    while (i <= maxIters && !converged) {
+      val top = seqs
+        .withColumn("sy", split(trim(col("syms")), "  "))
+        .select(col("c"), explode(expr(
+          "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), " +
+            "(a, b) -> struct(a AS pa, b AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum("c").as("n"))
+        .filter(col("n") >= minFreq)
+        .orderBy(col("n").desc, col("pa").asc, col("pb").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) converged = true
+      else {
+        val (pa, pb, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((i.toLong, pa, pb, n))
+        seqs = seqs
+          .select(
+            replace(col("syms"), lit(s" $pa  $pb "), lit(s" $pa$pb ")).as("syms"),
+            col("c"))
+          .localCheckpoint()
+      }
+      i += 1
+    }
+    import s.implicits._
+    learned.toSeq.toDF("merge_rank", "pa", "pb", "n_occurrences")
+      .orderBy(col("merge_rank").asc_nulls_first)
+  }
+
+  private def bpeConverged(s: SparkSession, dir: String): DataFrame =
+    bpeMergesConverging(t(s, dir, "documents"), Tok5MaxMerges, Tok5MinFreq)
+
+  private val bpeConvergedSql = {
+    // CTEs are MATERIALIZED: with plain inlining each level references
+    // its predecessor twice (winner pick + merge apply), so a 16-level
+    // chain expands 2^16 scans — DuckDB dies on open file handles at
+    // the depth tok1's 5 levels never reached
+    def iter(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT u.pa AS pa, u.pb AS pb, SUM(c) AS n FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(sy)),
+         |      j -> {'pa': sy[j], 'pb': sy[j + 1]})) AS u
+         |    FROM (SELECT string_split(trim(syms), '  ') AS sy, c FROM s${i - 1}))
+         |  GROUP BY u.pa, u.pb),
+         |t$i AS MATERIALIZED (SELECT pa, pb, n FROM p$i WHERE n >= $Tok5MinFreq
+         |        ORDER BY n DESC, pa, pb LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT CASE WHEN t.pa IS NULL THEN syms
+         |         ELSE replace(syms, ' ' || t.pa || '  ' || t.pb || ' ',
+         |                      ' ' || t.pa || t.pb || ' ') END AS syms, c
+         |  FROM s${i - 1} LEFT JOIN t$i t ON TRUE)""".stripMargin
+    val iters = (1 to Tok5MaxMerges).map(iter).mkString(",\n")
+    val out = (1 to Tok5MaxMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, pa, pb, CAST(n AS BIGINT) AS n_occurrences FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |v AS (SELECT w, COUNT(*) AS c FROM w
+       |      WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+       |s0 AS (SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS syms, c
+       |       FROM v),
+       |$iters
+       |$out
+       |ORDER BY merge_rank NULLS FIRST""".stripMargin
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx21_html_extract" -> (htmlExtract _),
+    "tx22_compression_ratio" -> (compressionRatio _),
+    "url1_canonical_dedup" -> (urlCanonicalDedup _),
+    "tok5_bpe_converged" -> (bpeConverged _),
     "cur4_dataset_card" -> (datasetCard _),
     "tx16_pmi_collocations" -> (pmiCollocations _),
     "tx17_boilerplate" -> (boilerplateCensus _),
@@ -1856,6 +2261,10 @@ object Text extends QueryModule {
     "tx5_lang_rollup" -> (langStats _))
 
   override val oracle: Map[String, String] = Map(
+    "tx21_html_extract" -> htmlExtractSql,
+    "tx22_compression_ratio" -> compressionRatioSql,
+    "url1_canonical_dedup" -> urlCanonicalDedupSql,
+    "tok5_bpe_converged" -> bpeConvergedSql,
     "cur4_dataset_card" -> datasetCardSql,
     "tx16_pmi_collocations" -> pmiCollocationsSql,
     "tx17_boilerplate" -> boilerplateCensusSql,

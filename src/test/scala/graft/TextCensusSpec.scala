@@ -60,6 +60,28 @@ class TextCensusSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a", "b", 8L), (2L, "ab", "ab", 3L), (3L, "b", "a", 1L)))
   }
 
+  test("tok5: convergence stops when no pair clears min frequency; minFreq=1 prefix equals tok1's trainer") {
+    import spark.implicits._
+    // "abc abc": vocab {abc: 2} → (a,b) n=2, then (ab,c) n=2, then NO
+    // pairs remain — the loop must stop at 2 learned merges of 16
+    val sat = Seq("abc abc").toDF("text")
+    val out = graft.queries.Text.bpeMergesConverging(sat, 16, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", "b", 2L), (2L, "ab", "c", 2L)),
+      s"saturating corpus must learn exactly 2 merges: ${out.toSeq}")
+    // the min-frequency gate itself: a pair seen once is not learnable
+    val single = Seq("xy").toDF("text")
+    assert(graft.queries.Text.bpeMergesConverging(single, 16, 2).count() == 0L)
+    // and at minFreq=1 the converging trainer is EXACTLY tok1's
+    // unrolled trainer — same winners, same counts, same order
+    val docs = Seq("abab abab abab ab ab ba").toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("pa"),
+        r.getAs[String]("pb"), r.getAs[Long]("n_occurrences"))).toSeq
+    assert(rows(graft.queries.Text.bpeMergesConverging(docs, 3, 1)) ==
+      rows(graft.queries.Text.bpeMergesOver(docs, 3)))
+  }
+
   test("tok2: applying learned merges segments the micro-corpus to hand-computed counts") {
     import spark.implicits._
     // merges after 3 rounds: (a,b), (ab,ab), (b,a). Segmentations:

@@ -20,6 +20,93 @@ class TextQualitySpec extends AnyFunSuite {
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
+  test("tx21: extraction strips structure, decodes entities, and the census drops planted boilerplate") {
+    import spark.implicits._
+    // hand-written pages: nav + footer identical in ALL docs (df 100% →
+    // dropped), body lines unique (kept); a script whose BODY contains
+    // markup must vanish whole; <br> and an un-closed-before-<div>
+    // run of text must still line-break; entities decode AFTER tag strip
+    val pages = (1 to 10).map { i =>
+      (i.toLong,
+        "<html><head><title>t</title><style>p{x:1}</style></head><body>" +
+          "<nav>Site Nav</nav>" +
+          "<script>if (1 < 2) { alert('<p>not text</p>'); }</script>" +
+          s"<h2>Body $i</h2><p>alpha&nbsp;beta &amp;&lt;&gt; line $i</p>" +
+          s"<br>after break $i<div>All rights reserved</div></body></html>")
+    }.toDF("doc_id", "html")
+    val out = graft.queries.Text.extractHtml(pages).orderBy("doc_id").collect()
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case (r, ix) =>
+      val i = ix + 1
+      assert(r.getAs[Long]("n_kept") == 3L, s"doc $i kept: $r")
+      assert(r.getAs[Long]("n_boiler_dropped") == 2L, s"doc $i dropped: $r")
+      assert(r.getAs[String]("extracted") ==
+        s"Body $i\nalpha beta &<> line $i\nafter break $i", s"doc $i text: $r")
+    }
+  }
+
+  test("url1: canonicalization corners — userinfo, ports, tracking params, empty paths, IDN") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // userinfo stripped, case folded, default port stripped, fragment
+      // dropped, tracking params dropped, params sorted, path case KEPT
+      ("HTTP://User:Pw@Sub.Host.COM:80/A/B?z=1&utm_source=s&y#f",
+        "http://sub.host.com/A/B?y&z=1"),
+      ("https://x.com", "https://x.com/"), // bare host → root path
+      ("https://x.com:8443/p", "https://x.com:8443/p"), // non-default port KEPT
+      ("http://x.com:8080/", "http://x.com:8080/"),
+      ("https://xn--bcher-kva.example/p?", "https://xn--bcher-kva.example/p"),
+      ("https://x.com/p?utm_source=a&fbclid=z&gclid=q#only", "https://x.com/p"),
+      ("https://x.com/p?b=2&a=1&a=0", "https://x.com/p?a=0&a=1&b=2"))
+    val got = cases.map(_._1).toDF("raw")
+      .select(col("raw"), graft.queries.Text.canonicalUrl(col("raw")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) == want, s"canonical($raw) = ${got(raw)}, want $want")
+    }
+    // PLD: longest suffix wins; a bare suffix or unknown TLD is NOT
+    // registrable; nested subdomains collapse to registrable grain
+    val suffixes = Seq("uk", "co.uk", "com").toDF("suffix")
+    val hosts = Seq("sub.host.co.uk", "host.co.uk", "co.uk", "x.com", "weird.zz")
+      .toDF("host")
+    val plds = graft.queries.Text.pldOf(hosts, suffixes)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(plds("sub.host.co.uk") == Some("host.co.uk"))
+    assert(plds("host.co.uk") == Some("host.co.uk"))
+    assert(plds("co.uk").isEmpty, "a bare public suffix is not registrable")
+    assert(plds("x.com") == Some("x.com"))
+    assert(plds("weird.zz").isEmpty, "unknown TLD matches no suffix")
+  }
+
+  test("tx22: deflate kernel is deterministic, entropy-ordered, and bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.deflatedLen
+    // deterministic high-entropy text (LCG hex), low-entropy repetition
+    var x = 0x9E3779B97F4A7C15L
+    val high = (1 to 80).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      java.lang.Long.toHexString(x)
+    }.mkString(" ")
+    val low = ("ab " * (high.length / 3)).trim
+    val df = Seq(("low", low), ("high", high), ("low2", low), (null, null))
+      .toDF("k", "t")
+      .select(col("k"), octet_length(col("t")).as("raw"), deflatedLen(col("t")).as("c"))
+    val rows = df.collect().map(r => Option(r.getString(0)).getOrElse("null") ->
+      (Option(r.get(1)).map(_.asInstanceOf[Int]), Option(r.get(2)).map(_.asInstanceOf[Int]))).toMap
+    assert(rows("null") == (None, None), "NULL text must stay NULL")
+    val (rawL, cL) = (rows("low")._1.get, rows("low")._2.get)
+    val (rawH, cH) = (rows("high")._1.get, rows("high")._2.get)
+    assert(rows("low2")._2.get == cL, "same input must deflate to the same size")
+    // repetition compresses at least 5x below the incompressible text
+    assert(cL.toLong * 5 < cH.toLong, s"low $cL vs high $cH: separation too weak")
+    // zlib worst-case ceiling and positivity — the gate's all_sane bound
+    Seq((rawL, cL), (rawH, cH)).foreach { case (raw, c) =>
+      assert(c > 0 && c <= raw + raw / 100 + 64, s"c=$c out of bounds for raw=$raw")
+    }
+  }
+
   test("tx17: boilerplate census replays from raw prefixes; planted copies collide") {
     val s = SparkEntry.configure(spark)
     val out = SparkEntry.queries("tx17_boilerplate")(s, dir).collect()
