@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Dev-loop decomposition of the streaming gates' micro-batch cost
+  * (r16 VERDICT #6): a JVM-wide [[StreamingQueryListener]] captures
+  * every QueryProgressEvent fired while a named gate entry runs, then
+  * prints per-entry: batch count, rows, and the duration split Spark
+  * itself reports (triggerExecution = the whole batch; addBatch = the
+  * actual work; the rest — offset log, commit log, state commit, plan
+  * re-init — is micro-batch LIFECYCLE that exists at any data volume).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.StreamBreakdown sw9_… …
+  * Not a gate main — no artifact, human-read output only.
+  */
+object StreamBreakdown {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    case class B(batchId: Long, rows: Long, durations: Map[String, Long])
+    val batches = new scala.collection.mutable.ArrayBuffer[B]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        batches.synchronized {
+          import scala.jdk.CollectionConverters._
+          batches += B(e.progress.batchId, e.progress.numInputRows,
+            e.progress.durationMs.asScala.map { case (k, v) => k -> v.longValue() }.toMap)
+          ()
+        }
+    }
+    spark.streams.addListener(listener)
+    args.foreach { name =>
+      batches.synchronized(batches.clear())
+      val t0 = System.nanoTime()
+      org.apache.spark.sql.GraftShims.dropTopLevelSort(
+        SparkEntry.queries(name)(spark, sfDir))
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Bench.sweepState(spark)
+      val bs = batches.synchronized(batches.toList).sortBy(_.batchId)
+      val keys = bs.flatMap(_.durations.keys).distinct.sorted
+      println(f"== $name wall=$wall%.2f s, ${bs.size} micro-batches, " +
+        s"${bs.map(_.rows).sum} input rows")
+      bs.foreach { b =>
+        val d = keys.map(k => s"$k=${b.durations.getOrElse(k, 0L)}").mkString(" ")
+        println(s"   batch ${b.batchId} rows=${b.rows} $d")
+      }
+      val tot = keys.map(k => k -> bs.map(_.durations.getOrElse(k, 0L)).sum).toMap
+      val trig = tot.getOrElse("triggerExecution", 0L)
+      val add = tot.getOrElse("addBatch", 0L)
+      println(f"   TOTAL triggerExecution=${trig}ms addBatch=${add}ms " +
+        f"lifecycle=${trig - add}ms outside-stream=${wall - trig / 1000.0}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -903,11 +903,14 @@ object Dedup extends QueryModule {
     val bytes = VectorFunctions.bloomBytesOf(bench, "shingle", BloomFpp)
     val counts = contaminationCounts(docStream(s, dir), bench,
       shinglePrefilter = VectorFunctions.bloomMightContain(_, bytes))
-    val q = counts.writeStream.format("memory").queryName("sw13_mem")
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.EventStream.withStatePartitions(
+      s, graft.streaming.EventStream.statePartitionsFor(s, dir, "documents")) {
+      val q = counts.writeStream.format("memory").queryName("sw13_mem")
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table("sw13_mem").orderBy(col("doc_id").asc_nulls_first)
   }
 
@@ -1008,11 +1011,14 @@ object Dedup extends QueryModule {
     val counts = contaminationCounts(stream, bench,
       shinglePrefilter = VectorFunctions.bloomMightContain(_, bytes),
       eventTime = Some((sw14Ts, "10 seconds")))
-    val q = counts.writeStream.format("memory").queryName("sw14_mem")
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.EventStream.withStatePartitions(
+      s, graft.streaming.EventStream.statePartitionsFor(s, dir, "documents")) {
+      val q = counts.writeStream.format("memory").queryName("sw14_mem")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table("sw14_mem").orderBy(col("doc_id").asc_nulls_first)
   }
 

@@ -48,12 +48,15 @@ object StreamingGate extends QueryModule {
     * the trailing no-data batch (noDataMicroBatches, on by default) lets
     * the final watermark close windows before the query ends.
     */
-  private def drain(s: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+  private def drain(s: SparkSession, dir: String, df: DataFrame, name: String): DataFrame = {
+    graft.streaming.EventStream.withStatePartitions(
+      s, graft.streaming.EventStream.statePartitionsFor(s, dir)) {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -70,7 +73,7 @@ object StreamingGate extends QueryModule {
           .as("sum_value"))
       .select(col("w.start").as("bucket_hour"), col("event_type"),
         col("n_events"), col("sum_value"))
-    drain(s, agg, "sw2_mem")
+    drain(s, dir, agg, "sw2_mem")
       .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
   }
 
@@ -100,7 +103,7 @@ object StreamingGate extends QueryModule {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
-    drain(s, agg, "sw3_mem")
+    drain(s, dir, agg, "sw3_mem")
       .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first)
   }
 
@@ -144,7 +147,7 @@ object StreamingGate extends QueryModule {
       .drop("copy")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
-    drain(s, dedup, "sw4_mem")
+    drain(s, dir, dedup, "sw4_mem")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id").asc_nulls_first)
   }
@@ -181,7 +184,7 @@ object StreamingGate extends QueryModule {
         col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000").as("delay_s"))
-    drain(s, joined, "sw5_mem")
+    drain(s, dir, joined, "sw5_mem")
       .orderBy(col("view_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
   }
 
@@ -216,7 +219,7 @@ object StreamingGate extends QueryModule {
         count(lit(1)).as("n_events"))
       .select(col("w.start").as("bucket_hour"), col("event_type"),
         col("distinct_users"), col("n_events"))
-    drain(s, agg, "sw6_mem")
+    drain(s, dir, agg, "sw6_mem")
       .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
   }
 
@@ -256,7 +259,7 @@ object StreamingGate extends QueryModule {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("nation"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("bucket_hour"), col("nation"), col("n_events"))
-    drain(s, agg, "sw7_mem")
+    drain(s, dir, agg, "sw7_mem")
       .orderBy(col("bucket_hour").asc_nulls_first, col("nation").asc_nulls_first)
   }
 
@@ -311,7 +314,7 @@ object StreamingGate extends QueryModule {
         coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         coalesce(expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000"), lit(-1L))
           .as("delay_s"))
-    drain(s, joined, "sw9_mem")
+    drain(s, dir, joined, "sw9_mem")
       .orderBy(col("view_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
   }
 
@@ -359,7 +362,7 @@ object StreamingGate extends QueryModule {
         posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("bucket_hour"), col("event_type"), (col("pos") + 1).as("rank"),
         col("hit.score").as("value_cents"), col("hit.id").as("event_id"))
-    drain(s, agg, "sw8_mem")
+    drain(s, dir, agg, "sw8_mem")
       .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first,
         col("rank").asc_nulls_first)
   }
@@ -492,7 +495,10 @@ object StreamingGate extends QueryModule {
         timestamp_micros(col("start_us")).as("session_start"),
         timestamp_micros(col("end_us")).as("session_end"),
         col("n_events"))
-    drain(s, out, "sw10_mem")
+    // the adaptive sizing serves both of sw10's regimes: minimal store
+    // count at gate volume, core-count parallelism for the per-key
+    // CPU-bound merge at sf10's 5M users
+    drain(s, dir, out, "sw10_mem")
       .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first)
   }
 
@@ -590,7 +596,7 @@ object StreamingGate extends QueryModule {
     val prev = s.conf.getOption(providerKey)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try drain(s, out, "sw11_mem")
+    try drain(s, dir, out, "sw11_mem")
       .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
     finally prev match {
       case Some(v) => s.conf.set(providerKey, v)
@@ -667,12 +673,17 @@ object StreamingGate extends QueryModule {
         val schema = s.read.parquet(staging).schema
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(staging)
-        val q = stream.writeStream
-          .foreachBatch((df: DataFrame, id: Long) => eosApply(s, root)(df, id))
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // the override covers the per-batch aggregates eosApply runs:
+        // 32 partitions for a 1/4-corpus batch is pure task overhead
+        graft.streaming.EventStream.withStatePartitions(
+          s, graft.streaming.EventStream.statePartitionsFor(s, dir, "events")) {
+          val q = stream.writeStream
+            .foreachBatch((df: DataFrame, id: Long) => eosApply(s, root)(df, id))
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         eosBuilt += root
         ()
       }
@@ -719,7 +730,7 @@ object StreamingGate extends QueryModule {
         expr("element_at(array_sort(transform(sk, x -> x.v)), " +
           "CAST((size(sk) + 1) DIV 2 AS INT))").as("sample_median_c"),
         col("n_events"))
-    drain(s, agg, "sw16_mem")
+    drain(s, dir, agg, "sw16_mem")
       .orderBy(col("bucket_hour").asc_nulls_first, col("event_type").asc_nulls_first)
   }
 
@@ -791,7 +802,7 @@ object StreamingGate extends QueryModule {
         count(col("v")).as("n_events"))
       .select(col("w.start").as("bucket_hour"), col("event_type"),
         col("qs"), col("n_events"))
-    val qa = drain(s, agg, "sw17_mem")
+    val qa = drain(s, dir, agg, "sw17_mem")
       .select(col("bucket_hour"), col("event_type"), col("n_events"),
         posexplode(col("qs")).as(Seq("i", "a")))
       .withColumn("p_milli",
@@ -924,7 +935,7 @@ object StreamingGate extends QueryModule {
 
   private def streamScd2(s: SparkSession, dir: String): DataFrame = {
     val out = scd2Stream(s, eventStream(s, dir))
-    drain(s, out, "sw15_mem")
+    drain(s, dir, out, "sw15_mem")
       .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first,
         col("version").asc_nulls_first)
   }
