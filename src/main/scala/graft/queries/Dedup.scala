@@ -195,6 +195,35 @@ object Dedup extends QueryModule {
     * longs per row. NULL text forms one inert class under a sentinel
     * key (md5 output is hex, so "null" cannot collide).
     */
+  /** Duplicate-driven candidate mass per row: Σ_classes n·(n−1) / N,
+    * the expected number of SAME-TEXT partners a row meets in any
+    * bucket it lands in — the exact quantity exact-dup contraction
+    * removes from the banded self-joins. The r17 sf10 measurements
+    * fixed the decision rule: the corpus is NOT uniformly replicated
+    * (ScaleGen varies document text; 501k of 671k corpus texts are
+    * unique at sf10), so blanket contraction pays 3 extra narrow
+    * exchanges for nothing at gate scale (dd2 1.2 → 2.4 s at sf0.1,
+    * multiplier 0.22) while a handful of ~100-way classes still blow
+    * up the buckets at sf10 (multiplier 14.7, dd2 201 s → ~135 s
+    * contracted). Break-even is multiplier ≈ 1 — duplicate-driven
+    * candidate work equal to one corpus-linear pass, the cost class of
+    * the contraction itself — so each near-dup entry runs this census
+    * (one narrow hash aggregate: 32-byte md5 keys, map-side combined)
+    * and contracts only above [[DupContractionThreshold]]. Same
+    * census → path-choice shape as AdaptiveBlocker's block bound.
+    */
+  private[graft] val DupContractionThreshold = 1.0
+
+  private[graft] def dupMultiplier(c: DataFrame): Double = {
+    val r = c
+      .select(coalesce(md5(col("text")), lit("null")).as("th"))
+      .groupBy("th").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - lit(1L))).as("mass"), sum(col("n")).as("nr"))
+      .collect()(0)
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1)
+  }
+
   private[graft] def contractedCorpus(c: DataFrame): (DataFrame, DataFrame) = {
     val keyed = c.select(col("doc_id"), col("text"),
       coalesce(md5(col("text")), lit("null")).as("th"))
@@ -264,13 +293,18 @@ object Dedup extends QueryModule {
   private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.memoize(s, s"dedup.minhashPairs:$dir")(minhashPairs(s, dir))
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsOver(corpus(s, dir))
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    if (dupMultiplier(c) > DupContractionThreshold) minhashPairsOver(c)
+    else minhashPairsUncontracted(c)
+  }
 
   /** Contracted LSH pipeline (r16 VERDICT #1): shingle/band/verify over
     * exact-text class reps, then expand — identical pair set (spec-
     * pinned vs [[minhashPairsUncontracted]]), candidate work bounded by
-    * distinct texts per bucket.
+    * distinct texts per bucket. Entered via the [[dupMultiplier]]
+    * census; either path emits the same pairs, so the choice is purely
+    * physical.
     */
   private[graft] def minhashPairsOver(c: DataFrame): DataFrame = {
     // The shingle sets feed three consumers (both self-join sides + the
@@ -426,8 +460,11 @@ object Dedup extends QueryModule {
   private val SimBands = 4
   private val HammingMax = 3
 
-  private def simhashNearDup(s: SparkSession, dir: String): DataFrame =
-    simhashNearDupOver(corpus(s, dir))
+  private def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    if (dupMultiplier(c) > DupContractionThreshold) simhashNearDupOver(c)
+    else simhashNearDupUncontracted(c)
+  }
 
   /** Contracted SimHash sweep (r16 VERDICT #1's dd5 audit — CONTRACT):
     * the fingerprint is a pure function of the text, so exact copies
@@ -522,7 +559,11 @@ object Dedup extends QueryModule {
     * frame — package-visible so the planted-recall spec can drive it
     * with a synthetic corpus.
     */
-  private[graft] def ngramJaccardPairs(c: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardPairs(c: DataFrame): DataFrame =
+    if (dupMultiplier(c) > DupContractionThreshold) ngramJaccardPairsContracted(c)
+    else ngramJaccardPairsUncontracted(c)
+
+  private[graft] def ngramJaccardPairsContracted(c: DataFrame): DataFrame = {
     // contracted (r16 VERDICT #1's dd6 audit — CONTRACT): both anchors
     // and the verify score are pure functions of the text, and only
     // ≥3-word documents ever anchor, so intra expansion is restricted
@@ -538,10 +579,18 @@ object Dedup extends QueryModule {
   }
 
   /** The anchor → candidate → verify core over an explicit corpus + its
-    * shingle frame (no sort) — shared by the contracted gate path and
-    * the uncontracted spec reference.
+    * shingle frame (no sort) — shared by the contracted gate path, the
+    * uncontracted spec reference, and (df-capped) dd19.
+    *
+    * @param dfCap when set, anchors whose document frequency exceeds
+    *              the cap are dropped BEFORE the self-join — dd17's
+    *              boilerplate discipline applied to anchors. This is a
+    *              semantic change (recall through hot anchors is
+    *              deliberately given up), so it is its own gate entry,
+    *              never a silent flag on dd6.
     */
-  private def anchoredRepPairs(c: DataFrame, sh: DataFrame): DataFrame = {
+  private def anchoredRepPairs(c: DataFrame, sh: DataFrame,
+      dfCap: Option[Int] = None): DataFrame = {
     // opening anchor from the RAW word sequence: the distinct-shingle
     // list's order is engine-specific (DuckDB's list_distinct does not
     // preserve first-occurrence order), the word sequence is not
@@ -555,7 +604,12 @@ object Dedup extends QueryModule {
     // is unnecessary
     val body = sh.select(col("doc_id"),
       array_min(transform(col("shingles"), g => md5(concat(lit("b:"), g)))).as("anchor"))
-    val anchored = opening.unionByName(body)
+    val anchored0 = opening.unionByName(body)
+    val anchored = dfCap.fold(anchored0) { cap =>
+      val ok = anchored0.groupBy("anchor")
+        .agg(count(lit(1)).as("adf")).filter(col("adf") <= cap)
+      anchored0.join(ok.select("anchor"), Seq("anchor"), "left_semi")
+    }
     val cand = anchored.as("a")
       .join(anchored.as("b"),
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
@@ -569,6 +623,81 @@ object Dedup extends QueryModule {
     val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
     anchoredRepPairs(c, sh)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  // --------------------------------------------------------------- dd19
+  /** ANCHOR-DF-CAPPED n-gram near-dup — dd6's production lever at the
+    * boundary the r17 sf10 probe measured: dd6's 1-hash body anchor
+    * CONCENTRATES on a low-entropy corpus (the ~100-word synthetic
+    * vocabulary puts 1 700 distinct texts behind one body anchor at
+    * sf10 → 129M candidate pairs → a ~300 GB verify exchange → disk
+    * death), exactly the boilerplate hot-bucket failure dd17's df cap
+    * answers for containment. Anchors seen in more than [[AnchorDfCap]]
+    * documents are classified boilerplate and generate NO candidates —
+    * a deliberate recall trade (a pair reachable ONLY through a hot
+    * anchor is given up), which is why this is its own oracle-gated
+    * entry instead of a silent cap inside dd6: the capped pair set is
+    * the semantics, stated identically in DuckDB.
+    *
+    * The gate corpus extends dd6's with a planted BANNER cohort (every
+    * doc_id % 3 = 0 re-keyed at +3M with a fixed 3-word boilerplate
+    * opening prepended), so the cap provably bites at every Verify
+    * scale: the banner opening's df is N/3 ≫ cap, those candidates
+    * vanish, while exact-copy and truncation pairs keep flowing through
+    * their uncapped anchors. DedupSimilaritySpec pins the semantic
+    * difference directly (a near-dup pair reachable only through the
+    * hot banner anchor is found by dd6's pipeline and correctly absent
+    * here).
+    *
+    * Scale posture: the census is one narrow (anchor, count) aggregate;
+    * after the cap, per-anchor occupancy — and therefore the candidate
+    * join's fan-out — is bounded by cap per bucket, so the verify
+    * exchange is ≤ cap²/2 · |anchors| pairs no matter how skewed the
+    * corpus: the sf10 shape that killed dd6 is ~1.5M candidates here.
+    */
+  private val AnchorDfCap = 16
+
+  private def corpus19(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).unionByName(
+      t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("promo banner follows "), col("text")).as("text")))
+
+  private[graft] def ngramJaccardCappedOver(c: DataFrame): DataFrame = {
+    val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
+    anchoredRepPairs(c, sh, dfCap = Some(AnchorDfCap))
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  private def ngramJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardCappedOver(corpus19(s, dir))
+
+  private val ngramJaccardCappedSql = {
+    val corpus19Sql = corpusSql.stripSuffix(")") +
+      """
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'promo banner follows ' || text
+        |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+    s"""WITH $corpus19Sql,
+       |$shingledSql,
+       |anchored AS (
+       |  SELECT doc_id, md5(array_to_string(w[1:3], ' ')) AS anchor
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+       |  WHERE len(w) >= 3
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    list_aggregate(list_transform(shingles, s -> md5('b:' || s)), 'min') AS anchor
+       |  FROM sh),
+       |kept AS (
+       |  SELECT anchored.doc_id, anchored.anchor FROM anchored
+       |  JOIN (SELECT anchor FROM anchored GROUP BY anchor
+       |        HAVING COUNT(*) <= $AnchorDfCap) ok
+       |    ON anchored.anchor = ok.anchor),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.anchor = b.anchor AND a.doc_id < b.doc_id)
+       |${jaccardVerifySqlTail(NgramJaccardMin)}""".stripMargin
   }
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -1757,6 +1886,7 @@ object Dedup extends QueryModule {
     "dd12_containment" -> (containmentPairs _),
     "dd17_containment_capped" -> (containmentCapped _),
     "dd18_containment_topk" -> (containmentTopK _),
+    "dd19_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "cur3_canonical_pick" -> (canonicalPick _),
     "dd11_segment_dedup" -> (cdcSegmentDedup _),
     "dd10_incremental_neardup" -> (incrementalNearDup _),
@@ -1792,6 +1922,7 @@ object Dedup extends QueryModule {
     "dd12_containment" -> containmentPairsSql,
     "dd17_containment_capped" -> containmentCappedSql,
     "dd18_containment_topk" -> containmentTopKSql,
+    "dd19_ngram_jaccard_capped" -> ngramJaccardCappedSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,
     "dd7_dup_clusters" -> dupClustersSql,
     "ds6_cluster_safe_split" -> clusterSafeSplitSql,

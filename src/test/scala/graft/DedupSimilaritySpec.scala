@@ -348,6 +348,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dd19 semantics: pairs reachable only through hot anchors are given up, cold pairs kept") {
+    import spark.implicits._
+    // 20 identical banner docs: EVERY anchor they own (opening trigram
+    // AND body min-shingle) has df 20 > cap 16 — uncapped finds all 190
+    // identity pairs, capped must find none of them. The cold pair's
+    // anchors have df 2 and must survive in both.
+    val banner = (0 until 20).map(i => (100L + i, "promo banner follows alpha beta gamma"))
+    val cold = Seq(
+      (1L, "unique document about spark execution engines"),
+      (2L, "unique document about spark execution engines today"))
+    val c = (banner ++ cold).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(graft.queries.Dedup.ngramJaccardCappedOver(c))
+    val uncapped = pairs(graft.queries.Dedup.ngramJaccardPairsUncontracted(c))
+    assert(uncapped.contains((1L, 2L)) && capped.contains((1L, 2L)),
+      "cold-anchor near-dup pair must survive the cap")
+    assert(uncapped.count(p => p._1 >= 100L) == 190,
+      "uncapped must pair the whole banner clique")
+    assert(!capped.exists(p => p._1 >= 100L),
+      s"hot-anchor-only pairs must be given up: ${capped.filter(_._1 >= 100L).take(5)}")
+    assert(capped.subsetOf(uncapped), "the cap may only REMOVE pairs")
+  }
+
   test("contraction invisibility: dd2/dd5/dd6 pair sets equal the uncontracted " +
     "pipelines on an N-way replicated corpus with nulls, empties, and short docs") {
     // r16 VERDICT #1: exact-dup contraction applied to the near-dup
@@ -377,7 +401,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
         org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
       ("dd2", Dedup.minhashPairsOver, Dedup.minhashPairsUncontracted),
       ("dd5", Dedup.simhashNearDupOver, Dedup.simhashNearDupUncontracted),
-      ("dd6", Dedup.ngramJaccardPairs, Dedup.ngramJaccardPairsUncontracted))
+      ("dd6", Dedup.ngramJaccardPairsContracted, Dedup.ngramJaccardPairsUncontracted))
     cases.foreach { case (name, contracted, reference) =>
       val got = pairSet(contracted(replicated))
       val want = pairSet(reference(replicated))
@@ -392,5 +416,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(repsA.count() == repsB.count(),
       "replication must not grow the contracted rep corpus")
     assert(membersA.count() == base.length.toLong * n)
+    // the census that picks the path: the replicated fixture is far
+    // above the threshold (every row has n-1 = 4+ same-text partners),
+    // the unique-text base sits below it (only the 0≡7 planted pair)
+    val mult = Dedup.dupMultiplier(replicated)
+    assert(mult > Dedup.DupContractionThreshold, s"replicated multiplier $mult")
+    val multBase = Dedup.dupMultiplier(base.toDF("doc_id", "text"))
+    assert(multBase < Dedup.DupContractionThreshold, s"base multiplier $multBase")
+    // exact value on the base: only docs 0 and 7 share a text → one
+    // class of 2 → mass 2·1 = 2 over 8 rows
+    assert(math.abs(multBase - 2.0 / 8.0) < 1e-9)
   }
 }
