@@ -604,7 +604,14 @@ object Dedup extends QueryModule {
     // is unnecessary
     val body = sh.select(col("doc_id"),
       array_min(transform(col("shingles"), g => md5(concat(lit("b:"), g)))).as("anchor"))
-    val anchored0 = opening.unionByName(body)
+    // the anchor frame feeds BOTH self-join sides and (capped) the
+    // census + the semi-join — without materialization the plan
+    // recomputes the body md5 sweep once per consumer (the r17 dd19
+    // probe measured the cand step at 10 s, ~9 of which was exactly
+    // this re-derivation). Two narrow columns, 2 rows per doc: persist
+    // the PRE-cap frame so census, semi-join, and both join sides all
+    // read one materialization.
+    val anchored0 = opening.unionByName(body).persist(StorageLevel.MEMORY_AND_DISK)
     val anchored = dfCap.fold(anchored0) { cap =>
       val ok = anchored0.groupBy("anchor")
         .agg(count(lit(1)).as("adf")).filter(col("adf") <= cap)
