@@ -235,20 +235,35 @@ object Bench {
     * (written when SPARK_GRAFT_RECORD_FORKED=1): name → hi. Absent
     * block / entry → None upstream (the +0.5 s allowance path).
     */
-  private[graft] def readForkSpread(path: String): Map[String, Double] = try {
-    val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val fStart = txt.indexOf("\"fork\":{")
-    if (fStart < 0) Map.empty
-    else {
-      val body = txt.substring(fStart + 8, txt.indexOf('}', fStart))
-      val re = """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
-      re.findAllMatchIn(body).flatMap { m =>
-        try Some(m.group(1) -> m.group(4).toDouble)
-        catch { case _: NumberFormatException => None }
-      }.toMap
+  private[graft] def readForkSpread(path: String): Map[String, Double] = {
+    val parsed = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val fStart = txt.indexOf("\"fork\":{")
+      if (fStart < 0) None // legitimately absent (pre-fork recording): no warning
+      else {
+        val body = txt.substring(fStart + 8, txt.indexOf('}', fStart))
+        val re = """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
+        Some(re.findAllMatchIn(body).flatMap { m =>
+          try Some(m.group(1) -> m.group(4).toDouble)
+          catch { case _: NumberFormatException => None }
+        }.toMap)
+      }
+    } catch { case _: Throwable => None } // unreadable file: readBaseline's story
+    // A fork block that EXISTS but yields nothing means the like-for-like
+    // verdict reference was silently lost and every verdict would fall
+    // back to the +0.5 s allowance — the same silent-disable failure mode
+    // readBaseline warns about (r17 review #2): make it loud.
+    parsed match {
+      case Some(m) if m.isEmpty =>
+        System.err.println(
+          s"[bench] WARNING: baseline $path has a fork block but it yielded 0 entries — " +
+            "adjudication verdicts fall back to the fresh-JVM allowance this sweep")
+        Map.empty
+      case Some(m) => m
+      case None    => Map.empty
     }
-  } catch { case _: Throwable => Map.empty }
+  }
 
   /** Load-canary verdict for the self-adjudication isolated pass. The
     * isolated re-run happens inside the same wall-clock window as the

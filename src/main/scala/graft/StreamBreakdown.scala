@@ -36,6 +36,22 @@ object StreamBreakdown {
         }
     }
     spark.streams.addListener(listener)
+    // progress events arrive ASYNCHRONOUSLY on the listener bus —
+    // awaitTermination returning does not mean the final batch's event
+    // was delivered (r17 review #3). Snapshot only once the capture has
+    // been stable for two consecutive polls, and clear BEFORE the next
+    // entry starts, so trailing events are neither lost nor
+    // misattributed.
+    def settled(): List[B] = {
+      var prev = -1
+      var cur = batches.synchronized(batches.size)
+      var waited = 0
+      while ((cur != prev || cur == 0) && waited < 5000) {
+        Thread.sleep(250); waited += 250
+        prev = cur; cur = batches.synchronized(batches.size)
+      }
+      batches.synchronized(batches.toList)
+    }
     args.foreach { name =>
       batches.synchronized(batches.clear())
       val t0 = System.nanoTime()
@@ -44,7 +60,7 @@ object StreamBreakdown {
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Bench.sweepState(spark)
-      val bs = batches.synchronized(batches.toList).sortBy(_.batchId)
+      val bs = settled().sortBy(_.batchId)
       val keys = bs.flatMap(_.durations.keys).distinct.sorted
       println(f"== $name wall=$wall%.2f s, ${bs.size} micro-batches, " +
         s"${bs.map(_.rows).sum} input rows")

@@ -225,8 +225,15 @@ object Dedup extends QueryModule {
   }
 
   private[graft] def contractedCorpus(c: DataFrame): (DataFrame, DataFrame) = {
-    val keyed = c.select(col("doc_id"), col("text"),
-      coalesce(md5(col("text")), lit("null")).as("th"))
+    // NULL doc_id rows are dropped outright (r17 review #1): in the
+    // uncontracted pipelines a NULL id can never pair — every candidate
+    // join orients on `a.doc_id < b.doc_id`, which is NULL-false in
+    // both roles — while the expansion's least/greatest would NULL-SKIP
+    // and mint a degenerate (x, x) self-pair. Excluding the rows here
+    // is exactly the uncontracted pair semantics.
+    val keyed = c.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"),
+        coalesce(md5(col("text")), lit("null")).as("th"))
     val classes = keyed.groupBy("th")
       .agg(min("doc_id").as("rep"), min_by(col("text"), col("doc_id")).as("text"))
     val members = keyed.select("doc_id", "th")
@@ -306,6 +313,19 @@ object Dedup extends QueryModule {
     * census; either path emits the same pairs, so the choice is purely
     * physical.
     */
+  /** Band-bucket candidate pairs over an LSH band-row frame — the one
+    * spelling of the bucket self-join, shared by the contracted gate
+    * path and the uncontracted spec reference (r17 review #4: a future
+    * banding change must not need hand-mirroring).
+    */
+  private def lshCandidates(bandRows: DataFrame): DataFrame =
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
   private[graft] def minhashPairsOver(c: DataFrame): DataFrame = {
     // The shingle sets feed three consumers (both self-join sides + the
     // verify stage), the band signatures two, and the members map four
@@ -317,13 +337,7 @@ object Dedup extends QueryModule {
     val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
     val sh = shingled(repCorpus).persist(StorageLevel.MEMORY_AND_DISK)
     val bandRows = bandRowsOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val repPairs = jaccardVerified(cand, sh, minJ = 0.5, sorted = false)
+    val repPairs = jaccardVerified(lshCandidates(bandRows), sh, minJ = 0.5, sorted = false)
     expandPairs(members, repPairs, sh.select(col("doc_id").as("rep")),
       Seq("jaccard" -> lit(1.0)))
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
@@ -335,13 +349,7 @@ object Dedup extends QueryModule {
   private[graft] def minhashPairsUncontracted(c: DataFrame): DataFrame = {
     val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
     val bandRows = bandRowsOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    jaccardVerified(cand, sh, minJ = 0.5)
+    jaccardVerified(lshCandidates(bandRows), sh, minJ = 0.5)
   }
 
   /** The minhash→band→bucket-join candidate CTE chain (mh, sigs,
@@ -474,35 +482,12 @@ object Dedup extends QueryModule {
     * (spec-pinned). Every document participates (null text → simhash 0
     * still fingerprints), so the intra expansion is unrestricted.
     */
-  private[graft] def simhashNearDupOver(c: DataFrame): DataFrame = {
-    val (members0, repCorpus) = contractedCorpus(c)
-    val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
-    // both sides of the band self-join consume the fingerprint frame; the
-    // 64 per-word hash folds are the expensive part, so materialize once
-    // (same persist-the-signatures reasoning as the LSH pass above)
-    val sims = simhashOf(repCorpus).persist(StorageLevel.MEMORY_AND_DISK)
-    val bandRows = sims.select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimBands).map(b =>
-        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L))): _*)).as(Seq("band_id", "bv")))
-    val repPairs = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(IntegerType).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= HammingMax)
-    expandPairs(members, repPairs, sims.select(col("doc_id").as("rep")),
-      Seq("hamming" -> lit(0).cast(IntegerType)))
-      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
-  }
-
-  /** Pre-contraction sweep, equality reference for the spec only. */
-  private[graft] def simhashNearDupUncontracted(c: DataFrame): DataFrame = {
-    val sims = simhashOf(c).persist(StorageLevel.MEMORY_AND_DISK)
+  /** Banded hamming-ball pair sweep over a (doc_id, simhash) frame —
+    * the one spelling of the band explode + bucket self-join + hamming
+    * verify, shared by the contracted gate path and the uncontracted
+    * spec reference (r17 review #4).
+    */
+  private def simhashBandPairs(sims: DataFrame): DataFrame = {
     val bandRows = sims.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until SimBands).map(b =>
@@ -517,6 +502,24 @@ object Dedup extends QueryModule {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= HammingMax)
+  }
+
+  private[graft] def simhashNearDupOver(c: DataFrame): DataFrame = {
+    val (members0, repCorpus) = contractedCorpus(c)
+    val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
+    // both sides of the band self-join consume the fingerprint frame; the
+    // 64 per-word hash folds are the expensive part, so materialize once
+    // (same persist-the-signatures reasoning as the LSH pass above)
+    val sims = simhashOf(repCorpus).persist(StorageLevel.MEMORY_AND_DISK)
+    expandPairs(members, simhashBandPairs(sims), sims.select(col("doc_id").as("rep")),
+      Seq("hamming" -> lit(0).cast(IntegerType)))
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  /** Pre-contraction sweep, equality reference for the spec only. */
+  private[graft] def simhashNearDupUncontracted(c: DataFrame): DataFrame = {
+    val sims = simhashOf(c).persist(StorageLevel.MEMORY_AND_DISK)
+    simhashBandPairs(sims)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
 

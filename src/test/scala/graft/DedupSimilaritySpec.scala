@@ -395,8 +395,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val replicated = base.flatMap { case (id, txt) =>
       (0 until n).map(cp => (id + cp.toLong * 100L, txt))
     }.toDF("doc_id", "text")
-    def pairSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+      // a NULL-id exact copy of doc 0 (r17 review #1): NULL ids can
+      // never pair — the uncontracted '<' orientation is NULL-false in
+      // both roles — so the contracted expansion must not mint a
+      // degenerate (x, x) self-pair from least/greatest null-skipping
+      .unionByName(Seq((Option.empty[Long], base.head._2)).toDF("doc_id", "text"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+      assert(!rows.exists(p => p._1 == p._2), s"degenerate self-pair: ${rows.find(p => p._1 == p._2)}")
+      rows.toSet
+    }
     val cases = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
       ("dd2", Dedup.minhashPairsOver, Dedup.minhashPairsUncontracted),
