@@ -2116,6 +2116,114 @@ object Text extends QueryModule {
       |  CAST(2 AS BIGINT) AS n_raw
       |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------- warc1
+  /** WARC record parsing — the container stage BEFORE tx21: a web
+    * corpus arrives as WARC files (CommonCrawl's format), each a
+    * concatenation of length-framed records (request, response,
+    * metadata …), and the pipeline must walk the framing, pick the
+    * response records, split the HTTP envelope, and hand the HTML to
+    * extraction. Framing is the part a regex cannot do: a payload may
+    * itself contain "WARC/1.0" or blank lines, so record boundaries
+    * exist ONLY via each header's Content-Length — the parser here
+    * skips the leading request record arithmetically (header length +
+    * 4 + Content-Length + 4) to reach the response, then validates
+    * both framings by cross-checking delimiters against the declared
+    * lengths (the flags the oracle states TRUE).
+    *
+    * Synthesis (mm6/tx21 discipline): per document a two-record WARC
+    * blob — a request record FIRST (so the framing walk is
+    * non-vacuous) then the response with an HTTP/1.1 envelope (status
+    * 404 for every doc_id % 11 = 0, else 200) around a minimal HTML
+    * page. Everything the parser emits — the doc id recovered from the
+    * TARGET URI (never from the input column), the WARC type, the HTTP
+    * status, both framing flags, and the <h1> — is restated
+    * arithmetically by the oracle, so the hash proves the whole walk.
+    *
+    * Scale posture: pure map-side string arithmetic (no shuffle before
+    * the gate sort); at 100 TB this runs as the first projection over
+    * the raw-bytes scan, exactly where CommonCrawl pipelines put it.
+    */
+  private def warcExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 10)
+    val id = col("doc_id").cast("string")
+    val uri = concat(lit("https://www.example"), (col("doc_id") % 7).cast("string"),
+      lit(".com/doc/"), id)
+    val html = concat(
+      lit("<html><body><h1>Doc "), id, lit("</h1><p>"),
+      array_join(slice(col("w"), 1, 8), " "), lit("</p></body></html>"))
+    val status = when(col("doc_id") % 11 === 0, lit("404 Not Found"))
+      .otherwise(lit("200 OK"))
+    val httpReq = concat(lit("GET /doc/"), id,
+      lit(" HTTP/1.1\r\nHost: example.com\r\n\r\n"))
+    val reqRec = concat(
+      lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: "), octet_length(httpReq).cast("string"),
+      lit("\r\n\r\n"), httpReq, lit("\r\n\r\n"))
+    val httpResp = concat(lit("HTTP/1.1 "), status,
+      lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+      octet_length(html).cast("string"), lit("\r\n\r\n"), html)
+    val respRec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: "), octet_length(httpResp).cast("string"),
+      lit("\r\n\r\n"), httpResp, lit("\r\n\r\n"))
+    val blob = concat(reqRec, respRec)
+    parseWarcResponse(docs.select(blob.as("warc")))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** The parser over any single-column (warc) frame of two-record blobs
+    * whose first record is skipped by length arithmetic — package-
+    * visible for the spec's adversarial blobs (payloads containing
+    * "WARC/1.0" and blank lines, which delimiter-split parsers eat).
+    */
+  private[graft] def parseWarcResponse(blobs: DataFrame): DataFrame = {
+    val warc = col("warc")
+    // record 1: header up to the first blank line, then Content-Length
+    // bytes of payload, then the record separator — all arithmetic
+    val hdr1 = regexp_extract(warc, "(?s)^(.*?)\r\n\r\n", 1)
+    val l1 = regexp_extract(hdr1, "(?m)^Content-Length: ([0-9]+)\r?$", 1).cast("int")
+    val parsed = blobs
+      .withColumn("hdr1", hdr1)
+      .withColumn("l1", l1)
+      .withColumn("rec2", expr("substring(warc, octet_length(hdr1) + 4 + l1 + 4 + 1)"))
+      .withColumn("hdr2", regexp_extract(col("rec2"), "(?s)^(.*?)\r\n\r\n", 1))
+      .withColumn("l2",
+        regexp_extract(col("hdr2"), "(?m)^Content-Length: ([0-9]+)\r?$", 1).cast("int"))
+      .withColumn("wtype",
+        regexp_extract(col("hdr2"), "(?m)^WARC-Type: ([^\r\n]+)", 1))
+      .withColumn("uri",
+        regexp_extract(col("hdr2"), "(?m)^WARC-Target-URI: ([^\r\n]+)", 1))
+      .withColumn("payload",
+        expr("substring(rec2, octet_length(hdr2) + 4 + 1, l2)"))
+    parsed.select(
+      regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+      col("wtype").as("warc_type"),
+      regexp_extract(col("payload"), "^HTTP/1\\.[01] ([0-9]{3})", 1).cast("int")
+        .as("http_status"),
+      // framing cross-checks: the response record's declared length vs
+      // its delimiter-measured extent, and the HTTP envelope's declared
+      // body length vs the delimiter-split remainder
+      (octet_length(col("rec2")) ===
+        octet_length(col("hdr2")) + lit(4) + col("l2") + lit(4)).as("warc_len_ok"),
+      (octet_length(expr("substring(payload, " +
+        "octet_length(regexp_extract(payload, '(?s)^(.*?)\\r\\n\\r\\n', 1)) + 4 + 1)")) ===
+        regexp_extract(col("payload"), "(?m)^Content-Length: ([0-9]+)\r?$", 1).cast("int"))
+        .as("http_len_ok"),
+      regexp_extract(col("payload"), "<h1>([^<]*)</h1>", 1).as("h1"))
+  }
+
+  private val warcExtractSql =
+    """SELECT doc_id,
+      |  'response' AS warc_type,
+      |  CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+      |  TRUE AS warc_len_ok, TRUE AS http_len_ok,
+      |  'Doc ' || doc_id AS h1
+      |FROM documents
+      |WHERE len(string_split(text, ' ')) >= 10
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- tok5
   /** BPE training GENERALIZED to an N-merge convergence loop (r16
     * VERDICT #4): tok1's trainer is unrolled at 5 merges; a production
@@ -2228,6 +2336,7 @@ object Text extends QueryModule {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx21_html_extract" -> (htmlExtract _),
+    "warc1_record_extract" -> (warcExtract _),
     "tx22_compression_ratio" -> (compressionRatio _),
     "url1_canonical_dedup" -> (urlCanonicalDedup _),
     "tok5_bpe_converged" -> (bpeConverged _),
@@ -2262,6 +2371,7 @@ object Text extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "tx21_html_extract" -> htmlExtractSql,
+    "warc1_record_extract" -> warcExtractSql,
     "tx22_compression_ratio" -> compressionRatioSql,
     "url1_canonical_dedup" -> urlCanonicalDedupSql,
     "tok5_bpe_converged" -> bpeConvergedSql,

@@ -45,6 +45,40 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("warc1: length framing survives payloads containing record magic and blank lines") {
+    import spark.implicits._
+    def record(wtype: String, uri: String, payload: String): String =
+      "WARC/1.0\r\nWARC-Type: " + wtype + "\r\nWARC-Target-URI: " + uri +
+        "\r\nContent-Length: " + payload.getBytes("UTF-8").length +
+        "\r\n\r\n" + payload + "\r\n\r\n"
+    // the request payload embeds a FAKE record header plus blank lines —
+    // a delimiter-split parser would latch onto it; the Content-Length
+    // walk must skip exactly past it to the real response
+    val trap = "GET /x HTTP/1.1\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 0\r\n\r\nnot a record"
+    val html = "<html><body><h1>Doc 42</h1><p>alpha beta</p></body></html>"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Length: ${html.length}\r\n\r\n$html"
+    val good = record("request", "https://h.example/doc/42", trap) +
+      record("response", "https://h.example/doc/42", http)
+    // corrupt framing: response declares 5 bytes too few — the length
+    // cross-check must flip, not silently mis-slice
+    val shortLen = good.replace(
+      s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\nHTTP/1.1",
+      s"Content-Length: ${http.getBytes("UTF-8").length - 5}\r\n\r\nHTTP/1.1")
+    val out = graft.queries.Text.parseWarcResponse(
+      Seq(good, shortLen).toDF("warc")).collect()
+    val ok = out.find(_.getAs[Boolean]("warc_len_ok")).get
+    assert(ok.getAs[Long]("doc_id") == 42L)
+    assert(ok.getAs[String]("warc_type") == "response",
+      "the fake embedded record must not be selected")
+    assert(ok.getAs[Int]("http_status") == 200)
+    assert(ok.getAs[Boolean]("http_len_ok"))
+    assert(ok.getAs[String]("h1") == "Doc 42")
+    val bad = out.find(!_.getAs[Boolean]("warc_len_ok")).get
+    assert(!bad.getAs[Boolean]("warc_len_ok"),
+      "a corrupt declared length must flip the framing flag")
+  }
+
   test("url1: canonicalization corners — userinfo, ports, tracking params, empty paths, IDN") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
