@@ -236,20 +236,27 @@ object Bench {
     * block / entry → None upstream (the +0.5 s allowance path).
     */
   private[graft] def readForkSpread(path: String): Map[String, Double] = {
-    val parsed = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val fStart = txt.indexOf("\"fork\":{")
+    // missing file: readBaseline's story, silent here
+    val txt = try {
+      Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => None }
+    val parsed = txt.flatMap { t =>
+      val fStart = t.indexOf("\"fork\":{")
       if (fStart < 0) None // legitimately absent (pre-fork recording): no warning
       else {
-        val body = txt.substring(fStart + 8, txt.indexOf('}', fStart))
-        val re = """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
-        Some(re.findAllMatchIn(body).flatMap { m =>
-          try Some(m.group(1) -> m.group(4).toDouble)
-          catch { case _: NumberFormatException => None }
-        }.toMap)
+        // a corrupt/truncated block must land in the WARN branch below,
+        // not read as absent (r17 review-2 #2)
+        try {
+          val body = t.substring(fStart + 8, t.indexOf('}', fStart))
+          val re = """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
+          Some(re.findAllMatchIn(body).flatMap { m =>
+            try Some(m.group(1) -> m.group(4).toDouble)
+            catch { case _: NumberFormatException => None }
+          }.toMap)
+        } catch { case _: Throwable => Some(Map.empty[String, Double]) }
       }
-    } catch { case _: Throwable => None } // unreadable file: readBaseline's story
+    }
     // A fork block that EXISTS but yields nothing means the like-for-like
     // verdict reference was silently lost and every verdict would fall
     // back to the +0.5 s allowance — the same silent-disable failure mode

@@ -39,17 +39,20 @@ object StreamBreakdown {
     // progress events arrive ASYNCHRONOUSLY on the listener bus —
     // awaitTermination returning does not mean the final batch's event
     // was delivered (r17 review #3). Snapshot only once the capture has
-    // been stable for two consecutive polls, and clear BEFORE the next
-    // entry starts, so trailing events are neither lost nor
-    // misattributed.
+    // been stable for two consecutive polls (a zero-batch entry exits
+    // after one 250 ms poll — zero is stable too); the 5 s cap is a
+    // hang guard, and hitting it is reported rather than silently
+    // risking misattribution into the next entry's capture.
     def settled(): List[B] = {
       var prev = -1
       var cur = batches.synchronized(batches.size)
       var waited = 0
-      while ((cur != prev || cur == 0) && waited < 5000) {
+      while (cur != prev && waited < 5000) {
         Thread.sleep(250); waited += 250
         prev = cur; cur = batches.synchronized(batches.size)
       }
+      if (waited >= 5000)
+        println("   WARN: listener bus still draining at snapshot — batch split below may be short")
       batches.synchronized(batches.toList)
     }
     args.foreach { name =>

@@ -267,9 +267,8 @@ object Dedup extends QueryModule {
     cross.unionByName(intra)
   }
 
-  /** MinHash-LSH near-dup pairs, verified: signature → banded bucket
-    * self-join (candidates) → true shingle-Jaccard filter ≥ 0.5.
-    */
+  // MinHash-LSH near-dup pairs, verified: signature → banded bucket
+  // self-join (candidates) → true shingle-Jaccard filter ≥ 0.5.
   /** (doc_id, band_id, sig) LSH band rows for a shingled frame: all K
     * seeded minima in ONE codegen pass over the shingles (the HOF
     * spelling — K interpreted array_min(transform(md5)) sweeps — is the
@@ -474,14 +473,6 @@ object Dedup extends QueryModule {
     else simhashNearDupUncontracted(c)
   }
 
-  /** Contracted SimHash sweep (r16 VERDICT #1's dd5 audit — CONTRACT):
-    * the fingerprint is a pure function of the text, so exact copies
-    * share every band bucket with their rep and pair intra-class at
-    * Hamming 0 ≤ [[HammingMax]]; the sweep runs over exact-text reps
-    * and expands, pair-for-pair equal to the uncontracted sweep
-    * (spec-pinned). Every document participates (null text → simhash 0
-    * still fingerprints), so the intra expansion is unrestricted.
-    */
   /** Banded hamming-ball pair sweep over a (doc_id, simhash) frame —
     * the one spelling of the band explode + bucket self-join + hamming
     * verify, shared by the contracted gate path and the uncontracted
@@ -504,6 +495,14 @@ object Dedup extends QueryModule {
       .filter(col("hamming") <= HammingMax)
   }
 
+  /** Contracted SimHash sweep (r16 VERDICT #1's dd5 audit — CONTRACT):
+    * the fingerprint is a pure function of the text, so exact copies
+    * share every band bucket with their rep and pair intra-class at
+    * Hamming 0 ≤ [[HammingMax]]; the sweep runs over exact-text reps
+    * and expands, pair-for-pair equal to the uncontracted sweep
+    * (spec-pinned). Every document participates (null text → simhash 0
+    * still fingerprints), so the intra expansion is unrestricted.
+    */
   private[graft] def simhashNearDupOver(c: DataFrame): DataFrame = {
     val (members0, repCorpus) = contractedCorpus(c)
     val members = members0.persist(StorageLevel.MEMORY_AND_DISK)

@@ -2176,18 +2176,30 @@ object Text extends QueryModule {
   /** The parser over any single-column (warc) frame of two-record blobs
     * whose first record is skipped by length arithmetic — package-
     * visible for the spec's adversarial blobs (payloads containing
-    * "WARC/1.0" and blank lines, which delimiter-split parsers eat).
+    * "WARC/1.0" and blank lines, which delimiter-split parsers eat;
+    * non-ASCII payloads, which char-positional slicing mis-frames).
+    *
+    * BYTE-true framing (r17 review-2 #1): WARC Content-Length counts
+    * BYTES, but Spark's string substring is CHARACTER-positional — on
+    * any multi-byte UTF-8 payload the two drift and the walk would
+    * slice mid-record. All offset arithmetic therefore runs on the
+    * blob's BINARY form (binary substring is byte-positional; header
+    * byte extents come from octet_length of the regex-extracted header
+    * strings), and slices decode back to strings only for the regex
+    * field work.
     */
   private[graft] def parseWarcResponse(blobs: DataFrame): DataFrame = {
     val warc = col("warc")
     // record 1: header up to the first blank line, then Content-Length
-    // bytes of payload, then the record separator — all arithmetic
+    // bytes of payload, then the record separator — all byte arithmetic
     val hdr1 = regexp_extract(warc, "(?s)^(.*?)\r\n\r\n", 1)
     val l1 = regexp_extract(hdr1, "(?m)^Content-Length: ([0-9]+)\r?$", 1).cast("int")
     val parsed = blobs
+      .withColumn("bin", expr("encode(warc, 'UTF-8')"))
       .withColumn("hdr1", hdr1)
       .withColumn("l1", l1)
-      .withColumn("rec2", expr("substring(warc, octet_length(hdr1) + 4 + l1 + 4 + 1)"))
+      .withColumn("rec2bin", expr("substring(bin, octet_length(hdr1) + 4 + l1 + 4 + 1)"))
+      .withColumn("rec2", expr("decode(rec2bin, 'UTF-8')"))
       .withColumn("hdr2", regexp_extract(col("rec2"), "(?s)^(.*?)\r\n\r\n", 1))
       .withColumn("l2",
         regexp_extract(col("hdr2"), "(?m)^Content-Length: ([0-9]+)\r?$", 1).cast("int"))
@@ -2195,20 +2207,22 @@ object Text extends QueryModule {
         regexp_extract(col("hdr2"), "(?m)^WARC-Type: ([^\r\n]+)", 1))
       .withColumn("uri",
         regexp_extract(col("hdr2"), "(?m)^WARC-Target-URI: ([^\r\n]+)", 1))
-      .withColumn("payload",
-        expr("substring(rec2, octet_length(hdr2) + 4 + 1, l2)"))
+      .withColumn("payloadBin",
+        expr("substring(rec2bin, octet_length(hdr2) + 4 + 1, l2)"))
+      .withColumn("payload", expr("decode(payloadBin, 'UTF-8')"))
     parsed.select(
       regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
       col("wtype").as("warc_type"),
       regexp_extract(col("payload"), "^HTTP/1\\.[01] ([0-9]{3})", 1).cast("int")
         .as("http_status"),
-      // framing cross-checks: the response record's declared length vs
-      // its delimiter-measured extent, and the HTTP envelope's declared
-      // body length vs the delimiter-split remainder
-      (octet_length(col("rec2")) ===
+      // framing cross-checks: the response record's declared byte length
+      // vs its delimiter-measured extent, and the HTTP envelope's
+      // declared body length vs the delimiter-split remainder — all in
+      // bytes on both sides
+      (expr("length(rec2bin)") ===
         octet_length(col("hdr2")) + lit(4) + col("l2") + lit(4)).as("warc_len_ok"),
-      (octet_length(expr("substring(payload, " +
-        "octet_length(regexp_extract(payload, '(?s)^(.*?)\\r\\n\\r\\n', 1)) + 4 + 1)")) ===
+      (expr("length(substring(payloadBin, " +
+        "octet_length(regexp_extract(payload, '(?s)^(.*?)\\r\\n\\r\\n', 1)) + 4 + 1))") ===
         regexp_extract(col("payload"), "(?m)^Content-Length: ([0-9]+)\r?$", 1).cast("int"))
         .as("http_len_ok"),
       regexp_extract(col("payload"), "<h1>([^<]*)</h1>", 1).as("h1"))

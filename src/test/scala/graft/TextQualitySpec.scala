@@ -51,13 +51,16 @@ class TextQualitySpec extends AnyFunSuite {
       "WARC/1.0\r\nWARC-Type: " + wtype + "\r\nWARC-Target-URI: " + uri +
         "\r\nContent-Length: " + payload.getBytes("UTF-8").length +
         "\r\n\r\n" + payload + "\r\n\r\n"
-    // the request payload embeds a FAKE record header plus blank lines —
-    // a delimiter-split parser would latch onto it; the Content-Length
-    // walk must skip exactly past it to the real response
+    // the request payload embeds a FAKE record header (pointing at
+    // /doc/99) plus blank lines — a delimiter-split parser would latch
+    // onto it, and the doc_id/h1 asserts below would read 99/garbage;
+    // the Content-Length walk must skip exactly past it. The html
+    // carries a MULTI-BYTE char ('é'), so char-positional slicing
+    // (instead of byte-true) would mis-frame everything downstream.
     val trap = "GET /x HTTP/1.1\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
-      "Content-Length: 0\r\n\r\nnot a record"
-    val html = "<html><body><h1>Doc 42</h1><p>alpha beta</p></body></html>"
-    val http = s"HTTP/1.1 200 OK\r\nContent-Length: ${html.length}\r\n\r\n$html"
+      "WARC-Target-URI: https://h.example/doc/99\r\nContent-Length: 0\r\n\r\nnot a record"
+    val html = "<html><body><h1>Doc 42</h1><p>café crème alpha</p></body></html>"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Length: ${html.getBytes("UTF-8").length}\r\n\r\n$html"
     val good = record("request", "https://h.example/doc/42", trap) +
       record("response", "https://h.example/doc/42", http)
     // corrupt framing: response declares 5 bytes too few — the length
@@ -65,16 +68,17 @@ class TextQualitySpec extends AnyFunSuite {
     val shortLen = good.replace(
       s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\nHTTP/1.1",
       s"Content-Length: ${http.getBytes("UTF-8").length - 5}\r\n\r\nHTTP/1.1")
-    val out = graft.queries.Text.parseWarcResponse(
-      Seq(good, shortLen).toDF("warc")).collect()
-    val ok = out.find(_.getAs[Boolean]("warc_len_ok")).get
-    assert(ok.getAs[Long]("doc_id") == 42L)
-    assert(ok.getAs[String]("warc_type") == "response",
-      "the fake embedded record must not be selected")
+    def one(blob: String) = graft.queries.Text.parseWarcResponse(
+      Seq(blob).toDF("warc")).collect()(0)
+    val ok = one(good)
+    assert(ok.getAs[Long]("doc_id") == 42L,
+      "wrong record selected (or mis-framed): doc_id should come from the real response URI")
+    assert(ok.getAs[String]("warc_type") == "response")
     assert(ok.getAs[Int]("http_status") == 200)
+    assert(ok.getAs[Boolean]("warc_len_ok"), "byte-true framing must validate the good blob")
     assert(ok.getAs[Boolean]("http_len_ok"))
     assert(ok.getAs[String]("h1") == "Doc 42")
-    val bad = out.find(!_.getAs[Boolean]("warc_len_ok")).get
+    val bad = one(shortLen)
     assert(!bad.getAs[Boolean]("warc_len_ok"),
       "a corrupt declared length must flip the framing flag")
   }
