@@ -348,6 +348,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("property fuzz: contraction equality holds on 8 seeded corpora across all three channels") {
+    // the adversarial fixture below pins the known traps; this fuzz
+    // sweeps random corpora with a small vocabulary (so near-dup pairs
+    // are dense), random duplication factors (0–6 extra copies per
+    // doc), random truncations, and occasional empty/short docs — the
+    // regimes where banding, anchoring, and the expansion interact
+    import spark.implicits._
+    def lcg(seed: Long): () => Long = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      () => { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 16 }
+    }
+    val vocab = Array("key", "agg", "row", "scan", "fast", "table", "hash", "part")
+    (1L to 8L).foreach { seed =>
+      val nx = lcg(seed)
+      val base = (0 until 24).map { i =>
+        val len = (nx() % 12).toInt // 0..11 words: includes empty/short
+        (i.toLong, (0 until len).map(_ => vocab((nx() % vocab.length).toInt)).mkString(" "))
+      }
+      val rows = base.flatMap { case (id, txt) =>
+        val copies = (nx() % 7).toInt
+        (0 to copies).map(cp => (id + cp.toLong * 1000L, txt)) ++
+          (if (nx() % 3 == 0 && txt.nonEmpty)
+            Seq((id + 50000L, txt.split(" ").dropRight(1).mkString(" "))) else Nil)
+      }
+      val df = rows.toDF("doc_id", "text")
+      def pairSet(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+      val cases = Seq[(String,
+          org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("dd2", Dedup.minhashPairsOver, Dedup.minhashPairsUncontracted),
+        ("dd5", Dedup.simhashNearDupOver, Dedup.simhashNearDupUncontracted),
+        ("dd6", Dedup.ngramJaccardPairsContracted, Dedup.ngramJaccardPairsUncontracted))
+      cases.foreach { case (name, contracted, reference) =>
+        val got = pairSet(contracted(df))
+        val want = pairSet(reference(df))
+        assert(got == want,
+          s"seed=$seed $name: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      }
+    }
+  }
+
   test("dd19 semantics: pairs reachable only through hot anchors are given up, cold pairs kept") {
     import spark.implicits._
     // 20 identical banner docs: EVERY anchor they own (opening trigram
