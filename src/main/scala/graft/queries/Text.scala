@@ -1905,6 +1905,12 @@ object Text extends QueryModule {
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: no double-decode
       .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    // the line frame feeds the census AND the keep/drop join; unlike
+    // dd19's anchor frame it is deliberately NOT persisted — measured
+    // at sf10 (r17): caching the wide line strings costs more than the
+    // second run of the synth+regex chain (6.3 s persisted vs 5.8 s
+    // recomputed), because the extraction is map-side-cheap while the
+    // lines carry the full text payload
     val lines = pages
       .select(col("doc_id"), posexplode(split(decoded, "\n")).as(Seq("pos", "l0")))
       .select(col("doc_id"), col("pos"),
