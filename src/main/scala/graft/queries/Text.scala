@@ -2062,21 +2062,64 @@ object Text extends QueryModule {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
-  /** Registrable domain of a host under a suffix-list frame
-    * (columns: suffix) — longest matching suffix wins; a host that IS a
-    * bare suffix, or matches nothing, yields NULL (not registrable).
+  /** Registrable domain of a host under a suffix-RULE frame (column:
+    * suffix) with FULL public-suffix-list semantics (r17): plain rules
+    * ("co.uk"), wildcard rules ("*.ck" — every direct child of ck is
+    * itself a public suffix), and exception rules ("!www.ck" — cancels
+    * a wildcard, making that exact host registrable). Per the PSL
+    * algorithm: an exception match wins outright (its effective public
+    * suffix is the rule minus its leftmost label); otherwise the
+    * LONGEST matching rule's effective suffix applies; the registrable
+    * domain is the suffix plus one more label; a host that IS a public
+    * suffix, or matches no rule, yields NULL.
+    *
+    * Scale posture: the rule list (the real PSL is ~9k rows) rides one
+    * broadcast; matching is a broadcast theta-join at host grain with
+    * a bounded per-host fan-out (a host matches at most a handful of
+    * rules), then one max_by aggregate — no shuffle of the host census.
     */
   private[graft] def pldOf(hosts: DataFrame, suffixes: DataFrame): DataFrame = {
-    val matched = hosts.join(broadcast(suffixes),
-        expr("host = suffix OR endswith(host, '.' || suffix)"), "left")
+    val rules = suffixes.select(
+      when(col("suffix").startsWith("!"), lit("exception"))
+        .when(col("suffix").startsWith("*."), lit("wildcard"))
+        .otherwise(lit("plain")).as("kind"),
+      when(col("suffix").startsWith("!"), expr("substring(suffix, 2)"))
+        .when(col("suffix").startsWith("*."), expr("substring(suffix, 3)"))
+        .otherwise(col("suffix")).as("base"))
+    // effective public suffix per (host, matching rule):
+    //   plain     base               host == base or host ends ".base"
+    //   wildcard  <label>.base       host ends ".base" with ≥1 label left
+    //   exception parent(base)       host == base or host ends ".base"
+    val joined = hosts.join(broadcast(rules),
+      expr("host = base OR endswith(host, '.' || base)"), "left")
+    val leftPart = expr("substring(host, 1, length(host) - length(base) - 1)")
+    val ps = when(col("kind") === "plain", col("base"))
+      .when(col("kind") === "exception",
+        // the exception rule minus its leftmost label; an empty parent
+        // (single-label exception) cannot occur in a valid PSL
+        expr("substring(base, instr(base, '.') + 1)"))
+      .when(col("kind") === "wildcard" && col("host") =!= col("base"),
+        concat(substring_index(leftPart, ".", -1), lit("."), col("base")))
+    // an exception's effective suffix makes the excepted host itself
+    // come out of the STANDARD suffix-plus-one-label formula, so no
+    // special final step exists: only the priority (exception first,
+    // then longest suffix) differs from the plain case. Degenerate
+    // matches (a wildcard's own base) carry a NULL ps and are filtered
+    // before the pick; the left re-join keeps every host total.
+    val matched = joined
+      .select(col("host"), col("kind"), ps.as("ps"))
+      .filter(col("kind").isNotNull && col("ps").isNotNull)
       .groupBy("host")
-      .agg(max_by(col("suffix"), length(col("suffix"))).as("sfx"))
-    matched.select(col("host"),
-      when(col("sfx").isNull || col("host") === col("sfx"), lit(null))
-        .otherwise(concat(
-          substring_index(
-            expr("substring(host, 1, length(host) - length(sfx) - 1)"), ".", -1),
-          lit("."), col("sfx"))).as("pld"))
+      .agg(max_by(col("ps"), struct(
+        (col("kind") === "exception").cast("int"), length(col("ps")))).as("sfx"))
+    hosts.select("host").distinct()
+      .join(matched, Seq("host"), "left")
+      .select(col("host"),
+        when(col("sfx").isNull || col("host") === col("sfx"), lit(null))
+          .otherwise(concat(
+            substring_index(
+              expr("substring(host, 1, length(host) - length(sfx) - 1)"), ".", -1),
+            lit("."), col("sfx"))).as("pld"))
   }
 
   private def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {

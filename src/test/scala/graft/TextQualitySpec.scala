@@ -115,6 +115,30 @@ class TextQualitySpec extends AnyFunSuite {
     assert(plds("co.uk").isEmpty, "a bare public suffix is not registrable")
     assert(plds("x.com") == Some("x.com"))
     assert(plds("weird.zz").isEmpty, "unknown TLD matches no suffix")
+    // full PSL semantics on the publicsuffix.org canonical shapes:
+    // wildcard (*.jp/*.ck — every direct child is itself a public
+    // suffix) and exception (!www.ck — cancels the wildcard)
+    val rules = Seq("com", "*.jp", "*.ck", "!www.ck").toDF("suffix")
+    val hosts2 = Seq("example.com", "b.example.com", "foo.jp", "b.foo.jp",
+      "a.b.foo.jp", "test.ck", "b.test.ck", "a.b.test.ck", "www.ck",
+      "a.www.ck", "ck").toDF("host")
+    val got = graft.queries.Text.pldOf(hosts2, rules)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val want = Map(
+      "example.com" -> Some("example.com"),
+      "b.example.com" -> Some("example.com"),
+      "foo.jp" -> None, // a wildcard child IS a public suffix
+      "b.foo.jp" -> Some("b.foo.jp"),
+      "a.b.foo.jp" -> Some("b.foo.jp"),
+      "test.ck" -> None,
+      "b.test.ck" -> Some("b.test.ck"),
+      "a.b.test.ck" -> Some("b.test.ck"),
+      "www.ck" -> Some("www.ck"), // the exception cancels *.ck
+      "a.www.ck" -> Some("www.ck"),
+      "ck" -> None) // the wildcard's own base matches nothing
+    want.foreach { case (h, p) =>
+      assert(got(h) == p, s"pld($h) = ${got(h)}, want $p")
+    }
   }
 
   test("tx22: deflate kernel is deterministic, entropy-ordered, and bounded") {
