@@ -153,6 +153,33 @@ object Bench {
     * sweep to a genuine 5× regression on that entry (r16 review #1) —
     * the clamp keeps VERDICT #7's fix without importing the outlier.
     */
+  /** Body of the JSON object block whose '{' sits at `open`, matched to
+    * its BALANCED closing brace — the first-'}' scan it replaces only
+    * worked while every value was a flat array, and an `"err:..."`
+    * string containing a brace would unbalance even that (ADVICE r17).
+    * Strings are skipped so braces inside keys/values don't count.
+    * None = truncated/corrupt (no balanced close before EOF).
+    */
+  private def balancedBody(t: String, open: Int): Option[String] = {
+    var i = open; var depth = 0; var inStr = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(t.substring(open + 1, i))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
   private[graft] def readBaseline(path: String): Map[String, (Double, Double)] = {
     val parsed = try {
       val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -162,7 +189,7 @@ object Bench {
       val qStart = txt.indexOf("\"queries\":{")
       val medians = if (qStart < 0) Map.empty[String, Double]
       else {
-        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        val body = balancedBody(txt, qStart + 10).getOrElse("")
         body.split(',').flatMap { kv =>
           kv.split(':') match {
             case Array(k, v) if !v.startsWith("\"") =>
@@ -177,7 +204,7 @@ object Bench {
       val sStart = txt.indexOf("\"spread\":{")
       val his: Map[String, Double] = if (sStart < 0) Map.empty
       else {
-        val body = txt.substring(sStart + 10, txt.indexOf('}', sStart))
+        val body = balancedBody(txt, sStart + 9).getOrElse("")
         val re = """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
         re.findAllMatchIn(body).flatMap { m =>
           try Some(m.group(1) -> m.group(4).toDouble)
@@ -241,34 +268,38 @@ object Bench {
       Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => None }
-    val parsed = txt.flatMap { t =>
-      val fStart = t.indexOf("\"fork\":{")
-      if (fStart < 0) None // legitimately absent (pre-fork recording): no warning
-      else {
-        // a corrupt/truncated block must land in the WARN branch below,
-        // not read as absent (r17 review-2 #2)
-        try {
-          val body = t.substring(fStart + 8, t.indexOf('}', fStart))
-          val re = """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
-          Some(re.findAllMatchIn(body).flatMap { m =>
-            try Some(m.group(1) -> m.group(4).toDouble)
-            catch { case _: NumberFormatException => None }
-          }.toMap)
-        } catch { case _: Throwable => Some(Map.empty[String, Double]) }
-      }
-    }
-    // A fork block that EXISTS but yields nothing means the like-for-like
-    // verdict reference was silently lost and every verdict would fall
-    // back to the +0.5 s allowance — the same silent-disable failure mode
-    // readBaseline warns about (r17 review #2): make it loud.
-    parsed match {
-      case Some(m) if m.isEmpty =>
-        System.err.println(
-          s"[bench] WARNING: baseline $path has a fork block but it yielded 0 entries — " +
-            "adjudication verdicts fall back to the fresh-JVM allowance this sweep")
-        Map.empty
-      case Some(m) => m
-      case None    => Map.empty
+    txt match {
+      case None => Map.empty // missing file: readBaseline's story, silent here
+      case Some(t) =>
+        val fStart = t.indexOf("\"fork\":{")
+        if (fStart < 0) Map.empty // legitimately absent (pre-fork recording)
+        else balancedBody(t, fStart + 7) match {
+          case Some(body) if body.trim.isEmpty =>
+            // an all-Left recording pass writes "fork":{} — well-formed
+            // and empty is NOT a corruption, just nothing recorded
+            // (ADVICE r17); verdicts fall back to the allowance quietly.
+            Map.empty
+          case Some(body) =>
+            val re = """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
+            val m = re.findAllMatchIn(body).flatMap { g =>
+              try Some(g.group(1) -> g.group(4).toDouble)
+              catch { case _: NumberFormatException => None }
+            }.toMap
+            // A NON-empty fork block that parses to nothing means the
+            // like-for-like verdict reference was silently lost — the
+            // same silent-disable failure mode readBaseline warns about
+            // (r17 review #2): make it loud.
+            if (m.isEmpty) System.err.println(
+              s"[bench] WARNING: baseline $path has a fork block but it yielded 0 entries — " +
+                "adjudication verdicts fall back to the fresh-JVM allowance this sweep")
+            m
+          case None =>
+            // truncated mid-block (no balanced close): corrupt, loud
+            System.err.println(
+              s"[bench] WARNING: baseline $path has a fork block but it yielded 0 entries — " +
+                "adjudication verdicts fall back to the fresh-JVM allowance this sweep")
+            Map.empty
+        }
     }
   }
 

@@ -22,7 +22,8 @@ object StreamBreakdown {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    case class B(batchId: Long, rows: Long, durations: Map[String, Long])
+    case class B(qid: java.util.UUID, batchId: Long, rows: Long,
+        durations: Map[String, Long])
     val batches = new scala.collection.mutable.ArrayBuffer[B]()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -30,7 +31,7 @@ object StreamBreakdown {
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
         batches.synchronized {
           import scala.jdk.CollectionConverters._
-          batches += B(e.progress.batchId, e.progress.numInputRows,
+          batches += B(e.progress.id, e.progress.batchId, e.progress.numInputRows,
             e.progress.durationMs.asScala.map { case (k, v) => k -> v.longValue() }.toMap)
           ()
         }
@@ -39,31 +40,41 @@ object StreamBreakdown {
     // progress events arrive ASYNCHRONOUSLY on the listener bus —
     // awaitTermination returning does not mean the final batch's event
     // was delivered (r17 review #3). Snapshot only once the capture has
-    // been stable for two consecutive polls (a zero-batch entry exits
-    // after one 250 ms poll — zero is stable too); the 5 s cap is a
-    // hang guard, and hitting it is reported rather than silently
-    // risking misattribution into the next entry's capture.
+    // been stable for TWO consecutive post-sleep polls (ADVICE r17: the
+    // earlier loop compared against the pre-sleep size, so one quiet
+    // 250 ms interval ended the wait); the 5 s cap is a hang guard, and
+    // hitting it is reported rather than silently risking
+    // misattribution into the next entry's capture.
     def settled(): List[B] = {
-      var prev = -1
-      var cur = batches.synchronized(batches.size)
+      var last = -1
+      var stable = 0
       var waited = 0
-      while (cur != prev && waited < 5000) {
+      while (stable < 2 && waited < 5000) {
         Thread.sleep(250); waited += 250
-        prev = cur; cur = batches.synchronized(batches.size)
+        val cur = batches.synchronized(batches.size)
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
       }
-      if (waited >= 5000)
+      if (waited >= 5000 && stable < 2)
         println("   WARN: listener bus still draining at snapshot — batch split below may be short")
       batches.synchronized(batches.toList)
     }
+    // query ids seen in EARLIER entries: a straggler event that lands
+    // after the next entry clears the buffer would otherwise be
+    // misattributed to that entry (ADVICE r17) — tag-and-drop instead.
+    val priorQids = scala.collection.mutable.Set[java.util.UUID]()
     args.foreach { name =>
       batches.synchronized(batches.clear())
       val t0 = System.nanoTime()
       org.apache.spark.sql.GraftShims.dropTopLevelSort(
-        SparkEntry.queries(name)(spark, sfDir))
+        (SparkEntry.queries ++ SparkEntry.probeQueries)(name)(spark, sfDir))
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Bench.sweepState(spark)
-      val bs = settled().sortBy(_.batchId)
+      val (bleed, own) = settled().partition(b => priorQids.contains(b.qid))
+      if (bleed.nonEmpty)
+        println(s"   NOTE: dropped ${bleed.size} straggler event(s) from a prior entry's query")
+      priorQids ++= own.map(_.qid)
+      val bs = own.sortBy(_.batchId)
       val keys = bs.flatMap(_.durations.keys).distinct.sorted
       println(f"== $name wall=$wall%.2f s, ${bs.size} micro-batches, " +
         s"${bs.map(_.rows).sum} input rows")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -63,6 +63,21 @@ object Tables {
       _ => shouldSpread(df.rdd.getNumPartitions, target))
     if (needed) df.repartition(target) else df
   }
+
+  /** Planted-cohort re-key (the tx15 convention: gate entries that must
+    * exercise a path the synthetic corpus never hits plant a re-keyed
+    * cohort at doc_id + 3 000 000). A corpus whose doc_ids reach the
+    * offset would silently MERGE distinct documents under one id — and
+    * because the DuckDB oracle applies the identical arithmetic, the
+    * gate would stay green through the collision (ADVICE r17). So the
+    * collision fails loudly instead: ids at or above the offset raise
+    * at execution time, row-local, no extra pass or shuffle.
+    */
+  def plantedId(id: Column, offset: Long = 3000000L): Column =
+    when(id < offset, id + offset)
+      .otherwise(raise_error(concat(
+        lit("planted re-key collision: doc_id "), id.cast("string"),
+        lit(s" >= $offset"))).cast(LongType))
 
   /** Parquet isAdjustedToUTC=false timestamps surface as TIMESTAMP_NTZ in
     * Spark 4; with a UTC session the wall-clock reading is the same instant,

@@ -1126,7 +1126,7 @@ object Text extends QueryModule {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val planted = d
       .filter(col("doc_id") % 3 === 0 && size(split(col("text"), " ")) >= 30)
-      .select((col("doc_id") + 3000000L).as("doc_id"),
+      .select(Tables.plantedId(col("doc_id")).as("doc_id"),
         concat_ws(" ", col("text"), lit(mixedMarker)).as("text"))
     d.unionByName(planted)
   }
@@ -1460,7 +1460,7 @@ object Text extends QueryModule {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = base.unionByName(
       base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
+        .select(Tables.plantedId(col("doc_id")).as("doc_id"),
           concat(col("text"), lit(fallbackMarker)).as("text")))
     corpus
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -2125,7 +2125,16 @@ object Text extends QueryModule {
   private def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val id = col("doc_id").cast("string")
-    val tld = when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM"))
+    // three TLD cohorts so every PSL rule KIND is live in the gate
+    // (r17 VERDICT #2): .co.uk exercises plain longest-match beating
+    // the bare 'uk' rule; .com the single-label plain rule; .ck the
+    // wildcard '*.ck' (each exampleK.ck is itself a public suffix, so
+    // the registrable grain is www.exampleK.ck) with the exception
+    // '!example3.ck' cancelling the wildcard for the K=3 host (its
+    // registrable grain drops back to example3.ck)
+    val tld = when(col("doc_id") % 3 === 0, lit(".CO.UK"))
+      .when(col("doc_id") % 3 === 1, lit(".COM"))
+      .otherwise(lit(".CK"))
     val hostRaw = concat(lit("WWW.Example"), (col("doc_id") % 7).cast("string"), tld)
     val v0 = concat(lit("HTTPS://user:pw@"), hostRaw,
       lit(":443/Item/"), id, lit("?utm_source=feed&b=2&a=1&fbclid=xyz#sec2"))
@@ -2137,8 +2146,8 @@ object Text extends QueryModule {
       .select(col("doc_id"), col("raw"), canonicalUrl(col("raw")).as("canonical"))
     // url-grain dedup census over CANONICAL spellings
     val censusByUrl = variants.groupBy("canonical").agg(count(lit(1)).as("n_raw"))
-    val suffixes = Seq("com", "org", "net", "io", "uk", "co.uk", "ac.uk")
-      .toDF("suffix")
+    val suffixes = Seq("com", "org", "net", "io", "uk", "co.uk", "ac.uk",
+      "*.ck", "!example3.ck").toDF("suffix")
     val hosts = variants
       .select(lower(regexp_extract(col("raw"),
         "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)).as("host"))
@@ -2158,10 +2167,13 @@ object Text extends QueryModule {
   private val urlCanonicalDedupSql =
     """SELECT doc_id,
       |  'https://www.example' || (doc_id % 7) ||
-      |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+      |         WHEN doc_id % 3 = 1 THEN '.com' ELSE '.ck' END ||
       |    '/Item/' || doc_id || '?a=1&b=2' AS canonical,
-      |  'example' || (doc_id % 7) ||
-      |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END AS pld,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'example' || (doc_id % 7) || '.co.uk'
+      |       WHEN doc_id % 3 = 1 THEN 'example' || (doc_id % 7) || '.com'
+      |       WHEN doc_id % 7 = 3 THEN 'example3.ck'
+      |       ELSE 'www.example' || (doc_id % 7) || '.ck' END AS pld,
       |  CAST(2 AS BIGINT) AS n_raw
       |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
 

@@ -48,8 +48,24 @@ object EventStream {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(_.length()).sum
         else f.length()
       val cores = s.sparkContext.defaultParallelism
-      math.max(8, math.min(cores, (bytes / StateTargetBytes).toInt + 1))
+      if (bytes <= 0L) {
+        // java.io.File can only size LOCAL paths; a remote (hdfs://,
+        // s3a://) or missing source reads 0 here, which would silently
+        // pin every stream to the 8-partition floor — the sf10-starving
+        // direction (ADVICE r17). Unknown volume → core count, the
+        // setting a production deployment starts from before tuning down.
+        System.err.println(s"[stream] WARNING: cannot size $f locally " +
+          s"(missing or non-local path) — defaulting state partitions to $cores")
+        cores
+      } else math.max(8, math.min(cores, (bytes / StateTargetBytes).toInt + 1))
     }
+
+  /** NOTE: mutates the session-global `spark.sql.shuffle.partitions` for
+    * the duration of `body` — callers are the single-threaded gate/bench
+    * mains; a query running CONCURRENTLY on the same session would plan
+    * under the temporary value (ADVICE r17). Use a dedicated session
+    * (`s.newSession()`) if concurrent use ever appears.
+    */
 
   /** Run `body` (which starts and drains a streaming query) under an
     * explicit state-partition count, restoring the session setting

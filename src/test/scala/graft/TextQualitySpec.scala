@@ -122,7 +122,7 @@ class TextQualitySpec extends AnyFunSuite {
     val hosts2 = Seq("example.com", "b.example.com", "foo.jp", "b.foo.jp",
       "a.b.foo.jp", "test.ck", "b.test.ck", "a.b.test.ck", "www.ck",
       "a.www.ck", "ck").toDF("host")
-    val got = graft.queries.Text.pldOf(hosts2, rules)
+    val gotPsl = graft.queries.Text.pldOf(hosts2, rules)
       .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
     val want = Map(
       "example.com" -> Some("example.com"),
@@ -137,7 +137,7 @@ class TextQualitySpec extends AnyFunSuite {
       "a.www.ck" -> Some("www.ck"),
       "ck" -> None) // the wildcard's own base matches nothing
     want.foreach { case (h, p) =>
-      assert(got(h) == p, s"pld($h) = ${got(h)}, want $p")
+      assert(gotPsl(h) == p, s"pld($h) = ${gotPsl(h)}, want $p")
     }
   }
 
