@@ -15,7 +15,7 @@ object ShowQuery {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       println(s"=== $name ===")
-      SparkEntry.queries(name)(spark, sfDir).show(50, truncate = false)
+      (SparkEntry.queries ++ SparkEntry.probeQueries)(name)(spark, sfDir).show(50, truncate = false)
     }
     spark.stop()
   }

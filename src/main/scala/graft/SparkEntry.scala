@@ -81,4 +81,12 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracle).toMap
+
+  /** Scale-boundary probes (see [[graft.queries.QueryModule.probes]]):
+    * NOT part of the gate battery — resolvable by the dev mains only.
+    */
+  def probeQueries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.probes).toMap.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => fn(configure(s), dir))
+    }
 }

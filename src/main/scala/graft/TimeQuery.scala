@@ -25,7 +25,8 @@ object TimeQuery {
         // streaming-state unload so sw* entries time cleanly multi-run.
         Bench.sweepState(spark)
         val t0 = System.nanoTime()
-        org.apache.spark.sql.GraftShims.dropTopLevelSort(SparkEntry.queries(name)(spark, sfDir))
+        org.apache.spark.sql.GraftShims.dropTopLevelSort(
+          (SparkEntry.queries ++ SparkEntry.probeQueries)(name)(spark, sfDir))
           .write.format("noop").mode("overwrite").save()
         println(f"$name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
       }

@@ -214,6 +214,20 @@ object Dedup extends QueryModule {
     */
   private[graft] val DupContractionThreshold = 1.0
 
+  /** Per-dir memo for the census (ADVICE r17): the three near-dup gate
+    * entries each ran it as an eager collect() at frame-build time —
+    * a full corpus scan + md5 per entry per sweep. The corpus at a dir
+    * is immutable for a JVM's lifetime (driver-generated testdata), so
+    * one census serves all channels, SharedFrames-style. Frame-driven
+    * callers (specs, synthetic corpora) keep the uncached entry point.
+    */
+  private val dupMultiplierMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private def dupMultiplierFor(s: SparkSession, dir: String): Double =
+    dupMultiplierMemo.computeIfAbsent(dir,
+      _ => dupMultiplier(corpus(s, dir))).doubleValue()
+
   private[graft] def dupMultiplier(c: DataFrame): Double = {
     val r = c
       .select(coalesce(md5(col("text")), lit("null")).as("th"))
@@ -301,7 +315,7 @@ object Dedup extends QueryModule {
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    if (dupMultiplier(c) > DupContractionThreshold) minhashPairsOver(c)
+    if (dupMultiplierFor(s, dir) > DupContractionThreshold) minhashPairsOver(c)
     else minhashPairsUncontracted(c)
   }
 
@@ -469,7 +483,7 @@ object Dedup extends QueryModule {
 
   private def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    if (dupMultiplier(c) > DupContractionThreshold) simhashNearDupOver(c)
+    if (dupMultiplierFor(s, dir) > DupContractionThreshold) simhashNearDupOver(c)
     else simhashNearDupUncontracted(c)
   }
 
@@ -669,7 +683,7 @@ object Dedup extends QueryModule {
   private def corpus19(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir).unionByName(
       t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
+        .select(Tables.plantedId(col("doc_id")).as("doc_id"),
           concat(lit("promo banner follows "), col("text")).as("text")))
 
   private[graft] def ngramJaccardCappedOver(c: DataFrame): DataFrame = {
@@ -709,8 +723,12 @@ object Dedup extends QueryModule {
        |${jaccardVerifySqlTail(NgramJaccardMin)}""".stripMargin
   }
 
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(corpus(s, dir))
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    if (dupMultiplierFor(s, dir) > DupContractionThreshold)
+      ngramJaccardPairsContracted(c)
+    else ngramJaccardPairsUncontracted(c)
+  }
 
   private val ngramJaccardSql =
     s"""WITH $corpusSql,
@@ -1892,7 +1910,6 @@ object Dedup extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd16_repeated_passages" -> (repeatedPassages _),
     "dd15_lsh_quality" -> (lshQuality _),
-    "dd12_containment" -> (containmentPairs _),
     "dd17_containment_capped" -> (containmentCapped _),
     "dd18_containment_topk" -> (containmentTopK _),
     "dd19_ngram_jaccard_capped" -> (ngramJaccardCapped _),
@@ -1906,7 +1923,6 @@ object Dedup extends QueryModule {
     "dd2_minhash_lsh_pairs" -> (minhashPairs _),
     "dd3_simhash" -> (simhash _),
     "dd5_simhash_neardup" -> (simhashNearDup _),
-    "dd6_ngram_jaccard" -> (ngramJaccard _),
     "dd7_dup_clusters" -> (dupClusters _),
     "ds6_cluster_safe_split" -> (clusterSafeSplit _),
     "dd8_decontaminate" -> (decontaminate _),
@@ -1928,13 +1944,26 @@ object Dedup extends QueryModule {
     "dd3_simhash" -> simhashSql,
     "dd5_simhash_neardup" -> simhashNearDupSql,
     "dd15_lsh_quality" -> lshQualitySql,
-    "dd12_containment" -> containmentPairsSql,
     "dd17_containment_capped" -> containmentCappedSql,
     "dd18_containment_topk" -> containmentTopKSql,
     "dd19_ngram_jaccard_capped" -> ngramJaccardCappedSql,
-    "dd6_ngram_jaccard" -> ngramJaccardSql,
     "dd7_dup_clusters" -> dupClustersSql,
     "ds6_cluster_safe_split" -> clusterSafeSplitSql,
     "dd8_decontaminate" -> decontaminateSql,
     "cur1_curation_pipeline" -> curationSql)
+
+  /** dd6/dd12 demoted from the gate battery to ladder probes (r17
+    * VERDICT #4): both are measured DISK DEATHS at the sf10 rung
+    * (dd6's hot-anchor fan-out ~129M candidates / ~300 GB exchange;
+    * dd12's exact containment >70 GB true-output spill — BASELINE.md
+    * ladder tables), and both have shipped scale-safe supersessions a
+    * 100 TB user runs instead: dd19 (anchor-df-capped Jaccard) and
+    * dd17/dd18 (stop-shingle-capped / top-k containment). Semantics
+    * stay spec-proven: the contraction-equality fuzz and planted-recall
+    * specs drive [[ngramJaccardPairs]]/[[containmentPairsOver]]
+    * directly, and the dev mains still resolve these names.
+    */
+  override val probes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd6_ngram_jaccard" -> (ngramJaccard _),
+    "dd12_containment" -> (containmentPairs _))
 }

@@ -12,4 +12,13 @@ trait QueryModule {
   def defs: Map[String, (SparkSession, String) => DataFrame]
   /** name -> equivalent ANSI SQL for DuckDB; omit keys that SQL can't express. */
   def oracle: Map[String, String]
+  /** Ladder-documented SCALE-BOUNDARY probes (r17 VERDICT #4): entries
+    * whose semantics are correct but whose physical shape is a measured
+    * disk-death at the 100× rung (dd6's hot-anchor fan-out, dd12's
+    * true-output explosion) — superseded for production by shipped
+    * capped levers (dd19, dd17/dd18). Kept runnable for the dev mains
+    * (TimeQuery/Explain/ShowQuery) and the scale ladder, EXCLUDED from
+    * the Verify/Bench battery a user would run as-shipped.
+    */
+  def probes: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

@@ -14,7 +14,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def run(name: String) =
-    SparkEntry.queries(name)(spark, dir).collect()
+    // ++ probeQueries: dd6/dd12 are ladder probes since r18, still
+    // spec-driven here at sf0.001 where their shape is safe
+    (SparkEntry.queries ++ SparkEntry.probeQueries)(name)(spark, dir).collect()
 
   test("ann12: the SQ8 index is genuinely byte-width; re-ranked scores are exact") {
     import org.apache.spark.sql.types.{ArrayType, ByteType}

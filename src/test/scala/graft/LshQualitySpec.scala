@@ -33,7 +33,7 @@ class LshQualitySpec extends AnyFunSuite {
     val lsh = SparkEntry.queries("dd2_minhash_lsh_pairs")(spark, dir)
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val anchorPairs = SparkEntry.queries("dd6_ngram_jaccard")(spark, dir)
+    val anchorPairs = SparkEntry.probeQueries("dd6_ngram_jaccard")(spark, dir)
       .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val misses = anchorPairs -- lsh
