@@ -2299,6 +2299,133 @@ object Text extends QueryModule {
       |WHERE len(string_split(text, ' ')) >= 10
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------- warc2
+  /** CHARSET sniffing + byte-true decode — the rung between warc1's
+    * framing and tx21's extraction (r17 VERDICT #6): a real crawl's
+    * HTTP payloads are NOT all UTF-8, and the charset is discovered in
+    * priority order exactly as browsers/CommonCrawl pipelines do it:
+    * the Content-Type header's charset parameter, else an ASCII-region
+    * `<meta charset=…>` sniff, else a byte-order mark, else the UTF-8
+    * default. The pipeline never assumes the payload decodes as UTF-8
+    * before detection: all positional work runs on the BINARY form via
+    * the ISO-8859-1 VIEW (Latin-1 is a bijective byte↔char map, so
+    * char position == byte position — the standard trick for scanning
+    * ASCII-region structure in unknown-encoding bytes), and only the
+    * detected charset's decoder touches the body.
+    *
+    * Synthesis (mm6/tx21 discipline), one response blob per document in
+    * three cohorts by doc_id % 3: (0) `charset=iso-8859-1` declared in
+    * the header, body genuinely Latin-1 (ü/ß/ö bytes that are NOT valid
+    * UTF-8 sequences); (1) bare header, `<meta charset="utf-8">`, body
+    * UTF-8; (2) no declaration at all, body UTF-16 with BOM (Greek
+    * text, unrepresentable in Latin-1 — a fake byte-view decode cannot
+    * reproduce it). The oracle restates charset, detection route, the
+    * decoded <h1>, the decoded char count, and the PAYLOAD BYTE count —
+    * whose arithmetic differs per charset (Latin-1: bytes = chars;
+    * UTF-8: bytes = strlen; UTF-16: 2 + 2·chars) — so the hash proves a
+    * genuine per-charset encode/decode round-trip, not a string pass-
+    * through.
+    *
+    * Scale posture: pure map-side byte/regex work over the payload
+    * scan, zero shuffles before the gate sort — the same first-
+    * projection slot as warc1; the Latin-1 view adds one linear decode
+    * (no copy amplification beyond the decoded string itself).
+    */
+  private def warcCharset(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val cohort = col("doc_id") % 3
+    val title = when(cohort === 0, concat(lit("Füße größer Nr "), id))
+      .when(cohort === 1, concat(lit("Zürich § Nr "), id))
+      .otherwise(concat(lit("Ωμέγα δ Nr "), id))
+    val meta = when(cohort === 1, lit("<meta charset=\"utf-8\">")).otherwise(lit(""))
+    val html = concat(lit("<html><head>"), meta,
+      lit("</head><body><h1>"), title, lit("</h1></body></html>"))
+    val payload = when(cohort === 0, expr("encode(html, 'ISO-8859-1')"))
+      .when(cohort === 1, expr("encode(html, 'UTF-8')"))
+      // Java's UTF-16 encoder emits the big-endian BOM — the cohort's
+      // only charset signal
+      .otherwise(expr("encode(html, 'UTF-16')"))
+    val header = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html"),
+      when(cohort === 0, lit("; charset=iso-8859-1")).otherwise(lit("")),
+      lit("\r\nContent-Length: "), octet_length(col("payload")).cast("string"),
+      lit("\r\n\r\n"))
+    val blobs = t(s, dir, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .withColumn("payload", payload)
+      .withColumn("header", header) // pure ASCII: its UTF-8 bytes ARE its bytes
+      .select(col("doc_id"),
+        concat(expr("cast(header as binary)"), col("payload")).as("blob"))
+    decodeHttpCharset(blobs).orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Detector + decoder over any (doc_id, blob binary) frame — package-
+    * visible for the spec's adversarial corners (header overriding a
+    * CONFLICTING meta, uppercase/quoted charset spellings, undeclared
+    * pure-ASCII defaulting to UTF-8, BOM on an otherwise-declared body).
+    */
+  private[graft] def decodeHttpCharset(blobs: DataFrame): DataFrame = {
+    val lat = expr("decode(blob, 'ISO-8859-1')") // byte-faithful view
+    val parsed = blobs
+      .withColumn("sep", instr(lat, "\r\n\r\n"))
+      .withColumn("hdr", expr("substring(decode(blob, 'ISO-8859-1'), 1, sep - 1)"))
+      .withColumn("bodyBin", expr("substring(blob, sep + 4)"))
+      .withColumn("bodyLat", expr("decode(bodyBin, 'ISO-8859-1')"))
+      .withColumn("hdrCs",
+        upper(regexp_extract(col("hdr"), "(?i)charset=\"?([A-Za-z0-9_\\-]+)", 1)))
+      .withColumn("metaCs",
+        upper(regexp_extract(col("bodyLat"),
+          "(?i)<meta\\s+charset=\"?([A-Za-z0-9_\\-]+)", 1)))
+      .withColumn("hasBom",
+        expr("substring(bodyBin, 1, 2)") === lit(Array[Byte](0xFE.toByte, 0xFF.toByte)))
+      .withColumn("charset",
+        when(col("hdrCs") =!= "", col("hdrCs"))
+          .when(col("metaCs") =!= "", col("metaCs"))
+          .when(col("hasBom"), lit("UTF-16"))
+          .otherwise(lit("UTF-8")))
+      .withColumn("via",
+        when(col("hdrCs") =!= "", lit("header"))
+          .when(col("metaCs") =!= "", lit("meta"))
+          .when(col("hasBom"), lit("bom"))
+          .otherwise(lit("default")))
+      .withColumn("decoded",
+        when(col("charset") === "ISO-8859-1", col("bodyLat"))
+          .when(col("charset") === "UTF-16", expr("decode(bodyBin, 'UTF-16')"))
+          .otherwise(expr("decode(bodyBin, 'UTF-8')")))
+    parsed.select(
+      col("doc_id"), col("charset"), col("via"),
+      regexp_extract(col("decoded"), "<h1>([^<]*)</h1>", 1).as("h1"),
+      length(col("decoded")).cast("long").as("n_chars"),
+      octet_length(col("bodyBin")).cast("long").as("n_payload_bytes"))
+  }
+
+  private val warcCharsetSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN '<html><head></head><body><h1>Füße größer Nr '
+      |        || doc_id || '</h1></body></html>'
+      |      WHEN 1 THEN '<html><head><meta charset="utf-8"></head><body><h1>Zürich § Nr '
+      |        || doc_id || '</h1></body></html>'
+      |      ELSE '<html><head></head><body><h1>Ωμέγα δ Nr '
+      |        || doc_id || '</h1></body></html>' END AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ISO-8859-1'
+      |    WHEN 1 THEN 'UTF-8' ELSE 'UTF-16' END AS charset,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'header'
+      |    WHEN 1 THEN 'meta' ELSE 'bom' END AS via,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Füße größer Nr ' || doc_id
+      |    WHEN 1 THEN 'Zürich § Nr ' || doc_id
+      |    ELSE 'Ωμέγα δ Nr ' || doc_id END AS h1,
+      |  CAST(length(html) AS BIGINT) AS n_chars,
+      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN length(html)   -- Latin-1: one byte per char
+      |    WHEN 1 THEN strlen(html)   -- UTF-8: the UTF-8 byte count
+      |    ELSE 2 + 2 * length(html)  -- UTF-16: BOM + 2 bytes per BMP char
+      |    END AS BIGINT) AS n_payload_bytes
+      |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- tok5
   /** BPE training GENERALIZED to an N-merge convergence loop (r16
     * VERDICT #4): tok1's trainer is unrolled at 5 merges; a production
@@ -2412,6 +2539,7 @@ object Text extends QueryModule {
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx21_html_extract" -> (htmlExtract _),
     "warc1_record_extract" -> (warcExtract _),
+    "warc2_charset_decode" -> (warcCharset _),
     "tx22_compression_ratio" -> (compressionRatio _),
     "url1_canonical_dedup" -> (urlCanonicalDedup _),
     "tok5_bpe_converged" -> (bpeConverged _),
@@ -2447,6 +2575,7 @@ object Text extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "tx21_html_extract" -> htmlExtractSql,
     "warc1_record_extract" -> warcExtractSql,
+    "warc2_charset_decode" -> warcCharsetSql,
     "tx22_compression_ratio" -> compressionRatioSql,
     "url1_canonical_dedup" -> urlCanonicalDedupSql,
     "tok5_bpe_converged" -> bpeConvergedSql,

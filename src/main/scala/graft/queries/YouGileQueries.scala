@@ -291,7 +291,42 @@ object YouGileQueries extends QueryModule {
        |GROUP BY columnId
        |ORDER BY columnId NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------- yg_jdbc
+  /** K1 under the ORACLE, not just the Derby spec (r17 VERDICT #7):
+    * build the 22-column mart, write it through the production
+    * [[graft.sinks.JdbcSink]] (batched `df.write.jdbc` append — the
+    * reference's `insert_rows` replacement, `dags/yougile_etl_dag.py:
+    * 325-333`) into a REAL embedded-Derby database, read it back over
+    * JDBC, and hash the round-tripped rows against the same DuckDB
+    * oracle as `yg_mart`. A silent type-mapping loss anywhere on the
+    * write path (string→CLOB, date/timestamp/double DDL, null
+    * handling, batching) breaks the hash.
+    *
+    * The read-back is pinned with an eager localCheckpoint so the
+    * in-memory database can be dropped before the frame is consumed —
+    * safe at mart grain (the mart is bounded dimensional output; a
+    * 100 TB deployment reads the warehouse table directly, it does not
+    * re-read through the driver).
+    */
+  private def ygJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val mart = withPipeline(s) { (src, bc) =>
+      Transform.mart(assembledDf(src, bc), bc,
+        Transform.stickerStates(src.stickers()), Fixtures.runTs)
+    }
+    val db = s"memory:graftgate${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val url = s"jdbc:derby:$db;create=true"
+    new graft.sinks.JdbcSink(url, "cdm_tasks", "app", "app").write(mart)
+    val back = s.read.format("jdbc")
+      .option("url", url).option("dbtable", "cdm_tasks").load()
+      .localCheckpoint()
+    // Derby signals a successful in-memory drop via SQLException 08006
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true")
+    catch { case _: java.sql.SQLException => () }
+    back.orderBy(martColumns.map(col(_).asc_nulls_first): _*)
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "yg_jdbc_roundtrip" -> (ygJdbcRoundtrip _),
     "yg_dsv2_census" -> (ygDsv2Census _),
     "yg_dsv2_stats" -> (ygDsv2Stats _),
     "yg_dsv2_tasks" -> (ygDsv2Tasks _),
@@ -302,6 +337,8 @@ object YouGileQueries extends QueryModule {
     "yg_mart" -> (ygMart _))
 
   override val oracle: Map[String, String] = Map(
+    // the round-trip must reproduce the mart exactly — same oracle
+    "yg_jdbc_roundtrip" -> ygMartSql,
     "yg_dsv2_census" -> ygDsv2CensusSql,
     "yg_dsv2_stats" -> ygDsv2StatsSql,
     "yg_dsv2_tasks" -> ygDsv2TasksSql,

@@ -141,6 +141,60 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("warc2: charset detection corners — priority, conflicts, quoting, BOM, default") {
+    import spark.implicits._
+    import java.nio.charset.{Charset, StandardCharsets}
+    def blob(headerCt: String, body: Array[Byte]): Array[Byte] = {
+      val hdr = s"HTTP/1.1 200 OK\r\nContent-Type: $headerCt\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+      hdr.getBytes(StandardCharsets.US_ASCII) ++ body
+    }
+    def html(meta: String, title: String) =
+      s"<html><head>$meta</head><body><h1>$title</h1></body></html>"
+    val utf16 = { // Java 'UTF-16' encoder: big-endian with BOM
+      Charset.forName("UTF-16").encode(html("", "Ωμέγα"))
+    }
+    val utf16Bytes = { val a = new Array[Byte](utf16.remaining()); utf16.get(a); a }
+    val cases: Seq[(Long, Array[Byte], (String, String, String))] = Seq(
+      // header BEATS a conflicting meta tag: body is really Latin-1
+      (1L, blob("text/html; charset=iso-8859-1",
+        html("<meta charset=\"utf-8\">", "Füße")
+          .getBytes(StandardCharsets.ISO_8859_1)),
+        ("ISO-8859-1", "header", "Füße")),
+      // quoted charset value in the header
+      (2L, blob("text/html; charset=\"utf-8\"",
+        html("", "Zürich").getBytes(StandardCharsets.UTF_8)),
+        ("UTF-8", "header", "Zürich")),
+      // no declarations anywhere, pure ASCII → UTF-8 default
+      (3L, blob("text/html", html("", "plain").getBytes(StandardCharsets.US_ASCII)),
+        ("UTF-8", "default", "plain")),
+      // meta only
+      (4L, blob("text/html",
+        html("<meta charset=\"utf-8\">", "Zürich").getBytes(StandardCharsets.UTF_8)),
+        ("UTF-8", "meta", "Zürich")),
+      // BOM only (UTF-16 body, meta regex can't fire through NUL bytes)
+      (5L, blob("text/html", utf16Bytes), ("UTF-16", "bom", "Ωμέγα")),
+      // header present even WITH a BOM on the body: priority holds
+      (6L, blob("text/html; charset=UTF-16", utf16Bytes),
+        ("UTF-16", "header", "Ωμέγα")))
+    val got = graft.queries.Text.decodeHttpCharset(
+      cases.map(c => (c._1, c._2)).toDF("doc_id", "blob"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"case $id: got ${got(id)}, want $want")
+    }
+    // byte-count proof: the UTF-16 payload is 2 + 2×chars, the Latin-1
+    // payload chars == bytes even with non-ASCII present
+    val counts = graft.queries.Text.decodeHttpCharset(
+      cases.map(c => (c._1, c._2)).toDF("doc_id", "blob"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(counts(5L) == ((html("", "Ωμέγα").length.toLong,
+      2L + 2L * html("", "Ωμέγα").length)))
+    assert(counts(1L)._1 == counts(1L)._2,
+      "Latin-1 decode must read one char per byte")
+  }
+
   test("tx22: deflate kernel is deterministic, entropy-ordered, and bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
