@@ -1268,42 +1268,21 @@ object Text extends QueryModule {
 
   /** The trainer over any frame with a `text` column — package-visible so
     * the spec can replay it on a hand-computable micro-corpus.
+    *
+    * Since r18 this is [[bpeMergesConverging]] at min frequency 1 (a
+    * count filter `n >= 1` is an identity, so the fixed-N and the
+    * converging trainer are the SAME algorithm — one spelling, no
+    * drift), which also moves the fixed-N path onto the collect-winner
+    * loop: the old spelling broadcast the winner frame per iteration
+    * AND re-executed all N winner picks when the merges frame was
+    * consumed, ~2 extra vocabulary-grain jobs per merge on a fresh JVM
+    * (the r17 tok4 fork adjudication's cost class — the tok family's
+    * fresh-JVM time is training-dominated). The winner is one row per
+    * pass (the ann2-codebook class of driver data), so collecting it is
+    * the scale posture, not a shortcut.
     */
-  private[graft] def bpeMergesOver(docs: DataFrame, iters: Int): DataFrame = {
-    val vocab = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .select(
-        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" "))
-          .as("syms"),
-        col("c"))
-    var seqs = vocab.localCheckpoint()
-    val steps = Seq.newBuilder[DataFrame]
-    for (i <- 1 to iters) {
-      val top = seqs
-        .withColumn("sy", split(trim(col("syms")), "  "))
-        .select(col("c"), explode(expr(
-          "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), " +
-            "(a, b) -> struct(a AS pa, b AS pb))")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .agg(sum("c").as("n"))
-        .orderBy(col("n").desc, col("pa").asc, col("pb").asc)
-        .limit(1)
-      steps += top.select(
-        lit(i.toLong).as("merge_rank"), col("pa"), col("pb"),
-        col("n").as("n_occurrences"))
-      seqs = seqs
-        .crossJoin(broadcast(top.select(col("pa").as("mpa"), col("pb").as("mpb"))))
-        .select(
-          expr("replace(syms, ' ' || mpa || '  ' || mpb || ' ', ' ' || mpa || mpb || ' ')")
-            .as("syms"),
-          col("c"))
-        .localCheckpoint()
-    }
-    steps.result().reduce(_ unionByName _)
-      .orderBy(col("merge_rank").asc_nulls_first)
-  }
+  private[graft] def bpeMergesOver(docs: DataFrame, iters: Int): DataFrame =
+    bpeMergesConverging(docs, iters, minFreq = 1L)
 
   /** The trainer's CTE chain (w, v, s0, p1..t1..s1, …) — shared verbatim
     * by the tok1 (emit merges), tok2 (apply merges), and tok3 (holdout
