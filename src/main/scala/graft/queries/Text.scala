@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -2156,6 +2157,146 @@ object Text extends QueryModule {
       |  CAST(2 AS BIGINT) AS n_raw
       |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- url2
+  /** robots.txt COMPLIANCE filtering (RFC 9309) — the fetch-policy rung
+    * of the crawl chain (robots → warc1 framing → warc2 charset → tx21
+    * extraction → url1 canonicalization): a pretraining crawler must
+    * drop disallowed URLs BEFORE fetching, and the REP semantics have
+    * the same longest-match-with-priority shape as the PSL: group
+    * selection first (a group naming the crawler's OWN user-agent
+    * replaces the `*` group outright — rules do not merge across
+    * groups), then per-URL the LONGEST matching path prefix wins, with
+    * `Allow` beating `Disallow` on equal length; no match = allowed.
+    *
+    * The parser is real line-grain work: posexplode keeps file order, a
+    * running window over `User-agent:` lines assigns each directive to
+    * its group (comments/blank lines skipped, not group terminators —
+    * RFC 9309 §2.2), and group selection is a per-host aggregate over
+    * the parsed frame. Matching is url1's exchange shape exactly: the
+    * rule frame is config-grain (a few rows per host), so it rides ONE
+    * broadcast into a theta-join (`startswith(path, rule_path)`) and a
+    * `max_by(struct(length, is_allow))` pick — no shuffle of the URL
+    * census at any corpus size.
+    *
+    * Synthesis (closed-form): host k = doc_id%7 serves a robots.txt
+    * where every host blocks `/admin/`, even hosts also block `/p/` but
+    * re-allow `/p/open/` (the tie-break exercise), and k%3=0 hosts add
+    * a `graftbot` group blocking only `/Item/` — which, being the
+    * crawler's own agent, REPLACES the `*` rules (so /p/ is crawlable
+    * there even on even hosts). Paths rotate by doc_id%4 over /Item/,
+    * /p/, /p/open/, /admin/. The oracle restates group, matched rule,
+    * and the verdict arithmetically from (doc_id%7, doc_id%4).
+    */
+  private def robotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val k = col("doc_id") % 7
+    val p = col("doc_id") % 4
+    val host = concat(lit("www.example"), k.cast("string"), lit(".com"))
+    val path = when(p === 0, concat(lit("/Item/"), col("doc_id").cast("string")))
+      .when(p === 1, concat(lit("/p/"), col("doc_id").cast("string")))
+      .when(p === 2, concat(lit("/p/open/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/admin/"), col("doc_id").cast("string")))
+    val urls = docs.select(col("doc_id"), host.as("host"), path.as("path"))
+    // one robots.txt per host — config-grain; comments and blank lines
+    // planted so the parser's skip path is non-vacuous
+    val hk = col("k")
+    val robots = docs.select((col("doc_id") % 7).as("k")).distinct()
+      .select(
+        concat(lit("www.example"), hk.cast("string"), lit(".com")).as("host"),
+        concat(
+          lit("# robots for example"), hk.cast("string"), lit("\n"),
+          lit("User-agent: *\nDisallow: /admin/\n"),
+          when(hk % 2 === 0, lit("Disallow: /p/\nAllow: /p/open/\n"))
+            .otherwise(lit("")),
+          when(hk % 3 === 0,
+            lit("\nUser-agent: graftbot\nDisallow: /Item/\n"))
+            .otherwise(lit(""))).as("robots"))
+    robotsDecisions(urls, robots, agent = "graftbot")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** REP decisions for a (doc_id, host, path) census against a
+    * (host, robots) file frame — package-visible for the spec's corner
+    * fixtures (consecutive UA lines sharing a group, case-insensitive
+    * directives, tie-length Allow vs Disallow, empty-value Disallow).
+    */
+  private[graft] def robotsDecisions(urls: DataFrame, robots: DataFrame,
+      agent: String): DataFrame = {
+    // line-grain parse, file order kept by posexplode
+    val lines = robots.select(col("host"),
+      posexplode(split(col("robots"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("directive",
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value", trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1)))
+    // group id = running count of user-agent lines; consecutive UA lines
+    // coalesce into one group (same id via the LAG check: a UA line only
+    // opens a NEW group if the previous directive line was not also UA)
+    val w = Window.partitionBy("host").orderBy("line_no")
+    val grouped = lines
+      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+      .withColumn("prev_dir", lag(col("directive"), 1).over(w))
+      .withColumn("opens",
+        (col("directive") === "user-agent" &&
+          (col("prev_dir").isNull || col("prev_dir") =!= "user-agent")).cast("int"))
+      .withColumn("gid", sum(col("opens")).over(
+        Window.partitionBy("host").orderBy("line_no")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agents = grouped.filter(col("directive") === "user-agent")
+      .select(col("host"), col("gid"), lower(col("value")).as("ua"))
+    val rules = grouped.filter(col("directive").isin("allow", "disallow"))
+      .filter(col("value") =!= "") // empty Disallow: = allow-all, no rule
+      .select(col("host"), col("gid"), col("directive").as("rtype"),
+        col("value").as("rpath"))
+    // group selection: a group naming OUR agent replaces '*' outright
+    val ownGids = agents.filter(col("ua") === agent.toLowerCase)
+      .select(col("host"), col("gid"))
+    val hostsWithOwn = ownGids.select("host").distinct()
+      .withColumn("has_own", lit(true))
+    val starGids = agents.filter(col("ua") === "*").select(col("host"), col("gid"))
+    val applicableGids = ownGids.unionByName(
+      starGids.join(hostsWithOwn, Seq("host"), "left_anti"))
+    val applicable = rules.join(applicableGids, Seq("host", "gid"))
+      .select(col("host"), col("rtype"), col("rpath"))
+    val groupUsed = hostsWithOwn.select(col("host"), lit(agent).as("group_used"))
+    // longest-match pick; Allow beats Disallow on equal length (RFC 9309)
+    val matched = urls.join(broadcast(applicable),
+        urls("host") === applicable("host") &&
+          col("path").startsWith(col("rpath")), "left")
+      .groupBy(urls("host").as("host"), col("doc_id"), col("path"))
+      .agg(max_by(struct(col("rtype"), col("rpath")),
+        struct(length(col("rpath")), (col("rtype") === "allow").cast("int")))
+        .as("rule"))
+    matched
+      .join(broadcast(groupUsed), Seq("host"), "left")
+      .select(col("doc_id"), col("host"), col("path"),
+        coalesce(col("group_used"), lit("*")).as("group_used"),
+        coalesce(col("rule.rpath"), lit("")).as("matched_rule"),
+        (col("rule.rtype").isNull || col("rule.rtype") === "allow").as("allowed"))
+  }
+
+  private val robotsFilterSql =
+    """SELECT doc_id,
+      |  'www.example' || (doc_id % 7) || '.com' AS host,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN '/Item/' || doc_id
+      |    WHEN 1 THEN '/p/' || doc_id
+      |    WHEN 2 THEN '/p/open/' || doc_id
+      |    ELSE '/admin/' || doc_id END AS path,
+      |  CASE WHEN doc_id % 7 IN (0, 3, 6) THEN 'graftbot' ELSE '*' END AS group_used,
+      |  CASE WHEN doc_id % 7 IN (0, 3, 6) THEN
+      |    CASE WHEN doc_id % 4 = 0 THEN '/Item/' ELSE '' END
+      |  ELSE
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 1 THEN CASE WHEN doc_id % 7 IN (2, 4) THEN '/p/' ELSE '' END
+      |      WHEN 2 THEN CASE WHEN doc_id % 7 IN (2, 4) THEN '/p/open/' ELSE '' END
+      |      WHEN 3 THEN '/admin/'
+      |      ELSE '' END
+      |  END AS matched_rule,
+      |  CASE WHEN doc_id % 7 IN (0, 3, 6) THEN doc_id % 4 <> 0
+      |  ELSE NOT (doc_id % 4 = 3 OR (doc_id % 4 = 1 AND doc_id % 7 IN (2, 4)))
+      |  END AS allowed
+      |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // -------------------------------------------------------------- warc1
   /** WARC record parsing — the container stage BEFORE tx21: a web
     * corpus arrives as WARC files (CommonCrawl's format), each a
@@ -2521,6 +2662,7 @@ object Text extends QueryModule {
     "warc2_charset_decode" -> (warcCharset _),
     "tx22_compression_ratio" -> (compressionRatio _),
     "url1_canonical_dedup" -> (urlCanonicalDedup _),
+    "url2_robots_filter" -> (robotsFilter _),
     "tok5_bpe_converged" -> (bpeConverged _),
     "cur4_dataset_card" -> (datasetCard _),
     "tx16_pmi_collocations" -> (pmiCollocations _),
@@ -2557,6 +2699,7 @@ object Text extends QueryModule {
     "warc2_charset_decode" -> warcCharsetSql,
     "tx22_compression_ratio" -> compressionRatioSql,
     "url1_canonical_dedup" -> urlCanonicalDedupSql,
+    "url2_robots_filter" -> robotsFilterSql,
     "tok5_bpe_converged" -> bpeConvergedSql,
     "cur4_dataset_card" -> datasetCardSql,
     "tx16_pmi_collocations" -> pmiCollocationsSql,

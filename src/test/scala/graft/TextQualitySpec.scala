@@ -141,6 +141,43 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("url2: REP corners — group coalescing, case, true ties, empty disallow, no-merge") {
+    import spark.implicits._
+    val robots = Seq(
+      // consecutive UA lines share ONE group; directives case-insensitive;
+      // an empty Disallow is allow-all (no rule); true tie: Allow and
+      // Disallow of EQUAL length — Allow must win
+      ("a.com",
+        "# hdr\nUser-agent: other\nUser-agent: graftbot\n" +
+          "DISALLOW: /x/\nallow: /y/\nDisallow:\n" +
+          "Allow: /t/a/\nDisallow: /t/b/\nDisallow: /z/a/\nAllow: /z/a/\n"),
+      // star-only host
+      ("b.com", "User-agent: *\nDisallow: /x/\n"),
+      // own group REPLACES star — star's /x/ must NOT leak in
+      ("c.com", "User-agent: *\nDisallow: /x/\n\nUser-agent: graftbot\nDisallow: /q/\n"))
+      .toDF("host", "robots")
+    val urls = Seq(
+      (1L, "a.com", "/x/page"), (2L, "a.com", "/y/page"), (3L, "a.com", "/free"),
+      (4L, "a.com", "/z/a/tie"),
+      (5L, "b.com", "/x/page"), (6L, "b.com", "/ok"),
+      (7L, "c.com", "/x/page"), (8L, "c.com", "/q/page"),
+      (9L, "d.com", "/anything")) // no robots at all → allowed
+      .toDF("doc_id", "host", "path")
+    val got = graft.queries.Text.robotsDecisions(urls, robots, "graftbot")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("group_used"), r.getAs[String]("matched_rule"),
+          r.getAs[Boolean]("allowed")))).toMap
+    assert(got(1L) == (("graftbot", "/x/", false)), "coalesced group + upper-case directive")
+    assert(got(2L) == (("graftbot", "/y/", true)))
+    assert(got(3L) == (("graftbot", "", true)), "no rule matches → allowed")
+    assert(got(4L) == (("graftbot", "/z/a/", true)), "equal-length tie → Allow wins")
+    assert(got(5L) == (("*", "/x/", false)))
+    assert(got(6L) == (("*", "", true)))
+    assert(got(7L) == (("graftbot", "", true)), "own group replaces star — /x/ must not leak")
+    assert(got(8L) == (("graftbot", "/q/", false)))
+    assert(got(9L) == (("*", "", true)), "host without robots defaults to allowed")
+  }
+
   test("warc2: charset detection corners — priority, conflicts, quoting, BOM, default") {
     import spark.implicits._
     import java.nio.charset.{Charset, StandardCharsets}
