@@ -289,19 +289,26 @@ object Bench {
             // like-for-like verdict reference was silently lost — the
             // same silent-disable failure mode readBaseline warns about
             // (r17 review #2): make it loud.
-            if (m.isEmpty) System.err.println(
-              s"[bench] WARNING: baseline $path has a fork block but it yielded 0 entries — " +
-                "adjudication verdicts fall back to the fresh-JVM allowance this sweep")
+            if (m.isEmpty) forkSpreadWarn(path,
+              "its entries match no [lo,med,hi] triple (format drift?)")
             m
           case None =>
             // truncated mid-block (no balanced close): corrupt, loud
-            System.err.println(
-              s"[bench] WARNING: baseline $path has a fork block but it yielded 0 entries — " +
-                "adjudication verdicts fall back to the fresh-JVM allowance this sweep")
+            forkSpreadWarn(path, "it is truncated before its closing brace")
             Map.empty
         }
     }
   }
+
+  /** One voice for the two distinct fork-block failure modes (review
+    * r18: both branches printed the same "yielded 0 entries" text, so
+    * a truncated recording pointed its operator at a format-drift
+    * hunt); the consequence line stays shared.
+    */
+  private def forkSpreadWarn(path: String, reason: String): Unit =
+    System.err.println(
+      s"[bench] WARNING: baseline $path has a fork block but $reason — " +
+        "adjudication verdicts fall back to the fresh-JVM allowance this sweep")
 
   /** Load-canary verdict for the self-adjudication isolated pass. The
     * isolated re-run happens inside the same wall-clock window as the

@@ -24,7 +24,7 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      (SparkEntry.queries ++ SparkEntry.probeQueries)(n)(spark, sfDir).explain("formatted")
+      SparkEntry.allQueries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
-  private val Shift = 10000000L // > any sf0.1 key domain
+  /** Copy stride — also the contract [[Tables.plantedId]]'s collision
+    * guard leans on: every generated corpus's ids live in contiguous
+    * blocks based at multiples of this stride. */
+  private[graft] val Shift = 10000000L // > any sf0.1 key domain
 
   private def shifted(df: DataFrame, factor: Int,
       keyCols: Seq[String], perCopy: (DataFrame, Int) => DataFrame): DataFrame =

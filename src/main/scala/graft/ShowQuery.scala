@@ -15,7 +15,7 @@ object ShowQuery {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       println(s"=== $name ===")
-      (SparkEntry.queries ++ SparkEntry.probeQueries)(name)(spark, sfDir).show(50, truncate = false)
+      SparkEntry.allQueries(name)(spark, sfDir).show(50, truncate = false)
     }
     spark.stop()
   }

@@ -89,4 +89,17 @@ object SparkEntry {
     modules.flatMap(_.probes).toMap.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => fn(configure(s), dir))
     }
+
+  /** Gate entries + ladder probes under one name resolution — the dev
+    * mains' (Explain/ShowQuery/TimeQuery/StreamBreakdown) lookup map,
+    * built once per call site instead of re-spelled at each (review
+    * r18). A probe silently shadowing a gate entry would make the dev
+    * loop measure a different plan than the gate ships — fail instead.
+    */
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val (q, p) = (queries, probeQueries)
+    val clash = q.keySet.intersect(p.keySet)
+    require(clash.isEmpty, s"probe names shadow gate entries: $clash")
+    q ++ p
+  }
 }

@@ -25,8 +25,17 @@ object StreamBreakdown {
     case class B(qid: java.util.UUID, batchId: Long, rows: Long,
         durations: Map[String, Long])
     val batches = new scala.collection.mutable.ArrayBuffer[B]()
+    // onQueryStarted is delivered SYNCHRONOUSLY inside query start, so
+    // this set is complete by the time an entry's body returns — unlike
+    // progress events, which ride the async bus. Attribution keys on it:
+    // an entry owns exactly the events whose qid started during it, so
+    // a prior query whose progress events ALL arrived late can never be
+    // counted into the next entry (review r18 — the tag-and-drop by
+    // previously-SEEN qids missed the zero-events-seen case).
+    val started = scala.collection.mutable.Set[java.util.UUID]()
     val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        started.synchronized { started += e.id; () }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
         batches.synchronized {
@@ -58,22 +67,19 @@ object StreamBreakdown {
         println("   WARN: listener bus still draining at snapshot — batch split below may be short")
       batches.synchronized(batches.toList)
     }
-    // query ids seen in EARLIER entries: a straggler event that lands
-    // after the next entry clears the buffer would otherwise be
-    // misattributed to that entry (ADVICE r17) — tag-and-drop instead.
-    val priorQids = scala.collection.mutable.Set[java.util.UUID]()
     args.foreach { name =>
       batches.synchronized(batches.clear())
+      started.synchronized(started.clear())
       val t0 = System.nanoTime()
       org.apache.spark.sql.GraftShims.dropTopLevelSort(
-        (SparkEntry.queries ++ SparkEntry.probeQueries)(name)(spark, sfDir))
+        SparkEntry.allQueries(name)(spark, sfDir))
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Bench.sweepState(spark)
-      val (bleed, own) = settled().partition(b => priorQids.contains(b.qid))
+      val entryQids = started.synchronized(started.toSet)
+      val (own, bleed) = settled().partition(b => entryQids.contains(b.qid))
       if (bleed.nonEmpty)
         println(s"   NOTE: dropped ${bleed.size} straggler event(s) from a prior entry's query")
-      priorQids ++= own.map(_.qid)
       val bs = own.sortBy(_.batchId)
       val keys = bs.flatMap(_.durations.keys).distinct.sorted
       println(f"== $name wall=$wall%.2f s, ${bs.size} micro-batches, " +

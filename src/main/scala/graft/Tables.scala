@@ -70,14 +70,27 @@ object Tables {
     * offset would silently MERGE distinct documents under one id — and
     * because the DuckDB oracle applies the identical arithmetic, the
     * gate would stay green through the collision (ADVICE r17). So the
-    * collision fails loudly instead: ids at or above the offset raise
-    * at execution time, row-local, no extra pass or shuffle.
+    * collision fails loudly instead — but the guard is stated against
+    * the generator CONTRACT, not the absolute id: every corpus this
+    * repo synthesizes has ids in contiguous blocks based at multiples
+    * of [[ScaleGen.Shift]] (the driver testdata at block 0; ScaleGen
+    * ladder copies at copy·Shift), so a re-key is collision-free iff
+    * the IN-BLOCK offset stays below `offset` (re-keyed ids then land
+    * in the block's [offset, 2·offset) gap, and 2·offset ≤ Shift keeps
+    * them short of the next block). An absolute `id < offset` check
+    * would false-positive on every ScaleGen copy ≥ 1 — whose ids start
+    * at 10⁷ yet collide with nothing (review r18). Row-local, no extra
+    * pass or shuffle; contiguity from the block base is the one
+    * assumption, same as the original guard's.
     */
-  def plantedId(id: Column, offset: Long = 3000000L): Column =
-    when(id < offset, id + offset)
+  def plantedId(id: Column, offset: Long = 3000000L): Column = {
+    require(2 * offset <= ScaleGen.Shift,
+      s"planted offset $offset overruns the ${ScaleGen.Shift} block stride")
+    when(id % ScaleGen.Shift < offset, id + offset)
       .otherwise(raise_error(concat(
         lit("planted re-key collision: doc_id "), id.cast("string"),
-        lit(s" >= $offset"))).cast(LongType))
+        lit(s" has in-block offset >= $offset"))).cast(LongType))
+  }
 
   /** Parquet isAdjustedToUTC=false timestamps surface as TIMESTAMP_NTZ in
     * Spark 4; with a UTC session the wall-clock reading is the same instant,

@@ -2434,17 +2434,23 @@ object Text extends QueryModule {
     * detected charset's decoder touches the body.
     *
     * Synthesis (mm6/tx21 discipline), one response blob per document in
-    * three cohorts by doc_id % 3: (0) `charset=iso-8859-1` declared in
+    * five cohorts by doc_id % 5: (0) `charset=iso-8859-1` declared in
     * the header, body genuinely Latin-1 (ü/ß/ö bytes that are NOT valid
     * UTF-8 sequences); (1) bare header, `<meta charset="utf-8">`, body
-    * UTF-8; (2) no declaration at all, body UTF-16 with BOM (Greek
-    * text, unrepresentable in Latin-1 — a fake byte-view decode cannot
-    * reproduce it). The oracle restates charset, detection route, the
+    * UTF-8; (2) no declaration at all, body UTF-16 with the big-endian
+    * BOM (Greek text, unrepresentable in Latin-1 — a fake byte-view
+    * decode cannot reproduce it); (3) `charset=windows-1252` declared
+    * in the header, body carrying cp1252 0x80-block bytes (€ – „ “)
+    * whose Latin-1 reading is C1 controls — only the genuine cp1252
+    * translate table reproduces the text; (4) no declaration, body
+    * UTF-16LE behind the FF FE little-endian BOM (Cyrillic — the
+    * Windows-native crawl shape the r17 decoder silently mojibake'd,
+    * review r18). The oracle restates charset, detection route, the
     * decoded <h1>, the decoded char count, and the PAYLOAD BYTE count —
-    * whose arithmetic differs per charset (Latin-1: bytes = chars;
-    * UTF-8: bytes = strlen; UTF-16: 2 + 2·chars) — so the hash proves a
-    * genuine per-charset encode/decode round-trip, not a string pass-
-    * through.
+    * whose arithmetic differs per charset (Latin-1/cp1252: bytes =
+    * chars; UTF-8: bytes = strlen; UTF-16 either endianness: 2 +
+    * 2·chars) — so the hash proves a genuine per-charset encode/decode
+    * round-trip, not a string pass-through.
     *
     * Scale posture: pure map-side byte/regex work over the payload
     * scan, zero shuffles before the gate sort — the same first-
@@ -2453,10 +2459,12 @@ object Text extends QueryModule {
     */
   private def warcCharset(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
-    val cohort = col("doc_id") % 3
+    val cohort = col("doc_id") % 5
     val title = when(cohort === 0, concat(lit("Füße größer Nr "), id))
       .when(cohort === 1, concat(lit("Zürich § Nr "), id))
-      .otherwise(concat(lit("Ωμέγα δ Nr "), id))
+      .when(cohort === 2, concat(lit("Ωμέγα δ Nr "), id))
+      .when(cohort === 3, concat(lit("Preis €9 – „Start“ Nr "), id))
+      .otherwise(concat(lit("Кириллица Ё Nr "), id))
     val meta = when(cohort === 1, lit("<meta charset=\"utf-8\">")).otherwise(lit(""))
     val html = concat(lit("<html><head>"), meta,
       lit("</head><body><h1>"), title, lit("</h1></body></html>"))
@@ -2464,10 +2472,19 @@ object Text extends QueryModule {
       .when(cohort === 1, expr("encode(html, 'UTF-8')"))
       // Java's UTF-16 encoder emits the big-endian BOM — the cohort's
       // only charset signal
-      .otherwise(expr("encode(html, 'UTF-16')"))
+      .when(cohort === 2, expr("encode(html, 'UTF-16')"))
+      // the translate inverse + Latin-1 encode IS the cp1252 encoder
+      // (see Cp1252Hi) — Spark's encode() refuses the name directly
+      .when(cohort === 3, encode(
+        translate(expr("html"), Cp1252Hi._2, Cp1252Hi._1), "ISO-8859-1"))
+      // UTF-16LE emits no BOM in Java; plant the FF FE mark explicitly
+      .otherwise(concat(lit(Array[Byte](0xFF.toByte, 0xFE.toByte)),
+        expr("encode(html, 'UTF-16LE')")))
     val header = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html"),
-      when(cohort === 0, lit("; charset=iso-8859-1")).otherwise(lit("")),
+      when(cohort === 0, lit("; charset=iso-8859-1"))
+        .when(cohort === 3, lit("; charset=windows-1252"))
+        .otherwise(lit("")),
       lit("\r\nContent-Length: "), octet_length(col("payload")).cast("string"),
       lit("\r\n\r\n"))
     val blobs = t(s, dir, "documents")
@@ -2479,10 +2496,37 @@ object Text extends QueryModule {
     decodeHttpCharset(blobs).orderBy(col("doc_id").asc_nulls_first)
   }
 
+  /** windows-1252's 0x80–0x9F block differs from Latin-1's C1 controls
+    * in 27 positions (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ” • – — ˜ ™ š › œ
+    * ž Ÿ); Spark's decode()/encode() refuse the cp1252 name (charset
+    * allow-list), so the byte-faithful Latin-1 view + a 27-entry
+    * `translate` IS the windows-1252 decoder — and the reversed
+    * translate + Latin-1 encode its encoder. Pairs are computed from
+    * the JVM's own Cp1252 table so the mapping cannot drift from
+    * java.nio (the five undefined bytes 81/8D/8F/90/9D pass through
+    * as their C1 controls, matching Java's lenient decoder).
+    */
+  private[graft] val Cp1252Hi: (String, String) = {
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    val pairs = (0x80 to 0x9F).flatMap { b =>
+      val c = new String(Array(b.toByte), cs).charAt(0)
+      if (c != b.toChar) Some((b.toChar, c)) else None
+    }
+    (pairs.map(_._1).mkString, pairs.map(_._2).mkString)
+  }
+
   /** Detector + decoder over any (doc_id, blob binary) frame — package-
     * visible for the spec's adversarial corners (header overriding a
     * CONFLICTING meta, uppercase/quoted charset spellings, undeclared
-    * pure-ASCII defaulting to UTF-8, BOM on an otherwise-declared body).
+    * pure-ASCII defaulting to UTF-8, BOM on an otherwise-declared body,
+    * little-endian BOMs, cp1252 smart-quote round-trips, and declared-
+    * but-unsupported charsets). Both byte-order marks are recognized
+    * (FE FF big-endian, FF FE little-endian — Java's UTF-16 decoder
+    * honors either and strips it); a declared charset outside the
+    * supported set decodes via the UTF-8 default AND says so in `via`
+    * (`…+utf8-fallback`) — the charset column reports what was
+    * DETECTED, via reports which decoder actually ran, so neither
+    * column lies when they diverge (review r18).
     */
   private[graft] def decodeHttpCharset(blobs: DataFrame): DataFrame = {
     val lat = expr("decode(blob, 'ISO-8859-1')") // byte-faithful view
@@ -2497,20 +2541,33 @@ object Text extends QueryModule {
         upper(regexp_extract(col("bodyLat"),
           "(?i)<meta\\s+charset=\"?([A-Za-z0-9_\\-]+)", 1)))
       .withColumn("hasBom",
-        expr("substring(bodyBin, 1, 2)") === lit(Array[Byte](0xFE.toByte, 0xFF.toByte)))
+        (expr("substring(bodyBin, 1, 2)") ===
+          lit(Array[Byte](0xFE.toByte, 0xFF.toByte))) ||
+        (expr("substring(bodyBin, 1, 2)") ===
+          lit(Array[Byte](0xFF.toByte, 0xFE.toByte))))
       .withColumn("charset",
         when(col("hdrCs") =!= "", col("hdrCs"))
           .when(col("metaCs") =!= "", col("metaCs"))
           .when(col("hasBom"), lit("UTF-16"))
           .otherwise(lit("UTF-8")))
+      .withColumn("supported", col("charset").isin(
+        "ISO-8859-1", "LATIN-1", "LATIN1", "US-ASCII",
+        "WINDOWS-1252", "UTF-16", "UTF-16BE", "UTF-16LE", "UTF-8"))
       .withColumn("via",
-        when(col("hdrCs") =!= "", lit("header"))
-          .when(col("metaCs") =!= "", lit("meta"))
-          .when(col("hasBom"), lit("bom"))
-          .otherwise(lit("default")))
+        concat(
+          when(col("hdrCs") =!= "", lit("header"))
+            .when(col("metaCs") =!= "", lit("meta"))
+            .when(col("hasBom"), lit("bom"))
+            .otherwise(lit("default")),
+          when(col("supported"), lit("")).otherwise(lit("+utf8-fallback"))))
       .withColumn("decoded",
-        when(col("charset") === "ISO-8859-1", col("bodyLat"))
+        when(col("charset").isin("ISO-8859-1", "LATIN-1", "LATIN1", "US-ASCII"),
+          col("bodyLat"))
+          .when(col("charset") === "WINDOWS-1252",
+            translate(col("bodyLat"), Cp1252Hi._1, Cp1252Hi._2))
           .when(col("charset") === "UTF-16", expr("decode(bodyBin, 'UTF-16')"))
+          .when(col("charset") === "UTF-16BE", expr("decode(bodyBin, 'UTF-16BE')"))
+          .when(col("charset") === "UTF-16LE", expr("decode(bodyBin, 'UTF-16LE')"))
           .otherwise(expr("decode(bodyBin, 'UTF-8')")))
     parsed.select(
       col("doc_id"), col("charset"), col("via"),
@@ -2522,27 +2579,37 @@ object Text extends QueryModule {
   private val warcCharsetSql =
     """WITH h AS (
       |  SELECT doc_id,
-      |    CASE CAST(doc_id % 3 AS INT)
+      |    CASE CAST(doc_id % 5 AS INT)
       |      WHEN 0 THEN '<html><head></head><body><h1>Füße größer Nr '
       |        || doc_id || '</h1></body></html>'
       |      WHEN 1 THEN '<html><head><meta charset="utf-8"></head><body><h1>Zürich § Nr '
       |        || doc_id || '</h1></body></html>'
-      |      ELSE '<html><head></head><body><h1>Ωμέγα δ Nr '
+      |      WHEN 2 THEN '<html><head></head><body><h1>Ωμέγα δ Nr '
+      |        || doc_id || '</h1></body></html>'
+      |      WHEN 3 THEN '<html><head></head><body><h1>Preis €9 – „Start“ Nr '
+      |        || doc_id || '</h1></body></html>'
+      |      ELSE '<html><head></head><body><h1>Кириллица Ё Nr '
       |        || doc_id || '</h1></body></html>' END AS html
       |  FROM documents)
       |SELECT doc_id,
-      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ISO-8859-1'
-      |    WHEN 1 THEN 'UTF-8' ELSE 'UTF-16' END AS charset,
-      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'header'
-      |    WHEN 1 THEN 'meta' ELSE 'bom' END AS via,
-      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Füße größer Nr ' || doc_id
+      |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'ISO-8859-1'
+      |    WHEN 1 THEN 'UTF-8' WHEN 2 THEN 'UTF-16'
+      |    WHEN 3 THEN 'WINDOWS-1252' ELSE 'UTF-16' END AS charset,
+      |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'header'
+      |    WHEN 1 THEN 'meta' WHEN 2 THEN 'bom'
+      |    WHEN 3 THEN 'header' ELSE 'bom' END AS via,
+      |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'Füße größer Nr ' || doc_id
       |    WHEN 1 THEN 'Zürich § Nr ' || doc_id
-      |    ELSE 'Ωμέγα δ Nr ' || doc_id END AS h1,
+      |    WHEN 2 THEN 'Ωμέγα δ Nr ' || doc_id
+      |    WHEN 3 THEN 'Preis €9 – „Start“ Nr ' || doc_id
+      |    ELSE 'Кириллица Ё Nr ' || doc_id END AS h1,
       |  CAST(length(html) AS BIGINT) AS n_chars,
-      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |  CAST(CASE CAST(doc_id % 5 AS INT)
       |    WHEN 0 THEN length(html)   -- Latin-1: one byte per char
       |    WHEN 1 THEN strlen(html)   -- UTF-8: the UTF-8 byte count
-      |    ELSE 2 + 2 * length(html)  -- UTF-16: BOM + 2 bytes per BMP char
+      |    WHEN 2 THEN 2 + 2 * length(html)  -- UTF-16BE: BOM + 2 bytes per BMP char
+      |    WHEN 3 THEN length(html)   -- cp1252: one byte per char, incl the 0x80 block
+      |    ELSE 2 + 2 * length(html)  -- UTF-16LE: planted BOM + 2 bytes per BMP char
       |    END AS BIGINT) AS n_payload_bytes
       |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin
 

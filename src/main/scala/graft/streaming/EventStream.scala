@@ -60,18 +60,17 @@ object EventStream {
       } else math.max(8, math.min(cores, (bytes / StateTargetBytes).toInt + 1))
     }
 
-  /** NOTE: mutates the session-global `spark.sql.shuffle.partitions` for
-    * the duration of `body` — callers are the single-threaded gate/bench
-    * mains; a query running CONCURRENTLY on the same session would plan
-    * under the temporary value (ADVICE r17). Use a dedicated session
-    * (`s.newSession()`) if concurrent use ever appears.
-    */
-
   /** Run `body` (which starts and drains a streaming query) under an
     * explicit state-partition count, restoring the session setting
     * after. `n <= 0` leaves the session setting in place (per-key
     * CPU-bound operators like sw10's session merge want core-count
     * parallelism at scale, not minimal store count).
+    *
+    * NOTE: mutates the session-global `spark.sql.shuffle.partitions`
+    * for the duration of `body` — callers are the single-threaded
+    * gate/bench mains; a query running CONCURRENTLY on the same session
+    * would plan under the temporary value (ADVICE r17). Use a dedicated
+    * session (`s.newSession()`) if concurrent use ever appears.
     */
   def withStatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
     if (n <= 0) body

@@ -16,7 +16,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private def run(name: String) =
     // ++ probeQueries: dd6/dd12 are ladder probes since r18, still
     // spec-driven here at sf0.001 where their shape is safe
-    (SparkEntry.queries ++ SparkEntry.probeQueries)(name)(spark, dir).collect()
+    SparkEntry.allQueries(name)(spark, dir).collect()
 
   test("ann12: the SQ8 index is genuinely byte-width; re-ranked scores are exact") {
     import org.apache.spark.sql.types.{ArrayType, ByteType}

@@ -84,6 +84,25 @@ class TablesSpec extends AnyFunSuite {
     assert(!Tables.shouldSpread(scanPartitions = 8192, target = 2000))
   }
 
+  test("plantedId: re-key is in-block, so ScaleGen ladder copies pass the guard") {
+    // block 0 (driver testdata): plain +offset re-key
+    // block 1 (ScaleGen copy at 10^7): id 10,000,002 collides with nothing
+    //   — the r17 absolute guard false-positived here and killed the
+    //   sf1/sf10 ladder probes for every planted-cohort entry (review r18)
+    val df = spark.createDataFrame(Seq(
+      Tuple1(2L), Tuple1(10000002L), Tuple1(20000004L)
+    )).toDF("doc_id").select(Tables.plantedId(col("doc_id")).as("k"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3000002L, 13000002L, 23000004L))
+  }
+
+  test("plantedId: an id past the in-block offset still fails loudly") {
+    val df = spark.createDataFrame(Seq(Tuple1(3000001L))).toDF("doc_id")
+      .select(Tables.plantedId(col("doc_id")).as("k"))
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("planted re-key collision"), e.getMessage)
+  }
+
   test("wide loader is an identity on an adequately-split scan: no added exchange") {
     // local[2] session: a 1-partition scan satisfies 1*2 >= 2, so even the
     // wide (compute-bound-consumer) loader must NOT insert a repartition

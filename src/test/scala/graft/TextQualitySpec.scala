@@ -213,7 +213,25 @@ class TextQualitySpec extends AnyFunSuite {
       (5L, blob("text/html", utf16Bytes), ("UTF-16", "bom", "Ωμέγα")),
       // header present even WITH a BOM on the body: priority holds
       (6L, blob("text/html; charset=UTF-16", utf16Bytes),
-        ("UTF-16", "header", "Ωμέγα")))
+        ("UTF-16", "header", "Ωμέγα")),
+      // LITTLE-endian BOM, no declaration: FF FE must be recognized
+      // (review r18 — the r17 detector only matched FE FF) and Java's
+      // UTF-16 decoder honors it
+      (7L, blob("text/html", Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+        html("", "Кириллица").getBytes(StandardCharsets.UTF_16LE)),
+        ("UTF-16", "bom", "Кириллица")),
+      // declared windows-1252 with 0x80-block bytes (€=0x80 “=0x93
+      // ”=0x94): the Latin-1 view reads C1 controls — only the genuine
+      // cp1252 translate path reproduces the text
+      (8L, blob("text/html; charset=windows-1252",
+        html("", "Preis €9 “Start”").getBytes(Charset.forName("windows-1252"))),
+        ("WINDOWS-1252", "header", "Preis €9 “Start”")),
+      // declared-but-unsupported charset: decoded via the UTF-8 default
+      // AND the via column says so — charset reports what was DETECTED,
+      // via reports which decoder ran (review r18)
+      (9L, blob("text/html; charset=shift_jis",
+        html("", "ascii only").getBytes(StandardCharsets.US_ASCII)),
+        ("SHIFT_JIS", "header+utf8-fallback", "ascii only")))
     val got = graft.queries.Text.decodeHttpCharset(
       cases.map(c => (c._1, c._2)).toDF("doc_id", "blob"))
       .collect().map(r => r.getLong(0) ->
@@ -230,6 +248,12 @@ class TextQualitySpec extends AnyFunSuite {
       2L + 2L * html("", "Ωμέγα").length)))
     assert(counts(1L)._1 == counts(1L)._2,
       "Latin-1 decode must read one char per byte")
+    // the LE payload: BOM + 2 bytes per BMP char, same arithmetic as BE
+    assert(counts(7L) == ((html("", "Кириллица").length.toLong,
+      2L + 2L * html("", "Кириллица").length)))
+    // cp1252: one byte per char even for the 0x80-block punctuation
+    assert(counts(8L)._1 == counts(8L)._2,
+      "cp1252 decode must read one char per byte")
   }
 
   test("tx22: deflate kernel is deterministic, entropy-ordered, and bounded") {
