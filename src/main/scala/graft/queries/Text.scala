@@ -2297,6 +2297,106 @@ object Text extends QueryModule {
       |  END AS allowed
       |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- url3
+  /** Sitemap-driven recrawl FRONTIER — the discovery/scheduling rung of
+    * the crawl chain (sitemap frontier → robots url2 → fetch → warc1
+    * framing → warc2 charset → tx21 extraction → url1 canonicalize): a
+    * crawler learns what a host WANTS crawled from its sitemap.xml
+    * (sitemaps.org protocol: <url> records carrying <loc>, optional
+    * <lastmod>, <priority>), and schedules a bounded per-host fetch
+    * budget by priority-then-freshness. The entry round-trips the
+    * protocol: it ASSEMBLES one sitemap XML blob per host from the
+    * census (ordered string aggregation), then PARSES the blobs back —
+    * record split, field extraction, missing-lastmod handling (treated
+    * as epoch-old, never dropped) — and ranks each host's URLs by
+    * (priority desc, lastmod desc, doc_id) with `fetch_now` marking the
+    * top [[SitemapBudget]]. The oracle re-derives every output column
+    * arithmetically from doc_id — NOT from the XML — so the hash proves
+    * the assemble→parse round-trip is lossless.
+    *
+    * Scale posture: one shuffle by host builds the blobs, and the
+    * ranking window runs on the SAME host partitioning (Catalyst reuses
+    * the exchange — no second shuffle); sitemaps are protocol-capped at
+    * 50k URLs so a per-host blob is bounded (~MB) regardless of corpus
+    * size, and the window state is one host's records. Parsing itself
+    * is map-side regex over config-grain blobs.
+    */
+  private val SitemapBudget = 8
+
+  private def sitemapFrontier(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val host = concat(lit("www.site"), (col("doc_id") % 11).cast("string"),
+      lit(".example"))
+    val lastmodXml = when(col("doc_id") % 13 === 0, lit(""))
+      .otherwise(concat(lit("<lastmod>"),
+        date_format(date_add(to_date(lit("2025-01-01")),
+          (col("doc_id") % 90).cast("int")), "yyyy-MM-dd"),
+        lit("</lastmod>")))
+    val entry = concat(
+      lit("<url><loc>https://"), host, lit("/page/"), id, lit("</loc>"),
+      lastmodXml,
+      lit("<priority>0."), (col("doc_id") % 10).cast("string"),
+      lit("</priority></url>"))
+    val sitemaps = t(s, dir, "documents")
+      .select(col("doc_id"), host.as("host"), entry.as("entry"))
+      .groupBy("host")
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("xml"))
+    sitemapRank(sitemaps).orderBy(
+      col("host").asc_nulls_first, col("sched_rank").asc_nulls_first,
+      col("doc_id").asc_nulls_first)
+  }
+
+  /** Parse + rank over any (host, xml) sitemap frame — package-visible
+    * for the spec's protocol corners (whitespace between tags, missing
+    * lastmod, record order independence).
+    */
+  private[graft] def sitemapRank(sitemaps: DataFrame): DataFrame = {
+    val parsed = sitemaps
+      .select(col("host"), posexplode(
+        expr("regexp_extract_all(xml, '<url>(.*?)</url>', 1)"))
+        .as(Seq("pos", "block")))
+      .withColumn("doc_id",
+        regexp_extract(col("block"), "/page/([0-9]+)\\s*</loc>", 1).cast("long"))
+      .withColumn("lastmod",
+        to_date(regexp_extract(col("block"),
+          "<lastmod>\\s*([0-9-]+)\\s*</lastmod>", 1)))
+      .withColumn("priority_pct",
+        regexp_extract(col("block"),
+          "<priority>0\\.([0-9])</priority>", 1).cast("long") * 10)
+    val w = Window.partitionBy("host").orderBy(
+      col("priority_pct").desc,
+      coalesce(col("lastmod"), to_date(lit("1970-01-01"))).desc,
+      col("doc_id").asc)
+    parsed
+      .withColumn("sched_rank", row_number().over(w).cast("long"))
+      .select(col("host"), col("doc_id"), col("lastmod"),
+        col("priority_pct"),
+        col("sched_rank"), (col("sched_rank") <= SitemapBudget).as("fetch_now"))
+  }
+
+  private val sitemapFrontierSql =
+    s"""WITH u AS (
+      |  SELECT doc_id,
+      |    'www.site' || (doc_id % 11) || '.example' AS host,
+      |    CASE WHEN doc_id % 13 = 0 THEN NULL
+      |      ELSE DATE '2025-01-01' + CAST(doc_id % 90 AS INT) END AS lastmod,
+      |    CAST(10 * (doc_id % 10) AS BIGINT) AS priority_pct
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY host
+      |    ORDER BY priority_pct DESC,
+      |      COALESCE(lastmod, DATE '1970-01-01') DESC,
+      |      doc_id ASC) AS BIGINT) AS sched_rank
+      |  FROM u)
+      |SELECT host, doc_id, lastmod, priority_pct, sched_rank,
+      |  sched_rank <= $SitemapBudget AS fetch_now
+      |FROM r
+      |ORDER BY host NULLS FIRST, sched_rank NULLS FIRST, doc_id NULLS FIRST""".stripMargin
+
   // -------------------------------------------------------------- warc1
   /** WARC record parsing — the container stage BEFORE tx21: a web
     * corpus arrives as WARC files (CommonCrawl's format), each a
@@ -2613,6 +2713,72 @@ object Text extends QueryModule {
       |    END AS BIGINT) AS n_payload_bytes
       |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------- warc3
+  /** Cross-snapshot REVISIT dedup — the WARC rung after charset decode:
+    * consecutive crawls of the same URLs mostly refetch unchanged
+    * content, and the WARC standard's answer is the `revisit` record —
+    * the new crawl stores only a payload DIGEST reference when it
+    * matches the previous crawl's digest, an actual `response` record
+    * only when content changed. This entry replays that decision over
+    * two synthesized snapshots: crawl 2 joins crawl 1 BY URL, compares
+    * md5 payload digests computed independently on each side (never the
+    * payloads themselves — at crawl scale the old payload is not in
+    * memory, only its digest index), classifies each URL
+    * revisit/response, and rolls up the host-grain dedup ledger a crawl
+    * operator reads: URLs seen, responses stored, revisits deduped,
+    * bytes actually fetched-and-stored vs bytes saved by the digest
+    * match. Synthesis: every document's URL appears in both snapshots;
+    * doc_id % 4 = 1 documents changed between crawls (payload gains a
+    * ` updated v2` tail), the rest are byte-identical. The oracle
+    * restates the classification and both byte sums arithmetically from
+    * doc_id and strlen(text).
+    *
+    * Scale posture: the digest index join is THE cross-crawl exchange —
+    * a keyed equi-join on URL (co-partitionable/bucketed by URL across
+    * snapshot tables in production, AQE-coalesced here), with digests
+    * computed map-side before the join so the shuffled rows carry a
+    * 32-char digest + URL, never the payload; the host rollup is a
+    * partial-agg on top. No window, no broadcast of anything
+    * corpus-sized.
+    */
+  private def warcRevisitDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val url = concat(lit("https://site"), (col("doc_id") % 47).cast("string"),
+      lit(".example/d/"), col("doc_id").cast("string"))
+    val changed = col("doc_id") % 4 === 1
+    val crawl1 = docs.select(url.as("url"), md5(col("text").cast("binary")).as("digest1"))
+    val crawl2 = docs.select(
+      url.as("url"),
+      (col("doc_id") % 47).as("hk"),
+      when(changed, concat(col("text"), lit(" updated v2")))
+        .otherwise(col("text")).as("payload"))
+    crawl2
+      .join(crawl1, Seq("url"))
+      .withColumn("revisit", md5(col("payload").cast("binary")) === col("digest1"))
+      .groupBy(concat(lit("site"), col("hk").cast("string"),
+        lit(".example")).as("host"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        sum(when(col("revisit"), 0L).otherwise(1L)).as("n_response"),
+        sum(when(col("revisit"), 1L).otherwise(0L)).as("n_revisit"),
+        sum(when(col("revisit"), 0L)
+          .otherwise(octet_length(col("payload")).cast("long"))).as("fetch_bytes"),
+        sum(when(col("revisit"), octet_length(col("payload")).cast("long"))
+          .otherwise(0L)).as("saved_bytes"))
+      .orderBy(col("host").asc_nulls_first)
+  }
+
+  private val warcRevisitDedupSql =
+    """SELECT 'site' || (doc_id % 47) || '.example' AS host,
+      |  COUNT(*) AS n_urls,
+      |  CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+      |  CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_revisit,
+      |  CAST(SUM(CASE WHEN doc_id % 4 = 1
+      |    THEN strlen(text || ' updated v2') ELSE 0 END) AS BIGINT) AS fetch_bytes,
+      |  CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 0 ELSE strlen(text) END) AS BIGINT) AS saved_bytes
+      |FROM documents
+      |GROUP BY 1 ORDER BY host NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- tok5
   /** BPE training GENERALIZED to an N-merge convergence loop (r16
     * VERDICT #4): tok1's trainer is unrolled at 5 merges; a production
@@ -2730,6 +2896,8 @@ object Text extends QueryModule {
     "tx22_compression_ratio" -> (compressionRatio _),
     "url1_canonical_dedup" -> (urlCanonicalDedup _),
     "url2_robots_filter" -> (robotsFilter _),
+    "url3_sitemap_frontier" -> (sitemapFrontier _),
+    "warc3_revisit_dedup" -> (warcRevisitDedup _),
     "tok5_bpe_converged" -> (bpeConverged _),
     "cur4_dataset_card" -> (datasetCard _),
     "tx16_pmi_collocations" -> (pmiCollocations _),
@@ -2767,6 +2935,8 @@ object Text extends QueryModule {
     "tx22_compression_ratio" -> compressionRatioSql,
     "url1_canonical_dedup" -> urlCanonicalDedupSql,
     "url2_robots_filter" -> robotsFilterSql,
+    "url3_sitemap_frontier" -> sitemapFrontierSql,
+    "warc3_revisit_dedup" -> warcRevisitDedupSql,
     "tok5_bpe_converged" -> bpeConvergedSql,
     "cur4_dataset_card" -> datasetCardSql,
     "tx16_pmi_collocations" -> pmiCollocationsSql,

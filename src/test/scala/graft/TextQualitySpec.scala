@@ -256,6 +256,28 @@ class TextQualitySpec extends AnyFunSuite {
       "cp1252 decode must read one char per byte")
   }
 
+  test("url3: sitemap parse corners — whitespace, missing lastmod, order independence") {
+    import spark.implicits._
+    // records deliberately OUT of doc order, whitespace between tags and
+    // around values, one record with no <lastmod> at all (protocol:
+    // optional) — it must rank BELOW any dated record at equal priority,
+    // never be dropped
+    val xml = """<?xml version="1.0"?><urlset>
+      <url> <loc>https://www.h.example/page/7 </loc> <lastmod> 2025-03-01 </lastmod> <priority>0.5</priority> </url>
+      <url><loc>https://www.h.example/page/3</loc><priority>0.5</priority></url>
+      <url><loc>https://www.h.example/page/5</loc><lastmod>2025-04-01</lastmod><priority>0.5</priority></url>
+      <url><loc>https://www.h.example/page/1</loc><lastmod>2025-01-01</lastmod><priority>0.9</priority></url>
+    </urlset>""".replace("\n", " ")
+    val got = graft.queries.Text.sitemapRank(Seq(("www.h.example", xml)).toDF("host", "xml"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(4), r.getBoolean(5), Option(r.getDate(2)).map(_.toString)))).toMap
+    // priority 0.9 first; then the 0.5s by lastmod desc; undated last
+    assert(got(1L) == ((1L, true, Some("2025-01-01"))))
+    assert(got(5L) == ((2L, true, Some("2025-04-01"))))
+    assert(got(7L) == ((3L, true, Some("2025-03-01"))))
+    assert(got(3L) == ((4L, true, None)), "missing lastmod ranks last, kept")
+  }
+
   test("tx22: deflate kernel is deterministic, entropy-ordered, and bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
