@@ -959,7 +959,109 @@ object StreamingGate extends QueryModule {
       |ORDER BY h.user_id NULLS FIRST, h.event_type NULLS FIRST,
       |  h.version NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- sw18
+  /** Streaming CRAWL-QUOTA enforcement — the politeness rung of the
+    * crawl chain run as a stream (url3 schedules, url2 filters, THIS
+    * meters): a fetch scheduler admits at most [[CrawlQuotaCap]]
+    * requests per host per UTC day ("crawl budget" in the operator's
+    * vocabulary), admission strictly in request-time order, and the
+    * decision record — which requests ran, which were deferred — is
+    * what the recrawl loop consumes. Quota admission is
+    * ORDER-dependent, so unlike sw2/sw11's windowed counts it cannot
+    * be a built-in agg: custom state accumulates each host's
+    * in-horizon requests and a day window emits exactly once, when the
+    * watermark closes it (sw10's dual-path contract — both the data
+    * path and the event-time timeout close windows, and the trailing
+    * no-data batch flushes the tail).
+    *
+    * Synthesis: host = user_id % 23, every event a fetch request at
+    * its event time. Output per closed (host, day): request count,
+    * admitted count (≤ cap), and the ADMITTED/DEFERRED id sums — the
+    * id sums make admission ORDER observable to the oracle's hash
+    * (counts alone would be order-free least(n, cap) arithmetic; the
+    * sums pin WHICH requests the budget admitted: first-by-(ts,
+    * event_id)). The oracle restates admission with a row_number over
+    * the same order and excludes still-open days via the sw3/sw10
+    * watermark clause.
+    *
+    * Scale posture: keys are hosts, so the exchange is host-grain and
+    * the volume-adaptive state partitioning applies as family-wide;
+    * state per host is one open day's requests (the quota grain is
+    * config — an hour-grain quota shrinks state 24× at the same code
+    * path). A 100-TB crawl meters millions of hosts: key cardinality
+    * scales with hosts, per-key state with the quota window, neither
+    * with corpus history.
+    */
+  // public: encoder codegen needs the constructors (sw10's lesson)
+  case class ReqEv(us: Long, id: Long)
+  case class QuotaRow(host: String, win_us: Long, n_req: Long,
+      n_admitted: Long, admitted_id_sum: Long, deferred_id_sum: Long)
+
+  private val CrawlQuotaCap = 8
+  private val QuotaWinUs = 86400L * 1000000L
+
+  private def crawlQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val winOf = (us: Long) => us - (us % QuotaWinUs)
+    val src = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(concat(lit("site"), (col("user_id") % 23).cast("string")).as("host"),
+        col("ts"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState[List[ReqEv], QuotaRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (host, evs, state) =>
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val all = state.getOption.getOrElse(Nil) ++
+            evs.map(e => ReqEv(e._3, e._4))
+          val (closed, open) = all.partition(r => winOf(r.us) + QuotaWinUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            val earliestEndMs = open.map(r => (winOf(r.us) + QuotaWinUs) / 1000L).min
+            state.setTimeoutTimestamp(
+              math.max(earliestEndMs - 1L, state.getCurrentWatermarkMs + 1L))
+          }
+          closed.groupBy(r => winOf(r.us)).toSeq.sortBy(_._1).iterator
+            .map { case (w, rs) =>
+              val ordered = rs.sortBy(r => (r.us, r.id))
+              val (adm, dfr) = ordered.splitAt(CrawlQuotaCap)
+              QuotaRow(host, w, rs.size.toLong, adm.size.toLong,
+                adm.map(_.id).sum, dfr.map(_.id).sum)
+            }
+      }
+      .select(col("host"), timestamp_micros(col("win_us")).as("win_start"),
+        col("n_req"), col("n_admitted"),
+        col("admitted_id_sum"), col("deferred_id_sum"))
+    drain(s, dir, out, "sw18_mem")
+      .orderBy(col("host").asc_nulls_first, col("win_start").asc_nulls_first)
+  }
+
+  private val crawlQuotaSql =
+    """WITH e AS (
+      |  SELECT 'site' || (user_id % 23) AS host,
+      |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS win_us,
+      |    event_id, ts
+      |  FROM events),
+      |wm AS (SELECT (max(epoch_us(ts)) // 1000 - 600000) * 1000 AS w FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY host, win_us ORDER BY ts, event_id) AS rn
+      |  FROM e)
+      |SELECT host, make_timestamp(win_us) AS win_start,
+      |  COUNT(*) AS n_req,
+      |  CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      |  CAST(SUM(CASE WHEN rn <= 8 THEN event_id ELSE 0 END) AS BIGINT) AS admitted_id_sum,
+      |  CAST(SUM(CASE WHEN rn > 8 THEN event_id ELSE 0 END) AS BIGINT) AS deferred_id_sum
+      |FROM r, wm
+      |GROUP BY host, win_us, wm.w
+      |HAVING win_us + 86400000000 <= wm.w
+      |ORDER BY host NULLS FIRST, win_start NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sw18_crawl_quota" -> (crawlQuota _),
     "sw15_stream_scd2" -> (streamScd2 _),
     "sw16_stream_sample" -> (streamSample _),
     "sw17_stream_quantile" -> (streamQuantileMonitor _),
@@ -976,6 +1078,7 @@ object StreamingGate extends QueryModule {
     "sw6_stream_distinct" -> (streamDistinctUsers _))
 
   def oracle: Map[String, String] = Map(
+    "sw18_crawl_quota" -> crawlQuotaSql,
     "sw15_stream_scd2" -> streamScd2Sql,
     "sw16_stream_sample" -> streamSampleSql,
     "sw17_stream_quantile" -> streamQuantileSql,

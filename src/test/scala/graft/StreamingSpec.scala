@@ -603,6 +603,48 @@ class StreamingSpec extends AnyFunSuite {
       s"custom sessionizer diverged: ${custom.size} vs ${builtin.size} rows")
   }
 
+  test("sw18: streaming quota admission equals the batch restatement, and the cap binds") {
+    // same posture as the sw10 pin: the custom EventTimeTimeout state
+    // machine must reproduce a declarative batch computation of the
+    // identical semantics — row_number admission per (host, day) in
+    // (ts, event_id) order, watermark-closed days only
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val DayUs = 86400L * 1000000L
+    def batchTwin(dir: String): Seq[Seq[Any]] = {
+      val e = graft.Tables(s, dir, "events")
+        .select(concat(lit("site"), (col("user_id") % 23).cast("string")).as("host"),
+          col("ts"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("win_us", col("us") - (col("us") % DayUs))
+      val wmUs = (e.agg(max(col("us"))).collect()(0).getLong(0) / 1000L - 600000L) * 1000L
+      val rn = row_number().over(
+        Window.partitionBy("host", "win_us").orderBy(col("ts"), col("event_id")))
+      e.withColumn("rn", rn)
+        .filter(col("win_us") + DayUs <= wmUs)
+        .groupBy("host", "win_us")
+        .agg(count(lit(1)).as("n_req"),
+          sum(when(col("rn") <= 8, 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("rn") <= 8, col("event_id")).otherwise(0L)).as("admitted_id_sum"),
+          sum(when(col("rn") > 8, col("event_id")).otherwise(0L)).as("deferred_id_sum"))
+        .select(col("host"), timestamp_micros(col("win_us")).as("win_start"),
+          col("n_req"), col("n_admitted"), col("admitted_id_sum"), col("deferred_id_sum"))
+        .orderBy(col("host").asc_nulls_first, col("win_start").asc_nulls_first)
+        .collect().map(_.toSeq).toSeq
+    }
+    val streamed = SparkEntry.queries("sw18_crawl_quota")(s, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "vacuous: no closed days at fixture scale")
+    assert(streamed == batchTwin("/root/testdata/sf0.001"),
+      s"quota state machine diverged: ${streamed.size} rows streamed")
+    // non-vacuity of the cap at the GATE scale (sf0.001's ~1.5 req/day
+    // never fills a quota; sf0.01's ~14.5 does) — batch twin only, the
+    // gate oracle hash already pins the streamed side there
+    assert(batchTwin("/root/testdata/sf0.01").exists(r =>
+      r(2).asInstanceOf[Long] > 8L && r(3).asInstanceOf[Long] == 8L),
+      "cap never binds at gate scale")
+  }
+
   test("sw12: the stream ran multi-batch, and replaying an applied epoch is a no-op") {
     import org.apache.spark.sql.functions._
     import graft.sinks.VersionedTable
