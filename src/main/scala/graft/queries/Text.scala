@@ -119,6 +119,95 @@ object Text extends QueryModule {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- tx23
+  /** Quality-filter CALIBRATION — the table a pretraining team builds
+    * before committing to a threshold: per quality DECILE, how many
+    * documents sit there, how many tokens they carry, how many are
+    * exact duplicates, and how many languages they span — i.e. what a
+    * cut at 0.5 actually removes. The decile is NOT floor(10·float):
+    * tx2's score is a sum of rationals with denominators {1000, 10n,
+    * 40n, 5n}, so score = I/(5000·n) for the integer
+    * I = 15n·min(100,n) + 1500·types + 125·min(8n,Σlen) + 1000·(n−stop),
+    * and the decile is the INTEGER division (10·I) div (5000·n) —
+    * bit-exact in both engines where floor-of-float could flip on a
+    * boundary ulp (the c7/money-lesson applied to scores). Duplicate
+    * mass joins in through the dd1-shaped md5 census.
+    *
+    * Scale posture: one corpus scan computes I map-side; the census is
+    * a digest-keyed partial agg + equi-join (the exact-dedup exchange);
+    * the calibration rollup is a 10-row aggregate. Nothing float-keyed,
+    * nothing corpus-broadcast.
+    *
+    * The synthetic corpus has zero exact duplicates, so a dup cohort is
+    * PLANTED (tx15 convention, %17 docs re-keyed verbatim at +3M) —
+    * without it the census join is vacuous and the n_dup_docs column
+    * proves nothing.
+    */
+  private def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val d = base.unionByName(
+      base.filter(col("doc_id") % 17 === 0)
+        .select(Tables.plantedId(col("doc_id")).as("doc_id"),
+          col("lang"), col("text")))
+      .withColumn("w", words)
+      .withColumn("n", size(col("w")).cast(LongType))
+      .withColumn("types", size(array_distinct(col("w"))).cast(LongType))
+      .withColumn("sumlen",
+        aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x)
+          .cast(LongType))
+      .withColumn("stop",
+        size(filter(col("w"), x => x.isin(stopwords: _*))).cast(LongType))
+      .withColumn("i",
+        lit(15L) * col("n") * least(lit(100L), col("n")) +
+          lit(1500L) * col("types") +
+          lit(125L) * least(lit(8L) * col("n"), col("sumlen")) +
+          lit(1000L) * (col("n") - col("stop")))
+      .withColumn("decile",
+        least(expr("(10 * i) DIV (5000 * n)"), lit(9L)))
+      .withColumn("h", md5(col("text").cast("binary")))
+    val census = d.groupBy("h").agg(count(lit(1)).as("n_same"))
+    d.join(census, Seq("h"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_tokens"),
+        sum(when(col("n_same") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("decile").asc_nulls_first)
+  }
+
+  private val qualityCalibrationSql = {
+    val sw = stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH src AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, lang, text FROM documents WHERE doc_id % 17 = 0),
+       |d AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(w) AS BIGINT) AS n,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS types,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sumlen,
+       |    CAST(len(list_filter(w, x -> x IN ($sw))) AS BIGINT) AS stop
+       |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM src)),
+       |scored AS (
+       |  SELECT *,
+       |    15 * n * least(100, n) + 1500 * types +
+       |      125 * least(8 * n, sumlen) + 1000 * (n - stop) AS i
+       |  FROM d),
+       |b AS (
+       |  SELECT least((10 * i) // (5000 * n), 9) AS decile, n, lang,
+       |    md5(text) AS h
+       |  FROM scored),
+       |census AS (SELECT h, COUNT(*) AS n_same FROM b GROUP BY h)
+       |SELECT b.decile, COUNT(*) AS n_docs,
+       |  CAST(SUM(b.n) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(CASE WHEN census.n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs
+       |FROM b JOIN census USING (h)
+       |GROUP BY b.decile
+       |ORDER BY b.decile NULLS FIRST""".stripMargin
+  }
+
   // ---------------------------------------------------------------- tx3
   // Language-ID heuristic: overlap of the document's word set against
   // fixed per-language profile vocabularies, argmax with a deterministic
@@ -2898,6 +2987,7 @@ object Text extends QueryModule {
     "url2_robots_filter" -> (robotsFilter _),
     "url3_sitemap_frontier" -> (sitemapFrontier _),
     "warc3_revisit_dedup" -> (warcRevisitDedup _),
+    "tx23_quality_calibration" -> (qualityCalibration _),
     "tok5_bpe_converged" -> (bpeConverged _),
     "cur4_dataset_card" -> (datasetCard _),
     "tx16_pmi_collocations" -> (pmiCollocations _),
@@ -2937,6 +3027,7 @@ object Text extends QueryModule {
     "url2_robots_filter" -> robotsFilterSql,
     "url3_sitemap_frontier" -> sitemapFrontierSql,
     "warc3_revisit_dedup" -> warcRevisitDedupSql,
+    "tx23_quality_calibration" -> qualityCalibrationSql,
     "tok5_bpe_converged" -> bpeConvergedSql,
     "cur4_dataset_card" -> datasetCardSql,
     "tx16_pmi_collocations" -> pmiCollocationsSql,

@@ -278,6 +278,40 @@ class TextQualitySpec extends AnyFunSuite {
     assert(got(3L) == ((4L, true, None)), "missing lastmod ranks last, kept")
   }
 
+  test("tx23: the exact-rational decile equals floor(10*score) over the fixture corpus") {
+    // tx23 buckets on integer arithmetic (bit-stable cross-engine where
+    // floor-of-float can flip on a boundary ulp); this pins that the
+    // integer decile IS tx2's score decile and not a lookalike formula,
+    // using both entries' public surfaces
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val floatDecile = SparkEntry.queries("tx2_quality_score")(s, dir)
+      .select(col("doc_id"),
+        least(floor(col("quality_score") * 10), lit(9)).cast("long").as("fd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sw = Seq("a", "the", "data", "key", "row", "value")
+    val intDecile = graft.Tables(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n"),
+        size(array_distinct(col("w"))).cast("long").as("types"),
+        aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x)
+          .cast("long").as("sumlen"),
+        size(filter(col("w"), x => x.isin(sw: _*))).cast("long").as("stop"))
+      .withColumn("i",
+        lit(15L) * col("n") * least(lit(100L), col("n")) +
+          lit(1500L) * col("types") +
+          lit(125L) * least(lit(8L) * col("n"), col("sumlen")) +
+          lit(1000L) * (col("n") - col("stop")))
+      .select(col("doc_id"), least(expr("(10 * i) DIV (5000 * n)"), lit(9L)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(intDecile.nonEmpty && intDecile.keySet == floatDecile.keySet)
+    val diverged = intDecile.filter { case (id, d) => floatDecile(id) != d }
+    assert(diverged.isEmpty, s"decile formulas diverged on ${diverged.take(5)}")
+    assert(intDecile.values.toSet.size >= 2, "vacuous: corpus spans one decile")
+  }
+
   test("tx22: deflate kernel is deterministic, entropy-ordered, and bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
