@@ -67,12 +67,14 @@ object StreamBreakdown {
         println("   WARN: listener bus still draining at snapshot — batch split below may be short")
       batches.synchronized(batches.toList)
     }
+    // built once, outside the timed window (the TimeQuery hoist, r18)
+    val all = SparkEntry.allQueries
     args.foreach { name =>
       batches.synchronized(batches.clear())
       started.synchronized(started.clear())
       val t0 = System.nanoTime()
       org.apache.spark.sql.GraftShims.dropTopLevelSort(
-        SparkEntry.allQueries(name)(spark, sfDir))
+        all(name)(spark, sfDir))
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Bench.sweepState(spark)

@@ -1040,7 +1040,7 @@ object StreamingGate extends QueryModule {
   }
 
   private val crawlQuotaSql =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT 'site' || (user_id % 23) AS host,
       |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS win_us,
       |    event_id, ts
@@ -1052,9 +1052,9 @@ object StreamingGate extends QueryModule {
       |  FROM e)
       |SELECT host, make_timestamp(win_us) AS win_start,
       |  COUNT(*) AS n_req,
-      |  CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
-      |  CAST(SUM(CASE WHEN rn <= 8 THEN event_id ELSE 0 END) AS BIGINT) AS admitted_id_sum,
-      |  CAST(SUM(CASE WHEN rn > 8 THEN event_id ELSE 0 END) AS BIGINT) AS deferred_id_sum
+      |  CAST(SUM(CASE WHEN rn <= $CrawlQuotaCap THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      |  CAST(SUM(CASE WHEN rn <= $CrawlQuotaCap THEN event_id ELSE 0 END) AS BIGINT) AS admitted_id_sum,
+      |  CAST(SUM(CASE WHEN rn > $CrawlQuotaCap THEN event_id ELSE 0 END) AS BIGINT) AS deferred_id_sum
       |FROM r, wm
       |GROUP BY host, win_us, wm.w
       |HAVING win_us + 86400000000 <= wm.w

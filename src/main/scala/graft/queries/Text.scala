@@ -2403,14 +2403,20 @@ object Text extends QueryModule {
     * arithmetically from doc_id — NOT from the XML — so the hash proves
     * the assemble→parse round-trip is lossless.
     *
-    * Scale posture: one shuffle by host builds the blobs, and the
-    * ranking window runs on the SAME host partitioning (Catalyst reuses
-    * the exchange — no second shuffle); sitemaps are protocol-capped at
-    * 50k URLs so a per-host blob is bounded (~MB) regardless of corpus
-    * size, and the window state is one host's records. Parsing itself
-    * is map-side regex over config-grain blobs.
+    * Scale posture: blobs are bounded BY CONSTRUCTION, not by comment —
+    * the protocol caps one sitemap file at 50k URLs and real hosts ship
+    * a sitemap INDEX of numbered files, so the synthesis shards each
+    * host's census by a closed-form id stride ([[SitemapShardStride]] =
+    * 50k × 11 consecutive ids → ≤ 50k per (host, shard) whatever the
+    * corpus size or ScaleGen block layout; review r18 — the unsharded
+    * spelling grew one string row linearly with the corpus). Assembly
+    * shuffles on (host, shard); the ranking window is HOST-grain across
+    * a host's shard files (its own exchange — the price of the index
+    * shape, and window state is still one host's records). Parsing
+    * itself is map-side regex over bounded blobs.
     */
   private val SitemapBudget = 8
+  private val SitemapShardStride = 50000L * 11
 
   private def sitemapFrontier(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
@@ -2427,13 +2433,16 @@ object Text extends QueryModule {
       lit("<priority>0."), (col("doc_id") % 10).cast("string"),
       lit("</priority></url>"))
     val sitemaps = t(s, dir, "documents")
-      .select(col("doc_id"), host.as("host"), entry.as("entry"))
-      .groupBy("host")
+      .select(col("doc_id"), host.as("host"),
+        expr(s"doc_id DIV $SitemapShardStride").as("shard"),
+        entry.as("entry"))
+      .groupBy("host", "shard")
       .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
         array_join(transform(
           array_sort(collect_list(struct(col("doc_id"), col("entry")))),
           x => x.getField("entry")), ""),
         lit("</urlset>")).as("xml"))
+      .select("host", "xml")
     sitemapRank(sitemaps).orderBy(
       col("host").asc_nulls_first, col("sched_rank").asc_nulls_first,
       col("doc_id").asc_nulls_first)
