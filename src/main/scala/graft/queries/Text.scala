@@ -208,6 +208,71 @@ object Text extends QueryModule {
        |ORDER BY b.decile NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------- tx24
+  /** OCR-ARTIFACT scoring — the cleanup signal for scanned-document
+    * corpora (books, PDFs): OCR damage shows up as HYPHEN-BROKEN words
+    * ("exam- ple", a line-wrap hyphen the text join kept) and
+    * LETTER-SPACED runs ("t h e", per-glyph segmentation), neither of
+    * which tx2's stopword/length mix or tx12's repetition census sees.
+    * Per doc: hyphen-break count (a `[a-z]+- [a-z]+` census), single-
+    * letter word count, its per-mille share (integer-exact, the tx23
+    * discipline), and the suspect verdict (any break, or ≥10%
+    * single-letter mass). The synthetic corpus is clean, so both
+    * artifact shapes are PLANTED (tx15 convention: %9=0 docs re-keyed
+    * at +3M with a hyphen-broken tail, %9=3 at +3M with a
+    * letter-spaced tail) — and clean documents passing as non-suspect
+    * is half of what the hash proves.
+    *
+    * Scale posture: pure map-side regex/array work over the corpus
+    * scan, no shuffle before the gate sort — the tx1/tx2 slot.
+    */
+  private def ocrArtifacts(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") % 9 === 0)
+        .select(Tables.plantedId(col("doc_id")).as("doc_id"),
+          concat(col("text"), lit(" scan- ner frag- ment")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 9 === 3)
+        .select(Tables.plantedId(col("doc_id")).as("doc_id"),
+          concat(col("text"), lit(" t h e s c a n")).as("text")))
+    corpus
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+- [a-z]+', 0)"))
+          .cast(LongType).as("n_hyphen_breaks"),
+        size(filter(col("w"), x => length(x) === 1)).cast(LongType)
+          .as("n_single_letters"),
+        size(col("w")).cast(LongType).as("n_words"))
+      .withColumn("single_milli",
+        expr("(1000 * n_single_letters) DIV n_words"))
+      .withColumn("suspect",
+        col("n_hyphen_breaks") > 0L || col("single_milli") >= 100L)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val ocrArtifactsSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' scan- ner frag- ment'
+      |  FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' t h e s c a n'
+      |  FROM documents WHERE doc_id % 9 = 3),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+- [a-z]+', 0)) AS BIGINT)
+      |      AS n_hyphen_breaks,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> length(x) = 1))
+      |      AS BIGINT) AS n_single_letters,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM corpus)
+      |SELECT doc_id, n_hyphen_breaks, n_single_letters, n_words,
+      |  (1000 * n_single_letters) // n_words AS single_milli,
+      |  n_hyphen_breaks > 0 OR (1000 * n_single_letters) // n_words >= 100
+      |    AS suspect
+      |FROM sig ORDER BY doc_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- tx3
   // Language-ID heuristic: overlap of the document's word set against
   // fixed per-language profile vocabularies, argmax with a deterministic
@@ -1493,6 +1558,75 @@ object Text extends QueryModule {
        |  CAST(SUM(n_subwords_w) AS BIGINT) AS n_subwords
        |FROM ap GROUP BY doc_id
        |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- tok6
+  /** Tokenizer FERTILITY by language — the per-language equity metric a
+    * tokenizer team reads before freezing a vocabulary: subwords per
+    * word (fertility) and subwords per character tell you which
+    * languages the learned merges under-serve (high fertility = more
+    * sequence length per content = higher serving cost for that
+    * language). Same trained rules and greedy application as tok2
+    * (shared [[trainedMerges]] memo and chained-replace spelling — the
+    * two entries cannot drift), rolled up at LANGUAGE grain with
+    * integer-exact per-mille ratios ((1000·x) div y — the tx23
+    * discipline; a float ratio could flip a ulp cross-engine). The
+    * synthetic corpus shares one vocabulary across its lang labels, so
+    * the per-lang CONTRAST is muted here — the operator, grain, and
+    * arithmetic are what the gate proves; on real multilingual data
+    * the same plan surfaces the 2–4× fertility gaps the metric exists
+    * to catch.
+    *
+    * Scale posture: tok2's exactly — one corpus explode, the rules
+    * broadcast as ONE row, map-side per-word pricing, then a
+    * lang-grain (≤ a few hundred keys) partial agg. The added lang
+    * column rides the existing scan; no new exchange beyond the tiny
+    * rollup.
+    */
+  private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val (onerow, applied) = bpeRulesFrom(
+      trainedMerges(s, dir, evenOnly = false), BpeMergeCount)
+    t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .withColumn("syms",
+        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")))
+      .crossJoin(broadcast(onerow))
+      .select(col("lang"), length(col("w")).cast(LongType).as("len_w"),
+        size(split(trim(expr(applied)), "  ")).cast(LongType).as("n_sub"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("len_w")).as("n_chars_w"),
+        sum(col("n_sub")).as("n_subwords"))
+      .withColumn("fertility_milli", expr("(1000 * n_subwords) DIV n_words"))
+      .withColumn("compression_milli", expr("(1000 * n_subwords) DIV n_chars_w"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val bpeFertilitySql = {
+    val merges = (1 to BpeMergeCount).flatMap(i => Seq(
+      s"(SELECT pa FROM t$i) AS pa$i", s"(SELECT pb FROM t$i) AS pb$i")).mkString(", ")
+    val applied = (1 to BpeMergeCount).foldLeft("syms")((acc, i) =>
+      s"replace($acc, ' ' || pa$i || '  ' || pb$i || ' ', ' ' || pa$i || pb$i || ' ')")
+    s"""WITH $bpeTrainCtes,
+       |m AS (SELECT $merges),
+       |dw AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       |ap AS (
+       |  SELECT lang, w,
+       |    len(string_split(trim($applied), '  ')) AS n_sub
+       |  FROM (SELECT lang, w,
+       |          ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS syms
+       |        FROM dw WHERE regexp_matches(w, '^[a-z]+${"$"}')), m)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(w)) AS BIGINT) AS n_chars_w,
+       |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       |  (1000 * CAST(SUM(n_sub) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |    AS fertility_milli,
+       |  (1000 * CAST(SUM(n_sub) AS BIGINT)) // CAST(SUM(length(w)) AS BIGINT)
+       |    AS compression_milli
+       |FROM ap GROUP BY lang
+       |ORDER BY lang NULLS FIRST""".stripMargin
   }
 
   // ---------------------------------------------------------------- tok4
@@ -2997,7 +3131,9 @@ object Text extends QueryModule {
     "url3_sitemap_frontier" -> (sitemapFrontier _),
     "warc3_revisit_dedup" -> (warcRevisitDedup _),
     "tx23_quality_calibration" -> (qualityCalibration _),
+    "tx24_ocr_artifacts" -> (ocrArtifacts _),
     "tok5_bpe_converged" -> (bpeConverged _),
+    "tok6_fertility" -> (bpeFertility _),
     "cur4_dataset_card" -> (datasetCard _),
     "tx16_pmi_collocations" -> (pmiCollocations _),
     "tx17_boilerplate" -> (boilerplateCensus _),
@@ -3037,7 +3173,9 @@ object Text extends QueryModule {
     "url3_sitemap_frontier" -> sitemapFrontierSql,
     "warc3_revisit_dedup" -> warcRevisitDedupSql,
     "tx23_quality_calibration" -> qualityCalibrationSql,
+    "tx24_ocr_artifacts" -> ocrArtifactsSql,
     "tok5_bpe_converged" -> bpeConvergedSql,
+    "tok6_fertility" -> bpeFertilitySql,
     "cur4_dataset_card" -> datasetCardSql,
     "tx16_pmi_collocations" -> pmiCollocationsSql,
     "tx17_boilerplate" -> boilerplateCensusSql,
