@@ -312,6 +312,55 @@ class TextQualitySpec extends AnyFunSuite {
     assert(intDecile.values.toSet.size >= 2, "vacuous: corpus spans one decile")
   }
 
+  test("tok6: fertility totals equal tok2's doc-grain totals, floor 1000 per-mille") {
+    // cross-entry consistency: same corpus, same shared trained rules —
+    // the language rollup must price exactly the words the doc rollup
+    // prices; and a word is never fewer than one subword
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val byLang = SparkEntry.queries("tok6_fertility")(s, dir).collect()
+    val byDoc = SparkEntry.queries("tok2_bpe_segment")(s, dir).collect()
+    assert(byLang.nonEmpty)
+    val langWords = byLang.map(_.getAs[Long]("n_words")).sum
+    val langSubs = byLang.map(_.getAs[Long]("n_subwords")).sum
+    assert(langWords == byDoc.map(_.getAs[Long]("n_words")).sum)
+    assert(langSubs == byDoc.map(_.getAs[Long]("n_subwords")).sum)
+    byLang.foreach { r =>
+      assert(r.getAs[Long]("fertility_milli") >= 1000L,
+        s"fertility below one subword/word for ${r.getAs[String]("lang")}")
+    }
+  }
+
+  test("tx24: planted artifact cohorts are suspect, clean docs mostly are not") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("tx24_ocr_artifacts")(s, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val planted = rows.keys.filter(_ >= 3000000L)
+    assert(planted.nonEmpty, "vacuous: no planted cohort at fixture scale")
+    planted.foreach { id =>
+      val r = rows(id)
+      val src = id - 3000000L // 3M is NOT ≡ 0 (mod 9): test the SOURCE id
+      if (src % 9 == 0) { // hyphen cohort:
+        // breaks are unconditional evidence — always suspect
+        assert(r.getAs[Long]("n_hyphen_breaks") == 2L,
+          s"hyphen census wrong for $id: ${r.getAs[Long]("n_hyphen_breaks")}")
+        assert(r.getAs[Boolean]("suspect"), s"hyphen doc $id not suspect")
+      } else {
+        // letter-spacing cohort: the planted 7 singles are DETECTED in
+        // every doc, but the ratio verdict legitimately dilutes away in
+        // long documents (7 spaced glyphs in 200 words is weak evidence)
+        assert(r.getAs[Long]("n_single_letters") >= 7L,
+          s"spacing census missed the planted mass for $id")
+      }
+    }
+    assert(planted.exists(id => (id - 3000000L) % 9 == 3 && rows(id).getAs[Boolean]("suspect")),
+      "no letter-spaced doc short enough to trip the verdict at fixture scale")
+    val cleanNonSuspect = rows.count { case (id, r) =>
+      id < 3000000L && !r.getAs[Boolean]("suspect") }
+    assert(cleanNonSuspect > 0, "every clean doc tripped the threshold")
+  }
+
   test("tx22: deflate kernel is deterministic, entropy-ordered, and bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
