@@ -60,11 +60,20 @@ object Retrieval extends QueryModule {
     val stats = d.agg(
       expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
       count(lit(1)).as("n"))
+    // tf feeds TWO consumers — the broadcast df aggregate below and the
+    // scoring join — and a broadcast exchange executes its child
+    // independently, so without materialization the full
+    // explode-probe-aggregate corpus pass runs TWICE per bm25Contrib
+    // call (r18 opt: ir5 paid it four times across its two passes).
+    // The frame is vocabulary-filtered — a few rows per matching doc —
+    // so persisting it is bounded by |vocab|·|matching docs|, never the
+    // corpus (the guide §2.4 shared-exchange posture).
     val tf = d
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
       .join(broadcast(terms), Seq("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), Seq("term"))
       .join(broadcast(stats))

@@ -2339,17 +2339,31 @@ object Stats extends QueryModule {
     * assembly; the only real work is the count-only probe joins.
     */
   private def joinCardinality(s: SparkSession, dir: String): DataFrame = {
+    // r18 opt (guide §2.3/§3): each side first collapses to its KEY
+    // HISTOGRAM (k, cnt) — ONE hash aggregate per side — and every
+    // downstream quantity derives from the histogram instead of from
+    // raw rows: n = Σcnt and ndv = COUNT(k) ride one 1-row rollup with
+    // no countDistinct Expand; the KMV sketch feeds on the distinct
+    // keys (its state is a pure function of the key SET — NdvSketch's
+    // determinism contract — so the estimate is bit-identical to the
+    // raw-column spelling, JoinCardinalitySpec pins it); and the exact
+    // join cardinality becomes Σ cnt_l·cnt_r over an NDV-grain
+    // histogram join, never a row-grain probe (600k×150k lot rows →
+    // 150k×150k key rows at sf0.1; at 100 TB the probe shuffle shrinks
+    // from row count to key count). Plan: 24 exchanges per pair → 8
+    // (plans/r18/dq12_join_cardinality_{before,after}.txt). The sketch
+    // shares the rollup node with plain sum/count only — no DISTINCT
+    // aggregate in sight, so the r9 Expand-buffer trap cannot arise.
     def pair(name: String, lt: String, lk: String, rt: String, rk: String): DataFrame = {
-      val l = t(s, dir, lt)
-      val r = t(s, dir, rt)
-      val lEx = l.agg(count(lit(1)).as("n_left"), countDistinct(col(lk)).as("ndv_left"))
-      val rEx = r.agg(count(lit(1)).as("n_right"), countDistinct(col(rk)).as("ndv_right"))
-      val lSk = l.agg(graft.functions.NdvSketch.ndvSketch(col(lk)).as("sk_left"))
-      val rSk = r.agg(graft.functions.NdvSketch.ndvSketch(col(rk)).as("sk_right"))
-      val actual = l.select(col(lk).as("k")).join(r.select(col(rk).as("k")), Seq("k"))
-        .agg(count(lit(1)).as("actual_rows"))
-      lEx.crossJoin(broadcast(rEx)).crossJoin(broadcast(lSk))
-        .crossJoin(broadcast(rSk)).crossJoin(broadcast(actual))
+      val hl = t(s, dir, lt).groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+      val hr = t(s, dir, rt).groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr"))
+      val lEx = hl.agg(sum(col("cl")).as("n_left"), count(col("k")).as("ndv_left"),
+        graft.functions.NdvSketch.ndvSketch(col("k")).as("sk_left"))
+      val rEx = hr.agg(sum(col("cr")).as("n_right"), count(col("k")).as("ndv_right"),
+        graft.functions.NdvSketch.ndvSketch(col("k")).as("sk_right"))
+      val actual = hl.join(hr, Seq("k"))
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("actual_rows"))
+      lEx.crossJoin(broadcast(rEx)).crossJoin(broadcast(actual))
         .select(
           lit(name).as("join_name"), col("n_left"), col("n_right"),
           col("ndv_left"), col("ndv_right"),

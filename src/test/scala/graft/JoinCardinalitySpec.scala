@@ -42,6 +42,38 @@ class JoinCardinalitySpec extends AnyFunSuite {
     assert(actual(l, r) == 600L)
   }
 
+  test("histogram-derived stats equal raw-row stats (the r18 dq12 rewrite)") {
+    // dq12 now derives every per-side quantity from the key HISTOGRAM
+    // (k, cnt) instead of raw rows; this pins the equivalences the
+    // rewrite rests on, over a frame with NULL keys and duplicates:
+    //   n        = Σcnt           ≡ COUNT(*)
+    //   ndv      = COUNT(hist.k)  ≡ COUNT(DISTINCT k)
+    //   sketch   over hist.k      ≡ sketch over raw k   (set-pure KMV)
+    //   actual   = Σ cl·cr        ≡ row-grain join count
+    val l = spark.range(0, 60)
+      .select(when(col("id") % 7 =!= 0, col("id") % 9).as("k"))
+    val r = spark.range(0, 40)
+      .select(when(col("id") % 5 =!= 0, col("id") % 11).as("k"))
+    val hl = l.groupBy(col("k")).agg(count(lit(1)).as("cl"))
+    val hr = r.groupBy(col("k")).agg(count(lit(1)).as("cr"))
+    val rawL = l.agg(count(lit(1)), countDistinct(col("k")),
+      NdvSketch.ndvSketch(col("k"))).collect()(0)
+    val histL = hl.agg(sum(col("cl")), count(col("k")),
+      NdvSketch.ndvSketch(col("k"))).collect()(0)
+    assert(rawL.getLong(0) == histL.getLong(0), "n from Σcnt")
+    assert(rawL.getLong(1) == histL.getLong(1), "ndv from histogram row count")
+    assert(rawL.getLong(2) == histL.getLong(2), "KMV over keys ≡ KMV over rows")
+    val actualRows = l.join(r, Seq("k")).count()
+    val actualHist = hl.join(hr, Seq("k"))
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))).collect()(0).getLong(0)
+    assert(actualRows == actualHist, "Σ cl·cr ≡ join row count")
+    // empty-join corner: coalesce keeps the 0 the old count() reported
+    val none = spark.range(0, 5).select((col("id") + 1000).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cr"))
+    assert(hl.join(none.withColumnRenamed("cr", "cr2"), Seq("k"))
+      .agg(coalesce(sum(col("cl") * col("cr2")), lit(0L))).collect()(0).getLong(0) == 0L)
+  }
+
   test("the estimate drives the same safe-vs-explosive decision as ground truth") {
     // decision rule a planner would apply: join output small enough to
     // keep as a broadcastable/materializable frame iff <= threshold
