@@ -62,6 +62,15 @@ object SparkEntry {
     // — including 0 = off — keeps it across re-configure
     if (spark.conf.getOption(graft.plans.InListToJoinRewrite.ThresholdConfKey).isEmpty)
       spark.conf.set(graft.plans.InListToJoinRewrite.ThresholdConfKey, "256")
+    // guide §3.1: prefer shuffled-hash over sort-merge when the planner's
+    // size conditions allow — skips the per-partition sort on both sides;
+    // AQE's runtime rewrite handles the cases planning-time estimates
+    // miss (threshold = the advisory partition size, the documented
+    // pairing). Scale-honest: strategy choice, not a local[32] constant;
+    // sort-merge remains the fallback whenever a build side could not
+    // fit its partition in memory.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet carries TIMESTAMP(NANOS); Spark only exposes it as a

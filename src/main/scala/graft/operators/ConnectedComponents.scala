@@ -28,8 +28,19 @@ object ConnectedComponents {
     *         labeled with its component's minimum node id
     */
   def run(edges: DataFrame, maxSweeps: Int = 64): DataFrame = {
+    // symmetrize in ONE pass over `edges` (r18 opt): the union-with-swap
+    // spelling executed the caller's edge subtree once per branch when
+    // this persist first materializes — for er2 that subtree is the
+    // whole blocker candidate join + levenshtein verify (the two
+    // branches share no exchange: the final projections differ). The
+    // explode-of-both-orientations projection reads every edge row once
+    // and emits both directions map-side; same row multiset, no second
+    // execution.
     val sym = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK) // consumed once per sweep
     // Every sweep must TRUNCATE lineage, not just cache it: the sweep
     // plan references the previous labels twice (join + union), so with

@@ -1649,19 +1649,33 @@ object Dedup extends QueryModule {
     (df.count(), df.filter(col("df") <= StopShingleDf).count())
   }
 
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
-    // persisted: feeds BOTH the df aggregate and the keep-join below —
-    // unpersisted, the corpus n-gram md5 pass would run twice (r15
-    // review; dd12 persists its shingled frame for the same reason)
-    val posts = shingledN(boilerplatedCorpus(s, dir), n = 3, hashed = true)
-      .select(col("doc_id"), explode(col("shingles")).as("sh_h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val keep = posts.groupBy("sh_h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= StopShingleDf).select("sh_h")
-    posts.join(keep, Seq("sh_h"))
-      .groupBy("doc_id").agg(sort_array(collect_list(col("sh_h"))).as("shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-  }
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    // SharedFrames memo (r18 opt, the minhashPairsShared posture): dd17
+    // and dd18 consume the IDENTICAL capped-shingle frame — boilerplate
+    // header, posting explode, df census, keep-join, per-doc re-collect
+    // — and each entry used to rebuild it from parquet. One sweep-scoped
+    // materialization serves both (the materialized-view stance the
+    // 100 TB deployment takes: the stop-shingle vocabulary and capped
+    // sets are a maintained table, not a per-query recomputation).
+    graft.SharedFrames.memoize(s, s"dedup.cappedShingles:$dir") {
+      // persisted: feeds BOTH the df aggregate and the keep-join below —
+      // unpersisted, the corpus n-gram md5 pass would run twice (r15
+      // review; dd12 persists its shingled frame for the same reason)
+      val posts = shingledN(boilerplatedCorpus(s, dir), n = 3, hashed = true)
+        .select(col("doc_id"), explode(col("shingles")).as("sh_h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val keep = posts.groupBy("sh_h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= StopShingleDf).select("sh_h")
+      val sh = posts.join(keep, Seq("sh_h"))
+        .groupBy("doc_id").agg(sort_array(collect_list(col("sh_h"))).as("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize sh while posts is still cached, then release posts —
+      // memoize() localCheckpoints the RESULT only, and an un-dropped
+      // posts cache would sit in executor memory for the whole sweep
+      sh.count()
+      posts.unpersist()
+      sh
+    }
 
   private def containmentCapped(s: SparkSession, dir: String): DataFrame =
     containmentFrom(cappedShingles(s, dir))
