@@ -1021,8 +1021,16 @@ object Graph extends QueryModule {
       .groupBy(col("e.u").as("u"), col("e.v").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
-    val e0 = und.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+    // one-pass symmetrization (r18 opt, ConnectedComponents' spelling):
+    // the union-with-swap form executed the whole und subtree — the
+    // set-explosion pair generation + (u,v) count aggregate — once per
+    // orientation when e0 first materializes; exploding both
+    // orientations from one read halves the pair-generation work.
+    val e0 = und
+      .select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // each sweep MATERIALIZES (persist + count) before the next reads it
     // — the ConnectedComponents lineage posture: the lazy chain would
@@ -1032,9 +1040,16 @@ object Graph extends QueryModule {
     val peeled = (1 to KCoreSweeps).foldLeft(e0) { (e, _) =>
       val keep = e.groupBy("a").agg(count(lit(1)).as("c"))
         .filter(col("c") >= KCoreK).select("a")
-      val next = e.join(keep, Seq("a"), "left_semi")
-        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
-        .select("a", "b")
+      // both endpoint restrictions probe the SAME keep frame — spelled
+      // as a join CONDITION on the unprojected frame (not a renamed
+      // copy) so the two broadcast subtrees canonicalize identically
+      // and ReuseExchange ships ONE degree-aggregate execution per
+      // sweep instead of two (r18 opt; the a-side/b-side rename made
+      // the subtrees differ and each broadcast re-ran the aggregate)
+      val next = e.as("e")
+        .join(keep.as("ka"), col("e.a") === col("ka.a"), "left_semi")
+        .join(keep.as("kb"), col("e.b") === col("kb.a"), "left_semi")
+        .select(col("e.a").as("a"), col("e.b").as("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       e.unpersist()
