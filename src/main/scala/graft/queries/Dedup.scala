@@ -95,6 +95,16 @@ object Dedup extends QueryModule {
   private[queries] def shingled(c: DataFrame): DataFrame =
     shingledN(c, n = 3, hashed = false)
 
+  /** [[shingled]] with each doc's shingle list sorted ascending — the
+    * precondition for [[jaccardVerified]]'s sorted-merge verify
+    * (sortedSets = true). One O(k log k) sort per DOCUMENT buys a
+    * linear merge per candidate PAIR; every anchor/minhash consumer of
+    * the list is order-insensitive (mins and set ops), so sorting here
+    * changes nothing but the verify kernel's applicability.
+    */
+  private[queries] def sortedShingled(c: DataFrame): DataFrame =
+    shingled(c).withColumn("shingles", array_sort(col("shingles")))
+
   /** One shingle pipeline for every n-gram consumer (dd2/dd6 raw
     * trigrams, dd8 hashed 4-grams): tokenization and windowing changes
     * apply to all of them or none — no drift channel. The hashed path
@@ -134,15 +144,35 @@ object Dedup extends QueryModule {
     * shared by the LSH (dd2) and anchor-blocked (dd6) passes so the
     * verify semantics cannot drift between them.
     */
+  /** @param sortedSets caller guarantees each doc's shingle list is
+    *                    ascending (and distinct, as every shingle frame
+    *                    already is): the exact |A∩B| then comes from the
+    *                    codegen merge-count over the two sorted lists
+    *                    (dd17's containment kernel) and |A∪B| from
+    *                    |A|+|B|−|A∩B| — one linear pass per pair instead
+    *                    of two hash-set builds (array_intersect +
+    *                    array_union), the verify inner loop (r18 opt).
+    *                    Same integers, same double division: the jaccard
+    *                    value is bit-identical to the set-op spelling.
+    */
   private def jaccardVerified(cand: DataFrame, sh: DataFrame, minJ: Double,
-      sorted: Boolean = true): DataFrame = {
-    val verified = cand
+      sorted: Boolean = true, sortedSets: Boolean = false): DataFrame = {
+    val joined = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-          size(array_union(col("sa"), col("sb"))).cast(DoubleType)).as("jaccard"))
-      .filter(col("jaccard") >= minJ)
+    val scored =
+      if (sortedSets)
+        joined.select(col("doc_a"), col("doc_b"),
+          VectorFunctions.sortedIntersectCount(col("sa"), col("sb")).cast(LongType).as("ic"),
+          (size(col("sa")) + size(col("sb"))).cast(LongType).as("nn"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("ic").cast(DoubleType) / (col("nn") - col("ic")).cast(DoubleType))
+              .as("jaccard"))
+      else
+        joined.select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+            size(array_union(col("sa"), col("sb"))).cast(DoubleType)).as("jaccard"))
+    val verified = scored.filter(col("jaccard") >= minJ)
     if (sorted) verified.orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
     else verified
   }
@@ -587,7 +617,7 @@ object Dedup extends QueryModule {
     // uncontracted pipeline's (spec-pinned equality)
     val (members0, repCorpus) = contractedCorpus(c)
     val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = shingled(repCorpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = sortedShingled(repCorpus).persist(StorageLevel.MEMORY_AND_DISK)
     val repPairs = anchoredRepPairs(repCorpus, sh)
     expandPairs(members, repPairs, sh.select(col("doc_id").as("rep")),
       Seq("jaccard" -> lit(1.0)))
@@ -638,12 +668,15 @@ object Dedup extends QueryModule {
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerified(cand, sh, minJ = NgramJaccardMin, sorted = false)
+    // callers hand in ASCENDING shingle lists (array_sort at the shingle
+    // frame, one sort per doc) so the per-pair verify runs the linear
+    // sorted-merge kernel instead of two hash-set builds (r18 opt)
+    jaccardVerified(cand, sh, minJ = NgramJaccardMin, sorted = false, sortedSets = true)
   }
 
   /** Pre-contraction pipeline, equality reference for the spec only. */
   private[graft] def ngramJaccardPairsUncontracted(c: DataFrame): DataFrame = {
-    val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = sortedShingled(c).persist(StorageLevel.MEMORY_AND_DISK)
     anchoredRepPairs(c, sh)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
@@ -687,7 +720,7 @@ object Dedup extends QueryModule {
           concat(lit("promo banner follows "), col("text")).as("text")))
 
   private[graft] def ngramJaccardCappedOver(c: DataFrame): DataFrame = {
-    val sh = shingled(c).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = sortedShingled(c).persist(StorageLevel.MEMORY_AND_DISK)
     anchoredRepPairs(c, sh, dfCap = Some(AnchorDfCap))
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
@@ -1979,5 +2012,38 @@ object Dedup extends QueryModule {
     */
   override val probes: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd6_ngram_jaccard" -> (ngramJaccard _),
-    "dd12_containment" -> (containmentPairs _))
+    "dd12_containment" -> (containmentPairs _),
+    // dd19 stage decomposition (r18 opt round, TimeQuery-only): where
+    // does the capped pipeline's time go — shingling, anchoring, or
+    // candidate+verify? Each probe is the gate pipeline truncated.
+    "dd19_probe_shingles" -> ((s: SparkSession, dir: String) =>
+      sortedShingled(corpus19(s, dir))),
+    "dd19_probe_corpus" -> ((s: SparkSession, dir: String) => corpus19(s, dir)),
+    "dd19_probe_anchors" -> ((s: SparkSession, dir: String) => {
+      val c = corpus19(s, dir)
+      val sh = sortedShingled(c)
+      val words = split(col("text"), " ")
+      c.filter(size(words) >= 3)
+        .select(col("doc_id"), md5(array_join(slice(words, 1, 3), " ")).as("anchor"))
+        .unionByName(sh.select(col("doc_id"),
+          array_min(transform(col("shingles"), g => md5(concat(lit("b:"), g)))).as("anchor")))
+    }),
+    "dd19_probe_cand" -> ((s: SparkSession, dir: String) => {
+      val c = corpus19(s, dir)
+      val sh = sortedShingled(c).persist(StorageLevel.MEMORY_AND_DISK)
+      val words = split(col("text"), " ")
+      val anchored0 = c.filter(size(words) >= 3)
+        .select(col("doc_id"), md5(array_join(slice(words, 1, 3), " ")).as("anchor"))
+        .unionByName(sh.select(col("doc_id"),
+          array_min(transform(col("shingles"), g => md5(concat(lit("b:"), g)))).as("anchor")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ok = anchored0.groupBy("anchor")
+        .agg(count(lit(1)).as("adf")).filter(col("adf") <= AnchorDfCap)
+      val anchored = anchored0.join(ok.select("anchor"), Seq("anchor"), "left_semi")
+      anchored.as("a")
+        .join(anchored.as("b"),
+          col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }))
 }
