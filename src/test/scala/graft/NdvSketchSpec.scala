@@ -22,6 +22,25 @@ class NdvSketchSpec extends AnyFunSuite {
     assert(out.getLong(0) == 137L && out.getLong(1) == 137L)
   }
 
+  test("native imperative aggregate equals the typed Aggregator spelling") {
+    // ndvSketch now routes through the native KmvNdv
+    // TypedImperativeAggregate (r18 opt); both surfaces share KmvCore,
+    // so the estimate must be bit-identical in BOTH regimes — exact
+    // (below k) and trimmed-estimator (above k at a forced-down k).
+    val typed = (c: org.apache.spark.sql.Column, k: Int) =>
+      udaf(new KmvNdvAgg(k)).apply(when(c.isNotNull, xxhash64(c)))
+    val small = (1L to 400L).map(i => Some(i % 91L))
+      .appendedAll(Seq.fill(20)(None)).toDF("v")
+    val big = spark.range(0, 40000).select((col("id") * 13L + 1L).as("v"))
+    for ((df, k) <- Seq((small, 8192), (big, 256))) {
+      val r = df.agg(
+        NdvSketch.ndvSketch(col("v"), k).as("native"),
+        typed(col("v"), k).as("typed")).collect()(0)
+      assert(r.getLong(0) == r.getLong(1),
+        s"native ${r.getLong(0)} != typed ${r.getLong(1)} at k=$k")
+    }
+  }
+
   test("estimate within 5% above k, and invariant to repartitioning") {
     // 150k distinct values (> k=8192) through deliberately different
     // partitionings: the kept set — hence the estimate — must not move
