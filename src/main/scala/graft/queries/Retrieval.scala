@@ -390,6 +390,14 @@ object Retrieval extends QueryModule {
   private val PrfExpandM = 3
 
   private def prfExpansion(s: SparkSession, dir: String): DataFrame = {
+    // NOT persisted (r18 opt, measured negative): caching the tokenized
+    // frame for the five consumers (2× stats, 2× tf explode, feedback
+    // mining) costs MORE than re-splitting — materializing ~130-element
+    // string-array rows through block storage measured 3.5 → 4.2 s
+    // steady, the same wide-payload-cache lesson as the r18 tx10
+    // window-vs-aggregator negative. The scan+split is the cheap part;
+    // the tf persist in bm25Contrib (narrow, vocabulary-filtered) is
+    // where sharing pays.
     val d = docs(s, dir)
     val qterms = s.createDataFrame(QuerySet).toDF("query_id", "qtext")
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
