@@ -663,10 +663,22 @@ object Dedup extends QueryModule {
         .agg(count(lit(1)).as("adf")).filter(col("adf") <= cap)
       anchored0.join(ok.select("anchor"), Seq("anchor"), "left_semi")
     }
-    val cand = anchored.as("a")
-      .join(anchored.as("b"),
-        col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // map-side pair generation off ONE groupBy instead of the anchor
+    // self-join (r18 opt — g5's set-explosion trick, measured ~2× there
+    // over the equi-self-join): per anchor, collect the sorted member
+    // set and explode its ordered pairs; ascending sort makes doc_a <
+    // doc_b by construction, so the pair multiset equals the join
+    // spelling's exactly and the same DISTINCT collapses multi-anchor
+    // pairs. One exchange (the groupBy) replaces the join's two-sided
+    // probe; per-anchor fan-out stays bounded by the df cap where one
+    // is set (and is the same quadratic the join paid where not).
+    val cand = anchored.groupBy("anchor")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     // callers hand in ASCENDING shingle lists (array_sort at the shingle
     // frame, one sort per doc) so the per-pair verify runs the linear
