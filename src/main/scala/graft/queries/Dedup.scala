@@ -1859,10 +1859,15 @@ object Dedup extends QueryModule {
     val anchored = c
       .filter(size(words) >= 3)
       .select(col("doc_id"), md5(array_join(slice(words, 1, 3), " ")).as("anchor"))
-    val acand = anchored.as("a")
-      .join(anchored.as("b"),
-        col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // set-explosion pair generation off the anchor groupBy — the dd19
+    // candidate spelling (r18 opt); same pair multiset as the self-join
+    val acand = anchored.groupBy("anchor")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     val ap = jaccardVerified(acand, sh, minJ = 0.5)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_a"))
     ap.join(lshp, Seq("doc_a", "doc_b"), "full_outer")
