@@ -1739,6 +1739,20 @@ object Dedup extends QueryModule {
       sh
     }
 
+  /** The VERIFIED capped containment pair stream, SharedFrames-memoized
+    * (r18 opt) for DOWNSTREAM consumers only: dd18 aggregates the same
+    * `ver` stream dd17 reports (the oracle shares the CTE verbatim —
+    * [[cappedVerifiedCte]]), so dd18 reads one sweep-scoped
+    * materialization instead of re-running the prefix-probe/verify
+    * pipeline. dd17 itself stays UN-memoized — the dd2 precedent: the
+    * entry that IS the pipeline keeps measuring it; only report levers
+    * downstream ride the materialized view.
+    */
+  private def cappedVerifiedShared(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.memoize(s, s"dedup.cappedVerified:$dir") {
+      containmentVerified(cappedShingles(s, dir))
+    }
+
   private def containmentCapped(s: SparkSession, dir: String): DataFrame =
     containmentFrom(cappedShingles(s, dir))
 
@@ -1812,7 +1826,7 @@ object Dedup extends QueryModule {
 
   private def containmentTopK(s: SparkSession, dir: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(ContainTopK))
-    containmentVerified(cappedShingles(s, dir))
+    cappedVerifiedShared(s, dir)
       .groupBy("doc_a")
       .agg(topk(col("containment_ppm"), col("doc_b")).as("hits"))
       .select(col("doc_a"), posexplode(col("hits")).as(Seq("pos", "hit")))
