@@ -395,7 +395,19 @@ object Bench {
       }
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val rawResults = entries.map { case (name, fn) => name -> timeEntry(name, fn) }
+    // Shared-view consumer marker (VERDICT r18 #1/#8): an entry whose
+    // runs touched a SharedFrames materialization — as builder OR
+    // reader — carries its name in the recording's
+    // "shared_view_consumers" list, so adjudication can tell a
+    // memo-hit timing from a plan win. Counter reads sit OUTSIDE the
+    // timed loop.
+    val sharedViewConsumers = scala.collection.mutable.TreeSet.empty[String]
+    val rawResults = entries.map { case (name, fn) =>
+      val a0 = SharedFrames.accesses
+      val r = name -> timeEntry(name, fn)
+      if (SharedFrames.accesses > a0) sharedViewConsumers += name
+      r
+    }
     def median(ts: Seq[Double]): Double = ts(ts.size / 2) // sorted; upper on even n
     val results: Seq[(String, Either[String, Double])] =
       rawResults.map { case (n, e) => n -> e.map(median) }
@@ -524,8 +536,9 @@ object Bench {
         }.mkString("{", ",", "}"))
       } else None
     val forkField = forkJson.fold("")(f => s""","fork":$f""")
+    val sharedViewJson = sharedViewConsumers.map(n => s""""$n"""").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson$forkField,"sf":"$sfDir","failed":${failed.distinct.size},"adjudication":$adjJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson$forkField,"shared_view_consumers":$sharedViewJson,"sf":"$sfDir","failed":${failed.distinct.size},"adjudication":$adjJson}"""
     // The driver keeps only the last ~2000 stdout chars, and the full
     // per-query map is ~12 KB at 254 entries — it can NEVER fit, which
     // is why BENCH_r*.json carried "parsed": null for twelve rounds.

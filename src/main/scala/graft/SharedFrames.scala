@@ -29,6 +29,15 @@ object SharedFrames {
   private val memo = new ConcurrentHashMap[(String, String), DataFrame]()
   private val ids = ConcurrentHashMap.newKeySet[Int]()
 
+  /** Monotone access counter (hit or build): lets the bench mark which
+    * entries CONSUME a shared materialized view, so an adjudicator
+    * reading the recording can tell a memo-hit timing from a plan win
+    * (VERDICT r18 "what's wrong" #1). Never part of any timed region —
+    * read between entries only.
+    */
+  private val accessCount = new java.util.concurrent.atomic.AtomicLong()
+  def accesses: Long = accessCount.get
+
   /** RDD ids whose blocks back live shared frames — state sweeps (e.g.
     * [[Bench.sweepState]]) must skip these.
     */
@@ -56,6 +65,7 @@ object SharedFrames {
     * computeIfAbsent over a per-key lazy holder.
     */
   def memoize(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    accessCount.incrementAndGet()
     val k = (spark.sparkContext.applicationId, key)
     val cur = memo.get(k)
     if (cur != null && alive(cur)) return cur

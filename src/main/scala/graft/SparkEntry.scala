@@ -66,9 +66,17 @@ object SparkEntry {
     // size conditions allow — skips the per-partition sort on both sides;
     // AQE's runtime rewrite handles the cases planning-time estimates
     // miss (threshold = the advisory partition size, the documented
-    // pairing). Scale-honest: strategy choice, not a local[32] constant;
-    // sort-merge remains the fallback whenever a build side could not
-    // fit its partition in memory.
+    // pairing). Scale-honest: strategy choice, not a local[32] constant.
+    // Risk stated precisely (ADVICE r18): the fallback is a PLANNING-time
+    // choice — the planner keeps sort-merge where its size conditions
+    // fail, but a ShuffledHashJoin build side does NOT spill or fall
+    // back at runtime, so a build side that blows past its estimate
+    // risks an executor OOM where sort-merge would have spilled. AQE's
+    // skew-join split bounds the runtime-rewritten cases; for
+    // planning-time picks the exposure is bounded build sides
+    // (aggregated/contracted frames — er2's blocker classes, dq12's
+    // key histograms) and ShjSkewSpec pins result correctness under a
+    // planted ~100x hot build key on exactly this path.
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
     spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -629,11 +629,15 @@ object Dedup extends QueryModule {
     * uncontracted spec reference, and (df-capped) dd19.
     *
     * @param dfCap when set, anchors whose document frequency exceeds
-    *              the cap are dropped BEFORE the self-join — dd17's
+    *              the cap are dropped BEFORE pair generation — dd17's
     *              boilerplate discipline applied to anchors. This is a
     *              semantic change (recall through hot anchors is
     *              deliberately given up), so it is its own gate entry,
-    *              never a silent flag on dd6.
+    *              never a silent flag on dd6. The cap is also the
+    *              set-explosion spelling's skew PRECONDITION: only the
+    *              capped path explodes per-anchor member sets; the
+    *              uncapped path keeps the distributed self-join
+    *              (VERDICT r18 #9).
     */
   private def anchoredRepPairs(c: DataFrame, sh: DataFrame,
       dfCap: Option[Int] = None): DataFrame = {
@@ -650,36 +654,57 @@ object Dedup extends QueryModule {
     // is unnecessary
     val body = sh.select(col("doc_id"),
       array_min(transform(col("shingles"), g => md5(concat(lit("b:"), g)))).as("anchor"))
-    // the anchor frame feeds BOTH self-join sides and (capped) the
-    // census + the semi-join — without materialization the plan
-    // recomputes the body md5 sweep once per consumer (the r17 dd19
-    // probe measured the cand step at 10 s, ~9 of which was exactly
-    // this re-derivation). Two narrow columns, 2 rows per doc: persist
-    // the PRE-cap frame so census, semi-join, and both join sides all
-    // read one materialization.
-    val anchored0 = opening.unionByName(body).persist(StorageLevel.MEMORY_AND_DISK)
-    val anchored = dfCap.fold(anchored0) { cap =>
-      val ok = anchored0.groupBy("anchor")
-        .agg(count(lit(1)).as("adf")).filter(col("adf") <= cap)
-      anchored0.join(ok.select("anchor"), Seq("anchor"), "left_semi")
+    val cand = dfCap match {
+      case Some(cap) =>
+        // r19 opt (VERDICT r18 #3): census + semi-join + pair groupBy
+        // COLLAPSED into the one aggregate. The old capped path ran a
+        // census aggregate over the persisted anchor frame, a semi-join
+        // back against it, and then the set-explosion groupBy — three
+        // consumers of a persisted anchored0. But (anchor, doc_id) rows
+        // are unique by construction (one opening + one salted body
+        // anchor per doc, domains disjoint) and doc_id is never null,
+        // so per anchor count(1) == size(collect_set(doc_id)): the df
+        // cap is exactly a size filter on the collected member set.
+        // One groupBy now does census + cap + pair generation, the
+        // anchor frame has a single consumer (no persist, no
+        // materialization job), and two exchanges disappear (census +
+        // semi-join probe). The semi-join spelling dropped null-anchor
+        // rows by never matching them; the explicit isNotNull filter
+        // keeps that contract (no null anchors exist at gate corpora —
+        // both channels md5 non-null input — but the guard is the
+        // join's documented behavior, not an assumption).
+        // Per-anchor fan-out stays bounded by the cap, so the
+        // collect_set row and its ≤ cap²/2 explode are bounded — the
+        // §2 skew precondition of the set-explosion spelling
+        // (VERDICT r18 #9), now enforced structurally: the explosion
+        // only ever runs over capped sets.
+        opening.unionByName(body)
+          .filter(col("anchor").isNotNull)
+          .groupBy("anchor")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) <= cap)
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> " +
+              "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+            .as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          .distinct()
+      case None =>
+        // UNCAPPED path (dd6's contracted/spec pipelines — ladder
+        // probes, no gate entry): the set-explosion spelling is a §2
+        // skew hazard here — one hot anchor concentrates its whole
+        // member set into a single row and its n²/2 explode into a
+        // single task, where the equi-self-join at least distributes
+        // the quadratic across partitions (VERDICT r18 #9). Without a
+        // df cap the candidates come from the join spelling; the
+        // persisted anchor frame feeds both sides once.
+        val anchored = opening.unionByName(body).persist(StorageLevel.MEMORY_AND_DISK)
+        anchored.as("a")
+          .join(anchored.as("b"),
+            col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
     }
-    // map-side pair generation off ONE groupBy instead of the anchor
-    // self-join (r18 opt — g5's set-explosion trick, measured ~2× there
-    // over the equi-self-join): per anchor, collect the sorted member
-    // set and explode its ordered pairs; ascending sort makes doc_a <
-    // doc_b by construction, so the pair multiset equals the join
-    // spelling's exactly and the same DISTINCT collapses multi-anchor
-    // pairs. One exchange (the groupBy) replaces the join's two-sided
-    // probe; per-anchor fan-out stays bounded by the df cap where one
-    // is set (and is the same quadratic the join paid where not).
-    val cand = anchored.groupBy("anchor")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
-        .as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
     // callers hand in ASCENDING shingle lists (array_sort at the shingle
     // frame, one sort per doc) so the per-pair verify runs the linear
     // sorted-merge kernel instead of two hash-set builds (r18 opt)
@@ -1156,11 +1181,12 @@ object Dedup extends QueryModule {
     * bounded state regardless of corpus size (StreamingSpec pins
     * numRowsRemoved > 0 mid-stream and a bounded final state).
     *
-    * Determinism: the gate re-stages the documents as four parquet
-    * files bucketed by doc_id % 4 with ascending synthetic ingest times
-    * (bucket i → epoch + i minutes) and ascending mtimes, so the file
-    * source (maxFilesPerTrigger = 1) replays a five-micro-batch ingest
-    * in time order; a fifth one-row SENTINEL file (doc_id = −1, epoch +
+    * Determinism: the gate re-stages the documents as two parquet
+    * files carrying doc_id % 4 buckets {0,1} and {2,3} with ascending
+    * synthetic ingest times (bucket i → epoch + i minutes, a pure
+    * function of doc_id) and ascending mtimes, so the file source
+    * (maxFilesPerTrigger = 1) replays a multi-micro-batch ingest
+    * in time order; a final one-row SENTINEL file (doc_id = −1, epoch +
     * 5 min) advances the watermark past the last real window so the
     * final counts emit before AvailableNow terminates — the append-mode
     * tail every production stream has to solve (the sentinel's shingles
@@ -1202,10 +1228,22 @@ object Dedup extends QueryModule {
         }
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         // 2 s mtime spacing: distinct even at 1 s filesystem granularity,
-        // so the file source's oldest-first order is the bucket order
-        for (i <- 0 until 4)
-          writeOne(docs.filter(pmod(col("doc_id"), lit(4)) === i), f"b$i%d_docs.parquet",
-            t0 + i * 2000L)
+        // so the file source's oldest-first order is the bucket order.
+        // r19 opt (VERDICT r18 #4): buckets staged as TWO files ({0,1},
+        // {2,3}) instead of four — each file is one micro-batch under
+        // maxFilesPerTrigger=1, and the per-batch lifecycle (planning,
+        // state-store load/commit, sink epoch) was the entry's dominant
+        // term at gate scale. Event times are a pure function of doc_id
+        // (sw14Ts), NOT of file placement, so windows, watermark
+        // advancement at batch boundaries, eviction, and the emitted
+        // counts are unchanged: batch 2 still arrives while windows
+        // [0,1) and [1,2) are open and evicts them mid-stream
+        // (StreamingSpec pins it), and the oracle is untouched. A/B at
+        // sf0.1: 4-file ~3.0 s vs 2-file ~2.15 s steady (ledger,
+        // OPTIMIZATION_r19.md).
+        for ((lo, name, i) <- Seq((0, "b01_docs.parquet", 0), (2, "b23_docs.parquet", 1)))
+          writeOne(docs.filter(pmod(col("doc_id"), lit(4)).isin(lo, lo + 1)),
+            name, t0 + i * 2000L)
         import s.implicits._
         writeOne(Seq((-1L, "sw14 sentinel advances past the final window"))
           .toDF("doc_id", "text"), "z_sentinel.parquet", t0 + 8000L)
@@ -2076,22 +2114,28 @@ object Dedup extends QueryModule {
         .unionByName(sh.select(col("doc_id"),
           array_min(transform(col("shingles"), g => md5(concat(lit("b:"), g)))).as("anchor")))
     }),
+    // candidate stage in the SHIPPED spelling (ADVICE r18: the probes
+    // still spelled the pre-r18 census + semi-join + self-join, so the
+    // stage timings no longer decomposed the gate pipeline) — one
+    // merged groupBy: collect the member set, cap on its size, explode
+    // ordered pairs, DISTINCT (r19 gate spelling).
     "dd19_probe_cand" -> ((s: SparkSession, dir: String) => {
       val c = corpus19(s, dir)
       val sh = sortedShingled(c).persist(StorageLevel.MEMORY_AND_DISK)
       val words = split(col("text"), " ")
-      val anchored0 = c.filter(size(words) >= 3)
+      c.filter(size(words) >= 3)
         .select(col("doc_id"), md5(array_join(slice(words, 1, 3), " ")).as("anchor"))
         .unionByName(sh.select(col("doc_id"),
           array_min(transform(col("shingles"), g => md5(concat(lit("b:"), g)))).as("anchor")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val ok = anchored0.groupBy("anchor")
-        .agg(count(lit(1)).as("adf")).filter(col("adf") <= AnchorDfCap)
-      val anchored = anchored0.join(ok.select("anchor"), Seq("anchor"), "left_semi")
-      anchored.as("a")
-        .join(anchored.as("b"),
-          col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .filter(col("anchor").isNotNull)
+        .groupBy("anchor")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= AnchorDfCap)
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+          .as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
     }))
 }

@@ -1032,14 +1032,46 @@ object Graph extends QueryModule {
         struct(col("v").as("a"), col("u").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // each sweep MATERIALIZES (persist + count) before the next reads it
-    // — the ConnectedComponents lineage posture: the lazy chain would
-    // recompute every prior sweep's subtree at each keep/restrict use
-    // (measured ~5 s → ~3 s at sf0.1), and superseded blocks release
-    // immediately
-    val peeled = (1 to KCoreSweeps).foldLeft(e0) { (e, _) =>
+    peelKCore(e0, KCoreK, KCoreSweeps)
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("node").asc_nulls_first)
+  }
+
+  /** The materialized peel loop over a persisted symmetric edge frame
+    * (a, b) — each sweep persists + counts before the next reads it
+    * (the ConnectedComponents lineage posture: the lazy chain would
+    * recompute every prior sweep's subtree at each keep/restrict use,
+    * measured ~5 s → ~3 s at sf0.1), and superseded blocks release
+    * immediately.
+    *
+    * r19 opt (VERDICT r18 #1): CONVERGENCE EARLY-EXIT. Each sweep's
+    * output is a semi-join RESTRICTION of its input (next ⊆ e), so
+    * |next| = |e| implies next = e exactly, and peeling is monotone: a
+    * stable frame passes through every remaining sweep unchanged.
+    * Stopping at the fixpoint therefore returns bit-identically what
+    * the fixed unroll returns (the oracle still states all `sweeps`
+    * CTEs — they are identities past the fixpoint; GraphKCoreSpec pins
+    * early-exit ≡ full unroll on a sweep-1-stable graph). The fixpoint
+    * test rides the counts the materialization posture already pays —
+    * no extra job beyond the up-front |e0| (which triggers e0's persist
+    * materialization, work sweep 1's degree aggregate was about to pay
+    * anyway). At sf0.1 the repeat graph never stabilizes inside the
+    * unroll (7146 → 726 → 110 → 20 edges — all three sweeps run); at
+    * sf0.001 it is stable after the first count (4648 = fixpoint), so
+    * two whole sweep job chains drop out there and at any converged
+    * production scale.
+    */
+  private[graft] def peelKCore(e0: DataFrame, k: Int, sweeps: Int,
+      earlyExit: Boolean = true): DataFrame = {
+    var peeled = e0
+    var prevCount = e0.count()
+    var sweep = 0
+    var stable = false
+    while (sweep < sweeps && !stable) {
+      val e = peeled
       val keep = e.groupBy("a").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= KCoreK).select("a")
+        .filter(col("c") >= k).select("a")
       // both endpoint restrictions probe the SAME keep frame — spelled
       // as a join CONDITION on the unprojected frame (not a renamed
       // copy) so the two broadcast subtrees canonicalize identically
@@ -1051,13 +1083,14 @@ object Graph extends QueryModule {
         .join(keep.as("kb"), col("e.b") === col("kb.a"), "left_semi")
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      val n = next.count()
       e.unpersist()
-      next
+      stable = earlyExit && n == prevCount
+      prevCount = n
+      peeled = next
+      sweep += 1
     }
-    peeled.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .orderBy(col("node").asc_nulls_first)
+    peeled
   }
 
   private val kCoreSql = {
@@ -1093,6 +1126,30 @@ object Graph extends QueryModule {
     "g7_label_propagation" -> (labelPropagation _),
     "g8_modularity" -> (modularityScore _),
     "g3_degree_census" -> (degreeCensus _))
+
+  /** g5 stage decomposition (r19 opt round, TimeQuery-only): the peel
+    * loop's convergence early-exit cannot fire at sf0.1 (the repeat
+    * graph still shrinks at every sweep: 7146 → 726 → 110 → 20 edges),
+    * so the gate number is bounded below by the sparsified-edge BUILD +
+    * three materialized sweeps. This probe is exactly the e0 build —
+    * the gate pipeline truncated before the first sweep.
+    */
+  override val probes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g5_probe_e0" -> ((s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x as u, y as v))))"))
+          .as("e"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))))
 
   override val oracle: Map[String, String] = Map(
     "g5_kcore" -> kCoreSql,

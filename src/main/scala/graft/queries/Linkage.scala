@@ -945,7 +945,16 @@ object Linkage extends QueryModule {
     val clusters = labeled.groupBy("cluster")
       .agg(count(lit(1)).as("size"), min(col("id")).as("golden"))
     val goldenRows = labeled.select(col("id").as("golden"), col("seg"))
-    clusters.join(goldenRows, Seq("golden"))
+    // r19 opt (VERDICT r18 #5): the census join planned SortMergeJoin —
+    // both inputs sit behind aggregates/joins whose size estimates blow
+    // past the planner's shuffled-hash conditions, so the session-wide
+    // preferSortMergeJoin=false never fired here. The hint pins the
+    // build side to `clusters`: one NARROW row (cluster, size, golden —
+    // 3 longs) per cluster, so the per-partition build is |clusters| /
+    // shuffle-partitions rows at ANY scale — the bounded-build SHJ
+    // posture, not a local[32] constant. goldenRows stays the probe
+    // side (row grain, never built).
+    clusters.hint("shuffle_hash").join(goldenRows, Seq("golden"))
       .groupBy("seg")
       .agg(
         sum(col("size")).as("n_records"),

@@ -68,6 +68,13 @@ object Retrieval extends QueryModule {
     // The frame is vocabulary-filtered — a few rows per matching doc —
     // so persisting it is bounded by |vocab|·|matching docs|, never the
     // corpus (the guide §2.4 shared-exchange posture).
+    // Lifecycle (ADVICE r18): the cache is NOT unpersisted here — the
+    // returned frame is lazy, so there is no in-function point after
+    // materialization. Bounded-memory across calls relies on the
+    // harness sweep (Bench.sweepState / Verify's clearCache between
+    // entries); a long-lived non-bench caller composing many
+    // bm25Contrib frames must sweep the SQL cache itself or the
+    // per-call tf caches accumulate for the session.
     val tf = d
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
       .join(broadcast(terms), Seq("term"))

@@ -2354,12 +2354,33 @@ object Stats extends QueryModule {
     // (plans/r18/dq12_join_cardinality_{before,after}.txt). The sketch
     // shares the rollup node with plain sum/count only — no DISTINCT
     // aggregate in sight, so the r9 Expand-buffer trap cannot arise.
+    // r19 opt (VERDICT r18 #2, guide §2.4): each pair consumed its side
+    // histograms TWICE — the 1-row rollup and the NDV-grain probe join
+    // executed the scan+aggregate subtree independently (the join's
+    // pushed isnotnull filter makes the subtrees canonicalize apart, so
+    // ReuseExchange never fired: 4 scans per pair, 20 per run), and the
+    // 5 pairs overlap on (customer, c_custkey). Build each DISTINCT
+    // (table, key) histogram ONCE, persist it — narrow (k, cnt) rows,
+    // bounded by the key's NDV — and derive every rollup and every
+    // probe join from the one materialization: 9 histogram builds serve
+    // all 10 pair sides.
+    val hists = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+    def histogram(tn: String, key: String): DataFrame =
+      hists.getOrElseUpdate((tn, key),
+        t(s, dir, tn).groupBy(col(key).as("k")).agg(count(lit(1)).as("cl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def pair(name: String, lt: String, lk: String, rt: String, rk: String): DataFrame = {
-      val hl = t(s, dir, lt).groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
-      val hr = t(s, dir, rt).groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr"))
-      val lEx = hl.agg(sum(col("cl")).as("n_left"), count(col("k")).as("ndv_left"),
+      val hl = histogram(lt, lk)
+      val hr = histogram(rt, rk).select(col("k"), col("cl").as("cr"))
+      // empty-side contract (ADVICE r18): sum() over an empty histogram
+      // is NULL where the old count(lit(1)) spelling returned 0 — the
+      // coalesce preserves the 0 so n_left/n_right cannot go NULL on an
+      // empty table at other scales/corpora
+      val lEx = hl.agg(coalesce(sum(col("cl")), lit(0L)).as("n_left"),
+        count(col("k")).as("ndv_left"),
         graft.functions.NdvSketch.ndvSketch(col("k")).as("sk_left"))
-      val rEx = hr.agg(sum(col("cr")).as("n_right"), count(col("k")).as("ndv_right"),
+      val rEx = hr.agg(coalesce(sum(col("cr")), lit(0L)).as("n_right"),
+        count(col("k")).as("ndv_right"),
         graft.functions.NdvSketch.ndvSketch(col("k")).as("sk_right"))
       val actual = hl.join(hr, Seq("k"))
         .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("actual_rows"))

@@ -416,6 +416,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.subsetOf(uncapped), "the cap may only REMOVE pairs")
   }
 
+  test("dd19 r19 spelling: merged census-explosion ≡ join spelling below the cap; " +
+    "only the CAPPED path explodes (skew guard)") {
+    import spark.implicits._
+    // every anchor here has df ≤ 3 ≪ cap 16, so the cap never bites and
+    // the capped pipeline (one groupBy: collect set, size-filter,
+    // explode ordered pairs) must produce EXACTLY the uncapped
+    // reference's pairs — which, per the r19 skew guard (VERDICT r18
+    // #9), is the distributed anchor self-join spelling. Equality
+    // below the cap pins the merged census (count(1) ≡ set size), the
+    // explosion ≡ join multiset, and the shared DISTINCT at once.
+    val warm = Seq(
+      (10L, "warm cluster doc alpha beta"),
+      (11L, "warm cluster doc alpha gamma"),
+      (12L, "warm cluster doc alpha delta"))
+    val cold = Seq(
+      (1L, "unique document about spark execution engines"),
+      (2L, "unique document about spark execution engines today"))
+    val c = (warm ++ cold).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = pairs(graft.queries.Dedup.ngramJaccardCappedOver(c))
+    val reference = pairs(graft.queries.Dedup.ngramJaccardPairsUncontracted(c))
+    assert(reference.nonEmpty, "vacuous fixture — no reference pairs")
+    assert(capped == reference,
+      s"below the cap the spellings must agree: missing=${(reference -- capped).take(3)} " +
+        s"extra=${(capped -- reference).take(3)}")
+    // plan-shape guard: the set-explosion (flatten(transform(...)) over a
+    // collected member set) may appear ONLY under a df cap — an uncapped
+    // caller concentrating a hot anchor's member set into one row is the
+    // §2 skew hazard the guard exists for
+    val cappedPlan = graft.queries.Dedup.ngramJaccardCappedOver(c)
+      .queryExecution.optimizedPlan.toString
+    val uncappedPlan = graft.queries.Dedup.ngramJaccardPairsUncontracted(c)
+      .queryExecution.optimizedPlan.toString
+    assert(cappedPlan.contains("flatten(transform"),
+      "capped path lost its set-explosion spelling")
+    assert(!uncappedPlan.contains("flatten(transform"),
+      "UNCAPPED path must not set-explode (skew guard, VERDICT r18 #9)")
+  }
+
   test("contraction invisibility: dd2/dd5/dd6 pair sets equal the uncontracted " +
     "pipelines on an N-way replicated corpus with nulls, empties, and short docs") {
     // r16 VERDICT #1: exact-dup contraction applied to the near-dup
