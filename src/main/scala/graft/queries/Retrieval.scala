@@ -56,10 +56,20 @@ object Retrieval extends QueryModule {
     * and both of ir5's passes, so the surrogate can never drift between
     * entries (RetrievalSpec's ir1-vs-ir5 rerank comparison assumes it).
     */
-  private def bm25Contrib(d: DataFrame, terms: DataFrame): DataFrame = {
-    val stats = d.agg(
-      expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
-      count(lit(1)).as("n"))
+  /** The corpus-level BM25 constants (avg doc length, doc count) — one
+    * full scan+tokenize+sum pass. Split out (r19 opt) so a TWO-pass
+    * consumer (ir5's PRF) can compute it once and hand the persisted
+    * 1-row frame to both bm25Contrib calls instead of paying the
+    * corpus pass per call; single-pass consumers (ir1/ir4) keep the
+    * default.
+    */
+  private def bm25Stats(d: DataFrame): DataFrame = d.agg(
+    expr("CAST(sum(size(w)) AS BIGINT) DIV count(*)").as("a"),
+    count(lit(1)).as("n"))
+
+  private def bm25Contrib(d: DataFrame, terms: DataFrame,
+      sharedStats: Option[DataFrame] = None): DataFrame = {
+    val stats = sharedStats.getOrElse(bm25Stats(d))
     // tf feeds TWO consumers — the broadcast df aggregate below and the
     // scoring join — and a broadcast exchange executes its child
     // independently, so without materialization the full
@@ -409,9 +419,15 @@ object Retrieval extends QueryModule {
     val qterms = s.createDataFrame(QuerySet).toDF("query_id", "qtext")
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
+    // r19 opt: the BM25 corpus constants are identical for both passes
+    // (pure function of the corpus) — one persisted 1-row frame serves
+    // pass 1 and pass 2 instead of each bm25Contrib call re-running the
+    // full scan+tokenize+sum (the narrow-frame sharing posture; the
+    // wide docs persist stays the measured negative above).
+    val stats = bm25Stats(d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: plain BM25, keep the top-F feedback documents per query
     val topkF = udaf(new TopKAgg(PrfFeedbackK))
-    val feedback = bm25Contrib(d, qterms.select("term").distinct())
+    val feedback = bm25Contrib(d, qterms.select("term").distinct(), Some(stats))
       .join(broadcast(qterms), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("c")).as("score"))
@@ -444,7 +460,7 @@ object Retrieval extends QueryModule {
       else qtermsW.unionByName(
         s.createDataFrame(expLocal).toDF("query_id", "term").withColumn("wt", lit(1L)))
     val topk = udaf(new TopKAgg(10))
-    bm25Contrib(d, wq.select("term").distinct())
+    bm25Contrib(d, wq.select("term").distinct(), Some(stats))
       .join(broadcast(wq), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("wt") * col("c")).as("score"))

@@ -2482,10 +2482,15 @@ object Stats extends QueryModule {
     val or = t(s, dir, "orders")
     val ev = t(s, dir, "events")
     // θ-set algebra over the two orderkey sets (lineitem ⊂≈ orders)
+    // r19 opt (dq12's shared-subtree posture, guide §2.4): `sets` feeds
+    // BOTH the pair algebra and the engaged flag, and each consumer
+    // executed the full union-scan + sketch aggregate independently —
+    // the 2-row sketch frame is persisted so the subtree runs once.
     val sets = li.select(col("l_orderkey").as("key"), lit("lineitem").as("event_type"))
       .unionByName(or.select(col("o_orderkey").as("key"), lit("orders").as("event_type")))
       .groupBy("event_type")
       .agg(NdvSketch.ndvSketchSet(col("key"), Dq13K).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pair = Extras.sketchPairAlgebra(sets)
     // engaged iff BOTH sides' sketches trimmed (max(bool) = OR, so
     // !max(exact) = every sketch non-exact). Both orderkey NDVs are
@@ -2494,8 +2499,13 @@ object Stats extends QueryModule {
     // (e.g. a per-side k mixup) now flips the flag and fails the hash,
     // where at-least-one would have masked it (VERDICT r12 #6).
     val eng = sets.agg((!max(col("sk.exact"))).as("estimator_engaged"))
+    // the distinct key frames each feed TWO exact twins (intersection
+    // join + union distinct) — persisted (narrow, NDV-bounded) so each
+    // table's scan+distinct runs once instead of twice (r19 opt)
     val lk = li.select(col("l_orderkey").as("key")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = or.select(col("o_orderkey").as("key")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exInter = lk.join(ok, Seq("key")).agg(count(lit(1)).as("exact_value"))
     val exUnion = lk.unionByName(ok).distinct().agg(count(lit(1)).as("exact_value"))
     def setRow(exact: DataFrame, estCol: String, label: String): DataFrame =
@@ -2563,20 +2573,35 @@ object Stats extends QueryModule {
     import graft.functions.NdvSketch
     val bound = 60 // percent
     val ev = t(s, dir, "events")
+    // r19 opt (dq12/dq13's shared-subtree posture): `sets` feeds the
+    // pair algebra AND the engaged flag; `u` feeds the per-type count
+    // and BOTH sides of the overlap self-join — persisted (5 sketch
+    // rows / NDV-bounded key pairs) so each subtree runs once instead
+    // of 2–3 full event scans.
     val sets = ev.groupBy("event_type")
       .agg(NdvSketch.ndvSketchSet(col("user_id"), Dq14K).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pair = Extras.sketchPairAlgebra(sets)
     val eng = sets.agg((!max(col("sk.exact"))).as("estimator_engaged"))
     val u = ev.select(col("event_type"), col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = u.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val exOv = u.as("x").join(u.as("y"),
+    // shuffle_hash (r19, er2's posture): the overlap self-join planned
+    // SortMergeJoin — post-distinct size estimates blow past the
+    // planner's SHJ conditions. Build side is the distinct
+    // (type, user) frame itself: ≤ |types|·|users| / shuffle-partitions
+    // narrow rows per partition at any scale.
+    val exOv = u.as("x").hint("shuffle_hash").join(u.as("y"),
         col("x.user_id") === col("y.user_id") && col("x.event_type") < col("y.event_type"))
       .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
       .agg(count(lit(1)).as("exact_overlap"))
     val exact = cnt.as("ca").join(cnt.as("cb"), col("ca.event_type") < col("cb.event_type"))
       .select(col("ca.event_type").as("type_a"), col("cb.event_type").as("type_b"),
         col("ca.n").as("na"), col("cb.n").as("nb"))
-      .join(exOv, Seq("type_a", "type_b"), "left")
+      // broadcast: the pair frames are ≤ |types|²/2 rows at any scale
+      // (event_type is the low-cardinality grouping key) — the planner
+      // saw unknown post-aggregate estimates and picked SortMergeJoin
+      .join(broadcast(exOv), Seq("type_a", "type_b"), "left")
       .select(col("type_a"), col("type_b"),
         coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
         (col("na") + col("nb") - coalesce(col("exact_overlap"), lit(0L))).as("exact_union"))
