@@ -1236,11 +1236,13 @@ object Dedup extends QueryModule {
         // term at gate scale. Event times are a pure function of doc_id
         // (sw14Ts), NOT of file placement, so windows, watermark
         // advancement at batch boundaries, eviction, and the emitted
-        // counts are unchanged: batch 2 still arrives while windows
-        // [0,1) and [1,2) are open and evicts them mid-stream
-        // (StreamingSpec pins it), and the oracle is untouched. A/B at
-        // sf0.1: 4-file ~3.0 s vs 2-file ~2.15 s steady (ledger,
-        // OPTIMIZATION_r19.md).
+        // counts are unchanged. Eviction stays MID-STREAM: the
+        // watermark reaches 2:50 after batch 2, so windows [0,1) and
+        // [1,2) evict while the sentinel DATA batch processes —
+        // before the trailing no-data batch (StreamingSpec pins
+        // continuous eviction + empty final state + streamed ≡ batch);
+        // the oracle is untouched. A/B at sf0.1: 4-file ~3.0 s vs
+        // 2-file ~2.15 s steady (ledger, OPTIMIZATION_r19.md).
         for ((lo, name, i) <- Seq((0, "b01_docs.parquet", 0), (2, "b23_docs.parquet", 1)))
           writeOne(docs.filter(pmod(col("doc_id"), lit(4)).isin(lo, lo + 1)),
             name, t0 + i * 2000L)
